@@ -1,13 +1,280 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.ops.{AggSpec, Cleaning, Cohort, Quality, Summarize}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` where the operator is
+  * SQL-expressible (non-expressible ops get a weaker rows-only check).
+  *
+  * Hash-match discipline (driver compares value hashes after sorting columns
+  * by name): every aggregate/computed column is aliased identically on both
+  * sides; money sums go through DECIMAL(18,2) so both engines sum exactly and
+  * cast the same exact value to double; medians use exact interpolating
+  * `percentile` ≡ DuckDB `quantile_cont`; every query ORDER BYs its keys.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Exact sum for 2-decimal money columns: decimal accumulate (order-
+    * independent, no FP drift) then cast to double and round — both engines
+    * produce bit-identical results. */
+  private def moneySum(c: Column): Column =
+    round(sum(c.cast("decimal(18,2)")).cast("double"), 2)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. Multi-join +
+    * aggregation: revenue per nation (broadcast dims, shuffled fact join). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    revenuePerNation(spark, "/root/testdata/sf0.001")
+
+  private def revenuePerNation(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        ).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.5 A1-A6: plain grouped aggregation --------------------------
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- §2.2 P1/P4: projection + predicate filter ----------------------
+    "p1_project_filter" -> ((s, dir) => {
+      Cleaning.selectColumns(
+        t(s, dir, "orders")
+          .where(col("o_orderstatus").isNotNull && col("o_totalprice") > 100000),
+        Seq("o_orderkey", "o_custkey", "o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- §2.2 P2: advancedCasting (conditional cast-projection) ---------
+    "p2_cast_project" -> ((s, dir) => {
+      val base = Cleaning.selectColumns(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"))
+      val cast1 = Cleaning.advancedCasting(base, Seq("l_quantity"), "int")
+      Cleaning.advancedCasting(cast1, Seq("l_shipdate"), "date")
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- §2.2 P3: boolean normalization from strings --------------------
+    "p3_boolean_normalize" -> ((s, dir) => {
+      val base = Cleaning.selectColumns(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_orderstatus"))
+      Cleaning.booleanFromString(base, "o", Seq("o_orderstatus"))
+        .withColumnRenamed("o_orderstatus", "is_open")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- §2.5: the categorized-aggregation summary engine ---------------
+    "q2_summary_engine" -> ((s, dir) => {
+      val res = Summarize.summarize(
+        t(s, dir, "lineitem"),
+        aggs = Seq(AggSpec.sum, AggSpec.median, AggSpec.min, AggSpec.max, AggSpec.count),
+        metrics = Seq("l_quantity" -> "qty"),
+        cats = Seq("l_returnflag" -> "ReturnFlag", "l_linestatus" -> "LineStatus"))
+      res.select(col("Division"), col("DivisionCategory"), col("aggregation"),
+          round(col("qty"), 3).as("qty"))
+        .orderBy(col("Division"), col("DivisionCategory"), col("aggregation"))
+    }),
+
+    // ---- §2 quality operator family (fused single-pass checks) ----------
+    "q3_quality_report" -> ((s, dir) => {
+      Quality.report(t(s, dir, "lineitem"), Seq(
+        Quality.RangeCheck(Seq("l_quantity"), 1, 50),
+        Quality.RangeCheck(Seq("l_discount"), 0, 0.08),
+        Quality.NotNullCheck(Seq("l_quantity", "l_returnflag")),
+        Quality.ZScoreCheck(Seq("l_extendedprice"), 3.0)))
+        .orderBy(col("description"), col("columnName"))
+    }),
+
+    // ---- §2.3 J1: cross-cohort aggregate (agg-then-crossjoin rewrite) ---
+    "j1_cross_agg" -> ((s, dir) => {
+      Cohort.crossCohortAgg(
+        t(s, dir, "customer"),
+        Seq((AggSpec.median, "c_acctbal", "cust_median"),
+            (AggSpec.min, "c_acctbal", "cust_min"),
+            (AggSpec.max, "c_acctbal", "cust_max")),
+        t(s, dir, "supplier"),
+        Seq((AggSpec.median, "s_acctbal", "supp_median"),
+            (AggSpec.min, "s_acctbal", "supp_min"),
+            (AggSpec.max, "s_acctbal", "supp_max")))
+        .select(round(col("cust_median"), 3).as("cust_median"), col("cust_min"),
+          col("cust_max"), round(col("supp_median"), 3).as("supp_median"),
+          col("supp_min"), col("supp_max"))
+    }),
+
+    // ---- §2.3 J2: tagged union for cohort comparison --------------------
+    "j2_tagged_union" -> ((s, dir) => {
+      Cohort.taggedUnion(
+        t(s, dir, "customer"),
+        Seq(col("c_name") -> "name", col("c_acctbal") -> "acctbal"),
+        t(s, dir, "supplier"),
+        Seq(col("s_name") -> "name", col("s_acctbal") -> "acctbal"),
+        tagCol = "is_customer")
+        .orderBy(col("name"), col("is_customer"))
+    }),
+
+    // ---- §2.6 W1: window aggregate as group-by substitute (+ distinct) --
+    "w1_window_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          sum(col("l_quantity")).over(Window.partitionBy(col("l_returnflag")))
+            .as("qty_total"))
+        .distinct()
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- §2.7 date functions + events hourly rollup ---------------------
+    "e1_events_hourly" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).cast("long").as("hour_ts"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total"))
+        .orderBy(col("hour_ts"))
+    }),
+
+    // ---- multi-join + aggregation (scale path: broadcast dims) ----------
+    "q5_join_agg" -> ((s, dir) => revenuePerNation(s, dir)),
+
+    // ---- §2.4 U4: distinct ----------------------------------------------
+    "u4_distinct" -> ((s, dir) => {
+      t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority"))
+        .distinct()
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price,
+         count(*) AS n
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "p1_project_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderstatus IS NOT NULL AND o_totalprice > 100000
+         ORDER BY o_orderkey""",
+
+    "p2_cast_project" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(l_quantity AS INTEGER) AS l_quantity,
+         CAST(l_shipdate AS DATE) AS l_shipdate
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "p3_boolean_normalize" ->
+      """SELECT o_orderkey, (lower(CAST(o_orderstatus AS VARCHAR)) = 'o') AS is_open
+         FROM orders ORDER BY o_orderkey""",
+
+    "q2_summary_engine" ->
+      """WITH g AS (
+           SELECT CASE WHEN GROUPING(l_returnflag) = 0 THEN 'ReturnFlag'
+                       WHEN GROUPING(l_linestatus) = 0 THEN 'LineStatus'
+                       ELSE 'All' END AS Division,
+                  CASE WHEN GROUPING(l_returnflag) = 0 THEN CAST(l_returnflag AS VARCHAR)
+                       WHEN GROUPING(l_linestatus) = 0 THEN CAST(l_linestatus AS VARCHAR)
+                       ELSE 'All' END AS DivisionCategory,
+                  CAST(sum(l_quantity) AS DOUBLE) AS s,
+                  CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE) AS med,
+                  CAST(min(l_quantity) AS DOUBLE) AS mn,
+                  CAST(max(l_quantity) AS DOUBLE) AS mx,
+                  CAST(count(l_quantity) AS DOUBLE) AS cnt
+           FROM lineitem
+           GROUP BY GROUPING SETS ((), (l_returnflag), (l_linestatus)))
+         SELECT Division, DivisionCategory, aggregation, round(qty, 3) AS qty FROM (
+           SELECT Division, DivisionCategory, 'sum' AS aggregation, s AS qty FROM g
+           UNION ALL SELECT Division, DivisionCategory, 'median', med FROM g
+           UNION ALL SELECT Division, DivisionCategory, 'min', mn FROM g
+           UNION ALL SELECT Division, DivisionCategory, 'max', mx FROM g
+           UNION ALL SELECT Division, DivisionCategory, 'count', cnt FROM g)
+         ORDER BY Division, DivisionCategory, aggregation""",
+
+    "q3_quality_report" ->
+      """SELECT * FROM (
+         SELECT 'outside range' AS description, 'l_quantity' AS columnName,
+                count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS number
+         FROM lineitem
+         UNION ALL
+         SELECT 'outside range', 'l_discount',
+                count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.08)
+         FROM lineitem
+         UNION ALL
+         SELECT 'null values', 'l_quantity', count(*) FILTER (WHERE l_quantity IS NULL)
+         FROM lineitem
+         UNION ALL
+         SELECT 'null values', 'l_returnflag', count(*) FILTER (WHERE l_returnflag IS NULL)
+         FROM lineitem
+         UNION ALL
+         SELECT 'z-score outliers', 'l_extendedprice',
+                count(*) FILTER (WHERE abs((l_extendedprice - m) / sd) > 3)
+         FROM lineitem, (SELECT avg(l_extendedprice) AS m, stddev_pop(l_extendedprice) AS sd
+                         FROM lineitem)
+         ) ORDER BY description, columnName""",
+
+    "j1_cross_agg" ->
+      """SELECT round(cust_median, 3) AS cust_median, cust_min, cust_max,
+                round(supp_median, 3) AS supp_median, supp_min, supp_max
+         FROM (SELECT CAST(quantile_cont(c_acctbal, 0.5) AS DOUBLE) AS cust_median,
+                      CAST(min(c_acctbal) AS DOUBLE) AS cust_min,
+                      CAST(max(c_acctbal) AS DOUBLE) AS cust_max FROM customer)
+         CROSS JOIN
+              (SELECT CAST(quantile_cont(s_acctbal, 0.5) AS DOUBLE) AS supp_median,
+                      CAST(min(s_acctbal) AS DOUBLE) AS supp_min,
+                      CAST(max(s_acctbal) AS DOUBLE) AS supp_max FROM supplier)""",
+
+    "j2_tagged_union" ->
+      """SELECT name, acctbal, is_customer FROM (
+           SELECT c_name AS name, c_acctbal AS acctbal, 1 AS is_customer FROM customer
+           UNION ALL
+           SELECT s_name, s_acctbal, 0 FROM supplier)
+         ORDER BY name, is_customer""",
+
+    "w1_window_agg" ->
+      """SELECT DISTINCT l_returnflag,
+                sum(l_quantity) OVER (PARTITION BY l_returnflag) AS qty_total
+         FROM lineitem ORDER BY l_returnflag""",
+
+    "e1_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+                count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q5_join_agg" ->
+      """SELECT n_name,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               AS DOUBLE), 2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "u4_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+         ORDER BY o_orderstatus, o_orderpriority"""
+  )
 }
