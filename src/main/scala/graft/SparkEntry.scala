@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.ops.{AggSpec, Cleaning, Cohort, Quality, Summarize}
+import graft.dedup.Dedup
+import graft.sim.Embeddings
+import graft.text.TextOps
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with a DuckDB-equivalent `oracleSql` where the operator is
@@ -161,6 +164,88 @@ object SparkEntry {
       t(s, dir, "orders").select(col("o_orderstatus"), col("o_orderpriority"))
         .distinct()
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
+    // ================= training-data pipeline extensions =================
+
+    // ---- text analysis: stopword-vote language ID -----------------------
+    "t1_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))
+    }),
+
+    // ---- text analysis: heuristic quality score -------------------------
+    "t2_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- text analysis: token / char counting ---------------------------
+    "t3_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("len_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- text analysis: rolling-hash fingerprint + simhash (rows-only) --
+    "t4_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fingerprint"),
+          Dedup.simHash64("text").as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup: exact hash-groupBy --------------------------------------
+    "d1_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDupGroups(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("content_hash"))
+    }),
+
+    // ---- dedup: MinHash + LSH banding (rows-only: engine-specific hash) -
+    "d2_minhash_neardup" -> ((s, dir) => {
+      Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: SimHash Hamming-distance (rows-only) --------------------
+    "d3_simhash_neardup" -> ((s, dir) => {
+      Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: exact n-gram Jaccard on a bounded window ----------------
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, window = 25)
+        .where(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity: exact brute-force cosine top-k (rows-only) ---------
+    "n1_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Embeddings.bruteForceTopK(
+          emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- similarity: LSH-bucketed approximate pairs (rows-only) ---------
+    "n2_ann_lsh" -> ((s, dir) => {
+      Embeddings.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.35, nBits = 4, dim = 64, tables = 8)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -275,6 +360,73 @@ object SparkEntry {
 
     "u4_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
-         ORDER BY o_orderstatus, o_orderpriority"""
+         ORDER BY o_orderstatus, o_orderpriority""",
+
+    "t1_langid" ->
+      """WITH scored AS (
+           SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks,
+                  text FROM documents),
+         s2 AS (
+           SELECT text,
+             len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','with','for','it'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], t))) AS s_de,
+             len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une','que','pour','dans','des'], t))) AS s_fr,
+             len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','que','por','con','para'], t))) AS s_es
+           FROM scored),
+         lp AS (
+           SELECT CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
+                       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
+                       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
+                       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
+                       ELSE 'unknown' END AS lang_pred
+           FROM s2)
+         SELECT lang_pred, count(*) AS n FROM lp GROUP BY 1 ORDER BY 1""",
+
+    "t2_quality_score" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks,
+             length(text) AS lc
+           FROM documents),
+         parts AS (
+           SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS ntok,
+             CASE WHEN lc = 0 THEN 0.0
+                  ELSE CAST(lc - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / lc END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, t -> list_contains(
+                    ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be'], t))) AS DOUBLE) / len(toks) END AS sr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(toks) END AS mtl
+           FROM base)
+         SELECT doc_id,
+           least(ntok / 20.0, 1.0) * 0.4 +
+           greatest(1.0 - pr * 4, 0.0) * 0.3 +
+           least(sr * 5, 1.0) * 0.2 +
+           (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.1 AS quality
+         FROM parts ORDER BY doc_id""",
+
+    "t3_token_count" ->
+      """SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tokens,
+           length(text) AS len_chars
+         FROM documents ORDER BY doc_id""",
+
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "d4_ngram_jaccard" ->
+      """WITH sh AS (
+           SELECT doc_id, list_distinct(list_transform(
+             generate_series(1, len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) - 2),
+             i -> array_to_string(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')[i:i+2], ' '))) AS s
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
+         FROM sh a JOIN sh b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
+         WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
+         ORDER BY id_a, id_b"""
   )
 }

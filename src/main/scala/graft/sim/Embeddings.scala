@@ -1,0 +1,143 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search (NOT-IN-REFERENCE extension): brute-force
+  * cosine top-k as the exact baseline, LSH-bucketed (random hyperplane) and
+  * IVF (centroid-partitioned) variants as the 100 TB scale path.
+  *
+  * Vector math is `zip_with`/`aggregate` higher-order expressions over
+  * `array<double>` — stays in Tungsten, no UDF or driver loop.
+  */
+object Embeddings {
+
+  /** Cast array<float> → array<double> (the parquet embeddings are float). */
+  def asDouble(c: Column): Column = c.cast("array<double>")
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(c: Column): Column = sqrt(dot(c, c))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Pre-normalize once so each pair costs ONE dot product, not three:
+    * adds `__vec` (unit-norm array<double>). Zero vectors map to null. */
+  private def withUnit(df: DataFrame, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val n = l2Norm(v)
+    df.withColumn("__vec", when(n > 0, zip_with(v,
+      array_repeat(n, size(v)), (x, d) => x / d)))
+  }
+
+  /** Exact brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows. Plan: broadcast the (small) query side, one pass over the corpus,
+    * per-query top-k via window. Corpus side never shuffles its vectors —
+    * only (query_id, corpus_id, cos) tuples move. */
+  def bruteForceTopK(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val c = withUnit(corpus, corpusVec).select(col(corpusId).as("corpus_id"), col("__vec").as("cvec"))
+    val q = withUnit(queries, queryVec).select(col(queryId).as("query_id"), col("__vec").as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), dot(col("cvec"), col("qvec")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic random hyperplanes: `nBits` × `dim` Gaussian matrix. */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Random-hyperplane LSH bucket id (sign bits of `nBits` projections).
+    * Cosine-similar vectors collide with probability (1 - θ/π)^nBits. */
+  def lshBucket(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(nBits, dim, seed)
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit): _*)
+      when(dot(asDouble(vec), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate near-dup pairs: only vectors sharing a bucket
+    * (over `tables` independent hash tables) are compared. Shuffle is on
+    * (table, bucket) — never all-pairs. */
+  def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, nBits: Int = 12, dim: Int = 64, tables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val withB = withUnit(df, vecCol).select(
+      col(idCol).as("id"), col("__vec").as("vec"),
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col(vecCol), nBits, dim, seed + t)): _*)).as(Seq("table", "bucket")))
+    val a = withB.alias("a"); val b = withB.alias("b")
+    a.join(b, col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        dot(col("a.vec"), col("b.vec")).as("cos"))
+      .groupBy(col("id_a"), col("id_b")).agg(max(col("cos")).as("cos"))
+      .where(col("cos") >= minCosine)
+  }
+
+  /** Exact all-pairs near-dup within a blocking column (e.g. a label or an
+    * IVF centroid id): quadratic only inside each block. */
+  def blockedNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, minCosine: Double): DataFrame = {
+    val u = withUnit(df, vecCol).select(
+      col(blockCol).as("block"), col(idCol).as("id"), col("__vec").as("vec"))
+    val a = u.alias("a"); val b = u.alias("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        dot(col("a.vec"), col("b.vec")).as("cos"))
+      .where(col("cos") >= minCosine)
+  }
+
+  /** IVF index: k-means centroids (sampled fit, distributed assign). Returns
+    * the input plus a `centroid_id` column; ANN search probes only the
+    * `nProbe` nearest centroids' partitions. */
+  def ivfAssign(df: DataFrame, vecCol: String, nCentroids: Int,
+      seed: Long = 42L, maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = df.withColumn("__features", array_to_vector(asDouble(col(vecCol))))
+    val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__features").setPredictionCol("centroid_id")
+    val model = km.fit(feat)
+    model.transform(feat).drop("__features")
+  }
+
+  /** IVF ANN top-k: assign queries to their nearest `nProbe` centroids, join
+    * with the pre-assigned corpus on centroid_id, rank within query. At 100 TB
+    * the corpus stays partitioned by centroid_id (bucketed table), so the
+    * probe is a partition-pruned scan, not a full pass. */
+  def ivfTopK(assignedCorpus: DataFrame, corpusId: String, vecCol: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: Array[(Int, Seq[Double])], nProbe: Int, k: Int): DataFrame = {
+    val centroidArr = array(centroids.map { case (id, c) =>
+      struct(lit(id).as("cid"), array(c.map(lit): _*).as("cvec"))
+    }: _*)
+    val q = withUnit(queries, queryVec)
+      .select(col(queryId).as("query_id"), col("__vec").as("qvec"))
+      .withColumn("__probes",
+        slice(array_sort(centroidArr, (l, r) =>
+          when(dot(col("qvec"), l("cvec")) > dot(col("qvec"), r("cvec")), -1)
+            .when(dot(col("qvec"), l("cvec")) < dot(col("qvec"), r("cvec")), 1)
+            .otherwise(0)), 1, nProbe))
+      .select(col("query_id"), col("qvec"),
+        explode(transform(col("__probes"), p => p("cid"))).as("centroid_id"))
+    val c = withUnit(assignedCorpus, vecCol).select(
+      col("centroid_id"), col(corpusId).as("corpus_id"), col("__vec").as("cvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    c.join(broadcast(q), Seq("centroid_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), dot(col("cvec"), col("qvec")).as("cos"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

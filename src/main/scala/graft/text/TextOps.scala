@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (NOT-IN-REFERENCE extension — the reference has no text corpus surface;
+  * these are the engine's LLM-data-pipeline operators over the `documents`
+  * table).
+  *
+  * Everything is built from `org.apache.spark.sql.functions` (codegen'd
+  * expressions, no UDFs): a 100 TB corpus pass stays inside whole-stage
+  * codegen with zero serialization detours.
+  */
+object TextOps {
+
+  /** Whitespace tokens, empty-safe: trim → split on runs of whitespace →
+    * drop empties (leading/trailing artifacts). */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= lit(""))
+
+  /** Whitespace token count (the "BPE-ish regex" variant is [[subwordCount]]). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Subword-ish token count: splits on whitespace AND word/number boundaries
+    * the way byte-pair pretokenizers do (letters runs, digit runs, punct). */
+  def subwordCount(c: Column): Column =
+    size(filter(split(c,
+        "(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|\\s+|(?=[^a-zA-Z0-9\\s])|(?<=[^a-zA-Z0-9\\s])"),
+      t => t =!= lit("")))
+
+  /** Ratio of punctuation characters to all characters (0 for empty). */
+  def punctRatio(c: Column): Column = {
+    val len = length(c)
+    when(len === 0, lit(0.0)).otherwise(
+      (len - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") / len)
+  }
+
+  /** Fraction of tokens that are in `stopwords` (0 for empty docs). */
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(c)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => array_contains(stops, t))).cast("double") / size(toks))
+  }
+
+  /** Mean token length (0 for empty docs). */
+  def meanTokenLength(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** English-ish stopwords used by the quality score and language ID. */
+  val EnglishStops: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be")
+
+  /** Heuristic quality score in [0,1]: length sweet-spot × low punctuation ×
+    * some stopword presence × sane mean word length. Mirrors the usual
+    * pretraining-filter recipe (length/punct/stopword ratios); weights are
+    * fixed so the score is deterministic and oracle-checkable. */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lengthScore = least(nTok / lit(20.0), lit(1.0)) // <20 tokens → penalized
+    val punctScore = greatest(lit(1.0) - punctRatio(c) * 4, lit(0.0))
+    val stopScore = least(stopwordRatio(c, EnglishStops) * 5, lit(1.0))
+    val mtl = meanTokenLength(c)
+    val wordLenScore = when(mtl >= 2 && mtl <= 12, lit(1.0)).otherwise(lit(0.5))
+    lengthScore * lit(0.4) + punctScore * lit(0.3) +
+      stopScore * lit(0.2) + wordLenScore * lit(0.1)
+  }
+
+  /** Per-language discriminative stopword sets for the n-gram/stopword
+    * language-ID heuristic. */
+  val LangStops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour", "dans", "des"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "que", "por", "con", "para"))
+
+  /** Stopword-vote language ID: count tokens hitting each language's stopword
+    * set; argmax with a fixed tie-break order (list order above); no hits at
+    * all → "unknown". CJK short-circuit: any Han characters → "zh". */
+  def langId(c: Column): Column = {
+    val toks = tokens(c)
+    val scores = LangStops.map { case (lang, stops) =>
+      val arr = array(stops.map(lit): _*)
+      lang -> size(filter(toks, t => array_contains(arr, t)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // when-chain in list order: earlier langs win ties (checked first)
+    val chain = scores.foldLeft(Option.empty[Column]) { case (acc, (lang, s)) =>
+      val cond = s === best && best > 0
+      Some(acc match {
+        case None => when(cond, lit(lang))
+        case Some(w) => w.when(cond, lit(lang))
+      })
+    }.get.otherwise(lit("unknown"))
+    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(chain)
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-lite): minimum `xxhash64`
+    * over character `w`-shingles. Two documents sharing long substrings are
+    * likely to share the minimizing shingle → same fingerprint. */
+  def fingerprint(c: Column, w: Int = 16): Column = {
+    val n = length(c)
+    when(n < w, xxhash64(c)).otherwise(
+      array_min(transform(sequence(lit(1), n - lit(w - 1)),
+        i => xxhash64(c.substr(i, lit(w))))))
+  }
+}

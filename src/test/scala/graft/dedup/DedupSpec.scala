@@ -1,0 +1,80 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup
+    (4L, "completely unrelated text about spark query engines and distributed joins here"),
+    (5L, "another separate document mentioning catalyst optimizer rules and codegen stages")
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds the duplicate group") {
+    val groups = Dedup.exactDupGroups(docs, "text", "doc_id")
+    val dup = groups.where($"n_dups" > 1).collect()
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("keep_id") == 1L)
+    assert(dup.head.getAs[Long]("n_dups") == 2L)
+  }
+
+  test("exactDedup keeps lowest id and preserves schema") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(out.columns.toSeq == docs.columns.toSeq)
+    assert(out.count() == 4)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("shingles builds distinct word n-grams") {
+    val df = Seq("a b c d").toDF("t")
+    val got = df.select(Dedup.shingles($"t", 3)).as[Seq[String]].head()
+    assert(got.toSet == Set("a b c", "b c d"))
+    // short doc: whole text as single shingle
+    val short = Seq("a b").toDF("t")
+    assert(short.select(Dedup.shingles($"t", 3)).as[Seq[String]].head() == Seq("a b"))
+  }
+
+  test("minHash est_jaccard tracks true jaccard") {
+    val cands = Dedup.minHashCandidates(docs, "doc_id", "text", k = 128, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact dup pair must be found with estimate 1.0
+    assert(cands((1L, 2L)) == 1.0)
+    // near-dup (12 of 14 trigram shingles shared → j ≈ 0.71) estimated high
+    val nearest = Seq(cands.get((1L, 3L)), cands.get((2L, 3L))).flatten
+    assert(nearest.nonEmpty && nearest.forall(_ > 0.4))
+  }
+
+  test("minHashNearDups thresholds candidates") {
+    val out = Dedup.minHashNearDups(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((1L, 2L)))
+  }
+
+  test("simHash64 identical docs collide, unrelated docs differ") {
+    val sigs = docs.select($"doc_id", Dedup.simHash64("text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+    val ham13 = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val ham14 = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(ham13 < ham14) // near dup closer than unrelated
+  }
+
+  test("simHashNearDups finds the exact-dup pair at hamming 0") {
+    val out = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out((1L, 2L)) == 0)
+  }
+
+  test("ngramJaccardPairs computes exact jaccard") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, window = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
+    assert(out((4L, 5L)) == 0.0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EmbeddingsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Seq(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Seq(0.0f, 0.95f, 0.05f))  // close to 2
+  ).toDF("vec_id", "embedding")
+
+  test("cosine of identical / orthogonal / opposite vectors") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0), Seq(-2.0, 1.0))).toDF("a", "b", "c")
+    val cab = df.select(Embeddings.cosine($"a", $"b")).as[Double].head()
+    val cac = df.select(Embeddings.cosine($"a", $"c")).as[Double].head()
+    assert(math.abs(cab - 1.0) < 1e-12)
+    assert(math.abs(cac) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    val top = Embeddings.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.where($"vec_id" === 0), "vec_id", "embedding", k = 2)
+      .orderBy($"rank")
+      .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Int]("rank")))
+    assert(top.toSeq == Seq((1L, 1), (2L, 2))) // nearest first, never itself
+  }
+
+  test("lshNearDupPairs finds high-cosine pairs") {
+    val pairs = Embeddings.lshNearDupPairs(vecs, "vec_id", "embedding",
+      minCosine = 0.9, nBits = 2, dim = 3, tables = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 0L && b == 3L }) // opposite never passes
+  }
+
+  test("blockedNearDupPairs is quadratic only within blocks") {
+    val withBlock = vecs.withColumn("block", when($"vec_id" <= 1, 0).otherwise(1))
+    val pairs = Embeddings.blockedNearDupPairs(withBlock, "vec_id", "embedding",
+      "block", minCosine = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (2L, 4L)))
+  }
+
+  test("ivfAssign + ivfTopK recover nearest neighbors through centroid probe") {
+    val assigned = Embeddings.ivfAssign(vecs, "embedding", nCentroids = 2)
+    assert(assigned.columns.contains("centroid_id"))
+    val model = assigned.select($"centroid_id",
+        Embeddings.asDouble($"embedding").as("v"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val centroids = model.groupBy(_._1).map { case (cid, rows) =>
+      val sums = rows.map(_._2.toVector).toVector.transpose.map(_.sum / rows.length)
+      (cid, sums: Seq[Double])
+    }.toArray
+    val top = Embeddings.ivfTopK(assigned, "vec_id", "embedding",
+      vecs.where($"vec_id" === 0), "vec_id", "embedding",
+      centroids, nProbe = 1, k = 1)
+      .collect().map(r => r.getAs[Long]("corpus_id"))
+    assert(top.toSeq == Seq(1L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount handles empties, runs of whitespace, trim") {
+    val df = Seq("a b  c", "  x ", "", "   ").toDF("t")
+    val got = df.select(TextOps.tokenCount($"t")).as[Int].collect().toSeq
+    assert(got == Seq(3, 1, 0, 0))
+  }
+
+  test("subwordCount splits words, digits and punctuation") {
+    val df = Seq("hello world42 v2.0!").toDF("t")
+    // hello | world | 42 | v | 2 | . | 0 | !
+    assert(df.select(TextOps.subwordCount($"t")).as[Int].head() == 8)
+  }
+
+  test("punctRatio and stopwordRatio") {
+    val df = Seq("the cat, the hat!").toDF("t")
+    val pr = df.select(TextOps.punctRatio($"t")).as[Double].head()
+    assert(math.abs(pr - 2.0 / 17) < 1e-12)
+    val sr = df.select(TextOps.stopwordRatio($"t", Seq("the"))).as[Double].head()
+    assert(sr == 0.5) // 2 of 4 tokens ("cat," with comma doesn't match)
+  }
+
+  test("langId votes by stopwords with CJK short-circuit") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze ist nicht da",
+      "le chat et la maison est dans les arbres",
+      "el perro y el gato es una casa",
+      "spark 你好 world",
+      "zzz qqq www").toDF("t")
+    val got = df.select(TextOps.langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "de", "fr", "es", "zh", "unknown"))
+  }
+
+  test("qualityScore in [0,1], higher for clean prose") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and runs to the hills in a day that is long and warm for everyone",
+      "!!! ??? ### $$$ %%%").toDF("t")
+    val got = df.select(TextOps.qualityScore($"t")).as[Double].collect()
+    assert(got.forall(s => s >= 0.0 && s <= 1.0))
+    assert(got(0) > got(1))
+  }
+
+  test("fingerprint is stable and shared-substring-sensitive") {
+    val base = "x" * 5 + ("shared rolling window content here" * 2)
+    val df = Seq(base, base, "completely different text body entirely").toDF("t")
+    val got = df.select(TextOps.fingerprint($"t")).as[Long].collect()
+    assert(got(0) == got(1))
+    assert(got(0) != got(2))
+  }
+}
