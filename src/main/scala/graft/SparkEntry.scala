@@ -7,6 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.ops.{AggSpec, Cleaning, Cohort, Quality, Summarize}
 import graft.dedup.Dedup
 import graft.sim.Embeddings
+import graft.stats.{AssociationRules, FDR, Fisher, PermutationTest, Roc}
 import graft.text.TextOps
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -246,6 +247,102 @@ object SparkEntry {
           minCosine = 0.35, nBits = 4, dim = 64, tables = 8)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ============ statistical operators (reference's R stage) ============
+
+    // ---- §2.8 R1: two-sample permutation test (seeded MC, distributed) --
+    "r1_perm_test" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select((col("l_returnflag") === "R").as("is_return"), col("l_extendedprice"))
+      val p = PermutationTest.onColumnsDistributed(li, "is_return",
+        "l_extendedprice", nPerm = 999, seed = 42L)
+      Seq(("price_by_returnflag", p)).toDF("test", "p_value")
+    }),
+
+    // ---- §2.8 R2: Fisher exact test -------------------------------------
+    "r2_fisher" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .select((col("o_orderstatus") === "F").as("x"),
+          (col("o_totalprice") > 100000).as("y"))
+      val (a, b, c, d, p) = Fisher.test(o, "x", "y")
+      Seq((a, b, c, d, p)).toDF("tt", "tf", "ft", "ff", "p_value")
+    }),
+
+    // ---- §2.8 R3: BH + SABHA FDR over per-stratum Fisher p-values -------
+    "r3_fdr" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          (col("o_orderstatus") === "F").as("x"),
+          (col("o_totalprice") > 100000).as("y"))
+      val priorities = o.select("o_orderpriority").distinct()
+        .as[String].collect().sorted
+      val ps = priorities.map { pr =>
+        Fisher.test(o.where(col("o_orderpriority") === pr), "x", "y")._5
+      }
+      val bh = FDR.benjaminiHochberg(ps, alpha = 0.05)
+      val sabhaLabels = FDR.sabhaSelect(ps, priorities).toSet
+      priorities.zip(ps).zipWithIndex.map { case ((label, p), i) =>
+        (label, p, bh.contains(i), sabhaLabels.contains(label))
+      }.toSeq.toDF("stratum", "p_value", "bh_reject", "sabha_reject")
+        .orderBy(col("stratum"))
+    }),
+
+    // ---- §2.8 R6: cost-optimal ROC threshold ----------------------------
+    "r4_roc_threshold" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      def bal(cond: Column): Array[Double] = c.where(cond)
+        .select(col("c_acctbal")).as[Double].collect()
+      val diseased = bal(col("c_mktsegment") === "BUILDING")
+      val healthy = bal(col("c_mktsegment") =!= "BUILDING")
+      Seq((Roc.thres2Equal(healthy, diseased, 0.01),
+        Roc.empiricalThreshold(healthy, diseased, 0.01)))
+        .toDF("thres_equal", "thres_empirical")
+    }),
+
+    // ---- §2.8 R5: association rules via FP-Growth -----------------------
+    "r5_assoc_rules" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        (col("l_returnflag") === "R").as("is_return"),
+        (col("l_quantity") > 25).as("high_qty"),
+        (col("l_discount") >= 0.05).as("discounted"),
+        (col("l_tax") > 0).as("taxed"),
+        (col("l_extendedprice") > 50000).as("big_order"))
+      AssociationRules.mine(li,
+          Seq("is_return", "high_qty", "discounted", "taxed", "big_order"),
+          minSupport = 0.05, minConfidence = 0.3, minLen = 2, maxLen = 5,
+          minLift = 0.0)
+        .select(col("antecedent"), col("consequent"),
+          round(col("support"), 6).as("support"),
+          round(col("confidence"), 6).as("confidence"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy(col("antecedent"), col("consequent"))
+    }),
+
+    // ---- §2.9 M1-M8: decision-tree classification pipeline --------------
+    "m1_decision_tree" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders").select(
+        (col("o_orderstatus") === "F").cast("int").as("label"),
+        col("o_totalprice"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("is_urgent"),
+        year(col("o_orderdate")).cast("double").as("order_year"))
+      val res = graft.ml.CohortClassifier.trainEvaluate(o,
+        graft.ml.CohortClassifier.Config(
+          labelCol = "label",
+          numericCols = Seq("o_totalprice", "order_year"),
+          binaryCols = Seq("is_urgent"),
+          maxDepth = 5, minInstancesPerNode = 7, minInfoGain = 5e-5))
+      (res.featureImportances.map { case (f, v) =>
+        (s"importance:$f", v)
+      } :+ ("accuracy", res.accuracy) :+ ("auc", res.auc))
+        .toDF("metric", "value")
+        .select(col("metric"), round(col("value"), 6).as("value"))
+        .orderBy(col("metric"))
     })
   )
 

@@ -1,0 +1,133 @@
+package graft.ml
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{DecisionTreeClassificationModel, DecisionTreeClassifier}
+import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
+import org.apache.spark.ml.feature.{Imputer, MinMaxScaler, VectorAssembler}
+import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's ML stage (SURVEY §2.9 M1-M8) as a `spark.ml` pipeline:
+  * mean imputation → assemble → min-max scale → decision tree, with the
+  * hyperparameter search over the reference's discrete choice sets
+  * (`AzureMl/mlB (1) (2).ipynb` cells 6-10; grid at `README.md:690-693`),
+  * AUC/accuracy evaluators, and `featureImportances` as the explanation
+  * (`README.md:785-792`). Bayesian *ordering* of the sweep is an Azure
+  * HyperDrive service feature, not a semantic one — the search space and
+  * objective (maximize AUC) are what parity requires.
+  */
+object CohortClassifier {
+
+  /** Reference search space (`README.md:690-693`). The full grid is 9×14×9;
+    * the reference's budget was 50 sampled runs — `gridSubsetForBudget`
+    * mirrors that budget with a deterministic stride. */
+  val MaxDepthChoices: Array[Int] = (1 to 9).toArray
+  val MinInstancesChoices: Array[Int] = (2 to 15).toArray
+  val MinInfoGainChoices: Array[Double] =
+    Array(0.00005, 0.0001, 0.0002, 0.0005, 0.001, 0.0015, 0.002, 0.005, 0.01)
+
+  final case class Config(
+      labelCol: String,
+      numericCols: Seq[String],
+      binaryCols: Seq[String],
+      maxDepth: Int = 5,
+      minInstancesPerNode: Int = 7,
+      minInfoGain: Double = 5e-5,
+      seed: Long = 0L)
+
+  final case class Result(
+      model: PipelineModel,
+      accuracy: Double,
+      auc: Double,
+      featureImportances: Seq[(String, Double)],
+      bestParams: Map[String, Any])
+
+  /** M1-M5: Imputer(mean) over numerics → assemble (numerics + 0/1 binaries)
+    * → MinMaxScaler → DecisionTreeClassifier. */
+  def pipeline(cfg: Config): Pipeline = {
+    val imputed = cfg.numericCols.map(_ + "__imp")
+    val imputer = new Imputer().setStrategy("mean")
+      .setInputCols(cfg.numericCols.toArray).setOutputCols(imputed.toArray)
+    val assembler = new VectorAssembler()
+      .setInputCols((imputed ++ cfg.binaryCols).toArray)
+      .setOutputCol("features_raw").setHandleInvalid("keep")
+    val scaler = new MinMaxScaler().setInputCol("features_raw").setOutputCol("features")
+    val tree = new DecisionTreeClassifier()
+      .setLabelCol(cfg.labelCol).setFeaturesCol("features")
+      .setMaxDepth(cfg.maxDepth)
+      .setMinInstancesPerNode(cfg.minInstancesPerNode)
+      .setMinInfoGain(cfg.minInfoGain)
+      .setSeed(cfg.seed)
+    new Pipeline().setStages(Array(imputer, assembler, scaler, tree))
+  }
+
+  /** M4+M6: 70/30 split (reference: `train_test_split(test_size=0.30)`),
+    * fit, report accuracy + areaUnderROC + per-feature importances. */
+  def trainEvaluate(df: DataFrame, cfg: Config): Result = {
+    val Array(train, test) = prepare(df, cfg).randomSplit(Array(0.7, 0.3), cfg.seed)
+    val model = pipeline(cfg).fit(train)
+    evaluate(model, test, cfg, Map(
+      "maxDepth" -> cfg.maxDepth,
+      "minInstancesPerNode" -> cfg.minInstancesPerNode,
+      "minInfoGain" -> cfg.minInfoGain))
+  }
+
+  /** M7: search the reference's space, maximizing AUC on a validation split.
+    * `budget` caps the number of grid points (HyperDrive ran 50). */
+  def tune(df: DataFrame, cfg: Config, budget: Int = 50): Result = {
+    val data = prepare(df, cfg)
+    val Array(train, test) = data.randomSplit(Array(0.7, 0.3), cfg.seed)
+    val pipe = pipeline(cfg)
+    val tree = pipe.getStages.last.asInstanceOf[DecisionTreeClassifier]
+    val full = for {
+      d <- MaxDepthChoices; m <- MinInstancesChoices; g <- MinInfoGainChoices
+    } yield (d, m, g)
+    // deterministic stride-subsample of the full grid down to `budget` points
+    val stride = math.max(1, full.length / budget)
+    val points = full.indices.by(stride).take(budget).map(full)
+    val grid = new ParamGridBuilder()
+      .addGrid(tree.maxDepth, points.map(_._1).distinct)
+      .addGrid(tree.minInstancesPerNode, points.map(_._2).distinct)
+      .addGrid(tree.minInfoGain, points.map(_._3).distinct)
+      .build()
+    val evaluator = new BinaryClassificationEvaluator()
+      .setLabelCol(cfg.labelCol).setMetricName("areaUnderROC")
+    val tvs = new TrainValidationSplit()
+      .setEstimator(pipe).setEvaluator(evaluator)
+      .setEstimatorParamMaps(grid.take(budget))
+      .setTrainRatio(0.75).setSeed(cfg.seed).setParallelism(4)
+    val tvsModel = tvs.fit(train)
+    val best = tvsModel.bestModel.asInstanceOf[PipelineModel]
+    val bestTree = best.stages.last.asInstanceOf[DecisionTreeClassificationModel]
+    evaluate(best, test, cfg, Map(
+      "maxDepth" -> bestTree.getMaxDepth,
+      "minInstancesPerNode" -> bestTree.getMinInstancesPerNode,
+      "minInfoGain" -> bestTree.getMinInfoGain))
+  }
+
+  /** M3-ish input hygiene: cast binaries to double 0/1, label to double. */
+  private def prepare(df: DataFrame, cfg: Config): DataFrame = {
+    val casts = df.columns.toSeq.map {
+      case c if c == cfg.labelCol => col(c).cast("double").as(c)
+      case c if cfg.binaryCols.contains(c) => col(c).cast("double").as(c)
+      case c if cfg.numericCols.contains(c) => col(c).cast("double").as(c)
+      case c => col(c)
+    }
+    df.select(casts: _*).where(col(cfg.labelCol).isNotNull)
+  }
+
+  private def evaluate(model: PipelineModel, test: DataFrame, cfg: Config,
+      params: Map[String, Any]): Result = {
+    val pred = model.transform(test)
+    val acc = new MulticlassClassificationEvaluator()
+      .setLabelCol(cfg.labelCol).setMetricName("accuracy").evaluate(pred)
+    val auc = new BinaryClassificationEvaluator()
+      .setLabelCol(cfg.labelCol).setMetricName("areaUnderROC").evaluate(pred)
+    val tree = model.stages.last.asInstanceOf[DecisionTreeClassificationModel]
+    val names = cfg.numericCols ++ cfg.binaryCols
+    val imp = tree.featureImportances.toArray.toSeq.zipAll(names.map(Some(_)), 0.0, None)
+      .collect { case (v, Some(n)) => (n, v) }
+    Result(model, acc, auc, imp, params)
+  }
+}

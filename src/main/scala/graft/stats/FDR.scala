@@ -1,0 +1,182 @@
+package graft.stats
+
+/** Multiple-testing FDR corrections (SURVEY §2.8 R3): Benjamini–Hochberg,
+  * Storey, and SABHA (structure-adaptive BH) with the block-constant q̂
+  * solver — a pure-Scala port of the reference's R implementation
+  * (`Hypothesis testing R.r:20-305`: `Solve_q_block` :87-110, ADMM solver
+  * :166-213, prox operators :218-285, `BH_method` :288-291, `Storey_method`
+  * :293-298, `SABHA_method` :300-305). Driver-local math — p-value vectors
+  * are one-per-hypothesis, tiny by construction.
+  *
+  * Deliberate fix vs the reference: R's `create_block_function` indexes a
+  * character vector by value (`block_inds[i]` with `i` a string), which
+  * silently no-ops for string block labels; this port implements the
+  * *intended* projection (mean within each block).
+  */
+object FDR {
+
+  /** ADMM hyper-parameters; defaults = the reference's fMRI set
+    * (`Hypothesis testing R.r:413-415`). */
+  final case class AdmmParams(alpha: Double = 1e2, beta: Double = 1e3,
+      eta: Double = 2.0, maxIters: Int = 15000, convergeThr: Double = 1e-3)
+
+  /** BH: indices (0-based) of rejected hypotheses at level alpha. */
+  def benjaminiHochberg(pvals: Array[Double], alpha: Double): Set[Int] = {
+    val n = pvals.length
+    val sorted = pvals.sorted
+    var khat = 0
+    for (k <- 1 to n) if (sorted(k - 1) <= alpha * k / n) khat = k
+    pvals.zipWithIndex.collect {
+      case (p, i) if p <= alpha * khat / n => i
+    }.toSet
+  }
+
+  /** Storey's method with null-proportion estimate at threshold thr. */
+  def storey(pvals: Array[Double], alpha: Double, thr: Double): Set[Int] = {
+    val n = pvals.length
+    val pi0 = math.min(1.0, pvals.count(_ > thr).toDouble / n / (1 - thr))
+    val masked = pvals.map(p => if (p > thr) Double.PositiveInfinity else p)
+    val sorted = masked.sorted
+    var khat = 0
+    for (k <- 1 to n) if (sorted(k - 1) <= alpha / pi0 * k / n) khat = k
+    masked.zipWithIndex.collect {
+      case (p, i) if p <= alpha / pi0 * khat / n => i
+    }.toSet
+  }
+
+  /** SABHA rejection set given q̂ (`SABHA_method`, R :300-305). */
+  def sabha(pvals: Array[Double], qhat: Array[Double], alpha: Double,
+      tau: Double): Set[Int] = {
+    val n = pvals.length
+    val masked = pvals.map(p => if (p > tau) Double.PositiveInfinity else p)
+    val qp = masked.zip(qhat).map { case (p, q) => q * p }
+    val sorted = qp.sorted
+    var khat = 0
+    for (k <- 1 to n) if (sorted(k - 1) <= alpha * k / n) khat = k
+    qp.zipWithIndex.collect { case (v, i) if v <= alpha * khat / n => i }.toSet
+  }
+
+  /** Block-constant q̂ (`Solve_q_block`, R :87-110): start from the block
+    * projection of (P>τ)/(1-τ); if already within [eps, 1] use it, else run
+    * ADMM with the block projection. */
+  def solveQBlock(pvals: Array[Double], tau: Double, eps: Double,
+      blocks: Array[Int], params: AdmmParams = AdmmParams()): Array[Double] = {
+    val proj = blockProjection(blocks)
+    val qInit = proj(pvals.map(p => if (p > tau) 1.0 / (1 - tau) else 0.0))
+    if (qInit.forall(q => q >= eps && q <= 1.0)) qInit
+    else admm(pvals, tau, eps, proj, params)
+  }
+
+  /** The reference's `myBH` driver (`Hypothesis testing R.r:408-428`):
+    * SABHA with block q̂ at α=0.05, τ=0.5, ε=0.1; returns the labels of the
+    * significant hypotheses. */
+  def sabhaSelect(pvals: Array[Double], labels: Array[String],
+      alpha: Double = 0.05, tau: Double = 0.5, eps: Double = 0.1,
+      params: AdmmParams = AdmmParams()): Seq[String] = {
+    val blockIds = labels.map(labels.distinct.sorted.indexOf(_))
+    val qhat = solveQBlock(pvals, tau, eps, blockIds, params)
+    sabha(pvals, qhat, alpha, tau).toSeq.sorted.map(labels)
+  }
+
+  /** min{½||x-y||² : x constant over blocks} → mean within each block. */
+  private[stats] def blockProjection(blocks: Array[Int]): Array[Double] => Array[Double] =
+    y => {
+      val out = y.clone()
+      blocks.distinct.foreach { b =>
+        val idx = blocks.indices.filter(blocks(_) == b)
+        val m = idx.map(y).sum / idx.size
+        idx.foreach(out(_) = m)
+      }
+      out
+    }
+
+  /** ADMM solver (`Solve_q_ADMM`, R :166-213) specialized to M = I (the only
+    * M the reference ever passes — `diag(length(Pvals))`, R :91,35): the
+    * augmented terms with (ηI − MᵀM) reduce to (η−1)I. */
+  private[stats] def admm(pvals: Array[Double], tau: Double, eps: Double,
+      projection: Array[Double] => Array[Double], p: AdmmParams): Array[Double] = {
+    val n = pvals.length
+    val big = pvals.map(_ > tau)
+    val gamma = n * (1 - tau)
+    var q = Array.fill(n)(1.0)
+    var y = Array.fill(n)(1.0)
+    var v = Array.fill(n)(0.0)
+    var u = Array.fill(n)(0.0)
+    var x = Array.fill(n)(0.0)
+    val ab = p.alpha * p.eta + p.beta
+
+    def relDiff(a: Array[Double], b: Array[Double]): Double = {
+      var num = 0.0; var den = 1.0
+      var i = 0
+      while (i < n) { val d = a(i) - b(i); num += d * d; den += b(i) * b(i); i += 1 }
+      math.sqrt(num) / math.sqrt(den)
+    }
+
+    var iter = 0
+    var stop = false
+    while (!stop) {
+      iter += 1
+      val (q0, x0, y0, u0, v0) = (q, x, y, u, v)
+      // q-update (R :255-267), M = I
+      q = Array.tabulate(n) { i =>
+        val w = -(u(i) + p.alpha * (q0(i) - x(i)) +
+          (v(i) - p.beta * y(i) - p.alpha * p.eta * q0(i))) / ab
+        val qi =
+          if (big(i)) (w + math.sqrt(w * w + 4 / ab)) / 2
+          else {
+            val inv = 1 / (1 - tau)
+            ((w + inv) - math.sqrt((w - inv) * (w - inv) + 4 / ab)) / 2
+          }
+        math.min(1.0, math.max(eps, qi))
+      }
+      // x-update: Proj_Mset(q + u/α)
+      x = projection(Array.tabulate(n)(i => q(i) + u(i) / p.alpha))
+      // y-update: q + v/β, with inverse-sum prox on the B indices
+      y = Array.tabulate(n)(i => q(i) + v(i) / p.beta)
+      val bIdx = big.indices.filter(big(_)).toArray
+      if (bIdx.nonEmpty) {
+        val proxed = inverseSumProx(bIdx.map(y), gamma)
+        bIdx.zipWithIndex.foreach { case (bi, j) => y(bi) = proxed(j) }
+      }
+      // dual updates
+      u = Array.tabulate(n)(i => u(i) + p.alpha * (q(i) - x(i)))
+      v = Array.tabulate(n)(i => v(i) + p.beta * (q(i) - y(i)))
+      val conv = Seq(relDiff(q, q0), relDiff(x, x0), relDiff(y, y0),
+        relDiff(u, u0), relDiff(v, v0)).max
+      if (conv <= p.convergeThr || iter >= p.maxIters) stop = true
+    }
+    q
+  }
+
+  /** min{½||x-y||² : x_i > 0, Σ 1/x_i ≤ bound} (`inverse_sum_prox`,
+    * R :218-246): clamp to ≥0; if feasible return y, else solve the
+    * elementwise cubic x³ − x²y = λ with λ chosen by bisection so the
+    * constraint is tight. */
+  private[stats] def inverseSumProx(yIn: Array[Double], bound: Double): Array[Double] = {
+    val y = yIn.map(math.max(0.0, _))
+    if (y.map(v => 1 / v).sum <= bound) y
+    else {
+      def cuberoot(c: Double): Array[Double] = y.map { yi =>
+        val e = math.exp(c)
+        val y3 = yi / 3
+        val disc = math.sqrt(e * y3 * y3 * y3 + e * e / 4)
+        val t1 = y3 * y3 * y3 + e / 2 + disc
+        val t2 = y3 * y3 * y3 + e / 2 - disc
+        math.signum(t1) * math.pow(math.abs(t1), 1.0 / 3) +
+          math.signum(t2) * math.pow(math.abs(t2), 1.0 / 3) + y3
+      }
+      def f(c: Double): Double = cuberoot(c).map(v => 1 / v).sum - bound
+      // uniroot on [-100, 100] (R :244)
+      var lo = -100.0; var hi = 100.0
+      var flo = f(lo)
+      var i = 0
+      while (hi - lo > 1e-10 && i < 200) {
+        val mid = (lo + hi) / 2
+        val fm = f(mid)
+        if ((fm <= 0) == (flo <= 0)) { lo = mid; flo = fm } else hi = mid
+        i += 1
+      }
+      cuberoot((lo + hi) / 2)
+    }
+  }
+}

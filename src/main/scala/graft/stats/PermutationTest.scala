@@ -1,0 +1,148 @@
+package graft.stats
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Two-sample permutation test (SURVEY §2.8 R1; behavior of `myPermTest`,
+  * `Hypothesis testing R.r:393-403`): split a numeric column by a boolean
+  * column (rows with NULL in either dropped), test H0: same distribution via
+  * the difference-of-means statistic under label permutation.
+  *
+  * The reference collects both vectors into R and calls `perm::permTS`; the
+  * engine ports the same execution model (vectors are per-hypothesis small —
+  * collect to driver) plus a distributed resampler for wide fan-out.
+  * Monte-Carlo with fixed seed; exact enumeration when the group split is
+  * small enough to enumerate.
+  */
+object PermutationTest {
+
+  /** Sentinel returned when the false-group has ≤ 1 element, matching the
+    * reference's guard (`Hypothesis testing R.r:400-401` returns literal 2). */
+  val DegenerateSentinel = 2.0
+
+  /** Two-sided p for difference of means between a and b.
+    * Exact (all C(n, |a|) splits) when that count ≤ `exactLimit`, else
+    * Monte-Carlo with `nPerm` draws, p = (1 + #{|T*| ≥ |T|}) / (1 + nPerm). */
+  def twoSided(a: Array[Double], b: Array[Double], nPerm: Int = 9999,
+      seed: Long = 42L, exactLimit: Long = 100000L): Double = {
+    val n = a.length + b.length
+    val pooled = a ++ b
+    val obs = math.abs(mean(a) - mean(b))
+    val eps = 1e-12 * (1 + obs)
+    if (choose(n, a.length) <= exactLimit) {
+      var ge = 0L; var total = 0L
+      combinations(n, a.length) { idx =>
+        total += 1
+        val sa = idx.map(pooled).sum / a.length
+        val sb = (sum(pooled) - idx.map(pooled).sum) / b.length
+        if (math.abs(sa - sb) >= obs - eps) ge += 1
+      }
+      ge.toDouble / total
+    } else {
+      val rng = new scala.util.Random(seed)
+      var ge = 0
+      val arr = pooled.clone()
+      var i = 0
+      while (i < nPerm) {
+        // Fisher–Yates partial shuffle: first |a| entries = permuted group A
+        var j = 0
+        while (j < a.length) {
+          val k = j + rng.nextInt(n - j)
+          val t = arr(j); arr(j) = arr(k); arr(k) = t
+          j += 1
+        }
+        var sa = 0.0; var m = 0
+        while (m < a.length) { sa += arr(m); m += 1 }
+        val sb = sum(pooled) - sa
+        if (math.abs(sa / a.length - sb / b.length) >= obs - eps) ge += 1
+        i += 1
+      }
+      (1.0 + ge) / (1.0 + nPerm)
+    }
+  }
+
+  /** The reference's column protocol: NA-filter, split `numCol` by `boolCol`,
+    * sentinel 2.0 if the false-group has ≤1 element. Driver-local math over a
+    * single collect — mirrors the reference's collect-into-R model; the
+    * collected vectors are two doubles per row, not the whole frame. */
+  def onColumns(df: DataFrame, boolCol: String, numCol: String,
+      nPerm: Int = 9999, seed: Long = 42L): Double = {
+    val rows = df.select(col(boolCol).cast("boolean"), col(numCol).cast("double"))
+      .where(col(boolCol).isNotNull && col(numCol).isNotNull)
+      .collect()
+    val (t, f) = rows.partition(_.getBoolean(0))
+    val trues = t.map(_.getDouble(1)); val falses = f.map(_.getDouble(1))
+    if (falses.length <= 1) DegenerateSentinel
+    else twoSided(trues, falses, nPerm, seed)
+  }
+
+  /** Distributed Monte-Carlo resampling: permutations fan out over the
+    * cluster (one task batch per seed range), data broadcast once. Use when
+    * nPerm is large or many hypotheses run at once. */
+  def onColumnsDistributed(df: DataFrame, boolCol: String, numCol: String,
+      nPerm: Int = 99999, seed: Long = 42L): Double = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(boolCol).cast("boolean"), col(numCol).cast("double"))
+      .where(col(boolCol).isNotNull && col(numCol).isNotNull)
+      .collect()
+    val (t, f) = rows.partition(_.getBoolean(0))
+    val trues = t.map(_.getDouble(1)); val falses = f.map(_.getDouble(1))
+    if (falses.length <= 1) return DegenerateSentinel
+    val pooledB = spark.sparkContext.broadcast(trues ++ falses)
+    val nA = trues.length
+    val obs = math.abs(mean(trues) - mean(falses))
+    val eps = 1e-12 * (1 + obs)
+    val ge = spark.range(nPerm).mapPartitions { it =>
+      val pooled = pooledB.value
+      val n = pooled.length
+      val total = pooled.sum
+      it.map { permId =>
+        val rng = new scala.util.Random(seed + permId)
+        val arr = pooled.clone()
+        var j = 0
+        while (j < nA) {
+          val k = j + rng.nextInt(n - j)
+          val tmp = arr(j); arr(j) = arr(k); arr(k) = tmp
+          j += 1
+        }
+        var sa = 0.0; var m = 0
+        while (m < nA) { sa += arr(m); m += 1 }
+        val d = math.abs(sa / nA - (total - sa) / (n - nA))
+        if (d >= obs - eps) 1L else 0L
+      }
+    }.reduce(_ + _)
+    (1.0 + ge) / (1.0 + nPerm)
+  }
+
+  private def mean(a: Array[Double]): Double = a.sum / a.length
+  private def sum(a: Array[Double]): Double = a.sum
+
+  private def choose(n: Int, k: Int): Long = {
+    var r = 1.0
+    var i = 0
+    while (i < math.min(k, n - k)) {
+      r = r * (n - i) / (i + 1)
+      if (r > 1e18) return Long.MaxValue
+      i += 1
+    }
+    r.round
+  }
+
+  /** Iterate k-subsets of 0 until n. */
+  private def combinations(n: Int, k: Int)(f: Array[Int] => Unit): Unit = {
+    val idx = Array.tabulate(k)(identity)
+    var done = false
+    while (!done) {
+      f(idx)
+      var i = k - 1
+      while (i >= 0 && idx(i) == n - k + i) i -= 1
+      if (i < 0) done = true
+      else {
+        idx(i) += 1
+        var j = i + 1
+        while (j < k) { idx(j) = idx(j - 1) + 1; j += 1 }
+      }
+    }
+  }
+}

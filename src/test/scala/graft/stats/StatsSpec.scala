@@ -1,0 +1,148 @@
+package graft.stats
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- Fisher
+
+  test("Fisher exact two-sided matches R's tea-tasting value") {
+    // fisher.test(matrix(c(3,1,1,3),2,2))$p.value == 0.4857142857...
+    assert(math.abs(Fisher.exact2x2(3, 1, 1, 3) - 0.4857142857142857) < 1e-12)
+  }
+
+  test("Fisher exact on strongly associated table is small; independent ~1") {
+    assert(Fisher.exact2x2(20, 1, 1, 20) < 1e-6)
+    assert(math.abs(Fisher.exact2x2(10, 10, 10, 10) - 1.0) < 1e-9)
+  }
+
+  test("Fisher column protocol builds the right 2x2") {
+    val df = Seq((true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false)).toDF("x", "y")
+    val (a, b, c, d, p) = Fisher.test(df, "x", "y")
+    assert((a, b, c, d) == (2L, 1L, 1L, 2L))
+    assert(p > 0 && p <= 1)
+  }
+
+  // -------------------------------------------------------- Permutation
+
+  test("exact permutation p on a tiny case matches enumeration") {
+    // groups {1,2} vs {10,11}: only the 2 extreme splits of 6 reach |diff|>=9
+    val p = PermutationTest.twoSided(Array(1.0, 2.0), Array(10.0, 11.0))
+    assert(math.abs(p - 2.0 / 6.0) < 1e-12)
+  }
+
+  test("permutation p is ~uniform under H0 and small under strong effect") {
+    val rng = new scala.util.Random(7)
+    val same = PermutationTest.twoSided(
+      Array.fill(40)(rng.nextGaussian()), Array.fill(40)(rng.nextGaussian()),
+      nPerm = 2000, seed = 1)
+    assert(same > 0.01)
+    val shifted = PermutationTest.twoSided(
+      Array.fill(40)(rng.nextGaussian()), Array.fill(40)(rng.nextGaussian() + 3),
+      nPerm = 2000, seed = 1)
+    assert(shifted < 0.01)
+  }
+
+  test("column protocol returns sentinel 2.0 for degenerate false-group") {
+    val df = Seq((true, 1.0), (true, 2.0), (false, 3.0)).toDF("b", "x")
+    assert(PermutationTest.onColumns(df, "b", "x") == 2.0)
+  }
+
+  test("distributed and local MC agree on the same seed structure") {
+    val rng = new scala.util.Random(3)
+    val a = Array.fill(30)(rng.nextGaussian())
+    val b = Array.fill(30)(rng.nextGaussian() + 1.5)
+    val df = (a.map((true, _)) ++ b.map((false, _))).toSeq.toDF("g", "x")
+    val pLocal = PermutationTest.onColumns(df, "g", "x", nPerm = 999, seed = 5)
+    val pDist = PermutationTest.onColumnsDistributed(df, "g", "x", nPerm = 999, seed = 5)
+    assert(math.abs(pLocal - pDist) < 0.05) // both MC, both near the true p
+  }
+
+  // ---------------------------------------------------------------- FDR
+
+  test("BH matches hand computation") {
+    val rejected = FDR.benjaminiHochberg(Array(0.01, 0.02, 0.04, 0.5), 0.05)
+    assert(rejected == Set(0, 1))
+  }
+
+  test("Storey reduces to BH-like behavior with pi0 estimate") {
+    val ps = Array(0.001, 0.002, 0.9, 0.95, 0.99)
+    val r = FDR.storey(ps, 0.05, 0.5)
+    assert(r == Set(0, 1))
+  }
+
+  test("SABHA with uniform qhat equals BH on masked pvals") {
+    val ps = Array(0.01, 0.02, 0.04, 0.6)
+    val qhat = Array.fill(4)(1.0)
+    assert(FDR.sabha(ps, qhat, 0.05, 0.5) == FDR.benjaminiHochberg(
+      ps.map(p => if (p > 0.5) Double.PositiveInfinity else p), 0.05))
+  }
+
+  test("solveQBlock returns block-constant qhat within [eps, 1]") {
+    val ps = Array(0.001, 0.003, 0.8, 0.9, 0.002, 0.7)
+    val blocks = Array(0, 0, 1, 1, 2, 2)
+    val q = FDR.solveQBlock(ps, tau = 0.5, eps = 0.1, blocks = blocks)
+    assert(q.forall(v => v >= 0.1 - 1e-9 && v <= 1.0 + 1e-9))
+    // block-constant (ADMM converges to projection fixed point approximately)
+    assert(math.abs(q(0) - q(1)) < 0.05)
+    assert(math.abs(q(2) - q(3)) < 0.05)
+  }
+
+  test("sabhaSelect surfaces strong signals and drops clear nulls") {
+    val labels = Array("strong1", "strong2", "null1", "null2", "null3", "null4")
+    val ps = Array(1e-6, 1e-5, 0.7, 0.8, 0.9, 0.95)
+    val sel = FDR.sabhaSelect(ps, labels)
+    assert(sel.contains("strong1") && sel.contains("strong2"))
+    assert(!sel.exists(_.startsWith("null")))
+  }
+
+  test("inverseSumProx: feasible input unchanged, else constraint is tight") {
+    val feasible = FDR.inverseSumProx(Array(10.0, 10.0), bound = 1.0)
+    assert(feasible.toSeq == Seq(10.0, 10.0))
+    val tight = FDR.inverseSumProx(Array(0.5, 0.5), bound = 2.0)
+    assert(math.abs(tight.map(1 / _).sum - 2.0) < 1e-6)
+  }
+
+  // ---------------------------------------------------------------- ROC
+
+  test("thres2Equal: rho=0.5 gives midpoint; low prevalence shifts up") {
+    val k1 = Array(1.0, 2.0, 3.0) // non-diseased
+    val k2 = Array(7.0, 8.0, 9.0) // diseased
+    assert(math.abs(Roc.thres2Equal(k1, k2, 0.5) - 5.0) < 1e-12)
+    assert(Roc.thres2Equal(k1, k2, 0.01) > 5.0) // rare disease → higher cutoff
+  }
+
+  test("empiricalThreshold separates well-separated groups") {
+    val t = Roc.empiricalThreshold(Array(1.0, 2.0, 3.0), Array(8.0, 9.0, 10.0), 0.5)
+    assert(t > 3.0 && t < 8.0)
+  }
+
+  // ------------------------------------------------------- Assoc rules
+
+  test("FPGrowth mining matches hand-computed support/confidence/lift") {
+    // a,b always co-occur (4/5); c sometimes
+    val df = Seq(
+      (true, true, false), (true, true, true), (true, true, false),
+      (true, true, true), (false, false, true)
+    ).toDF("a", "b", "c")
+    val rules = AssociationRules.mine(df, Seq("a", "b", "c"),
+      minSupport = 0.5, minConfidence = 0.8, minLen = 2, maxLen = 3, minLift = 1.0)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    // a => b: support 0.8, confidence 1.0, lift 1/(4/5) = 1.25
+    val ab = rules.find(r => r._1 == "a" && r._2 == "b").get
+    assert(math.abs(ab._3 - 0.8) < 1e-12)
+    assert(math.abs(ab._4 - 1.0) < 1e-12)
+    assert(math.abs(ab._5 - 1.25) < 1e-12)
+  }
+
+  test("transactions builds item arrays from true columns") {
+    val df = Seq((true, false, true)).toDF("x", "y", "z")
+    val items = AssociationRules.transactions(df, Seq("x", "y", "z"))
+      .as[Seq[String]].head()
+    assert(items == Seq("x", "z"))
+  }
+}
