@@ -15,6 +15,10 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // fresh warehouse per JVM: saveAsTable(Overwrite) fails on orphaned
+      // locations left by a previous session's in-memory catalog
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // reference semantics: Spark-3/Databricks non-ANSI (bad cast → NULL)

@@ -1,0 +1,33 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TSV round-trip: single-file write, schema'd and inferred reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsv").toString + "/out"
+    val df = Seq(("ała", 1, 2.5), ("b", 2, 3.5)).toDF("name", "n", "x")
+    Sources.writeTsv(df, dir)
+    // exactly one part file (coalesce(1), reference interchange format)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1)
+    val schema = StructType(Seq(StructField("name", StringType),
+      StructField("n", IntegerType), StructField("x", DoubleType)))
+    val back = Sources.readTsv(spark, dir, Some(schema))
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    val inferred = Sources.readTsv(spark, dir)
+    assert(inferred.schema("n").dataType == IntegerType) // inference worked
+  }
+
+  test("fromRows builds a frame without an RDD detour") {
+    val schema = StructType(Seq(StructField("divisionName", StringType),
+      StructField("listOfColumnNames", ArrayType(StringType))))
+    val df = Sources.fromRows(spark,
+      Seq(Seq("imaging", Seq("a", "b")), Seq("labs", Seq("c"))), schema)
+    assert(df.count() == 2)
+    assert(df.where($"divisionName" === "imaging")
+      .select("listOfColumnNames").as[Seq[String]].head() == Seq("a", "b"))
+  }
+}
