@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class EventStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def batchEvents = Seq(
+    (1L, "2024-01-01 00:10:00", 1L, "click", 1.0),
+    (2L, "2024-01-01 00:40:00", 1L, "click", 2.0),
+    (3L, "2024-01-01 01:10:00", 2L, "view", 3.0),
+    (4L, "2024-01-01 01:20:00", 2L, "click", 4.0)
+  ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+    .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+
+  test("hourlyRollup batch semantics: tumbling windows per event_type") {
+    val out = EventStream.hourlyRollup(batchEvents)
+      .orderBy($"window_start", $"event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 01:00:00.0", "click", 1L, 4.0),
+      ("2024-01-01 01:00:00.0", "view", 1L, 3.0)))
+  }
+
+  test("same rollup code runs as a real stream over a file source") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchEvents.select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .write.mode("overwrite").parquet(dir)
+    val q = EventStream.startFileStream(spark, dir, "rollup_test", schema)
+    try {
+      q.processAllAvailable()
+      // watermark append-mode: windows still open emit nothing yet — the
+      // stream surface is exercised; completeness is the batch twin above
+      assert(spark.table("rollup_test").columns.toSeq ==
+        Seq("window_start", "event_type", "n", "total"))
+    } finally q.stop()
+  }
+
+  test("sessionize maintains per-user state and counts") {
+    val updates = EventStream.sessionize(
+      Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDS())
+      .collect().map(u => u.user_id -> ((u.n_events, u.total_value))).toMap
+    assert(updates(1L) == ((2L, 5.0)))
+    assert(updates(2L) == ((1L, 5.0)))
+  }
+}
