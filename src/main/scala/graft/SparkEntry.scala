@@ -171,7 +171,7 @@ object SparkEntry {
 
     // ---- text analysis: stopword-vote language ID -----------------------
     "t1_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
+      Tables.spread(t(s, dir, "documents"))
         .select(TextOps.langId(col("text")).as("lang_pred"))
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred"))
@@ -179,7 +179,7 @@ object SparkEntry {
 
     // ---- text analysis: heuristic quality score -------------------------
     "t2_quality_score" -> ((s, dir) => {
-      t(s, dir, "documents")
+      Tables.spread(t(s, dir, "documents"))
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     }),
@@ -195,7 +195,7 @@ object SparkEntry {
 
     // ---- text analysis: rolling-hash fingerprint + simhash (rows-only) --
     "t4_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
+      Tables.spread(t(s, dir, "documents"))
         .select(col("doc_id"),
           TextOps.fingerprint(col("text")).as("fingerprint"),
           Dedup.simHash64("text").as("simhash"))
@@ -210,7 +210,7 @@ object SparkEntry {
 
     // ---- dedup: MinHash + LSH banding (rows-only: engine-specific hash) -
     "d2_minhash_neardup" -> ((s, dir) => {
-      Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.minHashNearDups(Tables.spread(t(s, dir, "documents")), "doc_id", "text",
           threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy(col("id_a"), col("id_b"))
@@ -218,14 +218,14 @@ object SparkEntry {
 
     // ---- dedup: SimHash Hamming-distance (rows-only) --------------------
     "d3_simhash_neardup" -> ((s, dir) => {
-      Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.simHashNearDups(Tables.spread(t(s, dir, "documents")), "doc_id", "text",
           maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     // ---- dedup: exact n-gram Jaccard on a bounded window ----------------
     "d4_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      Dedup.ngramJaccardPairs(Tables.spread(t(s, dir, "documents")), "doc_id", "text",
           n = 3, window = 25)
         .where(col("jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
@@ -233,7 +233,7 @@ object SparkEntry {
 
     // ---- similarity: exact brute-force cosine top-k (rows-only) ---------
     "n1_ann_topk" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = Tables.spread(t(s, dir, "embeddings"))
       Embeddings.bruteForceTopK(
           emb, "vec_id", "embedding",
           emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
@@ -243,10 +243,63 @@ object SparkEntry {
 
     // ---- similarity: LSH-bucketed approximate pairs (rows-only) ---------
     "n2_ann_lsh" -> ((s, dir) => {
-      Embeddings.lshNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-          minCosine = 0.35, nBits = 4, dim = 64, tables = 8)
+      Embeddings.lshNearDupPairs(Tables.spread(t(s, dir, "embeddings")), "vec_id", "embedding",
+          minCosine = 0.35, nBits = 6, dim = 64, tables = 8)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- §2.2 P7-P9 rename/drop batch -----------------------------------
+    "p4_rename_drop" -> ((s, dir) => {
+      val renamed = Cleaning.renameByMap(
+        Cleaning.dropColumns(t(s, dir, "nation"), Seq("n_regionkey")),
+        Map("n_nationkey" -> "id", "n_name" -> "nation_name"))
+      Cleaning.selectRenamed(renamed, Seq("nation_name" -> "name", "id" -> "id"))
+        .orderBy(col("id"))
+    }),
+
+    // ---- §2.4 U2: n-ary tagged union ------------------------------------
+    "u2_union_tagged" -> ((s, dir) => {
+      Cohort.unionAll(
+        Seq(
+          t(s, dir, "region").select(col("r_name").as("name")),
+          t(s, dir, "nation").select(col("n_name").as("name")),
+          t(s, dir, "customer").select(col("c_mktsegment").as("name")).distinct()),
+        Some("src"), Seq("region", "nation", "segment"))
+        .orderBy(col("src"), col("name"))
+    }),
+
+    // ---- §2.6 W2 / §2.5 A7: whole-table window aggregates (z-score) -----
+    "w2_global_window" -> ((s, dir) => {
+      val w = Window.partitionBy()
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          round((col("s_acctbal") - avg(col("s_acctbal")).over(w)) /
+            stddev_pop(col("s_acctbal")).over(w), 6).as("z"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- §2.7 date functions --------------------------------------------
+    "d5_datefuncs" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).as("days_since"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- §2.1 S1/S6: TSV sink + source round-trip -----------------------
+    "s1_tsv_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val sample = t(s, dir, "region")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-s1").toString + "/region_tsv"
+      graft.sources.Sources.writeTsv(sample, tmp)
+      graft.sources.Sources.readTsv(s, tmp, Some(StructType(Seq(
+          StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))))
+        .orderBy(col("r_regionkey"))
     }),
 
     // ============ statistical operators (reference's R stage) ============
@@ -321,6 +374,20 @@ object SparkEntry {
           round(col("confidence"), 6).as("confidence"),
           round(col("lift"), 6).as("lift"))
         .orderBy(col("antecedent"), col("consequent"))
+    }),
+
+    // ---- §2.8 R4: PERMANOVA (optional in reference, implemented) --------
+    "r7_permanova" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").limit(200).select(
+        col("l_returnflag"),
+        (col("l_quantity") > 25).as("high_qty"),
+        (col("l_discount") >= 0.05).as("discounted"),
+        (col("l_tax") > 0.04).as("taxed"))
+      val res = graft.stats.Permanova.test(li, "l_returnflag",
+        Seq("high_qty", "discounted", "taxed"), nPerm = 199, seed = 42L)
+      Seq((res.pseudoF, res.pValue, res.dispersionPValue))
+        .toDF("pseudo_f", "p_value", "dispersion_p")
     }),
 
     // ---- §2.9 M1-M8: decision-tree classification pipeline --------------
@@ -458,6 +525,32 @@ object SparkEntry {
     "u4_distinct" ->
       """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
          ORDER BY o_orderstatus, o_orderpriority""",
+
+    "p4_rename_drop" ->
+      """SELECT n_name AS name, n_nationkey AS id FROM nation ORDER BY id""",
+
+    "u2_union_tagged" ->
+      """SELECT * FROM (
+           SELECT r_name AS name, 'region' AS src FROM region
+           UNION ALL SELECT n_name, 'nation' FROM nation
+           UNION ALL SELECT DISTINCT c_mktsegment, 'segment' FROM customer)
+         ORDER BY src, name""",
+
+    "w2_global_window" ->
+      """SELECT s_suppkey,
+                round((s_acctbal - avg(s_acctbal) OVER ()) /
+                      stddev_pop(s_acctbal) OVER (), 6) AS z
+         FROM supplier ORDER BY s_suppkey""",
+
+    "d5_datefuncs" ->
+      """SELECT o_orderkey,
+                year(o_orderdate) AS y, month(o_orderdate) AS m,
+                day(o_orderdate) AS d,
+                date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS days_since
+         FROM orders ORDER BY o_orderkey""",
+
+    "s1_tsv_roundtrip" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
 
     "t1_langid" ->
       """WITH scored AS (

@@ -17,6 +17,15 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a scan across all cores for CPU-bound per-row work. A single
+    * small parquet file arrives as ONE input split, serializing e.g. a
+    * 64-hash MinHash signature pass onto one thread; at real scale inputs
+    * come pre-split, but compute-heavy stages must never inherit accidental
+    * single-partition layouts. The shuffle this inserts moves only the
+    * scanned columns and is amortized by the downstream per-row work. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

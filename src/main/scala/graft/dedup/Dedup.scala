@@ -55,16 +55,23 @@ object Dedup {
 
   private val MersennePrime = 2147483647L // 2^31 - 1
 
-  /** MinHash signature (array<long>, length k) over a shingle array.
-    * h_j(s) = ((a_j * xxhash64(s) + b_j) wrapping) mod p — long wrap is
-    * deterministic, which is all a hash family needs. */
-  def minHashSignature(shinglesCol: Column, k: Int = 64, seed: Long = 42L): Column = {
-    val hs = transform(shinglesCol, s => xxhash64(s))
+  /** MinHash signature (array<long>, length k) over an array of *hashed*
+    * shingles. h_j(s) = ((a_j * h + b_j) wrapping) mod p — long wrap is
+    * deterministic, which is all a hash family needs. Takes pre-hashed
+    * shingles so the base xxhash64 pass runs ONCE, not once per permutation
+    * (the hashes column must be a materialized attribute — see
+    * [[minHashCandidates]]'s staged projections). */
+  def minHashSignatureFromHashes(hashesCol: Column, k: Int = 64, seed: Long = 42L): Column = {
     val sig = perms(k, seed).map { case (a, b) =>
-      array_min(transform(hs, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+      array_min(transform(hashesCol, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
     }
     array(sig: _*)
   }
+
+  /** Convenience single-expression form (recomputes the base hash per
+    * permutation — fine for ad-hoc use, avoid in corpus passes). */
+  def minHashSignature(shinglesCol: Column, k: Int = 64, seed: Long = 42L): Column =
+    minHashSignatureFromHashes(transform(shinglesCol, s => xxhash64(s)), k, seed)
 
   /** Hash each of `bands` signature slices to a bucket id. Docs sharing ANY
     * band bucket become candidate pairs (standard banding: P[candidate] =
@@ -89,12 +96,24 @@ object Dedup {
   def minHashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = 500): DataFrame = {
+    // staged projections: shingle-hash array materializes once per row, then
+    // the k permutations fold over the attribute (CollapseProject keeps the
+    // boundary — the inner expression is non-cheap and multiply-referenced)
     val sigDf = df.select(
         col(idCol).as("id"),
-        minHashSignature(shingles(col(textCol), shingleN), k, seed).as("sig"))
+        transform(shingles(col(textCol), shingleN), s => xxhash64(s)).as("__hs"))
+      .select(col("id"),
+        minHashSignatureFromHashes(col("__hs"), k, seed).as("sig"))
       .select(col("id"), col("sig"),
         posexplode(bandHashes(col("sig"), k, bands)).as(Seq("band", "bucket")))
+      // mega-bucket guard: a band bucket holding B docs expands to B²/2
+      // candidate pairs; buckets past the cap are low-signal hash pileups
+      // (near-identical band over a huge cluster) and are dropped, the
+      // standard LSH scale practice
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy(col("band"), col("bucket"))))
+      .where(col("__bn") <= maxBucketSize).drop("__bn")
     val a = sigDf.alias("a")
     val b = sigDf.alias("b")
     val k_ = k.toDouble
@@ -123,12 +142,18 @@ object Dedup {
     * Pure SQL higher-order functions (column-typed shift amounts need the
     * SQL `shiftright`, which accepts expressions for both args). */
   def simHash64(textColName: String): Column = {
-    val toksSql = s"filter(split(trim(`$textColName`), '\\\\s+'), x -> x != '')"
-    val votes = // array<long> length 64: sum of ±1 per bit
-      s"""transform(sequence(0, 63), b ->
-            aggregate($toksSql, 0L,
-              (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), CAST(b AS INT)) & 1) = 1
-                                     THEN 1 ELSE -1 END))"""
+    // hash each token exactly ONCE, then fold ±1 votes over the 64 bit
+    // positions with a single aggregate — O(tokens + 64·tokens) long ops,
+    // no per-bit re-tokenization (the naive per-bit formulation re-ran the
+    // regex split 64× per row and dominated the whole corpus pass)
+    val hashes = s"transform(filter(split(trim(`$textColName`), '\\\\s+'), x -> x != ''), t -> xxhash64(t))"
+    val votes =
+      s"""aggregate($hashes,
+            transform(sequence(0, 63), b -> 0L),
+            (acc, h) -> zip_with(acc,
+                          transform(sequence(0, 63), b ->
+                            CASE WHEN (shiftright(h, CAST(b AS INT)) & 1) = 1 THEN 1L ELSE -1L END),
+                          (a, d) -> a + d))"""
     val fold =
       s"""aggregate(zip_with($votes, transform(sequence(0, 63), b -> shiftleft(1L, CAST(b AS INT))),
                              (v, p) -> CASE WHEN v > 0 THEN p ELSE 0L END),
@@ -140,11 +165,14 @@ object Dedup {
     * 16-bit chunks (pigeonhole: any pair within Hamming distance 3 shares a
     * chunk), verified by exact Hamming distance ≤ `maxHamming`. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 500): DataFrame = {
     val withSig = df.select(col(idCol).as("id"), simHash64(textCol).as("sig"))
       .select(col("id"), col("sig"), posexplode(array(
         (0 until 4).map(i => expr(s"shiftright(sig, ${i * 16}) & 65535")): _*))
         .as(Seq("chunk", "chunk_val")))
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy(col("chunk"), col("chunk_val"))))
+      .where(col("__bn") <= maxBucketSize).drop("__bn")
     val a = withSig.alias("a"); val b = withSig.alias("b")
     a.join(b, col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") && col("a.id") < col("b.id"))
@@ -164,8 +192,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, window: Long = 25): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-    val a = sh.alias("a"); val b = sh.alias("b")
-    a.join(b, col("b.id") > col("a.id") && col("b.id") <= col("a.id") + window)
+    // banded equi-join: a naive (b.id BETWEEN a.id+1 AND a.id+w) predicate
+    // plans as a nested-loop over |A|×|B| pairs; hashing both sides into
+    // w-sized id blocks (left side exploded into its two reachable blocks)
+    // turns it into a shuffle-hash join testing only ~2w partners per row
+    val a = sh.select(col("id"), col("sh"),
+      explode(array((col("id") / window).cast("long"),
+        (col("id") / window).cast("long") + 1)).as("block")).alias("a")
+    val b = sh.withColumn("block", (col("id") / window).cast("long")).alias("b")
+    a.join(b, col("a.block") === col("b.block") &&
+        col("b.id") > col("a.id") && col("b.id") <= col("a.id") + window)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
           size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))

@@ -16,15 +16,21 @@ object Embeddings {
   /** Cast array<float> → array<double> (the parquet embeddings are float). */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Codegen'd native dot product (graft.expressions.DotProduct) — the
+    * zip_with/aggregate HOF form is CodegenFallback and ~10× slower per
+    * pair, which dominates ANN candidate joins. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.expressions.VectorExpressions.dotProduct(a, b)
 
   def l2Norm(c: Column): Column = sqrt(dot(c, c))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Pre-normalize once so each pair costs ONE dot product, not three:
-    * adds `__vec` (unit-norm array<double>). Zero vectors map to null. */
+    * adds `__vec` (unit-norm array<double>). Zero vectors map to null.
+    * The norm divides in via `array_repeat` — a function ARGUMENT evaluates
+    * once per row, whereas a norm expression captured inside a `transform`
+    * lambda would re-reduce the whole array per element. */
   private def withUnit(df: DataFrame, vecCol: String): DataFrame = {
     val v = asDouble(col(vecCol))
     val n = l2Norm(v)

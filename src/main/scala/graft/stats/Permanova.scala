@@ -1,0 +1,105 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PERMANOVA with Jaccard distances + beta-dispersion check (SURVEY §2.8 R4;
+  * the reference defines `myPermanova` — `adonis(frame ~ group, perm=999)`
+  * over `vegdist(..., 'jaccard')` plus `betadisper`/`permutest` — at
+  * `Hypothesis testing R.r:375-388` but never calls it on real data and
+  * excludes its results (`README.md:438`). Implemented as the optional
+  * operator the survey prescribes.
+  *
+  * Driver-local math over the collected boolean matrix (cohort-sized in the
+  * reference); the pseudo-F permutation follows Anderson (2001): F =
+  * (SS_between/(g-1)) / (SS_within/(n-g)) with SS terms from pairwise
+  * squared distances, group labels permuted.
+  */
+object Permanova {
+
+  final case class Result(pseudoF: Double, pValue: Double,
+      dispersionPValue: Double)
+
+  /** Jaccard distance between boolean vectors: 1 - |a∩b| / |a∪b| (0 when
+    * both empty, matching vegdist). */
+  private[stats] def jaccard(a: Array[Boolean], b: Array[Boolean]): Double = {
+    var inter = 0; var union = 0
+    var i = 0
+    while (i < a.length) {
+      if (a(i) && b(i)) inter += 1
+      if (a(i) || b(i)) union += 1
+      i += 1
+    }
+    if (union == 0) 0.0 else 1.0 - inter.toDouble / union
+  }
+
+  private def pseudoF(d2: Array[Array[Double]], groups: Array[Int]): Double = {
+    val n = groups.length
+    val g = groups.distinct.length
+    // total SS = sum of squared dists / n; within SS per group
+    var ssTotal = 0.0
+    for (i <- 0 until n; j <- i + 1 until n) ssTotal += d2(i)(j)
+    ssTotal /= n
+    var ssWithin = 0.0
+    groups.distinct.foreach { grp =>
+      val idx = (0 until n).filter(groups(_) == grp)
+      var ss = 0.0
+      for (ii <- idx.indices; jj <- ii + 1 until idx.size)
+        ss += d2(idx(ii))(idx(jj))
+      ssWithin += ss / idx.size
+    }
+    val ssBetween = ssTotal - ssWithin
+    (ssBetween / (g - 1)) / (ssWithin / (n - g))
+  }
+
+  /** @param df frame of boolean feature columns + a group column
+    * @param groupCol the dependent grouping (reference's referenceColumnName)
+    */
+  def test(df: DataFrame, groupCol: String, featureCols: Seq[String],
+      nPerm: Int = 999, seed: Long = 42L): Result = {
+    val rows = df.select((groupCol +: featureCols).map(c => col(c)): _*)
+      .na.drop().collect()
+    val groupsRaw = rows.map(_.get(0).toString)
+    val labels = groupsRaw.distinct.sorted
+    val groups = groupsRaw.map(labels.indexOf(_))
+    val feats = rows.map(r => featureCols.indices.map(i =>
+      r.get(i + 1) match {
+        case b: Boolean => b
+        case x: Number => x.doubleValue() != 0.0
+        case other => other.toString.toBoolean
+      }).toArray)
+    val n = feats.length
+    require(labels.length >= 2 && n > labels.length, "need ≥2 groups and more rows than groups")
+    val d2 = Array.tabulate(n, n)((i, j) => {
+      val d = jaccard(feats(i), feats(j)); d * d
+    })
+    val obs = pseudoF(d2, groups)
+    val rng = new scala.util.Random(seed)
+    var ge = 0
+    val perm = groups.clone()
+    for (_ <- 1 to nPerm) {
+      // Fisher–Yates
+      var i = perm.length - 1
+      while (i > 0) {
+        val j = rng.nextInt(i + 1)
+        val t = perm(i); perm(i) = perm(j); perm(j) = t
+        i -= 1
+      }
+      if (pseudoF(d2, perm) >= obs) ge += 1
+    }
+    val p = (1.0 + ge) / (1.0 + nPerm)
+
+    // beta-dispersion check (betadisper + permutest): distances to group
+    // centroid approximated by mean distance to own-group members; permuted
+    // one-way test on those dispersions
+    val disp = (0 until n).map { i =>
+      val idx = (0 until n).filter(j => j != i && groups(j) == groups(i))
+      if (idx.isEmpty) 0.0 else idx.map(j => math.sqrt(d2(i)(j))).sum / idx.size
+    }.toArray
+    val dispP = PermutationTest.twoSided(
+      disp.zipWithIndex.filter(x => groups(x._2) == 0).map(_._1),
+      disp.zipWithIndex.filter(x => groups(x._2) != 0).map(_._1),
+      nPerm, seed)
+    Result(obs, p, dispP)
+  }
+}
