@@ -63,7 +63,11 @@ object Quality {
     }
     val pass1Exprs = simpleCells.map(c => c.expr.as(c.key)) ++ momentExprs
     require(pass1Exprs.nonEmpty, "no checks given")
+    // cache: the 1-row aggregate is referenced by both the simple report and
+    // the z-score moments join — without it the full input scan would plan
+    // (and absent exchange reuse, run) twice more than needed
     val pass1 = df.agg(pass1Exprs.head, pass1Exprs.tail: _*)
+    if (zChecks.nonEmpty && simpleCells.nonEmpty) pass1.cache()
 
     val simpleReport =
       if (simpleCells.isEmpty) None

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
-import org.apache.spark.sql.functions.{col, lit, when, grouping}
+import org.apache.spark.sql.functions.{array, col, explode, grouping, lit, struct, when}
 
 /** Named aggregation functions for the summary engine (SURVEY §2.5 A1-A6).
   *
@@ -90,12 +90,18 @@ object Summarize {
         when(col(s"__grouping__$c") === 0, col(c).cast("string")).otherwise(rest)
       }.as("DivisionCategory")
 
-    // unpivot aggregation names — runs over the already-aggregated (tiny) frame
-    val perAgg = aggs.map { a =>
-      grouped.select(
-        division +: divisionCategory +: lit(a.name).as("aggregation") +:
-          metrics.map { case (_, out) => col(s"${a.name}__$out").as(out) }: _*)
+    // unpivot aggregation names via explode — ONE projection over the
+    // aggregated frame (a union of per-agg projections would re-execute the
+    // grouping-sets subplan once per aggregation unless exchange reuse
+    // happens to kick in)
+    val structs = aggs.map { a =>
+      struct(lit(a.name).as("aggregation") +:
+        metrics.map { case (_, out) => col(s"${a.name}__$out").as(out) }: _*)
     }
-    perAgg.reduce(_ unionByName _)
+    grouped
+      .select(division, divisionCategory, explode(array(structs: _*)).as("__r"))
+      .select(col("Division") +: col("DivisionCategory") +:
+        col("__r.aggregation").as("aggregation") +:
+        metrics.map { case (_, out) => col(s"__r.$out").as(out) }: _*)
   }
 }

@@ -1,0 +1,36 @@
+package graft.stats
+
+import graft.SparkSpec
+
+class PermanovaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jaccard distance basics") {
+    assert(Permanova.jaccard(Array(true, true, false), Array(true, false, false)) == 0.5)
+    assert(Permanova.jaccard(Array(true), Array(true)) == 0.0)
+    assert(Permanova.jaccard(Array(false), Array(false)) == 0.0) // both-empty → 0
+    assert(Permanova.jaccard(Array(true, false), Array(false, true)) == 1.0)
+  }
+
+  test("separated groups give small p, identical-distribution groups large p") {
+    val rng = new scala.util.Random(5)
+    // group A: features mostly on; group B: mostly off
+    val rows = (1 to 40).map { i =>
+      val a = i <= 20
+      def biased(p: Double) = rng.nextDouble() < p
+      (if (a) "A" else "B",
+        biased(if (a) 0.9 else 0.1), biased(if (a) 0.9 else 0.1),
+        biased(if (a) 0.85 else 0.15))
+    }.toDF("grp", "f1", "f2", "f3")
+    val sep = Permanova.test(rows, "grp", Seq("f1", "f2", "f3"), nPerm = 199, seed = 1)
+    assert(sep.pValue < 0.05, s"p=${sep.pValue}")
+    assert(sep.pseudoF > 1.0)
+
+    val nullRows = (1 to 40).map { i =>
+      (if (i <= 20) "A" else "B",
+        rng.nextBoolean(), rng.nextBoolean(), rng.nextBoolean())
+    }.toDF("grp", "f1", "f2", "f3")
+    val noSig = Permanova.test(nullRows, "grp", Seq("f1", "f2", "f3"), nPerm = 199, seed = 1)
+    assert(noSig.pValue > 0.05, s"p=${noSig.pValue}")
+  }
+}
