@@ -314,7 +314,7 @@ object SparkEntry {
       Seq(("price_by_returnflag", p)).toDF("test", "p_value")
     }),
 
-    // ---- §2.8 R2: Fisher exact test -------------------------------------
+    // ---- §2.8 R2: Fisher exact test (oracle: hypergeometric sum in SQL) -
     "r2_fisher" -> ((s, dir) => {
       import s.implicits._
       val o = t(s, dir, "orders")
@@ -322,6 +322,45 @@ object SparkEntry {
           (col("o_totalprice") > 100000).as("y"))
       val (a, b, c, d, p) = Fisher.test(o, "x", "y")
       Seq((a, b, c, d, p)).toDF("tt", "tf", "ft", "ff", "p_value")
+        .select(col("tt"), col("tf"), col("ft"), col("ff"),
+          round(col("p_value"), 6).as("p_value"))
+    }),
+
+    // ---- §2.8 R3a: pure BH over deterministic per-stratum rates ---------
+    "r6_bh" -> ((s, dir) => {
+      import s.implicits._
+      val ps = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg((count(when(col("o_orderstatus") === "F", 1)).cast("double") /
+          count(lit(1)) / 3).as("p"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+      val rejected = FDR.benjaminiHochberg(ps.map(_._2), alpha = 0.05)
+      ps.zipWithIndex.map { case ((stratum, p), i) =>
+        (stratum, p, rejected.contains(i))
+      }.toSeq.toDF("stratum", "p_value", "bh_reject").orderBy(col("stratum"))
+    }),
+
+    // ---- streaming batch-twin: mapGroupsWithState sessionization --------
+    "e2_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      graft.streaming.EventStream.sessionize(ev).toDF()
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ---- similarity: IVF centroid-probe ANN (rows-only) -----------------
+    "n3_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      val (assigned, centers) = Embeddings.ivfIndex(emb, "embedding",
+        nCentroids = 8, seed = 42L)
+      Embeddings.ivfTopK(assigned, "vec_id", "embedding",
+          emb.where(col("vec_id") < 5), "vec_id", "embedding",
+          centers, nProbe = 2, k = 3)
+        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // ---- §2.8 R3: BH + SABHA FDR over per-stratum Fisher p-values -------
@@ -551,6 +590,50 @@ object SparkEntry {
 
     "s1_tsv_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "r2_fisher" ->
+      """WITH cells AS (
+           SELECT count(*) FILTER (WHERE x AND y) AS a,
+                  count(*) FILTER (WHERE x AND NOT y) AS b,
+                  count(*) FILTER (WHERE NOT x AND y) AS c,
+                  count(*) FILTER (WHERE NOT x AND NOT y) AS d
+           FROM (SELECT o_orderstatus = 'F' AS x, o_totalprice > 100000 AS y FROM orders)),
+         m AS (
+           SELECT a, b, c, d, a+b AS r1, c+d AS r2, a+c AS c1, a+b+c+d AS n,
+                  lgamma(a+b+1.0)-lgamma(a+1.0)-lgamma(b+1.0)
+                  + lgamma(c+d+1.0)-lgamma(c+1.0)-lgamma(d+1.0)
+                  - (lgamma(a+b+c+d+1.0)-lgamma(a+c+1.0)-lgamma(b+d+1.0)) AS lobs
+           FROM cells),
+         terms AS (
+           SELECT m.*, t.x AS xv,
+                  lgamma(r1+1.0)-lgamma(t.x+1.0)-lgamma(r1-t.x+1.0)
+                  + lgamma(r2+1.0)-lgamma(c1-t.x+1.0)-lgamma(r2-(c1-t.x)+1.0)
+                  - (lgamma(n+1.0)-lgamma(c1+1.0)-lgamma(n-c1+1.0)) AS lp
+           FROM m, generate_series(0, 1000000) t(x)
+           WHERE t.x BETWEEN greatest(0, m.c1 - m.r2) AND least(m.r1, m.c1))
+         SELECT a AS tt, b AS tf, c AS ft, d AS ff,
+                round(least(1.0, sum(CASE WHEN lp <= lobs + ln(1 + 0.0000001)
+                                          THEN exp(lp) ELSE 0 END)), 6) AS p_value
+         FROM terms GROUP BY a, b, c, d""",
+
+    "r6_bh" ->
+      """WITH ps AS (
+           SELECT o_orderpriority AS stratum,
+                  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+                    / count(*) / 3 AS p
+           FROM orders GROUP BY 1),
+         ranked AS (
+           SELECT stratum, p, row_number() OVER (ORDER BY p) AS rk,
+                  count(*) OVER () AS n
+           FROM ps),
+         k AS (SELECT coalesce(max(rk), 0) AS khat FROM ranked WHERE p <= 0.05 * rk / n)
+         SELECT stratum, p AS p_value,
+                (p <= 0.05 * (SELECT khat FROM k) / (SELECT max(n) FROM ranked)) AS bh_reject
+         FROM ps ORDER BY stratum""",
+
+    "e2_sessionize" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "t1_langid" ->
       """WITH scored AS (

@@ -108,14 +108,23 @@ object Embeddings {
     * the input plus a `centroid_id` column; ANN search probes only the
     * `nProbe` nearest centroids' partitions. */
   def ivfAssign(df: DataFrame, vecCol: String, nCentroids: Int,
-      seed: Long = 42L, maxIter: Int = 10): DataFrame = {
+      seed: Long = 42L, maxIter: Int = 10): DataFrame =
+    ivfIndex(df, vecCol, nCentroids, seed, maxIter)._1
+
+  /** IVF index build: k-means fit + assignment, returning the assigned
+    * frame AND the centroid vectors (for query-side probe selection). */
+  def ivfIndex(df: DataFrame, vecCol: String, nCentroids: Int,
+      seed: Long = 42L, maxIter: Int = 10): (DataFrame, Array[(Int, Seq[Double])]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val feat = df.withColumn("__features", array_to_vector(asDouble(col(vecCol))))
     val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("centroid_id")
     val model = km.fit(feat)
-    model.transform(feat).drop("__features")
+    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.toSeq)
+    }
+    (model.transform(feat).drop("__features"), centers)
   }
 
   /** IVF ANN top-k: assign queries to their nearest `nProbe` centroids, join
