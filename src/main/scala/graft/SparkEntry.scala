@@ -231,10 +231,11 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- similarity: exact brute-force cosine top-k (rows-only) ---------
+    // ---- similarity: exact brute-force cosine top-k via the custom
+    // bounded-heap aggregate (rows-only) ----------------------------------
     "n1_ann_topk" -> ((s, dir) => {
       val emb = Tables.spread(t(s, dir, "embeddings"))
-      Embeddings.bruteForceTopK(
+      Embeddings.bruteForceTopKAgg(
           emb, "vec_id", "embedding",
           emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("corpus_id"), col("rank"))

@@ -56,6 +56,26 @@ object Embeddings {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Exact brute-force top-k via the custom bounded-heap aggregate
+    * (graft.expressions.TopKByScore): map-side partial heaps mean only
+    * (query × k) rows cross the shuffle instead of (query × corpus) rows
+    * into a per-partition window sort. Same output as [[bruteForceTopK]]. */
+  def bruteForceTopKAgg(
+      corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val c = withUnit(corpus, corpusVec).select(col(corpusId).as("corpus_id"), col("__vec").as("cvec"))
+    val q = withUnit(queries, queryVec).select(col(queryId).as("query_id"), col("__vec").as("qvec"))
+    c.crossJoin(broadcast(q))
+      .where(col("corpus_id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.expressions.TopKByScore.topKByScore(
+        dot(col("cvec"), col("qvec")), col("corpus_id").cast("long"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("idx", "r")))
+      .select(col("query_id"), col("r.id").as("corpus_id"),
+        col("r.score").as("cos"), (col("idx") + 1).as("rank"))
+  }
+
   /** Deterministic random hyperplanes: `nBits` × `dim` Gaussian matrix. */
   private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
