@@ -77,6 +77,39 @@ object MedicalPipeline {
     Cleaning.booleanFromInt(step4, locBools.filter(present))
   }
 
+  // ----------------------------------------------------------- divisions
+
+  /** Column-division metadata tables (`studyGrScalaA.scala:178-184`,
+    * `contrGrScalaA.scala:75-81`, `twoPointsStudyScalaA.scala:102-108`):
+    * divisionName → member column names, persisted and read back to drive
+    * later stages. Schema `divisionName: String, listOfColumnNames:
+    * Array[String]`. */
+  def studyDivisions(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    graft.sources.Sources.fromRows(spark, Seq(
+      Seq("imagingSigns", Seq("Ogniskowe gromadzenie znacznika",
+        "Nieregularne zarysy", "PecherzykiGazu",
+        "Obszar plynowy w okolicy", "Naciek zapalny w okolicy")),
+      Seq("labInflammation", Seq("CRP(6 mcy)", "WBC(6 mcy)")),
+      Seq("suvMeasurements", Seq("SUV (max) w miejscu zapalenia",
+        "SUV (max) tła", "tumor to background ratio")),
+      Seq("riskFactors", Seq("cukrzyca", "Gorączka", "tętniak", "Otyłość"))),
+      StructType(Seq(StructField("divisionName", StringType),
+        StructField("listOfColumnNames", ArrayType(StringType)))))
+  }
+
+  /** Read-back protocol (`utils.scala:75-79`, `stydyGrB.scala:15,31-33`):
+    * unpack a division's column list and project the frame to it. */
+  def columnsOfDivision(divisions: DataFrame, name: String): Seq[String] =
+    divisions.where(col("divisionName") === name)
+      .select(col("listOfColumnNames"))
+      .collect().headOption
+      .map(_.getSeq[String](0))
+      .getOrElse(throw new NoSuchElementException(s"no division '$name'"))
+
+  def frameForDivision(df: DataFrame, divisions: DataFrame, name: String): DataFrame =
+    Cleaning.selectColumns(df, columnsOfDivision(divisions, name))
+
   // ------------------------------------------------------------- quality
 
   /** Study-group quality report (`test data quality and ouliers/

@@ -130,6 +130,16 @@ class MedicalPipelineSpec extends SparkSpec {
     assert(cat.metadata.where($"tableName" === "SuvVsVisualScales").count() == 1)
   }
 
+  test("division tables round-trip through the catalog and drive projections") {
+    val divisions = MedicalPipeline.studyDivisions(spark)
+    assert(divisions.columns.toSeq == Seq("divisionName", "listOfColumnNames"))
+    val labs = MedicalPipeline.frameForDivision(study, divisions, "labInflammation")
+    assert(labs.columns.toSeq == Seq("CRP(6 mcy)", "WBC(6 mcy)"))
+    intercept[NoSuchElementException] {
+      MedicalPipeline.columnsOfDivision(divisions, "missing")
+    }
+  }
+
   test("runner isolates failures: dependents skip, independents continue") {
     val results = Runner.run(spark, Seq(
       Runner.Stage("boom")(_ => throw new RuntimeException("x")),
