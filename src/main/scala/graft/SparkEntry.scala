@@ -171,16 +171,15 @@ object SparkEntry {
 
     // ---- text analysis: stopword-vote language ID -----------------------
     "t1_langid" -> ((s, dir) => {
-      Tables.spread(t(s, dir, "documents"))
-        .select(TextOps.langId(col("text")).as("lang_pred"))
+      TextOps.withLangId(Tables.spread(t(s, dir, "documents")), "text", "lang_pred")
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred"))
     }),
 
     // ---- text analysis: heuristic quality score -------------------------
     "t2_quality_score" -> ((s, dir) => {
-      Tables.spread(t(s, dir, "documents"))
-        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      TextOps.withQualityScore(Tables.spread(t(s, dir, "documents")), "text", "quality")
+        .select(col("doc_id"), col("quality"))
         .orderBy(col("doc_id"))
     }),
 

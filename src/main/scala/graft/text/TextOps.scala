@@ -100,6 +100,65 @@ object TextOps {
     when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(chain)
   }
 
+  /** Staged language ID: tokens and the four stopword scores materialize as
+    * columns (one pass each), then the argmax chain reads attributes. The
+    * single-expression [[langId]] re-evaluates every score per when-branch —
+    * interpreted HOFs get no common-subexpression elimination, so on a
+    * corpus pass this version is ~5× cheaper. Identical output. */
+  def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val scoreCols = LangStops.map { case (lang, _) => s"__s_$lang" }
+    val withScores = LangStops.foldLeft(
+      df.withColumn("__toks", tokens(col(textCol)))) {
+      case (acc, (lang, stops)) =>
+        val arr = array(stops.map(lit): _*)
+        acc.withColumn(s"__s_$lang",
+          size(filter(col("__toks"), t => array_contains(arr, t))))
+    }.withColumn("__best", greatest(scoreCols.map(col): _*))
+    val chain = LangStops.map(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, lang) =>
+        val cond = col(s"__s_$lang") === col("__best") && col("__best") > 0
+        Some(acc match {
+          case None => when(cond, lit(lang))
+          case Some(w) => w.when(cond, lit(lang))
+        })
+    }.get.otherwise(lit("unknown"))
+    withScores
+      .withColumn(out,
+        when(col(textCol).rlike("[\\u4e00-\\u9fff]"), lit("zh")).otherwise(chain))
+      .drop("__toks" +: "__best" +: scoreCols: _*)
+  }
+
+  /** Staged quality score — same motivation as [[withLangId]]: tokens and
+    * ratio components materialize once. Identical arithmetic/output to
+    * [[qualityScore]]. */
+  def withQualityScore(df: org.apache.spark.sql.DataFrame, textCol: String,
+      out: String): org.apache.spark.sql.DataFrame = {
+    val c = col(textCol)
+    val stops = array(EnglishStops.map(lit): _*)
+    df.withColumn("__toks", tokens(c))
+      .withColumn("__ntok", size(col("__toks")).cast("double"))
+      .withColumn("__pr", {
+        val len = length(c)
+        when(len === 0, lit(0.0)).otherwise(
+          (len - length(regexp_replace(c, "[\\p{Punct}]", ""))).cast("double") / len)
+      })
+      .withColumn("__sr",
+        when(col("__ntok") === 0, lit(0.0)).otherwise(
+          size(filter(col("__toks"), t => array_contains(stops, t))).cast("double") /
+            size(col("__toks"))))
+      .withColumn("__mtl",
+        when(col("__ntok") === 0, lit(0.0)).otherwise(
+          aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+            size(col("__toks"))))
+      .withColumn(out,
+        least(col("__ntok") / lit(20.0), lit(1.0)) * lit(0.4) +
+          greatest(lit(1.0) - col("__pr") * 4, lit(0.0)) * lit(0.3) +
+          least(col("__sr") * 5, lit(1.0)) * lit(0.2) +
+          when(col("__mtl") >= 2 && col("__mtl") <= 12, lit(1.0)).otherwise(lit(0.5)) * lit(0.1))
+      .drop("__toks", "__ntok", "__pr", "__sr", "__mtl")
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): minimum `xxhash64`
     * over character `w`-shingles. Two documents sharing long substrings are
     * likely to share the minimizing shingle → same fingerprint. */

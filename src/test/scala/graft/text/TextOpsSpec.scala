@@ -47,6 +47,22 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0) > got(1))
   }
 
+  test("staged withLangId/withQualityScore equal the scalar forms") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze ist nicht da",
+      "le chat et la maison est dans les arbres",
+      "el perro y el gato es una casa",
+      "spark 你好 world", "zzz qqq www", "",
+      "the quick brown fox! jumps, over 12 lazy dogs.").toDF("t")
+    val scalar = df.select(TextOps.langId($"t").as("l"),
+      TextOps.qualityScore($"t").as("q")).collect().toSeq
+    val staged = TextOps.withQualityScore(
+      TextOps.withLangId(df, "t", "l"), "t", "q")
+      .select($"l", $"q").collect().toSeq
+    assert(scalar == staged)
+  }
+
   test("fingerprint is stable and shared-substring-sensitive") {
     val base = "x" * 5 + ("shared rolling window content here" * 2)
     val df = Seq(base, base, "completely different text body entirely").toDF("t")
