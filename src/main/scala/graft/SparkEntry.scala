@@ -351,6 +351,19 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- as-of join (composed: tagged union + running last) -------------
+    "e3_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.ops.AsOfJoin.asofBackward(clicks, errors, Seq("user_id"),
+          "ts", "ts", Seq("event_id" -> "error_event_id"))
+        .select(col("user_id"), col("event_id"), col("error_event_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- similarity: IVF centroid-probe ANN (rows-only) -----------------
     "n3_ann_ivf" -> ((s, dir) => {
       val emb = Tables.spread(t(s, dir, "embeddings"))
@@ -634,6 +647,14 @@ object SparkEntry {
     "e2_sessionize" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "e3_asof_join" ->
+      """SELECT c.user_id, c.event_id, e.event_id AS error_event_id
+         FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN
+              (SELECT user_id, ts, event_id FROM events WHERE event_type = 'error') e
+           ON c.user_id = e.user_id AND c.ts >= e.ts
+         ORDER BY c.event_id""",
 
     "t1_langid" ->
       """WITH scored AS (

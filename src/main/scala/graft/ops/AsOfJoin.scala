@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join (NOT-IN-REFERENCE extension; the steering's canonical
+  * "operator Spark lacks"): for every left row, attach the latest right row
+  * with `rightTime <= leftTime`, per key.
+  *
+  * Spark-first composition (preference order (a) — no custom plan node
+  * needed): tag and union both sides, ONE shuffle partitioned by key and
+  * sorted by (time, side), then a running `last_value(ignoreNulls)` window
+  * carries each right row forward to the left rows that follow it. This is
+  * O(n log n) per key partition with a single exchange — the naive
+  * range-join formulation plans a nested loop over |L|×|R| per key.
+  * Right-side ties on the same timestamp resolve to the largest right id
+  * (deterministic; right rows sort before left rows at equal times, i.e.
+  * `<=` semantics like DuckDB/pandas ASOF).
+  */
+object AsOfJoin {
+
+  /** @param left        probe side
+    * @param right       reference side (its latest row at-or-before wins)
+    * @param keys        equi-join key column names (present on both sides)
+    * @param leftTime    event-time column on `left`
+    * @param rightTime   event-time column on `right`
+    * @param rightValues right columns to carry (name → output name)
+    */
+  def asofBackward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightValues: Seq[(String, String)]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val keyCols = keys.map(col)
+
+    val l = left.select(
+      keyCols ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
+        rightValues.map { case (_, out) => lit(null).as(s"__r_$out") }: _*)
+    val r = right.select(
+      keyCols ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(
+          left.schema(c).dataType).as(s"__l_$c")) ++
+        rightValues.map { case (in, out) => col(in).as(s"__r_$out") }: _*)
+
+    // right rows (side=0) sort before left rows at the same timestamp →
+    // a same-instant right row IS visible to the left row (<= semantics);
+    // the first carried value breaks right-right timestamp ties so the
+    // running last() is deterministic
+    val tie = col(s"__r_${rightValues.head._2}").asc_nulls_first
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").asc, col("__side").asc, tie)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightValues.foldLeft(l.unionByName(r)) { case (df, (_, out)) =>
+      df.withColumn(s"__c_$out", last(col(s"__r_$out"), ignoreNulls = true).over(w))
+    }
+
+    carried.where(col("__side") === 1).select(
+      keyCols ++
+        Seq(col("__t").as(leftTime)) ++
+        leftCols.filterNot(k => keys.contains(k) || k == leftTime)
+          .map(c => col(s"__l_$c").as(c)) ++
+        rightValues.map { case (_, out) => col(s"__c_$out").as(out) }: _*)
+  }
+}

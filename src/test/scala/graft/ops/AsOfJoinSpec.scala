@@ -1,0 +1,49 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofBackward attaches the latest right row at-or-before each left row") {
+    val trades = Seq( // (symbol, t, qty)
+      ("A", 10L, 1), ("A", 25L, 2), ("A", 5L, 3), ("B", 50L, 4)
+    ).toDF("sym", "t", "qty")
+    val quotes = Seq( // (symbol, t, price)
+      ("A", 8L, 100.0), ("A", 10L, 101.0), ("A", 20L, 102.0), ("B", 60L, 200.0)
+    ).toDF("sym", "t", "price")
+    val out = AsOfJoin.asofBackward(trades, quotes, Seq("sym"), "t", "t",
+      Seq("price" -> "price"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(out == Set(
+      ("A", 10L, Some(101.0)), // same-instant quote visible (<= semantics)
+      ("A", 25L, Some(102.0)),
+      ("A", 5L, None),         // no quote yet
+      ("B", 50L, None)))       // B's only quote is later
+  }
+
+  test("matches a brute-force per-row maximum formulation on random data") {
+    val rng = new scala.util.Random(13)
+    val left = (1 to 300).map(_ => (rng.nextInt(5), rng.nextInt(1000).toLong))
+      .toDF("k", "t")
+    val right = (1 to 200).map(i => (rng.nextInt(5), rng.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "rid")
+    val asof = AsOfJoin.asofBackward(left, right, Seq("k"), "t", "t",
+      Seq("rid" -> "rid"))
+      .groupBy("k", "t").agg(max("rid").as("rid")) // dedupe identical left rows
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // brute force: per (k,t) the rid of the max (t', tiebreak max rid) ≤ t
+    val rightRows = right.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val brute = left.dropDuplicates("k", "t").collect().map { lr =>
+      val (k, t) = (lr.getInt(0), lr.getLong(1))
+      val cands = rightRows.filter(rr => rr._1 == k && rr._2 <= t)
+      val best = if (cands.isEmpty) -1L
+        else { val mt = cands.map(_._2).max; cands.filter(_._2 == mt).map(_._3).max }
+      (k, t, best)
+    }.toSet
+    assert(asof == brute)
+  }
+}
