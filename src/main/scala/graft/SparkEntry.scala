@@ -712,11 +712,16 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY 1""",
 
     "d4_ngram_jaccard" ->
-      """WITH sh AS (
-           SELECT doc_id, list_distinct(list_transform(
-             generate_series(1, len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) - 2),
-             i -> array_to_string(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')[i:i+2], ' '))) AS s
-           FROM documents)
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN list_distinct([array_to_string(tk, ' ')])
+                       ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                              i -> array_to_string(tk[i:i+2], ' '))) END AS s
+           FROM toks)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
          FROM sh a JOIN sh b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25

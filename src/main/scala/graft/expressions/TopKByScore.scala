@@ -39,6 +39,12 @@ case class TopKByScore(
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (score.dataType == DoubleType && id.dataType == LongType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName requires (double, bigint) inputs, got " +
+      s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
+  }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType), StructField("id", LongType))))
   override def prettyName: String = "graft_top_k_by_score"

@@ -4,7 +4,7 @@ import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.{DecisionTreeClassificationModel, DecisionTreeClassifier}
 import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
 import org.apache.spark.ml.feature.{Imputer, MinMaxScaler, VectorAssembler}
-import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
+import org.apache.spark.ml.tuning.TrainValidationSplit
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -83,19 +83,23 @@ object CohortClassifier {
     val full = for {
       d <- MaxDepthChoices; m <- MinInstancesChoices; g <- MinInfoGainChoices
     } yield (d, m, g)
-    // deterministic stride-subsample of the full grid down to `budget` points
+    // deterministic stride-subsample of the full grid down to `budget`
+    // points, as explicit ParamMaps — ParamGridBuilder would rebuild the
+    // cartesian product of the points' distinct values, evaluating a biased
+    // corner of the space instead of the strided points themselves
     val stride = math.max(1, full.length / budget)
     val points = full.indices.by(stride).take(budget).map(full)
-    val grid = new ParamGridBuilder()
-      .addGrid(tree.maxDepth, points.map(_._1).distinct)
-      .addGrid(tree.minInstancesPerNode, points.map(_._2).distinct)
-      .addGrid(tree.minInfoGain, points.map(_._3).distinct)
-      .build()
+    val grid = points.map { case (d, m, g) =>
+      new org.apache.spark.ml.param.ParamMap()
+        .put(tree.maxDepth, d)
+        .put(tree.minInstancesPerNode, m)
+        .put(tree.minInfoGain, g)
+    }.toArray
     val evaluator = new BinaryClassificationEvaluator()
       .setLabelCol(cfg.labelCol).setMetricName("areaUnderROC")
     val tvs = new TrainValidationSplit()
       .setEstimator(pipe).setEvaluator(evaluator)
-      .setEstimatorParamMaps(grid.take(budget))
+      .setEstimatorParamMaps(grid)
       .setTrainRatio(0.75).setSeed(cfg.seed).setParallelism(4)
     val tvsModel = tvs.fit(train)
     val best = tvsModel.bestModel.asInstanceOf[PipelineModel]

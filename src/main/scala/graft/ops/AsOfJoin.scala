@@ -31,38 +31,42 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
       rightValues: Seq[(String, String)]): DataFrame = {
+    require(rightValues.nonEmpty, "asofBackward needs at least one right column to carry")
     val leftCols = left.columns.toSeq
     val keyCols = keys.map(col)
 
+    // the carried right columns travel as ONE struct: the running last() must
+    // pick a whole right ROW, never mix columns from different right rows,
+    // and a matched right row whose carried column is NULL must yield NULL
+    // (ignoreNulls on individual columns would resurrect older values)
+    val rStruct = struct(rightValues.map { case (in, out) => col(in).as(out) }: _*)
     val l = left.select(
       keyCols ++
         Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
-        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
-        rightValues.map { case (_, out) => lit(null).as(s"__r_$out") }: _*)
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) :+
+        lit(null).as("__r"): _*)
     val r = right.select(
       keyCols ++
         Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(
-          left.schema(c).dataType).as(s"__l_$c")) ++
-        rightValues.map { case (in, out) => col(in).as(s"__r_$out") }: _*)
+          left.schema(c).dataType).as(s"__l_$c")) :+
+        rStruct.as("__r"): _*)
 
     // right rows (side=0) sort before left rows at the same timestamp →
     // a same-instant right row IS visible to the left row (<= semantics);
-    // the first carried value breaks right-right timestamp ties so the
-    // running last() is deterministic
-    val tie = col(s"__r_${rightValues.head._2}").asc_nulls_first
+    // right-right timestamp ties resolve by the carried struct's field order
+    // (lexicographically largest wins) so the running last() is deterministic
     val w = Window.partitionBy(keyCols: _*)
-      .orderBy(col("__t").asc, col("__side").asc, tie)
+      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightValues.foldLeft(l.unionByName(r)) { case (df, (_, out)) =>
-      df.withColumn(s"__c_$out", last(col(s"__r_$out"), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r, allowMissingColumns = false)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
 
     carried.where(col("__side") === 1).select(
       keyCols ++
         Seq(col("__t").as(leftTime)) ++
         leftCols.filterNot(k => keys.contains(k) || k == leftTime)
           .map(c => col(s"__l_$c").as(c)) ++
-        rightValues.map { case (_, out) => col(s"__c_$out").as(out) }: _*)
+        rightValues.map { case (_, out) => col(s"__c.$out").as(out) }: _*)
   }
 }

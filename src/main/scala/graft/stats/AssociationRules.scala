@@ -34,7 +34,6 @@ object AssociationRules {
       .setMinSupport(minSupport)
       .setMinConfidence(minConfidence)
       .fit(transactions(df, boolCols))
-    val total = df.count().toDouble
     // associationRules: antecedent, consequent, confidence, lift, support
     model.associationRules
       .withColumn("rule_len", size(col("antecedent")) + size(col("consequent")))

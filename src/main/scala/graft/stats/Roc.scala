@@ -14,9 +14,15 @@ package graft.stats
   */
 object Roc {
 
-  /** Equal-variance binormal threshold; k1 = non-diseased sample, k2 =
-    * diseased sample, rho = prevalence (the reference passes its cohorts in
-    * this positional order with rho = 0.01). */
+  /** Equal-variance binormal threshold. Estimator semantics: k1 =
+    * non-diseased sample, k2 = diseased sample, rho = disease prevalence.
+    * NOTE the reference calls `thres2(trueOnes, falseOnes, 0.01)` — i.e.
+    * STUDY (diseased) cohort in the k1 position
+    * (`Hypothesis testing R.r:572-573`); `MedicalPipeline.statsStage`
+    * mirrors that call order for behavioral parity, which flips the sign of
+    * the s²·ln(R)/(m2−m1) correction relative to the estimator's intended
+    * usage. Independent callers (e.g. the r4 query) should pass
+    * non-diseased first. */
   def thres2Equal(k1: Array[Double], k2: Array[Double], rho: Double): Double = {
     require(k1.length > 1 && k2.length > 1, "need ≥2 observations per group")
     val m1 = mean(k1); val m2 = mean(k2)
@@ -31,6 +37,7 @@ object Roc {
       rho: Double): Double = {
     val cuts = (nonDiseased ++ diseased).distinct.sorted
     val candidates = cuts.sliding(2).collect { case Array(a, b) => (a + b) / 2 }.toSeq
+    if (candidates.isEmpty) return cuts.head // all values identical: degenerate cut
     candidates.minBy { c =>
       val sens = diseased.count(_ >= c).toDouble / diseased.length
       val spec = nonDiseased.count(_ < c).toDouble / nonDiseased.length

@@ -24,6 +24,18 @@ class AsOfJoinSpec extends SparkSpec {
       ("B", 50L, None)))       // B's only quote is later
   }
 
+  test("a matched right row with NULL carried value yields NULL, not a stale older value") {
+    val left = Seq(("k", 5L)).toDF("sym", "t")
+    val right = Seq(("k", 1L, Some(10.0), Some("a")), ("k", 3L, None, Some("b")))
+      .toDF("sym", "t", "v", "tag")
+    val out = AsOfJoin.asofBackward(left, right, Seq("sym"), "t", "t",
+      Seq("v" -> "v", "tag" -> "tag")).collect().head
+    // the latest right row (t=3) wins as a WHOLE row: v is its NULL, tag is "b" —
+    // never v=10.0 from t=1 mixed with tag="b" from t=3
+    assert(out.isNullAt(out.fieldIndex("v")))
+    assert(out.getString(out.fieldIndex("tag")) == "b")
+  }
+
   test("matches a brute-force per-row maximum formulation on random data") {
     val rng = new scala.util.Random(13)
     val left = (1 to 300).map(_ => (rng.nextInt(5), rng.nextInt(1000).toLong))
