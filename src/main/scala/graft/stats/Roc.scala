@@ -32,15 +32,23 @@ object Roc {
   }
 
   /** Nonparametric alternative: sweep candidate cutoffs (midpoints of sorted
-    * pooled values), minimize ρ·(1−sens) + (1−ρ)·(1−spec). */
+    * pooled values), minimize ρ·(1−sens) + (1−ρ)·(1−spec). Sorted arrays +
+    * binary search per candidate — O(n log n) total; the naive per-candidate
+    * recount is O(n²) and dominates wall time from a few thousand values. */
   def empiricalThreshold(nonDiseased: Array[Double], diseased: Array[Double],
       rho: Double): Double = {
-    val cuts = (nonDiseased ++ diseased).distinct.sorted
-    val candidates = cuts.sliding(2).collect { case Array(a, b) => (a + b) / 2 }.toSeq
-    if (candidates.isEmpty) return cuts.head // all values identical: degenerate cut
-    candidates.minBy { c =>
-      val sens = diseased.count(_ >= c).toDouble / diseased.length
-      val spec = nonDiseased.count(_ < c).toDouble / nonDiseased.length
+    val nd = nonDiseased.sorted
+    val dz = diseased.sorted
+    val cuts = (nd ++ dz).distinct.sorted
+    if (cuts.length < 2) return cuts.head // all values identical: degenerate cut
+    def countGE(a: Array[Double], c: Double): Int = {
+      var lo = 0; var hi = a.length
+      while (lo < hi) { val mid = (lo + hi) >>> 1; if (a(mid) < c) lo = mid + 1 else hi = mid }
+      a.length - lo
+    }
+    cuts.sliding(2).map { p => (p(0) + p(1)) / 2 }.minBy { c =>
+      val sens = countGE(dz, c).toDouble / dz.length
+      val spec = (nd.length - countGE(nd, c)).toDouble / nd.length
       rho * (1 - sens) + (1 - rho) * (1 - spec)
     }
   }
