@@ -27,7 +27,7 @@ object EventStream {
 
   final case class SessionUpdate(user_id: Long, n_events: Long,
       total_value: Double, session_end: Boolean)
-  private final case class SessionState(n: Long, total: Double)
+  final case class SessionState(n: Long, total: Double)
 
   /** Per-user sessionization via `mapGroupsWithState` with a processing-time
     * gap timeout: custom state machine the windowed API can't express
@@ -49,6 +49,48 @@ object EventStream {
             state.update(next)
             state.setTimeoutDuration(gap)
             SessionUpdate(user, next.n, next.total, session_end = false)
+          }
+      }
+  }
+
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class ClosedSession(user_id: Long, n_events: Long, total_value: Double,
+      started: java.sql.Timestamp, ended: java.sql.Timestamp)
+  /** Open-session state (public: the state encoder's generated code must
+    * reach the accessors). */
+  final case class OpenSession(n: Long, total: Double, startMs: Long, endMs: Long)
+
+  /** Event-time sessionization via `flatMapGroupsWithState` + event-time
+    * timeout: sessions close `gapMs` of EVENT time after their last event
+    * (driven by the watermark, so results are replay-deterministic —
+    * processing-time timeouts are not). Emits one row per CLOSED session;
+    * state per open session is one small struct, reclaimed on timeout. */
+  def sessionizeEventTime(events: Dataset[SessionEvent],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.n, s.total,
+              new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs)))
+          } else {
+            val batch = rows.toSeq
+            val times = batch.map(_.ts.getTime)
+            val prev = state.getOption
+            val next = OpenSession(
+              prev.map(_.n).getOrElse(0L) + batch.size,
+              prev.map(_.total).getOrElse(0.0) + batch.map(_.value).sum,
+              math.min(prev.map(_.startMs).getOrElse(Long.MaxValue), times.min),
+              math.max(prev.map(_.endMs).getOrElse(Long.MinValue), times.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.endMs + gapMs)
+            Iterator.empty
           }
       }
   }

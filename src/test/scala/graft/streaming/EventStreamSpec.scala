@@ -44,6 +44,30 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time sessionization closes sessions after the gap, via a real stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.SessionEvent]
+    val q = EventStream.sessionizeEventTime(input.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      input.addData(
+        EventStream.SessionEvent(1L, ts(0), 2.0),
+        EventStream.SessionEvent(1L, ts(5), 3.0))
+      q.processAllAvailable()
+      // advance event time far past gap + watermark → session 1 closes
+      input.addData(EventStream.SessionEvent(2L, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData(EventStream.SessionEvent(2L, java.sql.Timestamp.valueOf("2024-01-01 16:00:00"), 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(closed.contains((1L, 2L, 5.0)), closed.mkString(","))
+    } finally q.stop()
+  }
+
   test("sessionize maintains per-user state and counts") {
     val updates = EventStream.sessionize(
       Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDS())
