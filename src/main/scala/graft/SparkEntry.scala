@@ -167,6 +167,19 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     }),
 
+    // ---- sketch aggregates: HLL distinct + t-digest percentile ----------
+    // (rows-only: sketch estimates are engine-specific by construction; the
+    // exact twins q1/q2 carry the oracle burden)
+    "a9_sketches" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ================= training-data pipeline extensions =================
 
     // ---- text analysis: stopword-vote language ID -----------------------
