@@ -396,11 +396,10 @@ object SparkEntry {
         .select(col("o_orderpriority"),
           (col("o_orderstatus") === "F").as("x"),
           (col("o_totalprice") > 100000).as("y"))
-      val priorities = o.select("o_orderpriority").distinct()
-        .as[String].collect().sorted
-      val ps = priorities.map { pr =>
-        Fisher.test(o.where(col("o_orderpriority") === pr), "x", "y")._5
-      }
+      // ONE grouped pass for all strata's 2×2 tables (vs a scan per stratum)
+      val perGroup = Fisher.testPerGroup(o, "o_orderpriority", "x", "y")
+      val priorities = perGroup.map(_._1).toArray
+      val ps = perGroup.map(_._2._5).toArray
       val bh = FDR.benjaminiHochberg(ps, alpha = 0.05)
       val sabhaLabels = FDR.sabhaSelect(ps, priorities).toSet
       priorities.zip(ps).zipWithIndex.map { case ((label, p), i) =>

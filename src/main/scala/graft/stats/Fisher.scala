@@ -41,6 +41,29 @@ object Fisher {
   private def lgammaFn(x: Double): Double =
     org.apache.commons.math3.special.Gamma.logGamma(x)
 
+  /** Stratified protocol: ONE pass computes every stratum's 2×2 table
+    * (groupBy stratum × x × y), then exact p per stratum on the driver —
+    * K strata cost one scan, not K (each table is 4 longs regardless of
+    * data size). Returns stratum → (a, b, c, d, p), strata sorted. */
+  def testPerGroup(df: DataFrame, groupCol: String, colA: String,
+      colB: String): Seq[(String, (Long, Long, Long, Long, Double))] = {
+    val counts = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(colA).cast("boolean").as("x"), col(colB).cast("boolean").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("g").isNotNull)
+      .groupBy(col("g"), col("x"), col("y")).count()
+      .collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)) -> r.getLong(3))
+      .toMap
+    counts.keys.map(_._1).toSeq.distinct.sorted.map { g =>
+      val a = counts.getOrElse((g, true, true), 0L)
+      val b = counts.getOrElse((g, true, false), 0L)
+      val c = counts.getOrElse((g, false, true), 0L)
+      val d = counts.getOrElse((g, false, false), 0L)
+      g -> ((a, b, c, d, exact2x2(a, b, c, d)))
+    }
+  }
+
   /** Column protocol: one `groupBy` pass over two boolean columns (NULLs
     * dropped) → 2×2 counts on the driver → exact p. Returns
     * (a, b, c, d, p). */

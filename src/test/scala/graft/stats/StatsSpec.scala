@@ -26,6 +26,18 @@ class StatsSpec extends SparkSpec {
     assert(p > 0 && p <= 1)
   }
 
+  test("testPerGroup equals per-stratum test() in one pass") {
+    val df = Seq(
+      ("a", true, true), ("a", true, false), ("a", false, true), ("a", false, false),
+      ("b", true, true), ("b", true, true), ("b", false, false)
+    ).toDF("g", "x", "y")
+    val grouped = Fisher.testPerGroup(df, "g", "x", "y").toMap
+    Seq("a", "b").foreach { g =>
+      val direct = Fisher.test(df.where($"g" === g), "x", "y")
+      assert(grouped(g) == direct, g)
+    }
+  }
+
   // -------------------------------------------------------- Permutation
 
   test("exact permutation p on a tiny case matches enumeration") {
