@@ -17,6 +17,9 @@ import graft.expressions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    // W1 repair: window-aggregate + distinct → aggregation, when provably
+    // equivalent (see the rule's scaladoc for the exact conditions)
+    ext.injectOptimizerRule(_ => graft.rules.WindowDistinctToAggregate)
   }
 }
 
