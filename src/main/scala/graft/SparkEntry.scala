@@ -210,7 +210,7 @@ object SparkEntry {
       Tables.spread(t(s, dir, "documents"))
         .select(col("doc_id"),
           TextOps.fingerprint(col("text")).as("fingerprint"),
-          Dedup.simHash64("text").as("simhash"))
+          graft.expressions.SimHash64Expr.simhash64(col("text")).as("simhash"))
         .orderBy(col("doc_id"))
     }),
 

@@ -163,10 +163,14 @@ object Dedup {
 
   /** SimHash near-duplicate candidates: docs sharing at least one of four
     * 16-bit chunks (pigeonhole: any pair within Hamming distance 3 shares a
-    * chunk), verified by exact Hamming distance ≤ `maxHamming`. */
+    * chunk — larger `maxHamming` trades recall for the same candidate cost),
+    * verified by exact Hamming distance ≤ `maxHamming`. Signatures come from
+    * the native codegen'd [[graft.expressions.SimHash64Expr]]; the HOF
+    * [[simHash64]] stays as the pure-`functions` formulation. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 500): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), simHash64(textCol).as("sig"))
+    val withSig = df.select(col(idCol).as("id"),
+      graft.expressions.SimHash64Expr.simhash64(col(textCol)).as("sig"))
       .select(col("id"), col("sig"), posexplode(array(
         (0 until 4).map(i => expr(s"shiftright(sig, ${i * 16}) & 65535")): _*))
         .as(Seq("chunk", "chunk_val")))
