@@ -364,6 +364,15 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // ---- §2.7 extension: JSON column extraction -------------------------
+    "e4_json_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_value"))
+        .groupBy(col("k_value")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k_value"))
+    }),
+
     // ---- as-of join (composed: tagged union + running last) -------------
     "e3_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -411,11 +420,12 @@ object SparkEntry {
     // ---- §2.8 R6: cost-optimal ROC threshold ----------------------------
     "r4_roc_threshold" -> ((s, dir) => {
       import s.implicits._
-      val c = t(s, dir, "customer")
-      def bal(cond: Column): Array[Double] = c.where(cond)
-        .select(col("c_acctbal")).as[Double].collect()
-      val diseased = bal(col("c_mktsegment") === "BUILDING")
-      val healthy = bal(col("c_mktsegment") =!= "BUILDING")
+      // single pass: (group flag, value) collected once, split on the driver
+      val rows = t(s, dir, "customer")
+        .select((col("c_mktsegment") === "BUILDING").as("g"), col("c_acctbal"))
+        .as[(Boolean, Double)].collect()
+      val diseased = rows.filter(_._1).map(_._2)
+      val healthy = rows.filterNot(_._1).map(_._2)
       Seq((Roc.thres2Equal(healthy, diseased, 0.01),
         Roc.empiricalThreshold(healthy, diseased, 0.01)))
         .toDF("thres_equal", "thres_empirical")
@@ -659,6 +669,10 @@ object SparkEntry {
     "e2_sessionize" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "e4_json_extract" ->
+      """SELECT json_extract_string(props, '$.k') AS k_value, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "e3_asof_join" ->
       """SELECT c.user_id, c.event_id, e.event_id AS error_event_id

@@ -111,6 +111,20 @@ class StatsSpec extends SparkSpec {
     assert(!sel.exists(_.startsWith("null")))
   }
 
+  test("ADMM qhat satisfies the SABHA feasibility constraint sum(B_i/q_i) <= n(1-tau)") {
+    // force the ADMM path (block-0 init mean = 2 > 1) while keeping the
+    // constraint satisfiable (#B = 2 ≤ n(1-tau) = 3; with 1/q ≥ 1 the
+    // constraint is infeasible for ANY q ∈ [eps,1] once #B exceeds n(1-tau),
+    // in the R original as much as here)
+    val ps = Array(0.9, 0.85, 0.01, 0.02, 0.03, 0.04)
+    val blocks = Array(0, 0, 1, 1, 1, 1)
+    val tau = 0.5
+    val q = FDR.solveQBlock(ps, tau, eps = 0.1, blocks)
+    val lhs = ps.zip(q).collect { case (p, qi) if p > tau => 1.0 / qi }.sum
+    assert(lhs <= ps.length * (1 - tau) + 1e-2, s"constraint violated: $lhs")
+    assert(q.forall(v => v >= 0.1 - 1e-9 && v <= 1.0 + 1e-9))
+  }
+
   test("inverseSumProx: feasible input unchanged, else constraint is tight") {
     val feasible = FDR.inverseSumProx(Array(10.0, 10.0), bound = 1.0)
     assert(feasible.toSeq == Seq(10.0, 10.0))
