@@ -308,7 +308,9 @@ object SparkEntry {
     "s1_tsv_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val sample = t(s, dir, "region")
-      val tmp = java.nio.file.Files.createTempDirectory("graft-s1").toString + "/region_tsv"
+      // fixed path (writeTsv overwrites): repeated Verify/Bench invocations
+      // reuse one directory instead of leaking a fresh temp dir per run
+      val tmp = sys.props("java.io.tmpdir") + "/graft-s1/region_tsv"
       graft.sources.Sources.writeTsv(sample, tmp)
       graft.sources.Sources.readTsv(s, tmp, Some(StructType(Seq(
           StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))))

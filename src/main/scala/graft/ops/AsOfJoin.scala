@@ -14,9 +14,11 @@ import org.apache.spark.sql.expressions.Window
   * carries each right row forward to the left rows that follow it. This is
   * O(n log n) per key partition with a single exchange — the naive
   * range-join formulation plans a nested loop over |L|×|R| per key.
-  * Right-side ties on the same timestamp resolve to the largest right id
-  * (deterministic; right rows sort before left rows at equal times, i.e.
-  * `<=` semantics like DuckDB/pandas ASOF).
+  * Right-side ties on the same timestamp resolve deterministically by the
+  * carried struct's field order (lexicographically largest carried row wins
+  * — put an id column first in `rightValues` to tie-break by id). Right rows
+  * sort before left rows at equal times, i.e. `<=` semantics like
+  * DuckDB/pandas ASOF.
   */
 object AsOfJoin {
 

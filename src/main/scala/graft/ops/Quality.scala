@@ -57,34 +57,37 @@ object Quality {
     val zChecks = checks.collect { case z: ZScoreCheck => z }
     val momentCols: Seq[String] = zChecks.flatMap(_.columns).distinct
 
-    // pass 1: all simple counts + all moments, one global aggregation
+    // pass 1: all simple counts + all moments, one global aggregation.
+    // The result is a single row, so materialize it to the driver — both
+    // downstream consumers (the simple-count report and the z-score pass) read
+    // it as constants, avoiding a cached plan (leak) or a re-scan.
     val momentExprs = momentCols.flatMap { c =>
       Seq(avg(col(c)).as(s"__avg__$c"), stddev_pop(col(c)).as(s"__std__$c"))
     }
     val pass1Exprs = simpleCells.map(c => c.expr.as(c.key)) ++ momentExprs
     require(pass1Exprs.nonEmpty, "no checks given")
-    // cache: the 1-row aggregate is referenced by both the simple report and
-    // the z-score moments join — without it the full input scan would plan
-    // (and absent exchange reuse, run) twice more than needed
-    val pass1 = df.agg(pass1Exprs.head, pass1Exprs.tail: _*)
-    if (zChecks.nonEmpty && simpleCells.nonEmpty) pass1.cache()
+    val pass1Row = df.agg(pass1Exprs.head, pass1Exprs.tail: _*).collect()(0)
 
     val simpleReport =
       if (simpleCells.isEmpty) None
-      else Some(unpivot(pass1, simpleCells.map(c => (c.description, c.column, c.key))))
+      else {
+        import spark.implicits._
+        Some(simpleCells.map { c =>
+          (c.description, c.column, pass1Row.getAs[Long](c.key))
+        }.toDF("description", "columnName", "number"))
+      }
 
     val zReport =
       if (zChecks.isEmpty) None
       else {
-        // pass 2: z-score counts with pass-1 moments as a broadcast 1-row join
-        val moments = broadcast(pass1.select(
-          momentCols.flatMap(c => Seq(col(s"__avg__$c"), col(s"__std__$c"))): _*))
+        // pass 2: z-score counts with pass-1 moments inlined as literals
+        def momentLit(key: String): Column =
+          lit(pass1Row.getAs[java.lang.Double](key)).cast("double")
         val zCells = zChecks.flatMap { zc => zc.columns.map { c =>
-          val z = abs((col(c) - col(s"__avg__$c")) / col(s"__std__$c"))
+          val z = abs((col(c) - momentLit(s"__avg__$c")) / momentLit(s"__std__$c"))
           Cell(zc.description, c, count(when(z > zc.z, 1)), fresh())
         }}
-        val pass2 = df.crossJoin(moments)
-          .agg(zCells.head.expr.as(zCells.head.key),
+        val pass2 = df.agg(zCells.head.expr.as(zCells.head.key),
                zCells.tail.map(c => c.expr.as(c.key)): _*)
         Some(unpivot(pass2, zCells.map(c => (c.description, c.column, c.key))))
       }

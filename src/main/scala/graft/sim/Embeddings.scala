@@ -86,9 +86,13 @@ object Embeddings {
     * Cosine-similar vectors collide with probability (1 - θ/π)^nBits. */
   def lshBucket(vec: Column, nBits: Int, dim: Int, seed: Long = 42L): Column = {
     val planes = hyperplanes(nBits, dim, seed)
+    // fail fast on a dim mismatch — DotProduct would otherwise silently
+    // truncate to min(length) and bucket on a partial projection
+    val checked = when(size(vec) === dim, asDouble(vec)).otherwise(raise_error(
+      concat(lit(s"lshBucket: expected vector dim $dim, got "), size(vec).cast("string"))))
     planes.zipWithIndex.map { case (p, i) =>
       val plane = array(p.map(lit): _*)
-      when(dot(asDouble(vec), plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(checked, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
