@@ -18,9 +18,14 @@ object Bench {
     // first measured query doesn't absorb startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
+    // optional comma-separated subset for isolated perf work (dev only —
+    // the driver runs the full set)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // (name, seconds, succeeded) — failed queries are reported as "error"
     // and excluded from the total so a broken query can't shrink the number.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

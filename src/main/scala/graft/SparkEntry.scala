@@ -433,7 +433,8 @@ object SparkEntry {
         .toDF("thres_equal", "thres_empirical")
     }),
 
-    // ---- §2.8 R5: association rules via FP-Growth -----------------------
+    // ---- §2.8 R5: association rules (boolean contingency fast path; ≡
+    // FP-Growth per StatsSpec, and exactly replicable in SQL) --------------
     "r5_assoc_rules" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(
         (col("l_returnflag") === "R").as("is_return"),
@@ -441,7 +442,7 @@ object SparkEntry {
         (col("l_discount") >= 0.05).as("discounted"),
         (col("l_tax") > 0).as("taxed"),
         (col("l_extendedprice") > 50000).as("big_order"))
-      AssociationRules.mine(li,
+      AssociationRules.mineBoolean(li,
           Seq("is_return", "high_qty", "discounted", "taxed", "big_order"),
           minSupport = 0.05, minConfidence = 0.3, minLen = 2, maxLen = 5,
           minLift = 0.0)
@@ -652,6 +653,51 @@ object SparkEntry {
                 round(least(1.0, sum(CASE WHEN lp <= lobs + ln(1 + 0.0000001)
                                           THEN exp(lp) ELSE 0 END)), 6) AS p_value
          FROM terms GROUP BY a, b, c, d""",
+
+    "r5_assoc_rules" ->
+      """WITH flags AS (
+           SELECT (l_returnflag = 'R') AS f0,
+                  (l_quantity > 25) AS f1,
+                  (l_discount >= 0.05) AS f2,
+                  (l_tax > 0) AS f3,
+                  (l_extendedprice > 50000) AS f4
+           FROM lineitem),
+         baskets AS (
+           SELECT (CASE WHEN f0 THEN 1 ELSE 0 END
+                 + CASE WHEN f1 THEN 2 ELSE 0 END
+                 + CASE WHEN f2 THEN 4 ELSE 0 END
+                 + CASE WHEN f3 THEN 8 ELSE 0 END
+                 + CASE WHEN f4 THEN 16 ELSE 0 END) AS mask,
+                  count(*) AS cnt
+           FROM flags GROUP BY 1),
+         tot AS (SELECT sum(cnt) AS n FROM baskets),
+         freq AS (
+           SELECT s.range AS m,
+                  (SELECT sum(b.cnt) FROM baskets b WHERE (b.mask & s.range) = s.range) AS f
+           FROM range(1, 32) s),
+         items(b, name) AS (VALUES (0, 'is_return'), (1, 'high_qty'),
+                                   (2, 'discounted'), (3, 'taxed'), (4, 'big_order')),
+         rules AS (
+           SELECT z.m AS zm, i.b AS cb, i.name AS consequent,
+                  z.f AS fz, fa.f AS fa_, fc.f AS fc_
+           FROM freq z
+           JOIN items i ON ((z.m >> i.b) & 1) = 1 AND z.m != (1 << i.b)
+           JOIN freq fa ON fa.m = (z.m & ~(1 << i.b))
+           JOIN freq fc ON fc.m = (1 << i.b)
+           CROSS JOIN tot
+           WHERE bit_count(z.m) BETWEEN 2 AND 5
+             AND CAST(z.f AS DOUBLE) / tot.n >= 0.05
+             AND CAST(z.f AS DOUBLE) / fa.f >= 0.3
+             AND (CAST(z.f AS DOUBLE) / fa.f) / (CAST(fc.f AS DOUBLE) / tot.n) > 0.0)
+         SELECT
+           (SELECT string_agg(it.name, ',' ORDER BY it.name) FROM items it
+             WHERE ((r.zm & ~(1 << r.cb)) >> it.b) & 1 = 1) AS antecedent,
+           r.consequent,
+           round(CAST(r.fz AS DOUBLE) / tot.n, 6) AS support,
+           round(CAST(r.fz AS DOUBLE) / r.fa_, 6) AS confidence,
+           round((CAST(r.fz AS DOUBLE) / r.fa_) / (CAST(r.fc_ AS DOUBLE) / tot.n), 6) AS lift
+         FROM rules r CROSS JOIN tot
+         ORDER BY antecedent, consequent""",
 
     "r6_bh" ->
       """WITH ps AS (

@@ -48,9 +48,18 @@ object Dedup {
   }
 
   /** Deterministic (a, b) permutation constants for k MinHash functions. */
-  private def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
+  private[dedup] def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(k)((rng.nextLong() | 1L, rng.nextLong()))
+  }
+
+  /** Native codegen'd signature over pre-hashed shingles — one O(n·k)
+    * primitive-long pass ([[graft.expressions.MinHashSigExpr]]); identical
+    * values to [[minHashSignatureFromHashes]] on non-empty inputs. */
+  def minHashSignatureNative(hashesCol: Column, k: Int = 64, seed: Long = 42L): Column = {
+    val ab = perms(k, seed)
+    graft.expressions.MinHashSigExpr.minhashSig(
+      hashesCol, ab.map(_._1).toArray, ab.map(_._2).toArray)
   }
 
   private val MersennePrime = 2147483647L // 2^31 - 1
@@ -98,13 +107,14 @@ object Dedup {
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       seed: Long = 42L, maxBucketSize: Int = 500): DataFrame = {
     // staged projections: shingle-hash array materializes once per row, then
-    // the k permutations fold over the attribute (CollapseProject keeps the
-    // boundary — the inner expression is non-cheap and multiply-referenced)
+    // the native signature expression folds all k permutations in one
+    // primitive pass (the HOF form walked k interpreted lambdas per row and
+    // dominated the whole corpus pass)
     val sigDf = df.select(
         col(idCol).as("id"),
         transform(shingles(col(textCol), shingleN), s => xxhash64(s)).as("__hs"))
       .select(col("id"),
-        minHashSignatureFromHashes(col("__hs"), k, seed).as("sig"))
+        minHashSignatureNative(col("__hs"), k, seed).as("sig"))
       .select(col("id"), col("sig"),
         posexplode(bandHashes(col("sig"), k, bands)).as(Seq("band", "bucket")))
       // mega-bucket guard: a band bucket holding B docs expands to B²/2
@@ -195,7 +205,12 @@ object Dedup {
     * verify only candidates. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, window: Long = 25): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    // shingle arrays are distinct; pre-sorting them once per row lets each
+    // candidate pair use the zero-allocation sorted-merge intersection count
+    // (array_intersect + array_union built two hash sets per pair and
+    // dominated the whole join)
+    val sh = df.select(col(idCol).as("id"),
+      sort_array(shingles(col(textCol), n)).as("sh"))
     // banded equi-join: a naive (b.id BETWEEN a.id+1 AND a.id+w) predicate
     // plans as a nested-loop over |A|×|B| pairs; hashing both sides into
     // w-sized id blocks (left side exploded into its two reachable blocks)
@@ -204,10 +219,12 @@ object Dedup {
       explode(array((col("id") / window).cast("long"),
         (col("id") / window).cast("long") + 1)).as("block")).alias("a")
     val b = sh.withColumn("block", (col("id") / window).cast("long")).alias("b")
+    val inter = graft.expressions.SortedIntersectCount
+      .sortedIntersectCount(col("a.sh"), col("b.sh"))
     a.join(b, col("a.block") === col("b.block") &&
         col("b.id") > col("a.id") && col("b.id") <= col("a.id") + window)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh")))).as("jaccard"))
+        (inter.cast("double") /
+          (size(col("a.sh")) + size(col("b.sh")) - inter)).as("jaccard"))
   }
 }

@@ -34,7 +34,11 @@ object CohortClassifier {
       maxDepth: Int = 5,
       minInstancesPerNode: Int = 7,
       minInfoGain: Double = 5e-5,
-      seed: Long = 0L)
+      seed: Long = 0L,
+      /** Partitions for the iterative fit; the default suits small-cohort
+        * medical data (the reference's regime). Set 0 to keep the input
+        * partitioning for genuinely large training sets. */
+      fitPartitions: Int = 8)
 
   final case class Result(
       model: PipelineModel,
@@ -65,18 +69,29 @@ object CohortClassifier {
   /** M4+M6: 70/30 split (reference: `train_test_split(test_size=0.30)`),
     * fit, report accuracy + areaUnderROC + per-feature importances. */
   def trainEvaluate(df: DataFrame, cfg: Config): Result = {
-    val Array(train, test) = prepare(df, cfg).randomSplit(Array(0.7, 0.3), cfg.seed)
-    val model = pipeline(cfg).fit(train)
-    evaluate(model, test, cfg, Map(
-      "maxDepth" -> cfg.maxDepth,
-      "minInstancesPerNode" -> cfg.minInstancesPerNode,
-      "minInfoGain" -> cfg.minInfoGain))
+    // the tree fit + two scaler/imputer aggregations make ~8 passes over the
+    // training data; cache it, and coalesce so per-pass task-scheduling
+    // overhead doesn't dominate when the cohort is small relative to the
+    // session's parallelism (tree stats collect per partition per depth)
+    val prepared = prepare(df, cfg)
+    val data =
+      (if (cfg.fitPartitions > 0) prepared.coalesce(cfg.fitPartitions) else prepared).cache()
+    try {
+      val Array(train, test) = data.randomSplit(Array(0.7, 0.3), cfg.seed)
+      val model = pipeline(cfg).fit(train)
+      evaluate(model, test, cfg, Map(
+        "maxDepth" -> cfg.maxDepth,
+        "minInstancesPerNode" -> cfg.minInstancesPerNode,
+        "minInfoGain" -> cfg.minInfoGain))
+    } finally data.unpersist(blocking = false)
   }
 
   /** M7: search the reference's space, maximizing AUC on a validation split.
     * `budget` caps the number of grid points (HyperDrive ran 50). */
   def tune(df: DataFrame, cfg: Config, budget: Int = 50): Result = {
-    val data = prepare(df, cfg)
+    val prepared = prepare(df, cfg)
+    val data =
+      (if (cfg.fitPartitions > 0) prepared.coalesce(cfg.fitPartitions) else prepared).cache()
     val Array(train, test) = data.randomSplit(Array(0.7, 0.3), cfg.seed)
     val pipe = pipeline(cfg)
     val tree = pipe.getStages.last.asInstanceOf[DecisionTreeClassifier]
@@ -101,13 +116,15 @@ object CohortClassifier {
       .setEstimator(pipe).setEvaluator(evaluator)
       .setEstimatorParamMaps(grid)
       .setTrainRatio(0.75).setSeed(cfg.seed).setParallelism(4)
-    val tvsModel = tvs.fit(train)
-    val best = tvsModel.bestModel.asInstanceOf[PipelineModel]
-    val bestTree = best.stages.last.asInstanceOf[DecisionTreeClassificationModel]
-    evaluate(best, test, cfg, Map(
-      "maxDepth" -> bestTree.getMaxDepth,
-      "minInstancesPerNode" -> bestTree.getMinInstancesPerNode,
-      "minInfoGain" -> bestTree.getMinInfoGain))
+    try {
+      val tvsModel = tvs.fit(train)
+      val best = tvsModel.bestModel.asInstanceOf[PipelineModel]
+      val bestTree = best.stages.last.asInstanceOf[DecisionTreeClassificationModel]
+      evaluate(best, test, cfg, Map(
+        "maxDepth" -> bestTree.getMaxDepth,
+        "minInstancesPerNode" -> bestTree.getMinInstancesPerNode,
+        "minInfoGain" -> bestTree.getMinInfoGain))
+    } finally data.unpersist(blocking = false)
   }
 
   /** M3-ish input hygiene: cast binaries to double 0/1, label to double. */

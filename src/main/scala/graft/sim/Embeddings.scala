@@ -144,7 +144,12 @@ object Embeddings {
     val feat = df.withColumn("__features", array_to_vector(asDouble(col(vecCol))))
     val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__features").setPredictionCol("centroid_id")
-    val model = km.fit(feat)
+    // k-means makes maxIter+ passes; cache the (small: fit is typically on a
+    // sample at scale) input and coalesce so each iteration isn't dominated
+    // by task scheduling over near-empty partitions
+    val fitInput = feat.select(col("__features"))
+      .coalesce(math.max(1, df.sparkSession.sparkContext.defaultParallelism / 4)).cache()
+    val model = try km.fit(fitInput) finally fitInput.unpersist(blocking = false)
     val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.toSeq)
     }

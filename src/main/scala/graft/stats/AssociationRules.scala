@@ -45,6 +45,53 @@ object AssociationRules {
       .orderBy(col("confidence").desc, col("antecedent"), col("consequent"))
   }
 
+  /** Boolean-column fast path: with p ≤ 16 item columns there are only 2^p
+    * distinct baskets, so ONE codegen'd contingency aggregation (group by
+    * basket bitmask) + driver-side subset enumeration reproduces FP-Growth's
+    * rule set exactly (single-item consequents, same support/confidence/lift
+    * arithmetic from the same integer counts). At 100 TB this is strictly
+    * more scalable than FP-Growth over row-level transactions: the shuffle
+    * carries ≤2^p rows instead of the frequent-pattern tree structures.
+    * Verified ≡ [[mine]] by StatsSpec. */
+  def mineBoolean(df: DataFrame, boolCols: Seq[String],
+      minSupport: Double = 0.3, minConfidence: Double = 0.8,
+      minLen: Int = 3, maxLen: Int = 7, minLift: Double = 1.2): DataFrame = {
+    require(boolCols.nonEmpty && boolCols.size <= 16,
+      s"mineBoolean needs 1..16 boolean columns, got ${boolCols.size}")
+    val p = boolCols.size
+    val spark = df.sparkSession
+    import spark.implicits._
+    val maskCol = boolCols.zipWithIndex.map { case (c, i) =>
+      when(col(c) === true, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val baskets = df.groupBy(maskCol.as("mask")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val n = baskets.map(_._2).sum
+    val nMasks = 1 << p
+    // freq(itemset s) = Σ counts of baskets m ⊇ s (≤ 2^p × 2^p ops, trivial)
+    val freq = Array.tabulate(nMasks) { s =>
+      baskets.collect { case (m, c) if (m & s) == s => c }.sum
+    }
+    val items = boolCols.toArray
+    def names(mask: Int): String =
+      items.indices.filter(i => ((mask >> i) & 1) == 1).map(items).sorted.mkString(",")
+    val rules = for {
+      z <- (1 until nMasks).toSeq
+      len = Integer.bitCount(z)
+      if len >= minLen && len <= maxLen && freq(z).toDouble / n >= minSupport
+      c <- 0 until p
+      if ((z >> c) & 1) == 1
+      a = z & ~(1 << c)
+      if a != 0
+      conf = freq(z).toDouble / freq(a)
+      if conf >= minConfidence
+      lift = conf / (freq(1 << c).toDouble / n)
+      if lift > minLift
+    } yield (names(a), items(c), freq(z).toDouble / n, conf, lift)
+    rules.toDF("antecedent", "consequent", "support", "confidence", "lift")
+      .orderBy(col("confidence").desc, col("antecedent"), col("consequent"))
+  }
+
   /** Frequent itemsets with apriori-style min/max length (R :510-511). */
   def frequentItemsets(df: DataFrame, boolCols: Seq[String],
       minSupport: Double, minLen: Int, maxLen: Int): DataFrame = {

@@ -38,6 +38,16 @@ class DedupSpec extends SparkSpec {
     assert(short.select(Dedup.shingles($"t", 3)).as[Seq[String]].head() == Seq("a b"))
   }
 
+  test("native minhash signature matches the HOF formulation") {
+    val hashed = docs.select(
+      transform(Dedup.shingles($"text", 3), s => xxhash64(s)).as("hs"))
+    val both = hashed.select(
+      Dedup.minHashSignatureFromHashes($"hs", k = 32, seed = 7L).as("hof"),
+      Dedup.minHashSignatureNative($"hs", k = 32, seed = 7L).as("nat"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    both.foreach { case (hof, nat) => assert(hof == nat) }
+  }
+
   test("minHash est_jaccard tracks true jaccard") {
     val cands = Dedup.minHashCandidates(docs, "doc_id", "text", k = 128, bands = 32)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

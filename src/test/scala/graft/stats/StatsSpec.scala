@@ -165,6 +165,25 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(ab._5 - 1.25) < 1e-12)
   }
 
+  test("mineBoolean reproduces FPGrowth's rule set exactly") {
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(400)((rng.nextBoolean(), rng.nextDouble() < 0.7,
+      rng.nextDouble() < 0.3, rng.nextBoolean()))
+    val df = rows.toDF("a", "b", "c", "d")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1),
+        math.round(r.getDouble(2) * 1e9), math.round(r.getDouble(3) * 1e9),
+        math.round(r.getDouble(4) * 1e9))
+    val fp = AssociationRules.mine(df, Seq("a", "b", "c", "d"),
+      minSupport = 0.05, minConfidence = 0.2, minLen = 2, maxLen = 4, minLift = 0.0)
+      .collect().map(key).toSet
+    val fast = AssociationRules.mineBoolean(df, Seq("a", "b", "c", "d"),
+      minSupport = 0.05, minConfidence = 0.2, minLen = 2, maxLen = 4, minLift = 0.0)
+      .collect().map(key).toSet
+    assert(fast == fp)
+    assert(fast.nonEmpty)
+  }
+
   test("transactions builds item arrays from true columns") {
     val df = Seq((true, false, true)).toDF("x", "y", "z")
     val items = AssociationRules.transactions(df, Seq("x", "y", "z"))
