@@ -487,6 +487,74 @@ object SparkEntry {
         .toDF("metric", "value")
         .select(col("metric"), round(col("value"), 6).as("value"))
         .orderBy(col("metric"))
+    }),
+
+    // ---- §2.8 R6 (distributed twin): empirical ROC, no driver collect ---
+    "r8_roc_empirical" -> ((s, dir) => {
+      Roc.empiricalRoc(t(s, dir, "customer"),
+        col("c_mktsegment") === "BUILDING", col("c_acctbal"))
+    }),
+
+    // ---- text analysis: PII redaction -----------------------------------
+    // documents carry no natural PII, so deterministic synthetic PII is
+    // appended per row on BOTH sides — the regex chain is what's under test
+    "t5_pii_redact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or 10.0."),
+          (col("doc_id") % 200).cast("string"), lit(".7 ssn 123-45-6789 tel +1 555 867 5309")).as("raw"))
+        .select(col("doc_id"), TextOps.redactPii(col("raw")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- text analysis: repetition / diversity metrics ------------------
+    "t6_repetition" -> ((s, dir) => {
+      val toks = Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("top_count"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("distinct_ratio"),
+          round(col("top_count").cast("double") / col("n_tokens"), 6).as("top_token_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- dedup: corpus-level boilerplate n-gram detection ---------------
+    "d6_boilerplate_ngrams" -> ((s, dir) => {
+      Tables.spread(t(s, dir, "documents"))
+        .select(explode(Dedup.shingles(col("text"), 5)).as("ngram"))
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 3)
+        .orderBy(col("n_docs").desc, col("ngram"))
+    }),
+
+    // ---- §2.4 set ops: INTERSECT / EXCEPT -------------------------------
+    "u5_intersect_except" -> ((s, dir) => {
+      val custNations = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val suppNations = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val both = custNations.intersect(suppNations).withColumn("relation", lit("both"))
+      val custOnly = custNations.except(suppNations).withColumn("relation", lit("cust_only"))
+      both.unionByName(custOnly).orderBy(col("relation"), col("nationkey"))
+    }),
+
+    // ---- §2.6 ranking window suite: lead/lag/ntile/percent_rank ---------
+    "w3_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"))
+        .where(col("rn") <= 20)
+        .orderBy(col("o_orderpriority"), col("rn"))
     })
   )
 
@@ -653,6 +721,94 @@ object SparkEntry {
                 round(least(1.0, sum(CASE WHEN lp <= lobs + ln(1 + 0.0000001)
                                           THEN exp(lp) ELSE 0 END)), 6) AS p_value
          FROM terms GROUP BY a, b, c, d""",
+
+    "r8_roc_empirical" ->
+      """WITH pts AS (
+           SELECT c_acctbal AS threshold,
+                  count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS np,
+                  count(*) FILTER (WHERE c_mktsegment != 'BUILDING') AS nn
+           FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+         curve AS (
+           SELECT threshold, sum(np) OVER w AS tp, sum(nn) OVER w AS fp
+           FROM pts WINDOW w AS (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)),
+         curve2 AS (
+           SELECT *, coalesce(lag(tp) OVER (ORDER BY threshold DESC), 0) AS tp_prev,
+                     coalesce(lag(fp) OVER (ORDER BY threshold DESC), 0) AS fp_prev
+           FROM curve),
+         tot AS (SELECT max(tp) AS p, max(fp) AS n FROM curve),
+         best AS (
+           SELECT c.threshold AS best_t,
+                  CAST(c.tp AS DOUBLE) / t.p - CAST(c.fp AS DOUBLE) / t.n AS best_j
+           FROM curve2 c CROSS JOIN tot t
+           ORDER BY best_j DESC, c.threshold DESC LIMIT 1)
+         SELECT round(CAST(sum((c.fp - c.fp_prev) * (c.tp + c.tp_prev)) AS DOUBLE)
+                      / (2.0 * max(t.p) * max(t.n)), 6) AS auc,
+                round(max(b.best_j), 6) AS youden_j,
+                max(b.best_t) AS threshold,
+                CAST(max(t.p) AS BIGINT) AS n_pos, CAST(max(t.n) AS BIGINT) AS n_neg
+         FROM curve2 c CROSS JOIN tot t CROSS JOIN best b""",
+
+    "t5_pii_redact" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' ||
+                     CAST(doc_id % 200 AS VARCHAR) || '.7 ssn 123-45-6789 tel +1 555 867 5309',
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+             '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS redacted
+         FROM documents ORDER BY doc_id""",
+
+    "t6_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS tok
+           FROM documents),
+         pertok AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS distinct_ratio,
+                round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_ratio
+         FROM pertok GROUP BY doc_id ORDER BY doc_id""",
+
+    "d6_boilerplate_ngrams" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 5 THEN list_distinct([array_to_string(tk, ' ')])
+                       ELSE list_distinct(list_transform(generate_series(1, len(tk) - 4),
+                              i -> array_to_string(tk[i:i+4], ' '))) END AS s
+           FROM toks),
+         ng AS (SELECT unnest(s) AS ngram FROM sh)
+         SELECT ngram, count(*) AS n_docs FROM ng GROUP BY 1
+         HAVING count(*) >= 3 ORDER BY n_docs DESC, ngram""",
+
+    "u5_intersect_except" ->
+      """SELECT nationkey, 'both' AS relation
+         FROM (SELECT c_nationkey AS nationkey FROM customer
+               INTERSECT SELECT s_nationkey FROM supplier)
+         UNION ALL
+         SELECT nationkey, 'cust_only' AS relation
+         FROM (SELECT c_nationkey AS nationkey FROM customer
+               EXCEPT SELECT s_nationkey FROM supplier)
+         ORDER BY relation, nationkey""",
+
+    "w3_window_rank" ->
+      """WITH w3 AS (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER w AS rn,
+                  ntile(4) OVER w AS quartile,
+                  round(percent_rank() OVER w, 6) AS pct_rank,
+                  round(cume_dist() OVER w, 6) AS cume,
+                  lag(o_orderkey, 1) OVER w AS prev_key,
+                  lead(o_orderkey, 1) OVER w AS next_key
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
+         SELECT * FROM w3 WHERE rn <= 20 ORDER BY o_orderpriority, rn""",
 
     "r5_assoc_rules" ->
       """WITH flags AS (

@@ -1,5 +1,9 @@
 package graft.stats
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 /** Cost-optimal ROC threshold (SURVEY §2.8 R6): the reference calls
   * `ThresholdROC::thres2(k1, k2, rho)` with default settings
   * (`Hypothesis testing R.r:566-574`) to pick SUV/TBR cutoffs.
@@ -51,6 +55,47 @@ object Roc {
       val spec = (nd.length - countGE(nd, c)).toDouble / nd.length
       rho * (1 - sens) + (1 - rho) * (1 - spec)
     }
+  }
+
+  /** Fully distributed empirical ROC summary — no driver collect, unlike the
+    * array protocols above (which mirror the reference's R call shape).
+    *
+    * One row: trapezoidal AUC (= Mann-Whitney with tie correction),
+    * Youden-optimal threshold (max TPR − FPR; ties → largest threshold),
+    * and the class counts. Plan: groupBy distinct score (shuffle bounded by
+    * |distinct scores|), one global-ordered window pass over the curve
+    * points, one aggregate. The AUC numerator is accumulated in exact LONG
+    * arithmetic — 2·Σ(ΔFP·(TP+TPprev)) — with a single double division at
+    * the end, so the result is order-independent and engine-reproducible.
+    *
+    * Scale note: the curve frame has one row per distinct score; for
+    * continuous scores on very large data, quantize the score column first
+    * (e.g. `round(score, 3)`) to bound the single-partition window sort.
+    */
+  def empiricalRoc(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val byScore = df.where(score.isNotNull)
+      .groupBy(score.as("threshold"))
+      .agg(count(when(label, 1)).as("np"), count(when(!label, 1)).as("nn"))
+    val cum = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = Window.orderBy(col("threshold").desc)
+    val curve = byScore
+      .withColumn("tp", sum(col("np")).over(cum))
+      .withColumn("fp", sum(col("nn")).over(cum))
+      .withColumn("tp_prev", coalesce(lag(col("tp"), 1).over(prev), lit(0L)))
+      .withColumn("fp_prev", coalesce(lag(col("fp"), 1).over(prev), lit(0L)))
+    curve
+      .withColumn("p", max(col("tp")).over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("n", max(col("fp")).over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("j", col("tp") / col("p") - col("fp") / col("n"))
+      .agg(
+        round(sum((col("fp") - col("fp_prev")) * (col("tp") + col("tp_prev")))
+          .cast("double") / (lit(2.0) * max(col("p")) * max(col("n"))), 6).as("auc"),
+        round(max(struct(col("j"), col("threshold"))).getField("j"), 6).as("youden_j"),
+        max(struct(col("j"), col("threshold"))).getField("threshold").as("threshold"),
+        max(col("p")).as("n_pos"), max(col("n")).as("n_neg"))
   }
 
   private def mean(a: Array[Double]): Double = a.sum / a.length

@@ -159,6 +159,21 @@ object TextOps {
       .drop("__toks", "__ntok", "__pr", "__sr", "__mtl")
   }
 
+  /** PII redaction for training corpora: emails, SSN-shaped ids, IPv4
+    * addresses, then long phone-like digit runs, each replaced by a typed
+    * placeholder. Order matters — the earlier, more specific patterns must
+    * not be partially consumed by the greedier phone pattern. Patterns stick
+    * to RE2-compatible syntax (no lookaround/backrefs) so the same regexes
+    * run identically on other engines. A codegen'd `regexp_replace` chain:
+    * one corpus pass, no UDF. */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ssn = regexp_replace(email, "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>")
+    val ip = regexp_replace(ssn, "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d\\- ]{7,}\\d", "<PHONE>")
+  }
+
   /** Rolling-hash document fingerprint (winnowing-lite): minimum `xxhash64`
     * over character `w`-shingles. Two documents sharing long substrings are
     * likely to share the minimizing shingle → same fingerprint. */

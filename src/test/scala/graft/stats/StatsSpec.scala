@@ -141,6 +141,18 @@ class StatsSpec extends SparkSpec {
     assert(Roc.thres2Equal(k1, k2, 0.01) > 5.0) // rare disease → higher cutoff
   }
 
+  test("empiricalRoc matches hand-computed AUC/Youden incl. tie handling") {
+    // pos scores {3,2}, neg {2,1}: pairwise AUC = (1+1+1+0.5)/4 = 0.875;
+    // Youden J = 0.5 at thresholds 3 and 2, tie -> larger threshold
+    val df = Seq((true, 3.0), (true, 2.0), (false, 2.0), (false, 1.0))
+      .toDF("label", "score")
+    val r = graft.stats.Roc.empiricalRoc(df, $"label", $"score").collect()(0)
+    assert(r.getAs[Double]("auc") == 0.875)
+    assert(r.getAs[Double]("youden_j") == 0.5)
+    assert(r.getAs[Double]("threshold") == 3.0)
+    assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+  }
+
   test("empiricalThreshold separates well-separated groups") {
     val t = Roc.empiricalThreshold(Array(1.0, 2.0, 3.0), Array(8.0, 9.0, 10.0), 0.5)
     assert(t > 3.0 && t < 8.0)

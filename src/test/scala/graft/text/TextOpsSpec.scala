@@ -63,6 +63,21 @@ class TextOpsSpec extends SparkSpec {
     assert(scalar == staged)
   }
 
+  test("redactPii replaces emails, SSNs, IPs and phone runs in order") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "ssn is 123-45-6789 ok",
+      "host 192.168.254.1 up",
+      "call +1 555 867 5309 today",
+      "clean text with no pii at all").toDF("t")
+    val got = df.select(TextOps.redactPii($"t")).as[String].collect()
+    assert(got(0) == "mail <EMAIL> now")
+    assert(got(1) == "ssn is <SSN> ok")
+    assert(got(2) == "host <IP> up")
+    assert(got(3) == "call <PHONE> today")
+    assert(got(4) == "clean text with no pii at all")
+  }
+
   test("fingerprint is stable and shared-substring-sensitive") {
     val base = "x" * 5 + ("shared rolling window content here" * 2)
     val df = Seq(base, base, "completely different text body entirely").toDF("t")
