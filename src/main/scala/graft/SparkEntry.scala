@@ -250,7 +250,7 @@ object SparkEntry {
       Embeddings.bruteForceTopKAgg(
           emb, "vec_id", "embedding",
           emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
-        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -489,6 +489,28 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // ---- §2.5 reshaping: pivot (explicit values → static schema) --------
+    "p5_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(moneySum(col("l_extendedprice")))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- §2.5 reshaping: unpivot / melt ---------------------------------
+    "p6_unpivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"),
+          col("l_discount").cast("double").as("l_discount"),
+          col("l_tax").cast("double").as("l_tax"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    }),
+
     // ---- §2.8 R6 (distributed twin): empirical ROC, no driver collect ---
     "r8_roc_empirical" -> ((s, dir) => {
       Roc.empiricalRoc(t(s, dir, "customer"),
@@ -547,8 +569,8 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       t(s, dir, "orders")
         .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-          row_number().over(w).as("rn"),
-          ntile(4).over(w).as("quartile"),
+          row_number().over(w).cast("long").as("rn"),
+          ntile(4).over(w).cast("long").as("quartile"),
           round(percent_rank().over(w), 6).as("pct_rank"),
           round(cume_dist().over(w), 6).as("cume"),
           lag(col("o_orderkey"), 1).over(w).as("prev_key"),
@@ -721,6 +743,42 @@ object SparkEntry {
                 round(least(1.0, sum(CASE WHEN lp <= lobs + ln(1 + 0.0000001)
                                           THEN exp(lp) ELSE 0 END)), 6) AS p_value
          FROM terms GROUP BY a, b, c, d""",
+
+    "p5_pivot" ->
+      """SELECT l_returnflag,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+             FILTER (WHERE l_linestatus = 'F') AS DOUBLE), 2) AS F,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+             FILTER (WHERE l_linestatus = 'O') AS DOUBLE), 2) AS O
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "p6_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+                CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem
+         ORDER BY l_orderkey, l_linenumber, measure""",
+
+    // DuckDB list_dot_product reproduces the engine's sequential-sum double
+    // accumulation bit-for-bit (verified), so exact ANN ranks are comparable
+    "n1_ann_topk" ->
+      """WITH uv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM uv),
+         u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uvec FROM nr WHERE nrm > 0),
+         q AS (SELECT vec_id AS query_id, uvec AS qu FROM u WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS corpus_id, list_dot_product(c.uvec, q.qu) AS cos
+           FROM u c CROSS JOIN q WHERE c.vec_id != q.query_id),
+         ranked AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS "rank"
+           FROM scored)
+         SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 5
+         ORDER BY query_id, "rank"""",
 
     "r8_roc_empirical" ->
       """WITH pts AS (
