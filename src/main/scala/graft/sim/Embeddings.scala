@@ -98,20 +98,34 @@ object Embeddings {
 
   /** LSH-bucketed approximate near-dup pairs: only vectors sharing a bucket
     * (over `tables` independent hash tables) are compared. Shuffle is on
-    * (table, bucket) — never all-pairs. */
+    * (table, bucket) — never all-pairs.
+    *
+    * Plan shape: the bucket self-join carries ONLY ids (the unit vectors
+    * would multiply the explode×join shuffle by the vector width); candidate
+    * pairs found in several tables are deduplicated BEFORE scoring, so each
+    * pair costs exactly one dot product, fetched via two hash joins against
+    * the narrow unit-vector frame. `maxBucketSize` caps the quadratic
+    * expansion of hash-pileup buckets (same guard as MinHash banding). */
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, nBits: Int = 12, dim: Int = 64, tables: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val withB = withUnit(df, vecCol).select(
-      col(idCol).as("id"), col("__vec").as("vec"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col(vecCol), nBits, dim, seed + t)): _*)).as(Seq("table", "bucket")))
-    val a = withB.alias("a"); val b = withB.alias("b")
-    a.join(b, col("a.table") === col("b.table") &&
+      seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
+    val unit = withUnit(df, vecCol).select(col(idCol).as("id"), col("__vec").as("vec"))
+    val buckets = df.select(
+        col(idCol).as("id"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col(vecCol), nBits, dim, seed + t)): _*)).as(Seq("table", "bucket")))
+      .withColumn("__bn", count(lit(1)).over(
+        Window.partitionBy(col("table"), col("bucket"))))
+      .where(col("__bn") <= maxBucketSize).drop("__bn")
+    val a = buckets.alias("a"); val b = buckets.alias("b")
+    val cand = a.join(b, col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        dot(col("a.vec"), col("b.vec")).as("cos"))
-      .groupBy(col("id_a"), col("id_b")).agg(max(col("cos")).as("cos"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(unit.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(unit.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), dot(col("vec_a"), col("vec_b")).as("cos"))
       .where(col("cos") >= minCosine)
   }
 
