@@ -106,16 +106,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
       seed: Long = 42L, maxBucketSize: Int = 500): DataFrame = {
-    // staged projections: shingle-hash array materializes once per row, then
-    // the native signature expression folds all k permutations in one
-    // primitive pass (the HOF form walked k interpreted lambdas per row and
-    // dominated the whole corpus pass)
-    val sigDf = df.select(
+    // staged projections: the native shingle-hash expression tokenizes and
+    // hashes each row's n-grams in one byte pass (no string shingle arrays),
+    // then the native signature expression folds all k permutations in one
+    // primitive pass (the HOF forms walked interpreted lambdas per shingle
+    // per permutation and dominated the whole corpus pass)
+    val sigs = df.select(
         col(idCol).as("id"),
-        transform(shingles(col(textCol), shingleN), s => xxhash64(s)).as("__hs"))
+        graft.expressions.ShingleHashExpr.shingleHashes(col(textCol), shingleN).as("__hs"))
       .select(col("id"),
         minHashSignatureNative(col("__hs"), k, seed).as("sig"))
-      .select(col("id"), col("sig"),
+    val banded = sigs
+      .select(col("id"),
         posexplode(bandHashes(col("sig"), k, bands)).as(Seq("band", "bucket")))
       // mega-bucket guard: a band bucket holding B docs expands to B²/2
       // candidate pairs; buckets past the cap are low-signal hash pileups
@@ -124,18 +126,22 @@ object Dedup {
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bucket"))))
       .where(col("__bn") <= maxBucketSize).drop("__bn")
-    val a = sigDf.alias("a")
-    val b = sigDf.alias("b")
-    val k_ = k.toDouble
-    a.join(b,
+    // candidate generation carries ONLY ids; pairs colliding in several bands
+    // dedupe BEFORE scoring, so each pair costs one signature comparison,
+    // fetched via two narrow joins against the signature frame
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v) / lit(k_)).as("est_jaccard"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("est_jaccard")).as("est_jaccard"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (graft.expressions.SigAgreement.sigAgreement(col("sig_a"), col("sig_b"))
+          / lit(k.toDouble)).as("est_jaccard"))
   }
 
   /** Near-duplicate pairs above an estimated-Jaccard threshold. */

@@ -76,3 +76,48 @@ object MinHashSigExpr {
   def minhashSig(hashes: Column, a: Array[Long], b: Array[Long]): Column =
     Bridge.column(MinHashSigExpr(Bridge.expression(hashes), a, b))
 }
+
+/** Position-wise agreement count of two equal-length `array<long>` signatures
+  * (est. Jaccard = agreement / k) — a primitive loop; the `zip_with` +
+  * `aggregate` HOF form is interpreted per candidate pair. */
+object SigAgreementImpl {
+  def count(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0
+    while (i < n) { if (a.getLong(i) == b.getLong(i)) c += 1; i += 1 }
+    c
+  }
+}
+
+/** Codegen'd wrapper for [[SigAgreementImpl.count]]. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got ${l.simpleString} / ${r.simpleString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sig_agreement"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigAgreementImpl.count(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.SigAgreementImpl.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigAgreement =
+    copy(left = newLeft, right = newRight)
+}
+
+object SigAgreement {
+  def sigAgreement(a: Column, b: Column): Column =
+    Bridge.column(SigAgreement(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -38,6 +38,28 @@ class DedupSpec extends SparkSpec {
     assert(short.select(Dedup.shingles($"t", 3)).as[Seq[String]].head() == Seq("a b"))
   }
 
+  test("native shingle hashes: distinct count matches string shingles, sorted, collision-free here") {
+    val both = docs.select(
+      size(Dedup.shingles($"text", 3)).as("ns"),
+      graft.expressions.ShingleHashExpr.shingleHashes($"text", 3).as("hs"))
+      .collect()
+    both.foreach { r =>
+      val hs = r.getSeq[Long](1)
+      assert(hs.length == r.getInt(0))      // same distinct cardinality
+      assert(hs == hs.sorted)               // sorted output
+    }
+    // short text: whole token sequence as one shingle
+    val short = Seq("a b").toDF("t")
+      .select(graft.expressions.ShingleHashExpr.shingleHashes($"t", 3))
+      .as[Seq[Long]].head()
+    assert(short.length == 1)
+    // empty text: empty array
+    val empty = Seq("   ").toDF("t")
+      .select(graft.expressions.ShingleHashExpr.shingleHashes($"t", 3))
+      .as[Seq[Long]].head()
+    assert(empty.isEmpty)
+  }
+
   test("native minhash signature matches the HOF formulation") {
     val hashed = docs.select(
       transform(Dedup.shingles($"text", 3), s => xxhash64(s)).as("hs"))
