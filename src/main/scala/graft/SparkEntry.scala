@@ -489,6 +489,17 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // ---- streaming batch-twin: stream-stream attribution interval join --
+    "e5_attributed_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventStream.attributedJoin(
+          ev.where(col("event_type") === "view"),
+          ev.where(col("event_type") === "purchase"), "30 minutes")
+        .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+          col("l_value"), col("r_value"))
+        .orderBy(col("l_event_id"), col("r_event_id"))
+    }),
+
     // ---- §2.5 reshaping: pivot (explicit values → static schema) --------
     "p5_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -743,6 +754,19 @@ object SparkEntry {
                 round(least(1.0, sum(CASE WHEN lp <= lobs + ln(1 + 0.0000001)
                                           THEN exp(lp) ELSE 0 END)), 6) AS p_value
          FROM terms GROUP BY a, b, c, d""",
+
+    // CAST(ts AS TIMESTAMP) truncates DuckDB's ns-precision read to the same
+    // microsecond precision the engine's events table normalizes to
+    "e5_attributed_join" ->
+      """SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+                l.value AS l_value, r.value AS r_value
+         FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+               FROM events WHERE event_type = 'view') l
+         JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+               FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+         ORDER BY l_event_id, r_event_id""",
 
     "p5_pivot" ->
       """SELECT l_returnflag,

@@ -95,6 +95,26 @@ object EventStream {
       }
   }
 
+  /** Stream-stream (or batch-batch — same code) attribution join: each
+    * `left` row pairs with `right` rows of the SAME user whose timestamp
+    * falls in [left.ts, left.ts + window]. The equi key (user_id) makes the
+    * batch plan a hash join + range filter (never a nested loop); in
+    * streaming, the time-range condition plus watermarks on BOTH inputs
+    * (callers attach them — lateness is a deployment choice) bound the join
+    * state Spark must retain. Columns: left as `l_*`, right as `r_*`. */
+  def attributedJoin(left: DataFrame, right: DataFrame,
+      window: String = "30 minutes"): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"), col("ts").as("l_ts"),
+      col("user_id"), col("value").as("l_value"))
+    val r = right.select(col("event_id").as("r_event_id"), col("ts").as("r_ts"),
+      col("user_id").as("r_user_id"), col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"))
+      .drop("r_user_id")
+  }
+
   /** Wire a parquet-directory stream of events through the rollup to an
     * in-memory (testing) or file sink. Returns the started query. */
   def startFileStream(spark: SparkSession, inputDir: String, queryName: String,

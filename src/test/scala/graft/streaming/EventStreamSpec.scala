@@ -68,6 +68,52 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributedJoin batch semantics: same user within window, boundaries inclusive") {
+    def ev(id: Long, m: Int, u: Long, t: String, v: Double) =
+      (id, f"2024-01-01 10:$m%02d:00", u, t, v)
+    val events = Seq(
+      ev(1, 0, 1, "view", 1.0),
+      ev(2, 15, 1, "purchase", 10.0),  // in window of view 1
+      ev(3, 30, 1, "purchase", 20.0),  // boundary: exactly +30 min → included
+      ev(4, 45, 1, "purchase", 30.0),  // outside window
+      ev(5, 10, 2, "purchase", 40.0)   // other user
+    ).toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp($"ts_s")).drop("ts_s")
+    val got = EventStream.attributedJoin(
+        events.where($"event_type" === "view"),
+        events.where($"event_type" === "purchase"), "30 minutes")
+      .select($"l_event_id", $"r_event_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (1L, 3L)))
+  }
+
+  test("attributedJoin runs as a real stream-stream join with watermarks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EventStream.SessionEvent]
+    val purchases = MemoryStream[EventStream.SessionEvent]
+    def frame(ds: org.apache.spark.sql.Dataset[EventStream.SessionEvent]) =
+      ds.toDF().select($"user_id".as("event_id"), $"ts", $"user_id", $"value")
+        .withWatermark("ts", "1 hour")
+    val joined = EventStream.attributedJoin(
+      frame(views.toDS()), frame(purchases.toDS()), "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      views.addData(EventStream.SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0))
+      purchases.addData(EventStream.SessionEvent(1L, ts("2024-01-01 10:15:00"), 9.0))
+      q.processAllAvailable()
+      // advance both watermarks well past the join window so results emit
+      views.addData(EventStream.SessionEvent(9L, ts("2024-01-01 14:00:00"), 0.0))
+      purchases.addData(EventStream.SessionEvent(9L, ts("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_test")
+        .select($"user_id", $"l_value", $"r_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(got.contains((1L, 1.0, 9.0)), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("sessionize maintains per-user state and counts") {
     val updates = EventStream.sessionize(
       Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDS())
