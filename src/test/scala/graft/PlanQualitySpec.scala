@@ -38,12 +38,34 @@ class PlanQualitySpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
   }
 
-  test("q3: quality pass-1 aggregate is cached and reused, not recomputed per branch") {
-    val p = finalPlan("q3_quality_report")
-    // both the simple-counts report and the z-score moments join read the
-    // 1-row pass-1 aggregate from cache → exactly 2 input scans at runtime
-    // (cache materialization + the z-score second pass)
-    assert(p.contains("InMemoryTableScan"), p)
+  test("q3: quality report plans exactly one table scan (pass-1 moments are driver literals)") {
+    val p = plan("q3_quality_report")
+    // pass 1 collects a single aggregate row to the driver; the returned
+    // frame is a local relation unioned with the z-score pass → exactly one
+    // scan in the plan (pass 1's scan already ran eagerly)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("d2: minhash pipeline runs on native codegen expressions") {
+    val p = plan("d2_minhash_neardup")
+    assert(p.contains("graft_shingle_hashes"), p)
+    assert(p.contains("graft_minhash_sig"), p)
+    assert(p.contains("graft_sig_agreement"), p)
+    // candidate self-join is an equi join on (band, bucket), never a loop
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("d4: n-gram jaccard uses the sorted-merge intersect, no per-pair hash sets") {
+    val p = plan("d4_ngram_jaccard")
+    assert(p.contains("graft_sorted_intersect_count"), p)
+    assert(!p.contains("array_intersect") && !p.contains("array_union"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("e5: interval join keeps its equi key (hash join + range filter, no loop)") {
+    val p = plan("e5_attributed_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
   test("j1: cross-cohort agg never builds a row-level cross product") {
