@@ -489,6 +489,43 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // ---- §2.8 R3 (distributed twin): BH + Storey adjusted p over rows ---
+    "r9_fdr_distributed" -> ((s, dir) => {
+      val ps = t(s, dir, "orders").groupBy(col("o_orderpriority").as("stratum"))
+        .agg((count(when(col("o_orderstatus") === "F", 1)).cast("double")
+          / count(lit(1)) / 3).as("p"))
+      FDR.adjustDF(ps, "p", col("stratum"))
+        .select(col("stratum"), round(col("p"), 6).as("p"),
+          round(col("bh_adj"), 6).as("bh_adj"),
+          round(col("storey_pi0"), 6).as("storey_pi0"),
+          round(col("storey_adj"), 6).as("storey_adj"))
+        .orderBy(col("stratum"))
+    }),
+
+    // ---- S-ops: JSON-lines sink + source roundtrip ----------------------
+    "s2_json_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val sample = t(s, dir, "region")
+      val tmp = sys.props("java.io.tmpdir") + "/graft-s2/region_jsonl"
+      graft.sources.Sources.writeJsonl(sample, tmp)
+      graft.sources.Sources.readJsonl(s, tmp, Some(StructType(Seq(
+          StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))))
+        .orderBy(col("r_regionkey"))
+    }),
+
+    // ---- skew-mitigated join (identical results to the plain join) ------
+    "j3_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("orderkey"),
+        col("l_quantity"))
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("orderkey"),
+        col("o_orderstatus"))
+      graft.ops.SkewJoin.saltedJoin(li, o, Seq("orderkey"), saltFactor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- streaming batch-twin: stream-stream attribution interval join --
     "e5_attributed_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -754,6 +791,38 @@ object SparkEntry {
                 round(least(1.0, sum(CASE WHEN lp <= lobs + ln(1 + 0.0000001)
                                           THEN exp(lp) ELSE 0 END)), 6) AS p_value
          FROM terms GROUP BY a, b, c, d""",
+
+    "r9_fdr_distributed" ->
+      """WITH ps AS (
+           SELECT o_orderpriority AS stratum,
+                  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+                    / count(*) / 3 AS p
+           FROM orders GROUP BY 1),
+         ranked AS (
+           SELECT stratum, p, row_number() OVER (ORDER BY p, stratum) AS rk,
+                  count(*) OVER () AS n,
+                  CAST(sum(CASE WHEN p > 0.5 THEN 1 ELSE 0 END) OVER () AS DOUBLE) AS gt
+           FROM ps),
+         adj AS (
+           SELECT *,
+                  least(1.0, min(n * p / rk) OVER (ORDER BY p DESC, stratum DESC
+                    ROWS UNBOUNDED PRECEDING)) AS bh_adj,
+                  least(1.0, gt / (0.5 * n)) AS pi0
+           FROM ranked)
+         SELECT stratum, round(p, 6) AS p, round(bh_adj, 6) AS bh_adj,
+                round(pi0, 6) AS storey_pi0,
+                round(least(1.0, pi0 * bh_adj), 6) AS storey_adj
+         FROM adj ORDER BY stratum""",
+
+    "s2_json_roundtrip" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    // salting must be output-invariant: the oracle is the PLAIN join
+    "j3_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // CAST(ts AS TIMESTAMP) truncates DuckDB's ns-precision read to the same
     // microsecond precision the engine's events table normalizes to

@@ -37,6 +37,21 @@ object Sources {
       .csv(path)
   }
 
+  /** JSON-lines source (extension): schema'd single-pass read, or inference
+    * (which scans every file once extra — same trade-off as TSV). */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None => spark.read.json(path)
+    }
+
+  /** JSON-lines sink (extension). `singleFile` mirrors [[writeTsv]]. */
+  def writeJsonl(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").json(path)
+  }
+
   /** S7 — local rows → DataFrame (no RDD detour; `studyGrScalaA.scala:182`
     * parallelizes first for no benefit). */
   def fromRows(spark: SparkSession, rows: Seq[Seq[Any]], schema: StructType): DataFrame = {

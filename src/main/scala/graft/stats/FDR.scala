@@ -1,5 +1,9 @@
 package graft.stats
 
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 /** Multiple-testing FDR corrections (SURVEY §2.8 R3): Benjamini–Hochberg,
   * Storey, and SABHA (structure-adaptive BH) with the block-constant q̂
   * solver — a pure-Scala port of the reference's R implementation
@@ -29,6 +33,38 @@ object FDR {
     pvals.zipWithIndex.collect {
       case (p, i) if p <= alpha * khat / n => i
     }.toSet
+  }
+
+  /** Fully distributed BH + Storey ADJUSTED p-values over a DataFrame — the
+    * scale path when hypotheses are rows (the driver-array protocols above
+    * mirror the reference's R call shape; this handles hypothesis counts
+    * that never fit a driver). Adds:
+    *   - `bh_adj`: step-up adjusted p = min over j ≥ rank of (n·p_(j)/j), ≤1
+    *     (running min from the largest p — min is order-independent, so the
+    *     result is engine-reproducible);
+    *   - `storey_pi0`: min(1, #{p > λ} / ((1−λ)·n));
+    *   - `storey_adj`: min(1, π0 · bh_adj) (adaptive BH).
+    * Rejection at level α = `bh_adj <= α` (equivalent to the classic step-up
+    * rule). `tieBreak` makes the rank deterministic for equal p.
+    *
+    * Scale note: the global rank/running-min windows sort one row per
+    * HYPOTHESIS (not per observation) — millions of hypotheses sort in one
+    * task comfortably; partition upstream by test family if beyond that. */
+  def adjustDF(df: DataFrame, pCol: String, tieBreak: Column,
+      lambda: Double = 0.5): DataFrame = {
+    val rankW = Window.orderBy(col(pCol).asc, tieBreak.asc)
+    val descW = Window.orderBy(col(pCol).desc, tieBreak.desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.withColumn("__rk", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(allW))
+      .withColumn("__gt", sum(when(col(pCol) > lambda, 1L).otherwise(0L)).over(allW))
+      .withColumn("bh_adj",
+        least(lit(1.0), min(col("__n") * col(pCol) / col("__rk")).over(descW)))
+      .withColumn("storey_pi0",
+        least(lit(1.0), col("__gt") / (lit(1 - lambda) * col("__n"))))
+      .withColumn("storey_adj", least(lit(1.0), col("storey_pi0") * col("bh_adj")))
+      .drop("__rk", "__n", "__gt")
   }
 
   /** Storey's method with null-proportion estimate at threshold thr. */

@@ -21,6 +21,20 @@ class SourcesSpec extends SparkSpec {
     assert(inferred.schema("n").dataType == IntegerType) // inference worked
   }
 
+  test("JSON-lines round-trip: schema'd and inferred reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/out"
+    val df = Seq(("ała", 1, 2.5), ("b", 2, 3.5)).toDF("name", "n", "x")
+    Sources.writeJsonl(df, dir)
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("part-"))
+    assert(parts.length == 1)
+    val schema = StructType(Seq(StructField("name", StringType),
+      StructField("n", IntegerType), StructField("x", DoubleType)))
+    val back = Sources.readJsonl(spark, dir, Some(schema))
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    val inferred = Sources.readJsonl(spark, dir)
+    assert(inferred.schema("n").dataType == LongType) // JSON integers infer long
+  }
+
   test("fromRows builds a frame without an RDD detour") {
     val schema = StructType(Seq(StructField("divisionName", StringType),
       StructField("listOfColumnNames", ArrayType(StringType))))

@@ -141,6 +141,23 @@ class StatsSpec extends SparkSpec {
     assert(Roc.thres2Equal(k1, k2, 0.01) > 5.0) // rare disease → higher cutoff
   }
 
+  test("adjustDF matches hand-computed BH and Storey adjusted p-values") {
+    // p = [.01,.02,.04,.6,.9]: bh = [.05,.05,.0667,.75,.9]; pi0 = 2/(0.5*5)
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.04), ("d", 0.6), ("e", 0.9))
+      .toDF("id", "p")
+    val got = FDR.adjustDF(df, "p", $"id")
+      .select($"id", round($"bh_adj", 6), round($"storey_pi0", 6), round($"storey_adj", 6))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("a", 0.05, 0.8, 0.04), ("b", 0.05, 0.8, 0.04), ("c", 0.066667, 0.8, 0.053333),
+      ("d", 0.75, 0.8, 0.6), ("e", 0.9, 0.8, 0.72)))
+    // agrees with the driver-array BH rejection set at alpha = 0.07
+    val rej = FDR.benjaminiHochberg(Array(0.01, 0.02, 0.04, 0.6, 0.9), 0.07)
+    val dfRej = got.filter(_._2 <= 0.07).map(_._1).toSet
+    assert(dfRej == rej.map(i => Seq("a", "b", "c", "d", "e")(i)))
+  }
+
   test("empiricalRoc matches hand-computed AUC/Youden incl. tie handling") {
     // pos scores {3,2}, neg {2,1}: pairwise AUC = (1+1+1+0.5)/4 = 0.875;
     // Youden J = 0.5 at thresholds 3 and 2, tie -> larger threshold
