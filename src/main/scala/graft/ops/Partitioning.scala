@@ -34,4 +34,33 @@ object Partitioning {
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Multi-key variant with no caller-chosen salt source: the salt hashes
+    * the whole left row (uniform spread of a hot key without an RNG —
+    * reproducible plans, retriable tasks). Handles overlapping non-key
+    * column names; output is left columns then right non-key columns,
+    * identical to the plain inner join (spec'd). */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    val leftSalted = skewed.withColumn("__salt",
+      pmod(hash(skewed.columns.map(col): _*), lit(salts)))
+    val rightSalted = other
+      .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    val rightRenamed = other.columns.filterNot(keys.contains).foldLeft(rightSalted) {
+      (df, c) => df.withColumnRenamed(c, s"__r_$c")
+    }
+    leftSalted.join(rightRenamed, keys :+ "__salt")
+      .drop("__salt")
+      .select(skewed.columns.map(col) ++
+        other.columns.filterNot(keys.contains).map(c => col(s"__r_$c").as(c)): _*)
+  }
+
+  /** Top-N hot keys by frequency — the monitoring companion: feed its output
+    * into a broadcast-isolate strategy (filter hot keys into a broadcast
+    * join, sort-merge the long tail) when even salting is too blunt. */
+  def hotKeys(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc)
+      .limit(topN)
 }

@@ -41,21 +41,6 @@ class Catalog(spark: SparkSession, metaTable: String = "myPhdStatisticsMetaData"
   /** S4 — read a registered table. */
   def table(name: String): DataFrame = spark.table(name)
 
-  /** Bucketed + sorted table sink (extension; the 100 TB co-location tool):
-    * both sides of a recurring equi-join written with the SAME bucket count
-    * and key join with NO exchange and no per-query sort — the shuffle is
-    * paid once at write time, then every downstream join is a zipped
-    * per-bucket merge (see PlanQualitySpec's no-Exchange assertion).
-    * `nBuckets` should match the cluster's target reducer count for the
-    * table's size, and must be equal on both join sides. */
-  def writeBucketed(frame: DataFrame, tableName: String, bucketCol: String,
-      nBuckets: Int): Unit =
-    frame.write.mode(SaveMode.Overwrite)
-      .format("parquet")
-      .bucketBy(nBuckets, bucketCol)
-      .sortBy(bucketCol)
-      .saveAsTable(tableName)
-
   /** The metadata frame itself. */
   def metadata: DataFrame = spark.table(metaTable)
 }

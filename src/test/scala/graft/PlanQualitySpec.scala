@@ -77,24 +77,6 @@ class PlanQualitySpec extends SparkSpec {
       "SortAggregate".r.findAllIn(p).length >= 4, p)
   }
 
-  test("bucketed tables co-locate: the equi-join plans with ZERO exchange") {
-    import spark.implicits._
-    val cat = new graft.sources.Catalog(spark)
-    val fact = (1L to 1000L).map(k => (k % 100, k)).toDF("k", "v")
-    val dim = (0L until 100L).map(k => (k, s"d$k")).toDF("k", "name")
-    cat.writeBucketed(fact, "pq_fact_b", "k", 8)
-    cat.writeBucketed(dim, "pq_dim_b", "k", 8)
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1) // force non-broadcast
-    try {
-      val j = spark.table("pq_fact_b").join(spark.table("pq_dim_b"), "k")
-      j.collect()
-      val p = j.queryExecution.executedPlan.toString
-      assert(!p.contains("Exchange"), p)
-      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-  }
-
   test("whole-stage codegen spans cover the relational queries") {
     Seq("q1_agg", "p2_cast_project", "e1_events_hourly").foreach { q =>
       val p = finalPlan(q)

@@ -3,10 +3,12 @@ package graft.ops
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** Specs for the multi-key row-hash-salted join and hot-key monitor
+  * (single-key + bucketed layout live in PartitioningSpec). */
 class SkewJoinSpec extends SparkSpec {
   import spark.implicits._
 
-  test("saltedJoin equals the plain inner join, incl. a hot key and misses") {
+  test("multi-key saltedJoin equals the plain inner join, incl. a hot key and misses") {
     val rng = new scala.util.Random(5)
     // key 7 is hot on the left; keys 100+ have no right-side match
     val left = Seq.fill(300)((if (rng.nextDouble() < 0.5) 7L else rng.nextInt(110).toLong,
@@ -14,7 +16,7 @@ class SkewJoinSpec extends SparkSpec {
     val right = (0L until 100L).map(k => (k, s"r$k")).toDF("k", "rv")
     val plain = left.join(right, Seq("k")).select($"k", $"lv", $"rv")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
-    val salted = SkewJoin.saltedJoin(left, right, Seq("k"), saltFactor = 8)
+    val salted = Partitioning.saltedJoin(left, right, Seq("k"), salts = 8)
       .select($"k", $"lv", $"rv")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
     assert(salted.toSeq == plain.toSeq)
@@ -24,14 +26,14 @@ class SkewJoinSpec extends SparkSpec {
   test("saltedJoin with multi-column keys and overlapping value column names") {
     val left = Seq((1L, "a", 10), (1L, "b", 20), (2L, "a", 30)).toDF("k1", "k2", "v")
     val right = Seq((1L, "a", 99), (2L, "a", 77)).toDF("k1", "k2", "v")
-    val got = SkewJoin.saltedJoin(left, right, Seq("k1", "k2"), saltFactor = 4)
+    val got = Partitioning.saltedJoin(left, right, Seq("k1", "k2"), salts = 4)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).sorted
     assert(got.toSeq == Seq((1L, "a", 10, 99), (2L, "a", 30, 77)))
   }
 
   test("hotKeys surfaces the heaviest keys first") {
     val df = (Seq.fill(50)(1L) ++ Seq.fill(10)(2L) ++ Seq(3L)).toDF("k")
-    val top = SkewJoin.hotKeys(df, Seq("k"), topN = 2)
+    val top = Partitioning.hotKeys(df, Seq("k"), topN = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(top.toSeq == Seq((1L, 50L), (2L, 10L)))
   }
