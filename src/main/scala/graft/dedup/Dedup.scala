@@ -48,7 +48,7 @@ object Dedup {
   }
 
   /** Deterministic (a, b) permutation constants for k MinHash functions. */
-  private[dedup] def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
+  private[graft] def perms(k: Int, seed: Long): Seq[(Long, Long)] = {
     val rng = new scala.util.Random(seed)
     Seq.fill(k)((rng.nextLong() | 1L, rng.nextLong()))
   }

@@ -10,4 +10,31 @@ class GraftExtensionsSpec extends SparkSpec {
       .as[Double].head()
     assert(got == 11.0)
   }
+
+  test("every native expression is callable from SQL; SQL ≡ library API") {
+    GraftExtensions.register(spark)
+    val row = spark.sql("""
+      SELECT graft_simhash64('hello world spark') AS sh,
+             graft_shingle_hashes('a b c d', 3) AS hs,
+             graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 16, 42L) AS sig,
+             graft_sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
+             graft_sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS ag
+    """).collect()(0)
+    import org.apache.spark.sql.functions.{col, lit}
+    val lib = Seq("hello world spark").toDF("t").select(
+      graft.expressions.SimHash64Expr.simhash64(col("t")).as("sh")).as[Long].head()
+    assert(row.getAs[Long]("sh") == lib)
+    assert(row.getSeq[Long](1).length == 2) // "a b c", "b c d"
+    assert(row.getSeq[Long](2).length == 16)
+    assert(row.getAs[Int]("ic") == 2)
+    assert(row.getAs[Int]("ag") == 2)
+  }
+
+  test("non-literal constant arguments are rejected with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes('a b c', CAST(rand() * 3 AS INT))").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
 }

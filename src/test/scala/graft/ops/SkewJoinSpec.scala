@@ -31,6 +31,20 @@ class SkewJoinSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, "a", 10, 99), (2L, "a", 30, 77)))
   }
 
+  test("skewIsolatedJoin equals the plain inner join and broadcasts the hot slice") {
+    val rng = new scala.util.Random(9)
+    val left = Seq.fill(400)((if (rng.nextDouble() < 0.6) 3L else rng.nextInt(50).toLong,
+      rng.nextInt(100))).toDF("k", "lv")
+    val right = (0L until 40L).map(k => (k, s"r$k")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select($"k", $"lv", $"rv")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    val iso = Partitioning.skewIsolatedJoin(left, right, Seq("k"), hotKeyLimit = 2)
+    val got = iso.select($"k", $"lv", $"rv")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sorted
+    assert(got.toSeq == plain.toSeq)
+    assert(iso.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("hotKeys surfaces the heaviest keys first") {
     val df = (Seq.fill(50)(1L) ++ Seq.fill(10)(2L) ++ Seq(3L)).toDF("k")
     val top = Partitioning.hotKeys(df, Seq("k"), topN = 2)
