@@ -489,6 +489,51 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // ---- exact-sum higher moments: corr/stddev/skewness, bit-reproducible
+    // (all power sums accumulate in DECIMAL — order-independent — and the
+    // double arithmetic on top is the same expression tree as the oracle) --
+    "q6_moments" -> ((s, dir) => {
+      val x = col("l_quantity").cast("decimal(12,2)")
+      val y = col("l_extendedprice").cast("decimal(12,2)")
+      val agg = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx0"), sum(y).as("sy0"),
+          sum(x * x).as("sxx0"), sum(y * y).as("syy0"),
+          sum(x * y).as("sxy0"),
+          sum((x * x).cast("decimal(24,4)") * x).as("sxxx0"))
+      val n = col("n")
+      val sx = col("sx0").cast("double"); val sy = col("sy0").cast("double")
+      val sxx = col("sxx0").cast("double"); val syy = col("syy0").cast("double")
+      val sxy = col("sxy0").cast("double"); val sxxx = col("sxxx0").cast("double")
+      val sdX = sqrt(sxx / n - (sx / n) * (sx / n))
+      agg.select(col("l_returnflag"), n,
+          round((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6).as("corr_xy"),
+          round(sdX, 6).as("stddev_pop_x"),
+          round((sxxx / n - lit(3) * (sx / n) * (sxx / n)
+            + lit(2) * (sx / n) * (sx / n) * (sx / n)) / (sdX * sdX * sdX), 6).as("skew_x"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- histogram binning (shared exact bucket arithmetic) -------------
+    "h1_histogram" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("total"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ---- text hygiene: Unicode NFC normalization (native expression) ----
+    // synthetic combining-accent suffix appended on BOTH sides — the
+    // normalizer is what's under test (corpus text is ASCII)
+    "t7_nfc" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.expressions.NfcNormalizeExpr.nfc(
+            concat(col("text"), lit(" café"))).as("normalized"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- §2.8 R3 (distributed twin): BH + Storey adjusted p over rows ---
     "r9_fdr_distributed" -> ((s, dir) => {
       val ps = t(s, dir, "orders").groupBy(col("o_orderpriority").as("stratum"))
@@ -791,6 +836,34 @@ object SparkEntry {
                 round(least(1.0, sum(CASE WHEN lp <= lobs + ln(1 + 0.0000001)
                                           THEN exp(lp) ELSE 0 END)), 6) AS p_value
          FROM terms GROUP BY a, b, c, d""",
+
+    "q6_moments" ->
+      """WITH s AS (
+           SELECT l_returnflag,
+                  count(*) AS n,
+                  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+                  CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(y*y) AS DOUBLE) AS syy,
+                  CAST(sum(x*y) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(x*x AS DECIMAL(24,4)) * x) AS DOUBLE) AS sxxx
+           FROM (SELECT l_returnflag, CAST(l_quantity AS DECIMAL(12,2)) AS x,
+                        CAST(l_extendedprice AS DECIMAL(12,2)) AS y FROM lineitem) t
+           GROUP BY 1)
+         SELECT l_returnflag, n,
+           round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS corr_xy,
+           round(sqrt(sxx/n - (sx/n)*(sx/n)), 6) AS stddev_pop_x,
+           round((sxxx/n - 3*(sx/n)*(sxx/n) + 2*(sx/n)*(sx/n)*(sx/n))
+                 / (sqrt(sxx/n - (sx/n)*(sx/n)) * sqrt(sxx/n - (sx/n)*(sx/n))
+                    * sqrt(sxx/n - (sx/n)*(sx/n))), 6) AS skew_x
+         FROM s ORDER BY l_returnflag""",
+
+    "h1_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket, count(*) AS n,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "t7_nfc" ->
+      """SELECT doc_id, nfc_normalize(text || ' cafe' || chr(769)) AS normalized
+         FROM documents ORDER BY doc_id""",
 
     "r9_fdr_distributed" ->
       """WITH ps AS (

@@ -78,6 +78,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got(4) == "clean text with no pii at all")
   }
 
+  test("NFC normalization composes combining marks; ASCII passes through untouched") {
+    val decomposed = "café"     // e + COMBINING ACUTE
+    val composed = "café"        // precomposed é
+    val df = Seq(decomposed, composed, "plain ascii").toDF("t")
+    val got = df.select(graft.expressions.NfcNormalizeExpr.nfc($"t")).as[String].collect()
+    assert(got(0) == composed)
+    assert(got(1) == composed)
+    assert(got(2) == "plain ascii")
+    // normalization makes visually identical strings byte-identical → dedup-safe
+    assert(got(0).length == 4 && decomposed.length == 5)
+  }
+
   test("fingerprint is stable and shared-substring-sensitive") {
     val base = "x" * 5 + ("shared rolling window content here" * 2)
     val df = Seq(base, base, "completely different text body entirely").toDF("t")
