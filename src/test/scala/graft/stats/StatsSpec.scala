@@ -125,6 +125,51 @@ class StatsSpec extends SparkSpec {
     assert(q.forall(v => v >= 0.1 - 1e-9 && v <= 1.0 + 1e-9))
   }
 
+  test("ADMM qhat is numerically optimal for the SABHA objective (2-block grid check)") {
+    // The q-update's stationarity conditions identify the objective the R
+    // original minimizes:  L(q) = -Σ_{p>τ} log q_i - Σ_{p≤τ} log(1-(1-τ)q_i)
+    // s.t. q block-constant, q ∈ [eps,1], Σ_{p>τ} 1/q_i ≤ n(1-τ).
+    // Validate the port by brute force: on a 2-block instance that forces
+    // the ADMM path, the solver's objective must match the best feasible
+    // grid point (no R run needed).
+    val tau = 0.5; val eps = 0.1
+    // 4 bigs ≤ n(1-τ) = 5 (feasible), mixed blocks so the optimum is
+    // interior AND the inverse-sum constraint binds (unconstrained optimum
+    // (qa,qb) = (1, 1/3) has Σ1/q = 6 > 5); block-0 init mean = 1.5 > 1
+    // forces the ADMM path
+    val pvals = Array(0.9, 0.8, 0.7, 0.1, 0.6, 0.01, 0.02, 0.03, 0.2, 0.3)
+    val blocks = Array(0, 0, 0, 0, 1, 1, 1, 1, 1, 1)
+    // tighter threshold than the reference's 1e-3 default (which mirrors R
+    // and stops early on this instance) — the check is that the MATH
+    // converges to the true constrained optimum, and it does: (1.0, 0.5)
+    // with the inverse-sum constraint exactly tight
+    val q = FDR.solveQBlock(pvals, tau, eps, blocks,
+      FDR.AdmmParams(convergeThr = 1e-6))
+    val n = pvals.length; val gamma = n * (1 - tau)
+    val big = pvals.map(_ > tau)
+    def qVec(qa: Double, qb: Double) = blocks.map(b => if (b == 0) qa else qb)
+    def obj(qa: Double, qb: Double): Double =
+      pvals.indices.map { i =>
+        val qi = qVec(qa, qb)(i)
+        if (big(i)) -math.log(qi) else -math.log(1 - (1 - tau) * qi)
+      }.sum
+    def constraintLhs(qa: Double, qb: Double): Double =
+      pvals.indices.filter(big(_)).map(i => 1.0 / qVec(qa, qb)(i)).sum
+    def feasible(qa: Double, qb: Double): Boolean =
+      constraintLhs(qa, qb) <= gamma + 1e-9
+    val qa = q(0); val qb = q(4)
+    // block-constant + box constraints hold; inverse-sum holds to ADMM's
+    // convergence tolerance (1e-3 relative)
+    assert(blocks.indices.forall(i =>
+      math.abs(q(i) - (if (blocks(i) == 0) qa else qb)) < 1e-3), q.mkString(","))
+    assert(q.forall(v => v >= eps - 1e-3 && v <= 1 + 1e-3))
+    assert(constraintLhs(qa, qb) <= gamma + 0.05, s"lhs ${constraintLhs(qa, qb)}")
+    // optimality vs exhaustive feasible grid
+    val grid = (0 to 450).map(i => eps + i * 0.002)
+    val best = (for { a <- grid; b <- grid if feasible(a, b) } yield obj(a, b)).min
+    assert(obj(qa, qb) <= best + 0.01, s"admm ${obj(qa, qb)} vs grid $best")
+  }
+
   test("inverseSumProx: feasible input unchanged, else constraint is tight") {
     val feasible = FDR.inverseSumProx(Array(10.0, 10.0), bound = 1.0)
     assert(feasible.toSeq == Seq(10.0, 10.0))
