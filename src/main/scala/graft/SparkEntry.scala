@@ -467,6 +467,24 @@ object SparkEntry {
         .toDF("pseudo_f", "p_value", "dispersion_p")
     }),
 
+    // ---- multimodal plumbing: binary payload → mapPartitions features ---
+    // (rows-only: the codec layer is a deterministic stub by design; the
+    // schema/partitioning/batch plumbing is what's exercised)
+    "x1_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = Tables.spread(t(s, dir, "documents")).select(
+          col("doc_id").as("media_id"), lit("image").as("kind"),
+          encode(col("text"), "UTF-8").as("payload"),
+          struct(lit("fake").as("format"), lit(64).as("width"),
+            lit(64).as("height"), lit(3).as("channels"),
+            lit(0L).as("durationMs")).as("meta"))
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.extractImageFeatures(media, dim = 8)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- §2.9 M1-M8: decision-tree classification pipeline --------------
     "m1_decision_tree" -> ((s, dir) => {
       import s.implicits._
