@@ -97,9 +97,17 @@ object PermutationTest {
       val pooled = pooledB.value
       val n = pooled.length
       val total = pooled.sum
+      // ONE scratch array per partition, never restored: a partial
+      // Fisher-Yates draws a uniform random nA-subset into [0, nA) from ANY
+      // starting arrangement (each step picks uniformly among the remaining
+      // tail), so re-cloning the pooled vector per permutation — the
+      // dominant cost at large n, ~5 MB of allocation per draw — is pure
+      // waste. Seeded by the partition's first permutation id → still fully
+      // deterministic for a fixed nPerm/partitioning.
+      val arr = pooled.clone()
+      var rng: scala.util.Random = null
       it.map { permId =>
-        val rng = new scala.util.Random(seed + permId)
-        val arr = pooled.clone()
+        if (rng == null) rng = new scala.util.Random(seed + permId)
         var j = 0
         while (j < nA) {
           val k = j + rng.nextInt(n - j)
