@@ -552,6 +552,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- §2.8 R6 (distributed twin #2): binormal threshold from decimal
+    // power sums — no driver collect, engine-reproducible doubles ----------
+    "r10_binormal_threshold" -> ((s, dir) => {
+      Roc.binormalThresholdDF(t(s, dir, "customer"),
+        col("c_mktsegment") === "BUILDING", col("c_acctbal"), rho = 0.01)
+    }),
+
     // ---- §2.8 R3 (distributed twin): BH + Storey adjusted p over rows ---
     "r9_fdr_distributed" -> ((s, dir) => {
       val ps = t(s, dir, "orders").groupBy(col("o_orderpriority").as("stratum"))
@@ -882,6 +889,27 @@ object SparkEntry {
     "t7_nfc" ->
       """SELECT doc_id, nfc_normalize(text || ' cafe' || chr(769)) AS normalized
          FROM documents ORDER BY doc_id""",
+
+    // ln(99) is embedded as the JVM's Math.log value so both engines use the
+    // identical double constant (C and Java libm can differ in the last ulp)
+    "r10_binormal_threshold" ->
+      s"""WITH s AS (
+           SELECT count(*) FILTER (WHERE c_mktsegment != 'BUILDING') AS n1,
+                  count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS n2,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                    FILTER (WHERE c_mktsegment != 'BUILDING') AS DOUBLE) AS sx1,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                    FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS sx2,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2)))
+                    FILTER (WHERE c_mktsegment != 'BUILDING') AS DOUBLE) AS sxx1,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2)))
+                    FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS sxx2
+           FROM customer WHERE c_acctbal IS NOT NULL)
+         SELECT n1, n2,
+           round((sx1/n1 + sx2/n2)/2
+             + (((sxx1 - sx1*sx1/n1) + (sxx2 - sx2*sx2/n2)) / (n1 + n2 - 2))
+               * ${math.log(0.99 / 0.01)} / (sx2/n2 - sx1/n1), 6) AS threshold
+         FROM s""",
 
     "r9_fdr_distributed" ->
       """WITH ps AS (

@@ -98,6 +98,29 @@ object Roc {
         max(col("p")).as("n_pos"), max(col("n")).as("n_neg"))
   }
 
+  /** Distributed twin of [[thres2Equal]]: the equal-variance binormal
+    * threshold from ONE aggregation — group sums accumulate in DECIMAL
+    * (order-independent), the closed-form formula runs on the exact sums,
+    * so the result is engine-reproducible and no rows reach the driver.
+    * `label` true = diseased (k2 position), false = non-diseased (k1). */
+  def binormalThresholdDF(df: DataFrame, label: Column, score: Column,
+      rho: Double): DataFrame = {
+    val x = score.cast("decimal(18,2)")
+    val agg = df.where(score.isNotNull && label.isNotNull)
+      .agg(
+        count(when(!label, 1)).as("n1"), count(when(label, 1)).as("n2"),
+        sum(when(!label, x)).as("sx1d"), sum(when(label, x)).as("sx2d"),
+        sum(when(!label, x * x)).as("sxx1d"), sum(when(label, x * x)).as("sxx2d"))
+    val n1 = col("n1"); val n2 = col("n2")
+    val sx1 = col("sx1d").cast("double"); val sx2 = col("sx2d").cast("double")
+    val sxx1 = col("sxx1d").cast("double"); val sxx2 = col("sxx2d").cast("double")
+    val m1 = sx1 / n1; val m2 = sx2 / n2
+    val s2 = ((sxx1 - sx1 * sx1 / n1) + (sxx2 - sx2 * sx2 / n2)) / (n1 + n2 - lit(2))
+    agg.select(n1, n2,
+      round((m1 + m2) / 2 + s2 * lit(math.log((1 - rho) / rho)) / (m2 - m1), 6)
+        .as("threshold"))
+  }
+
   private def mean(a: Array[Double]): Double = a.sum / a.length
   private def sumSq(a: Array[Double], m: Double): Double =
     a.map(v => (v - m) * (v - m)).sum

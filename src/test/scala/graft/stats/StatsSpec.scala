@@ -203,6 +203,18 @@ class StatsSpec extends SparkSpec {
     assert(dfRej == rej.map(i => Seq("a", "b", "c", "d", "e")(i)))
   }
 
+  test("binormalThresholdDF agrees with the array-protocol thres2Equal") {
+    val rng = new scala.util.Random(3)
+    val healthy = Array.fill(200)(math.rint((rng.nextGaussian() + 2) * 100) / 100)
+    val diseased = Array.fill(150)(math.rint((rng.nextGaussian() + 5) * 100) / 100)
+    val df = (healthy.map((false, _)) ++ diseased.map((true, _))).toSeq
+      .toDF("label", "score")
+    val dfThres = Roc.binormalThresholdDF(df, $"label", $"score", rho = 0.01)
+      .collect()(0).getAs[Double]("threshold")
+    val arrThres = Roc.thres2Equal(healthy, diseased, 0.01)
+    assert(math.abs(dfThres - arrThres) < 1e-6, s"$dfThres vs $arrThres")
+  }
+
   test("empiricalRoc matches hand-computed AUC/Youden incl. tie handling") {
     // pos scores {3,2}, neg {2,1}: pairwise AUC = (1+1+1+0.5)/4 = 0.875;
     // Youden J = 0.5 at thresholds 3 and 2, tie -> larger threshold
