@@ -170,6 +170,24 @@ object Embeddings {
     (model.transform(feat).drop("__features"), centers)
   }
 
+  /** Driver-side union of the centroid ids a query batch will probe — the
+    * partition-pruning companion to [[ivfTopK]]: store the assigned corpus
+    * `partitionBy("centroid_id")`, filter it to these ids before the probe
+    * join, and the scan prunes to the probed partitions (PartitionFilters in
+    * the plan — spec'd), so a query batch reads `|probes|/|centroids|` of a
+    * 100 TB corpus instead of all of it. Query batches are small by nature;
+    * collecting their vectors is driver-safe. */
+  def probedCentroids(queries: DataFrame, queryVec: String,
+      centroids: Array[(Int, Seq[Double])], nProbe: Int): Array[Int] = {
+    def dotLocal(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    withUnit(queries, queryVec).select(col("__vec")).where(col("__vec").isNotNull)
+      .collect().map(_.getSeq[Double](0))
+      .flatMap { q =>
+        centroids.sortBy { case (_, c) => -dotLocal(q, c) }.take(nProbe).map(_._1)
+      }.distinct.sorted
+  }
+
   /** IVF ANN top-k: assign queries to their nearest `nProbe` centroids, join
     * with the pre-assigned corpus on centroid_id, rank within query. At 100 TB
     * the corpus stays partitioned by centroid_id (bucketed table), so the

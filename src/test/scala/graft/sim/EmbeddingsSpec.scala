@@ -63,4 +63,26 @@ class EmbeddingsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("corpus_id"))
     assert(top.toSeq == Seq(1L))
   }
+
+  test("partitioned IVF corpus: the probe scan prunes to probed centroids") {
+    val (assigned, centroids) = Embeddings.ivfIndex(vecs, "embedding", nCentroids = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/corpus"
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val queries = vecs.where($"vec_id" === 0)
+    val probes = Embeddings.probedCentroids(queries, "embedding", centroids, nProbe = 1)
+    assert(probes.length == 1)
+    val pruned = corpus.where($"centroid_id".isin(probes.map(Integer.valueOf): _*))
+    // partition pruning reaches the scan: only the probed directories read
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"), plan)
+    // and the probe over the pruned corpus returns the same neighbors
+    val full = Embeddings.ivfTopK(assigned, "vec_id", "embedding",
+      queries, "vec_id", "embedding", centroids, nProbe = 1, k = 1)
+      .collect().map(r => r.getAs[Long]("corpus_id")).toSeq
+    val prunedTop = Embeddings.ivfTopK(pruned, "vec_id", "embedding",
+      queries, "vec_id", "embedding", centroids, nProbe = 1, k = 1)
+      .collect().map(r => r.getAs[Long]("corpus_id")).toSeq
+    assert(prunedTop == full && full == Seq(1L))
+  }
 }
