@@ -467,6 +467,23 @@ object SparkEntry {
         .toDF("pseudo_f", "p_value", "dispersion_p")
     }),
 
+    // ---- §2.5 explicit rollup (subtotals + grand total) -----------------
+    "q7_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("total"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- deterministic content-hash sampling (layout-independent) -------
+    "s3_hash_sample" -> ((s, dir) => {
+      graft.ops.Sampling.hashSample(
+          t(s, dir, "documents"), col("doc_id"), rate = 0.25)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal plumbing: binary payload → mapPartitions features ---
     // (rows-only: the codec layer is a deterministic stub by design; the
     // schema/partitioning/batch plumbing is what's exercised)
@@ -889,6 +906,18 @@ object SparkEntry {
     "t7_nfc" ->
       """SELECT doc_id, nfc_normalize(text || ' cafe' || chr(769)) AS normalized
          FROM documents ORDER BY doc_id""",
+
+    "q7_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag, l_linestatus""",
+
+    "s3_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+         ORDER BY doc_id""",
 
     // ln(99) is embedded as the JVM's Math.log value so both engines use the
     // identical double constant (C and Java libm can differ in the last ulp)

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines (NOT-IN-REFERENCE
+  * extension). `df.sample()` draws per-partition from a seeded RNG — the
+  * selected rows CHANGE whenever partitioning changes, which breaks
+  * reproducibility across cluster sizes and engine versions. Content-hash
+  * sampling decides per ROW from a stable key, so the same rows are chosen
+  * on any layout, any engine (md5 is md5 everywhere), and re-runs are
+  * incremental-friendly: adding new rows never flips old decisions. */
+object Sampling {
+
+  /** Hex-prefix threshold for `rate` over the first 4 md5 nibbles. */
+  private[ops] def hexThreshold(rate: Double): String = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    f"${math.round(rate * 65536).toInt}%04x"
+  }
+
+  /** Keep rows whose md5(key) falls below the rate threshold —
+    * a deterministic ~`rate` sample, stable under repartitioning.
+    * Granularity is 1/65536; exact fraction depends on hash uniformity. */
+  def hashSample(df: DataFrame, key: Column, rate: Double): DataFrame =
+    if (rate >= 1.0) df
+    else df.where(substring(md5(key.cast("string")), 1, 4) < lit(hexThreshold(rate)))
+
+  /** Per-stratum rates: rows in strata not listed are dropped (the
+    * `sampleBy` contract), but decisions stay content-hash-deterministic. */
+  def stratifiedHashSample(df: DataFrame, stratum: Column, key: Column,
+      rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty, "need at least one stratum rate")
+    val hex = substring(md5(key.cast("string")), 1, 4)
+    val cond = rates.map { case (s, r) =>
+      stratum === s && hex < lit(hexThreshold(r))
+    }.reduce(_ || _)
+    df.where(cond)
+  }
+}

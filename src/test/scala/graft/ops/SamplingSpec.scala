@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = (0L until 4000L).toDF("id")
+
+  test("hashSample rate is approximately honored and deterministic") {
+    val a = Sampling.hashSample(ids, $"id", 0.25).as[Long].collect().toSet
+    val b = Sampling.hashSample(ids, $"id", 0.25).as[Long].collect().toSet
+    assert(a == b)                                  // deterministic
+    assert(math.abs(a.size / 4000.0 - 0.25) < 0.03) // ≈ rate
+  }
+
+  test("hashSample is stable under repartitioning (unlike df.sample)") {
+    val base = Sampling.hashSample(ids, $"id", 0.1).as[Long].collect().toSet
+    val repart = Sampling.hashSample(ids.repartition(7), $"id", 0.1)
+      .as[Long].collect().toSet
+    assert(base == repart)
+  }
+
+  test("hashSample decisions are monotone in rate (nested samples)") {
+    val small = Sampling.hashSample(ids, $"id", 0.1).as[Long].collect().toSet
+    val large = Sampling.hashSample(ids, $"id", 0.3).as[Long].collect().toSet
+    assert(small.subsetOf(large))
+  }
+
+  test("stratifiedHashSample applies per-stratum rates and drops unlisted strata") {
+    val df = ids.withColumn("s", when($"id" % 2 === 0, "even").otherwise("odd"))
+    val got = Sampling.stratifiedHashSample(df, $"s", $"id",
+      Map("even" -> 0.5)).select($"id").as[Long].collect()
+    assert(got.forall(_ % 2 == 0))
+    assert(math.abs(got.length / 2000.0 - 0.5) < 0.05)
+  }
+}
