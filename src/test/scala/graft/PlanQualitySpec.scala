@@ -68,6 +68,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("e3: as-of join is ONE key-partitioned shuffle, no range nested-loop") {
+    val p = plan("e3_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // tagged-union + running-last plan: the only hash-partitioned exchange is
+    // the window's key partitioning (the final orderBy adds a range exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("j1: cross-cohort agg never builds a row-level cross product") {
     val p = plan("j1_cross_agg")
     // the cartesian join happens on two 1-row aggregated sides
