@@ -600,6 +600,28 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    // ---- §2.3 outer join: customers with/without orders -----------------
+    "j4_outer_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val o = t(s, dir, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- §2.3 semi / anti joins: suppliers with(out) lineitems ----------
+    "u6_semi_anti" -> ((s, dir) => {
+      val su = t(s, dir, "supplier").select(col("s_suppkey"))
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"))
+      val withLi = su.join(li, su("s_suppkey") === li("l_suppkey"), "left_semi")
+        .withColumn("relation", lit("has_lineitems"))
+      val withoutLi = su.join(li, su("s_suppkey") === li("l_suppkey"), "left_anti")
+        .withColumn("relation", lit("no_lineitems"))
+      withLi.unionByName(withoutLi).orderBy(col("relation"), col("s_suppkey"))
+    }),
+
     // ---- skew-mitigated join (identical results to the plain join) ------
     "j3_salted_join" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_orderkey").as("orderkey"),
@@ -964,6 +986,23 @@ object SparkEntry {
 
     "s2_json_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "j4_outer_join" ->
+      """SELECT c_custkey, c_mktsegment,
+                coalesce(o.n_orders, 0) AS n_orders
+         FROM customer c
+         LEFT OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+                          FROM orders GROUP BY 1) o
+           ON c.c_custkey = o.o_custkey
+         ORDER BY c_custkey""",
+
+    "u6_semi_anti" ->
+      """SELECT s_suppkey, 'has_lineitems' AS relation FROM supplier
+         WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+         UNION ALL
+         SELECT s_suppkey, 'no_lineitems' AS relation FROM supplier
+         WHERE s_suppkey NOT IN (SELECT l_suppkey FROM lineitem)
+         ORDER BY relation, s_suppkey""",
 
     // salting must be output-invariant: the oracle is the PLAIN join
     "j3_salted_join" ->
