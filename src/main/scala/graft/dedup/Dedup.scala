@@ -185,21 +185,28 @@ object Dedup {
     * [[simHash64]] stays as the pure-`functions` formulation. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 500): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"),
+    val sigs = df.select(col(idCol).as("id"),
       graft.expressions.SimHash64Expr.simhash64(col(textCol)).as("sig"))
-      .select(col("id"), col("sig"), posexplode(array(
+    val chunks = sigs
+      .select(col("id"), posexplode(array(
         (0 until 4).map(i => expr(s"shiftright(sig, ${i * 16}) & 65535")): _*))
         .as(Seq("chunk", "chunk_val")))
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("chunk"), col("chunk_val"))))
       .where(col("__bn") <= maxBucketSize).drop("__bn")
-    val a = withSig.alias("a"); val b = withSig.alias("b")
-    a.join(b, col("a.chunk") === col("b.chunk") &&
+    // same shape as minHashCandidates/lshNearDupPairs: the chunk self-join
+    // carries only ids, pairs sharing several chunks dedupe BEFORE the
+    // Hamming verification, signatures fetched by two narrow joins
+    val a = chunks.alias("a"); val b = chunks.alias("b")
+    val cand = a.join(b, col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("hamming")).as("hamming"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 
