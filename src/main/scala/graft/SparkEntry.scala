@@ -646,6 +646,15 @@ object SparkEntry {
         .orderBy(col("l_event_id"), col("r_event_id"))
     }),
 
+    // ---- time-series resample + forward fill (grid ∘ as-of join) --------
+    "e6_resample_ffill" -> ((s, dir) => {
+      graft.ops.Resample.forwardFillGrid(Tables.events(s, dir),
+          "event_type", "ts", "value")
+        .select(col("event_type"), col("grid_ts").cast("long").as("grid_ts"),
+          col("last_value"))
+        .orderBy(col("event_type"), col("grid_ts"))
+    }),
+
     // ---- §2.5 reshaping: pivot (explicit values → static schema) --------
     "p5_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -986,6 +995,23 @@ object SparkEntry {
 
     "s2_json_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "e6_resample_ffill" ->
+      """WITH b AS (
+           SELECT event_type, CAST(ts AS TIMESTAMP) AS ts, value
+           FROM events WHERE ts IS NOT NULL),
+         spans AS (
+           SELECT event_type, date_trunc('hour', min(ts)) AS lo,
+                  date_trunc('hour', max(ts)) AS hi
+           FROM b GROUP BY 1),
+         grid AS (
+           SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS gts
+           FROM spans)
+         SELECT g.event_type, CAST(epoch(g.gts) AS BIGINT) AS grid_ts,
+                b.value AS last_value
+         FROM grid g
+         ASOF LEFT JOIN b ON g.event_type = b.event_type AND g.gts >= b.ts
+         ORDER BY g.event_type, grid_ts""",
 
     "j4_outer_join" ->
       """SELECT c_custkey, c_mktsegment,
