@@ -628,7 +628,7 @@ object SparkEntry {
         col("l_quantity"))
       val o = t(s, dir, "orders").select(col("o_orderkey").as("orderkey"),
         col("o_orderstatus"))
-      graft.ops.Partitioning.saltedJoin(li, o, Seq("orderkey"), salts = 8)
+      graft.ops.Partitioning.saltedJoin(li, o, Seq("orderkey"), salts = 4)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("qty"))
