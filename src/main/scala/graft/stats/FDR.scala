@@ -51,11 +51,27 @@ object FDR {
     * HYPOTHESIS (not per observation) — millions of hypotheses sort in one
     * task comfortably; partition upstream by test family if beyond that. */
   def adjustDF(df: DataFrame, pCol: String, tieBreak: Column,
-      lambda: Double = 0.5): DataFrame = {
-    val rankW = Window.orderBy(col(pCol).asc, tieBreak.asc)
-    val descW = Window.orderBy(col(pCol).desc, tieBreak.desc)
+      lambda: Double = 0.5): DataFrame =
+    adjustImpl(df, pCol, tieBreak, lambda, Seq.empty)
+
+  /** Per-FAMILY variant: each `familyCols` group is its own multiple-testing
+    * family — rank, n, π0 and the running min are all computed within the
+    * family partition, so the windows parallelize across families instead
+    * of one global sort. This is the shape to use when the hypothesis count
+    * itself is distributed-scale. */
+  def adjustDFPerFamily(df: DataFrame, pCol: String, familyCols: Seq[String],
+      tieBreak: Column, lambda: Double = 0.5): DataFrame = {
+    require(familyCols.nonEmpty, "familyCols must be non-empty (use adjustDF for a single family)")
+    adjustImpl(df, pCol, tieBreak, lambda, familyCols.map(col))
+  }
+
+  private def adjustImpl(df: DataFrame, pCol: String, tieBreak: Column,
+      lambda: Double, family: Seq[Column]): DataFrame = {
+    val rankW = Window.partitionBy(family: _*).orderBy(col(pCol).asc, tieBreak.asc)
+    val descW = Window.partitionBy(family: _*).orderBy(col(pCol).desc, tieBreak.desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val allW = Window.partitionBy(family: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     df.withColumn("__rk", row_number().over(rankW))
       .withColumn("__n", count(lit(1)).over(allW))
       .withColumn("__gt", sum(when(col(pCol) > lambda, 1L).otherwise(0L)).over(allW))

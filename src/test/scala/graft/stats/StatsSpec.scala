@@ -215,6 +215,21 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(dfThres - arrThres) < 1e-6, s"$dfThres vs $arrThres")
   }
 
+  test("adjustDFPerFamily treats each family independently, matching per-family adjustDF") {
+    val df = Seq(
+      ("f1", "a", 0.01), ("f1", "b", 0.04), ("f1", "c", 0.9),
+      ("f2", "d", 0.02), ("f2", "e", 0.6)).toDF("fam", "id", "p")
+    val together = FDR.adjustDFPerFamily(df, "p", Seq("fam"), $"id")
+      .select($"fam", $"id", round($"bh_adj", 9), round($"storey_adj", 9))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3))).toSet
+    val separately = Seq("f1", "f2").flatMap { f =>
+      FDR.adjustDF(df.where($"fam" === f), "p", $"id")
+        .select($"fam", $"id", round($"bh_adj", 9), round($"storey_adj", 9))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    }.toSet
+    assert(together == separately && together.size == 5)
+  }
+
   test("empiricalRoc matches hand-computed AUC/Youden incl. tie handling") {
     // pos scores {3,2}, neg {2,1}: pairwise AUC = (1+1+1+0.5)/4 = 0.875;
     // Youden J = 0.5 at thresholds 3 and 2, tie -> larger threshold
