@@ -31,7 +31,7 @@ object Dedup {
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val rest = df.columns.filter(_ != idCol).map(c => col("__keep." + c).as(c))
     df.groupBy(md5(col(textCol)).as("__h"))
-      .agg(min_by(struct(df.columns.map(col): _*), col(idCol)).as("__keep"))
+      .agg(min_by(struct(df.columns.toSeq.map(col): _*), col(idCol)).as("__keep"))
       .select(col("__keep." + idCol).as(idCol) +: rest.toSeq: _*)
       .drop("__h")
   }

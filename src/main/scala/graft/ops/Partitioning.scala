@@ -44,7 +44,7 @@ object Partitioning {
       salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
     val leftSalted = skewed.withColumn("__salt",
-      pmod(hash(skewed.columns.map(col): _*), lit(salts)))
+      pmod(hash(skewed.columns.toSeq.map(col): _*), lit(salts)))
     val rightSalted = other
       .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     val rightRenamed = other.columns.filterNot(keys.contains).foldLeft(rightSalted) {
@@ -52,7 +52,7 @@ object Partitioning {
     }
     leftSalted.join(rightRenamed, keys :+ "__salt")
       .drop("__salt")
-      .select(skewed.columns.map(col) ++
+      .select(skewed.columns.toSeq.map(col) ++
         other.columns.filterNot(keys.contains).map(c => col(s"__r_$c").as(c)): _*)
   }
 
@@ -77,7 +77,7 @@ object Partitioning {
     val rightRenamed = other.columns.filterNot(keys.contains).foldLeft(other) {
       (df, c) => df.withColumnRenamed(c, s"__r_$c")
     }
-    val out = (df: DataFrame) => df.select(big.columns.map(col) ++
+    val out = (df: DataFrame) => df.select(big.columns.toSeq.map(col) ++
       other.columns.filterNot(keys.contains).map(c => col(s"__r_$c").as(c)): _*)
     val hotJoin = big.join(hot, keys, "left_semi")
       .join(broadcast(rightRenamed.join(hot, keys, "left_semi")), keys)

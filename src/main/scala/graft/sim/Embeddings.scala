@@ -195,7 +195,7 @@ object Embeddings {
   def ivfTopK(assignedCorpus: DataFrame, corpusId: String, vecCol: String,
       queries: DataFrame, queryId: String, queryVec: String,
       centroids: Array[(Int, Seq[Double])], nProbe: Int, k: Int): DataFrame = {
-    val centroidArr = array(centroids.map { case (id, c) =>
+    val centroidArr = array(centroids.toSeq.map { case (id, c) =>
       struct(lit(id).as("cid"), array(c.map(lit): _*).as("cvec"))
     }: _*)
     val q = withUnit(queries, queryVec)
