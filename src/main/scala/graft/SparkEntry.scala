@@ -476,6 +476,15 @@ object SparkEntry {
         .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // ---- §2.5 explicit cube (all dimension subsets) ---------------------
+    "q8_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("total"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+    }),
+
     // ---- deterministic content-hash sampling (layout-independent) -------
     "s3_hash_sample" -> ((s, dir) => {
       graft.ops.Sampling.hashSample(
@@ -944,6 +953,13 @@ object SparkEntry {
                 CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY gid, l_returnflag, l_linestatus""",
+
+    "q8_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+                CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus, o_orderpriority""",
 
     "s3_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
