@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * incremental-friendly: adding new rows never flips old decisions. */
 object Sampling {
 
-  /** Hex-prefix threshold for `rate` over the first 4 md5 nibbles. */
+  /** Hex-prefix threshold for `rate` over the first 4 md5 nibbles. Clamped
+    * to "ffff": a 5-char "10000" would compare lexicographically SMALLER
+    * than most 4-char hex prefixes and invert the filter, so rates within
+    * 1/131072 of 1.0 keep 65535/65536 of rows (documented granularity). */
   private[ops] def hexThreshold(rate: Double): String = {
     require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
-    f"${math.round(rate * 65536).toInt}%04x"
+    f"${math.min(65535L, math.round(rate * 65536)).toInt}%04x"
   }
 
   /** Keep rows whose md5(key) falls below the rate threshold —

@@ -28,6 +28,16 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(large))
   }
 
+  test("rates at/near 1.0 keep (almost) everything — no hex-width inversion") {
+    // a naive threshold would be the 5-char "10000", which compares SMALLER
+    // than 4-char prefixes like "ffff" and would invert the filter
+    assert(Sampling.hexThreshold(1.0) == "ffff")
+    val kept = Sampling.stratifiedHashSample(
+      ids.withColumn("s", lit("all")), $"s", $"id", Map("all" -> 0.999999))
+      .count()
+    assert(kept >= 3999)
+  }
+
   test("stratifiedHashSample applies per-stratum rates and drops unlisted strata") {
     val df = ids.withColumn("s", when($"id" % 2 === 0, "even").otherwise("odd"))
     val got = Sampling.stratifiedHashSample(df, $"s", $"id",
