@@ -50,9 +50,9 @@ object GraftExtensions {
     dotProductDescriptor,
     descriptor("graft_simhash64", classOf[SimHash64Expr], 1)(c => SimHash64Expr(c(0))),
     descriptor("graft_shingle_hashes", classOf[ShingleHashExpr], 2)(c =>
-      ShingleHashExpr(c(0), lit[Int](c(1), "shingle width n"))),
+      ShingleHashExpr(c(0), lit[Number](c(1), "shingle width n").intValue())),
     descriptor("graft_minhash_sig", classOf[MinHashSigExpr], 3) { c =>
-      val k = lit[Int](c(1), "k")
+      val k = lit[Number](c(1), "k").intValue()
       val seed = lit[Number](c(2), "seed").longValue()
       val ab = graft.dedup.Dedup.perms(k, seed)
       MinHashSigExpr(c(0), ab.map(_._1).toArray, ab.map(_._2).toArray)

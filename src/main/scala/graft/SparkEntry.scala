@@ -308,9 +308,11 @@ object SparkEntry {
     "s1_tsv_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val sample = t(s, dir, "region")
-      // fixed path (writeTsv overwrites): repeated Verify/Bench invocations
-      // reuse one directory instead of leaking a fresh temp dir per run
-      val tmp = sys.props("java.io.tmpdir") + "/graft-s1/region_tsv"
+      // per-process fixed path (writeTsv overwrites): repeated invocations in
+      // one JVM reuse a directory instead of leaking one per run, while
+      // concurrent Verify/Bench processes never race on the same files
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft-s1-${ProcessHandle.current().pid()}/region_tsv"
       graft.sources.Sources.writeTsv(sample, tmp)
       graft.sources.Sources.readTsv(s, tmp, Some(StructType(Seq(
           StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))))
@@ -602,7 +604,8 @@ object SparkEntry {
     "s2_json_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val sample = t(s, dir, "region")
-      val tmp = sys.props("java.io.tmpdir") + "/graft-s2/region_jsonl"
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft-s2-${ProcessHandle.current().pid()}/region_jsonl"
       graft.sources.Sources.writeJsonl(sample, tmp)
       graft.sources.Sources.readJsonl(s, tmp, Some(StructType(Seq(
           StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))))

@@ -82,7 +82,8 @@ object ShingleHashImpl {
   }
 
   private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' ||
+      b == 0x0b // vertical tab: Java's \\s matches it; tokenizers must agree
 }
 
 /** Codegen'd wrapper for [[ShingleHashImpl.shingleHashes]]. */

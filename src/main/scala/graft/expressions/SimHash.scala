@@ -50,7 +50,8 @@ object SimHashImpl {
   }
 
   private def isSpace(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+    b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' ||
+      b == 0x0b // vertical tab: Java's \\s matches it; tokenizers must agree
 }
 
 /** Native codegen'd SimHash expression: the SQL higher-order-function

@@ -35,16 +35,21 @@ object Partitioning {
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
-  /** Multi-key variant with no caller-chosen salt source: the salt hashes
-    * the whole left row (uniform spread of a hot key without an RNG —
-    * reproducible plans, retriable tasks). Handles overlapping non-key
-    * column names; output is left columns then right non-key columns,
-    * identical to the plain inner join (spec'd). */
+  /** Multi-key variant with no caller-chosen salt source: the salt derives
+    * from the per-partition row index (`monotonically_increasing_id`), which
+    * spreads a hot key uniformly EVEN when its rows are byte-identical (a
+    * row-content hash would pile identical rows onto one salt) and touches
+    * no data columns (works with map-typed columns `hash` rejects). Join
+    * correctness is independent of the salt a row receives — every (key,
+    * salt) finds its replicated right match — so layout changes never affect
+    * the result, only the spread. Handles overlapping non-key column names;
+    * output is left columns then right non-key columns, identical to the
+    * plain inner join (spec'd). */
   def saltedJoin(skewed: DataFrame, other: DataFrame, keys: Seq[String],
       salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
     val leftSalted = skewed.withColumn("__salt",
-      pmod(hash(skewed.columns.toSeq.map(col): _*), lit(salts)))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val rightSalted = other
       .withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
     val rightRenamed = other.columns.filterNot(keys.contains).foldLeft(rightSalted) {
@@ -61,7 +66,10 @@ object Partitioning {
     * join, sort-merge the long tail) when even salting is too blunt. */
   def hotKeys(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame =
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
-      .orderBy(col("n_rows").desc)
+      // secondary sort on the keys: ties at the topN boundary must resolve
+      // deterministically — skewIsolatedJoin references this frame from
+      // several join branches and they must agree on the hot set
+      .orderBy(col("n_rows").desc +: keys.map(col(_).asc): _*)
       .limit(topN)
 
   /** Broadcast-isolate inner equi-join: the `hotKeyLimit` heaviest keys of

@@ -29,13 +29,15 @@ object Sampling {
     else df.where(substring(md5(key.cast("string")), 1, 4) < lit(hexThreshold(rate)))
 
   /** Per-stratum rates: rows in strata not listed are dropped (the
-    * `sampleBy` contract), but decisions stay content-hash-deterministic. */
+    * `sampleBy` contract), but decisions stay content-hash-deterministic.
+    * A rate ≥ 1.0 keeps the WHOLE stratum (no hash filter). */
   def stratifiedHashSample(df: DataFrame, stratum: Column, key: Column,
       rates: Map[String, Double]): DataFrame = {
     require(rates.nonEmpty, "need at least one stratum rate")
     val hex = substring(md5(key.cast("string")), 1, 4)
     val cond = rates.map { case (s, r) =>
-      stratum === s && hex < lit(hexThreshold(r))
+      if (r >= 1.0) stratum === s
+      else stratum === s && hex < lit(hexThreshold(r))
     }.reduce(_ || _)
     df.where(cond)
   }

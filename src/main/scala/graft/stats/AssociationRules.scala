@@ -68,10 +68,12 @@ object AssociationRules {
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val n = baskets.map(_._2).sum
     val nMasks = 1 << p
-    // freq(itemset s) = Σ counts of baskets m ⊇ s (≤ 2^p × 2^p ops, trivial)
-    val freq = Array.tabulate(nMasks) { s =>
-      baskets.collect { case (m, c) if (m & s) == s => c }.sum
-    }
+    // freq(itemset s) = Σ counts of baskets m ⊇ s — superset-sum DP in
+    // O(p·2^p) (the naive per-subset scan is O(4^p): hours at p = 16)
+    val freq = new Array[Long](nMasks)
+    baskets.foreach { case (m, c) => freq(m) += c }
+    for (bit <- 0 until p; s <- 0 until nMasks if (s & (1 << bit)) == 0)
+      freq(s) += freq(s | (1 << bit))
     val items = boolCols.toArray
     def names(mask: Int): String =
       items.indices.filter(i => ((mask >> i) & 1) == 1).map(items).sorted.mkString(",")

@@ -97,17 +97,15 @@ object PermutationTest {
       val pooled = pooledB.value
       val n = pooled.length
       val total = pooled.sum
-      // ONE scratch array per partition, never restored: a partial
-      // Fisher-Yates draws a uniform random nA-subset into [0, nA) from ANY
-      // starting arrangement (each step picks uniformly among the remaining
-      // tail), so re-cloning the pooled vector per permutation — the
-      // dominant cost at large n, ~5 MB of allocation per draw — is pure
-      // waste. Seeded by the partition's first permutation id → still fully
-      // deterministic for a fixed nPerm/partitioning.
-      val arr = pooled.clone()
-      var rng: scala.util.Random = null
+      // ONE scratch array per partition, REFILLED per draw via arraycopy:
+      // the round-1 version allocated a fresh ~5 MB clone per permutation
+      // (GC churn dominated); the memcpy itself is microseconds. Seeding by
+      // permId keeps each draw a pure function of (seed, permId), so the
+      // p-value is identical on any partition layout / cluster size.
+      val arr = new Array[Double](n)
       it.map { permId =>
-        if (rng == null) rng = new scala.util.Random(seed + permId)
+        System.arraycopy(pooled, 0, arr, 0, n)
+        val rng = new scala.util.Random(seed + permId)
         var j = 0
         while (j < nA) {
           val k = j + rng.nextInt(n - j)

@@ -102,10 +102,16 @@ object Roc {
     * threshold from ONE aggregation — group sums accumulate in DECIMAL
     * (order-independent), the closed-form formula runs on the exact sums,
     * so the result is engine-reproducible and no rows reach the driver.
-    * `label` true = diseased (k2 position), false = non-diseased (k1). */
+    * `label` true = diseased (k2 position), false = non-diseased (k1).
+    *
+    * NOTE: scores are quantized to `scoreScale` decimal places by the
+    * DECIMAL accumulation (that quantization is what buys exact
+    * order-independence). The default suits 2-decimal clinical/money-like
+    * scores; raise it (≤ ~12) for finer-grained scores, at the cost of
+    * narrower headroom in the 18-digit accumulator. */
   def binormalThresholdDF(df: DataFrame, label: Column, score: Column,
-      rho: Double): DataFrame = {
-    val x = score.cast("decimal(18,2)")
+      rho: Double, scoreScale: Int = 2): DataFrame = {
+    val x = score.cast(s"decimal(18,$scoreScale)")
     val agg = df.where(score.isNotNull && label.isNotNull)
       .agg(
         count(when(!label, 1)).as("n1"), count(when(label, 1)).as("n2"),
