@@ -495,19 +495,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- multimodal plumbing: binary payload → mapPartitions features ---
-    // (rows-only: the codec layer is a deterministic stub by design; the
-    // schema/partitioning/batch plumbing is what's exercised)
+    // ---- multimodal: binary payload → REAL ImageIO decode → features -----
+    // Each document renders to a genuine 16×16 gray PNG (pixel = char code),
+    // then the feature pass decodes it with javax.imageio and grid-pools the
+    // DECODED luminances. Gray PNG is lossless and the 32-pixel bin means
+    // are exact dyadic rationals, so this hash-matches a SQL oracle that
+    // recomputes the bin mean from the char codes directly.
     "x1_multimodal_features" -> ((s, dir) => {
       import s.implicits._
-      val media = Tables.spread(t(s, dir, "documents")).select(
-          col("doc_id").as("media_id"), lit("image").as("kind"),
-          encode(col("text"), "UTF-8").as("payload"),
-          struct(lit("fake").as("format"), lit(64).as("width"),
-            lit(64).as("height"), lit(3).as("channels"),
-            lit(0L).as("durationMs")).as("meta"))
-        .as[graft.multimodal.Multimodal.MediaRow]
-      graft.multimodal.Multimodal.extractImageFeatures(media, dim = 8)
+      import graft.multimodal.Multimodal
+      val media = Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          Multimodal.MediaRow(id, "image", Multimodal.textToPngPayload(text),
+            Multimodal.MediaMeta("png", 16, 16, 3, 0L))
+        }
+      Multimodal.extractImageFeatures(media, dim = 8)
         .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"))
         .orderBy(col("media_id"))
@@ -1339,6 +1342,19 @@ object SparkEntry {
                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
          FROM sh a JOIN sh b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
-         ORDER BY id_a, id_b"""
+         ORDER BY id_a, id_b""",
+
+    // x1: the Spark side encodes text as a real 16×16 gray PNG and decodes
+    // it back through javax.imageio; gray PNG is lossless and bin 0's mean is
+    // sum(first 32 char codes)/32 — a /2^5 dyadic rational, exact in both
+    // Float and Double. The oracle recomputes that mean from the char codes.
+    "x1_multimodal_features" ->
+      """SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+           round(list_sum(list_transform(range(1, 33),
+             i -> unicode(substr(padded, CAST(i AS INT), 1)))) / 32.0, 4) AS e0
+         FROM (SELECT doc_id,
+                 rpad(regexp_replace(text, '[^ -~]', '', 'g'), 256, ' ') AS padded
+               FROM documents)
+         ORDER BY media_id"""
   )
 }

@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -8,19 +12,22 @@ import org.apache.spark.sql.functions._
   *
   * Design: media payloads are opaque `binary` columns with a typed metadata
   * struct; per-item compute (decode, feature-extract, resize, frame-sample)
-  * runs as `mapPartitions` over a typed Dataset — the JVM analogue of
-  * arrow-batched Python `mapInPandas`: one task per partition, items
+  * runs as `mapPartitions`/`flatMap` over a typed Dataset — the JVM analogue
+  * of arrow-batched Python `mapInPandas`: one task per partition, items
   * streamed through without materializing the partition, output batched by
   * the encoder. At 100 TB the binary column dominates IO, so every operator
   * here projects the minimum columns first (payload + id), keeps results
   * columnar, and never shuffles payload bytes (joins carry ids + features
   * only).
   *
-  * The actual codecs are STUBBED (this container ships no image/audio libs):
-  * [[Codecs]] produces deterministic fake decodes derived from the payload
-  * hash. The Spark-side plumbing — schema, partitioning, signatures, batch
-  * shape — is real and tested; swap [[Codecs]] for a JNI/ImageIO-backed
-  * implementation to go live.
+  * Image codecs are REAL: [[Codecs]] decodes PNG/JPEG/GIF/BMP through the
+  * JDK's `javax.imageio` (no external deps) and computes grid-pooled
+  * luminance embeddings from actual decoded pixels. Gray-PNG round-trips are
+  * lossless and the bin means are exact dyadic rationals, so the feature
+  * query (`x1`) is oracle-able bit-for-bit in SQL. Video remains a
+  * frame-container convention (concatenated PNG frames — the JDK ships no
+  * video codec): [[Codecs.splitPngFrames]] splits the container and each
+  * sampled frame is itself a real decodable PNG.
   */
 object Multimodal {
 
@@ -33,29 +40,118 @@ object Multimodal {
   final case class FrameSample(media_id: Long, frame_index: Int, offsetMs: Long,
       frame: Array[Byte])
 
-  /** STUB codec layer — deterministic fakes keyed on payload content. A real
-    * deployment replaces exactly this object. */
+  /** Real JDK-ImageIO codec layer. Every function is deterministic in the
+    * payload bytes: decode is exact for lossless formats (PNG/BMP/GIF),
+    * resize uses integer nearest-neighbor (no AA/interpolation jitter), and
+    * embeddings are integer-sum bin means. */
   object Codecs {
-    /** "Decode" → per-channel mean vector of length `dim`, derived from a
-      * rolling hash of the payload. Deterministic in payload bytes. */
-    def decodeToEmbedding(payload: Array[Byte], dim: Int): Array[Float] = {
-      val out = new Array[Float](dim)
-      var h = 1125899906842597L
-      var i = 0
-      while (i < payload.length) {
-        h = 31 * h + payload(i)
-        out(i % dim) += ((h >>> 33) % 1000) / 1000.0f
-        i += 1
+    /** Decode any ImageIO-supported payload (PNG, JPEG, GIF, BMP).
+      * None for bytes that are not a supported image. */
+    def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(payload)))
+      catch { case _: java.io.IOException => None }
+
+    /** Grid-pooled luminance embedding from DECODED pixels: flatten
+      * row-major, bin pixel i into `floor(i*dim/n)`, mean luminance
+      * `(r+g+b)/3` per bin. For grayscale pixels the luminance is the exact
+      * sample value, and when the bin size is a power of two the mean is an
+      * exact dyadic rational — representable identically in Float, Double,
+      * and SQL (the `x1` oracle depends on this). */
+    def gridEmbedding(img: BufferedImage, dim: Int): Array[Float] = {
+      val w = img.getWidth; val h = img.getHeight
+      val n = w.toLong * h
+      val sums = new Array[Double](dim)
+      val counts = new Array[Int](dim)
+      var i = 0L; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3.0
+          val b = (i * dim / n).toInt
+          sums(b) += lum; counts(b) += 1
+          i += 1; x += 1
+        }
+        y += 1
       }
-      val n = math.max(1, payload.length / dim)
-      out.map(_ / n)
+      Array.tabulate(dim)(b => if (counts(b) == 0) 0f else (sums(b) / counts(b)).toFloat)
     }
 
-    /** "Resize": deterministic byte subsample to the target byte budget. */
-    def resize(payload: Array[Byte], targetBytes: Int): Array[Byte] =
-      if (payload.length <= targetBytes) payload
-      else Array.tabulate(targetBytes)(i =>
-        payload((i.toLong * payload.length / targetBytes).toInt))
+    /** Encode as PNG (lossless; the only JDK writer that round-trips RGB
+      * exactly). */
+    def encodePng(img: BufferedImage): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+
+    /** Build a w×h gray image (stored as RGB so `getRGB` returns the raw
+      * sample — TYPE_BYTE_GRAY would colorspace-convert) from row-major
+      * byte values, and encode it as PNG. */
+    def grayPng(values: Array[Int], w: Int, h: Int): Array[Byte] = {
+      require(values.length == w * h, s"need ${w * h} values, got ${values.length}")
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < values.length) {
+        val v = values(i) & 0xff
+        img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+        i += 1
+      }
+      encodePng(img)
+    }
+
+    /** Deterministic integer nearest-neighbor resize (src pixel
+      * `(x*srcW)/dstW` — no Graphics2D interpolation, which varies with
+      * rendering hints). */
+    def resizeImage(img: BufferedImage, dstW: Int, dstH: Int): BufferedImage = {
+      val out = new BufferedImage(dstW, dstH, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < dstH) {
+        val sy = (y.toLong * img.getHeight / dstH).toInt
+        var x = 0
+        while (x < dstW) {
+          val sx = (x.toLong * img.getWidth / dstW).toInt
+          out.setRGB(x, y, img.getRGB(sx, sy) & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private val PngSig: Array[Byte] =
+      Array(0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+
+    /** Split a concatenated-PNG frame container into individual PNG byte
+      * arrays (our "video" convention — MJPEG-style, but lossless). */
+    def splitPngFrames(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      val starts = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i <= payload.length - PngSig.length) {
+        if (payload(i) == PngSig(0) && PngSig.indices.forall(j => payload(i + j) == PngSig(j))) {
+          starts += i
+          i += PngSig.length
+        } else i += 1
+      }
+      starts.toIndexedSeq.zipWithIndex.map { case (s, k) =>
+        val end = if (k + 1 < starts.length) starts(k + 1) else payload.length
+        java.util.Arrays.copyOfRange(payload, s, end)
+      }
+    }
+  }
+
+  /** Render printable-ASCII text into a real w×h gray PNG (pixel = char
+    * code, row-major, space-padded/truncated to w·h chars). Used by `x1` so
+    * the feature path exercises a genuine ImageIO encode→decode round-trip
+    * while staying SQL-oracle-able (gray PNG is lossless; bin means are
+    * exact). */
+  def textToPngPayload(text: String, w: Int = 16, h: Int = 16): Array[Byte] = {
+    val n = w * h
+    val clean = text.replaceAll("[^ -~]", "")
+    val padded =
+      if (clean.length >= n) clean.substring(0, n)
+      else clean + (" " * (n - clean.length))
+    Codecs.grayPng(padded.toCharArray.map(_.toInt), w, h)
   }
 
   /** Schema-bearing reader: parquet with (media_id, kind, payload, meta). */
@@ -66,39 +162,58 @@ object Multimodal {
 
   /** Feature extraction: projects (id, payload) ONLY — metadata and any
     * sibling columns are pruned before the scan — then streams partitions
-    * through the stub decoder. Output carries no payload: safe to shuffle. */
+    * through the REAL ImageIO decoder. Width/height come from the decoded
+    * image, not the metadata. Undecodable payloads are dropped (the 100 TB
+    * behavior: corrupt media is filtered, not fatal). Output carries no
+    * payload: safe to shuffle. */
   def extractImageFeatures(media: Dataset[MediaRow], dim: Int = 64): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.map { m =>
-        ImageFeatures(m.media_id, m.meta.width, m.meta.height,
-          Codecs.decodeToEmbedding(m.payload, dim))
+      it.flatMap { m =>
+        Codecs.decodeImage(m.payload).map { img =>
+          ImageFeatures(m.media_id, img.getWidth, img.getHeight,
+            Codecs.gridEmbedding(img, dim))
+        }
       }
     }
   }
 
-  /** Resize pass: payload-in payload-out, partition-local, no shuffle. */
-  def resizeImages(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+  /** Resize pass: decode → nearest-neighbor downscale so the longest edge is
+    * ≤ maxDim → re-encode PNG. Payload-in payload-out, partition-local, no
+    * shuffle. Rows that don't decode, or already fit, pass through
+    * unchanged (a resize pass must not drop data). */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(m =>
-      m.copy(payload = Codecs.resize(m.payload, targetBytes))))
+    media.mapPartitions(_.map { m =>
+      Codecs.decodeImage(m.payload) match {
+        case Some(img) if math.max(img.getWidth, img.getHeight) > maxDim =>
+          val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+          val dw = math.max(1, math.round(img.getWidth * scale).toInt)
+          val dh = math.max(1, math.round(img.getHeight * scale).toInt)
+          m.copy(payload = Codecs.encodePng(Codecs.resizeImage(img, dw, dh)),
+            meta = m.meta.copy(width = dw, height = dh))
+        case _ => m
+      }
+    })
   }
 
-  /** Frame sampling for video rows: `everyMs` stride over the duration,
-    * emitting one (deterministically faked) frame per offset — a flatMap, so
-    * output cardinality = Σ duration/stride without collecting any video. */
-  def sampleFrames(media: Dataset[MediaRow], everyMs: Long,
-      frameBytes: Int = 256): Dataset[FrameSample] = {
+  /** Frame sampling for video rows (concatenated-PNG container): `everyMs`
+    * stride over the duration, emitting the REAL PNG frame nearest each
+    * offset — a flatMap, so output cardinality = Σ duration/stride without
+    * collecting any video. Each emitted frame decodes standalone. */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.filter(col("kind") === "video").flatMap { m =>
-      val n = math.max(1, (m.meta.durationMs / everyMs).toInt)
-      (0 until n).iterator.map { i =>
-        val offset = i * everyMs
-        // fake frame: resized payload slice keyed by offset
-        val start = ((offset.toDouble / math.max(1, m.meta.durationMs)) *
-          math.max(1, m.payload.length - frameBytes)).toInt
-        val slice = m.payload.slice(start, math.min(m.payload.length, start + frameBytes))
-        FrameSample(m.media_id, i, offset, Codecs.resize(slice, frameBytes))
+      val frames = Codecs.splitPngFrames(m.payload)
+      if (frames.isEmpty) Iterator.empty
+      else {
+        val n = math.max(1, (m.meta.durationMs / everyMs).toInt)
+        (0 until n).iterator.map { i =>
+          val offset = i * everyMs
+          val idx = math.min(frames.length - 1,
+            (offset * frames.length / math.max(1L, m.meta.durationMs)).toInt)
+          FrameSample(m.media_id, i, offset, frames(idx))
+        }
       }
     }
   }

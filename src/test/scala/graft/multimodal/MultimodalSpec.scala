@@ -7,10 +7,26 @@ class MultimodalSpec extends SparkSpec {
   import spark.implicits._
   import Multimodal._
 
+  private def readFixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/fixtures/$name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  // real media: a gray-gradient PNG, a colored PNG, and a 3-frame PNG "video"
+  private def gradientPng = Codecs.grayPng(Array.tabulate(16)(_ * 17), 4, 4)
+  private def colorPng = {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    Codecs.encodePng(img)
+  }
+  private def videoPayload = (0 until 3).toArray.flatMap(f =>
+    Codecs.grayPng(Array.fill(4)(f * 100), 2, 2))
+
   private def media = Seq(
-    MediaRow(1L, "image", Array.tabulate(4096)(_.toByte), MediaMeta("png", 64, 64, 3, 0L)),
-    MediaRow(2L, "image", Array.tabulate(2048)(i => (i * 7).toByte), MediaMeta("jpg", 32, 32, 3, 0L)),
-    MediaRow(3L, "video", Array.tabulate(8192)(i => (i * 3).toByte), MediaMeta("mp4", 128, 96, 3, 5000L))
+    MediaRow(1L, "image", gradientPng, MediaMeta("png", 4, 4, 3, 0L)),
+    MediaRow(2L, "image", colorPng, MediaMeta("png", 2, 2, 3, 0L)),
+    MediaRow(3L, "video", videoPayload, MediaMeta("pngseq", 2, 2, 3, 3000L))
   ).toDS()
 
   test("media parquet round-trip preserves binary payloads and typed meta") {
@@ -18,32 +34,72 @@ class MultimodalSpec extends SparkSpec {
     media.write.mode("overwrite").parquet(dir)
     val back = readMedia(spark, dir)
     val row = back.filter($"media_id" === 1L).head()
-    assert(row.payload.toSeq == Array.tabulate(4096)(_.toByte).toSeq)
-    assert(row.meta == MediaMeta("png", 64, 64, 3, 0L))
+    assert(row.payload.toSeq == gradientPng.toSeq)
+    assert(row.meta == MediaMeta("png", 4, 4, 3, 0L))
   }
 
-  test("feature extraction is deterministic and payload-free downstream") {
-    val f1 = extractImageFeatures(media, dim = 16).collect().map(f => f.media_id -> f.embedding.toSeq).toMap
-    val f2 = extractImageFeatures(media, dim = 16).collect().map(f => f.media_id -> f.embedding.toSeq).toMap
-    assert(f1 == f2)
-    assert(f1(1L).length == 16)
-    assert(f1(1L) != f1(2L)) // different payloads → different embeddings
+  test("checked-in PNG fixture decodes to known exact pixel stats") {
+    val img = Codecs.decodeImage(readFixture("gradient4x4.png")).get
+    assert(img.getWidth == 4 && img.getHeight == 4)
+    // pixel i = i*17 gray: dim=1 mean = 17 * (0+..+15)/16 = 127.5
+    assert(Codecs.gridEmbedding(img, 1).toSeq == Seq(127.5f))
+    // dim=4 → 4-pixel bins: means 17*(1.5, 5.5, 9.5, 13.5)
+    assert(Codecs.gridEmbedding(img, 4).toSeq == Seq(25.5f, 93.5f, 161.5f, 229.5f))
+  }
+
+  test("checked-in JPEG fixture decodes with real dimensions and stats") {
+    val img = Codecs.decodeImage(readFixture("gray8x8.jpg")).get
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    // constant-gray JPEG is DC-only: decodes back to exactly 128
+    assert(Codecs.gridEmbedding(img, 1).toSeq == Seq(128.0f))
+  }
+
+  test("feature extraction decodes real pixels; payload-free downstream") {
+    val f = extractImageFeatures(media, dim = 1).collect()
+      .map(r => r.media_id -> r).toMap
+    // gradient: mean gray = 127.5 exactly (lossless PNG round-trip)
+    assert(f(1L).width == 4 && f(1L).height == 4)
+    assert(f(1L).embedding.toSeq == Seq(127.5f))
+    // colored 2x2: mean luminance = (85 + 85 + 85 + 255)/4 = 127.5
+    assert(f(2L).embedding.toSeq == Seq(127.5f))
     assert(!extractImageFeatures(media).schema.fieldNames.contains("payload"))
   }
 
-  test("resize caps payload size, smaller payloads pass through") {
-    val resized = resizeImages(media, targetBytes = 1024).collect()
-    assert(resized.forall(_.payload.length <= 1024))
-    val small = resizeImages(media.filter($"media_id" === 2L), 4096).head()
-    assert(small.payload.length == 2048)
+  test("undecodable payloads are dropped, not fatal") {
+    val withJunk = media.union(Seq(
+      MediaRow(9L, "image", Array.tabulate(64)(_.toByte), MediaMeta("?", 0, 0, 0, 0L))).toDS())
+    val ids = extractImageFeatures(withJunk, dim = 1).collect().map(_.media_id).toSet
+    // 3L decodes too: a PNG-sequence payload starts with a PNG, so ImageIO
+    // reads frame 0; only the genuinely undecodable row is dropped
+    assert(ids == Set(1L, 2L, 3L))
+    assert(!ids.contains(9L))
   }
 
-  test("frame sampling: one frame per stride, only video rows") {
-    val frames = sampleFrames(media, everyMs = 1000, frameBytes = 64).collect()
+  test("resize: nearest-neighbor downscale, smaller images pass through") {
+    val img16 = Codecs.grayPng(Array.tabulate(256)(i => i % 256), 16, 16)
+    val src = Seq(MediaRow(7L, "image", img16, MediaMeta("png", 16, 16, 3, 0L))).toDS()
+    val resized = resizeImages(src, maxDim = 8).head()
+    val back = Codecs.decodeImage(resized.payload).get
+    assert(back.getWidth == 8 && back.getHeight == 8)
+    assert(resized.meta.width == 8 && resized.meta.height == 8)
+    // nearest-neighbor: dst(x,y) = src(2x, 2y) = gray value (2y*16 + 2x)
+    assert((back.getRGB(3, 2) & 0xff) == (4 * 16 + 6))
+    // already-small image passes through byte-identical
+    val small = resizeImages(media.filter($"media_id" === 2L), 8).head()
+    assert(small.payload.toSeq == colorPng.toSeq)
+  }
+
+  test("frame sampling: real decodable PNG frames at each stride") {
+    val frames = sampleFrames(media, everyMs = 1000).collect().sortBy(_.frame_index)
     assert(frames.forall(_.media_id == 3L))
-    assert(frames.length == 5) // 5000ms / 1000ms
-    assert(frames.map(_.offsetMs).toSeq == Seq(0L, 1000L, 2000L, 3000L, 4000L))
-    assert(frames.forall(_.frame.length <= 64))
+    assert(frames.length == 3) // 3000ms / 1000ms
+    assert(frames.map(_.offsetMs).toSeq == Seq(0L, 1000L, 2000L))
+    // each sampled frame decodes standalone to its constant gray value
+    frames.zipWithIndex.foreach { case (fr, i) =>
+      val img = Codecs.decodeImage(fr.frame).get
+      assert(img.getWidth == 2 && img.getHeight == 2)
+      assert(Codecs.gridEmbedding(img, 1).toSeq == Seq((i * 100).toFloat))
+    }
   }
 
   test("features join back to a metadata table without payload shuffle") {
@@ -51,5 +107,20 @@ class MultimodalSpec extends SparkSpec {
     val joined = joinFeatures(extractImageFeatures(media), meta, "id")
     assert(joined.count() == 2)
     assert(joined.columns.contains("embedding") && !joined.columns.contains("payload"))
+  }
+
+  test("textToPngPayload: lossless round-trip, bin mean = char-code mean") {
+    val text = "Hello, Spark! " * 30 // > 256 chars, ASCII
+    val img = Codecs.decodeImage(textToPngPayload(text)).get
+    assert(img.getWidth == 16 && img.getHeight == 16)
+    val e = Codecs.gridEmbedding(img, 8)
+    val padded = text.substring(0, 256)
+    val expected0 = padded.take(32).map(_.toInt).sum / 32.0f
+    assert(e(0) == expected0)
+    // non-ASCII chars are stripped before rendering
+    val img2 = Codecs.decodeImage(textToPngPayload("caf\u00e9" + " " * 300)).get
+    val e2 = Codecs.gridEmbedding(img2, 8)
+    val exp2 = ("caf" + " " * 29).map(_.toInt).sum / 32.0f
+    assert(e2(0) == exp2)
   }
 }
