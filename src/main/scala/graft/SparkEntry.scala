@@ -254,10 +254,29 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // ---- similarity: LSH-bucketed approximate pairs (rows-only) ---------
+    // ---- similarity: LSH-bucketed approximate pairs ----------------------
+    // The synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.55),
+    // so near-dups are PLANTED: each vector gets a copy shifted by an
+    // integer-rational perturbation (((id·31 + i·7) mod 17) − 8)/800 — no
+    // libm, so DuckDB rebuilds the identical doubles and the brute-force
+    // all-pairs oracle hash-matches. nBits=12 (4096 buckets/table) keeps
+    // expected bucket occupancy O(1) — the honest scale parameterization
+    // (nBits=6 was r2's flagged scale-killer); planted pairs sit at
+    // cos ≈ 0.9988, whose 8-table miss probability is ~1e-6.
     "n2_ann_lsh" -> ((s, dir) => {
-      Embeddings.lshNearDupPairs(Tables.spread(t(s, dir, "embeddings")), "vec_id", "embedding",
-          minCosine = 0.35, nBits = 6, dim = 64, tables = 8)
+      val base = Tables.spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      // distinct output names ("pid"/"pemb"): aliasing the shifted id back to
+      // "vec_id" in the SAME select would lateral-alias-capture it inside the
+      // lambda, perturbing by the wrong id
+      val planted = base.select(
+          (col("vec_id") + lit(1000000L)).as("pid"),
+          transform(col("embedding"), (x, i) =>
+            x + (((col("vec_id") * 31 + i.cast("long") * 7) % 17) - 8) / lit(800.0))
+            .as("pemb"))
+        .select(col("pid").as("vec_id"), col("pemb").as("embedding"))
+      Embeddings.lshNearDupPairs(base.unionAll(planted), "vec_id", "embedding",
+          minCosine = 0.9, nBits = 12, dim = 64, tables = 8)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1342,6 +1361,32 @@ object SparkEntry {
                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
          FROM sh a JOIN sh b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    // n2: brute-force all-pairs ground truth over base + planted vectors.
+    // The perturbation is integer arithmetic over exact doubles; unit
+    // normalization and the sequential dot product replicate bit-for-bit
+    // (list_dot_product ≡ sequential double dot, NOTES_r2).
+    "n2_ann_lsh" ->
+      """WITH base AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         planted AS (
+           SELECT vec_id + 1000000 AS pid,
+                  list_transform(range(0, 64), i ->
+                    emb[CAST(i + 1 AS INT)] + (((vec_id * 31 + i * 7) % 17) - 8) / 800.0) AS emb
+           FROM base),
+         allv AS (
+           SELECT vec_id, emb FROM base
+           UNION ALL SELECT pid AS vec_id, emb FROM planted),
+         unit AS (
+           SELECT vec_id,
+                  list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS u
+           FROM allv WHERE list_dot_product(emb, emb) > 0)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_dot_product(a.u, b.u), 4) AS cos
+         FROM unit a JOIN unit b ON b.vec_id > a.vec_id
+         WHERE list_dot_product(a.u, b.u) >= 0.9
          ORDER BY id_a, id_b""",
 
     // x1: the Spark side encodes text as a real 16×16 gray PNG and decodes

@@ -1,0 +1,97 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Quality measurement for the APPROXIMATE dedup operators: recall and
+  * precision against exact ground truth ([[Dedup.ngramJaccardPairs]] /
+  * exact Hamming distance), on a seeded corpus with planted near-duplicates
+  * spanning the similarity range. The approximate operators are
+  * deterministic (fixed hash seeds), so the measured numbers are stable;
+  * the asserted bounds sit below the banding-theory expectation and the
+  * measured values are printed for COVERAGE.md.
+  */
+class ApproxDedupQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 150 base docs (40-80 tokens, 300-word vocab) + 50 near-dups of docs
+  // 0..49 with 1..8 token mutations → true 3-gram Jaccard spread ~0.3-0.97
+  private lazy val corpusRows: Seq[(Long, String)] = {
+    val rng = new scala.util.Random(7)
+    val vocab = Array.tabulate(300)(i => s"w$i")
+    val base = (0 until 150).map { i =>
+      val len = 40 + rng.nextInt(41)
+      (i.toLong, Seq.fill(len)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val dups = (0 until 50).map { i =>
+      val toks = base(i)._2.split(" ")
+      val r2 = new scala.util.Random(100 + i)
+      val mutated = toks.clone()
+      (0 until (1 + i % 8)).foreach { _ =>
+        mutated(r2.nextInt(toks.length)) = vocab(r2.nextInt(vocab.length))
+      }
+      ((1000 + i).toLong, mutated.mkString(" "))
+    }
+    base ++ dups
+  }
+  private lazy val corpus = corpusRows.toDF("doc_id", "text")
+
+  /** Exact 3-gram Jaccard for EVERY pair (window spans the whole id range). */
+  private lazy val exactJaccard: Map[(Long, Long), Double] =
+    Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 3, window = 1200)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("MinHash LSH candidate recall ≥ 0.9 on true-Jaccard ≥ 0.7 pairs") {
+    val strong = exactJaccard.filter(_._2 >= 0.7).keySet
+    assert(strong.size >= 10, s"corpus must plant high-sim pairs, got ${strong.size}")
+    val cand = Dedup.minHashCandidates(corpus, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = strong.count(cand).toDouble / strong.size
+    info(f"minhash candidate recall@j≥0.7: $recall%.3f over ${strong.size} truth pairs " +
+      f"(banding theory ≥ ${1 - math.pow(1 - math.pow(0.7, 4), 16)}%.3f)")
+    assert(recall >= 0.9)
+  }
+
+  test("MinHash near-dup output: estimates within ±0.15 of exact Jaccard") {
+    val out = Dedup.minHashNearDups(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(out.nonEmpty)
+    val errs = out.map { case (pair, est) =>
+      math.abs(est - exactJaccard.getOrElse(pair, 0.0))
+    }
+    val meanErr = errs.sum / errs.length
+    info(f"minhash |est-exact| mean: $meanErr%.4f, max: ${errs.max}%.4f over ${out.length} pairs")
+    // k=64 signature: σ ≤ sqrt(0.25/64) ≈ 0.0625 per pair
+    assert(meanErr <= 0.08)
+    // precision: nothing far below the threshold sneaks in
+    assert(out.forall { case (pair, _) => exactJaccard.getOrElse(pair, 0.0) >= 0.3 })
+  }
+
+  test("MinHash near-dup recall ≥ 0.7 on true-Jaccard ≥ 0.6 pairs") {
+    val truth = exactJaccard.filter(_._2 >= 0.6).keySet
+    assert(truth.nonEmpty)
+    val got = Dedup.minHashNearDups(corpus, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(got).toDouble / truth.size
+    info(f"minhash output recall@j≥0.6 (threshold 0.5): $recall%.3f over ${truth.size} pairs")
+    assert(recall >= 0.7)
+  }
+
+  test("SimHash near-dups ≡ exact Hamming ≤ 3 pairs (recall = precision = 1)") {
+    // ground truth: exact pairwise Hamming over the full signature set
+    val sigs = corpus.select(col("doc_id"),
+        graft.expressions.SimHash64Expr.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val exact = (for {
+      i <- sigs.indices.iterator; j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 3
+    } yield (sigs(i)._1, sigs(j)._1)).toSet
+    assert(exact.nonEmpty, "corpus must contain Hamming-close signature pairs")
+    val got = Dedup.simHashNearDups(corpus, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    info(s"simhash pairs: ${got.size} (exact ground truth ${exact.size})")
+    // 4×16-bit pigeonhole: any pair within Hamming 3 shares an intact chunk,
+    // and verification is exact → the operator IS the exact predicate
+    assert(got == exact)
+  }
+}
