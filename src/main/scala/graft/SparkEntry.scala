@@ -745,11 +745,25 @@ object SparkEntry {
     }),
 
     // ---- dedup: corpus-level boilerplate n-gram detection ---------------
+    // Two passes so 5-gram STRINGS never cross a shuffle (r2's single
+    // groupBy(ngram) shuffled raw strings — 21.6 s, the most expensive
+    // query): pass 1 counts docs per 8-byte shingle hash (native one-pass
+    // ShingleHashExpr, no string materialization, map-side combine); pass 2
+    // re-expands strings and broadcast-joins the tiny ≥3-doc survivor set —
+    // a 5-token ngram re-hashed via the same expression yields its original
+    // combined hash, so the join key is exact.
     "d6_boilerplate_ngrams" -> ((s, dir) => {
-      Tables.spread(t(s, dir, "documents"))
-        .select(explode(Dedup.shingles(col("text"), 5)).as("ngram"))
-        .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+      val docs = Tables.spread(t(s, dir, "documents"))
+      val survivors = docs
+        .select(explode(graft.expressions.ShingleHashExpr
+          .shingleHashes(col("text"), 5)).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
         .where(col("n_docs") >= 3)
+      docs.select(explode(Dedup.shingles(col("text"), 5)).as("ngram"))
+        .select(col("ngram"), element_at(graft.expressions.ShingleHashExpr
+          .shingleHashes(col("ngram"), 5), 1).as("h"))
+        .join(broadcast(survivors), "h")
+        .select(col("ngram"), col("n_docs")).distinct()
         .orderBy(col("n_docs").desc, col("ngram"))
     }),
 
