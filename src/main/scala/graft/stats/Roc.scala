@@ -98,6 +98,50 @@ object Roc {
         max(col("p")).as("n_pos"), max(col("n")).as("n_neg"))
   }
 
+  /** Distributed twin of [[empiricalThreshold]]: the ρ-cost-minimizing
+    * empirical cutoff with NO driver collect. Candidate cuts are midpoints
+    * of consecutive distinct scores (identical to the array protocol); the
+    * cost ρ·(1−sens) + (1−ρ)·(1−spec) is ranked in exact LONG arithmetic —
+    * ρ = rhoNum/rhoDen, scaled cost = rhoNum·(P−tp)·N + (rhoDen−rhoNum)·fp·P
+    * — so the argmin (ties → smallest cut, matching the ascending `minBy`)
+    * is order-independent and engine-reproducible; doubles appear only in
+    * the reported midpoint and the final cost division.
+    *
+    * Output: (threshold, cost, n_pos, n_neg). Plan: one groupBy on distinct
+    * score, two window passes over the curve rows (one row per distinct
+    * score — quantize the score first if continuous at very large scale,
+    * same note as [[empiricalRoc]]), one aggregate. */
+  def empiricalCostThresholdDF(df: DataFrame, label: Column, score: Column,
+      rhoNum: Int, rhoDen: Int): DataFrame = {
+    val byScore = df.where(score.isNotNull)
+      .groupBy(score.cast("double").as("v"))
+      .agg(count(when(label, 1)).as("np"), count(when(!label, 1)).as("nn"))
+    val cum = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val asc = Window.orderBy(col("v").asc)
+    val everything = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // tp_ge/fp_ge at a cut strictly between v and the next higher distinct
+    // value equal the cumulative counts AT that next value
+    val cand = byScore
+      .withColumn("tp_ge", sum(col("np")).over(cum))
+      .withColumn("fp_ge", sum(col("nn")).over(cum))
+      .withColumn("p", max(col("tp_ge")).over(everything))
+      .withColumn("n", max(col("fp_ge")).over(everything))
+      .withColumn("m", (col("v") + lead(col("v"), 1).over(asc)) / 2)
+      .withColumn("tpc", lead(col("tp_ge"), 1).over(asc))
+      .withColumn("fpc", lead(col("fp_ge"), 1).over(asc))
+      .where(col("m").isNotNull)
+      .withColumn("icost",
+        lit(rhoNum.toLong) * (col("p") - col("tpc")) * col("n") +
+          lit((rhoDen - rhoNum).toLong) * col("fpc") * col("p"))
+    cand.agg(
+      min(struct(col("icost"), col("m"))).getField("m").as("threshold"),
+      round(min(struct(col("icost"), col("m"))).getField("icost").cast("double") /
+        (lit(rhoDen.toDouble) * max(col("p")) * max(col("n"))), 6).as("cost"),
+      max(col("p")).as("n_pos"), max(col("n")).as("n_neg"))
+  }
+
   /** Distributed twin of [[thres2Equal]]: the equal-variance binormal
     * threshold from ONE aggregation — group sums accumulate in DECIMAL
     * (order-independent), the closed-form formula runs on the exact sums,
