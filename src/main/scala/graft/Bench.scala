@@ -37,7 +37,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
     val nFailed = results.count(!_._3)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+    // any failure invalidates the run: value:null so consumers comparing the
+    // total alone can't mistake a smaller (incomplete) sum for a speedup
+    val value = if (nFailed > 0) "null" else total.toString
+    println(s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -205,12 +205,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- text analysis: rolling-hash fingerprint + simhash (rows-only) --
+    // ---- text analysis: document fingerprint. The md5 twin carries the
+    // DuckDB oracle (md5 is md5 everywhere); the xxhash64 fast path and
+    // simhash are spec-tested (TextOpsSpec/ExpressionSpec) and exercised by
+    // d3's bench query ----------------------------------------------------
     "t4_fingerprint" -> ((s, dir) => {
       Tables.spread(t(s, dir, "documents"))
         .select(col("doc_id"),
-          TextOps.fingerprint(col("text")).as("fingerprint"),
-          graft.expressions.SimHash64Expr.simhash64(col("text")).as("simhash"))
+          TextOps.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy(col("doc_id"))
     }),
 
@@ -440,18 +442,15 @@ object SparkEntry {
         .orderBy(col("stratum"))
     }),
 
-    // ---- §2.8 R6: cost-optimal ROC threshold ----------------------------
+    // ---- §2.8 R6: cost-optimal ROC threshold — distributed ρ-cost sweep,
+    // exact LONG-arithmetic argmin so the result is engine-reproducible.
+    // (The driver-collect thres2Equal/empiricalThreshold protocols mirror
+    // the reference's R call shape and live on in MedicalPipeline/StatsSpec;
+    // r10 is the binormal variant's hash-matched decimal-power-sum twin.) --
     "r4_roc_threshold" -> ((s, dir) => {
-      import s.implicits._
-      // single pass: (group flag, value) collected once, split on the driver
-      val rows = t(s, dir, "customer")
-        .select((col("c_mktsegment") === "BUILDING").as("g"), col("c_acctbal"))
-        .as[(Boolean, Double)].collect()
-      val diseased = rows.filter(_._1).map(_._2)
-      val healthy = rows.filterNot(_._1).map(_._2)
-      Seq((Roc.thres2Equal(healthy, diseased, 0.01),
-        Roc.empiricalThreshold(healthy, diseased, 0.01)))
-        .toDF("thres_equal", "thres_empirical")
+      Roc.empiricalCostThresholdDF(t(s, dir, "customer"),
+        col("c_mktsegment") === "BUILDING", col("c_acctbal"),
+        rhoNum = 1, rhoDen = 100)
     }),
 
     // ---- §2.8 R5: association rules (boolean contingency fast path; ≡
@@ -1166,6 +1165,41 @@ object SparkEntry {
                 max(b.best_t) AS threshold,
                 CAST(max(t.p) AS BIGINT) AS n_pos, CAST(max(t.n) AS BIGINT) AS n_neg
          FROM curve2 c CROSS JOIN tot t CROSS JOIN best b""",
+
+    // replicates Roc.empiricalCostThresholdDF: scaled integer cost
+    // rhoNum·(P−tp)·N + (rhoDen−rhoNum)·fp·P ranks exactly in both engines;
+    // argmin ties break on the smaller midpoint (min-struct ≡ ORDER BY LIMIT 1)
+    "r4_roc_threshold" ->
+      """WITH pts AS (
+           SELECT CAST(c_acctbal AS DOUBLE) AS v,
+                  count(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS np,
+                  count(*) FILTER (WHERE c_mktsegment != 'BUILDING') AS nn
+           FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+         curve AS (
+           SELECT v, sum(np) OVER w AS tp_ge, sum(nn) OVER w AS fp_ge
+           FROM pts WINDOW w AS (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)),
+         tot AS (SELECT max(tp_ge) AS p, max(fp_ge) AS n FROM curve),
+         cand AS (
+           SELECT (v + lead(v) OVER a) / 2 AS m,
+                  lead(tp_ge) OVER a AS tpc, lead(fp_ge) OVER a AS fpc
+           FROM curve WINDOW a AS (ORDER BY v ASC)),
+         scored AS (
+           SELECT c.m, 1 * (t.p - c.tpc) * t.n + 99 * c.fpc * t.p AS icost, t.p, t.n
+           FROM cand c CROSS JOIN tot t WHERE c.m IS NOT NULL)
+         SELECT m AS threshold,
+                round(CAST(icost AS DOUBLE) / (100.0 * p * n), 6) AS cost,
+                CAST(p AS BIGINT) AS n_pos, CAST(n AS BIGINT) AS n_neg
+         FROM scored ORDER BY icost, m LIMIT 1""",
+
+    // md5 hex digests and their lexicographic min are engine-independent;
+    // shingle extraction is code-point based in both engines
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+                CASE WHEN length(text) < 16 THEN md5(text)
+                     ELSE list_min(list_transform(
+                            generate_series(1, length(text) - 15),
+                            i -> md5(substring(text, i, 16)))) END AS fp_md5
+         FROM documents ORDER BY doc_id""",
 
     "t5_pii_redact" ->
       """SELECT doc_id,

@@ -14,12 +14,17 @@ import org.apache.spark.sql.functions._
   * windows per column (`:146-148`). At 100 TB that is catastrophic. Here every
   * check over every column fuses into:
   *   - pass 1: one conditional aggregation computing all range/null violation
-  *     counts AND the mean/stddev needed by the z-score checks;
+  *     counts AND the mean/stddev needed by the z-score checks; the 1-row
+  *     result is collected to the driver eagerly;
   *   - pass 2 (only if z-score checks exist): one more conditional aggregation
-  *     with the pass-1 moments joined in as a broadcast single row.
+  *     with the pass-1 moments inlined as literal constants (no cached plan to
+  *     leak, no re-scan, no join).
   * Two scans total regardless of how many columns/checks, each fully
   * codegen'd, no shuffle at all (global aggregation = partial agg + 1-row
   * exchange).
+  *
+  * NOTE: because pass 1 collects, [[report]] triggers a Spark job AT CALL
+  * TIME — it is not a lazy plan like most operators here.
   */
 object Quality {
 

@@ -183,4 +183,16 @@ object TextOps {
       array_min(transform(sequence(lit(1), n - lit(w - 1)),
         i => xxhash64(c.substr(i, lit(w))))))
   }
+
+  /** Cross-engine twin of [[fingerprint]]: minimum md5 hex digest over the
+    * same character `w`-shingles. md5 is md5 everywhere and hex strings
+    * compare byte-wise in every engine, so this variant is verifiable
+    * against any SQL engine; keep [[fingerprint]] (xxhash64) as the fast
+    * path — one 64-bit hash per shingle vs a 128-bit digest + hex encode. */
+  def fingerprintMd5(c: Column, w: Int = 16): Column = {
+    val n = length(c)
+    when(n < w, md5(c)).otherwise(
+      array_min(transform(sequence(lit(1), n - lit(w - 1)),
+        i => md5(c.substr(i, lit(w))))))
+  }
 }

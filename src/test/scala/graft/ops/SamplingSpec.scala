@@ -38,6 +38,13 @@ class SamplingSpec extends SparkSpec {
     assert(kept >= 3999)
   }
 
+  test("sub-granularity positive rates fail fast instead of sampling nothing") {
+    intercept[IllegalArgumentException](Sampling.hexThreshold(1e-6))
+    // the boundary cases stay legal
+    assert(Sampling.hexThreshold(0.0) == "0000")
+    assert(Sampling.hexThreshold(1.0 / 65536) == "0001")
+  }
+
   test("stratifiedHashSample applies per-stratum rates and drops unlisted strata") {
     val df = ids.withColumn("s", when($"id" % 2 === 0, "even").otherwise("odd"))
     val got = Sampling.stratifiedHashSample(df, $"s", $"id",

@@ -247,6 +247,22 @@ class StatsSpec extends SparkSpec {
     assert(t > 3.0 && t < 8.0)
   }
 
+  test("empiricalCostThresholdDF agrees with the array-protocol empiricalThreshold") {
+    // quantized draws so score ties across and within groups are common —
+    // exercises the distinct-score grouping and the argmin tie-break
+    val rng = new scala.util.Random(7)
+    val healthy = Array.fill(120)(math.rint((rng.nextGaussian() + 2) * 20) / 20)
+    val diseased = Array.fill(80)(math.rint((rng.nextGaussian() + 3) * 20) / 20)
+    val df = (healthy.map((false, _)) ++ diseased.map((true, _))).toSeq
+      .toDF("label", "score")
+    val row = Roc.empiricalCostThresholdDF(df, $"label", $"score",
+      rhoNum = 1, rhoDen = 100).collect()(0)
+    val arrThres = Roc.empiricalThreshold(healthy, diseased, 0.01)
+    assert(row.getAs[Double]("threshold") == arrThres,
+      s"${row.getAs[Double]("threshold")} vs $arrThres")
+    assert(row.getAs[Long]("n_pos") == 80L && row.getAs[Long]("n_neg") == 120L)
+  }
+
   // ------------------------------------------------------- Assoc rules
 
   test("FPGrowth mining matches hand-computed support/confidence/lift") {

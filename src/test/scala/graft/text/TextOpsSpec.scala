@@ -97,4 +97,17 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0) == got(1))
     assert(got(0) != got(2))
   }
+
+  test("fingerprintMd5 matches a JVM-computed min-md5 over shingles") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val long = "the quick brown fox jumps over the lazy dog"
+    val short = "tiny doc" // < 16 chars → whole-document digest
+    val df = Seq(long, short).toDF("t")
+    val got = df.select(TextOps.fingerprintMd5($"t")).as[String].collect()
+    val expectLong = (1 to long.length - 15).map(i => md5hex(long.substring(i - 1, i + 15))).min
+    assert(got(0) == expectLong)
+    assert(got(1) == md5hex(short))
+  }
 }
