@@ -633,6 +633,20 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    // ---- S3: Excel ingest — region → xlsx → minimal OOXML reader → rows.
+    // The oracle is the untouched region table: a lossless round-trip is
+    // exactly the Copy-activity contract (values as text, typing later) -----
+    "s4_excel_roundtrip" -> ((s, dir) => {
+      val sample = t(s, dir, "region")
+        .select(col("r_regionkey").cast("string").as("r_regionkey"), col("r_name"))
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft-s4-${ProcessHandle.current().pid()}/region.xlsx"
+      graft.sources.Xlsx.write(sample, tmp, sheetName = "Liczba odpowiedzi 1")
+      graft.sources.Xlsx.read(s, tmp, "Liczba odpowiedzi 1", firstRowAsHeader = true)
+        .select(col("r_regionkey").cast("int").as("r_regionkey"), col("r_name"))
+        .orderBy(col("r_regionkey"))
+    }),
+
     // ---- §2.3 outer join: customers with/without orders -----------------
     "j4_outer_join" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -1048,6 +1062,9 @@ object SparkEntry {
          FROM adj ORDER BY stratum""",
 
     "s2_json_roundtrip" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "s4_excel_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
 
     "e6_resample_ffill" ->
