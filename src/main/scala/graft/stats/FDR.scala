@@ -130,6 +130,45 @@ object FDR {
     sabha(pvals, qhat, alpha, tau).toSeq.sorted.map(labels)
   }
 
+  /** Ordered q̂ (`Solve_q_ordered`, R :32-37): ε ≤ q₁ ≤ … ≤ qₙ ≤ 1 — the
+    * variant for hypotheses pre-sorted by prior likelihood of signal. Always
+    * runs ADMM with the PAVA projection (the R original has no feasible-init
+    * shortcut here, unlike `Solve_q_block`). */
+  def solveQOrdered(pvals: Array[Double], tau: Double, eps: Double,
+      params: AdmmParams = AdmmParams()): Array[Double] =
+    admm(pvals, tau, eps, pava, params)
+
+  /** min{½||x-y||² : x₁ ≤ … ≤ xₙ} — isotonic regression by pool-adjacent-
+    * violators (`create_PAVA_alg_function`, R :39-77, Barlow et al. 1972).
+    * Same block-merging recursion and 1e-8 merge tolerance as the R
+    * original, in the O(n) stack formulation instead of R's repeated
+    * whole-vector scans. */
+  private[stats] def pava(y: Array[Double]): Array[Double] = {
+    val thresh = 1e-8
+    val n = y.length
+    val sums = new Array[Double](n)
+    val counts = new Array[Int](n)
+    var top = -1
+    var i = 0
+    while (i < n) {
+      top += 1; sums(top) = y(i); counts(top) = 1
+      while (top > 0 &&
+          sums(top - 1) / counts(top - 1) > sums(top) / counts(top) + thresh) {
+        sums(top - 1) += sums(top); counts(top - 1) += counts(top); top -= 1
+      }
+      i += 1
+    }
+    val out = new Array[Double](n)
+    var o = 0; var b = 0
+    while (b <= top) {
+      val m = sums(b) / counts(b)
+      var k = 0
+      while (k < counts(b)) { out(o) = m; o += 1; k += 1 }
+      b += 1
+    }
+    out
+  }
+
   /** min{½||x-y||² : x constant over blocks} → mean within each block. */
   private[stats] def blockProjection(blocks: Array[Int]): Array[Double] => Array[Double] =
     y => {

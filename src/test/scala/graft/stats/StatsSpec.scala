@@ -170,6 +170,90 @@ class StatsSpec extends SparkSpec {
     assert(obj(qa, qb) <= best + 0.01, s"admm ${obj(qa, qb)} vs grid $best")
   }
 
+  test("pava matches a direct transliteration of the R block-merging recursion") {
+    // reference semantics re-implemented naively (R :39-77) — repeated
+    // whole-vector scans, exactly the R control flow
+    def pavaR(y: Array[Double]): Array[Double] = {
+      val thresh = 1e-8
+      val n = y.length
+      val groups = Array.tabulate(n)(_ + 1)
+      def mean(block: Int): Double = {
+        val idx = groups.indices.filter(groups(_) == block)
+        idx.map(y).sum / idx.size
+      }
+      var block = 1
+      var stop = false
+      while (!stop) {
+        if (groups.contains(block + 1)) {
+          if (mean(block) <= mean(block + 1) + thresh) block += 1
+          else {
+            groups.indices.foreach(i => if (groups(i) > block) groups(i) -= 1)
+            var stopInner = false
+            while (!stopInner) {
+              if (groups.contains(block - 1)) {
+                if (mean(block - 1) > mean(block) + thresh) {
+                  groups.indices.foreach(i => if (groups(i) >= block) groups(i) -= 1)
+                  block -= 1
+                } else stopInner = true
+              } else stopInner = true
+            }
+          }
+        } else stop = true
+      }
+      val x = y.clone()
+      (1 to groups.max).foreach { b =>
+        val idx = groups.indices.filter(groups(_) == b)
+        val m = idx.map(y).sum / idx.size
+        idx.foreach(x(_) = m)
+      }
+      x
+    }
+    val rng = new scala.util.Random(11)
+    (1 to 25).foreach { _ =>
+      val y = Array.fill(1 + rng.nextInt(40))(math.rint(rng.nextGaussian() * 100) / 100)
+      val fast = FDR.pava(y)
+      val slow = pavaR(y)
+      assert(fast.zip(slow).forall { case (a, b) => math.abs(a - b) < 1e-9 },
+        s"in=${y.mkString(",")}\nfast=${fast.mkString(",")}\nslow=${slow.mkString(",")}")
+      // isotonic + projection property: monotone input is a fixed point
+      assert(fast.sliding(2).forall(p => p.length < 2 || p(0) <= p(1) + 1e-9))
+      assert(FDR.pava(fast).zip(fast).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+    }
+  }
+
+  test("solveQOrdered: monotone feasible qhat, optimal vs monotone grid") {
+    // same objective as the block check: L(q) = -Σ_{p>τ} log q_i
+    //   - Σ_{p≤τ} log(1-(1-τ)q_i), s.t. ε ≤ q₁ ≤…≤ qₙ ≤ 1,
+    //   Σ_{p>τ} 1/q_i ≤ n(1-τ). Bigs interleaved with smalls so the
+    //   monotonicity constraint genuinely binds (smalls AFTER bigs are
+    //   dragged up, bigs EARLY are dragged down).
+    val tau = 0.5; val eps = 0.1
+    val pvals = Array(0.01, 0.9, 0.02, 0.8, 0.03, 0.7, 0.2, 0.6, 0.3, 0.1)
+    val q = FDR.solveQOrdered(pvals, tau, eps, FDR.AdmmParams(convergeThr = 1e-6))
+    val n = pvals.length; val gamma = n * (1 - tau)
+    val big = pvals.map(_ > tau)
+    assert(q.sliding(2).forall(p => p(0) <= p(1) + 1e-3), q.mkString(","))
+    assert(q.forall(v => v >= eps - 1e-3 && v <= 1 + 1e-3))
+    val lhs = pvals.indices.filter(big(_)).map(i => 1.0 / q(i)).sum
+    assert(lhs <= gamma + 0.05, s"inverse-sum constraint violated: $lhs")
+    def obj(qv: IndexedSeq[Double]): Double =
+      pvals.indices.map { i =>
+        if (big(i)) -math.log(qv(i)) else -math.log(1 - (1 - tau) * qv(i))
+      }.sum
+    // brute-force over 3-level monotone step vectors (a≤b≤c with two
+    // breakpoints) on a fine grid — a SUBSET of the feasible monotone set,
+    // so the ADMM optimum over the full set must do at least as well
+    val grid = (0 to 45).map(i => eps + i * 0.02)
+    val best = (for {
+      i <- 1 until n; j <- i until n
+      a <- grid; b <- grid if b >= a; c <- grid if c >= b
+      qv = IndexedSeq.tabulate(n)(k => if (k < i) a else if (k < j) b else c)
+      if pvals.indices.filter(big(_)).map(k => 1.0 / qv(k)).sum <= gamma + 1e-9
+    } yield obj(qv)).min
+    assert(obj(q.toIndexedSeq) <= best + 0.02,
+      s"admm ${obj(q.toIndexedSeq)} vs grid $best")
+  }
+
   test("inverseSumProx: feasible input unchanged, else constraint is tight") {
     val feasible = FDR.inverseSumProx(Array(10.0, 10.0), bound = 1.0)
     assert(feasible.toSeq == Seq(10.0, 10.0))
