@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.{DecisionTreeClassificationModel, DecisionTreeClassifier}
-import org.apache.spark.ml.evaluation.{BinaryClassificationEvaluator, MulticlassClassificationEvaluator}
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.{Imputer, MinMaxScaler, VectorAssembler}
 import org.apache.spark.ml.tuning.TrainValidationSplit
 import org.apache.spark.sql.DataFrame
@@ -138,13 +138,42 @@ object CohortClassifier {
     df.select(casts: _*).where(col(cfg.labelCol).isNotNull)
   }
 
+  /** M6: AUC + accuracy fused into a single scan of the scored test set.
+    * One groupBy over distinct rawPrediction scores (≤ #tree-leaves rows)
+    * carries the positive/negative counts for the ROC curve AND the
+    * correct-prediction counts — the stock evaluators each re-ran the whole
+    * pipeline transform over the test set. AUC is the same distinct-score
+    * trapezoid `BinaryClassificationMetrics` computes (ranking by
+    * rawPrediction(1), the evaluator's default), with the numerator in
+    * exact LONG arithmetic so the result is order-independent. */
   private def evaluate(model: PipelineModel, test: DataFrame, cfg: Config,
       params: Map[String, Any]): Result = {
-    val pred = model.transform(test)
-    val acc = new MulticlassClassificationEvaluator()
-      .setLabelCol(cfg.labelCol).setMetricName("accuracy").evaluate(pred)
-    val auc = new BinaryClassificationEvaluator()
-      .setLabelCol(cfg.labelCol).setMetricName("areaUnderROC").evaluate(pred)
+    import org.apache.spark.ml.functions.vector_to_array
+    import org.apache.spark.sql.expressions.Window
+    val scored = model.transform(test).select(
+      col(cfg.labelCol).cast("double").as("label"),
+      col("prediction"),
+      vector_to_array(col("rawPrediction")).getItem(1).as("score"))
+    val byScore = scored.groupBy(col("score")).agg(
+      count(when(col("label") === 1.0, 1)).as("np"),
+      count(when(col("label") =!= 1.0, 1)).as("nn"),
+      count(when(col("prediction") === col("label"), 1)).as("nc"),
+      count(lit(1)).as("nt"))
+    val cum = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = Window.orderBy(col("score").desc)
+    val m = byScore
+      .withColumn("tp", sum(col("np")).over(cum))
+      .withColumn("fp", sum(col("nn")).over(cum))
+      .withColumn("tp_prev", coalesce(lag(col("tp"), 1).over(prev), lit(0L)))
+      .withColumn("fp_prev", coalesce(lag(col("fp"), 1).over(prev), lit(0L)))
+      .agg(
+        (sum((col("fp") - col("fp_prev")) * (col("tp") + col("tp_prev")))
+          .cast("double") / (lit(2.0) * max(col("tp")) * max(col("fp")))).as("auc"),
+        (sum(col("nc")).cast("double") / sum(col("nt"))).as("accuracy"))
+      .collect()(0)
+    val acc = m.getAs[Double]("accuracy")
+    val auc = m.getAs[Double]("auc")
     val tree = model.stages.last.asInstanceOf[DecisionTreeClassificationModel]
     val names = cfg.numericCols ++ cfg.binaryCols
     val imp = tree.featureImportances.toArray.toSeq.zipAll(names.map(Some(_)), 0.0, None)

@@ -37,6 +37,27 @@ class CohortClassifierSpec extends SparkSpec {
     assert(res.auc > 0.8)
   }
 
+  test("fused single-pass metrics equal the stock evaluators") {
+    // train once, score once, then compare the engine's fused AUC/accuracy
+    // against BinaryClassificationEvaluator / MulticlassClassificationEvaluator
+    // on the identical predictions
+    val cfg = CohortClassifier.Config(
+      labelCol = "label", numericCols = Seq("x", "noise"), binaryCols = Seq("flag"))
+    val prepared = data.select($"label".cast("double").as("label"),
+      $"x".cast("double").as("x"), $"noise".cast("double").as("noise"),
+      $"flag".cast("double").as("flag"))
+    val Array(train, test) = prepared.coalesce(8).cache().randomSplit(Array(0.7, 0.3), 0L)
+    val model = CohortClassifier.pipeline(cfg).fit(train)
+    val res = CohortClassifier.trainEvaluate(data, cfg) // same seed/split internally
+    val pred = model.transform(test)
+    val stockAuc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setLabelCol("label").setMetricName("areaUnderROC").evaluate(pred)
+    val stockAcc = new org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator()
+      .setLabelCol("label").setMetricName("accuracy").evaluate(pred)
+    assert(math.abs(res.auc - stockAuc) < 1e-9, s"${res.auc} vs $stockAuc")
+    assert(math.abs(res.accuracy - stockAcc) < 1e-9, s"${res.accuracy} vs $stockAcc")
+  }
+
   test("tune searches the reference grid within budget and beats a stump") {
     val res = CohortClassifier.tune(data, CohortClassifier.Config(
       labelCol = "label", numericCols = Seq("x", "noise"), binaryCols = Seq("flag")),
