@@ -245,6 +245,28 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- dedup: embedding-cosine near-dup CLOSURE — LSH pairs → connected
+    // components → one component id per vector (planted dups as in n2; the
+    // oracle brute-forces exact pairs and closes them with a recursive CTE) --
+    "d7_embedding_dedup" -> ((s, dir) => {
+      val base = Tables.spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.select(
+          (col("vec_id") + lit(1000000L)).as("pid"),
+          transform(col("embedding"), (x, i) =>
+            x + (((col("vec_id") * 31 + i.cast("long") * 7) % 17) - 8) / lit(800.0))
+            .as("pemb"))
+        .select(col("pid").as("vec_id"), col("pemb").as("embedding"))
+      val allv = base.unionAll(planted)
+      val pairs = Embeddings.lshNearDupPairs(allv, "vec_id", "embedding",
+        minCosine = 0.9, nBits = 12, dim = 64, tables = 8)
+      val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      allv.select(col("vec_id"))
+        .join(comps.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("comp_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- similarity: exact brute-force cosine top-k via the custom
     // bounded-heap aggregate (rows-only) ----------------------------------
     "n1_ann_topk" -> ((s, dir) => {
@@ -1453,6 +1475,38 @@ object SparkEntry {
          FROM unit a JOIN unit b ON b.vec_id > a.vec_id
          WHERE list_dot_product(a.u, b.u) >= 0.9
          ORDER BY id_a, id_b""",
+
+    // d7: exact ground-truth pairs (same construction as n2), closed into
+    // components with a recursive min-reachability CTE — each node's comp is
+    // the min id it can reach, i.e. connected components by min label
+    "d7_embedding_dedup" ->
+      """WITH RECURSIVE base AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         planted AS (
+           SELECT vec_id + 1000000 AS pid,
+                  list_transform(range(0, 64), i ->
+                    emb[CAST(i + 1 AS INT)] + (((vec_id * 31 + i * 7) % 17) - 8) / 800.0) AS emb
+           FROM base),
+         allv AS (
+           SELECT vec_id, emb FROM base
+           UNION ALL SELECT pid AS vec_id, emb FROM planted),
+         unit AS (
+           SELECT vec_id,
+                  list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS u
+           FROM allv WHERE list_dot_product(emb, emb) > 0),
+         sym AS (
+           SELECT a.vec_id AS src, b.vec_id AS dst
+           FROM unit a JOIN unit b ON b.vec_id != a.vec_id
+           WHERE list_dot_product(a.u, b.u) >= 0.9),
+         reach(id, comp) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id),
+         comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+         SELECT v.vec_id, coalesce(c.comp, v.vec_id) AS comp_id
+         FROM allv v LEFT JOIN comps c ON c.id = v.vec_id
+         ORDER BY vec_id""",
 
     // x1: the Spark side encodes text as a real 16×16 gray PNG and decodes
     // it back through javax.imageio; gray PNG is lossless and bin 0's mean is

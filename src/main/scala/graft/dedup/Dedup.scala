@@ -240,4 +240,61 @@ object Dedup {
         (inter.cast("double") /
           (size(col("a.sh")) + size(col("b.sh")) - inter)).as("jaccard"))
   }
+
+  // --------------------------------------------- pair closure / survivors
+
+  /** Connected components over a near-dup pair list by iterative min-label
+    * propagation: each node adopts the minimum label in its one-hop
+    * neighborhood until a fixpoint (checked with a 1-row count per round).
+    * Returns (id, comp) with comp = the component's minimum node id; only
+    * nodes appearing in `edges` are returned (left-join and coalesce for
+    * singleton semantics).
+    *
+    * Scale: each round is ONE shuffle on node id over the id-only edge list.
+    * Near-dup graphs converge in a few rounds — cluster members share
+    * content, so diameters are tiny; `maxIter` guards pathological chains
+    * (for genuinely high-diameter graphs prefer the large-star/small-star
+    * formulation, Kiveris et al. 2014, which converges in O(log n) rounds). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .cache()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).cache()
+    var iter = 0
+    var converged = labels.isEmpty
+    while (!converged && iter < maxIter) {
+      iter += 1
+      val nbrMin = sym.join(labels.withColumnRenamed("id", "b"), Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (col("comp") > coalesce(col("nbr_comp"), col("comp")))
+            .cast("long").as("__chg"))
+        .cache()
+      val changed = next.agg(sum(col("__chg"))).collect()(0)
+      converged = changed.isNullAt(0) || changed.getLong(0) == 0L
+      labels.unpersist(blocking = false)
+      labels = next.select(col("id"), col("comp"))
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
+
+  /** Near-dup dedup closure: keep ONE representative (the minimum id) per
+    * connected component of `pairs`, plus every row that pairs with nothing.
+    * Composes with any pair generator here ([[minHashNearDups]],
+    * [[simHashNearDups]], [[ngramJaccardPairs]]) or with
+    * `Embeddings.lshNearDupPairs` for embedding-cosine near-dup dedup. */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val drop = connectedComponents(pairs, idA, idB)
+      .where(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

@@ -109,4 +109,28 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 3L)) > 0.5 && out((1L, 3L)) < 1.0)
     assert(out((4L, 5L)) == 0.0)
   }
+
+  test("connectedComponents closes transitive chains to min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
+    // triangle 20-21-22, and node 30 only via reversed edge 31->30
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (31L, 30L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L), comps.toString)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(comps(_) == 20L))
+    assert(comps(30L) == 30L && comps(31L) == 30L)
+    assert(comps.size == 11)
+  }
+
+  test("dedupByPairs keeps one representative per component plus singletons") {
+    import spark.implicits._
+    val rows = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByPairs(rows, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 4L, 5L)) // 1 reps {1,2,3}, 4 singleton, 5 reps {5,6}
+  }
 }
