@@ -243,29 +243,82 @@ object Dedup {
 
   // --------------------------------------------- pair closure / survivors
 
-  /** Connected components over a near-dup pair list by iterative min-label
-    * propagation: each node adopts the minimum label in its one-hop
-    * neighborhood until a fixpoint (checked with a 1-row count per round).
-    * Returns (id, comp) with comp = the component's minimum node id; only
-    * nodes appearing in `edges` are returned (left-join and coalesce for
-    * singleton semantics).
+  /** Connected components over a near-dup pair list. Returns (id, comp)
+    * with comp = the component's minimum node id; only nodes appearing in
+    * `edges` are returned (left-join and coalesce for singleton semantics).
     *
-    * Scale: each round is ONE shuffle on node id over the id-only edge list.
-    * Near-dup graphs converge in a few rounds — cluster members share
-    * content, so diameters are tiny; `maxIter` guards pathological chains
-    * (for genuinely high-diameter graphs prefer the large-star/small-star
-    * formulation, Kiveris et al. 2014, which converges in O(log n) rounds). */
+    * Adaptive execution: the pair list of a deduplication run is a sliver
+    * of the corpus (bounded by the candidate generator's banding), so up to
+    * `driverMaxEdges` edges (~a few hundred MB) the closure runs as a
+    * driver-side union-find — O(E·α) and free of per-round scheduling cost.
+    * Beyond that it iterates distributed min-label propagation: each round
+    * is ONE shuffle on node id over the id-only edge list, fixpoint-checked
+    * with a 1-row count. Near-dup graphs converge in a few rounds (cluster
+    * members share content, so diameters are tiny); `maxIter` guards
+    * pathological chains — for genuinely high-diameter graphs prefer the
+    * large-star/small-star formulation (Kiveris et al. 2014), which
+    * converges in O(log n) rounds.
+    *
+    * The edge list materializes into cache ONCE up front — candidate
+    * generators (LSH banding, MinHash) are expensive lineages that must not
+    * re-derive per round or per union branch. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      maxIter: Int = 25, driverMaxEdges: Long = 5000000L): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull)
-      .distinct()
       .cache()
+    val edgeCount = e.count()
+    try {
+      if (edgeCount <= driverMaxEdges) ccUnionFind(e)
+      else ccPropagate(e, maxIter)
+    } finally e.unpersist(blocking = false)
+  }
+
+  /** Driver union-find path: exact same (id, comp=min id) contract. */
+  private def ccUnionFind(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val pairs = e.collect().map(r => (r.get(0), r.get(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y.asInstanceOf[Comparable[Any]]) < 0
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { n =>
+      val r = find(n)
+      minOfRoot.get(r) match {
+        case Some(m) => if (lt(n, m)) minOfRoot(r) = n
+        case None => minOfRoot(r) = n
+      }
+    }
+    val dt = e.schema.fields(0).dataType
+    val rows = parent.keys.toSeq.map(n =>
+      org.apache.spark.sql.Row(n, minOfRoot(find(n))))
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("comp", dt))))
+  }
+
+  /** Distributed min-label-propagation path (see [[connectedComponents]]). */
+  private def ccPropagate(e: DataFrame, maxIter: Int): DataFrame = {
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    sym.count() // full materialization; e is already cached so this is cheap
     var labels = sym.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).cache()
     var iter = 0
-    var converged = labels.isEmpty
+    var converged = false
     while (!converged && iter < maxIter) {
       iter += 1
       val nbrMin = sym.join(labels.withColumnRenamed("id", "b"), Seq("b"))

@@ -110,10 +110,12 @@ object Embeddings {
       minCosine: Double, nBits: Int = 12, dim: Int = 64, tables: Int = 4,
       seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
     val unit = withUnit(df, vecCol).select(col(idCol).as("id"), col("__vec").as("vec"))
+    // all tables' buckets in ONE native matrix-vector sweep (bit-identical to
+    // per-table lshBucket, ~100× cheaper — see LshBuckets scaladoc)
     val buckets = df.select(
         col(idCol).as("id"),
-        posexplode(array((0 until tables).map(t =>
-          lshBucket(col(vecCol), nBits, dim, seed + t)): _*)).as(Seq("table", "bucket")))
+        posexplode(graft.expressions.VectorExpressions.lshBucketsAll(
+          asDouble(col(vecCol)), nBits, dim, tables, seed)).as(Seq("table", "bucket")))
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("table"), col("bucket"))))
       .where(col("__bn") <= maxBucketSize).drop("__bn")

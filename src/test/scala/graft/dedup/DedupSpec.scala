@@ -116,13 +116,18 @@ class DedupSpec extends SparkSpec {
     // triangle 20-21-22, and node 30 only via reversed edge 31->30
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (21L, 22L), (20L, 22L), (31L, 30L)).toDF("id_a", "id_b")
-    val comps = Dedup.connectedComponents(edges, "id_a", "id_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L), comps.toString)
-    assert(comps(10L) == 10L && comps(11L) == 10L)
-    assert(Seq(20L, 21L, 22L).forall(comps(_) == 20L))
-    assert(comps(30L) == 30L && comps(31L) == 30L)
-    assert(comps.size == 11)
+    // both execution paths must agree: driver union-find (default for small
+    // edge lists) and distributed min-label propagation (forced via threshold)
+    for (threshold <- Seq(5000000L, 0L)) {
+      val comps = Dedup.connectedComponents(edges, "id_a", "id_b",
+          driverMaxEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L), comps.toString)
+      assert(comps(10L) == 10L && comps(11L) == 10L)
+      assert(Seq(20L, 21L, 22L).forall(comps(_) == 20L))
+      assert(comps(30L) == 30L && comps(31L) == 30L)
+      assert(comps.size == 11)
+    }
   }
 
   test("dedupByPairs keeps one representative per component plus singletons") {

@@ -37,6 +37,33 @@ class VectorExpressionsSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("data type"))
   }
 
+  test("LshBuckets matches the per-table lshBucket Column formulation") {
+    val rng = new scala.util.Random(7)
+    val dim = 16
+    val df = (1 to 50).map(_ => Seq.fill(dim)(rng.nextGaussian())).toDF("v")
+    val native = df.select(
+        VectorExpressions.lshBucketsAll($"v", nBits = 10, dim = dim,
+          tables = 3, seed = 42L).as("b"))
+      .as[Seq[Long]].collect()
+    val columnForm = df.select(array((0 until 3).map(t =>
+        graft.sim.Embeddings.lshBucket($"v", nBits = 10, dim = dim,
+          seed = 42L + t)): _*).as("b"))
+      .as[Seq[Long]].collect()
+    assert(native.toSeq == columnForm.toSeq)
+  }
+
+  test("LshBuckets throws on a dim mismatch and propagates null") {
+    val df = Seq(Some(Seq(1.0, 2.0)), None).toDF("v")
+    val e = intercept[Exception] {
+      df.select(VectorExpressions.lshBucketsAll($"v", 4, 3, 1)).collect()
+    }
+    assert(e.getMessage.contains("expected vector dim 3") ||
+      e.getCause != null && e.getCause.getMessage.contains("expected vector dim 3"))
+    val ok = Seq(Some(Seq(1.0, 2.0)), None).toDF("v")
+      .select(VectorExpressions.lshBucketsAll($"v", 4, 2, 1).as("b")).collect()
+    assert(!ok(0).isNullAt(0) && ok(1).isNullAt(0))
+  }
+
   test("whole-stage codegen is active for DotProduct plans") {
     // spark.range source so ConvertToLocalRelation can't pre-fold the plan
     val df = spark.range(10)
