@@ -578,6 +578,35 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // ---- ML: Bayesian-sampling hyperparameter search (reference
+    // BayesianParameterSampling, 50 runs) as a deterministic TPE over the
+    // same discrete space; rows-only like m1 (tree fits engine-specific) ----
+    "m2_bayes_tune" -> ((s, dir) => {
+      import s.implicits._
+      // deterministic 10% cohort (the reference's Bayesian sweep ran on a
+      // small medical cohort; the search semantics, not the corpus size,
+      // are what this query demonstrates)
+      val o = t(s, dir, "orders").where(col("o_orderkey") % 10 === 0).select(
+        (col("o_orderstatus") === "F").cast("int").as("label"),
+        col("o_totalprice"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("is_urgent"),
+        year(col("o_orderdate")).cast("double").as("order_year"))
+      val res = graft.ml.CohortClassifier.tuneBayesian(o,
+        graft.ml.CohortClassifier.Config(
+          labelCol = "label",
+          numericCols = Seq("o_totalprice", "order_year"),
+          binaryCols = Seq("is_urgent"), fitPartitions = 4),
+        budget = 10, parallelism = 5, nWarmup = 5)
+      Seq(
+        ("best_max_depth", res.bestParams("maxDepth").toString),
+        ("best_min_instances", res.bestParams("minInstancesPerNode").toString),
+        ("trials", res.bestParams("trials").toString),
+        ("auc", f"${res.auc}%.6f"),
+        ("accuracy", f"${res.accuracy}%.6f"))
+        .toDF("metric", "value")
+        .orderBy(col("metric"))
+    }),
+
     // ---- exact-sum higher moments: corr/stddev/skewness, bit-reproducible
     // (all power sums accumulate in DECIMAL — order-independent — and the
     // double arithmetic on top is the same expression tree as the oracle) --

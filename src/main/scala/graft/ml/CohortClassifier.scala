@@ -127,6 +127,105 @@ object CohortClassifier {
     } finally data.unpersist(blocking = false)
   }
 
+  /** M7 with the reference's *Bayesian* sampling semantics
+    * (`BayesianParameterSampling`, 50 runs — `AzureMl/mlB (1) (2).ipynb`
+    * cell 10): an adaptive search that spends its budget preferentially in
+    * the region of the space that has produced high validation AUC, instead
+    * of a fixed grid. Implemented as a Tree-structured Parzen Estimator
+    * (Bergstra et al. 2011, NeurIPS — public) over the discrete choice sets:
+    * observed trials split into top-γ "good" and rest "bad"; each candidate
+    * is ranked by Σ_dim log(l(x)/g(x)) of Laplace-smoothed categorical
+    * densities; the top candidates of each round are evaluated in parallel,
+    * with one seeded-random explore point per round to avoid mode collapse.
+    * Fully deterministic for a fixed seed (batch results join a set, so
+    * thread completion order cannot change the trajectory).
+    *
+    * Scale note: each trial is a full distributed pipeline fit; `parallelism`
+    * trials run as concurrent Spark jobs sharing the cached train/validation
+    * splits — the same job-level parallelism `TrainValidationSplit` uses. */
+  def tuneBayesian(df: DataFrame, cfg: Config, budget: Int = 50,
+      parallelism: Int = 4, nWarmup: Int = 12, gamma: Double = 0.25): Result = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    require(budget > 0 && nWarmup > 0, "budget and nWarmup must be positive")
+    val prepared = prepare(df, cfg)
+    val data =
+      (if (cfg.fitPartitions > 0) prepared.coalesce(cfg.fitPartitions) else prepared).cache()
+    try {
+      val Array(train, test) = data.randomSplit(Array(0.7, 0.3), cfg.seed)
+      val Array(trainFit, valid) = train.randomSplit(Array(0.75, 0.25), cfg.seed)
+      trainFit.cache(); valid.cache()
+      val pipe = pipeline(cfg)
+      val tree = pipe.getStages.last.asInstanceOf[DecisionTreeClassifier]
+      def fitScore(p: (Int, Int, Double)): ((Int, Int, Double), PipelineModel, Double) = {
+        val pm = new org.apache.spark.ml.param.ParamMap()
+          .put(tree.maxDepth, p._1)
+          .put(tree.minInstancesPerNode, p._2)
+          .put(tree.minInfoGain, p._3)
+        val model = pipe.fit(trainFit, pm)
+        (p, model, metricsOf(model, valid, cfg.labelCol)._1)
+      }
+      val space = (for {
+        d <- MaxDepthChoices; m <- MinInstancesChoices; g <- MinInfoGainChoices
+      } yield (d, m, g)).toIndexedSeq
+      val rng = new scala.util.Random(cfg.seed)
+      val warm = rng.shuffle(space).take(math.min(nWarmup, budget))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      def evalBatch(ps: Seq[(Int, Int, Double)]) =
+        Await.result(Future.sequence(ps.toList.map(p => Future(fitScore(p)))), Duration.Inf)
+      val observed =
+        try {
+          var acc = evalBatch(warm)
+          var remaining = space.filterNot(warm.toSet)
+          while (acc.size < budget && remaining.nonEmpty) {
+            val want = math.min(math.max(1, parallelism), budget - acc.size)
+            val ranked = tpeRank(acc.map(t => (t._1, t._3)), remaining, gamma)
+            val exploit = ranked.take(math.max(1, want - 1))
+            val explorePool = remaining.filterNot(exploit.toSet)
+            val explore = if (want > exploit.size && explorePool.nonEmpty)
+              Seq(explorePool(rng.nextInt(explorePool.size))) else Nil
+            val batch = exploit ++ explore
+            acc = acc ++ evalBatch(batch)
+            remaining = remaining.filterNot(batch.toSet)
+          }
+          acc
+        } finally pool.shutdown()
+      // max validation AUC; ties break to the lexicographically smallest
+      // point so the result is independent of evaluation order
+      val (bestP, bestModel, _) = observed.minBy(t => (-t._3, t._1))
+      try evaluate(bestModel, test, cfg, Map(
+        "maxDepth" -> bestP._1,
+        "minInstancesPerNode" -> bestP._2,
+        "minInfoGain" -> bestP._3,
+        "trials" -> observed.size))
+      finally { trainFit.unpersist(blocking = false); valid.unpersist(blocking = false) }
+    } finally data.unpersist(blocking = false)
+  }
+
+  /** TPE candidate ranking (descending promise). Package-private for the
+    * numeric spec: given (point, score) observations, rank `candidates` by
+    * Σ_dim log(l/g) where l/g are Laplace-smoothed categorical densities of
+    * each dimension's value among the top-γ vs remaining observations. */
+  private[ml] def tpeRank(observed: Seq[((Int, Int, Double), Double)],
+      candidates: Seq[(Int, Int, Double)],
+      gamma: Double = 0.25): Seq[(Int, Int, Double)] = {
+    val sorted = observed.sortBy(t => (-t._2, t._1))
+    val nGood = math.max(1, math.ceil(gamma * observed.size).toInt)
+    val good = sorted.take(nGood).map(_._1)
+    val bad = sorted.drop(nGood).map(_._1)
+    def dens(vals: Seq[Any], v: Any, k: Int): Double =
+      (vals.count(_ == v) + 1.0) / (vals.size + k)
+    def promise(p: (Int, Int, Double)): Double =
+      math.log(dens(good.map(_._1), p._1, MaxDepthChoices.length) /
+        dens(bad.map(_._1), p._1, MaxDepthChoices.length)) +
+      math.log(dens(good.map(_._2), p._2, MinInstancesChoices.length) /
+        dens(bad.map(_._2), p._2, MinInstancesChoices.length)) +
+      math.log(dens(good.map(_._3), p._3, MinInfoGainChoices.length) /
+        dens(bad.map(_._3), p._3, MinInfoGainChoices.length))
+    candidates.sortBy(p => (-promise(p), p))
+  }
+
   /** M3-ish input hygiene: cast binaries to double 0/1, label to double. */
   private def prepare(df: DataFrame, cfg: Config): DataFrame = {
     val casts = df.columns.toSeq.map {
@@ -148,10 +247,21 @@ object CohortClassifier {
     * exact LONG arithmetic so the result is order-independent. */
   private def evaluate(model: PipelineModel, test: DataFrame, cfg: Config,
       params: Map[String, Any]): Result = {
+    val (auc, acc) = metricsOf(model, test, cfg.labelCol)
+    val tree = model.stages.last.asInstanceOf[DecisionTreeClassificationModel]
+    val names = cfg.numericCols ++ cfg.binaryCols
+    val imp = tree.featureImportances.toArray.toSeq.zipAll(names.map(Some(_)), 0.0, None)
+      .collect { case (v, Some(n)) => (n, v) }
+    Result(model, acc, auc, imp, params)
+  }
+
+  /** (areaUnderROC, accuracy) of `model` on `test` in ONE scan (see above). */
+  private def metricsOf(model: PipelineModel, test: DataFrame,
+      labelCol: String): (Double, Double) = {
     import org.apache.spark.ml.functions.vector_to_array
     import org.apache.spark.sql.expressions.Window
     val scored = model.transform(test).select(
-      col(cfg.labelCol).cast("double").as("label"),
+      col(labelCol).cast("double").as("label"),
       col("prediction"),
       vector_to_array(col("rawPrediction")).getItem(1).as("score"))
     val byScore = scored.groupBy(col("score")).agg(
@@ -172,12 +282,6 @@ object CohortClassifier {
           .cast("double") / (lit(2.0) * max(col("tp")) * max(col("fp")))).as("auc"),
         (sum(col("nc")).cast("double") / sum(col("nt"))).as("accuracy"))
       .collect()(0)
-    val acc = m.getAs[Double]("accuracy")
-    val auc = m.getAs[Double]("auc")
-    val tree = model.stages.last.asInstanceOf[DecisionTreeClassificationModel]
-    val names = cfg.numericCols ++ cfg.binaryCols
-    val imp = tree.featureImportances.toArray.toSeq.zipAll(names.map(Some(_)), 0.0, None)
-      .collect { case (v, Some(n)) => (n, v) }
-    Result(model, acc, auc, imp, params)
+    (m.getAs[Double]("auc"), m.getAs[Double]("accuracy"))
   }
 }

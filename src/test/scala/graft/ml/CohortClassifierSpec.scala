@@ -66,4 +66,44 @@ class CohortClassifierSpec extends SparkSpec {
     assert(CohortClassifier.MaxDepthChoices.contains(
       res.bestParams("maxDepth").asInstanceOf[Int]))
   }
+
+  test("tpeRank concentrates candidates on the high-scoring region") {
+    // synthetic objective peaked at maxDepth=5, minInstances=8: observations
+    // scored by closeness to the peak; TPE must rank unseen candidates near
+    // the peak above those far from it
+    val rng = new scala.util.Random(3)
+    val observed = (1 to 40).map { _ =>
+      val p = (CohortClassifier.MaxDepthChoices(rng.nextInt(9)),
+        CohortClassifier.MinInstancesChoices(rng.nextInt(14)),
+        CohortClassifier.MinInfoGainChoices(rng.nextInt(9)))
+      (p, 1.0 - 0.1 * math.abs(p._1 - 5) - 0.05 * math.abs(p._2 - 8))
+    }
+    val candidates = for {
+      d <- CohortClassifier.MaxDepthChoices.toSeq
+      m <- CohortClassifier.MinInstancesChoices
+    } yield (d, m.toInt, 0.001)
+    val ranked = CohortClassifier.tpeRank(observed, candidates)
+    val top = ranked.take(10)
+    val bottom = ranked.takeRight(10)
+    def dist(p: (Int, Int, Double)) = math.abs(p._1 - 5) + 0.5 * math.abs(p._2 - 8)
+    assert(top.map(dist).sum < bottom.map(dist).sum,
+      s"top=$top bottom=$bottom")
+  }
+
+  test("tuneBayesian is deterministic, respects budget, finds the signal") {
+    val cfg = CohortClassifier.Config(
+      labelCol = "label", numericCols = Seq("x", "noise"), binaryCols = Seq("flag"))
+    val r1 = CohortClassifier.tuneBayesian(data, cfg, budget = 8,
+      parallelism = 2, nWarmup = 4)
+    val r2 = CohortClassifier.tuneBayesian(data, cfg, budget = 8,
+      parallelism = 2, nWarmup = 4)
+    assert(r1.bestParams == r2.bestParams, s"${r1.bestParams} vs ${r2.bestParams}")
+    assert(math.abs(r1.auc - r2.auc) < 1e-12)
+    assert(r1.bestParams("trials") == 8)
+    assert(CohortClassifier.MaxDepthChoices.contains(
+      r1.bestParams("maxDepth").asInstanceOf[Int]))
+    assert(CohortClassifier.MinInstancesChoices.contains(
+      r1.bestParams("minInstancesPerNode").asInstanceOf[Int]))
+    assert(r1.auc > 0.85, s"auc=${r1.auc}")
+  }
 }
