@@ -267,6 +267,22 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- dedup: MinHash md5 twin — the cross-engine-verifiable variant of
+    // d2 (one md5 per shingle sliced into 8 16-bit minima; integer slot
+    // agreement), hash-matched against a full SQL replay -------------------
+    "d8_minhash_md5" -> ((s, dir) => {
+      Dedup.minHashMd5Pairs(Tables.spread(t(s, dir, "documents")), "doc_id", "text",
+          k = 8, n = 3, window = 25, minAgree = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: SimHash md5 twin — cross-engine-verifiable variant of d3's
+    // fingerprint (per-token md5 bits vote ±1), hash-matched ---------------
+    "d9_simhash_md5" -> ((s, dir) => {
+      Dedup.simHashMd5(Tables.spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("id"))
+    }),
+
     // ---- similarity: exact brute-force cosine top-k via the custom
     // bounded-heap aggregate (rows-only) ----------------------------------
     "n1_ann_topk" -> ((s, dir) => {
@@ -1536,6 +1552,48 @@ object SparkEntry {
          SELECT v.vec_id, coalesce(c.comp, v.vec_id) AS comp_id
          FROM allv v LEFT JOIN comps c ON c.id = v.vec_id
          ORDER BY vec_id""",
+
+    // d8: full SQL replay of the md5-sliced MinHash pipeline — same word
+    // 3-gram shingles, same one-digest-8-slices signature, same banded pair
+    // window; integer slot-agreement compares exactly across engines
+    "d8_minhash_md5" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+                FROM toks),
+         exs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         ex AS (SELECT doc_id, md5(sg) AS h FROM exs),
+         sig AS (SELECT doc_id,
+                   min(substr(h, 1, 4)) AS m0, min(substr(h, 5, 4)) AS m1,
+                   min(substr(h, 9, 4)) AS m2, min(substr(h, 13, 4)) AS m3,
+                   min(substr(h, 17, 4)) AS m4, min(substr(h, 21, 4)) AS m5,
+                   min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
+                 FROM ex GROUP BY doc_id)
+         SELECT * FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  (a.m0=b.m0)::INT + (a.m1=b.m1)::INT + (a.m2=b.m2)::INT +
+                  (a.m3=b.m3)::INT + (a.m4=b.m4)::INT + (a.m5=b.m5)::INT +
+                  (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree
+           FROM sig a JOIN sig b
+             ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+         WHERE agree >= 4 ORDER BY id_a, id_b""",
+
+    // d9: full SQL replay of md5 SimHash — 32-bit per-token hash from the
+    // first 8 md5 hex chars, bits vote ±1 with term multiplicity
+    "d9_simhash_md5" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                       FROM documents),
+         h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h FROM toks),
+         bits AS (SELECT doc_id, b.bit AS bit,
+                    CASE WHEN (h >> b.bit) % 2 = 1 THEN 1 ELSE -1 END AS v
+                  FROM h, (SELECT unnest(range(0, 32)) AS bit) b),
+         s AS (SELECT doc_id, bit, sum(v) AS s FROM bits GROUP BY doc_id, bit)
+         SELECT doc_id AS id,
+                CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                     AS BIGINT) AS simhash_md5
+         FROM s GROUP BY doc_id ORDER BY id""",
 
     // x1: the Spark side encodes text as a real 16×16 gray PNG and decodes
     // it back through javax.imageio; gray PNG is lossless and bin 0's mean is

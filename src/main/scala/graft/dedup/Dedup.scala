@@ -241,6 +241,66 @@ object Dedup {
           (size(col("a.sh")) + size(col("b.sh")) - inter)).as("jaccard"))
   }
 
+  // ------------------------------------------- cross-engine md5 twins
+
+  /** Cross-engine-verifiable twin of the MinHash near-dup family: ONE md5
+    * digest per word `n`-gram shingle, sliced into `k` 4-hex-char (16-bit)
+    * pieces; signature slot `j` is the minimum of slice `j` over the
+    * document's shingles ("one permutation, k pieces" MinHashing — the
+    * slices of a single strong digest act as k independent 16-bit hash
+    * functions). md5 is md5 everywhere and hex strings compare byte-wise in
+    * every engine, so — unlike the xxhash64 fast path ([[minHashNearDups]])
+    * — the whole pipeline is replayable in ANSI SQL for oracle verification.
+    *
+    * Plan: explode shingles → ONE md5 per shingle → one hash-partitioned
+    * groupBy(id) with k map-side-combining min aggregates (never k passes),
+    * then the same banded block self-join as [[ngramJaccardPairs]] (linear
+    * in corpus size, ~2·window partners per row). Output `agree` is the
+    * INTEGER count of matching slots (agree/k estimates Jaccard) — integer
+    * output hash-compares exactly across engines. */
+  def minHashMd5Pairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, n: Int = 3, window: Long = 25, minAgree: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 8, s"k 4-hex slices must fit one md5 digest, got $k")
+    val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+      .select(col("id"), md5(col("s")).as("h"))
+    val mins = (0 until k).map(j => min(col("h").substr(j * 4 + 1, 4)).as(s"m$j"))
+    val sigs = ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    val a = sigs.select(col("*"),
+      explode(array((col("id") / window).cast("long"),
+        (col("id") / window).cast("long") + 1)).as("block")).alias("a")
+    val b = sigs.withColumn("block", (col("id") / window).cast("long")).alias("b")
+    val agree = (0 until k).map(j =>
+      when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0)).reduce(_ + _)
+    a.join(b, col("a.block") === col("b.block") &&
+        col("b.id") > col("a.id") && col("b.id") <= col("a.id") + window)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), agree.as("agree"))
+      .where(col("agree") >= minAgree)
+  }
+
+  /** Cross-engine-verifiable twin of [[simHash64]]: per-token 32-bit hash
+    * from the first 8 hex chars of md5, each bit voting ±1, fingerprint bit
+    * set where the vote sum is non-negative. Token multiplicity counts
+    * (classic term-frequency SimHash weighting).
+    *
+    * Plan: two hash-partitioned aggregations over an exploded (id, bit)
+    * frame — all built-ins, whole-stage codegen, no 64×tokens expression
+    * tree. ~tokens×32 intermediate rows; at corpus scale the same shape
+    * map-side combines on (id, bit) before shuffling. */
+  def simHashMd5(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("t"))
+      .select(col("id"),
+        conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long").as("h"))
+    toks
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(31))).as("bit"))
+      .select(col("id"), col("bit"),
+        when(expr("shiftright(h, bit) % 2") === 1, 1).otherwise(-1).as("v"))
+      .groupBy(col("id"), col("bit")).agg(sum(col("v")).as("s"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("s") >= 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(0L)).as("simhash_md5"))
+  }
+
   // --------------------------------------------- pair closure / survivors
 
   /** Connected components over a near-dup pair list. Returns (id, comp)

@@ -130,6 +130,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minHashMd5Pairs: identical docs agree on all slots, unrelated on few") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content talking about spark query engines instead"),
+      (4L, "unrelated sentence with nothing shared across any of the others here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashMd5Pairs(docs, "doc_id", "text", minAgree = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 8, s"identical docs must agree on all 8 slots: $pairs")
+    assert(pairs((3L, 4L)) < 4, s"unrelated docs should agree on few slots: $pairs")
+  }
+
+  test("simHashMd5 equals a driver-side recomputation of the same contract") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha beta gamma alpha"),
+      (3L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def expected(text: String): Long = {
+      val hs = text.split(" ").map(t => java.lang.Long.parseLong(md5hex(t).take(8), 16))
+      (0 until 32).map { bit =>
+        val v = hs.map(h => if (((h >> bit) & 1L) == 1L) 1 else -1).sum
+        if (v >= 0) 1L << bit else 0L
+      }.sum
+    }
+    val got = Dedup.simHashMd5(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == expected("alpha beta gamma alpha"), got.toString)
+    assert(got(1L) == got(2L))
+    assert(got(3L) == expected("delta epsilon zeta"))
+    assert(got(1L) != got(3L))
+  }
+
   test("dedupByPairs keeps one representative per component plus singletons") {
     import spark.implicits._
     val rows = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
