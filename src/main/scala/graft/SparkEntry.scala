@@ -688,6 +688,25 @@ object SparkEntry {
         .orderBy(col("stratum"))
     }),
 
+    // ---- R3 scale path: distributed SABHA with the clamped feasible block
+    // projection — closed-form q̂, so the whole selection is SQL-replayable
+    // (the exact ADMM solver stays driver-side in r3; spec-equal when the
+    // projection is feasible) ----------------------------------------------
+    "r11_sabha_distributed" -> ((s, dir) => {
+      // per-nation threshold spreads p over [0, 1): small-p strata reject,
+      // p > tau strata mask — a discriminating selection, not all-or-nothing
+      val ps = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("block"), col("c_nationkey").as("nation"))
+        .agg((count(when(col("c_acctbal") <
+            ((col("c_nationkey") % 11) - 1) * 1000, 1)).cast("double")
+          / count(lit(1))).as("p"))
+      graft.stats.FDR.sabhaSelectDF(ps, "p", "block",
+          struct(col("nation"), col("block")), alpha = 0.05, tau = 0.5, eps = 0.1)
+        .select(col("block"), col("nation"), round(col("p"), 6).as("p"),
+          round(col("qhat"), 6).as("qhat"), col("rejected"))
+        .orderBy(col("block"), col("nation"))
+    }),
+
     // ---- S-ops: JSON-lines sink + source roundtrip ----------------------
     "s2_json_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
@@ -1127,6 +1146,34 @@ object SparkEntry {
                 round(pi0, 6) AS storey_pi0,
                 round(least(1.0, pi0 * bh_adj), 6) AS storey_adj
          FROM adj ORDER BY stratum""",
+
+    // r11: SQL replay of the clamped-block-projection SABHA selection; the
+    // only FP ops are exact-operand divisions and single multiplications, so
+    // the step-up comparisons agree bit-for-bit across engines
+    "r11_sabha_distributed" ->
+      """WITH ps AS (
+           SELECT c_mktsegment AS block, c_nationkey AS nation,
+                  CAST(count(*) FILTER (WHERE c_acctbal <
+                         ((c_nationkey % 11) - 1) * 1000) AS DOUBLE)
+                    / count(*) AS p
+           FROM customer GROUP BY 1, 2),
+         q AS (
+           SELECT *, least(1.0, greatest(0.1,
+                    avg(CASE WHEN p > 0.5 THEN 1.0 / (1 - 0.5) ELSE 0.0 END)
+                      OVER (PARTITION BY block))) AS qhat
+           FROM ps),
+         qp AS (SELECT *, CASE WHEN p > 0.5 THEN 1e300 ELSE qhat * p END AS qp
+                FROM q),
+         ranked AS (
+           SELECT *, row_number() OVER (ORDER BY qp, nation, block) AS rk,
+                  count(*) OVER () AS n
+           FROM qp),
+         k AS (SELECT *, max(CASE WHEN qp <= 0.05 * rk / n THEN rk ELSE 0 END)
+                 OVER () AS khat
+               FROM ranked)
+         SELECT block, nation, round(p, 6) AS p, round(qhat, 6) AS qhat,
+                CASE WHEN qp <= 0.05 * khat / n THEN 1 ELSE 0 END AS rejected
+         FROM k ORDER BY block, nation""",
 
     "s2_json_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",

@@ -83,6 +83,47 @@ object FDR {
       .drop("__rk", "__n", "__gt")
   }
 
+  /** Distributed SABHA select with the clamped feasible block projection:
+    * q̂_b = clamp(mean over block b of (p>τ)/(1−τ), ε, 1), then the SABHA
+    * step-up rule on q̂·p ([[sabha]]; `SABHA_method`, R :300-305). This is
+    * the scale path of the SABHA family: the exact solver ([[solveQBlock]])
+    * starts from the SAME block projection and only departs from it when the
+    * projection is infeasible, in which case it runs driver-side ADMM — fine
+    * for the reference's hypothesis counts, not for distributed-scale ones.
+    * Clamping into [ε, 1] instead keeps everything closed-form: one
+    * block-partitioned window for q̂ plus the global per-HYPOTHESIS rank
+    * windows of [[adjustDF]] (one row per hypothesis, not per observation).
+    *
+    * Masked hypotheses (p > τ) carry q̂·p = 1e300 instead of the paper's +∞
+    * (IEEE-total-order-safe in any engine, and no engine's α·k/n can reach
+    * it), so they never reject — same semantics as [[sabha]].
+    *
+    * Adds `qhat`, `qp`, and `rejected` (0/1). */
+  def sabhaSelectDF(df: DataFrame, pCol: String, blockCol: String,
+      tieBreak: Column, alpha: Double = 0.05, tau: Double = 0.5,
+      eps: Double = 0.1): DataFrame = {
+    val blockW = Window.partitionBy(col(blockCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withQ = df
+      .withColumn("qhat",
+        least(lit(1.0), greatest(lit(eps),
+          avg(when(col(pCol) > tau, lit(1.0 / (1 - tau))).otherwise(lit(0.0)))
+            .over(blockW))))
+      .withColumn("qp",
+        when(col(pCol) > tau, lit(1e300)).otherwise(col("qhat") * col(pCol)))
+    val rankW = Window.orderBy(col("qp").asc, tieBreak.asc)
+    withQ
+      .withColumn("__rk", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(allW))
+      .withColumn("__khat",
+        max(when(col("qp") <= lit(alpha) * col("__rk") / col("__n"), col("__rk"))
+          .otherwise(0)).over(allW))
+      .withColumn("rejected",
+        when(col("qp") <= lit(alpha) * col("__khat") / col("__n"), 1).otherwise(0))
+      .drop("__rk", "__n", "__khat")
+  }
+
   /** Storey's method with null-proportion estimate at threshold thr. */
   def storey(pvals: Array[Double], alpha: Double, thr: Double): Set[Int] = {
     val n = pvals.length

@@ -111,6 +111,41 @@ class StatsSpec extends SparkSpec {
     assert(!sel.exists(_.startsWith("null")))
   }
 
+  test("sabhaSelectDF (distributed) equals driver-side sabha on the feasible projection") {
+    import spark.implicits._
+    // block means of (p>tau)/(1-tau) all land inside [eps, 1], so
+    // solveQBlock's feasible init IS the clamped projection and the
+    // distributed rejection set must equal the ported R math exactly
+    val ps = Array(0.001, 0.6, 0.02, 0.7, 0.03, 0.9, 0.04, 0.55)
+    val blocks = Array(0, 0, 0, 0, 1, 1, 1, 1)
+    val qhat = FDR.solveQBlock(ps, tau = 0.5, eps = 0.1, blocks = blocks)
+    val expected = FDR.sabha(ps, qhat, alpha = 0.2, tau = 0.5)
+    val df = ps.zip(blocks).zipWithIndex
+      .map { case ((p, b), i) => (i, b, p) }.toSeq.toDF("i", "block", "p")
+    val got = FDR.sabhaSelectDF(df, "p", "block", col("i"),
+        alpha = 0.2, tau = 0.5, eps = 0.1)
+      .select("i", "qhat", "rejected").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getInt(2)))
+    got.foreach { case (i, q, _) =>
+      assert(math.abs(q - qhat(i)) < 1e-12, s"qhat mismatch at $i: $q vs ${qhat(i)}") }
+    assert(got.filter(_._3 == 1).map(_._1).toSet == expected, got.mkString(","))
+  }
+
+  test("sabhaSelectDF clamps infeasible block projections into [eps, 1]") {
+    import spark.implicits._
+    // block 0 is all-masked (projection mean 2.0 -> clamp to 1.0); block 1
+    // all-small (mean 0.0 -> clamp to eps)
+    val df = Seq((0, 0, 0.9), (1, 0, 0.8), (2, 1, 0.01), (3, 1, 0.02))
+      .toDF("i", "block", "p")
+    val got = FDR.sabhaSelectDF(df, "p", "block", col("i"))
+      .select("i", "qhat", "rejected").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getInt(2))).sortBy(_._1)
+    assert(got(0)._2 == 1.0 && got(1)._2 == 1.0)
+    assert(got(2)._2 == 0.1 && got(3)._2 == 0.1)
+    assert(got(0)._3 == 0 && got(1)._3 == 0, "masked hypotheses never reject")
+    assert(got(2)._3 == 1 && got(3)._3 == 1)
+  }
+
   test("ADMM qhat satisfies the SABHA feasibility constraint sum(B_i/q_i) <= n(1-tau)") {
     // force the ADMM path (block-0 init mean = 2 > 1) while keeping the
     // constraint satisfiable (#B = 2 ≤ n(1-tau) = 3; with 1/q ≥ 1 the
