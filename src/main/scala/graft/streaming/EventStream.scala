@@ -115,6 +115,24 @@ object EventStream {
       .drop("r_user_id")
   }
 
+  /** Streaming exact dedup — the continuous-ingest counterpart of
+    * `Dedup.exactDedup` (d1): keep the FIRST document seen per content hash,
+    * with dedup state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark`: a duplicate arriving within
+    * `lateness` of the original is dropped; state older than the watermark
+    * is reclaimed, so memory is O(docs per lateness window), never O(corpus)).
+    * An unbounded-history exact dedup of a stream is a batch join against
+    * the corpus table by design — unbounded streaming state is the one
+    * thing a 100 TB pipeline must never hold.
+    *
+    * Shuffle is on the content hash only; the text column is dropped before
+    * the stateful exchange and only the (id, hash, ts) survivors flow on. */
+  def streamingExactDedup(docs: DataFrame, lateness: String = "1 hour"): DataFrame =
+    docs
+      .select(col("doc_id"), col("ts"), md5(col("text")).as("content_hash"))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Wire a parquet-directory stream of events through the rollup to an
     * in-memory (testing) or file sink. Returns the started query. */
   def startFileStream(spark: SparkSession, inputDir: String, queryName: String,

@@ -121,4 +121,29 @@ class EventStreamSpec extends SparkSpec {
     assert(updates(1L) == ((2L, 5.0)))
     assert(updates(2L) == ((1L, 5.0)))
   }
+
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  test("streamingExactDedup keeps first-seen content across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = EventStream.streamingExactDedup(input.toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      input.addData(
+        Doc(1L, ts("2024-01-01 10:00:00"), "the same text"),
+        Doc(2L, ts("2024-01-01 10:01:00"), "the same text"),
+        Doc(3L, ts("2024-01-01 10:02:00"), "something else"))
+      q.processAllAvailable()
+      // a later micro-batch duplicate within the watermark is also dropped
+      input.addData(Doc(4L, ts("2024-01-01 10:30:00"), "the same text"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select($"doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), ids.mkString(","))
+    } finally q.stop()
+  }
 }
