@@ -216,6 +216,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- corpus: concat-then-chunk packing provenance map ----------------
+    "t8_chunk_map" -> ((s, dir) => {
+      graft.text.Corpus.chunkMap(t(s, dir, "documents"), "doc_id", "text",
+          budget = 512)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus: benchmark decontamination — 5-gram overlap vs an eval
+    // slice, eval side broadcast so the corpus scan never shuffles ---------
+    "t9_contamination" -> ((s, dir) => {
+      val docs = Tables.spread(t(s, dir, "documents"))
+      graft.text.Corpus.contamination(
+          docs.where(col("doc_id") >= 20), "doc_id",
+          docs.where(col("doc_id") < 20), "doc_id", "text",
+          n = 5, minShared = 2)
+        .orderBy(col("train_id"), col("eval_id"))
+    }),
+
     // ---- dedup: exact hash-groupBy --------------------------------------
     "d1_dedup_exact" -> ((s, dir) => {
       Dedup.exactDupGroups(t(s, dir, "documents"), "text", "doc_id")
@@ -1641,6 +1659,40 @@ object SparkEntry {
                 CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END)
                      AS BIGINT) AS simhash_md5
          FROM s GROUP BY doc_id ORDER BY id""",
+
+    // t8: cumulative token offsets + integer chunk spans — exact integer
+    // window arithmetic on both engines
+    "t8_chunk_map" ->
+      """WITH n AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+         o AS (SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS BIGINT) AS start_offset
+               FROM n)
+         SELECT doc_id, n_tokens, start_offset,
+                CAST(start_offset // 512 AS BIGINT) AS start_chunk,
+                CAST(greatest(start_offset + n_tokens - 1, start_offset) // 512
+                  AS BIGINT) AS end_chunk
+         FROM o ORDER BY doc_id""",
+
+    // t9: same distinct word-5-gram shingle sets as the Spark side, exact
+    // string-equality join, integer shared counts
+    "t9_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) < 5 THEN list_distinct([array_to_string(w, ' ')])
+                       ELSE list_distinct(list_transform(range(1, len(w) - 3),
+                         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                              w[i+3] || ' ' || w[i+4])) END AS s
+                FROM toks),
+         ex AS (SELECT doc_id, unnest(s) AS sg FROM sh)
+         SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+                CAST(count(*) AS BIGINT) AS shared_shingles
+         FROM (SELECT * FROM ex WHERE doc_id >= 20) t
+         JOIN (SELECT * FROM ex WHERE doc_id < 20) e ON t.sg = e.sg
+         GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY train_id, eval_id""",
 
     // x1: the Spark side encodes text as a real 16×16 gray PNG and decodes
     // it back through javax.imageio; gray PNG is lossless and bin 0's mean is
