@@ -751,6 +751,21 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    // ---- S5 transactional sink: snapshot-table roundtrip — overwrite v1
+    // with half the rows, append the rest (v2), read the latest snapshot;
+    // oracle is the untouched source table (lossless ACID roundtrip) -------
+    "s5_snapshot_roundtrip" -> ((s, dir) => {
+      val region = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s5-${ProcessHandle.current().pid()}/region_snap"
+      graft.sources.SnapshotTable.write(
+        region.where(col("r_regionkey") < 2), root, mode = "overwrite")
+      graft.sources.SnapshotTable.write(
+        region.where(col("r_regionkey") >= 2), root, mode = "append")
+      graft.sources.SnapshotTable.read(s, root)
+        .orderBy(col("r_regionkey"))
+    }),
+
     // ---- §2.3 outer join: customers with/without orders -----------------
     "j4_outer_join" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -1197,6 +1212,9 @@ object SparkEntry {
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
 
     "s4_excel_roundtrip" ->
+      """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    "s5_snapshot_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
 
     "e6_resample_ffill" ->

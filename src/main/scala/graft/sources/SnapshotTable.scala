@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** Transactional parquet table with snapshot isolation — the engine's
+  * substitute for the reference's Delta sink (`utils.scala:168-170`; no
+  * Delta jar ships here). Same public design as the open table formats
+  * (Delta/Iceberg): immutable data files + a totally-ordered chain of
+  * version manifests, committed by an ATOMIC create-new of the next
+  * version file. Readers resolve a manifest once and see that snapshot
+  * forever — a concurrent overwrite/append can never tear a read, because
+  * data files are immutable and only vacuum deletes them.
+  *
+  *   root/_manifests/v00000001.txt   version=..., op=..., schema=..., file=...
+  *   root/data/<commit-uuid>-part-*.parquet
+  *
+  * Commit protocol: stage part files under a per-commit UUID prefix, build
+  * the file list (overwrite → staged files only; append → base manifest's
+  * files + staged), then `CREATE_NEW` the next manifest. A losing
+  * concurrent committer gets FileAlreadyExists, re-resolves the new head,
+  * rebuilds its list (append re-bases; overwrite doesn't need to) and
+  * retries — optimistic concurrency, winner decided by the filesystem's
+  * atomic create.
+  *
+  * Scale note: on a local/HDFS filesystem `Files.move` is a rename; the
+  * manifest lists RELATIVE paths so the table directory is relocatable. A
+  * 1000-executor deployment writes data files directly to the table's data
+  * dir (no staging move) and commits the same manifest — the protocol is
+  * the manifest chain, not the staging mechanics.
+  */
+object SnapshotTable {
+
+  private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
+  private def dataDir(root: String): Path = Paths.get(root, "data")
+  private def manifestPath(root: String, v: Int): Path =
+    manifestDir(root).resolve(f"v$v%08d.txt")
+
+  final case class Manifest(version: Int, op: String, schema: StructType,
+      files: Seq[String])
+
+  /** Largest committed version, 0 if none. */
+  def latestVersion(root: String): Int = {
+    val dir = manifestDir(root)
+    if (!Files.isDirectory(dir)) 0
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+        s.stripPrefix("v").stripSuffix(".txt").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  def readManifest(root: String, version: Int): Manifest = {
+    val lines = Files.readAllLines(manifestPath(root, version),
+      StandardCharsets.UTF_8).asScala
+    def field(k: String) = lines.collect {
+      case l if l.startsWith(k + "=") => l.drop(k.length + 1) }
+    Manifest(
+      field("version").head.toInt,
+      field("op").head,
+      DataType.fromJson(field("schema").head).asInstanceOf[StructType],
+      field("file").toSeq)
+  }
+
+  /** Write `df` into the table. `mode` ∈ {"overwrite", "append"}. Returns
+    * the committed version. */
+  def write(df: DataFrame, root: String, mode: String = "overwrite"): Int = {
+    require(mode == "overwrite" || mode == "append", s"bad mode $mode")
+    Files.createDirectories(manifestDir(root))
+    Files.createDirectories(dataDir(root))
+    // 1. stage: write part files, then move under a commit-unique prefix
+    val commitId = UUID.randomUUID().toString.take(8)
+    val staging = Files.createTempDirectory(s"graft-snap-$commitId")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val staged = Files.list(staging).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map { p =>
+        val name = s"$commitId-${p.getFileName}"
+        Files.move(p, dataDir(root).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        name
+      }.toSeq.sorted
+    // 2. commit: atomic create-new of the next version; losers re-base
+    val schemaJson = df.schema.json
+    var committed = -1
+    while (committed < 0) {
+      val base = latestVersion(root)
+      val files =
+        if (mode == "overwrite" || base == 0) staged
+        else readManifest(root, base).files ++ staged
+      val v = base + 1
+      val body = (Seq(s"version=$v", s"op=$mode", s"schema=$schemaJson") ++
+        files.map(f => s"file=$f")).mkString("\n")
+      try {
+        Files.write(manifestPath(root, v), body.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE_NEW)
+        committed = v
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => // lost the race; retry
+      }
+    }
+    committed
+  }
+
+  /** Read a snapshot: the latest version, or a pinned `version` (time
+    * travel). The schema comes from the manifest, so readers are immune to
+    * later schema evolution. An empty table (version 0) is an error. */
+  def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(root))
+    require(v > 0, s"snapshot table at $root has no committed version")
+    val m = readManifest(root, v)
+    if (m.files.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else spark.read.schema(m.schema)
+      .parquet(m.files.map(f => dataDir(root).resolve(f).toString): _*)
+  }
+
+  /** Drop manifests older than the newest `keepVersions` and delete data
+    * files no surviving manifest references. Readers pinned to vacuumed
+    * versions break — the retention contract every snapshot format has. */
+  def vacuum(root: String, keepVersions: Int = 1): Unit = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    val latest = latestVersion(root)
+    val keepFrom = math.max(1, latest - keepVersions + 1)
+    val live = (keepFrom to latest)
+      .flatMap(v => readManifest(root, v).files).toSet
+    (1 until keepFrom).foreach { v =>
+      val p = manifestPath(root, v)
+      if (Files.exists(p)) {
+        // a dropped manifest's files survive only if a live manifest shares
+        // them (append chains share data files across versions)
+        readManifest(root, v).files.filterNot(live).foreach { f =>
+          Files.deleteIfExists(dataDir(root).resolve(f)) }
+        Files.delete(p)
+      }
+    }
+  }
+}
