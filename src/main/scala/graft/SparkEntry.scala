@@ -408,6 +408,20 @@ object SparkEntry {
       Seq(("price_by_returnflag", p)).toDF("test", "p_value")
     }),
 
+    // ---- §2.8 R1 exact twin: full C(16,k) enumeration on a FIXED cohort
+    // (nation is constant at every SF; name lengths are integers, so every
+    // subset sum is exact in double and the oracle can replay the whole
+    // enumeration with a recursive CTE) ------------------------------------
+    "r12_perm_exact" -> ((s, dir) => {
+      import s.implicits._
+      val nat = t(s, dir, "nation").where(col("n_nationkey") < 16)
+        .select((length(col("n_name")) % 2 === 0).as("grp"),
+          col("n_nationkey").cast("double").as("v"))
+      val p = PermutationTest.onColumns(nat, "grp", "v")
+      Seq(("nationkey_by_name_len_parity", p)).toDF("test", "p_value")
+        .select(col("test"), round(col("p_value"), 6).as("p_value"))
+    }),
+
     // ---- §2.8 R2: Fisher exact test (oracle: hypergeometric sum in SQL) -
     "r2_fisher" -> ((s, dir) => {
       import s.implicits._
@@ -1179,6 +1193,37 @@ object SparkEntry {
                 round(pi0, 6) AS storey_pi0,
                 round(least(1.0, pi0 * bh_adj), 6) AS storey_adj
          FROM adj ORDER BY stratum""",
+
+    // r12: the permutation test's exact path, replayed completely — a
+    // recursive CTE walks all 2^16 pick/skip paths, keeps the C(16,k)
+    // subsets of group-A size, and applies the same eps-guarded mean
+    // comparison; integer-valued data keeps every double sum exact
+    "r12_perm_exact" ->
+      """WITH RECURSIVE it AS (
+           SELECT row_number() OVER (ORDER BY n_nationkey) AS i,
+                  CAST(n_nationkey AS DOUBLE) AS v,
+                  (length(n_name) % 2 = 0) AS grp
+           FROM nation WHERE n_nationkey < 16),
+         tot AS (SELECT CAST(count(*) AS INT) AS n, sum(v) AS s,
+                        CAST(count(*) FILTER (WHERE grp) AS INT) AS ka,
+                        sum(v) FILTER (WHERE grp) AS sa
+                 FROM it),
+         sub(i, cnt, s2) AS (
+           SELECT 0, 0, CAST(0 AS DOUBLE)
+           UNION ALL
+           SELECT sub.i + 1, sub.cnt + p.pick, sub.s2 + p.pick * it.v
+           FROM sub
+           JOIN it ON it.i = sub.i + 1
+           CROSS JOIN (SELECT 0 AS pick UNION ALL SELECT 1) p
+           WHERE sub.i < (SELECT n FROM tot)),
+         obs AS (SELECT abs(sa / ka - (s - sa) / (n - ka)) AS o, n, s, ka
+                 FROM tot),
+         leaves AS (SELECT s2 FROM sub, tot WHERE sub.i = tot.n AND sub.cnt = tot.ka)
+         SELECT 'nationkey_by_name_len_parity' AS test,
+                round(CAST(count(*) FILTER (WHERE
+                    abs(s2 / ka - (s - s2) / (n - ka)) >= o - 1e-12 * (1 + o))
+                  AS DOUBLE) / count(*), 6) AS p_value
+         FROM leaves, obs""",
 
     // r11: SQL replay of the clamped-block-projection SABHA selection; the
     // only FP ops are exact-operand divisions and single multiplications, so
