@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, MinHashSigExpr, ShingleHashExpr,
-  SigAgreement, SimHash64Expr, SortedIntersectCount}
+import graft.expressions.{DotProduct, LshBuckets, MinHashSigExpr,
+  ShingleHashExpr, SigAgreement, SimHash64Expr, SortedIntersectCount}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * as SQL functions so plain `spark.sql` users get them too.
@@ -60,7 +60,14 @@ object GraftExtensions {
     descriptor("graft_sorted_intersect_count", classOf[SortedIntersectCount], 2)(c =>
       SortedIntersectCount(c(0), c(1))),
     descriptor("graft_sig_agreement", classOf[SigAgreement], 2)(c =>
-      SigAgreement(c(0), c(1))))
+      SigAgreement(c(0), c(1))),
+    descriptor("graft_lsh_buckets", classOf[LshBuckets], 5) { c =>
+      LshBuckets(c(0),
+        lit[Number](c(1), "nBits").intValue(),
+        lit[Number](c(2), "dim").intValue(),
+        lit[Number](c(3), "tables").intValue(),
+        lit[Number](c(4), "seed").longValue())
+    })
 
   /** Register into an already-running session (tests, REPL). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -18,7 +18,8 @@ class GraftExtensionsSpec extends SparkSpec {
              graft_shingle_hashes('a b c d', 3) AS hs,
              graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 16, 42L) AS sig,
              graft_sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
-             graft_sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS ag
+             graft_sig_agreement(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS ag,
+             graft_lsh_buckets(array(0.5D, -0.25D), 4, 2, 3, 42L) AS lb
     """).collect()(0)
     import org.apache.spark.sql.functions.{col, lit}
     val lib = Seq("hello world spark").toDF("t").select(
@@ -28,6 +29,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getSeq[Long](2).length == 16)
     assert(row.getAs[Int]("ic") == 2)
     assert(row.getAs[Int]("ag") == 2)
+    val lbLib = Seq(Seq(0.5, -0.25)).toDF("v").select(
+      graft.expressions.VectorExpressions.lshBucketsAll(
+        col("v"), 4, 2, 3, 42L).as("lb")).as[Seq[Long]].head()
+    assert(row.getSeq[Long](5) == lbLib)
   }
 
   test("non-literal constant arguments are rejected with a clear error") {
