@@ -234,6 +234,30 @@ object SparkEntry {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
+    // ---- corpus: bigram-LM self-perplexity quality signal (the KenLM-
+    // filter recipe as exact counts; every probability SQL-replayable) -----
+    "t10_ngram_lm" -> ((s, dir) => {
+      graft.text.LanguageModel.scoreBigram(
+          Tables.spread(t(s, dir, "documents")), "doc_id", "text", k = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus: BM25 keyword top-k (lexical complement of n1 ANN) -------
+    "n4_bm25" -> ((s, dir) => {
+      graft.text.Search.bm25TopK(
+          Tables.spread(t(s, dir, "documents")), "doc_id", "text",
+          queryTerms = Seq("dup", "spark", "merge"), k = 20)
+    }),
+
+    // ---- corpus: span-level exact dedup (C4 line-dedup for a corpus with
+    // no line structure — duplicated 8-token spans stripped everywhere) ----
+    "d10_span_dedup" -> ((s, dir) => {
+      graft.text.Corpus.spanDedup(
+          Tables.spread(t(s, dir, "documents")), "doc_id", "text",
+          span = 8, minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup: exact hash-groupBy --------------------------------------
     "d1_dedup_exact" -> ((s, dir) => {
       Dedup.exactDupGroups(t(s, dir, "documents"), "text", "doc_id")
@@ -555,6 +579,21 @@ object SparkEntry {
         Seq("high_qty", "discounted", "taxed"), nPerm = 199, seed = 42L)
       Seq((res.pseudoF, res.pValue, res.dispersionPValue))
         .toDF("pseudo_f", "p_value", "dispersion_p")
+    }),
+
+    // ---- §2.8 R4 exact twin: distributed PERMANOVA pseudo-F — the observed
+    // Anderson statistic from pairwise squared Jaccard distances, all
+    // integer arithmetic until the final divisions (oracle replays the
+    // triangular self-join) ------------------------------------------------
+    "r13_permanova_stat" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_custkey") <= 150)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") > 0).as("f_pos"),
+          (col("c_acctbal") > 5000).as("f_rich"),
+          (col("c_nationkey") < 12).as("f_west"),
+          (length(col("c_name")) % 2 === 0).as("f_even"))
+      graft.stats.Permanova.pseudoFDF(c, "c_custkey", "c_mktsegment",
+        Seq("f_pos", "f_rich", "f_west", "f_even"))
     }),
 
     // ---- §2.5 explicit rollup (subtotals + grand total) -----------------
@@ -1756,6 +1795,97 @@ object SparkEntry {
          FROM (SELECT * FROM ex WHERE doc_id >= 20) t
          JOIN (SELECT * FROM ex WHERE doc_id < 20) e ON t.sg = e.sg
          GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY train_id, eval_id""",
+
+    // d10: span-level exact dedup — same aligned 8-token units, same
+    // ≥2-distinct-docs boilerplate rule, survivors reassembled in order
+    "d10_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         u0 AS (SELECT doc_id, w,
+                  unnest(range(0, CAST(ceil(len(w)/8.0) AS BIGINT))) AS pos
+                FROM toks),
+         u AS (SELECT doc_id, pos,
+                 array_to_string(list_slice(w, CAST(pos*8+1 AS INT),
+                   CAST(pos*8+8 AS INT)), ' ') AS unit
+               FROM u0),
+         d AS (SELECT unit FROM u GROUP BY unit HAVING count(DISTINCT doc_id) >= 2),
+         kept AS (SELECT u.* FROM u ANTI JOIN d USING (unit)),
+         k AS (SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+                t.n_units, t.n_units - coalesce(k.n_kept, 0) AS n_removed
+         FROM tot t LEFT JOIN k USING (doc_id) ORDER BY doc_id""",
+
+    // t10: add-k bigram LM — every probability is a ratio of exact integer
+    // counts (plus exact dyadic k terms), so only ln/exp touch libm; the
+    // 6-decimal round absorbs any last-ulp drift
+    "t10_ngram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         bg0 AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
+         bg AS (SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i+1 AS INT)] AS bigram,
+                       w[CAST(i AS INT)] AS w1 FROM bg0),
+         cb AS (SELECT bigram, count(*) AS c_bigram FROM bg GROUP BY 1),
+         cc AS (SELECT w1, count(*) AS c_context FROM bg GROUP BY 1),
+         v AS (SELECT count(*) AS v FROM cb),
+         sc AS (SELECT bg.doc_id, ln((c_bigram + 0.5) / (c_context + 0.5 * v)) AS lp
+                FROM bg JOIN cb USING (bigram) JOIN cc USING (w1) CROSS JOIN v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                round(sum(lp) / count(*), 6) AS avg_logprob,
+                round(exp(-sum(lp) / count(*)), 6) AS ppl
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    // n4: BM25 — idf and tf-saturation terms written with the exact same
+    // association/parenthesization as the Spark expressions so both engines
+    // evaluate the identical IEEE operation sequence
+    "n4_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         p AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+                 unnest(list_filter(w, t ->
+                   list_contains(['dup','spark','merge'], t))) AS term
+               FROM toks),
+         tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+                FROM p GROUP BY 1, 2),
+         dfc AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+         corpus AS (SELECT count(*) AS n_docs,
+                      avg(CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) AS avgdl
+                    FROM documents),
+         s AS (SELECT doc_id,
+                 ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+               FROM tf JOIN dfc USING (term) CROSS JOIN corpus)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+                round(sum(s), 6) AS score
+         FROM s GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""",
+
+    // r13: distributed PERMANOVA pseudo-F — triangular self-join replayed;
+    // d² = ((u−i)/u)² stays a ratio of exact integers until the squaring,
+    // and the statistic's divisions happen once at the end on both engines
+    "r13_permanova_stat" ->
+      """WITH b AS (SELECT c_custkey AS id, c_mktsegment AS grp,
+                      CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS f0,
+                      CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS f1,
+                      CASE WHEN c_nationkey < 12 THEN 1 ELSE 0 END AS f2,
+                      CASE WHEN length(c_name) % 2 = 0 THEN 1 ELSE 0 END AS f3
+                    FROM customer WHERE c_custkey <= 150),
+         p AS (SELECT a.grp AS ga, bb.grp AS gb,
+                 (a.f0*bb.f0 + a.f1*bb.f1 + a.f2*bb.f2 + a.f3*bb.f3) AS inter,
+                 (greatest(a.f0,bb.f0) + greatest(a.f1,bb.f1) +
+                  greatest(a.f2,bb.f2) + greatest(a.f3,bb.f3)) AS un
+               FROM b a JOIN b bb ON a.id < bb.id),
+         d AS (SELECT ga, gb, CASE WHEN un = 0 THEN 0.0
+                 ELSE (1.0 - CAST(inter AS DOUBLE)/un) * (1.0 - CAST(inter AS DOUBLE)/un)
+                 END AS d2 FROM p),
+         nn AS (SELECT count(*) AS n, count(DISTINCT grp) AS g FROM b),
+         sizes AS (SELECT grp, count(*) AS cnt FROM b GROUP BY 1),
+         tot AS (SELECT sum(d2) AS ss_tot_raw FROM d),
+         w AS (SELECT sum(ssg / cnt) AS ss_within FROM
+                 (SELECT ga AS grp, sum(d2) AS ssg FROM d WHERE ga = gb GROUP BY 1) s
+               JOIN sizes USING (grp))
+         SELECT n, g, round(ss_tot_raw / n, 6) AS ss_total,
+                round(ss_within, 6) AS ss_within,
+                round(((ss_tot_raw / n - ss_within) / (g - 1)) /
+                  (ss_within / (n - g)), 6) AS pseudo_f
+         FROM nn, tot, w""",
 
     // x1: the Spark side encodes text as a real 16×16 gray PNG and decodes
     // it back through javax.imageio; gray PNG is lossless and bin 0's mean is

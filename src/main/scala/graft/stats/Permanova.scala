@@ -52,6 +52,59 @@ object Permanova {
     (ssBetween / (g - 1)) / (ssWithin / (n - g))
   }
 
+  /** Distributed EXACT pseudo-F twin of [[test]] — no driver collect, no
+    * Monte Carlo: just the observed Anderson (2001) statistic, computed from
+    * the pairwise squared Jaccard distances as relational algebra so it is
+    * replayable (and oracle-checkable) on any SQL engine.
+    *
+    * Shape: pairwise distances come from a triangular self-join
+    * (`a.id < b.id`) — PERMANOVA is inherently O(n²) in the cohort, and the
+    * cohort side of the reference's design is small (it collects the whole
+    * frame to R), so Spark broadcasts one side and the pair stream never
+    * materializes; the d² sums aggregate map-side. The group-size divisors
+    * join in from a per-group count (one tiny shuffle). Everything except
+    * the final divisions is exact integer arithmetic ((union−inter)²/union²
+    * per pair), so cross-engine agreement at 6 decimals is routine.
+    *
+    * Output (1 row): `n, g, ss_total, ss_within, pseudo_f` (rounded to 6).
+    */
+  def pseudoFDF(df: DataFrame, idCol: String, groupCol: String,
+      featureCols: Seq[String]): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val base = df.select(
+      col(idCol).as("id") +: col(groupCol).cast("string").as("grp") +:
+        featureCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("boolean").cast("int").as(s"f$i")
+        }: _*)
+    def side(tag: String) = base.select(
+      col("id").as(s"id$tag") +: col("grp").as(s"g$tag") +:
+        featureCols.indices.map(i => col(s"f$i").as(s"f$i$tag")): _*)
+    val inter = featureCols.indices
+      .map(i => col(s"f${i}a") * col(s"f${i}b")).reduce(_ + _)
+    val union = featureCols.indices
+      .map(i => greatest(col(s"f${i}a"), col(s"f${i}b"))).reduce(_ + _)
+    // d·d, not pow(d,2): Java Math.pow and SQL power() may differ in the
+    // last ulp; an IEEE multiply is identical everywhere
+    val dist = lit(1.0) - inter.cast("double") / union
+    val pairs = side("a")
+      .join(broadcast(side("b")), col("ida") < col("idb"))
+      .select(col("ga"), col("gb"),
+        when(union === 0, lit(0.0)).otherwise(dist * dist).as("d2"))
+    val counts = base.agg(count(lit(1)).as("n"), countDistinct(col("grp")).as("g"))
+    val sizes = base.groupBy(col("grp")).agg(count(lit(1)).as("cnt"))
+    val total = pairs.agg(sum(col("d2")).as("ss_tot_raw"))
+    val within = pairs.where(col("ga") === col("gb"))
+      .groupBy(col("ga")).agg(sum(col("d2")).as("ssg"))
+      .join(broadcast(sizes), col("ga") === col("grp"))
+      .agg(sum(col("ssg") / col("cnt")).as("ss_within"))
+    counts.crossJoin(total).crossJoin(within)
+      .select(col("n"), col("g"),
+        round(col("ss_tot_raw") / col("n"), 6).as("ss_total"),
+        round(col("ss_within"), 6).as("ss_within"),
+        round(((col("ss_tot_raw") / col("n") - col("ss_within")) / (col("g") - 1)) /
+          (col("ss_within") / (col("n") - col("g"))), 6).as("pseudo_f"))
+  }
+
   /** @param df frame of boolean feature columns + a group column
     * @param groupCol the dependent grouping (reference's referenceColumnName)
     */

@@ -37,6 +37,70 @@ object Corpus {
           / budget).cast("long"))
   }
 
+  /** Core of line/span-level exact dedup (C4-style): `units` is one row per
+    * (doc, position, unit-text); any unit text occurring in at least
+    * `minDocs` DISTINCT documents is boilerplate and removed from EVERY
+    * document; survivors are reassembled in position order.
+    *
+    * Scale: the duplicated-unit set comes from ONE count shuffle keyed on
+    * the unit text (map-side combined); removal is a left-anti hash join on
+    * the same key; reassembly is one shuffle keyed on doc id. Three
+    * key-partitioned shuffles total, none global. The duplicated-unit set is
+    * corpus-boilerplate-sized (short-tail), so at scale Spark's AQE turns
+    * the anti join into a broadcast; unit strings can be swapped for
+    * `xxhash64(unit)` join keys when the lines are long (same plan shape).
+    */
+  private def dedupUnits(df: DataFrame, idCol: String, units: DataFrame,
+      minDocs: Int, sep: String): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be ≥2, got $minDocs")
+    val dup = units.groupBy(col("unit"))
+      .agg(countDistinct(col("__id")).as("nd"))
+      .where(col("nd") >= minDocs).select(col("unit"))
+    val kept = units.join(dup, Seq("unit"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+          x => x.getField("unit")), sep).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    val totals = units.groupBy(col("__id")).agg(count(lit(1)).as("n_units"))
+    totals.join(kept, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_units"),
+        (col("n_units") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Line-level exact dedup: split each document on `sep` (a literal
+    * regex-quoted separator, '\n' for the classic C4 recipe), drop every
+    * line that appears in ≥ `minDocs` distinct documents, reassemble the
+    * rest in order. Returns `(id, clean_text, n_units, n_removed)`. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minDocs: Int = 2): DataFrame = {
+    val units = df.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "unit")))
+    dedupUnits(df, idCol, units, minDocs, sep)
+  }
+
+  /** Span-level exact dedup — [[lineDedup]] for corpora without line
+    * structure: the unit is a run of `span` consecutive whitespace tokens
+    * (non-overlapping, aligned), the granularity most substring-dedup
+    * pipelines use. A duplicated document contributes every span to the
+    * boilerplate set, so exact-dup *content* is stripped from all copies
+    * while unique prose survives. */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      span: Int = 10, minDocs: Int = 2): DataFrame = {
+    require(span > 0, s"span must be positive, got $span")
+    val toks = TextOps.tokens(col(textCol))
+    val nSpans = ceil(size(toks).cast("double") / span).cast("int")
+    val units = df.select(col(idCol).as("__id"),
+        posexplode(when(size(toks) === 0, array(lit(""))).otherwise(
+          transform(sequence(lit(0), nSpans - 1),
+            i => array_join(slice(toks, i * span + 1, lit(span)), " "))))
+          .as(Seq("pos", "unit")))
+    dedupUnits(df, idCol, units, minDocs, " ")
+  }
+
   /** Benchmark decontamination: training docs sharing at least `minShared`
     * distinct word `n`-gram shingles with any eval doc. The join key is the
     * shingle STRING (exact, engine-neutral); the eval side of an n-gram

@@ -1,0 +1,57 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language-model scoring (NOT-IN-REFERENCE extension):
+  * the classic "train a cheap LM on the corpus, flag low-likelihood docs"
+  * quality signal (the KenLM-perplexity filter of CCNet/RefinedWeb, here as
+  * an add-k-smoothed bigram model so every number is a deterministic
+  * function of exact counts — fully SQL-replayable, no binary model file).
+  *
+  * Scale shape (three key-partitioned shuffles, nothing global):
+  *   1. bigram counts: explode → groupBy(bigram) with map-side combine; the
+  *      result is vocabulary-sized, orders of magnitude below corpus size;
+  *   2. context (first-token) counts: same, smaller;
+  *   3. scoring: the per-doc bigram stream joins both count tables on their
+  *      natural keys — at real vocab/corpus ratios both sides broadcast —
+  *      and one groupBy(doc) sums log-probabilities map-side.
+  */
+object LanguageModel {
+
+  /** Score every document by the mean log-probability of its token bigrams
+    * under the corpus's own add-k bigram model (self-perplexity):
+    * P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V), V = distinct-bigram count.
+    *
+    * Returns `(id, n_bigrams, avg_logprob, ppl)`; docs with <2 tokens have
+    * no bigrams and are dropped (they carry no model evidence).
+    */
+  def scoreBigram(df: DataFrame, idCol: String, textCol: String,
+      k: Double = 0.5): DataFrame = {
+    require(k > 0, s"smoothing k must be positive, got $k")
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val docBigrams = df.select(col(idCol).as("__id"),
+        explode(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+    val bigramCounts = docBigrams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c_bigram"))
+    val contextCounts = docBigrams
+      .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(count(lit(1)).as("c_context"))
+    val vocab = bigramCounts.agg(count(lit(1)).as("v"))
+    docBigrams
+      .join(broadcast(bigramCounts), Seq("bigram"))
+      .join(broadcast(contextCounts),
+        split(col("bigram"), " ").getItem(0) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"),
+        log((col("c_bigram") + k) / (col("c_context") + col("v") * k)).as("lp"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        round(col("sum_lp") / col("n_bigrams"), 6).as("avg_logprob"),
+        round(exp(-col("sum_lp") / col("n_bigrams")), 6).as("ppl"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over the corpus (NOT-IN-REFERENCE extension): BM25
+  * scoring — the lexical-search complement of the embedding ANN operators in
+  * [[graft.sim.Embeddings]] (hybrid retrieval pipelines run both).
+  *
+  * Scale shape: the corpus scan filters to QUERY-TERM POSTINGS before any
+  * shuffle — `array_intersect` against a literal term array keeps only
+  * matching tokens, so the exploded stream is postings-sized, not
+  * corpus-sized (the inverted-index access path, derived not materialized).
+  * Term document-frequencies and the corpus aggregates (N, avgdl) are
+  * term-count-sized → broadcast back; the final top-k is a
+  * TakeOrderedAndProject (per-partition heaps, only k rows to the driver),
+  * never a global sort.
+  */
+object Search {
+
+  /** BM25 top-k: score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with the Robertson–Sparck-Jones idf = ln(1 + (N−df+0.5)/(df+0.5)).
+    * Tokenization is lowercase whitespace ([[TextOps.tokens]]); `dl` is the
+    * full document token count. Returns `(id, n_terms_matched, score)` for
+    * the top `k` docs, score rounded to 6 so the ordering (score desc, id
+    * asc) is engine-reproducible.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    val terms = array(queryTerms.distinct.map(t => lit(t.toLowerCase)): _*)
+    val toks = TextOps.tokens(lower(col(textCol)))
+    // postings: only query-term occurrences leave the scan
+    val postings = df.select(col(idCol).as("__id"),
+        size(toks).cast("double").as("dl"),
+        explode(filter(toks, t => array_contains(terms, t))).as("term"))
+    val tf = postings.groupBy(col("__id"), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+    val dfCounts = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_t"))
+    val corpus = df.agg(count(lit(1)).as("n_docs"),
+      avg(size(TextOps.tokens(lower(col(textCol)))).cast("double")).as("avgdl"))
+    tf.join(broadcast(dfCounts), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .select(col("__id"),
+        (log(lit(1.0) + (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + (lit(1 - b) + col("dl") * b / col("avgdl")) * k1)).as("s"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_terms_matched"), sum(col("s")).as("score"))
+      .select(col("__id").as(idCol), col("n_terms_matched"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -33,4 +33,19 @@ class PermanovaSpec extends SparkSpec {
     val noSig = Permanova.test(nullRows, "grp", Seq("f1", "f2", "f3"), nPerm = 199, seed = 1)
     assert(noSig.pValue > 0.05, s"p=${noSig.pValue}")
   }
+
+  test("pseudoFDF (distributed) equals the driver-side pseudo-F exactly") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 30).map { i =>
+      (i.toLong, if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else "C",
+        rng.nextBoolean(), rng.nextBoolean(), rng.nextBoolean(), rng.nextBoolean())
+    }.toDF("id", "grp", "f1", "f2", "f3", "f4")
+    val driver = Permanova.test(rows, "grp", Seq("f1", "f2", "f3", "f4"),
+      nPerm = 9, seed = 1).pseudoF
+    val dist = Permanova.pseudoFDF(rows, "id", "grp", Seq("f1", "f2", "f3", "f4"))
+      .select("n", "g", "pseudo_f")
+      .as[(Long, Long, Double)].collect().head
+    assert(dist._1 == 30L && dist._2 == 3L)
+    assert(math.abs(dist._3 - driver) < 1e-6, s"df=$dist driver=$driver")
+  }
 }

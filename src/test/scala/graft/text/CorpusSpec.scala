@@ -49,4 +49,59 @@ class CorpusSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("lineDedup removes lines shared by >=minDocs docs and reassembles in order") {
+    val docs = Seq(
+      (1L, "unique one\nboilerplate footer\nunique two"),
+      (2L, "other text\nboilerplate footer"),
+      (3L, "boilerplate footer"),
+      (4L, "totally unique"))
+      .toDF("doc_id", "text")
+    val got = Corpus.lineDedup(docs, "doc_id", "text", sep = "\n", minDocs = 2)
+      .orderBy($"doc_id")
+      .select("doc_id", "clean_text", "n_units", "n_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "unique one\nunique two", 3L, 1L),
+      (2L, "other text", 2L, 1L),
+      (3L, "", 1L, 1L), // every line was boilerplate → empty doc retained
+      (4L, "totally unique", 1L, 0L)), got.toString)
+  }
+
+  test("lineDedup minDocs=3 keeps lines shared by only two docs") {
+    val docs = Seq(
+      (1L, "shared\nmine"), (2L, "shared\nyours"))
+      .toDF("doc_id", "text")
+    val got = Corpus.lineDedup(docs, "doc_id", "text", sep = "\n", minDocs = 3)
+      .agg(sum($"n_removed")).as[Long].collect().head
+    assert(got == 0L)
+  }
+
+  test("spanDedup strips duplicated aligned token spans, keeps unique spans") {
+    // docs 1 and 2 share their first 4-token span verbatim; doc 1's tail
+    // span is unique; doc 3 is all-unique; empty doc survives as one row
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x y"),
+      (3L, "p q r s t u"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Corpus.spanDedup(docs, "doc_id", "text", span = 4, minDocs = 2)
+      .orderBy($"doc_id")
+      .select("doc_id", "clean_text", "n_units", "n_removed")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "e f", 2L, 1L),
+      (2L, "x y", 2L, 1L),
+      (3L, "p q r s t u", 2L, 0L),
+      // the lone empty doc's sentinel empty-unit is unique → kept
+      (4L, "", 1L, 0L)), got.toString)
+  }
+
+  test("spanDedup identical docs lose all content (exact-dup boilerplate)") {
+    val docs = Seq((1L, "w x y z"), (2L, "w x y z")).toDF("doc_id", "text")
+    val got = Corpus.spanDedup(docs, "doc_id", "text", span = 2, minDocs = 2)
+      .select("clean_text").as[String].collect().toSeq
+    assert(got == Seq("", ""))
+  }
 }

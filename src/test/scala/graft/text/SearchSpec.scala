@@ -1,0 +1,55 @@
+package graft.text
+
+import graft.SparkSpec
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: doc 1 has the term twice in 4 tokens, doc 2 once in 4, doc 3 none
+  private def corpus = Seq(
+    (1L, "cat dog cat bird"),
+    (2L, "cat fish lizard newt"),
+    (3L, "horse cow pig goat")).toDF("doc_id", "text")
+
+  test("bm25TopK reproduces the hand-computed score") {
+    val got = Search.bm25TopK(corpus, "doc_id", "text", Seq("cat"), k = 10)
+      .select("doc_id", "n_terms_matched", "score")
+      .as[(Long, Long, Double)].collect().toSeq
+    val n = 3.0; val df = 2.0; val avgdl = 4.0; val dl = 4.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def s(tf: Double) = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    // doc 1 (tf=2) outranks doc 2 (tf=1); doc 3 excluded
+    assert(got.map(_._1) == Seq(1L, 2L), got.toString)
+    assert(got.map(_._2) == Seq(1L, 1L))
+    assert(math.abs(got(0)._3 - s(2)) < 1e-6, got.toString)
+    assert(math.abs(got(1)._3 - s(1)) < 1e-6, got.toString)
+  }
+
+  test("multi-term queries sum per-term scores; rare terms weigh more") {
+    val docs = Seq(
+      (1L, "rare common pad pad"),
+      (2L, "common pad pad pad"),
+      (3L, "common pad pad pad"),
+      (4L, "common pad pad pad")).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("rare", "common"), k = 10)
+      .select("doc_id", "n_terms_matched").as[(Long, Long)].collect().toSeq
+    assert(got.head == ((1L, 2L)), got.toString) // both terms + rare idf → top
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("k bounds the result and ties break by doc id") {
+    val docs = Seq(
+      (5L, "t x"), (3L, "t x"), (9L, "t x")).toDF("doc_id", "text")
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("t"), k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(3L, 5L), got.toString)
+  }
+
+  test("dedup of repeated query terms (no double counting)") {
+    val a = Search.bm25TopK(corpus, "doc_id", "text", Seq("cat", "cat"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    val b = Search.bm25TopK(corpus, "doc_id", "text", Seq("cat"), k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+}
