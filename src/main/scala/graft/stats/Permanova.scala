@@ -92,12 +92,16 @@ object Permanova {
         when(union === 0, lit(0.0)).otherwise(dist * dist).as("d2"))
     val counts = base.agg(count(lit(1)).as("n"), countDistinct(col("grp")).as("g"))
     val sizes = base.groupBy(col("grp")).agg(count(lit(1)).as("cnt"))
-    val total = pairs.agg(sum(col("d2")).as("ss_tot_raw"))
-    val within = pairs.where(col("ga") === col("gb"))
-      .groupBy(col("ga")).agg(sum(col("d2")).as("ssg"))
-      .join(broadcast(sizes), col("ga") === col("grp"))
-      .agg(sum(col("ssg") / col("cnt")).as("ss_within"))
-    counts.crossJoin(total).crossJoin(within)
+    // ONE pass over the O(n²) pair stream: bucket same-group pairs by group
+    // (cross-group pairs land in the null bucket), then both SS terms fall
+    // out of the g+1 bucket sums — the self-join is never re-executed
+    val sums = pairs
+      .groupBy(when(col("ga") === col("gb"), col("ga")).as("grp_w"))
+      .agg(sum(col("d2")).as("ssg"))
+      .join(broadcast(sizes), col("grp_w") === col("grp"), "left_outer")
+      .agg(sum(col("ssg")).as("ss_tot_raw"),
+        sum(when(col("grp_w").isNotNull, col("ssg") / col("cnt"))).as("ss_within"))
+    counts.crossJoin(sums)
       .select(col("n"), col("g"),
         round(col("ss_tot_raw") / col("n"), 6).as("ss_total"),
         round(col("ss_within"), 6).as("ss_within"),
