@@ -14,8 +14,13 @@ import org.apache.spark.sql.functions._
   *      result is vocabulary-sized, orders of magnitude below corpus size;
   *   2. context (first-token) counts: same, smaller;
   *   3. scoring: the per-doc bigram stream joins both count tables on their
-  *      natural keys — at real vocab/corpus ratios both sides broadcast —
-  *      and one groupBy(doc) sums log-probabilities map-side.
+  *      natural keys and one groupBy(doc) sums log-probabilities map-side.
+  *      The count-table joins carry NO broadcast hint on purpose: a small
+  *      vocabulary broadcasts automatically (AQE sees the post-agg size),
+  *      but a web-scale corpus has billions of distinct bigrams — forcing
+  *      the hint there would OOM the driver, while the unhinted plan
+  *      degrades gracefully to a hash join on the key the stream already
+  *      shuffles on. Only the 1-row vocab count is hint-broadcast.
   */
 object LanguageModel {
 
@@ -42,8 +47,8 @@ object LanguageModel {
       .agg(count(lit(1)).as("c_context"))
     val vocab = bigramCounts.agg(count(lit(1)).as("v"))
     docBigrams
-      .join(broadcast(bigramCounts), Seq("bigram"))
-      .join(broadcast(contextCounts),
+      .join(bigramCounts, Seq("bigram"))
+      .join(contextCounts,
         split(col("bigram"), " ").getItem(0) === col("w1"))
       .crossJoin(broadcast(vocab))
       .select(col("__id"),

@@ -85,6 +85,31 @@ class PlanQualitySpec extends SparkSpec {
       "SortAggregate".r.findAllIn(p).length >= 4, p)
   }
 
+  test("d10: span dedup is all key-partitioned hash work, no loop join") {
+    val p = plan("d10_span_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // anti join on the unit key, not an aggregation-side recompute
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("t10: bigram LM count joins are equi joins (hint-free, AQE-sized)") {
+    val p = plan("t10_ngram_lm")
+    // the only loop join allowed is the 1-row vocab cross join
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("n4: BM25 explodes postings only (query-term filter precedes explode)") {
+    val p = plan("n4_bm25")
+    // the term filter runs inside the project feeding Generate, so the
+    // exploded stream is postings-sized: filter() appears as an argument of
+    // the explode generator, not as a post-explode Filter node
+    assert(p.contains("Generate explode(filter("), p)
+    // top-k is a bounded TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen spans cover the relational queries") {
     Seq("q1_agg", "p2_cast_project", "e1_events_hourly").foreach { q =>
       val p = finalPlan(q)
