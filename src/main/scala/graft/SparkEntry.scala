@@ -258,6 +258,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- corpus: one-pass health dashboard (counts/tokens/quality/dup
+    // rate per CUBE cell of source × lang) ---------------------------------
+    "t11_corpus_report" -> ((s, dir) => {
+      graft.text.Corpus.healthReport(
+          Tables.spread(t(s, dir, "documents")), "doc_id", "text",
+          dims = Seq("source", "lang"))
+        .orderBy(col("gid"), col("source"), col("lang"))
+    }),
+
     // ---- dedup: exact hash-groupBy --------------------------------------
     "d1_dedup_exact" -> ((s, dir) => {
       Dedup.exactDupGroups(t(s, dir, "documents"), "text", "doc_id")

@@ -101,6 +101,39 @@ object Corpus {
     dedupUnits(df, idCol, units, minDocs, " ")
   }
 
+  /** Corpus health report: the per-slice dashboard a training-data pipeline
+    * watches — document counts, token volume, mean quality score, and exact
+    * duplicate rate, for every CUBE cell of `dims` (each slice, each
+    * marginal, and the grand total; `gid` = Spark `grouping_id`).
+    *
+    * Scale: ONE content-hash shuffle finds duplicate groups (the dup set is
+    * duplicate-group-sized → AQE broadcasts the flag join back), quality and
+    * token metrics are per-row codegen'd expressions, and the cube is a
+    * single Expand + aggregate pass — 2^|dims| cells never rescan the
+    * corpus. Counts and token sums are exact integers; only the two final
+    * divisions (mean quality, dup rate) are floating point.
+    */
+  def healthReport(df: DataFrame, idCol: String, textCol: String,
+      dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension column")
+    val hashed = df.select(
+        col(idCol) +: col(textCol).as("__text") +: dims.map(col): _*)
+      .withColumn("__h", md5(col("__text")))
+    val dupSets = hashed.groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1).select(col("__h"), lit(1L).as("__dup"))
+    val flagged = hashed.join(dupSets, Seq("__h"), "left_outer")
+    val scored = TextOps.withQualityScore(flagged, "__text", "__q")
+      .withColumn("__ntok", TextOps.tokenCount(col("__text")).cast("long"))
+    scored.cube(dims.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        round(avg(col("__q")), 6).as("avg_quality"),
+        round(sum(coalesce(col("__dup"), lit(0L))).cast("double") /
+          count(lit(1)), 6).as("dup_rate"),
+        grouping_id().cast("long").as("gid"))
+  }
+
   /** Benchmark decontamination: training docs sharing at least `minShared`
     * distinct word `n`-gram shingles with any eval doc. The join key is the
     * shingle STRING (exact, engine-neutral); the eval side of an n-gram
