@@ -32,15 +32,20 @@ object Bench {
         catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    // 3-decimal rounding keeps the metric line compact (~80 queries at full
+    // double precision overflowed the consumer's fixed-size tail capture)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, ok) =>
-      "\"" + k + "\":" + (if (ok) v.toString else "\"error\"")
+      "\"" + k + "\":" + (if (ok) fmt(v) else "\"error\"")
     }.mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
     val nFailed = results.count(!_._3)
     // any failure invalidates the run: value:null so consumers comparing the
     // total alone can't mistake a smaller (incomplete) sum for a speedup
-    val value = if (nFailed > 0) "null" else total.toString
-    println(s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+    val value = if (nFailed > 0) "null" else fmt(total)
+    // stop Spark BEFORE emitting the metric so shutdown logging cannot land
+    // after it: the JSON must be the final stdout line for tail capture
     spark.stop()
+    println(s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
   }
 }

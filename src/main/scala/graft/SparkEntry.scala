@@ -180,6 +180,34 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- sketch error bounds, driver-verifiable twin of a9: the exact side
+    // is computed in the same query and each estimate is checked against its
+    // published guarantee (HLL lgK=12 ≈ 1.6% rsd → 5% ≥ 3σ; ACD rsd=0.02 →
+    // 6% = 3σ; percentile_approx accuracy=1000 → rank error ≤ 0.001, bounded
+    // by the exact 0.94/0.96 quantiles). The oracle replays the exact side
+    // and asserts the booleans literally TRUE — a hash match certifies every
+    // sketch landed inside its bound. SketchAccuracySpec keeps tighter ones.
+    "a10_sketch_bounds" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("__hll"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("__acd"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("__p95a"),
+          percentile(col("l_extendedprice"), lit(0.94)).as("__p94x"),
+          percentile(col("l_extendedprice"), lit(0.96)).as("__p96x"))
+        .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+          (abs(col("__hll") - col("exact_orders")) <=
+            col("exact_orders") * 0.05).as("hll_within_eps"),
+          (abs(col("__acd") - col("exact_parts")) <=
+            col("exact_parts") * 0.06).as("acd_within_eps"),
+          (col("__p95a") >= col("__p94x") && col("__p95a") <= col("__p96x"))
+            .as("p95_within_bounds"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ================= training-data pipeline extensions =================
 
     // ---- text analysis: stopword-vote language ID -----------------------
@@ -255,6 +283,21 @@ object SparkEntry {
       graft.text.Corpus.spanDedup(
           Tables.spread(t(s, dir, "documents")), "doc_id", "text",
           span = 8, minDocs = 2)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus: C4-style line-level exact dedup. The synthetic corpus has
+    // no newlines, so each doc is wrapped in a shared export header + a
+    // per-lang footer: the header dedups out of every doc, the footer out of
+    // every same-lang doc, and the body survives unless the raw text itself
+    // is an exact duplicate (the d1 dup pairs) ----------------------------
+    "d11_line_dedup" -> ((s, dir) => {
+      val docs = Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), concat_ws("\n",
+          lit("generated corpus export v1"),
+          col("text"),
+          concat(lit("language: "), col("lang"))).as("text"))
+      graft.text.Corpus.lineDedup(docs, "doc_id", "text", sep = "\n", minDocs = 2)
         .orderBy(col("doc_id"))
     }),
 
@@ -1650,6 +1693,59 @@ object SparkEntry {
            length(text) AS len_chars
          FROM documents ORDER BY doc_id""",
 
+    // t11 composes three already-hash-matched replays: t2's quality
+    // expression, d1's md5 duplicate groups, and q8's CUBE+GROUPING shape.
+    // Integer metrics are exact; the two divisions round at 6 decimals on
+    // both sides. sum over BIGINT CASTs back from DuckDB HUGEINT.
+    "t11_corpus_report" ->
+      """WITH base AS (
+           SELECT doc_id, text, source, lang, md5(text) AS h,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks,
+             length(text) AS lc
+           FROM documents),
+         parts AS (
+           SELECT source, lang, h,
+             CAST(len(toks) AS BIGINT) AS ntok_i,
+             CAST(len(toks) AS DOUBLE) AS ntok,
+             CASE WHEN lc = 0 THEN 0.0
+                  ELSE CAST(lc - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / lc END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, t -> list_contains(
+                    ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be'], t))) AS DOUBLE) / len(toks) END AS sr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(toks) END AS mtl
+           FROM base),
+         q AS (
+           SELECT source, lang, h, ntok_i,
+             least(ntok / 20.0, 1.0) * 0.4 +
+             greatest(1.0 - pr * 4, 0.0) * 0.3 +
+             least(sr * 5, 1.0) * 0.2 +
+             (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.1 AS quality
+           FROM parts),
+         dups AS (
+           SELECT h, CASE WHEN count(*) > 1 THEN 1 ELSE 0 END AS dup
+           FROM base GROUP BY 1)
+         SELECT source, lang, count(*) AS n_docs,
+           CAST(sum(ntok_i) AS BIGINT) AS n_tokens,
+           round(avg(quality), 6) AS avg_quality,
+           round(CAST(sum(dup) AS DOUBLE) / count(*), 6) AS dup_rate,
+           CAST(GROUPING(source, lang) AS BIGINT) AS gid
+         FROM q JOIN dups USING (h)
+         GROUP BY CUBE (source, lang)
+         ORDER BY gid, source, lang""",
+
+    // exact distinct counts replay in DuckDB; the booleans are asserted
+    // literally TRUE — Spark computes them from the sketch guarantees, so a
+    // hash match certifies the estimates landed inside their bounds
+    "a10_sketch_bounds" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS hll_within_eps,
+           TRUE AS acd_within_eps,
+           TRUE AS p95_within_bounds
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY 1 ORDER BY 1""",
@@ -1819,6 +1915,25 @@ object SparkEntry {
          d AS (SELECT unit FROM u GROUP BY unit HAVING count(DISTINCT doc_id) >= 2),
          kept AS (SELECT u.* FROM u ANTI JOIN d USING (unit)),
          k AS (SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept FROM kept GROUP BY doc_id),
+         tot AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY doc_id)
+         SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,
+                t.n_units, t.n_units - coalesce(k.n_kept, 0) AS n_removed
+         FROM tot t LEFT JOIN k USING (doc_id) ORDER BY doc_id""",
+
+    // d11: line-level exact dedup over the header/body/footer wrapping —
+    // same ≥2-distinct-docs rule as d10, units are chr(10)-split lines
+    "d11_line_dedup" ->
+      """WITH aug AS (SELECT doc_id,
+             'generated corpus export v1' || chr(10) || text || chr(10) ||
+               'language: ' || lang AS text
+           FROM documents),
+         u0 AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM aug),
+         u1 AS (SELECT doc_id, lines, unnest(range(0, len(lines))) AS pos FROM u0),
+         u AS (SELECT doc_id, pos, lines[CAST(pos+1 AS INT)] AS unit FROM u1),
+         d AS (SELECT unit FROM u GROUP BY unit HAVING count(DISTINCT doc_id) >= 2),
+         kept AS (SELECT u.* FROM u ANTI JOIN d USING (unit)),
+         k AS (SELECT doc_id, string_agg(unit, chr(10) ORDER BY pos) AS clean_text,
                  count(*) AS n_kept FROM kept GROUP BY doc_id),
          tot AS (SELECT doc_id, count(*) AS n_units FROM u GROUP BY doc_id)
          SELECT t.doc_id, coalesce(k.clean_text, '') AS clean_text,

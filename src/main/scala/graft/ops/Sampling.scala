@@ -18,10 +18,11 @@ object Sampling {
     * 1/131072 of 1.0 keep 65535/65536 of rows (documented granularity). */
   private[ops] def hexThreshold(rate: Double): String = {
     require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
-    // a positive rate below the 1/65536 granularity would round to "0000"
-    // and silently keep ZERO rows — fail fast instead of sampling nothing
-    require(rate == 0 || rate >= 1.0 / 65536,
-      f"rate $rate%g is below the 1/65536 sampling granularity (would keep 0 rows); " +
+    // a positive rate below half the 1/65536 granularity rounds to "0000"
+    // and silently keeps ZERO rows — fail fast instead of sampling nothing.
+    // Rates in [1/131072, 1/65536) round UP to one granule and stay legal.
+    require(rate == 0 || math.round(rate * 65536) > 0,
+      f"rate $rate%g rounds to 0 at the 1/65536 sampling granularity (would keep 0 rows); " +
         "use rate = 0 for none or widen the key-hash prefix")
     f"${math.min(65535L, math.round(rate * 65536)).toInt}%04x"
   }

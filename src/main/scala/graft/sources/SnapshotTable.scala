@@ -45,15 +45,21 @@ object SnapshotTable {
   final case class Manifest(version: Int, op: String, schema: StructType,
       files: Seq[String])
 
+  /** `Files.list` with guaranteed close — the returned stream holds an open
+    * directory fd until closed; leaking one per commit exhausts the limit. */
+  private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** Largest committed version, 0 if none. */
   def latestVersion(root: String): Int = {
     val dir = manifestDir(root)
     if (!Files.isDirectory(dir)) 0
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    else listDir(dir)(_.map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
         s.stripPrefix("v").stripSuffix(".txt").toInt }
-      .foldLeft(0)(math.max)
+      .foldLeft(0)(math.max))
   }
 
   def readManifest(root: String, version: Int): Manifest = {
@@ -74,17 +80,28 @@ object SnapshotTable {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     Files.createDirectories(manifestDir(root))
     Files.createDirectories(dataDir(root))
-    // 1. stage: write part files, then move under a commit-unique prefix
+    // 1. stage: write part files UNDER THE TABLE ROOT (same filesystem as
+    // data/, so the ATOMIC_MOVE rename below is guaranteed to be supported —
+    // java.io.tmpdir may live on a different mount), then move under a
+    // commit-unique prefix
     val commitId = UUID.randomUUID().toString.take(8)
-    val staging = Files.createTempDirectory(s"graft-snap-$commitId")
-    df.write.mode("overwrite").parquet(staging.toString)
-    val staged = Files.list(staging).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map { p =>
-        val name = s"$commitId-${p.getFileName}"
-        Files.move(p, dataDir(root).resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        name
-      }.toSeq.sorted
+    val staging = Paths.get(root, "_staging", commitId)
+    Files.createDirectories(staging)
+    val staged =
+      try {
+        df.write.mode("overwrite").parquet(staging.toString)
+        listDir(staging)(_.filter(_.getFileName.toString.endsWith(".parquet"))
+          .map { p =>
+            val name = s"$commitId-${p.getFileName}"
+            Files.move(p, dataDir(root).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+            name
+          }.toSeq.sorted)
+      } finally {
+        // drop the staging dir (and Spark's _SUCCESS/.crc leftovers) whether
+        // or not the commit below succeeds — data files already moved out
+        listDir(staging)(_.foreach(Files.deleteIfExists(_)))
+        Files.deleteIfExists(staging)
+      }
     // 2. commit: atomic create-new of the next version; losers re-base
     val schemaJson = df.schema.json
     var committed = -1

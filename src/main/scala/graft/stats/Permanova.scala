@@ -67,10 +67,18 @@ object Permanova {
     * per pair), so cross-engine agreement at 6 decimals is routine.
     *
     * Output (1 row): `n, g, ss_total, ss_within, pseudo_f` (rounded to 6).
+    *
+    * @param broadcastMaxRows broadcast the build side only when the cohort
+    *   has at most this many rows (checked with an early-stopping
+    *   `limit(max+1).count`). Above it the hint is dropped and the
+    *   inequality join degrades to a block-partitioned cartesian product —
+    *   O(n²) work, as PERMANOVA inherently is, but spread over executors
+    *   instead of OOMing the driver with an oversized broadcast.
     */
   def pseudoFDF(df: DataFrame, idCol: String, groupCol: String,
-      featureCols: Seq[String]): DataFrame = {
+      featureCols: Seq[String], broadcastMaxRows: Long = 500000L): DataFrame = {
     require(featureCols.nonEmpty, "need at least one feature column")
+    require(broadcastMaxRows >= 0, s"broadcastMaxRows must be ≥0, got $broadcastMaxRows")
     val base = df.select(
       col(idCol).as("id") +: col(groupCol).cast("string").as("grp") +:
         featureCols.zipWithIndex.map { case (c, i) =>
@@ -86,8 +94,15 @@ object Permanova {
     // d·d, not pow(d,2): Java Math.pow and SQL power() may differ in the
     // last ulp; an IEEE multiply is identical everywhere
     val dist = lit(1.0) - inter.cast("double") / union
+    // size guard: limit(max+1).count stops scanning once the threshold is
+    // crossed, so the check is cheap on any input size
+    val probe =
+      if (broadcastMaxRows >= Int.MaxValue - 1) Int.MaxValue
+      else (broadcastMaxRows + 1).toInt
+    val fitsBroadcast = base.limit(probe).count() <= broadcastMaxRows
+    val buildSide = if (fitsBroadcast) broadcast(side("b")) else side("b")
     val pairs = side("a")
-      .join(broadcast(side("b")), col("ida") < col("idb"))
+      .join(buildSide, col("ida") < col("idb"))
       .select(col("ga"), col("gb"),
         when(union === 0, lit(0.0)).otherwise(dist * dist).as("d2"))
     val counts = base.agg(count(lit(1)).as("n"), countDistinct(col("grp")).as("g"))

@@ -22,7 +22,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * The same banding S-curve as batch MinHash applies: a pair agreeing on
   * `agree/k` of slots collides in some band with probability
-  * 1-(1-(agree/k)^rowsPerBand)^bands. */
+  * 1-(1-(agree/k)^rowsPerBand)^bands.
+  *
+  * A pair colliding in SEVERAL bands is emitted exactly once, by its OWNING
+  * band — the lowest band index on which the two full signatures' band keys
+  * agree, recomputable locally in every colliding bucket from the stored
+  * signatures (matching the batch twin's one-row-per-pair contract). If the
+  * owning band's bucket dropped the earlier doc to the `maxBucketSize` cap,
+  * that pair is lost, as any capped bucket's pairs already are. */
 object StreamingNearDup {
 
   final case class DocArrival(doc_id: Long, ts: java.sql.Timestamp,
@@ -55,11 +62,17 @@ object StreamingNearDup {
           .as(Seq("band", "key")))
       .withWatermark("ts", lateness)
       .as[DocArrival]
+    // lowest band on which the two signatures' band keys agree — the band
+    // that OWNS (solely emits) the pair; defined whenever the pair collides
+    // anywhere, so `.get` is safe at every call site below
+    def owningBand(x: Seq[String], y: Seq[String]): Int =
+      (0 until bands).find(b => (0 until rowsPerBand)
+        .forall(r => x(b * rowsPerBand + r) == y(b * rowsPerBand + r))).get
     banded
       .groupByKey(a => (a.band, a.key))
       .flatMapGroupsWithState[Bucket, Match](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
-        (_: (Int, String), rows: Iterator[DocArrival], state: GroupState[Bucket]) =>
+        (bandKey: (Int, String), rows: Iterator[DocArrival], state: GroupState[Bucket]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val arrivals = rows.toSeq.sortBy(a => (a.ts.getTime, a.doc_id))
@@ -68,7 +81,8 @@ object StreamingNearDup {
             arrivals.foreach { a =>
               var i = 0
               while (i < bucket.ids.size) {
-                if (bucket.ids(i) != a.doc_id) {
+                if (bucket.ids(i) != a.doc_id &&
+                    owningBand(a.sig, bucket.sigs(i)) == bandKey._1) {
                   val agree = bucket.sigs(i).zip(a.sig).count(p => p._1 == p._2)
                   if (agree >= minAgree) out += Match(a.doc_id, bucket.ids(i), agree)
                 }

@@ -26,11 +26,16 @@ object Corpus {
   def chunkMap(df: DataFrame, idCol: String, textCol: String,
       budget: Int, orderCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val ord = col(orderCol.getOrElse(idCol))
-    val w = Window.orderBy(ord)
-    df.select(col(idCol), TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // ROWS frame + idCol tie-break: the default RANGE frame sums ALL rows
+    // tied on orderCol into each peer's running offset (overlapping chunks,
+    // silently); a ROWS frame over a total order counts each doc once
+    val w = Window.orderBy(col("__ord"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(orderCol.getOrElse(idCol)).as("__ord"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("start_offset",
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
+      .drop("__ord")
       .withColumn("start_chunk", (col("start_offset") / budget).cast("long"))
       .withColumn("end_chunk",
         (greatest(col("start_offset") + col("n_tokens") - 1, col("start_offset"))

@@ -40,9 +40,12 @@ class SamplingSpec extends SparkSpec {
 
   test("sub-granularity positive rates fail fast instead of sampling nothing") {
     intercept[IllegalArgumentException](Sampling.hexThreshold(1e-6))
-    // the boundary cases stay legal
+    // the boundary cases stay legal; [1/131072, 1/65536) rounds UP to one
+    // granule rather than throwing (it keeps rows, just coarsely)
     assert(Sampling.hexThreshold(0.0) == "0000")
     assert(Sampling.hexThreshold(1.0 / 65536) == "0001")
+    assert(Sampling.hexThreshold(1.0 / 131072) == "0001")
+    intercept[IllegalArgumentException](Sampling.hexThreshold(0.999 / 131072))
   }
 
   test("stratifiedHashSample applies per-stratum rates and drops unlisted strata") {

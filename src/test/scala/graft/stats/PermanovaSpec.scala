@@ -48,4 +48,19 @@ class PermanovaSpec extends SparkSpec {
     assert(dist._1 == 30L && dist._2 == 3L)
     assert(math.abs(dist._3 - driver) < 1e-6, s"df=$dist driver=$driver")
   }
+
+  test("pseudoFDF non-broadcast path (guard tripped) equals the broadcast path") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 25).map { i =>
+      (i.toLong, if (i % 2 == 0) "A" else "B",
+        rng.nextBoolean(), rng.nextBoolean(), rng.nextBoolean())
+    }.toDF("id", "grp", "f1", "f2", "f3")
+    val cols = Seq("f1", "f2", "f3")
+    val bc = Permanova.pseudoFDF(rows, "id", "grp", cols)
+      .collect().head.toSeq
+    // broadcastMaxRows=0 forces the degraded (cartesian) plan
+    val noBc = Permanova.pseudoFDF(rows, "id", "grp", cols, broadcastMaxRows = 0L)
+      .collect().head.toSeq
+    assert(bc == noBc, s"broadcast=$bc cartesian=$noBc")
+  }
 }

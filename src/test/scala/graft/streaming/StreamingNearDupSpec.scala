@@ -29,8 +29,9 @@ class StreamingNearDupSpec extends SparkSpec {
           "completely unrelated content about spark catalyst plans and "
             + "shuffle exchanges in distributed queries"))
       q.processAllAvailable()
+      // one row per PAIR (not per colliding band): no .distinct needed
       val got = spark.table("neardup_test").as[StreamingNearDup.Match]
-        .collect().map(m => (m.doc_id, m.dup_of)).distinct.toSeq
+        .collect().map(m => (m.doc_id, m.dup_of)).toSeq
       assert(got == Seq((2L, 1L)), got.toString)
     } finally q.stop()
   }
@@ -48,9 +49,8 @@ class StreamingNearDupSpec extends SparkSpec {
       input.addData(Doc(2L, ts("2024-01-01 10:01:00"), base))
       q.processAllAvailable()
       val got = spark.table("neardup_exact").as[StreamingNearDup.Match].collect()
-      // all 4 bands collide -> up to 4 duplicate emissions, all agree=8
-      assert(got.nonEmpty && got.forall(m =>
-        m.doc_id == 2L && m.dup_of == 1L && m.agree == 8), got.mkString(","))
+      // all 4 bands collide, but band 0 OWNS the pair -> exactly one emission
+      assert(got.toSeq == Seq(StreamingNearDup.Match(2L, 1L, 8)), got.mkString(","))
     } finally q.stop()
   }
 

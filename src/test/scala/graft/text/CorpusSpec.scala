@@ -24,6 +24,20 @@ class CorpusSpec extends SparkSpec {
       (4L, 2L, 8L, 2L, 2L)), got.toString)
   }
 
+  test("chunkMap with a non-unique orderCol: ties don't overlap offsets") {
+    // both docs share order=1; the RANGE-frame bug summed BOTH into each
+    // peer's running offset, giving (3,3) instead of disjoint (0,3)
+    val docs = Seq(
+      (1L, "a b c", 1), (2L, "d e", 1), (3L, "f", 2))
+      .toDF("doc_id", "text", "ord")
+    val got = Corpus.chunkMap(docs, "doc_id", "text", budget = 4,
+        orderCol = Some("ord"))
+      .orderBy($"doc_id")
+      .select("doc_id", "start_offset")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 3L), (3L, 5L)), got.toString)
+  }
+
   test("contamination flags train docs sharing n-gram shingles with eval") {
     val eval = Seq((100L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
