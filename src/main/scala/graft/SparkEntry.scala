@@ -31,6 +31,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Fixed IVF probe centroids (n5): 8 centroids × dim 64, values
+    * (((c·13 + j·5) mod 11) − 5)/8 — dyadic rationals whose 3-decimal
+    * literals parse to identical doubles in Spark and DuckDB. */
+  private lazy val ivfFixedCentroids: Array[(Int, Seq[Double])] =
+    Array.tabulate(8)(c => (c, Seq.tabulate(64)(j => (((c * 13 + j * 5) % 11) - 5) / 8.0)))
+
+  /** The same centroids as a DuckDB VALUES list literal. */
+  private lazy val ivfCentroidValues: String = ivfFixedCentroids.map {
+    case (cid, v) => s"($cid, [${v.map(x => f"$x%.3f").mkString(", ")}])"
+  }.mkString(",\n           ")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Multi-join +
     * aggregation: revenue per nation (broadcast dims, shuffled fact join). */
   def entry(spark: SparkSession): DataFrame =
@@ -413,6 +424,22 @@ object SparkEntry {
           minCosine = 0.9, nBits = 12, dim = 64, tables = 8)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- similarity: IVF probe with FIXED centroids — the k-means stage of
+    // n3 is engine-specific, but with centroids pinned to literals the
+    // assign→probe→rank pipeline is pure relational math, so THIS entry
+    // carries the DuckDB oracle for the IVF probe path (n3 stays the
+    // end-to-end demo). Dyadic-rational centroids rebuild identical doubles
+    // from the same decimal literals in both engines. ---------------------
+    "n5_ivf_probe" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      val assigned = Embeddings.assignFixedCentroids(emb, "embedding", ivfFixedCentroids)
+      Embeddings.ivfTopK(assigned, "vec_id", "embedding",
+          emb.where(col("vec_id") < 8), "vec_id", "embedding",
+          ivfFixedCentroids, nProbe = 3, k = 5)
+        .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // ---- §2.2 P7-P9 rename/drop batch -----------------------------------
@@ -1436,6 +1463,38 @@ object SparkEntry {
          scored AS (
            SELECT q.query_id, c.vec_id AS corpus_id, list_dot_product(c.uvec, q.qu) AS cos
            FROM u c CROSS JOIN q WHERE c.vec_id != q.query_id),
+         ranked AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS "rank"
+           FROM scored)
+         SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 5
+         ORDER BY query_id, "rank"""",
+
+    // n5: IVF probe with literal centroids — assignment (argmax dot with
+    // cid tie-break), nProbe=3 probe join, per-query rank. Rank-only output
+    // (like n1): ordering needs bit-identical dots, which sequential
+    // list_dot_product over the same doubles provides.
+    "n5_ivf_probe" ->
+      s"""WITH cents AS (
+           SELECT * FROM (VALUES $ivfCentroidValues) t(cid, cvec)),
+         uv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM uv),
+         u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uvec FROM nr WHERE nrm > 0),
+         ca AS (
+           SELECT vec_id, uvec, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY list_dot_product(uvec, cvec) DESC, cid) AS rn
+           FROM u CROSS JOIN cents),
+         assigned AS (SELECT vec_id, uvec, cid AS centroid_id FROM ca WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, uvec AS qu, cid AS centroid_id
+                    FROM ca WHERE vec_id < 8 AND rn <= 3),
+         scored AS (
+           SELECT p.query_id, a.vec_id AS corpus_id,
+                  list_dot_product(a.uvec, p.qu) AS cos
+           FROM assigned a JOIN probes p USING (centroid_id)
+           WHERE a.vec_id != p.query_id),
          ranked AS (
            SELECT query_id, corpus_id,
                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS "rank"

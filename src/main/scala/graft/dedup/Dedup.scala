@@ -311,17 +311,20 @@ object Dedup {
     * of the corpus (bounded by the candidate generator's banding), so up to
     * `driverMaxEdges` edges (~a few hundred MB) the closure runs as a
     * driver-side union-find — O(E·α) and free of per-round scheduling cost.
-    * Beyond that it iterates distributed min-label propagation: each round
-    * is ONE shuffle on node id over the id-only edge list, fixpoint-checked
-    * with a 1-row count. Near-dup graphs converge in a few rounds (cluster
-    * members share content, so diameters are tiny); `maxIter` guards
-    * pathological chains — for genuinely high-diameter graphs prefer the
-    * large-star/small-star formulation (Kiveris et al. 2014), which
-    * converges in O(log n) rounds.
+    * Beyond that it runs the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond", 2014),
+    * which contracts the graph toward per-component min-rooted stars and
+    * converges in O(log n) rounds even on high-diameter graphs (a path of
+    * length d needs ~log d rounds, where label propagation needs d). Each
+    * round is two grouped min-aggregations + two joins, all keyed on node
+    * id. Hitting `maxIter` without the star fixpoint THROWS rather than
+    * returning silently-wrong labels.
     *
     * The edge list materializes into cache ONCE up front — candidate
     * generators (LSH banding, MinHash) are expensive lineages that must not
-    * re-derive per round or per union branch. */
+    * re-derive per round or per union branch. The returned frame is
+    * eagerly `localCheckpoint`ed on the distributed path, so no loop cache
+    * leaks to the caller. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 25, driverMaxEdges: Long = 5000000L): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
@@ -330,7 +333,7 @@ object Dedup {
     val edgeCount = e.count()
     try {
       if (edgeCount <= driverMaxEdges) ccUnionFind(e)
-      else ccPropagate(e, maxIter)
+      else ccAlternating(e, maxIter)._1
     } finally e.unpersist(blocking = false)
   }
 
@@ -370,32 +373,75 @@ object Dedup {
       org.apache.spark.sql.types.StructField("comp", dt))))
   }
 
-  /** Distributed min-label-propagation path (see [[connectedComponents]]). */
-  private def ccPropagate(e: DataFrame, maxIter: Int): DataFrame = {
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+  /** Distributed large-star/small-star path (see [[connectedComponents]]).
+    *
+    * Invariants per Kiveris et al. 2014: large-star(u) links every
+    * strictly-larger neighbor of u to min(Γ(u) ∪ u); small-star(u) links
+    * every parent of u (all < u after large-star) and u itself to the
+    * smallest parent. Both preserve connectivity; alternating them reaches
+    * the unique fixpoint — one star per component, centered at its minimum
+    * node — in O(log n) rounds. Fixpoint test: the (distinct, canonical
+    * child>parent) edge set of a round equals the previous round's, checked
+    * with one anti-join each way (both sets are cached and tiny by then).
+    *
+    * Returns (labels, rounds); labels is eagerly localCheckpoint-ed so all
+    * loop caches are released before returning. */
+  private[dedup] def ccAlternating(e: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    // canonical directed edges child > parent (ids are any orderable type).
+    // Each round's edge set is EAGERLY localCheckpoint-ed: a cache alone
+    // keeps the full logical plan, which grows ~8× per round (sym/mins/
+    // large/next each re-reference the previous round several times) and
+    // OOMs plan stringification after ~10 rounds; checkpointing resets the
+    // plan to a leaf. Superseded checkpoints are freed by the context
+    // cleaner once unreferenced.
+    var cur = e.where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("c"), least(col("a"), col("b")).as("p"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("a").as("id")).union(e.select(col("b").as("id")))
       .distinct().cache()
-    sym.count() // full materialization; e is already cached so this is cheap
-    var labels = sym.select(col("a").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).cache()
     var iter = 0
-    var converged = false
+    var converged = cur.isEmpty // no edges → already a (trivial) star forest
     while (!converged && iter < maxIter) {
       iter += 1
-      val nbrMin = sym.join(labels.withColumnRenamed("id", "b"), Seq("b"))
-        .groupBy(col("a").as("id")).agg(min(col("comp")).as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
-          (col("comp") > coalesce(col("nbr_comp"), col("comp")))
-            .cast("long").as("__chg"))
-        .cache()
-      val changed = next.agg(sum(col("__chg"))).collect()(0)
-      converged = changed.isNullAt(0) || changed.getLong(0) == 0L
-      labels.unpersist(blocking = false)
-      labels = next.select(col("id"), col("comp"))
+      // large-star over the symmetric view: m(u) = min(Γ(u) ∪ u); emit
+      // (v, m(u)) for neighbors v > u
+      val sym = cur.select(col("c").as("u"), col("p").as("v"))
+        .union(cur.select(col("p").as("u"), col("c").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("c"), col("m").as("p"))
+        .where(col("c") =!= col("p")).distinct()
+      // small-star over parent pointers: per child c, m = min parents;
+      // re-link every other parent and c itself to m
+      val pmin = large.groupBy(col("c")).agg(min(col("p")).as("m"))
+      val relinked = large.join(pmin, Seq("c"))
+        .where(col("p") =!= col("m"))
+        .select(col("p").as("c"), col("m").as("p"))
+      val next = pmin.select(col("c"), col("m").as("p"))
+        .union(relinked).where(col("c") =!= col("p")).distinct()
+        .localCheckpoint(true)
+      // fixpoint: edge sets equal (both distinct & materialized → two
+      // anti-joins over checkpointed leaves)
+      converged =
+        next.join(cur, Seq("c", "p"), "left_anti").isEmpty &&
+        cur.join(next, Seq("c", "p"), "left_anti").isEmpty
+      cur = next
     }
-    sym.unpersist(blocking = false)
-    labels
+    if (!converged) {
+      nodes.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connected components did not reach the star fixpoint in $maxIter rounds; " +
+          "raise maxIter (rounds needed ≈ log2 of the largest component diameter)")
+    }
+    // star forest: every non-root has exactly one parent (its component
+    // min); roots and isolated nodes label themselves
+    val labels = nodes.join(cur.select(col("c").as("id"), col("p")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("p"), col("id")).as("comp"))
+      .localCheckpoint(true)
+    nodes.unpersist(blocking = false)
+    (labels, iter)
   }
 
   /** Near-dup dedup closure: keep ONE representative (the minimum id) per

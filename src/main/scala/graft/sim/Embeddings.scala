@@ -172,6 +172,27 @@ object Embeddings {
     (model.transform(feat).drop("__features"), centers)
   }
 
+  /** Assign each row to the centroid maximizing dot(unit vector, centroid)
+    * from a FIXED literal centroid table — the k-means-free IVF assignment:
+    * with centroids pinned, the whole probe pipeline is pure relational
+    * math, replayable (and oracle-checkable) on any SQL engine. Ties break
+    * to the lowest centroid id (array_sort is stable; the array is built in
+    * cid order). Rows whose vector has zero norm get a null centroid_id. */
+  def assignFixedCentroids(df: DataFrame, vecCol: String,
+      centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val centroidArr = array(centroids.toSeq.map { case (id, c) =>
+      struct(lit(id).as("cid"), array(c.map(lit): _*).as("cvec"))
+    }: _*)
+    withUnit(df, vecCol)
+      .withColumn("centroid_id", when(col("__vec").isNotNull,
+        element_at(array_sort(centroidArr, (l, r) =>
+          when(dot(col("__vec"), l("cvec")) > dot(col("__vec"), r("cvec")), -1)
+            .when(dot(col("__vec"), l("cvec")) < dot(col("__vec"), r("cvec")), 1)
+            .otherwise(0)), 1)("cid")))
+      .drop("__vec")
+  }
+
   /** Driver-side union of the centroid ids a query batch will probe — the
     * partition-pruning companion to [[ivfTopK]]: store the assigned corpus
     * `partitionBy("centroid_id")`, filter it to these ids before the probe

@@ -171,6 +171,79 @@ object FDR {
     sabha(pvals, qhat, alpha, tau).toSeq.sorted.map(labels)
   }
 
+  /** TV-constrained q̂ (`Solve_q_TV`, R :133-142): SABHA with a total-
+    * variation budget over an adjacency graph — the constraint is
+    * Σ_edges |q[a] − q[b]| ≤ tvBound. Unlike block/ordered, the auxiliary
+    * split variable lives in EDGE space (x = Mq with M the signed incidence
+    * matrix), so this uses the general-M ADMM ([[admmEdges]]) with the
+    * L1-ball projection (`create_L1_function`, R :144-160).
+    *
+    * Convergence requires η ≥ λmax(MᵀM); MᵀM is the graph Laplacian, whose
+    * spectrum is bounded by 2·maxDegree (Gershgorin), so η is raised to
+    * that bound when the caller's value is below it (the reference never
+    * runs this path and ships η tuned for M = I). */
+  def solveQTV(pvals: Array[Double], tau: Double, eps: Double,
+      edges: Array[(Int, Int)], tvBound: Double,
+      params: AdmmParams = AdmmParams()): Array[Double] = {
+    require(tvBound >= 0, s"tvBound must be ≥0, got $tvBound")
+    require(edges.forall { case (a, b) =>
+      a >= 0 && a < pvals.length && b >= 0 && b < pvals.length && a != b },
+      "edges must reference distinct in-range node indices")
+    val deg = new Array[Int](pvals.length)
+    edges.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    val etaSafe = math.max(params.eta, 2.0 * (if (deg.isEmpty) 1 else deg.max))
+    admmEdges(pvals, tau, eps, edges, l1Projection(tvBound),
+      params.copy(eta = etaSafe))
+  }
+
+  /** 1-d chain TV (`Solve_q_TV_1dim`, R :116-119): edges (i, i+1). */
+  def solveQTV1d(pvals: Array[Double], tau: Double, eps: Double,
+      tvBound: Double, params: AdmmParams = AdmmParams()): Array[Double] =
+    solveQTV(pvals, tau, eps,
+      Array.tabulate(math.max(0, pvals.length - 1))(i => (i, i + 1)),
+      tvBound, params)
+
+  /** 2-d grid TV (`Solve_q_TV_2dim`, R :121-131): `pvals(i)(j)` is the
+    * (row i, column j) entry of an n1×n2 matrix; horizontal + vertical
+    * 4-neighbour edges. Returns q̂ flattened COLUMN-major (index i + j·n1),
+    * matching R's `c(Pvals)` vectorization. */
+  def solveQTV2d(pvals: Array[Array[Double]], tau: Double, eps: Double,
+      tvBound: Double, params: AdmmParams = AdmmParams()): Array[Double] = {
+    val n1 = pvals.length
+    require(n1 > 0 && pvals.forall(_.length == pvals(0).length),
+      "pvals must be a non-empty rectangular matrix")
+    val n2 = pvals(0).length
+    def ind(i: Int, j: Int) = i + j * n1
+    val flat = Array.tabulate(n1 * n2)(k => pvals(k % n1)(k / n1))
+    val horiz = for { i <- 0 until n1; j <- 0 until n2 - 1 }
+      yield (ind(i, j), ind(i, j + 1))
+    val vert = for { j <- 0 until n2; i <- 0 until n1 - 1 }
+      yield (ind(i, j), ind(i + 1, j))
+    solveQTV(flat, tau, eps, (horiz ++ vert).toArray, tvBound, params)
+  }
+
+  /** min{½||x−y||² : ||x||₁ ≤ bound} (`create_L1_function`, R :144-160):
+    * soft-threshold at the water-filling level θ when outside the ball. */
+  private[stats] def l1Projection(bound: Double)(y: Array[Double]): Array[Double] = {
+    if (y.map(math.abs).sum <= bound) y
+    else if (bound == 0.0) Array.fill(y.length)(0.0) // the water level θ is undefined at radius 0
+    else {
+      val mu = y.map(math.abs).sorted(Ordering[Double].reverse)
+      val cum = mu.scanLeft(0.0)(_ + _).drop(1)
+      var xi = 0
+      var j = 0
+      while (j < mu.length) {
+        if (mu(j) - (cum(j) - bound) / (j + 1) > 0) xi = j + 1
+        j += 1
+      }
+      val theta = (cum(xi - 1) - bound) / xi
+      y.map { v =>
+        val t = math.abs(v) - theta
+        if (t > 0) t * math.signum(v) else 0.0
+      }
+    }
+  }
+
   /** Ordered q̂ (`Solve_q_ordered`, R :32-37): ε ≤ q₁ ≤ … ≤ qₙ ≤ 1 — the
     * variant for hypotheses pre-sorted by prior likelihood of signal. Always
     * runs ADMM with the PAVA projection (the R original has no feasible-init
@@ -272,6 +345,85 @@ object FDR {
       }
       // dual updates
       u = Array.tabulate(n)(i => u(i) + p.alpha * (q(i) - x(i)))
+      v = Array.tabulate(n)(i => v(i) + p.beta * (q(i) - y(i)))
+      val conv = Seq(relDiff(q, q0), relDiff(x, x0), relDiff(y, y0),
+        relDiff(u, u0), relDiff(v, v0)).max
+      if (conv <= p.convergeThr || iter >= p.maxIters) stop = true
+    }
+    q
+  }
+
+  /** General-M ADMM (`Solve_q_ADMM`, R :166-213) with M the signed edge
+    * incidence matrix held sparsely as `edges`: row k of M has +1 at
+    * `edges(k)._1` and −1 at `edges(k)._2`. The split variables x, u live in
+    * edge space and `projection` acts there (the TV/L1 ball); everything
+    * else — q/y/v updates, the inverse-sum prox on the masked hypotheses,
+    * the 5-vector relative-diff convergence test — is the reference's
+    * update order verbatim. [[admm]] stays as the specialized M = I path
+    * (block/ordered projections), where MᵀM = I collapses the formulas. */
+  private[stats] def admmEdges(pvals: Array[Double], tau: Double, eps: Double,
+      edges: Array[(Int, Int)], projection: Array[Double] => Array[Double],
+      p: AdmmParams): Array[Double] = {
+    val n = pvals.length
+    val ne = edges.length
+    val big = pvals.map(_ > tau)
+    val gamma = n * (1 - tau)
+    var q = Array.fill(n)(1.0)
+    var y = Array.fill(n)(1.0)
+    var v = Array.fill(n)(0.0)
+    var u = Array.fill(ne)(0.0)
+    var x = Array.fill(ne)(0.0)
+    val ab = p.alpha * p.eta + p.beta
+
+    def mq(qv: Array[Double]): Array[Double] = {
+      val out = new Array[Double](ne)
+      var i = 0
+      while (i < ne) { out(i) = qv(edges(i)._1) - qv(edges(i)._2); i += 1 }
+      out
+    }
+    def mT(z: Array[Double]): Array[Double] = {
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < ne) { out(edges(i)._1) += z(i); out(edges(i)._2) -= z(i); i += 1 }
+      out
+    }
+    def relDiff(a: Array[Double], b: Array[Double]): Double = {
+      var num = 0.0; var den = 1.0
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); num += d * d; den += b(i) * b(i); i += 1 }
+      math.sqrt(num) / math.sqrt(den)
+    }
+
+    var iter = 0
+    var stop = false
+    while (!stop) {
+      iter += 1
+      val (q0, x0, y0, u0, v0) = (q, x, y, u, v)
+      // q-update (R :249-262): w = −(Mᵀ(u + α(Mq₀ − x)) + v − βy − αηq₀)/ab
+      val mq0 = mq(q0)
+      val mtv = mT(Array.tabulate(ne)(i => u(i) + p.alpha * (mq0(i) - x(i))))
+      q = Array.tabulate(n) { i =>
+        val w = -(mtv(i) + (v(i) - p.beta * y(i) - p.alpha * p.eta * q0(i))) / ab
+        val qi =
+          if (big(i)) (w + math.sqrt(w * w + 4 / ab)) / 2
+          else {
+            val inv = 1 / (1 - tau)
+            ((w + inv) - math.sqrt((w - inv) * (w - inv) + 4 / ab)) / 2
+          }
+        math.min(1.0, math.max(eps, qi))
+      }
+      // x-update: Proj(Mq + u/α) in edge space
+      val mqn = mq(q)
+      x = projection(Array.tabulate(ne)(i => mqn(i) + u(i) / p.alpha))
+      // y-update: q + v/β with inverse-sum prox on the B indices
+      y = Array.tabulate(n)(i => q(i) + v(i) / p.beta)
+      val bIdx = big.indices.filter(big(_)).toArray
+      if (bIdx.nonEmpty) {
+        val proxed = inverseSumProx(bIdx.map(y), gamma)
+        bIdx.zipWithIndex.foreach { case (bi, j) => y(bi) = proxed(j) }
+      }
+      // dual updates
+      u = Array.tabulate(ne)(i => u(i) + p.alpha * (mqn(i) - x(i)))
       v = Array.tabulate(n)(i => v(i) + p.beta * (q(i) - y(i)))
       val conv = Seq(relDiff(q, q0), relDiff(x, x0), relDiff(y, y0),
         relDiff(u, u0), relDiff(v, v0)).max

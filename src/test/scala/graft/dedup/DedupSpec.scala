@@ -130,6 +130,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star: O(log n) rounds on a long path, equals union-find") {
+    import spark.implicits._
+    val n = 512 // path diameter 511: label propagation would need ~511 rounds
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("id_a", "id_b")
+    val uf = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+    val (labelsDF, rounds) = Dedup.ccAlternating(e, maxIter = 25)
+    val labels = labelsDF.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == uf, "distributed labels must equal union-find labels")
+    assert(labels.values.toSet == Set(1L))
+    assert(rounds <= 12, s"expected O(log 512) ≈ ≤12 rounds, got $rounds")
+  }
+
+  test("ccAlternating throws (not silently-wrong labels) when maxIter is hit") {
+    import spark.implicits._
+    val edges = (1 until 64).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    intercept[IllegalStateException](Dedup.ccAlternating(edges, maxIter = 1))
+  }
+
   test("minHashMd5Pairs: identical docs agree on all slots, unrelated on few") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

@@ -75,6 +75,38 @@ class EmbeddingsQualitySpec extends SparkSpec {
     assert(rAll >= 0.85)
   }
 
+  test("IVF probe recall vs brute force: @1 ≥0.95 on true near-dups, @5 ≥0.5") {
+    // fixed dyadic-rational centroids (the n5 oracle's construction) so the
+    // measurement is deterministic; brute-force top-k is the ground truth.
+    // Queries 0..19 each have a planted tight dup (cos ≈ 0.999): the true
+    // nearest neighbor. Near-identical vectors assign to the same centroid
+    // and a query's first probe IS its own centroid, so IVF must find the
+    // planted dup — recall@1 is the guarantee. recall@5's tail is WEAK
+    // neighbors (random Gaussians, cos ≈ 0.5) whose partitions are
+    // essentially random, so it degrades toward nProbe/K — the documented
+    // cost of probing 3/8 partitions instead of scanning everything.
+    val cents = Array.tabulate(8)(c =>
+      (c, Seq.tabulate(Dim)(j => (((c * 13 + j * 5) % 11) - 5) / 8.0)))
+    val queries = df.where($"vec_id" < 20)
+    def topK(res: org.apache.spark.sql.DataFrame, k: Int): Set[(Long, Long)] =
+      res.where($"rank" <= k).select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Embeddings.bruteForceTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", 5)
+    val assigned = Embeddings.assignFixedCentroids(df, "embedding", cents)
+    val ivf = Embeddings.ivfTopK(assigned, "vec_id", "embedding",
+      queries, "vec_id", "embedding", cents, nProbe = 3, k = 5)
+    val (e1, i1) = (topK(exact, 1), topK(ivf, 1))
+    val (e5, i5) = (topK(exact, 5), topK(ivf, 5))
+    // sanity: the planted dup IS the exact nearest neighbor
+    assert(e1.forall { case (q, c) => c == q + 1000 }, e1.toString)
+    val r1 = e1.count(i1).toDouble / e1.size
+    val r5 = e5.count(i5).toDouble / e5.size
+    info(f"ivf recall@1: $r1%.3f, recall@5: $r5%.3f (nProbe=3 of 8 centroids)")
+    assert(r1 >= 0.95, f"ivf recall@1 $r1%.3f below bound")
+    assert(r5 >= 0.5, f"ivf recall@5 $r5%.3f below bound")
+  }
+
   test("LSH candidate count stays linear in n at nBits=12") {
     val n = vectors.size
     // minCosine = -1 disables the verification filter → output = ALL

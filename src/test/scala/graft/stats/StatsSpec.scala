@@ -289,6 +289,95 @@ class StatsSpec extends SparkSpec {
       s"admm ${obj(q.toIndexedSeq)} vs grid $best")
   }
 
+  test("l1Projection: feasible unchanged; else tight, idempotent, and optimal") {
+    val id = FDR.l1Projection(5.0)(Array(1.0, -2.0, 1.5))
+    assert(id.toSeq == Seq(1.0, -2.0, 1.5))
+    val rng = new scala.util.Random(13)
+    (1 to 20).foreach { _ =>
+      val y = Array.fill(2 + rng.nextInt(8))(rng.nextGaussian() * 3)
+      val bound = 0.5 + rng.nextDouble() * 2
+      val x = FDR.l1Projection(bound)(y)
+      if (y.map(math.abs).sum > bound) {
+        assert(math.abs(x.map(math.abs).sum - bound) < 1e-9, "projection must be tight")
+        // idempotent and sign-preserving
+        assert(FDR.l1Projection(bound)(x).zip(x).forall(p => math.abs(p._1 - p._2) < 1e-9))
+        assert(x.zip(y).forall { case (xi, yi) => xi == 0.0 || math.signum(xi) == math.signum(yi) })
+        // optimality: no feasible grid point on a random 2-coordinate
+        // perturbation line beats the projection distance
+        val dist = x.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+        (1 to 50).foreach { _ =>
+          val cand = x.clone()
+          val i = rng.nextInt(x.length); val j = rng.nextInt(x.length)
+          val d = (rng.nextDouble() - 0.5) * 0.2
+          cand(i) += d; cand(j) -= d * math.signum(cand(j)) * math.signum(cand(i))
+          if (cand.map(math.abs).sum <= bound) {
+            val cd = cand.zip(y).map { case (a, b) => (a - b) * (a - b) }.sum
+            assert(cd >= dist - 1e-9, s"found better feasible point: $cd < $dist")
+          }
+        }
+      }
+    }
+  }
+
+  test("solveQTV1d: TV/box/inverse-sum feasible, optimal vs step-vector grid") {
+    // objective as in the block/ordered checks: L(q) = -Σ_{p>τ} log q_i
+    //   - Σ_{p≤τ} log(1-(1-τ)q_i), s.t. ε ≤ q ≤ 1, Σ_{p>τ} 1/q_i ≤ n(1-τ),
+    //   Σ_i |q_i - q_{i+1}| ≤ TV_bd. Signal (bigs) clustered in the first
+    //   half so the optimum genuinely uses the TV budget (high q left, low
+    //   q right — a step the budget must pay for).
+    val tau = 0.5; val eps = 0.1; val tvBd = 0.5
+    val pvals = Array(0.9, 0.8, 0.7, 0.6, 0.9, 0.01, 0.02, 0.03, 0.04, 0.05)
+    val q = FDR.solveQTV1d(pvals, tau, eps, tvBd, FDR.AdmmParams(convergeThr = 1e-6))
+    val n = pvals.length; val gamma = n * (1 - tau)
+    val big = pvals.map(_ > tau)
+    assert(q.forall(v => v >= eps - 1e-3 && v <= 1 + 1e-3), q.mkString(","))
+    val tv = q.sliding(2).map(p => math.abs(p(0) - p(1))).sum
+    assert(tv <= tvBd + 1e-2, s"TV constraint violated: $tv")
+    val lhs = pvals.indices.filter(big(_)).map(i => 1.0 / q(i)).sum
+    assert(lhs <= gamma + 0.05, s"inverse-sum constraint violated: $lhs")
+    def obj(qv: IndexedSeq[Double]): Double =
+      pvals.indices.map { i =>
+        if (big(i)) -math.log(qv(i)) else -math.log(1 - (1 - tau) * qv(i))
+      }.sum
+    // brute force over 2-level step vectors (a then b, one breakpoint):
+    // a SUBSET of the TV-feasible set, so the ADMM optimum over the full
+    // set must do at least as well
+    val grid = (0 to 90).map(i => eps + i * 0.01)
+    val best = (for {
+      k <- 1 until n; a <- grid; b <- grid
+      if math.abs(a - b) <= tvBd + 1e-12
+      qv = IndexedSeq.tabulate(n)(i => if (i < k) a else b)
+      if pvals.indices.filter(big(_)).map(i => 1.0 / qv(i)).sum <= gamma + 1e-9
+    } yield obj(qv)).min
+    assert(obj(q.toIndexedSeq) <= best + 0.02, s"admm ${obj(q.toIndexedSeq)} vs grid $best")
+  }
+
+  test("solveQTV2d wires the grid edges: unconstrained-limit and constant-limit") {
+    val tau = 0.5; val eps = 0.1
+    // 2x3 grid, bigs in the left column
+    val pm = Array(Array(0.9, 0.01, 0.02), Array(0.8, 0.03, 0.04))
+    // huge TV budget → per-node optimum: q=1 on bigs, q=eps on smalls
+    val free = FDR.solveQTV2d(pm, tau, eps, tvBound = 100.0,
+      FDR.AdmmParams(convergeThr = 1e-6))
+    // column-major: index i + j*n1, n1=2 → bigs at 0,1
+    assert(math.abs(free(0) - 1.0) < 5e-3 && math.abs(free(1) - 1.0) < 5e-3,
+      free.mkString(","))
+    assert((2 to 5).forall(i => math.abs(free(i) - eps) < 5e-3), free.mkString(","))
+    // zero TV budget → q constant; compare against the best feasible constant
+    val flatQ = FDR.solveQTV2d(pm, tau, eps, tvBound = 0.0,
+      FDR.AdmmParams(convergeThr = 1e-6))
+    assert(flatQ.forall(v => math.abs(v - flatQ(0)) < 1e-2), flatQ.mkString(","))
+    val big = Array(true, true, false, false, false, false)
+    def obj(c: Double): Double =
+      big.map(b => if (b) -math.log(c) else -math.log(1 - (1 - tau) * c)).sum
+    val gamma = 6 * (1 - tau)
+    val bestC = (0 to 90).map(i => eps + i * 0.01)
+      .filter(c => big.count(identity) / c <= gamma + 1e-9)
+      .minBy(obj)
+    assert(math.abs(obj(flatQ(0)) - obj(bestC)) < 0.05,
+      s"flat ${flatQ(0)} obj ${obj(flatQ(0))} vs best constant $bestC obj ${obj(bestC)}")
+  }
+
   test("inverseSumProx: feasible input unchanged, else constraint is tight") {
     val feasible = FDR.inverseSumProx(Array(10.0, 10.0), bound = 1.0)
     assert(feasible.toSeq == Seq(10.0, 10.0))
