@@ -110,6 +110,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("n5: IVF probe joins corpus to queries on centroid_id (hash, no loop)") {
+    val p = plan("n5_ivf_probe")
+    // probe = broadcast hash join on the centroid key; the only all-pairs
+    // work is each row against the 8-element literal centroid array
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("d11: line dedup keeps the d10 plan shape (anti join, no loop)") {
+    val p = plan("d11_line_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("t11: corpus report is one Expand cube over one corpus scan + dup-flag join") {
+    val p = plan("t11_corpus_report")
+    assert(p.contains("Expand"), p)
+    // two scans of documents: the hashed base and the dup-set aggregation
+    // branch (self-join on __h) — never a scan per cube cell
+    assert("Scan parquet".r.findAllIn(p).length <= 2, p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen spans cover the relational queries") {
     Seq("q1_agg", "p2_cast_project", "e1_events_hourly").foreach { q =>
       val p = finalPlan(q)
