@@ -701,6 +701,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- data-mixing mixture sample: per-source token budgets → keep
+    // rates from one aggregation, content-hash row decisions. Budgets span
+    // rate≥1 (src0 kept whole), mid rates, and a tiny budget (src4) ------
+    "s6_mixture_sample" -> ((s, dir) => {
+      graft.ops.Sampling.mixtureSample(
+          t(s, dir, "documents"), col("source"), col("doc_id"), col("n_chars"),
+          Map("src0" -> 1000000L, "src1" -> 4000L, "src2" -> 2000L,
+            "src3" -> 6000L, "src4" -> 500L))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal: binary payload → REAL ImageIO decode → features -----
     // Each document renders to a genuine 16×16 gray PNG (pixel = char code),
     // then the feature pass decodes it with javax.imageio and grid-pools the
@@ -742,6 +754,33 @@ object SparkEntry {
         .toDF("metric", "value")
         .select(col("metric"), round(col("value"), 6).as("value"))
         .orderBy(col("metric"))
+    }),
+
+    // ---- ML: fixed-tree batch inference, the ★ twin of m1/m2 — the FIT is
+    // engine-specific (rows-only m1), but INFERENCE through the TreeScorer
+    // compiler is a codegen'd when-chain, pure relational algebra: the same
+    // literal tree scores in DuckDB as CASE WHEN, and accuracy + exact
+    // trapezoid AUC (empiricalRoc) replay bit-for-bit --------------------
+    "m3_tree_score" -> ((s, dir) => {
+      import graft.ml.TreeScorer._
+      val o = t(s, dir, "orders").select(
+        (col("o_orderstatus") === "F").as("lbl"),
+        col("o_totalprice"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("is_urgent"),
+        year(col("o_orderdate")).cast("double").as("order_year"))
+      val tree: TreeSpec = SplitLE("o_totalprice", 150000.0,
+        SplitLE("is_urgent", 0.5, Leaf(0.35), Leaf(0.65)),
+        SplitLE("order_year", 1995.5, Leaf(0.55), Leaf(0.25)))
+      // no cache: the two aggregation branches each re-scan the pruned
+      // orders columns, which is cheaper than pinning a cache for the rest
+      // of an 81-query session
+      val scored = o.withColumn("score", compile(tree))
+      val acc = scored.agg(count(lit(1)).as("n"),
+        round(avg(((col("score") >= 0.5) === col("lbl")).cast("double")), 6)
+          .as("accuracy"))
+      val roc = graft.stats.Roc.empiricalRoc(scored, col("lbl"), col("score"))
+        .select(col("auc"), col("n_pos"), col("n_neg"))
+      acc.crossJoin(roc)
     }),
 
     // ---- ML: Bayesian-sampling hyperparameter search (reference
@@ -1269,6 +1308,27 @@ object SparkEntry {
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
          ORDER BY doc_id""",
 
+    // s6: rate = min(1, target/actual) per source; threshold = the same
+    // round-half-up 4-nibble hex granule arithmetic as the Spark Column
+    // (positive doubles round identically in both engines)
+    "s6_mixture_sample" ->
+      """WITH tgt AS (
+           SELECT * FROM (VALUES ('src0', 1000000), ('src1', 4000), ('src2', 2000),
+                                 ('src3', 6000), ('src4', 500)) t(s, target)),
+         totals AS (SELECT source AS s, sum(n_chars) AS actual FROM documents GROUP BY 1),
+         rates AS (
+           SELECT s, least(1.0, CAST(target AS DOUBLE) / actual) AS rate
+           FROM totals JOIN tgt USING (s)),
+         thr AS (
+           SELECT s, rate,
+                  printf('%04x', CAST(greatest(1, least(65535, round(rate * 65536))) AS BIGINT)) AS h
+           FROM rates)
+         SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN thr ON d.source = thr.s
+         WHERE thr.rate >= 1.0
+            OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.h
+         ORDER BY d.doc_id""",
+
     // ln(99) is embedded as the JVM's Math.log value so both engines use the
     // identical double constant (C and Java libm can differ in the last ulp)
     "r10_binormal_threshold" ->
@@ -1527,6 +1587,44 @@ object SparkEntry {
                 max(b.best_t) AS threshold,
                 CAST(max(t.p) AS BIGINT) AS n_pos, CAST(max(t.n) AS BIGINT) AS n_neg
          FROM curve2 c CROSS JOIN tot t CROSS JOIN best b""",
+
+    // m3: the literal tree is the same nested comparison chain as the Spark
+    // when-compile (CASE WHEN), and AUC is r8's exact-integer trapezoid over
+    // the 4 leaf scores — the ML inference path fully replayed
+    "m3_tree_score" ->
+      """WITH scored AS (
+           SELECT (o_orderstatus = 'F') AS lbl,
+                  CASE WHEN o_totalprice <= 150000.0 THEN
+                    CASE WHEN (CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) <= 0.5
+                         THEN 0.35 ELSE 0.65 END
+                  ELSE
+                    CASE WHEN CAST(year(o_orderdate) AS DOUBLE) <= 1995.5
+                         THEN 0.55 ELSE 0.25 END
+                  END AS score
+           FROM orders),
+         acc AS (
+           SELECT count(*) AS n,
+                  round(avg(CASE WHEN (score >= 0.5) = lbl THEN 1.0 ELSE 0.0 END), 6) AS accuracy
+           FROM scored),
+         pts AS (
+           SELECT score AS threshold,
+                  count(*) FILTER (WHERE lbl) AS np,
+                  count(*) FILTER (WHERE NOT lbl) AS nn
+           FROM scored GROUP BY 1),
+         curve AS (
+           SELECT threshold, sum(np) OVER w AS tp, sum(nn) OVER w AS fp
+           FROM pts WINDOW w AS (ORDER BY threshold DESC ROWS UNBOUNDED PRECEDING)),
+         curve2 AS (
+           SELECT *, coalesce(lag(tp) OVER (ORDER BY threshold DESC), 0) AS tp_prev,
+                     coalesce(lag(fp) OVER (ORDER BY threshold DESC), 0) AS fp_prev
+           FROM curve),
+         roc AS (
+           SELECT round(CAST(sum((fp - fp_prev) * (tp + tp_prev)) AS DOUBLE)
+                        / (2.0 * max(tp) * max(fp)), 6) AS auc,
+                  CAST(max(tp) AS BIGINT) AS n_pos, CAST(max(fp) AS BIGINT) AS n_neg
+           FROM curve2)
+         SELECT acc.n, acc.accuracy, roc.auc, roc.n_pos, roc.n_neg
+         FROM acc CROSS JOIN roc""",
 
     // replicates Roc.empiricalCostThresholdDF: scaled integer cost
     // rhoNum·(P−tp)·N + (rhoDen−rhoNum)·fp·P ranks exactly in both engines;

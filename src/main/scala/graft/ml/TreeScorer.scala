@@ -1,0 +1,56 @@
+package graft.ml
+
+import org.apache.spark.ml.tree.{ContinuousSplit, InternalNode, LeafNode, Node}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Decision-tree → Column compiler: batch INFERENCE without the ML runtime.
+  *
+  * `model.transform` drags the whole spark.ml stack (vector assembly, Row →
+  * Vector conversion, per-row predictor dispatch) through the scoring scan;
+  * a depth-d tree is just d nested comparisons, which compile to a single
+  * codegen'd `when` chain that scores 100 TB inside whole-stage codegen
+  * with zero ML-runtime overhead — and, being plain relational algebra, the
+  * scored pipeline replays on any SQL engine (CASE WHEN), which is what
+  * lets the m3 query oracle the ML family's inference path in DuckDB.
+  *
+  * The reference's serving story exports its model behind a web service
+  * (`README.md:785-792` scoring discussion); this is the engine-native
+  * equivalent for bulk scoring.
+  */
+object TreeScorer {
+
+  /** Engine-neutral tree: either a leaf emitting a score, or a binary
+    * continuous split — rows with `col(feature) <= threshold` go LEFT
+    * (spark.ml `ContinuousSplit` semantics; a null comparison is false, so
+    * nulls fall RIGHT — impute upstream if that matters). */
+  sealed trait TreeSpec
+  final case class Leaf(value: Double) extends TreeSpec
+  final case class SplitLE(feature: String, threshold: Double,
+      left: TreeSpec, right: TreeSpec) extends TreeSpec
+
+  /** Compile to a nested `when` chain (one Column, codegen-friendly). */
+  def compile(t: TreeSpec): Column = t match {
+    case Leaf(v) => lit(v)
+    case SplitLE(f, thr, l, r) =>
+      when(col(f) <= lit(thr), compile(l)).otherwise(compile(r))
+  }
+
+  /** Extract a FITTED spark.ml tree into a [[TreeSpec]]; leaf value = the
+    * model's class prediction. `features` maps featureIndex → source column
+    * (the VectorAssembler input order — only valid when the tree was fit on
+    * raw assembled columns, not re-scaled ones). Categorical splits are not
+    * supported (the pipelines here assemble numeric + 0/1 columns only). */
+  def fromModel(root: Node, features: Seq[String]): TreeSpec = root match {
+    case leaf: LeafNode => Leaf(leaf.prediction)
+    case in: InternalNode => in.split match {
+      case cs: ContinuousSplit =>
+        SplitLE(features(cs.featureIndex), cs.threshold,
+          fromModel(in.leftChild, features), fromModel(in.rightChild, features))
+      case other => throw new IllegalArgumentException(
+        s"unsupported split type: ${other.getClass.getSimpleName}")
+    }
+    case other => throw new IllegalArgumentException(
+      s"unsupported node type: ${other.getClass.getSimpleName}")
+  }
+}

@@ -34,6 +34,40 @@ object Sampling {
     if (rate >= 1.0) df
     else df.where(substring(md5(key.cast("string")), 1, 4) < lit(hexThreshold(rate)))
 
+  /** Mixture sampling for training-data mixing: down-sample each stratum
+    * (source/domain/language) to ≈ its TOKEN budget. The per-stratum keep
+    * rate is min(1, target/actual) computed from one aggregation pass; the
+    * per-row decision is the same content-hash rule as [[hashSample]]
+    * (layout-independent, re-run-stable, engine-reproducible). Strata with
+    * no budget are dropped (explicit mixture contract); rate ≥ 1 keeps the
+    * whole stratum (no up-sampling — repeat epochs upstream for that). A
+    * POSITIVE budget below the hash granularity keeps one granule
+    * (1/65536) rather than silently zeroing the stratum.
+    *
+    * Scale: one groupBy(stratum) aggregate (map-side combined) over the
+    * token column, broadcast of the stratum-count-sized rate table back
+    * onto the scan — the corpus itself never shuffles. */
+  def mixtureSample(df: DataFrame, stratum: Column, key: Column,
+      tokens: Column, targets: Map[String, Long]): DataFrame = {
+    require(targets.nonEmpty, "need at least one stratum target")
+    require(targets.values.forall(_ > 0), "budgets must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tgt = targets.toSeq.toDF("__s", "__target")
+    val totals = df.groupBy(stratum.as("__s")).agg(sum(tokens).as("__actual"))
+    val rates = totals.join(tgt, "__s")
+      .select(col("__s"),
+        least(lit(1.0), col("__target").cast("double") / col("__actual")).as("__rate"))
+    // same threshold arithmetic as hexThreshold, as a Column (round half-up
+    // on positive doubles agrees across engines); lower-case hex to match md5
+    val thr = lower(lpad(hex(greatest(lit(1L), least(lit(65535L),
+      round(col("__rate") * 65536).cast("long")))), 4, "0"))
+    df.join(broadcast(rates), stratum === col("__s"))
+      .where(col("__rate") >= 1.0 ||
+        substring(md5(key.cast("string")), 1, 4) < thr)
+      .drop("__s", "__rate")
+  }
+
   /** Per-stratum rates: rows in strata not listed are dropped (the
     * `sampleBy` contract), but decisions stay content-hash-deterministic.
     * A rate ≥ 1.0 keeps the WHOLE stratum (no hash filter). */

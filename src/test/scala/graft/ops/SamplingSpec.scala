@@ -28,6 +28,31 @@ class SamplingSpec extends SparkSpec {
     assert(small.subsetOf(large))
   }
 
+  test("mixtureSample hits per-stratum token budgets, drops unlisted strata") {
+    val docs = ids.select($"id",
+      concat(lit("s"), ($"id" % 4).cast("string")).as("src"),
+      (($"id" % 50) + 10).as("ntok")) // ~34.5k tokens per stratum
+    val out = Sampling.mixtureSample(docs, $"src", $"id", $"ntok",
+      Map("s0" -> 1000000L, "s1" -> 10000L, "s2" -> 3000L))
+    val kept = out.groupBy($"src").agg(sum($"ntok").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("s3"), "unlisted stratum must be dropped")
+    val total0 = docs.where($"src" === "s0").agg(sum($"ntok")).head.getLong(0)
+    assert(kept("s0") == total0, "rate ≥ 1 keeps the whole stratum")
+    // budget adherence within hash-uniformity noise (±20%)
+    assert(math.abs(kept("s1") - 10000.0) / 10000 < 0.2, kept.toString)
+    assert(math.abs(kept("s2") - 3000.0) / 3000 < 0.2, kept.toString)
+    // layout independence: same rows under a different partitioning
+    val repart = Sampling.mixtureSample(docs.repartition(7), $"src", $"id", $"ntok",
+      Map("s0" -> 1000000L, "s1" -> 10000L, "s2" -> 3000L))
+      .select($"id").as[Long].collect().toSet
+    assert(out.select($"id").as[Long].collect().toSet == repart)
+    // a positive sub-granularity budget keeps ≥ 0 rows via the 1-granule
+    // floor instead of failing or silently zeroing
+    val tiny = Sampling.mixtureSample(docs, $"src", $"id", $"ntok", Map("s1" -> 1L))
+    assert(tiny.count() <= 5, "one hash granule keeps ~1/65536 of rows")
+  }
+
   test("rates at/near 1.0 keep (almost) everything — no hex-width inversion") {
     // a naive threshold would be the 5-char "10000", which compares SMALLER
     // than 4-char prefixes like "ffff" and would invert the filter
