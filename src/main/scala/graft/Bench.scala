@@ -32,13 +32,19 @@ object Bench {
         catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // 3-decimal rounding keeps the metric line compact (~80 queries at full
-    // double precision overflowed the consumer's fixed-size tail capture)
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // The per-query map (~2.4 KB for 80+ queries) overflows the consumer's
+    // fixed-size tail capture, so it goes to a side file; the final stdout
+    // line carries only the short total record plus a pointer to that file.
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) fmt(v) else "\"error\"")
     }.mkString("{", ",", "}")
-    val total = results.filter(_._3).map(_._2).sum
+    val queriesFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "bench_queries.json")).toAbsolutePath
+    java.nio.file.Files.write(queriesFile, qs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // total = sum of the ROUNDED per-query values so it cross-checks exactly
+    // against the side file's entries
+    val total = results.filter(_._3).map(r => fmt(r._2).toDouble).sum
     val nFailed = results.count(!_._3)
     // any failure invalidates the run: value:null so consumers comparing the
     // total alone can't mistake a smaller (incomplete) sum for a speedup
@@ -46,6 +52,6 @@ object Bench {
     // stop Spark BEFORE emitting the metric so shutdown logging cannot land
     // after it: the JSON must be the final stdout line for tail capture
     spark.stop()
-    println(s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$value,"unit":"sec","failed":$nFailed,"sf":"$sfDir","queries_file":"$queriesFile"}""")
   }
 }

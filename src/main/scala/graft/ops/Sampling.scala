@@ -56,8 +56,14 @@ object Sampling {
     val tgt = targets.toSeq.toDF("__s", "__target")
     val totals = df.groupBy(stratum.as("__s")).agg(sum(tokens).as("__actual"))
     val rates = totals.join(tgt, "__s")
+      // a stratum whose token sum is 0 has nothing to down-sample: rate 1.0
+      // keeps it whole (Spark's x/0 yields null, which greatest(1,null)=1
+      // would silently keep at ~1/65536; SQL engines with x/0=+inf keep all
+      // — pin the agreed semantics explicitly)
       .select(col("__s"),
-        least(lit(1.0), col("__target").cast("double") / col("__actual")).as("__rate"))
+        when(col("__actual") > 0,
+          least(lit(1.0), col("__target").cast("double") / col("__actual")))
+          .otherwise(lit(1.0)).as("__rate"))
     // same threshold arithmetic as hexThreshold, as a Column (round half-up
     // on positive doubles agrees across engines); lower-case hex to match md5
     val thr = lower(lpad(hex(greatest(lit(1L), least(lit(65535L),

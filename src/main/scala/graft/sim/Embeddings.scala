@@ -223,6 +223,10 @@ object Embeddings {
     }: _*)
     val q = withUnit(queries, queryVec)
       .select(col(queryId).as("query_id"), col("__vec").as("qvec"))
+      // zero-norm query vectors have no direction: drop them (a null qvec
+      // would still probe the first nProbe centroids and rank all-null
+      // cosines, emitting meaningless rows a SQL replay rightly lacks)
+      .where(col("qvec").isNotNull)
       .withColumn("__probes",
         slice(array_sort(centroidArr, (l, r) =>
           when(dot(col("qvec"), l("cvec")) > dot(col("qvec"), r("cvec")), -1)

@@ -97,10 +97,17 @@ object SnapshotTable {
             name
           }.toSeq.sorted)
       } finally {
-        // drop the staging dir (and Spark's _SUCCESS/.crc leftovers) whether
-        // or not the commit below succeeds — data files already moved out
-        listDir(staging)(_.foreach(Files.deleteIfExists(_)))
-        Files.deleteIfExists(staging)
+        // drop the staging tree (Spark's _SUCCESS/.crc/_temporary leftovers)
+        // whether or not the commit below succeeds — data files already moved
+        // out. Deepest-first walk: a failed df.write leaves a non-empty
+        // _temporary/ subtree that a flat delete would trip over. Cleanup
+        // failures are swallowed so they can't mask the original exception.
+        try {
+          val walk = Files.walk(staging)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: java.io.IOException => /* leave orphan staging dir */ }
       }
     // 2. commit: atomic create-new of the next version; losers re-base
     val schemaJson = df.schema.json
