@@ -972,6 +972,64 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- partitioned layout + dynamic partition pruning -----------------
+    // The first IO lever at 100 TB: a date-partitioned fact layout lets a
+    // selective dim join read only the matching partitions. The dim filter
+    // (days with value-sum above 7/8 of the max day) is NOT statically
+    // inferable on the fact side, so the pruning must happen at runtime —
+    // DPP reuses the broadcast dim to prune fact partitions before the scan.
+    "p7_partition_prune" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-p7-${ProcessHandle.current().pid()}/events_by_day"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root)))
+        ev.withColumn("event_date", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("event_date").parquet(root)
+      val fact = s.read.parquet(root)
+      val daySums = ev.groupBy(to_date(col("ts")).as("event_date"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("day_value"))
+      // decimal*integer stays exact on both engines — no FP boundary risk.
+      // The max comes from a global window over the (days-sized) dim, not a
+      // cross join: a crossJoin+filter would be rewritten into a join
+      // condition, leaving no Filter node for DPP's selectivity check.
+      val dim = daySums
+        .withColumn("max_value",
+          max(col("day_value")).over(Window.partitionBy()))
+        .where(col("day_value") * 8 > col("max_value") * 7)
+        .select(col("event_date"))
+      fact.join(broadcast(dim), Seq("event_date"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- bucketed co-located fact⋈fact join (zero-Exchange SMJ) ---------
+    // Both facts persist bucketed+sorted on the join key; the join AND the
+    // key-grouped aggregation then plan with no shuffle exchange at all —
+    // the layout contract that makes repeated 100 TB fact joins affordable.
+    // repartition(8, key) uses the same hash as the bucket spec, so each
+    // task writes exactly one bucket file and scans stay sorted.
+    "j5_bucketed_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      graft.ops.Partitioning.writeBucketed(
+        li.repartition(8, col("l_orderkey")), "graft_j5_lineitem", "l_orderkey", 8)
+      graft.ops.Partitioning.writeBucketed(
+        o.repartition(8, col("o_orderkey")), "graft_j5_orders", "o_orderkey", 8)
+      val lb = s.table("graft_j5_lineitem")
+      val ob = s.table("graft_j5_orders")
+      // merge hint: at test SF the orders side fits a broadcast, which would
+      // bypass the layout being proven; at 100 TB neither fact side
+      // broadcasts, so SMJ-over-buckets IS the production plan
+      lb.hint("merge").join(ob, lb("l_orderkey") === ob("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("qty"),
+          moneySum(col("l_extendedprice")).as("price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- streaming batch-twin: stream-stream attribution interval join --
     "e5_attributed_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -1480,6 +1538,28 @@ object SparkEntry {
                 round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // p7: the oracle replays the dim filter and join over the ORIGINAL
+    // events table — partitioning is a layout change, not a semantic one.
+    // day_value*8 > max*7 compares exact decimals on both engines.
+    "p7_partition_prune" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS event_date,
+                           sum(CAST(value AS DECIMAL(18,2))) AS day_value
+                    FROM events GROUP BY 1),
+         dim AS (SELECT event_date FROM d
+                 WHERE day_value * 8 > (SELECT max(day_value) FROM d) * 7)
+         SELECT event_type, count(*) AS n_events,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+         FROM events JOIN dim ON CAST(ts AS DATE) = dim.event_date
+         GROUP BY event_type ORDER BY event_type""",
+
+    // j5: bucketing must be output-invariant — the oracle is the plain join
+    "j5_bucketed_join" ->
+      """SELECT o_orderkey, o_orderstatus, count(*) AS n_items,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty,
+                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey""",
 
     // CAST(ts AS TIMESTAMP) truncates DuckDB's ns-precision read to the same
     // microsecond precision the engine's events table normalizes to

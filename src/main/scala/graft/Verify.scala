@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // reference semantics: Spark-3/Databricks non-ANSI (bad cast → NULL)
       .config("spark.sql.ansi.enabled", "false")
+      // fresh warehouse per JVM: bucketed saveAsTable must not land in cwd
+      // nor collide with a previous run's in-memory-catalog leftovers
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

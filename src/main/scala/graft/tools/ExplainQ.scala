@@ -17,14 +17,19 @@ object ExplainQ {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_FULL=1 prints the whole executed plan instead of the skeleton
+    val full = sys.env.get("SPARK_GRAFT_FULL").contains("1")
     try names.foreach { n =>
       val plan = graft.SparkEntry.queries(n)(spark, sfDir)
         .queryExecution.executedPlan.toString
       println(s"== $n")
-      plan.split("\n")
+      if (full) println(plan)
+      else plan.split("\n")
         .filter(l => l.contains("Join") || l.contains("Exchange") ||
           l.contains("Window") || l.contains("Cartesian"))
         .foreach(l => println("  " + l.trim.take(160)))

@@ -133,6 +133,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("p7: selective dim join dynamically prunes fact partitions (DPP)") {
+    val p = plan("p7_partition_prune")
+    // the fact scan carries a runtime pruning subquery on the partition
+    // column — the dim filter (day sum vs max) is not statically inferable,
+    // so this is genuine dynamic partition pruning, not constraint pushdown
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("j5: bucketed fact-fact join + key agg plan with zero hash exchanges") {
+    val p = plan("j5_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // bucketed layout on both sides: neither the join nor the o_orderkey
+    // aggregation shuffles (the final orderBy's range exchange is expected)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("whole-stage codegen spans cover the relational queries") {
     Seq("q1_agg", "p2_cast_project", "e1_events_hourly").foreach { q =>
       val p = finalPlan(q)
