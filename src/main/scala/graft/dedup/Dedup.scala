@@ -117,8 +117,9 @@ object Dedup {
       .select(col("id"),
         minHashSignatureNative(col("__hs"), k, seed).as("sig"))
     val banded = sigs
-      .select(col("id"),
-        posexplode(bandHashes(col("sig"), k, bands)).as(Seq("band", "bucket")))
+      .select(col("id"), bandHashes(col("sig"), k, bands).as("bh"))
+      .select(col("id"), col("bh"),
+        posexplode(col("bh")).as(Seq("band", "bucket")))
       // mega-bucket guard: a band bucket holding B docs expands to B²/2
       // candidate pairs; buckets past the cap are low-signal hash pileups
       // (near-identical band over a huge cluster) and are dropped, the
@@ -126,16 +127,20 @@ object Dedup {
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bucket"))))
       .where(col("__bn") <= maxBucketSize).drop("__bn")
-    // candidate generation carries ONLY ids; pairs colliding in several bands
-    // dedupe BEFORE scoring, so each pair costs one signature comparison,
-    // fetched via two narrow joins against the signature frame
+    // candidate generation carries ids + the band-hash array; a pair
+    // colliding in several bands is emitted exactly once, by its OWNING band
+    // (the lowest index where the two band-hash arrays agree — the streaming
+    // twin's contract, StreamingNearDup). The row-local filter replaces a
+    // full candidate-pair distinct() shuffle; a pair whose owning band fell
+    // to the bucket cap is dropped, as any capped bucket's pairs already are.
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
+      .where(col("a.band") + 1 === array_position(
+        zip_with(col("a.bh"), col("b.bh"), (x, y) => x === y), lit(true)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
     cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -188,25 +193,24 @@ object Dedup {
     val sigs = df.select(col(idCol).as("id"),
       graft.expressions.SimHash64Expr.simhash64(col(textCol)).as("sig"))
     val chunks = sigs
-      .select(col("id"), posexplode(array(
+      .select(col("id"), col("sig"), posexplode(array(
         (0 until 4).map(i => expr(s"shiftright(sig, ${i * 16}) & 65535")): _*))
         .as(Seq("chunk", "chunk_val")))
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("chunk"), col("chunk_val"))))
       .where(col("__bn") <= maxBucketSize).drop("__bn")
-    // same shape as minHashCandidates/lshNearDupPairs: the chunk self-join
-    // carries only ids, pairs sharing several chunks dedupe BEFORE the
-    // Hamming verification, signatures fetched by two narrow joins
+    // owning-chunk single emission (same contract as minHashCandidates'
+    // owning band): the signature is ONE long, so it rides along and the
+    // first-agreeing-chunk index is recomputed row-locally from the two
+    // sigs — no candidate distinct() shuffle, no signature-fetch joins
     val a = chunks.alias("a"); val b = chunks.alias("b")
-    val cand = a.join(b, col("a.chunk") === col("b.chunk") &&
+    val agreeChunks = array((0 until 4).map(i =>
+      expr(s"(shiftright(a.sig, ${i * 16}) & 65535) = (shiftright(b.sig, ${i * 16}) & 65535)")): _*)
+    a.join(b, col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    cand
-      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .where(col("a.chunk") + 1 === array_position(agreeChunks, lit(true)))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 

@@ -47,9 +47,10 @@ object CohortClassifier {
       featureImportances: Seq[(String, Double)],
       bestParams: Map[String, Any])
 
-  /** M1-M5: Imputer(mean) over numerics → assemble (numerics + 0/1 binaries)
-    * → MinMaxScaler → DecisionTreeClassifier. */
-  def pipeline(cfg: Config): Pipeline = {
+  /** The hyperparameter-independent feature stages: Imputer(mean) over
+    * numerics → assemble (numerics + 0/1 binaries) → MinMaxScaler. Split out
+    * so a tuning loop can fit them ONCE and refit only the tree per trial. */
+  def featureStages(cfg: Config): Array[org.apache.spark.ml.PipelineStage] = {
     val imputed = cfg.numericCols.map(_ + "__imp")
     val imputer = new Imputer().setStrategy("mean")
       .setInputCols(cfg.numericCols.toArray).setOutputCols(imputed.toArray)
@@ -57,14 +58,21 @@ object CohortClassifier {
       .setInputCols((imputed ++ cfg.binaryCols).toArray)
       .setOutputCol("features_raw").setHandleInvalid("keep")
     val scaler = new MinMaxScaler().setInputCol("features_raw").setOutputCol("features")
-    val tree = new DecisionTreeClassifier()
+    Array(imputer, assembler, scaler)
+  }
+
+  /** The tunable stage. */
+  def treeEstimator(cfg: Config): DecisionTreeClassifier =
+    new DecisionTreeClassifier()
       .setLabelCol(cfg.labelCol).setFeaturesCol("features")
       .setMaxDepth(cfg.maxDepth)
       .setMinInstancesPerNode(cfg.minInstancesPerNode)
       .setMinInfoGain(cfg.minInfoGain)
       .setSeed(cfg.seed)
-    new Pipeline().setStages(Array(imputer, assembler, scaler, tree))
-  }
+
+  /** M1-M5: feature stages → DecisionTreeClassifier. */
+  def pipeline(cfg: Config): Pipeline =
+    new Pipeline().setStages(featureStages(cfg) :+ treeEstimator(cfg))
 
   /** M4+M6: 70/30 split (reference: `train_test_split(test_size=0.30)`),
     * fit, report accuracy + areaUnderROC + per-feature importances. */
@@ -155,15 +163,25 @@ object CohortClassifier {
       val Array(train, test) = data.randomSplit(Array(0.7, 0.3), cfg.seed)
       val Array(trainFit, valid) = train.randomSplit(Array(0.75, 0.25), cfg.seed)
       trainFit.cache(); valid.cache()
-      val pipe = pipeline(cfg)
-      val tree = pipe.getStages.last.asInstanceOf[DecisionTreeClassifier]
-      def fitScore(p: (Int, Int, Double)): ((Int, Int, Double), PipelineModel, Double) = {
+      // the feature stages don't depend on the tree hyperparameters: fit
+      // them ONCE and materialize the assembled features, so each trial is
+      // one tree fit over cached vectors instead of a full pipeline refit
+      // (imputer + scaler aggregation jobs and feature re-transforms, ~3×
+      // the per-trial job count, with identical results)
+      val featModel = new Pipeline().setStages(featureStages(cfg)).fit(trainFit)
+      val trainFeat = featModel.transform(trainFit)
+        .select(col("features"), col(cfg.labelCol)).cache()
+      val validFeat = featModel.transform(valid)
+        .select(col("features"), col(cfg.labelCol)).cache()
+      val tree = treeEstimator(cfg)
+      def fitScore(p: (Int, Int, Double)):
+          ((Int, Int, Double), DecisionTreeClassificationModel, Double) = {
         val pm = new org.apache.spark.ml.param.ParamMap()
           .put(tree.maxDepth, p._1)
           .put(tree.minInstancesPerNode, p._2)
           .put(tree.minInfoGain, p._3)
-        val model = pipe.fit(trainFit, pm)
-        (p, model, metricsOf(model, valid, cfg.labelCol)._1)
+        val model = tree.fit(trainFeat, pm)
+        (p, model, metricsOf(model, validFeat, cfg.labelCol)._1)
       }
       val space = (for {
         d <- MaxDepthChoices; m <- MinInstancesChoices; g <- MinInfoGainChoices
@@ -193,13 +211,21 @@ object CohortClassifier {
         } finally pool.shutdown()
       // max validation AUC; ties break to the lexicographically smallest
       // point so the result is independent of evaluation order
-      val (bestP, bestModel, _) = observed.minBy(t => (-t._3, t._1))
+      val (bestP, bestTree, _) = observed.minBy(t => (-t._3, t._1))
+      // recompose the fitted feature stages + winning tree into the full
+      // PipelineModel (all stages are transformers, so this fit runs no jobs)
+      val bestModel = new Pipeline()
+        .setStages(Array[org.apache.spark.ml.PipelineStage](featModel, bestTree))
+        .fit(trainFit)
       try evaluate(bestModel, test, cfg, Map(
         "maxDepth" -> bestP._1,
         "minInstancesPerNode" -> bestP._2,
         "minInfoGain" -> bestP._3,
         "trials" -> observed.size))
-      finally { trainFit.unpersist(blocking = false); valid.unpersist(blocking = false) }
+      finally {
+        trainFit.unpersist(blocking = false); valid.unpersist(blocking = false)
+        trainFeat.unpersist(blocking = false); validFeat.unpersist(blocking = false)
+      }
     } finally data.unpersist(blocking = false)
   }
 
@@ -255,8 +281,11 @@ object CohortClassifier {
     Result(model, acc, auc, imp, params)
   }
 
-  /** (areaUnderROC, accuracy) of `model` on `test` in ONE scan (see above). */
-  private def metricsOf(model: PipelineModel, test: DataFrame,
+  /** (areaUnderROC, accuracy) of `model` on `test` in ONE scan (see above).
+    * Accepts any transformer producing prediction/rawPrediction — a full
+    * PipelineModel over raw columns, or a bare tree model over a
+    * pre-assembled features frame (the tuning loop's fast path). */
+  private def metricsOf(model: org.apache.spark.ml.Transformer, test: DataFrame,
       labelCol: String): (Double, Double) = {
     import org.apache.spark.ml.functions.vector_to_array
     import org.apache.spark.sql.expressions.Window
