@@ -896,6 +896,26 @@ object SparkEntry {
         .orderBy(col("block"), col("nation"))
     }),
 
+    // ---- R3 SABHA TV variant: distributed 1-d chain TV projection — the
+    // edge-space water-filling step of solveQTV as windowed DataFrame math
+    // (StatsSpec proves ≡ the driver solver's l1Projection on chain diffs).
+    // y is the SABHA censoring estimate (P>τ)/(1−τ); its chain differences
+    // (all ±2/0 here) make the tie-heavy water level a sharp cross-engine
+    // test of the ranking/threshold math -------------------------------
+    "r14_tv_projection" -> ((s, dir) => {
+      val ps = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("block"), col("c_nationkey").as("nation"))
+        .agg((count(when(col("c_acctbal") <
+            ((col("c_nationkey") % 11) - 1) * 1000, 1)).cast("double")
+          / count(lit(1))).as("p"))
+        .withColumn("y", when(col("p") > 0.5, lit(2.0)).otherwise(lit(0.0)))
+      graft.stats.FDR.tvChainProjectDF(ps, "y",
+          Seq(col("block"), col("nation")), tvBound = 3.0)
+        .select(col("block"), col("nation"), round(col("p"), 6).as("p"),
+          round(col("y_tv"), 6).as("y_tv"))
+        .orderBy(col("block"), col("nation"))
+    }),
+
     // ---- S-ops: JSON-lines sink + source roundtrip ----------------------
     "s2_json_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
@@ -1488,6 +1508,39 @@ object SparkEntry {
          SELECT block, nation, round(p, 6) AS p, round(qhat, 6) AS qhat,
                 CASE WHEN qp <= 0.05 * khat / n THEN 1 ELSE 0 END AS rejected
          FROM k ORDER BY block, nation""",
+
+    // r14: the same windowed water-filling as tvChainProjectDF — edge diffs
+    // by lead(), rank by |d| desc with the chain order as tie-break, running
+    // cum, level θ at the largest feasible rank, soft-threshold, rebuild
+    "r14_tv_projection" ->
+      """WITH ps AS (
+           SELECT c_mktsegment AS block, c_nationkey AS nation,
+                  CAST(count(*) FILTER (WHERE c_acctbal <
+                         ((c_nationkey % 11) - 1) * 1000) AS DOUBLE)
+                    / count(*) AS p
+           FROM customer GROUP BY 1, 2),
+         y0 AS (SELECT *, CASE WHEN p > 0.5 THEN 2.0 ELSE 0.0 END AS y FROM ps),
+         d AS (SELECT *, lead(y) OVER (ORDER BY block, nation) - y AS d FROM y0),
+         a AS (SELECT *, abs(d) AS absd FROM d),
+         r AS (SELECT *,
+                 row_number() OVER (ORDER BY absd DESC NULLS LAST, block, nation) AS rk,
+                 sum(absd) OVER (ORDER BY absd DESC NULLS LAST, block, nation
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM a),
+         s AS (SELECT *, max(cum) OVER () AS stot FROM r),
+         x AS (SELECT *, max(CASE WHEN absd - (cum - 3.0) / rk > 0 THEN rk END)
+                 OVER () AS xi FROM s),
+         t AS (SELECT *, max(CASE WHEN rk = xi THEN (cum - 3.0) / rk END)
+                 OVER () AS theta FROM x),
+         pr AS (SELECT *, CASE WHEN stot <= 3.0 THEN d
+                               WHEN absd - theta > 0 THEN (absd - theta) * sign(d)
+                               ELSE 0.0 END AS dproj FROM t),
+         o AS (SELECT *, first_value(y) OVER (ORDER BY block, nation) +
+                         coalesce(sum(dproj) OVER (ORDER BY block, nation
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS y_tv
+               FROM pr)
+         SELECT block, nation, round(p, 6) AS p, round(y_tv, 6) AS y_tv
+         FROM o ORDER BY block, nation""",
 
     "s2_json_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",

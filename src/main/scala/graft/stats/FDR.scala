@@ -203,6 +203,77 @@ object FDR {
       Array.tabulate(math.max(0, pvals.length - 1))(i => (i, i + 1)),
       tvBound, params)
 
+  /** 1-d chain TV projection, driver-side: project the chain's difference
+    * vector d_i = y_{i+1} − y_i onto the L1 ball ‖d‖₁ ≤ tvBound (the same
+    * water-filling [[l1Projection]] the TV-ADMM's x-step uses on chain
+    * edges) and rebuild the values from the projected differences anchored
+    * at y₀. The geometric core of [[solveQTV1d]]'s per-iteration edge step,
+    * exposed so the distributed twin ([[tvChainProjectDF]]) has an exact
+    * driver equivalent to verify against. */
+  def tvChainProject(y: Array[Double], tvBound: Double): Array[Double] =
+    if (y.length <= 1) y.clone()
+    else {
+      val d = Array.tabulate(y.length - 1)(i => y(i + 1) - y(i))
+      val dp = l1Projection(tvBound)(d)
+      val out = new Array[Double](y.length)
+      out(0) = y(0)
+      var i = 1
+      while (i < y.length) { out(i) = out(i - 1) + dp(i - 1); i += 1 }
+      out
+    }
+
+  /** Distributed 1-d chain TV projection — the scale path for the last
+    * driver-only SABHA variant ([[solveQTV]]'s edge-space projection):
+    * exactly [[tvChainProject]] as global-window DataFrame math, the
+    * [[sabhaSelectDF]] pattern. One row per HYPOTHESIS (not observation),
+    * so the global windows carry #hypotheses rows; shard by an outer
+    * hypothesis-family column for independent chains, as with
+    * [[sabhaSelectDF]].
+    *
+    * Windowed water-filling: rank edges by |d| descending (ties broken by
+    * `chainOrder`, pinned so any engine replays identically), running
+    * cumulative |d| in that order, water level θ from the largest feasible
+    * rank, soft-threshold, then rebuild values as y₀ + running sum of
+    * projected differences. The ball total ‖d‖₁ is taken as max(cum) — an
+    * order-independent aggregate of the deterministic running sum, so no
+    * engine-dependent FP summation order leaks into the ≤-ball test.
+    *
+    * Adds `<valCol>_tv`; `tvBound` must be > 0 (the water level is
+    * undefined at radius 0 — callers wanting the zero ball can project
+    * trivially). */
+  def tvChainProjectDF(df: DataFrame, valCol: String,
+      chainOrder: Seq[Column], tvBound: Double): DataFrame = {
+    require(tvBound > 0, s"tvBound must be > 0, got $tvBound")
+    val ordW = Window.orderBy(chainOrder: _*)
+    val runW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevW = ordW.rowsBetween(Window.unboundedPreceding, -1)
+    val rankCols = col("__absd").desc_nulls_last +: chainOrder
+    val rankW = Window.orderBy(rankCols: _*)
+    val cumW = rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allW = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    df
+      .withColumn("__d", lead(col(valCol), 1).over(ordW) - col(valCol))
+      .withColumn("__absd", abs(col("__d")))
+      .withColumn("__rk", row_number().over(rankW))
+      .withColumn("__cum", sum(col("__absd")).over(cumW))
+      .withColumn("__s", max(col("__cum")).over(allW))
+      .withColumn("__xi", max(when(
+        col("__absd") - (col("__cum") - lit(tvBound)) / col("__rk") > 0,
+        col("__rk"))).over(allW))
+      .withColumn("__theta", max(when(col("__rk") === col("__xi"),
+        (col("__cum") - lit(tvBound)) / col("__rk"))).over(allW))
+      .withColumn("__dproj",
+        when(col("__s") <= tvBound, col("__d"))
+          .otherwise(when(col("__absd") - col("__theta") > 0,
+            (col("__absd") - col("__theta")) * signum(col("__d")))
+            .otherwise(lit(0.0))))
+      .withColumn(s"${valCol}_tv",
+        first(col(valCol)).over(runW) +
+          coalesce(sum(col("__dproj")).over(prevW), lit(0.0)))
+      .drop("__d", "__absd", "__rk", "__cum", "__s", "__xi", "__theta", "__dproj")
+  }
+
   /** 2-d grid TV (`Solve_q_TV_2dim`, R :121-131): `pvals(i)(j)` is the
     * (row i, column j) entry of an n1×n2 matrix; horizontal + vertical
     * 4-neighbour edges. Returns q̂ flattened COLUMN-major (index i + j·n1),

@@ -146,6 +146,33 @@ class StatsSpec extends SparkSpec {
     assert(got(2)._3 == 1 && got(3)._3 == 1)
   }
 
+  test("tvChainProjectDF (distributed) equals the driver chain TV projection") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // mixed magnitudes incl. ties and zero diffs; three bounds exercise the
+    // inside-ball identity, a tie-heavy level, and a deep truncation
+    val y = Array.fill(40)(math.rint(rng.nextDouble() * 8) / 2.0)
+    for (bound <- Seq(0.5, 3.0, 1e6)) {
+      val expected = FDR.tvChainProject(y, bound)
+      val df = y.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "y")
+      val got = FDR.tvChainProjectDF(df, "y", Seq(col("i")), bound)
+        .select("i", "y_tv").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+      expected.indices.foreach { i =>
+        assert(math.abs(got(i) - expected(i)) < 1e-9,
+          s"bound $bound idx $i: ${got(i)} vs ${expected(i)}")
+      }
+    }
+  }
+
+  test("tvChainProject shrinks total variation to the ball radius, preserving y0") {
+    val y = Array(0.0, 2.0, 0.0, 2.0, 2.0, 0.0)
+    val out = FDR.tvChainProject(y, 3.0)
+    assert(out(0) == y(0))
+    val tv = (1 until out.length).map(i => math.abs(out(i) - out(i - 1))).sum
+    assert(math.abs(tv - 3.0) < 1e-9, s"tv $tv")
+  }
+
   test("ADMM qhat satisfies the SABHA feasibility constraint sum(B_i/q_i) <= n(1-tau)") {
     // force the ADMM path (block-0 init mean = 2 > 1) while keeping the
     // constraint satisfiable (#B = 2 ≤ n(1-tau) = 3; with 1/q ≥ 1 the
