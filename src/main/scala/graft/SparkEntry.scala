@@ -812,6 +812,40 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // ---- ML: fit→export→score replay. A tree is FITTED in-engine on a
+    // content-hash train split, exported as a literal TreeSpec, compiled to
+    // a codegen when-chain, and scores the held-out split; the oracle (built
+    // at runtime from the SAME exported spec — see oracleSql) replays the
+    // scoring + metrics as SQL CASE, so the fitted tree's inference is
+    // hash-verified, not just a hand-written fixed tree (m3). The split is
+    // md5-based, not randomSplit, so any engine reproduces it exactly ------
+    "m4_fit_score" -> ((s, dir) => {
+      // the label carries an interaction (price XOR urgency) the synthetic
+      // o_orderstatus lacks, so the fit finds real structure and the export
+      // carries DATA-DEPENDENT split thresholds (spark.ml bin midpoints),
+      // which is exactly what the cross-engine replay must survive
+      val o = t(s, dir, "orders").select(
+        ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
+          .cast("double").as("label"),
+        col("o_totalprice"),
+        (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
+        year(col("o_orderdate")).cast("double").as("order_year"),
+        col("o_orderkey"))
+      val isTest = substring(md5(col("o_orderkey").cast("string")), 1, 1) < lit("5")
+      val spec = graft.ml.CohortClassifier.fitTreeSpec(
+        o.where(!isTest), Seq("o_totalprice", "is_urgent", "order_year"),
+        "label", maxDepth = 4)
+      m4FittedSpec = Some(spec)
+      val scored = o.where(isTest)
+        .withColumn("score", graft.ml.TreeScorer.compile(spec))
+      scored.agg(
+        count(lit(1)).as("n"),
+        sum((col("score") >= 0.5).cast("long")).as("n_pred_pos"),
+        round(sum(((col("score") >= 0.5) === (col("label") === 1.0))
+          .cast("long")).cast("double") / count(lit(1)), 6).as("accuracy"))
+        .withColumn("tree_depth", lit(graft.ml.TreeScorer.depth(spec)))
+    }),
+
     // ---- exact-sum higher moments: corr/stddev/skewness, bit-reproducible
     // (all power sums accumulate in DECIMAL — order-independent — and the
     // double arithmetic on top is the same expression tree as the oracle) --
@@ -1175,7 +1209,34 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** The tree the m4 query fitted+exported in this process, if it ran. The
+    * m4 oracle is BUILT from this spec (TreeScorer.toSql), so the DuckDB
+    * replay scores with exactly the tree the engine fitted — within one
+    * Verify run the comparison is airtight regardless of fit determinism
+    * across environments. When m4 hasn't run (a query subset), the entry is
+    * simply omitted and m4 degrades to the rows-only check. */
+  @volatile private var m4FittedSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
+
+  private def m4OracleEntry: Map[String, String] = m4FittedSpec.map { spec =>
+    "m4_fit_score" ->
+      s"""WITH t AS (
+           SELECT CASE WHEN (o_totalprice > 250000) != (o_orderpriority = '1-URGENT')
+                       THEN 1.0 ELSE 0.0 END AS label,
+                  o_totalprice,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS is_urgent,
+                  CAST(year(o_orderdate) AS DOUBLE) AS order_year
+           FROM orders
+           WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '5'),
+         s AS (SELECT *, ${graft.ml.TreeScorer.toSql(spec)} AS score FROM t)
+         SELECT count(*) AS n,
+                CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+                round(CAST(sum(CASE WHEN (CASE WHEN score >= 0.5 THEN 1.0 ELSE 0.0 END) = label
+                                    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy,
+                ${graft.ml.TreeScorer.depth(spec)} AS tree_depth
+         FROM s"""
+  }.toMap
+
+  def oracleSql: Map[String, String] = m4OracleEntry ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

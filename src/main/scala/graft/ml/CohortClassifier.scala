@@ -252,6 +252,20 @@ object CohortClassifier {
     candidates.sortBy(p => (-promise(p), p))
   }
 
+  /** Fit a decision tree on RAW assembled columns (no scaling — so the
+    * exported [[TreeScorer.TreeSpec]] splits on source-column values and
+    * replays as SQL CASE on any engine). The fit→export→score bridge the
+    * m4 query uses to oracle the FITTED tree's inference, not a fixed one. */
+  def fitTreeSpec(train: DataFrame, features: Seq[String], labelCol: String,
+      maxDepth: Int = 4, seed: Long = 0L): TreeScorer.TreeSpec = {
+    val assembler = new VectorAssembler().setInputCols(features.toArray)
+      .setOutputCol("features").setHandleInvalid("keep")
+    val tree = new DecisionTreeClassifier().setLabelCol(labelCol)
+      .setFeaturesCol("features").setMaxDepth(maxDepth).setSeed(seed)
+    val model = tree.fit(assembler.transform(train))
+    TreeScorer.fromModel(model.rootNode, features)
+  }
+
   /** M3-ish input hygiene: cast binaries to double 0/1, label to double. */
   private def prepare(df: DataFrame, cfg: Config): DataFrame = {
     val casts = df.columns.toSeq.map {

@@ -36,6 +36,23 @@ object TreeScorer {
       when(col(f) <= lit(thr), compile(l)).otherwise(compile(r))
   }
 
+  /** The same tree as an ANSI SQL CASE chain, for cross-engine replay of a
+    * FITTED tree's scoring (the m4 oracle): thresholds render via
+    * `Double.toString`, which round-trips the exact double, so any engine
+    * parsing the literal compares against bit-identical values. */
+  def toSql(t: TreeSpec): String = t match {
+    case Leaf(v) => java.lang.Double.toString(v)
+    case SplitLE(f, thr, l, r) =>
+      s"(CASE WHEN $f <= ${java.lang.Double.toString(thr)} " +
+        s"THEN ${toSql(l)} ELSE ${toSql(r)} END)"
+  }
+
+  /** Depth of the spec (root-only tree = 0). */
+  def depth(t: TreeSpec): Int = t match {
+    case Leaf(_) => 0
+    case SplitLE(_, _, l, r) => 1 + math.max(depth(l), depth(r))
+  }
+
   /** Extract a FITTED spark.ml tree into a [[TreeSpec]]; leaf value = the
     * model's class prediction. `features` maps featureIndex → source column
     * (the VectorAssembler input order — only valid when the tree was fit on

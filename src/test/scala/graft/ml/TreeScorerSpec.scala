@@ -39,6 +39,20 @@ class TreeScorerSpec extends SparkSpec {
     }
   }
 
+  test("fitTreeSpec exports a fitted tree whose SQL CASE replay scores identically") {
+    val features = Seq("x", "y")
+    val spec = CohortClassifier.fitTreeSpec(
+      data.withColumn("label", col("label").cast("double")), features, "label",
+      maxDepth = 4, seed = 3L)
+    assert(TreeScorer.depth(spec) >= 2, s"degenerate export: $spec")
+    // the SQL rendering parses back to the exact same scoring function
+    // (Double.toString round-trips thresholds bit-exactly)
+    val both = data
+      .withColumn("s_col", TreeScorer.compile(spec))
+      .withColumn("s_sql", expr(TreeScorer.toSql(spec)))
+    assert(both.where(col("s_col") =!= col("s_sql")).count() == 0)
+  }
+
   test("literal tree compiles to the expected when-chain semantics") {
     import TreeScorer._
     val tree = SplitLE("a", 1.0, Leaf(0.1), SplitLE("b", 2.0, Leaf(0.2), Leaf(0.3)))
