@@ -1095,6 +1095,16 @@ object SparkEntry {
         .orderBy(col("l_event_id"), col("r_event_id"))
     }),
 
+    // ---- streaming near-dup batch replay: the StreamingNearDup operator's
+    // signature/banding/owning-band contract over a static corpus, so the
+    // streaming component gets a hash-verified CORRECTNESS row (the live
+    // stateful path is spec'd against this exact construction) ------------
+    "e7_stream_neardup_replay" -> ((s, dir) => {
+      graft.streaming.StreamingNearDup.batchReplay(
+          t(s, dir, "documents").select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"), col("dup_of"))
+    }),
+
     // ---- time-series resample + forward fill (grid ∘ as-of join) --------
     "e6_resample_ffill" -> ((s, dir) => {
       graft.ops.Resample.forwardFillGrid(Tables.events(s, dir),
@@ -1674,6 +1684,34 @@ object SparkEntry {
                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey""",
+
+    // e7: d8's signature CTE + band keys; the OR-join emits one row per
+    // colliding pair, which is exactly the owning-band single emission
+    "e7_stream_neardup_replay" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+                FROM toks),
+         exs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         ex AS (SELECT doc_id, md5(sg) AS h FROM exs),
+         sig AS (SELECT doc_id,
+                   min(substr(h, 1, 4)) AS m0, min(substr(h, 5, 4)) AS m1,
+                   min(substr(h, 9, 4)) AS m2, min(substr(h, 13, 4)) AS m3,
+                   min(substr(h, 17, 4)) AS m4, min(substr(h, 21, 4)) AS m5,
+                   min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
+                 FROM ex GROUP BY doc_id),
+         bk AS (SELECT *, m0||m1 AS b0, m2||m3 AS b1, m4||m5 AS b2, m6||m7 AS b3
+                FROM sig)
+         SELECT * FROM (
+           SELECT b.doc_id AS doc_id, a.doc_id AS dup_of,
+                  (a.m0=b.m0)::INT + (a.m1=b.m1)::INT + (a.m2=b.m2)::INT +
+                  (a.m3=b.m3)::INT + (a.m4=b.m4)::INT + (a.m5=b.m5)::INT +
+                  (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree
+           FROM bk a JOIN bk b ON a.doc_id < b.doc_id
+             AND (a.b0=b.b0 OR a.b1=b.b1 OR a.b2=b.b2 OR a.b3=b.b3))
+         WHERE agree >= 6 ORDER BY doc_id, dup_of""",
 
     // CAST(ts AS TIMESTAMP) truncates DuckDB's ns-precision read to the same
     // microsecond precision the engine's events table normalizes to

@@ -39,6 +39,23 @@ object StreamingNearDup {
     * the accessors). */
   final case class Bucket(ids: Seq[Long], sigs: Seq[Seq[String]])
 
+  /** Row-local md5-slice MinHash signature (the d8 construction as a per-row
+    * expression): one md5 per word `n`-gram shingle, signature slot j = the
+    * minimum of 4-hex slice j over the document's shingles. */
+  def sliceSig(textCol: org.apache.spark.sql.Column, k: Int, n: Int): org.apache.spark.sql.Column = {
+    val h = transform(graft.dedup.Dedup.shingles(textCol, n), s => md5(s))
+    array((0 until k).map(j =>
+      array_min(transform(h, x => x.substr(j * 4 + 1, 4)))): _*)
+  }
+
+  /** The `bands` band keys of a signature: key b = concat of its band's
+    * slices. Shared by the streaming operator and its batch replay. */
+  def bandKeyArray(sigCol: org.apache.spark.sql.Column, k: Int, bands: Int): org.apache.spark.sql.Column = {
+    val rowsPerBand = k / bands
+    array((0 until bands).map(b => concat_ws("",
+      (0 until rowsPerBand).map(r => sigCol.getItem(b * rowsPerBand + r)): _*)): _*)
+  }
+
   /** `docs` needs (doc_id: long, ts: timestamp, text: string). `k` md5
     * slices grouped into `bands` bands of `k/bands` rows each. */
   def matches(docs: DataFrame, k: Int = 8, bands: Int = 4, n: Int = 3,
@@ -48,18 +65,10 @@ object StreamingNearDup {
     require(k >= 1 && k <= 8, s"k 4-hex slices must fit one md5 digest, got $k")
     import docs.sparkSession.implicits._
     val rowsPerBand = k / bands
-    // row-local signature: one md5 per shingle, slice minima per slot
-    val h = transform(graft.dedup.Dedup.shingles(col("text"), n),
-      s => md5(s))
-    val sig = array((0 until k).map(j =>
-      array_min(transform(h, x => x.substr(j * 4 + 1, 4)))): _*)
     val banded = docs
-      .select(col("doc_id"), col("ts"), sig.as("sig"))
+      .select(col("doc_id"), col("ts"), sliceSig(col("text"), k, n).as("sig"))
       .select(col("doc_id"), col("ts"), col("sig"),
-        posexplode(array((0 until bands).map(b =>
-          concat_ws("", (0 until rowsPerBand).map(r =>
-            col("sig").getItem(b * rowsPerBand + r)): _*)): _*))
-          .as(Seq("band", "key")))
+        posexplode(bandKeyArray(col("sig"), k, bands)).as(Seq("band", "key")))
       .withWatermark("ts", lateness)
       .as[DocArrival]
     // lowest band on which the two signatures' band keys agree — the band
@@ -99,5 +108,38 @@ object StreamingNearDup {
             out.result().iterator
           }
       }
+  }
+
+  /** Batch replay of [[matches]] over a STATIC corpus — the correctness
+    * bridge that lets the streaming operator's contract hash-verify against
+    * a SQL oracle (the e7 query): same row-local signature, same band keys,
+    * same owning-band single emission, `dup_of` = the lower doc_id (arrival
+    * order on a static frame). The state-bounding knobs (bucket cap,
+    * watermark lateness) are deliberately absent: they trade recall for
+    * bounded state under continuous ingest and have no meaning on a closed
+    * corpus, so the replay IS the operator's unbounded-resources semantics.
+    *
+    * Plan shape: one banded equi-join on (band, key) carrying the two
+    * 8-slice signatures (tiny), agreement counted row-locally — the d2/d8
+    * candidate shapes, never all-pairs. */
+  def batchReplay(docs: DataFrame, k: Int = 8, bands: Int = 4, n: Int = 3,
+      minAgree: Int = 6): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    require(k >= 1 && k <= 8, s"k 4-hex slices must fit one md5 digest, got $k")
+    val sigs = docs
+      .select(col("doc_id"), sliceSig(col("text"), k, n).as("sig"))
+      .withColumn("bk", bandKeyArray(col("sig"), k, bands))
+    val banded = sigs.select(col("doc_id"), col("sig"), col("bk"),
+      posexplode(col("bk")).as(Seq("band", "key")))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.band") + 1 === array_position(
+        zip_with(col("a.bk"), col("b.bk"), (x, y) => x === y), lit(true)))
+      .select(col("b.doc_id").as("doc_id"), col("a.doc_id").as("dup_of"),
+        aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => (x === y).cast("int")), lit(0), (acc, v) => acc + v)
+          .as("agree"))
+      .where(col("agree") >= minAgree)
   }
 }

@@ -151,6 +151,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("e7: streaming near-dup replay is a banded equi join, no loop") {
+    val p = plan("e7_stream_neardup_replay")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen spans cover the relational queries") {
     Seq("q1_agg", "p2_cast_project", "e1_events_hourly").foreach { q =>
       val p = finalPlan(q)

@@ -54,6 +54,36 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batchReplay equals the streaming operator's emissions on the same corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("dark", "damp")),
+      (3L, "completely unrelated content about spark catalyst plans and " +
+        "shuffle exchanges in distributed queries"),
+      (4L, base), // exact dup of 1 (and near-dup of 2)
+      (5L, "another unrelated short text"))
+    val input = MemoryStream[Doc]
+    val q = StreamingNearDup.matches(input.toDF(), minAgree = 6)
+      .writeStream.format("memory").queryName("neardup_replay")
+      .outputMode("append").start()
+    try {
+      // arrival order = doc_id order, one batch per doc (worst-case state churn)
+      docs.zipWithIndex.foreach { case ((id, text), i) =>
+        input.addData(Doc(id, ts(f"2024-01-01 10:${i}%02d:00"), text))
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("neardup_replay").as[StreamingNearDup.Match]
+        .collect().map(m => (m.doc_id, m.dup_of, m.agree)).toSet
+      val replayed = StreamingNearDup.batchReplay(
+          docs.toDF("doc_id", "text"), minAgree = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == replayed, s"stream $streamed vs replay $replayed")
+      assert(replayed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("signature agreement matches the batch d8 operator on the same docs") {
     // the streaming signature (row-local) must equal the batch signature
     // (aggregation-based) — same shingles, same md5 slices
