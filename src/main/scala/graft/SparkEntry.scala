@@ -1686,7 +1686,8 @@ object SparkEntry {
          GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey""",
 
     // e7: d8's signature CTE + band keys; the OR-join emits one row per
-    // colliding pair, which is exactly the owning-band single emission
+    // colliding pair, which is exactly the owning-band single emission; the
+    // pair survives only if its OWNING band's bucket is within the cap
     "e7_stream_neardup_replay" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          sh AS (SELECT doc_id,
@@ -1703,15 +1704,27 @@ object SparkEntry {
                    min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
                  FROM ex GROUP BY doc_id),
          bk AS (SELECT *, m0||m1 AS b0, m2||m3 AS b1, m4||m5 AS b2, m6||m7 AS b3
-                FROM sig)
-         SELECT * FROM (
+                FROM sig),
+         bkl AS (SELECT doc_id, 0 AS band, b0 AS key FROM bk
+                 UNION ALL SELECT doc_id, 1, b1 FROM bk
+                 UNION ALL SELECT doc_id, 2, b2 FROM bk
+                 UNION ALL SELECT doc_id, 3, b3 FROM bk),
+         cnt AS (SELECT band, key, count(*) AS c FROM bkl GROUP BY 1, 2),
+         pairs AS (
            SELECT b.doc_id AS doc_id, a.doc_id AS dup_of,
                   (a.m0=b.m0)::INT + (a.m1=b.m1)::INT + (a.m2=b.m2)::INT +
                   (a.m3=b.m3)::INT + (a.m4=b.m4)::INT + (a.m5=b.m5)::INT +
-                  (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree
+                  (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree,
+                  CASE WHEN a.b0=b.b0 THEN 0 WHEN a.b1=b.b1 THEN 1
+                       WHEN a.b2=b.b2 THEN 2 ELSE 3 END AS oband,
+                  CASE WHEN a.b0=b.b0 THEN a.b0 WHEN a.b1=b.b1 THEN a.b1
+                       WHEN a.b2=b.b2 THEN a.b2 ELSE a.b3 END AS okey
            FROM bk a JOIN bk b ON a.doc_id < b.doc_id
              AND (a.b0=b.b0 OR a.b1=b.b1 OR a.b2=b.b2 OR a.b3=b.b3))
-         WHERE agree >= 6 ORDER BY doc_id, dup_of""",
+         SELECT doc_id, dup_of, agree FROM pairs
+         JOIN cnt ON cnt.band = pairs.oband AND cnt.key = pairs.okey
+         WHERE agree >= 6 AND cnt.c <= 50
+         ORDER BY doc_id, dup_of""",
 
     // CAST(ts AS TIMESTAMP) truncates DuckDB's ns-precision read to the same
     // microsecond precision the engine's events table normalizes to
