@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.expressions.{DotProduct, LshBuckets, MinHashSigExpr,
-  ShingleHashExpr, SigAgreement, SimHash64Expr, SortedIntersectCount}
+  ShingleHashExpr, ShingleStringsExpr, SigAgreement, SimHash64Expr,
+  SortedIntersectCount}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * as SQL functions so plain `spark.sql` users get them too.
@@ -51,6 +52,8 @@ object GraftExtensions {
     descriptor("graft_simhash64", classOf[SimHash64Expr], 1)(c => SimHash64Expr(c(0))),
     descriptor("graft_shingle_hashes", classOf[ShingleHashExpr], 2)(c =>
       ShingleHashExpr(c(0), lit[Number](c(1), "shingle width n").intValue())),
+    descriptor("graft_shingles", classOf[ShingleStringsExpr], 2)(c =>
+      ShingleStringsExpr(c(0), lit[Number](c(1), "shingle width n").intValue())),
     descriptor("graft_minhash_sig", classOf[MinHashSigExpr], 3) { c =>
       val k = lit[Number](c(1), "k").intValue()
       val seed = lit[Number](c(2), "seed").longValue()

@@ -39,7 +39,15 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /** Distinct word n-gram shingles of a text column. */
-  def shingles(c: Column, n: Int = 3): Column = {
+  def shingles(c: Column, n: Int = 3): Column =
+    graft.expressions.ShingleStringsExpr.shingleStrings(c, n)
+
+  /** The pure-`functions` HOF formulation of [[shingles]] — kept as the
+    * equivalence reference for the native expression (spec'd identical):
+    * the interpreted lambda chain re-evaluates the token split per branch
+    * and was the shared cost floor under every shingle-consuming corpus
+    * pass. */
+  private[graft] def shinglesHof(c: Column, n: Int = 3): Column = {
     val toks = TextOps.tokens(c)
     when(size(toks) < n, array_distinct(array(concat_ws(" ", toks))))
       .otherwise(array_distinct(transform(

@@ -38,6 +38,25 @@ class DedupSpec extends SparkSpec {
     assert(short.select(Dedup.shingles($"t", 3)).as[Seq[String]].head() == Seq("a b"))
   }
 
+  test("native shingles ≡ the HOF formulation on edge cases and random text") {
+    val rng = new scala.util.Random(11)
+    val words = Seq("alpha", "beta", "gamma", "δélta", "e", "zz", "alpha")
+    val cases = Seq(
+      "", " ", "\t\n ", "one", "one two", "a b c d",
+      "a  b\tc\nd", " lead and trail ", "a a a a a", "x  y z w"
+    ) ++ Seq.fill(30)(Seq.fill(rng.nextInt(12))(
+      words(rng.nextInt(words.length))).mkString(" "))
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = cases.toDF("t")
+      val got = df.select(Dedup.shingles($"t", n)).as[Seq[String]].collect()
+      val want = df.select(Dedup.shinglesHof($"t", n)).as[Seq[String]].collect()
+      cases.indices.foreach { i =>
+        assert(got(i) == want(i),
+          s"n=$n text='${cases(i)}': native ${got(i)} vs hof ${want(i)}")
+      }
+    }
+  }
+
   test("native shingle hashes: distinct count matches string shingles, sorted, collision-free here") {
     val both = docs.select(
       size(Dedup.shingles($"text", 3)).as("ns"),
