@@ -92,13 +92,18 @@ object Dedup {
 
   /** Hash each of `bands` signature slices to a bucket id. Docs sharing ANY
     * band bucket become candidate pairs (standard banding: P[candidate] =
-    * 1-(1-j^r)^b for true Jaccard j, r = k/bands). */
+    * 1-(1-j^r)^b for true Jaccard j, r = k/bands). Purely numeric:
+    * xxhash64 over the band index + the slice's longs via element_at —
+    * the earlier stringify-and-concat formulation walked an interpreted
+    * lambda and built two strings per band per row, and was ~4 s of the
+    * sf0.1 d2 pass on its own (equal slices hash equal either way; only
+    * the bucket ids change, which nothing persists). */
   def bandHashes(sigCol: Column, k: Int, bands: Int): Column = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
     val r = k / bands
     array((0 until bands).map { b =>
-      xxhash64(concat_ws(",", lit(b.toString),
-        concat_ws(",", transform(slice(sigCol, b * r + 1, r), _.cast("string")))))
+      xxhash64((lit(b) +: (0 until r).map(j =>
+        element_at(sigCol, b * r + j + 1))): _*)
     }: _*)
   }
 
@@ -119,11 +124,21 @@ object Dedup {
     // then the native signature expression folds all k permutations in one
     // primitive pass (the HOF forms walked interpreted lambdas per shingle
     // per permutation and dominated the whole corpus pass)
+    // MATERIALIZE the signature table before fanning out: the banding
+    // projection references `sig` 64× (16 bands × 4 element_at) and the
+    // self-join consumes the frame twice more — Catalyst's projection
+    // collapse happily inlines the signature expression into every
+    // reference, recomputing the full shingle+minhash pass per element_at
+    // (measured: the sig expression appeared 134× in the d2 plan). One
+    // eager localCheckpoint = one signature pass, every consumer reads the
+    // materialized (id, sig) rows — at scale this is the standard
+    // compute-once-join-twice signature table.
     val sigs = df.select(
         col(idCol).as("id"),
         graft.expressions.ShingleHashExpr.shingleHashes(col(textCol), shingleN).as("__hs"))
       .select(col("id"),
         minHashSignatureNative(col("__hs"), k, seed).as("sig"))
+      .localCheckpoint()
     val banded = sigs
       .select(col("id"), bandHashes(col("sig"), k, bands).as("bh"))
       .select(col("id"), col("bh"),
@@ -198,8 +213,12 @@ object Dedup {
     * [[simHash64]] stays as the pure-`functions` formulation. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucketSize: Int = 500): DataFrame = {
+    // same materialization rationale as minHashCandidates: the chunk
+    // projection + self-join reference `sig` ~10×, and each inlined
+    // reference re-runs the full text pass
     val sigs = df.select(col(idCol).as("id"),
       graft.expressions.SimHash64Expr.simhash64(col(textCol)).as("sig"))
+      .localCheckpoint()
     val chunks = sigs
       .select(col("id"), col("sig"), posexplode(array(
         (0 until 4).map(i => expr(s"shiftright(sig, ${i * 16}) & 65535")): _*))

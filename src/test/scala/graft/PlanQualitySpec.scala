@@ -48,11 +48,25 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("d2: minhash pipeline runs on native codegen expressions") {
+    // the signature table is materialized (localCheckpoint) before the
+    // banding fan-out — projection collapse would otherwise inline the
+    // signature expression into all ~134 downstream references — so the
+    // native expressions live in the signature-stage plan...
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sp = docs.select(
+        graft.expressions.ShingleHashExpr.shingleHashes(
+          org.apache.spark.sql.functions.col("text"), 3).as("__hs"))
+      .select(graft.dedup.Dedup.minHashSignatureNative(
+        org.apache.spark.sql.functions.col("__hs"), 64, 42L).as("sig"))
+      .queryExecution.executedPlan.toString
+    assert(sp.contains("graft_shingle_hashes"), sp)
+    assert(sp.contains("graft_minhash_sig"), sp)
+    // ...and the full query plan keeps the scoring expression + join shape:
+    // ONE signature computation (the checkpointed RDD scan), an equi join
+    // on (band, bucket), never a loop
     val p = plan("d2_minhash_neardup")
-    assert(p.contains("graft_shingle_hashes"), p)
-    assert(p.contains("graft_minhash_sig"), p)
     assert(p.contains("graft_sig_agreement"), p)
-    // candidate self-join is an equi join on (band, bucket), never a loop
+    assert(!p.contains("graft_minhash_sig"), p) // sig computed once, upstream
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
