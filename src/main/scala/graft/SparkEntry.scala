@@ -713,6 +713,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- per-stratum rate sampling: content-hash decisions, unlisted
+    // strata dropped (the sampleBy contract, layout-independent) ----------
+    "s7_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedHashSample(
+          t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+          col("source"), col("doc_id"),
+          Map("src0" -> 0.5, "src1" -> 1.0, "src2" -> 0.1, "src3" -> 0.02))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal: binary payload → REAL ImageIO decode → features -----
     // Each document renders to a genuine 16×16 gray PNG (pixel = char code),
     // then the feature pass decodes it with javax.imageio and grid-pools the
@@ -950,6 +960,23 @@ object SparkEntry {
         .orderBy(col("block"), col("nation"))
     }),
 
+    // ---- R3 per-family distributed FDR: every window partitioned by the
+    // test family, so the adjustment parallelizes across families with no
+    // global sort — the distributed-hypothesis-count shape -----------------
+    "r15_fdr_family" -> ((s, dir) => {
+      val ps = t(s, dir, "customer")
+        .groupBy(col("c_mktsegment").as("family"), col("c_nationkey").as("stratum"))
+        .agg((count(when(col("c_acctbal") <
+            ((col("c_nationkey") % 11) - 1) * 1000, 1)).cast("double")
+          / count(lit(1))).as("p"))
+      graft.stats.FDR.adjustDFPerFamily(ps, "p", Seq("family"), col("stratum"))
+        .select(col("family"), col("stratum"), round(col("p"), 6).as("p"),
+          round(col("bh_adj"), 6).as("bh_adj"),
+          round(col("storey_pi0"), 6).as("storey_pi0"),
+          round(col("storey_adj"), 6).as("storey_adj"))
+        .orderBy(col("family"), col("stratum"))
+    }),
+
     // ---- S-ops: JSON-lines sink + source roundtrip ----------------------
     "s2_json_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
@@ -1020,6 +1047,21 @@ object SparkEntry {
       val o = t(s, dir, "orders").select(col("o_orderkey").as("orderkey"),
         col("o_orderstatus"))
       graft.ops.Partitioning.saltedJoin(li, o, Seq("orderkey"), salts = 4)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- hot-key-isolated join (identical results to the plain join):
+    // the hotKeys head joins via broadcast of its right slice — hot rows
+    // never shuffle — while the tail takes the normal path --------------
+    "j6_skew_isolated" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey").as("orderkey"),
+        col("l_quantity"))
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("orderkey"),
+        col("o_orderstatus"))
+      graft.ops.Partitioning.skewIsolatedJoin(li, o, Seq("orderkey"), hotKeyLimit = 5)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2).as("qty"))
@@ -1484,6 +1526,44 @@ object SparkEntry {
             OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.h
          ORDER BY d.doc_id""",
 
+    // s7: per-stratum md5 thresholds — the hexThreshold arithmetic inlined
+    // as literals (0.5→8000, 0.1→199a, 0.02→051f); src1 keeps whole,
+    // unlisted src4 drops entirely
+    "s7_stratified_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE source = 'src1'
+            OR (source = 'src0' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+            OR (source = 'src2' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '199a')
+            OR (source = 'src3' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '051f')
+         ORDER BY doc_id""",
+
+    // r15: r9's window replay with every window partitioned by family
+    "r15_fdr_family" ->
+      """WITH ps AS (
+           SELECT c_mktsegment AS family, c_nationkey AS stratum,
+                  CAST(count(*) FILTER (WHERE c_acctbal <
+                         ((c_nationkey % 11) - 1) * 1000) AS DOUBLE)
+                    / count(*) AS p
+           FROM customer GROUP BY 1, 2),
+         ranked AS (
+           SELECT family, stratum, p,
+                  row_number() OVER (PARTITION BY family ORDER BY p, stratum) AS rk,
+                  count(*) OVER (PARTITION BY family) AS n,
+                  CAST(sum(CASE WHEN p > 0.5 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY family) AS DOUBLE) AS gt
+           FROM ps),
+         adj AS (
+           SELECT *,
+                  least(1.0, min(n * p / rk) OVER (PARTITION BY family
+                    ORDER BY p DESC, stratum DESC
+                    ROWS UNBOUNDED PRECEDING)) AS bh_adj,
+                  least(1.0, gt / (0.5 * n)) AS pi0
+           FROM ranked)
+         SELECT family, stratum, round(p, 6) AS p, round(bh_adj, 6) AS bh_adj,
+                round(pi0, 6) AS storey_pi0,
+                round(least(1.0, pi0 * bh_adj), 6) AS storey_adj
+         FROM adj ORDER BY family, stratum""",
+
     // ln(99) is embedded as the JVM's Math.log value so both engines use the
     // identical double constant (C and Java libm can differ in the last ulp)
     "r10_binormal_threshold" ->
@@ -1664,6 +1744,13 @@ object SparkEntry {
 
     // salting must be output-invariant: the oracle is the PLAIN join
     "j3_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // j6: hot-key isolation must be output-invariant — oracle = plain join
+    "j6_skew_isolated" ->
       """SELECT o_orderstatus, count(*) AS n,
                 round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
