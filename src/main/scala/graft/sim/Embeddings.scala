@@ -114,16 +114,25 @@ object Embeddings {
     // per-table lshBucket, ~100× cheaper — see LshBuckets scaladoc)
     val buckets = df.select(
         col(idCol).as("id"),
-        posexplode(graft.expressions.VectorExpressions.lshBucketsAll(
-          asDouble(col(vecCol)), nBits, dim, tables, seed)).as(Seq("table", "bucket")))
+        graft.expressions.VectorExpressions.lshBucketsAll(
+          asDouble(col(vecCol)), nBits, dim, tables, seed).as("bks"))
+      .select(col("id"), col("bks"),
+        posexplode(col("bks")).as(Seq("table", "bucket")))
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("table"), col("bucket"))))
       .where(col("__bn") <= maxBucketSize).drop("__bn")
+    // owning-table single emission (the d2 owning-band contract): a pair
+    // colliding in several tables is kept only where table == the first
+    // index at which the two bucket arrays agree — a row-local filter in
+    // place of a candidate-pair distinct() shuffle (the `tables`-long
+    // bucket array rides the join; a pair whose owning table's bucket was
+    // capped is dropped, as any capped bucket's pairs already are)
     val a = buckets.alias("a"); val b = buckets.alias("b")
     val cand = a.join(b, col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .where(col("a.table") + 1 === array_position(
+        zip_with(col("a.bks"), col("b.bks"), (x, y) => x === y), lit(true)))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
     cand
       .join(unit.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
       .join(unit.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
