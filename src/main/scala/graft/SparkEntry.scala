@@ -1153,6 +1153,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("dup_of"))
     }),
 
+    // ---- streaming exact-dedup batch replay: first event per content
+    // hash by (event time, id) — streamingExactDedup's closed-corpus
+    // contract (the live watermarked path is spec'd ≡ this replay) --------
+    "e8_stream_dedup_replay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventStream.exactDedupReplay(
+          ev.select(col("event_id"), col("ts"), col("props")),
+          idCol = "event_id", tsCol = "ts", contentCol = "props")
+        .select(col("content_hash"), unix_micros(col("ts")).as("first_ts"),
+          col("event_id"))
+        .orderBy(col("content_hash"))
+    }),
+
     // ---- time-series resample + forward fill (grid ∘ as-of join) --------
     "e6_resample_ffill" -> ((s, dir) => {
       graft.ops.Resample.forwardFillGrid(Tables.events(s, dir),
@@ -1777,6 +1790,17 @@ object SparkEntry {
                 round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderkey, o_orderstatus ORDER BY o_orderkey""",
+
+    // e8: first event per payload hash by (event time, id); ts compared at
+    // the engine's microsecond precision on both sides
+    "e8_stream_dedup_replay" ->
+      """SELECT content_hash, CAST(epoch_us(ts) AS BIGINT) AS first_ts, event_id
+         FROM (
+           SELECT md5(props) AS content_hash, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                  row_number() OVER (PARTITION BY md5(props)
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+           FROM events)
+         WHERE rn = 1 ORDER BY content_hash""",
 
     // e7: d8's signature CTE + band keys; the OR-join emits one row per
     // colliding pair, which is exactly the owning-band single emission; the

@@ -133,6 +133,20 @@ object EventStream {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Batch replay of [[streamingExactDedup]] over a CLOSED corpus — the
+    * correctness bridge (e8): the first row per content hash by (event
+    * time, id tie-break), which is the survivor an ordered replay of the
+    * stream would keep. One shuffle keyed on the content hash; min(struct)
+    * aggregates map-side (no per-hash window sort). The watermark knob
+    * bounds state under continuous ingest and has no meaning here. */
+  def exactDedupReplay(docs: DataFrame, idCol: String = "doc_id",
+      tsCol: String = "ts", contentCol: String = "text"): DataFrame =
+    docs.select(col(idCol), col(tsCol), md5(col(contentCol)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(struct(col(tsCol), col(idCol))).as("__f"))
+      .select(col("content_hash"), col(s"__f.$tsCol").as(tsCol),
+        col(s"__f.$idCol").as(idCol))
+
   /** Wire a parquet-directory stream of events through the rollup to an
     * in-memory (testing) or file sink. Returns the started query. */
   def startFileStream(spark: SparkSession, inputDir: String, queryName: String,

@@ -144,6 +144,15 @@ class EventStreamSpec extends SparkSpec {
       val ids = spark.table("dedup_test").select($"doc_id")
         .as[Long].collect().toSet
       assert(ids == Set(1L, 3L), ids.mkString(","))
+      // the batch replay on the same closed corpus keeps the same survivors
+      val replay = EventStream.exactDedupReplay(Seq(
+          (1L, ts("2024-01-01 10:00:00"), "the same text"),
+          (2L, ts("2024-01-01 10:01:00"), "the same text"),
+          (3L, ts("2024-01-01 10:02:00"), "something else"),
+          (4L, ts("2024-01-01 10:30:00"), "the same text"))
+          .toDF("doc_id", "ts", "text"))
+        .select($"doc_id").as[Long].collect().toSet
+      assert(replay == ids, s"replay $replay vs live $ids")
     } finally q.stop()
   }
 }
