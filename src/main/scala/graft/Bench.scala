@@ -43,9 +43,20 @@ object Bench {
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) fmt(v) else "\"error\"")
     }.mkString("{", ",", "}")
-    val queriesFile = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "bench_queries.json")).toAbsolutePath
-    java.nio.file.Files.write(queriesFile, qs.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // a failed side-file write (read-only cwd, bad override path) must not
+    // take the metric line down with it — fall back to the temp dir
+    val queriesFile = {
+      val primary = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERIES", "bench_queries.json")).toAbsolutePath
+      val bytes = qs.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      try { java.nio.file.Files.write(primary, bytes); primary }
+      catch { case _: java.io.IOException =>
+        val alt = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "bench_queries.json")
+        try { java.nio.file.Files.write(alt, bytes); alt }
+        catch { case _: java.io.IOException => primary /* report intent */ }
+      }
+    }
     // total = sum of the ROUNDED per-query values so it cross-checks exactly
     // against the side file's entries
     val total = results.filter(_._3).map(r => fmt(r._2).toDouble).sum
