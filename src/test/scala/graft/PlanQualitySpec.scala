@@ -157,6 +157,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p7: the DPP subquery reuses the dim broadcast (no second dim scan)") {
+    val p = finalPlan("p7_partition_prune")
+    // the pruning subquery must not pay for itself: the broadcast built for
+    // the join is the one the partition filter consumes
+    assert(p.contains("ReusedExchange"), p)
+  }
+
+  test("j6: hot-key isolation broadcasts the hot slice, no loop join") {
+    val p = plan("j6_skew_isolated")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // hot-head path: semi filters + the inner join build side all broadcast
+    assert("BroadcastExchange".r.findAllIn(p).length >= 3, p)
+  }
+
   test("j5: bucketed fact-fact join + key agg plan with zero hash exchanges") {
     val p = plan("j5_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
