@@ -15,6 +15,7 @@ class GraftExtensionsSpec extends SparkSpec {
     GraftExtensions.register(spark)
     val row = spark.sql("""
       SELECT graft_simhash64('hello world spark') AS sh,
+             graft_shingles('a b c d', 3) AS ss,
              graft_shingle_hashes('a b c d', 3) AS hs,
              graft_minhash_sig(graft_shingle_hashes('a b c d', 3), 16, 42L) AS sig,
              graft_sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic,
@@ -25,14 +26,15 @@ class GraftExtensionsSpec extends SparkSpec {
     val lib = Seq("hello world spark").toDF("t").select(
       graft.expressions.SimHash64Expr.simhash64(col("t")).as("sh")).as[Long].head()
     assert(row.getAs[Long]("sh") == lib)
-    assert(row.getSeq[Long](1).length == 2) // "a b c", "b c d"
-    assert(row.getSeq[Long](2).length == 16)
+    assert(row.getSeq[String](row.fieldIndex("ss")) == Seq("a b c", "b c d"))
+    assert(row.getSeq[Long](row.fieldIndex("hs")).length == 2) // "a b c", "b c d"
+    assert(row.getSeq[Long](row.fieldIndex("sig")).length == 16)
     assert(row.getAs[Int]("ic") == 2)
     assert(row.getAs[Int]("ag") == 2)
     val lbLib = Seq(Seq(0.5, -0.25)).toDF("v").select(
       graft.expressions.VectorExpressions.lshBucketsAll(
         col("v"), 4, 2, 3, 42L).as("lb")).as[Seq[Long]].head()
-    assert(row.getSeq[Long](5) == lbLib)
+    assert(row.getSeq[Long](row.fieldIndex("lb")) == lbLib)
   }
 
   test("non-literal constant arguments are rejected with a clear error") {

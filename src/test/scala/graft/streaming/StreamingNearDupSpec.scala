@@ -84,6 +84,31 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucket state expires past the watermark: an old doc stops matching") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingNearDup.matches(input.toDF(), minAgree = 6, lateness = "1 hour")
+      .writeStream.format("memory").queryName("neardup_expiry")
+      .outputMode("append").start()
+    try {
+      input.addData(Doc(1L, ts("2024-01-01 10:00:00"), base))
+      q.processAllAvailable()
+      // an unrelated doc 3h later pushes the watermark to ~12:00 — past
+      // doc 1's bucket timeout (10:00 + 1h), so its state is reclaimed
+      input.addData(Doc(2L, ts("2024-01-01 13:00:00"),
+        "completely unrelated content about spark catalyst plans and " +
+          "shuffle exchanges in distributed queries"))
+      q.processAllAvailable()
+      // an exact duplicate of doc 1 arriving now finds NO stored signature:
+      // bounded state means old near-dups are a batch job, not stream state
+      input.addData(Doc(3L, ts("2024-01-01 13:30:00"), base))
+      q.processAllAvailable()
+      val got = spark.table("neardup_expiry").as[StreamingNearDup.Match].collect()
+      assert(got.isEmpty, got.mkString(","))
+    } finally q.stop()
+  }
+
   test("signature agreement matches the batch d8 operator on the same docs") {
     // the streaming signature (row-local) must equal the batch signature
     // (aggregation-based) — same shingles, same md5 slices
