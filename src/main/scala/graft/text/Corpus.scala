@@ -18,24 +18,48 @@ object Corpus {
     * chunk ids it lands in — which is what attribution, dedup-audit, and
     * loss-masking downstream need.
     *
-    * Scale: ONE global ordered window computes the running offset; the rows
-    * are per-DOCUMENT (not per token), so this sorts the doc-metadata frame
-    * only. Beyond single-sort scale, partition the corpus into shards
-    * upstream (shard column + per-shard offsets, then add exact shard base
-    * offsets — same two-phase cumsum every distributed scan uses). */
+    * Scale: a DISTRIBUTED two-phase cumsum, never a single-partition sort.
+    * Phase 1 range-partitions the doc-metadata rows into contiguous
+    * (`orderCol`, `idCol`) shards and computes the running offset within
+    * each shard (partitioned window). Phase 2 computes each shard's exact
+    * base offset as the exclusive prefix sum of per-shard token totals —
+    * one row per shard, driver-side, bounded by the partition count — and
+    * adds it back as a literal map lookup. The global offsets are exactly
+    * the single-sort values (contiguous shards ⇒ the prefix decomposes),
+    * but every stage is key-partitioned. Range-partitioner sampling is
+    * seeded deterministically, so the totals pass and the window pass see
+    * identical shard assignment. */
   def chunkMap(df: DataFrame, idCol: String, textCol: String,
       budget: Int, orderCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    val base = df.select(col(idCol), col(orderCol.getOrElse(idCol)).as("__ord"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // contiguous shards in total (__ord, id) order; idCol tie-break makes
+    // the order total so no peer group straddles a shard boundary ambiguously
+    val sharded = base.repartitionByRange(col("__ord"), col(idCol))
+      .withColumn("__shard", spark_partition_id())
     // ROWS frame + idCol tie-break: the default RANGE frame sums ALL rows
     // tied on orderCol into each peer's running offset (overlapping chunks,
     // silently); a ROWS frame over a total order counts each doc once
-    val w = Window.orderBy(col("__ord"), col(idCol))
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__ord"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), col(orderCol.getOrElse(idCol)).as("__ord"),
-        TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    // exclusive prefix sum of shard totals: one row per shard on the driver
+    val bases: Map[Int, Long] = {
+      var acc = 0L
+      sharded.groupBy(col("__shard")).agg(sum(col("n_tokens")).as("__tot"))
+        .collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
+        .sortBy(_._1)
+        .map { case (s, t) => val e = (s, acc); acc += t; e }.toMap
+    }
+    val shardBase =
+      if (bases.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(bases), col("__shard")), lit(0L))
+    sharded
       .withColumn("start_offset",
-        coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
-      .drop("__ord")
+        coalesce(shardBase + sum(col("n_tokens")).over(w) - col("n_tokens"),
+          lit(0L)))
+      .drop("__ord", "__shard")
       .withColumn("start_chunk", (col("start_offset") / budget).cast("long"))
       .withColumn("end_chunk",
         (greatest(col("start_offset") + col("n_tokens") - 1, col("start_offset"))

@@ -184,6 +184,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("t8: chunk map's cumsum windows are all partitioned (sharded two-phase)") {
+    // the packing map must never fall back to a single-partition global sort
+    val wins = df("t8_chunk_map").queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected a windowed cumsum in t8's plan")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"partition-less WindowExec in t8's plan:\n$w"))
+  }
+
   test("whole-stage codegen spans cover the relational queries") {
     Seq("q1_agg", "p2_cast_project", "e1_events_hourly").foreach { q =>
       val p = finalPlan(q)
