@@ -1078,7 +1078,10 @@ object SparkEntry {
       val ev = Tables.events(s, dir)
       val root = sys.props("java.io.tmpdir") +
         s"/graft-p7-${ProcessHandle.current().pid()}/events_by_day"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root)))
+      // reuse is gated on the _SUCCESS marker, not bare dir existence: a
+      // write that died partway leaves a directory but no marker, and must
+      // be rewritten (mode=overwrite), never silently read as complete
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_SUCCESS")))
         ev.withColumn("event_date", to_date(col("ts")))
           .write.mode("overwrite").partitionBy("event_date").parquet(root)
       val fact = s.read.parquet(root)
@@ -1107,10 +1110,15 @@ object SparkEntry {
     // task writes exactly one bucket file and scans stay sorted.
     "j5_bucketed_join" -> ((s, dir) => {
       // layout tables are per-(session, sfDir): write once, reuse on
-      // re-invocation (the dir suffix keeps mixed-SF test sessions honest)
-      val sfx = java.lang.Integer.toHexString(dir.hashCode)
+      // re-invocation. The dir suffix is a collision-resistant md5 (a
+      // 32-bit String.hashCode collision between two dirs in one session
+      // would silently serve stale data); both tables are checked so a
+      // half-completed first write is retried, not half-reused.
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(16)
       val (liTable, oTable) = (s"graft_j5_lineitem_$sfx", s"graft_j5_orders_$sfx")
-      if (!s.catalog.tableExists(liTable)) {
+      if (!s.catalog.tableExists(liTable) || !s.catalog.tableExists(oTable)) {
         val li = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
         val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))

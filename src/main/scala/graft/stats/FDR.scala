@@ -47,12 +47,17 @@ object FDR {
     * Rejection at level α = `bh_adj <= α` (equivalent to the classic step-up
     * rule). `tieBreak` makes the rank deterministic for equal p.
     *
-    * Scale note: the global rank/running-min windows sort one row per
-    * HYPOTHESIS (not per observation) — millions of hypotheses sort in one
-    * task comfortably; partition upstream by test family if beyond that. */
+    * Scale note: the global rank and running min are computed as a
+    * range-partitioned two-phase pass (the [[graft.text.Corpus.chunkMap]]
+    * idiom), NOT a single global-window sort: hypotheses are range-sharded
+    * on (p, tieBreak), ranks are per-shard `row_number` plus exact shard
+    * base counts, and the step-up suffix min combines each shard's windowed
+    * suffix min with the min over all later shards (driver-side over one
+    * row per shard). No stage is a single-partition sort, and every value
+    * (rank, n·p/rank, the mins) is bit-identical to the global-window form. */
   def adjustDF(df: DataFrame, pCol: String, tieBreak: Column,
       lambda: Double = 0.5): DataFrame =
-    adjustImpl(df, pCol, tieBreak, lambda, Seq.empty)
+    adjustShardedGlobal(df, pCol, tieBreak, lambda)
 
   /** Per-FAMILY variant: each `familyCols` group is its own multiple-testing
     * family — rank, n, π0 and the running min are all computed within the
@@ -81,6 +86,67 @@ object FDR {
         least(lit(1.0), col("__gt") / (lit(1 - lambda) * col("__n"))))
       .withColumn("storey_adj", least(lit(1.0), col("storey_pi0") * col("bh_adj")))
       .drop("__rk", "__n", "__gt")
+  }
+
+  /** Single-family [[adjustDF]] without the single-partition sort: the
+    * global rank is (shard base count) + per-shard `row_number`, and the BH
+    * suffix min is least(per-shard windowed suffix min, min over all later
+    * shards). Shards are contiguous (p, tieBreak) ranges, so both
+    * decompositions are exact; n, #{p>λ}, and the per-shard aggregates are
+    * one row per shard on the driver. Costs one extra key-partitioned pass
+    * over the (per-hypothesis) rows vs the windowed form — the price of no
+    * stage being a global sort. */
+  private def adjustShardedGlobal(df: DataFrame, pCol: String,
+      tieBreak: Column, lambda: Double): DataFrame = {
+    val sharded = df.repartitionByRange(col(pCol).asc, tieBreak.asc)
+      .withColumn("__shard", spark_partition_id())
+    val stats = sharded.groupBy(col("__shard")).agg(
+        count(lit(1)).as("__cnt"),
+        sum(when(col(pCol) > lambda, 1L).otherwise(0L)).as("__gt"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n = stats.map(_._2).sum
+    val gt = stats.map(_._3).sum
+    // exclusive prefix count per shard = the shard's global rank base
+    val rankBase: Map[Int, Long] = {
+      var acc = 0L
+      stats.map { case (s, c, _) => val e = (s, acc); acc += c; e }.toMap
+    }
+    val baseCol =
+      if (rankBase.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(rankBase), col("__shard")), lit(0L))
+    val localRankW = Window.partitionBy(col("__shard"))
+      .orderBy(col(pCol).asc, tieBreak.asc)
+    val suffW = Window.partitionBy(col("__shard"))
+      .orderBy(col(pCol).desc, tieBreak.desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = sharded
+      .withColumn("__rk", baseCol + row_number().over(localRankW))
+      .withColumn("__ratio", lit(n) * col(pCol) / col("__rk"))
+    // min ratio over all LATER shards (every row there has a larger rank):
+    // one row per shard, exclusive suffix min on the driver
+    val laterMin: Map[Int, Double] = {
+      var acc = Double.PositiveInfinity
+      ranked.groupBy(col("__shard")).agg(min(col("__ratio")).as("__m"))
+        .collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) Double.PositiveInfinity
+          else r.getDouble(1)))
+        .sortBy(-_._1)
+        .map { case (s, m) => val e = (s, acc); acc = math.min(acc, m); e }
+        .toMap
+    }
+    val laterCol =
+      if (laterMin.isEmpty) lit(Double.PositiveInfinity)
+      else coalesce(element_at(typedLit(laterMin), col("__shard")),
+        lit(Double.PositiveInfinity))
+    ranked
+      .withColumn("bh_adj",
+        least(lit(1.0), least(min(col("__ratio")).over(suffW), laterCol)))
+      .withColumn("storey_pi0",
+        least(lit(1.0), lit(gt) / (lit(1 - lambda) * lit(n))))
+      .withColumn("storey_adj", least(lit(1.0), col("storey_pi0") * col("bh_adj")))
+      .drop("__shard", "__rk", "__ratio")
   }
 
   /** Distributed SABHA select with the clamped feasible block projection:

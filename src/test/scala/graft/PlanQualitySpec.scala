@@ -194,6 +194,19 @@ class PlanQualitySpec extends SparkSpec {
       s"partition-less WindowExec in t8's plan:\n$w"))
   }
 
+  test("r9/r15: FDR adjustment plans have no partition-less window") {
+    // the BH rank/suffix-min must come from the sharded two-phase pass
+    // (r9, single family) or per-family partitions (r15) — never a global sort
+    Seq("r9_fdr_distributed", "r15_fdr_family").foreach { q =>
+      val wins = df(q).queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, s"expected windowed FDR math in $q's plan")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"partition-less WindowExec in $q's plan:\n$w"))
+    }
+  }
+
   test("whole-stage codegen spans cover the relational queries") {
     Seq("q1_agg", "p2_cast_project", "e1_events_hourly").foreach { q =>
       val p = finalPlan(q)
