@@ -752,7 +752,10 @@ object SparkEntry {
         col("o_totalprice"),
         (col("o_orderpriority") === "1-URGENT").cast("int").as("is_urgent"),
         year(col("o_orderdate")).cast("double").as("order_year"))
-      val res = graft.ml.CohortClassifier.trainEvaluate(o,
+      // direct fit path: the orders cohort is null-free, so the imputer and
+      // scaler fits would change nothing (spec-asserted metric equality) —
+      // assemble once and fit the tree directly, ~1/3 the jobs
+      val res = graft.ml.CohortClassifier.trainEvaluateDirect(o,
         graft.ml.CohortClassifier.Config(
           labelCol = "label",
           numericCols = Seq("o_totalprice", "order_year"),
@@ -854,6 +857,46 @@ object SparkEntry {
         round(sum(((col("score") >= 0.5) === (col("label") === 1.0))
           .cast("long")).cast("double") / count(lit(1)), 6).as("accuracy"))
         .withColumn("tree_depth", lit(graft.ml.TreeScorer.depth(spec)))
+    }),
+
+    // ---- ML: the m2 tune's OUTCOME, oracled. The TPE search runs over
+    // trees fit on RAW assembled features (fitTreeSpec regime, m2's search
+    // machinery), the winning tree is exported as a TreeSpec, and its
+    // held-out inference + winning params are hash-replayed in SQL exactly
+    // as m4 does for a single fit. The tune trajectory stays engine-specific
+    // (that's m2, rows-only); the tuned ARTIFACT is now verified. ----------
+    "m5_tune_score" -> ((s, dir) => {
+      // m2's 10% cohort and m4's interaction label + md5 content-hash
+      // splits: first hex char <'5' = held-out test, second <'4' = the
+      // tune's validation quarter — all engine-reproducible
+      val o = t(s, dir, "orders").where(col("o_orderkey") % 10 === 0).select(
+        ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
+          .cast("double").as("label"),
+        col("o_totalprice"),
+        (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
+        year(col("o_orderdate")).cast("double").as("order_year"),
+        col("o_orderkey"))
+      val h = md5(col("o_orderkey").cast("string"))
+      val isTest = substring(h, 1, 1) < lit("5")
+      val isValid = substring(h, 2, 1) < lit("4")
+      val trainAll = o.where(!isTest)
+      val (spec, params, _) = graft.ml.CohortClassifier.tuneTreeSpec(
+        trainAll.where(!isValid), trainAll.where(isValid),
+        Seq("o_totalprice", "is_urgent", "order_year"), "label",
+        budget = 8, parallelism = 4, nWarmup = 4)
+      m5TunedSpec = Some((spec, params))
+      val scored = o.where(isTest)
+        .withColumn("score", graft.ml.TreeScorer.compile(spec))
+      scored.agg(
+          count(lit(1)).as("n"),
+          sum((col("score") >= 0.5).cast("long")).as("n_pred_pos"),
+          round(sum(((col("score") >= 0.5) === (col("label") === 1.0))
+            .cast("long")).cast("double") / count(lit(1)), 6).as("accuracy"))
+        .withColumn("best_max_depth",
+          lit(params("maxDepth").asInstanceOf[Int].toLong))
+        .withColumn("best_min_instances",
+          lit(params("minInstancesPerNode").asInstanceOf[Int].toLong))
+        .withColumn("trials", lit(params("trials").asInstanceOf[Int].toLong))
     }),
 
     // ---- exact-sum higher moments: corr/stddev/skewness, bit-reproducible
@@ -1315,7 +1358,36 @@ object SparkEntry {
          FROM s"""
   }.toMap
 
-  def oracleSql: Map[String, String] = m4OracleEntry ++ Map(
+  /** The m5 tune's winning tree + params, exported in this process. Same
+    * runtime-oracle contract as [[m4FittedSpec]]: the DuckDB replay scores
+    * with exactly the tree the tune selected, so within one Verify run the
+    * comparison is airtight regardless of fit determinism. */
+  @volatile private var m5TunedSpec:
+      Option[(graft.ml.TreeScorer.TreeSpec, Map[String, Any])] = None
+
+  private def m5OracleEntry: Map[String, String] = m5TunedSpec.map { case (spec, params) =>
+    "m5_tune_score" ->
+      s"""WITH t AS (
+           SELECT CASE WHEN (o_totalprice > 250000) != (o_orderpriority = '1-URGENT')
+                       THEN 1.0 ELSE 0.0 END AS label,
+                  o_totalprice,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS is_urgent,
+                  CAST(year(o_orderdate) AS DOUBLE) AS order_year
+           FROM orders
+           WHERE o_orderkey % 10 = 0
+             AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '5'),
+         s AS (SELECT *, ${graft.ml.TreeScorer.toSql(spec)} AS score FROM t)
+         SELECT count(*) AS n,
+                CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+                round(CAST(sum(CASE WHEN (CASE WHEN score >= 0.5 THEN 1.0 ELSE 0.0 END) = label
+                                    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy,
+                CAST(${params("maxDepth")} AS BIGINT) AS best_max_depth,
+                CAST(${params("minInstancesPerNode")} AS BIGINT) AS best_min_instances,
+                CAST(${params("trials")} AS BIGINT) AS trials
+         FROM s"""
+  }.toMap
+
+  def oracleSql: Map[String, String] = m4OracleEntry ++ m5OracleEntry ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -94,6 +94,36 @@ object CohortClassifier {
     } finally data.unpersist(blocking = false)
   }
 
+  /** [[trainEvaluate]] on the m4 fit path (assemble once, fit the tree
+    * directly): identical `Result` on null-free cohorts for ~1/3 the jobs.
+    * Mean imputation is a no-op without nulls, and min-max scaling is a
+    * per-feature monotone map — spark.ml's quantile-binned split candidates,
+    * the row partitions they induce, gain-based importances, predictions,
+    * accuracy and AUC are all invariant under it (the spec asserts equality
+    * against the pipeline fit) — so the imputer/scaler fit jobs are pure
+    * overhead here. Cohorts whose numerics may be null should keep
+    * [[trainEvaluate]]: there the imputer changes the data. */
+  def trainEvaluateDirect(df: DataFrame, cfg: Config): Result = {
+    val prepared = prepare(df, cfg)
+    val data =
+      (if (cfg.fitPartitions > 0) prepared.coalesce(cfg.fitPartitions) else prepared).cache()
+    try {
+      val Array(train, test) = data.randomSplit(Array(0.7, 0.3), cfg.seed)
+      val assembler = new VectorAssembler()
+        .setInputCols((cfg.numericCols ++ cfg.binaryCols).toArray)
+        .setOutputCol("features").setHandleInvalid("keep")
+      val treeModel = treeEstimator(cfg).fit(assembler.transform(train))
+      // assembler + fitted tree are both transformers: this fit runs no jobs
+      val model = new Pipeline()
+        .setStages(Array[org.apache.spark.ml.PipelineStage](assembler, treeModel))
+        .fit(train)
+      evaluate(model, test, cfg, Map(
+        "maxDepth" -> cfg.maxDepth,
+        "minInstancesPerNode" -> cfg.minInstancesPerNode,
+        "minInfoGain" -> cfg.minInfoGain))
+    } finally data.unpersist(blocking = false)
+  }
+
   /** M7: search the reference's space, maximizing AUC on a validation split.
     * `budget` caps the number of grid points (HyperDrive ran 50). */
   def tune(df: DataFrame, cfg: Config, budget: Int = 50): Result = {
@@ -153,9 +183,6 @@ object CohortClassifier {
     * splits — the same job-level parallelism `TrainValidationSplit` uses. */
   def tuneBayesian(df: DataFrame, cfg: Config, budget: Int = 50,
       parallelism: Int = 4, nWarmup: Int = 12, gamma: Double = 0.25): Result = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    require(budget > 0 && nWarmup > 0, "budget and nWarmup must be positive")
     val prepared = prepare(df, cfg)
     val data =
       (if (cfg.fitPartitions > 0) prepared.coalesce(cfg.fitPartitions) else prepared).cache()
@@ -183,32 +210,7 @@ object CohortClassifier {
         val model = tree.fit(trainFeat, pm)
         (p, model, metricsOf(model, validFeat, cfg.labelCol)._1)
       }
-      val space = (for {
-        d <- MaxDepthChoices; m <- MinInstancesChoices; g <- MinInfoGainChoices
-      } yield (d, m, g)).toIndexedSeq
-      val rng = new scala.util.Random(cfg.seed)
-      val warm = rng.shuffle(space).take(math.min(nWarmup, budget))
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      def evalBatch(ps: Seq[(Int, Int, Double)]) =
-        Await.result(Future.sequence(ps.toList.map(p => Future(fitScore(p)))), Duration.Inf)
-      val observed =
-        try {
-          var acc = evalBatch(warm)
-          var remaining = space.filterNot(warm.toSet)
-          while (acc.size < budget && remaining.nonEmpty) {
-            val want = math.min(math.max(1, parallelism), budget - acc.size)
-            val ranked = tpeRank(acc.map(t => (t._1, t._3)), remaining, gamma)
-            val exploit = ranked.take(math.max(1, want - 1))
-            val explorePool = remaining.filterNot(exploit.toSet)
-            val explore = if (want > exploit.size && explorePool.nonEmpty)
-              Seq(explorePool(rng.nextInt(explorePool.size))) else Nil
-            val batch = exploit ++ explore
-            acc = acc ++ evalBatch(batch)
-            remaining = remaining.filterNot(batch.toSet)
-          }
-          acc
-        } finally pool.shutdown()
+      val observed = tpeSearch(fitScore, budget, parallelism, nWarmup, gamma, cfg.seed)
       // max validation AUC; ties break to the lexicographically smallest
       // point so the result is independent of evaluation order
       val (bestP, bestTree, _) = observed.minBy(t => (-t._3, t._1))
@@ -227,6 +229,87 @@ object CohortClassifier {
         trainFeat.unpersist(blocking = false); validFeat.unpersist(blocking = false)
       }
     } finally data.unpersist(blocking = false)
+  }
+
+  /** The TPE search loop shared by [[tuneBayesian]] and [[tuneTreeSpec]]:
+    * seeded warmup batch, then exploit-batches ranked by [[tpeRank]] with
+    * one seeded explore point per round; `parallelism` concurrent trials
+    * (batch results join as a set, so thread completion order cannot change
+    * the trajectory — deterministic for a fixed seed). */
+  private def tpeSearch[M](fitScore: ((Int, Int, Double)) => ((Int, Int, Double), M, Double),
+      budget: Int, parallelism: Int, nWarmup: Int, gamma: Double, seed: Long)
+      : Seq[((Int, Int, Double), M, Double)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    require(budget > 0 && nWarmup > 0, "budget and nWarmup must be positive")
+    val space = (for {
+      d <- MaxDepthChoices; m <- MinInstancesChoices; g <- MinInfoGainChoices
+    } yield (d, m, g)).toIndexedSeq
+    val rng = new scala.util.Random(seed)
+    val warm = rng.shuffle(space).take(math.min(nWarmup, budget))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def evalBatch(ps: Seq[(Int, Int, Double)]) =
+      Await.result(Future.sequence(ps.toList.map(p => Future(fitScore(p)))), Duration.Inf)
+    try {
+      var acc = evalBatch(warm)
+      var remaining = space.filterNot(warm.toSet)
+      while (acc.size < budget && remaining.nonEmpty) {
+        val want = math.min(math.max(1, parallelism), budget - acc.size)
+        val ranked = tpeRank(acc.map(t => (t._1, t._3)), remaining, gamma)
+        val exploit = ranked.take(math.max(1, want - 1))
+        val explorePool = remaining.filterNot(exploit.toSet)
+        val explore = if (want > exploit.size && explorePool.nonEmpty)
+          Seq(explorePool(rng.nextInt(explorePool.size))) else Nil
+        val batch = exploit ++ explore
+        acc = acc ++ evalBatch(batch)
+        remaining = remaining.filterNot(batch.toSet)
+      }
+      acc
+    } finally pool.shutdown()
+  }
+
+  /** [[tuneBayesian]] on the export path: the SAME TPE search, but each
+    * trial fits on RAW assembled features (no imputer/scaler — the
+    * [[fitTreeSpec]] regime), so the winning trial's tree exports as a
+    * [[TreeScorer.TreeSpec]] whose thresholds are source-column values,
+    * replayable as SQL CASE on any engine. Returns (winning spec, winning
+    * params incl. trial count, validation AUC of the winner). The tune
+    * TRAJECTORY stays engine-specific (validation AUC of intermediate
+    * trees); the *outcome* — the exported tree's held-out inference — is
+    * what the m5 query oracles, exactly like m4 does for a single fit. */
+  def tuneTreeSpec(train: DataFrame, valid: DataFrame, features: Seq[String],
+      labelCol: String, budget: Int = 10, parallelism: Int = 4,
+      nWarmup: Int = 5, seed: Long = 0L, gamma: Double = 0.25)
+      : (TreeScorer.TreeSpec, Map[String, Any], Double) = {
+    val assembler = new VectorAssembler().setInputCols(features.toArray)
+      .setOutputCol("features").setHandleInvalid("keep")
+    def feat(df: DataFrame) = assembler.transform(
+        df.withColumn(labelCol, col(labelCol).cast("double")))
+      .select(col("features"), col(labelCol))
+    val trainFeat = feat(train).cache()
+    val validFeat = feat(valid).cache()
+    try {
+      val tree = new DecisionTreeClassifier().setLabelCol(labelCol)
+        .setFeaturesCol("features").setSeed(seed)
+      def fitScore(p: (Int, Int, Double)):
+          ((Int, Int, Double), DecisionTreeClassificationModel, Double) = {
+        val pm = new org.apache.spark.ml.param.ParamMap()
+          .put(tree.maxDepth, p._1)
+          .put(tree.minInstancesPerNode, p._2)
+          .put(tree.minInfoGain, p._3)
+        val model = tree.fit(trainFeat, pm)
+        (p, model, metricsOf(model, validFeat, labelCol)._1)
+      }
+      val observed = tpeSearch(fitScore, budget, parallelism, nWarmup, gamma, seed)
+      val (bestP, bestModel, bestAuc) = observed.minBy(t => (-t._3, t._1))
+      (TreeScorer.fromModel(bestModel.rootNode, features),
+        Map("maxDepth" -> bestP._1, "minInstancesPerNode" -> bestP._2,
+          "minInfoGain" -> bestP._3, "trials" -> observed.size), bestAuc)
+    } finally {
+      trainFeat.unpersist(blocking = false)
+      validFeat.unpersist(blocking = false)
+    }
   }
 
   /** TPE candidate ranking (descending promise). Package-private for the
@@ -298,33 +381,35 @@ object CohortClassifier {
   /** (areaUnderROC, accuracy) of `model` on `test` in ONE scan (see above).
     * Accepts any transformer producing prediction/rawPrediction — a full
     * PipelineModel over raw columns, or a bare tree model over a
-    * pre-assembled features frame (the tuning loop's fast path). */
+    * pre-assembled features frame (the tuning loop's fast path).
+    *
+    * The distributed part is exactly the one groupBy over distinct
+    * rawPrediction scores; a TREE's distinct scores are its leaf posteriors,
+    * ≤ 2^maxDepth rows, so the cumulative trapezoid over them is bounded
+    * driver math (exact LONG numerator, deterministic desc-score order) —
+    * no global window, no second pass over the cohort. */
   private def metricsOf(model: org.apache.spark.ml.Transformer, test: DataFrame,
       labelCol: String): (Double, Double) = {
     import org.apache.spark.ml.functions.vector_to_array
-    import org.apache.spark.sql.expressions.Window
     val scored = model.transform(test).select(
       col(labelCol).cast("double").as("label"),
       col("prediction"),
       vector_to_array(col("rawPrediction")).getItem(1).as("score"))
-    val byScore = scored.groupBy(col("score")).agg(
-      count(when(col("label") === 1.0, 1)).as("np"),
-      count(when(col("label") =!= 1.0, 1)).as("nn"),
-      count(when(col("prediction") === col("label"), 1)).as("nc"),
-      count(lit(1)).as("nt"))
-    val cum = Window.orderBy(col("score").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prev = Window.orderBy(col("score").desc)
-    val m = byScore
-      .withColumn("tp", sum(col("np")).over(cum))
-      .withColumn("fp", sum(col("nn")).over(cum))
-      .withColumn("tp_prev", coalesce(lag(col("tp"), 1).over(prev), lit(0L)))
-      .withColumn("fp_prev", coalesce(lag(col("fp"), 1).over(prev), lit(0L)))
-      .agg(
-        (sum((col("fp") - col("fp_prev")) * (col("tp") + col("tp_prev")))
-          .cast("double") / (lit(2.0) * max(col("tp")) * max(col("fp")))).as("auc"),
-        (sum(col("nc")).cast("double") / sum(col("nt"))).as("accuracy"))
-      .collect()(0)
-    (m.getAs[Double]("auc"), m.getAs[Double]("accuracy"))
+    val rows = scored.groupBy(col("score")).agg(
+        count(when(col("label") === 1.0, 1)).as("np"),
+        count(when(col("label") =!= 1.0, 1)).as("nn"),
+        count(when(col("prediction") === col("label"), 1)).as("nc"),
+        count(lit(1)).as("nt"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(-_._1)
+    var tp = 0L; var fp = 0L; var num = 0L; var nc = 0L; var nt = 0L
+    rows.foreach { case (_, np, nn, c, t) =>
+      val tpPrev = tp; val fpPrev = fp
+      tp += np; fp += nn
+      num += (fp - fpPrev) * (tp + tpPrev)
+      nc += c; nt += t
+    }
+    (num.toDouble / (2.0 * tp * fp), nc.toDouble / nt)
   }
 }

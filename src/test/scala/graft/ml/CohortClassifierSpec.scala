@@ -58,6 +58,23 @@ class CohortClassifierSpec extends SparkSpec {
     assert(math.abs(res.accuracy - stockAcc) < 1e-9, s"${res.accuracy} vs $stockAcc")
   }
 
+  test("direct fit path (assemble-once) reproduces the pipeline fit exactly") {
+    // null-free cohort: mean imputation is a no-op and min-max scaling is
+    // monotone, so the tree structure, importances, and metrics must match
+    // the full pipeline fit bit-for-bit
+    val cfg = CohortClassifier.Config(
+      labelCol = "label", numericCols = Seq("x", "noise"), binaryCols = Seq("flag"))
+    val full = CohortClassifier.trainEvaluate(data, cfg)
+    val fast = CohortClassifier.trainEvaluateDirect(data, cfg)
+    assert(math.abs(full.auc - fast.auc) < 1e-12, s"${full.auc} vs ${fast.auc}")
+    assert(math.abs(full.accuracy - fast.accuracy) < 1e-12,
+      s"${full.accuracy} vs ${fast.accuracy}")
+    assert(full.featureImportances.map(_._1) == fast.featureImportances.map(_._1))
+    full.featureImportances.zip(fast.featureImportances).foreach {
+      case ((n, a), (_, b)) => assert(math.abs(a - b) < 1e-12, s"$n: $a vs $b")
+    }
+  }
+
   test("tune searches the reference grid within budget and beats a stump") {
     val res = CohortClassifier.tune(data, CohortClassifier.Config(
       labelCol = "label", numericCols = Seq("x", "noise"), binaryCols = Seq("flag")),
@@ -88,6 +105,23 @@ class CohortClassifierSpec extends SparkSpec {
     def dist(p: (Int, Int, Double)) = math.abs(p._1 - 5) + 0.5 * math.abs(p._2 - 8)
     assert(top.map(dist).sum < bottom.map(dist).sum,
       s"top=$top bottom=$bottom")
+  }
+
+  test("tuneTreeSpec deterministically exports a winning raw-feature tree") {
+    val prepared = data.select($"label".cast("double").as("label"),
+      $"x", $"noise", $"flag".cast("double").as("flag"))
+    val Array(tr, va) = prepared.randomSplit(Array(0.75, 0.25), 7L)
+    def run() = CohortClassifier.tuneTreeSpec(tr, va,
+      Seq("x", "noise", "flag"), "label", budget = 6, parallelism = 2, nWarmup = 3)
+    val (s1, p1, a1) = run()
+    val (s2, p2, a2) = run()
+    assert(s1 == s2, s"$s1 vs $s2") // TreeSpec is a case-class tree: structural equality
+    assert(p1 == p2 && math.abs(a1 - a2) < 1e-15)
+    assert(a1 > 0.85, s"validation auc=$a1")
+    assert(p1("trials") == 6)
+    // the exported tree splits on source columns (replayable as SQL CASE)
+    val sql = TreeScorer.toSql(s1)
+    assert(sql.contains("x") && sql.contains("CASE"), sql)
   }
 
   test("tuneBayesian is deterministic, respects budget, finds the signal") {
