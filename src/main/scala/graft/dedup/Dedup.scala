@@ -132,7 +132,10 @@ object Dedup {
     // (measured: the sig expression appeared 134× in the d2 plan). One
     // eager localCheckpoint = one signature pass, every consumer reads the
     // materialized (id, sig) rows — at scale this is the standard
-    // compute-once-join-twice signature table.
+    // compute-once-join-twice signature table. Storage: the checkpointed
+    // blocks live until the frame is unreachable and the context cleaner
+    // runs; long-lived sessions that invoke this repeatedly should call
+    // [[releaseCheckpoints]] on the consumed result to free them eagerly.
     val sigs = df.select(
         col(idCol).as("id"),
         graft.expressions.ShingleHashExpr.shingleHashes(col(textCol), shingleN).as("__hs"))
@@ -171,6 +174,21 @@ object Dedup {
         (graft.expressions.SigAgreement.sigAgreement(col("sig_a"), col("sig_b"))
           / lit(k.toDouble)).as("est_jaccard"))
   }
+
+  /** Eagerly free the block-manager storage behind every `localCheckpoint`
+    * in `df`'s plan (the signature tables of [[minHashCandidates]] /
+    * [[simHashNearDups]], the labels of [[connectedComponents]]). Without
+    * this, blocks linger until the JVM garbage-collects the frame and the
+    * context cleaner notices — fine for short jobs, accumulation in a
+    * long-lived session. Call ONLY after the result has been fully
+    * materialized: local checkpoints have no lineage, so a released frame
+    * cannot be recomputed and must not be executed again. */
+  def releaseCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Near-duplicate pairs above an estimated-Jaccard threshold. */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,

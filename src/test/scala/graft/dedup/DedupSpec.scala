@@ -206,6 +206,17 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) != got(3L))
   }
 
+  test("releaseCheckpoints frees the materialized signature storage") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.5)
+    pairs.collect()
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "expected the localCheckpoint'ed signature table to be registered")
+    Dedup.releaseCheckpoints(pairs)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before,
+      "expected the checkpoint blocks to be unpersisted")
+  }
+
   test("dedupByPairs keeps one representative per component plus singletons") {
     import spark.implicits._
     val rows = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
