@@ -181,13 +181,31 @@ object SparkEntry {
     // ---- sketch aggregates: HLL distinct + t-digest percentile ----------
     // (rows-only: sketch estimates are engine-specific by construction; the
     // exact twins q1/q2 carry the oracle burden)
+    // ---- sketch suite with an EARNED oracle: each engine runs ITS OWN
+    // sketches (Spark: datasketches HLL, approx_count_distinct,
+    // percentile_approx; DuckDB: approx_count_distinct, approx_quantile)
+    // and tests them in-query against the SHARED exact values with the
+    // same published tolerance bands — the hash match certifies both
+    // engines' estimators landed inside the guarantees, no literal TRUEs
+    // (a10 keeps the literal-TRUE twin for the Spark-only sketch set) ------
     "a9_sketches" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("p95_price"))
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          hll_sketch_estimate(hll_sketch_agg(col("l_orderkey"))).as("__hll"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("__acd"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("__p95a"),
+          percentile(col("l_extendedprice"), lit(0.94)).as("__p94x"),
+          percentile(col("l_extendedprice"), lit(0.96)).as("__p96x"))
+        .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+          (abs(col("__hll") - col("exact_orders")) <=
+            col("exact_orders") * 0.05).as("hll_in_band"),
+          (abs(col("__acd") - col("exact_parts")) <=
+            col("exact_parts") * 0.06).as("acd_in_band"),
+          (col("__p95a") >= col("__p94x") && col("__p95a") <= col("__p96x"))
+            .as("p95_in_band"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -2336,6 +2354,21 @@ object SparkEntry {
     // exact distinct counts replay in DuckDB; the booleans are asserted
     // literally TRUE — Spark computes them from the sketch guarantees, so a
     // hash match certifies the estimates landed inside their bounds
+    // a9's oracle EARNS its booleans: DuckDB's own sketches are tested
+    // against DuckDB's exact values with the same bands the Spark side uses
+    "a9_sketches" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           count(DISTINCT l_partkey) AS exact_parts,
+           abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+             <= count(DISTINCT l_orderkey) * 0.05 AS hll_in_band,
+           abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+             <= count(DISTINCT l_partkey) * 0.06 AS acd_in_band,
+           approx_quantile(l_extendedprice, 0.95)
+             BETWEEN quantile_cont(l_extendedprice, 0.94)
+                 AND quantile_cont(l_extendedprice, 0.96) AS p95_in_band
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
     "a10_sketch_bounds" ->
       """SELECT l_returnflag,
            count(DISTINCT l_orderkey) AS exact_orders,
