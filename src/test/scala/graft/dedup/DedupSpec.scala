@@ -207,14 +207,21 @@ class DedupSpec extends SparkSpec {
   }
 
   test("releaseCheckpoints frees the materialized signature storage") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // track the exact checkpointed RDD ids of THIS frame: suites share one
+    // session and run in parallel, so global persistent-RDD counts race
     val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 0.5)
     pairs.collect()
-    assert(spark.sparkContext.getPersistentRDDs.size > before,
-      "expected the localCheckpoint'ed signature table to be registered")
+    val ckptIds = pairs.queryExecution.analyzed.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(ckptIds.nonEmpty, "expected a localCheckpoint leaf in the plan")
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ckptIds.forall(persisted),
+      s"checkpointed RDDs $ckptIds should be persisted, saw $persisted")
     Dedup.releaseCheckpoints(pairs)
-    assert(spark.sparkContext.getPersistentRDDs.size <= before,
-      "expected the checkpoint blocks to be unpersisted")
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(ckptIds.forall(id => !after(id)),
+      s"checkpoint blocks $ckptIds should be unpersisted, saw $after")
   }
 
   test("dedupByPairs keeps one representative per component plus singletons") {
