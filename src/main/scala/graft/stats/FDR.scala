@@ -170,7 +170,6 @@ object FDR {
       eps: Double = 0.1): DataFrame = {
     val blockW = Window.partitionBy(col(blockCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val allW = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val withQ = df
       .withColumn("qhat",
         least(lit(1.0), greatest(lit(eps),
@@ -178,16 +177,40 @@ object FDR {
             .over(blockW))))
       .withColumn("qp",
         when(col(pCol) > tau, lit(1e300)).otherwise(col("qhat") * col(pCol)))
-    val rankW = Window.orderBy(col("qp").asc, tieBreak.asc)
-    withQ
-      .withColumn("__rk", row_number().over(rankW))
-      .withColumn("__n", count(lit(1)).over(allW))
-      .withColumn("__khat",
-        max(when(col("qp") <= lit(alpha) * col("__rk") / col("__n"), col("__rk"))
-          .otherwise(0)).over(allW))
+    // step-up rule without a global sort (the adjustDF sharding): the global
+    // rank is per-shard row_number + exact shard base counts; n and the
+    // step-up k̂ = max over rows of (rk where qp ≤ α·rk/n) are global
+    // aggregates of row-local values, folded shard-wise then on the driver
+    // (one row per shard crosses). The final rejection test is row-local.
+    val sharded = withQ.repartitionByRange(col("qp").asc, tieBreak.asc)
+      .withColumn("__shard", spark_partition_id())
+    val counts = sharded.groupBy(col("__shard")).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val rankBase: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (s, c) => val e = (s, acc); acc += c; e }.toMap
+    }
+    val baseCol =
+      if (rankBase.isEmpty) lit(0L)
+      else coalesce(element_at(typedLit(rankBase), col("__shard")), lit(0L))
+    val localRankW = Window.partitionBy(col("__shard"))
+      .orderBy(col("qp").asc, tieBreak.asc)
+    val ranked = sharded
+      .withColumn("__rk", baseCol + row_number().over(localRankW))
+    val khat =
+      if (n == 0L) 0L
+      else {
+        val r = ranked
+          .select(max(when(col("qp") <= lit(alpha) * col("__rk") / lit(n), col("__rk"))
+            .otherwise(0L)).as("__k"))
+          .collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+    ranked
       .withColumn("rejected",
-        when(col("qp") <= lit(alpha) * col("__khat") / col("__n"), 1).otherwise(0))
-      .drop("__rk", "__n", "__khat")
+        when(col("qp") <= lit(alpha) * lit(khat) / lit(n), 1).otherwise(0))
+      .drop("__shard", "__rk")
   }
 
   /** Storey's method with null-proportion estimate at threshold thr. */

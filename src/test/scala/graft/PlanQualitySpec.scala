@@ -194,10 +194,10 @@ class PlanQualitySpec extends SparkSpec {
       s"partition-less WindowExec in t8's plan:\n$w"))
   }
 
-  test("r9/r15: FDR adjustment plans have no partition-less window") {
-    // the BH rank/suffix-min must come from the sharded two-phase pass
-    // (r9, single family) or per-family partitions (r15) — never a global sort
-    Seq("r9_fdr_distributed", "r15_fdr_family").foreach { q =>
+  test("r9/r15/r11: FDR adjustment plans have no partition-less window") {
+    // the BH/SABHA rank must come from the sharded two-phase pass (r9, r11)
+    // or per-family partitions (r15) — never a global sort
+    Seq("r9_fdr_distributed", "r15_fdr_family", "r11_sabha_distributed").foreach { q =>
       val wins = df(q).queryExecution.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
