@@ -465,6 +465,31 @@ class StatsSpec extends SparkSpec {
     assert(together == separately && together.size == 5)
   }
 
+  test("sharded adjustDF is bit-identical to the windowed form on random p-values") {
+    // the range-sharded two-phase rank/suffix-min must be an EXACT
+    // decomposition of the single-family windowed computation (reachable via
+    // adjustDFPerFamily with a constant family), including duplicate
+    // p-values and p > lambda masses — no rounding in the comparison
+    val rng = new scala.util.Random(17)
+    val rows = (1 to 500).map { i =>
+      val p = if (i % 7 == 0) 0.25 else math.rint(rng.nextDouble() * 1e6) / 1e6
+      (i.toLong, p)
+    }
+    val df = rows.toDF("id", "p")
+    val sharded = FDR.adjustDF(df, "p", $"id")
+      .select($"id", $"bh_adj", $"storey_pi0", $"storey_adj")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val windowed = FDR.adjustDFPerFamily(df.withColumn("__f", lit(1)), "p", Seq("__f"), $"id")
+      .select($"id", $"bh_adj", $"storey_pi0", $"storey_adj")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(sharded.length == windowed.length)
+    sharded.zip(windowed).foreach { case (s, w) =>
+      assert(s == w, s"sharded $s != windowed $w") // bit-exact, no tolerance
+    }
+  }
+
   test("empiricalRoc matches hand-computed AUC/Youden incl. tie handling") {
     // pos scores {3,2}, neg {2,1}: pairwise AUC = (1+1+1+0.5)/4 = 0.875;
     // Youden J = 0.5 at thresholds 3 and 2, tie -> larger threshold

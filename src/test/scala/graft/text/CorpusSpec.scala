@@ -24,6 +24,32 @@ class CorpusSpec extends SparkSpec {
       (4L, 2L, 8L, 2L, 2L)), got.toString)
   }
 
+  test("chunkMap offsets are independent of the input partition layout") {
+    // the sharded two-phase cumsum must yield the same exact offsets no
+    // matter how the input arrives partitioned (token counts are longs, so
+    // the decomposition is exact — assert bit-equality)
+    val rng = new scala.util.Random(5)
+    val docs = (1 to 300).map { i =>
+      (i.toLong, Seq.fill(1 + rng.nextInt(20))("w").mkString(" "), i % 13)
+    }.toDF("doc_id", "text", "grp")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Corpus.chunkMap(df, "doc_id", "text", budget = 16, orderCol = Some("grp"))
+        .select("doc_id", "n_tokens", "start_offset", "start_chunk", "end_chunk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1)
+    val a = run(docs)
+    val b = run(docs.repartition(7))
+    val c = run(docs.coalesce(1))
+    assert(a.sameElements(b) && a.sameElements(c))
+    // and the offsets tile the token stream exactly: sorted by offset, each
+    // doc starts where the previous ended
+    val byOff = a.sortBy(_._3)
+    byOff.sliding(2).foreach {
+      case Array((_, n1, o1, _, _), (_, _, o2, _, _)) => assert(o1 + n1 == o2)
+      case _ =>
+    }
+  }
+
   test("chunkMap with a non-unique orderCol: ties don't overlap offsets") {
     // both docs share order=1; the RANGE-frame bug summed BOTH into each
     // peer's running offset, giving (3,3) instead of disjoint (0,3)
