@@ -42,6 +42,19 @@ object SparkEntry {
     case (cid, v) => s"($cid, [${v.map(x => f"$x%.3f").mkString(", ")}])"
   }.mkString(",\n           ")
 
+  /** Fixed PQ codebooks (n6): 4 subspaces × 8 centroids × subdim 16,
+    * dyadic values (((c·7 + m·3 + j·5) mod 9) − 4)/8 whose 3-decimal
+    * literals parse to identical doubles in Spark and DuckDB. */
+  private lazy val pqFixedCodebooks: Array[Array[(Int, Seq[Double])]] =
+    Array.tabulate(4)(m => Array.tabulate(8)(c =>
+      (c, Seq.tabulate(16)(j => (((c * 7 + m * 3 + j * 5) % 9) - 4) / 8.0))))
+
+  /** The same codebooks as a DuckDB VALUES list literal: (m, cid, cvec). */
+  private lazy val pqCodebookValues: String =
+    (for { m <- 0 until pqFixedCodebooks.length; (cid, v) <- pqFixedCodebooks(m) }
+      yield s"($m, $cid, [${v.map(x => f"$x%.3f").mkString(", ")}])")
+      .mkString(",\n           ")
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. Multi-join +
     * aggregation: revenue per nation (broadcast dims, shuffled fact join). */
   def entry(spark: SparkSession): DataFrame =
@@ -457,6 +470,23 @@ object SparkEntry {
           emb.where(col("vec_id") < 8), "vec_id", "embedding",
           ivfFixedCentroids, nProbe = 3, k = 5)
         .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- ANN: product quantization + ADC probe, fully replayed ----------
+    // The remaining classic ANN scale technique after brute force (n1),
+    // LSH (n2), IVF (n3/n5): vectors compress to M small codes against
+    // fixed dyadic codebooks, queries scan CODES ONLY via per-query lookup
+    // tables (explicit M-term sums so FP association matches the SQL
+    // replay bit-for-bit). Codes + ranks hash-verify end-to-end in DuckDB.
+    "n6_pq_probe" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      val coded = Embeddings.pqAssign(emb, "embedding", pqFixedCodebooks)
+      Embeddings.pqTopK(coded, "vec_id",
+          emb.where(col("vec_id") < 8), "vec_id", "embedding",
+          pqFixedCodebooks, k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -2019,6 +2049,47 @@ object SparkEntry {
            SELECT query_id, corpus_id,
                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS "rank"
            FROM scored)
+         SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 5
+         ORDER BY query_id, "rank"""",
+
+    // PQ+ADC replay: codes assigned by the same 2·dot − ‖c‖² argmax (dot
+    // products are left-to-right in both engines), per-query LUT rows are
+    // the same scored_cents values, and the cross-subspace score is the
+    // explicit s0+s1+s2+s3 sum — identical FP association to the Spark side
+    "n6_pq_probe" ->
+      s"""WITH cents AS (
+           SELECT * FROM (VALUES $pqCodebookValues) t(m, cid, cvec)),
+         uv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         scored_cents AS (
+           SELECT u.vec_id, c.m, c.cid,
+                  2.0 * list_dot_product(
+                    list_slice(u.v, c.m * 16 + 1, c.m * 16 + 16), c.cvec)
+                    - list_dot_product(c.cvec, c.cvec) AS s
+           FROM uv u CROSS JOIN cents c),
+         codes AS (
+           SELECT vec_id, m, cid AS code
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY s DESC, cid) AS rn FROM scored_cents)
+           WHERE rn = 1),
+         qlut AS (
+           SELECT vec_id AS query_id, m, cid, s
+           FROM scored_cents WHERE vec_id < 8),
+         pair_scores AS (
+           SELECT q.query_id, c.vec_id AS corpus_id, c.m, q.s
+           FROM codes c JOIN qlut q ON q.m = c.m AND q.cid = c.code
+           WHERE c.vec_id != q.query_id),
+         adc AS (
+           SELECT query_id, corpus_id,
+                  max(s) FILTER (WHERE m = 0) + max(s) FILTER (WHERE m = 1)
+                + max(s) FILTER (WHERE m = 2) + max(s) FILTER (WHERE m = 3) AS score
+           FROM pair_scores GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, corpus_id) AS "rank"
+           FROM adc)
          SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 5
          ORDER BY query_id, "rank"""",
 

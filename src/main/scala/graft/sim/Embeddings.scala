@@ -220,6 +220,84 @@ object Embeddings {
       }.distinct.sorted
   }
 
+  /** Product-quantization codes from FIXED literal codebooks (the n6
+    * engine side): the raw (double-cast) vector splits into
+    * `codebooks.length` contiguous subvectors of equal width; code m is the
+    * subspace-m centroid id maximizing 2·dot(x_m, c) − dot(c, c) — the L2
+    * argmin with the per-row ‖x_m‖² constant dropped — ties to the lowest
+    * id. With codebooks pinned, assignment is pure relational math,
+    * replayable as SQL on any engine (how n6 is oracled; k-means-trained
+    * codebooks swap in the same way IVF's do vs n5's fixed centroids).
+    *
+    * Scale: codes are `M` small ints per row — the point of PQ: a 100 TB
+    * float corpus compresses to a codes column that scans orders of
+    * magnitude faster, with vectors touched only at (re)assignment. The
+    * per-row cost here is M×K dot products of subdim width; if assignment
+    * ever dominates, it collapses into one matrix-vector native sweep
+    * exactly like `expressions.LshBuckets` (same pattern, not yet needed).
+    * `codebooks(m)` = (cid, centroid) pairs for subspace m; cids must be
+    * exactly 0..K-1 (codes index ADC lookup tables positionally). */
+  def pqAssign(df: DataFrame, vecCol: String,
+      codebooks: Array[Array[(Int, Seq[Double])]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+    require(codebooks.forall(cb => cb.map(_._1).sorted.sameElements(cb.indices)),
+      "each subspace's centroid ids must be exactly 0..K-1")
+    val subdim = codebooks(0)(0)._2.length
+    require(codebooks.forall(_.forall(_._2.length == subdim)),
+      "all centroids must share one subvector width")
+    val v = asDouble(col(vecCol))
+    val codes = array(codebooks.zipWithIndex.map { case (cents, m) =>
+      val sub = slice(v, m * subdim + 1, subdim)
+      // driver-side ‖c‖² is a short sum of dyadic-friendly literals and the
+      // oracle's list_dot_product(cvec, cvec) computes the same value — both
+      // exact for 3-decimal codebooks, so the argmax order is engine-stable
+      val scored = array(cents.toSeq.map { case (cid, c) =>
+        struct((lit(2.0) * dot(sub, array(c.map(lit): _*)) -
+          lit(c.map(x => x * x).sum)).as("s"), lit(cid).as("cid"))
+      }: _*)
+      element_at(array_sort(scored, (l, r) =>
+        when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+          .otherwise(when(l("cid") < r("cid"), -1)
+            .when(l("cid") > r("cid"), 1).otherwise(0))), 1)("cid")
+    }: _*)
+    df.withColumn("pq_code", codes)
+  }
+
+  /** ADC (asymmetric-distance) top-k over PQ codes (n6): each query builds
+    * a (subspace × centroid) lookup table of 2·dot(q_m, c) − dot(c,c)
+    * scores once; a corpus row's approximate score is then the EXPLICIT
+    * M-term sum of its codes' LUT entries — the codes column is all that
+    * scans, vectors never move, and the explicit left-to-right sum keeps
+    * FP association identical in any engine's replay (a `sum()` over an
+    * unordered group would not). Rank within query, top k, ties to the
+    * lower corpus id. Compose with IVF partition pruning upstream when
+    * even the codes scan should be partial. */
+  def pqTopK(codedCorpus: DataFrame, corpusId: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      codebooks: Array[Array[(Int, Seq[Double])]], k: Int): DataFrame = {
+    val subdim = codebooks(0)(0)._2.length
+    val qv = asDouble(col(queryVec))
+    val lut = array(codebooks.zipWithIndex.map { case (cents, m) =>
+      val sub = slice(qv, m * subdim + 1, subdim)
+      array(cents.sortBy(_._1).map { case (_, c) =>
+        lit(2.0) * dot(sub, array(c.map(lit): _*)) - lit(c.map(x => x * x).sum)
+      }: _*)
+    }: _*)
+    val q = queries.select(col(queryId).as("query_id"), lut.as("__lut"))
+    val score = codebooks.indices.map { m =>
+      element_at(element_at(col("__lut"), m + 1),
+        element_at(col("pq_code"), m + 1) + 1)
+    }.reduce(_ + _) // left-to-right, matching the oracle's s0 + s1 + ... sum
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("corpus_id").asc)
+    codedCorpus.select(col(corpusId).as("corpus_id"), col("pq_code"))
+      .crossJoin(broadcast(q))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("adc", score)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), col("adc"), col("rank"))
+  }
+
   /** IVF ANN top-k: assign queries to their nearest `nProbe` centroids, join
     * with the pre-assigned corpus on centroid_id, rank within query. At 100 TB
     * the corpus stays partitioned by centroid_id (bucketed table), so the

@@ -107,6 +107,43 @@ class EmbeddingsQualitySpec extends SparkSpec {
     assert(r5 >= 0.5, f"ivf recall@5 $r5%.3f below bound")
   }
 
+  test("PQ/ADC: codes stable under tight perturbation, planted dup found at rank 1") {
+    // the n6 construction: 4 subspaces x 8 centroids, dyadic fixed values.
+    // A tight dup (cos ~ 0.999) perturbs each 16-dim subvector slightly, so
+    // its argmax centroid (margin-separated dyadic scores) almost never
+    // flips -> same codes as its base -> maximal ADC score for the base.
+    val cbs = Array.tabulate(4)(m => Array.tabulate(8)(c =>
+      (c, Seq.tabulate(16)(j => (((c * 7 + m * 3 + j * 5) % 9) - 4) / 8.0))))
+    val coded = Embeddings.pqAssign(df, "embedding", cbs)
+    // every code within range, deterministic across evaluations
+    val codes = coded.select($"vec_id", $"pq_code").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(codes.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 8)))
+    val codes2 = Embeddings.pqAssign(df, "embedding", cbs)
+      .select($"vec_id", $"pq_code").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    assert(codes == codes2)
+    // tight dups (ids 1000+i duplicate base i): codes match for most pairs
+    val tightMatch = (0 until 60).count(i => codes(i.toLong) == codes((1000 + i).toLong))
+    info(s"pq code agreement on tight dups: $tightMatch/60")
+    assert(tightMatch >= 50, s"only $tightMatch/60 tight dups share codes")
+    // ADC probe: a query's planted dup shares all its codes, so it scores
+    // the per-code maximum and must appear at rank 1 whenever codes match
+    val queries = df.where($"vec_id" < 20)
+    val adc = Embeddings.pqTopK(coded, "vec_id", queries, "vec_id", "embedding", cbs, k = 5)
+    val top1 = adc.where($"rank" === 1).select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val hits = (0 until 20).count { q =>
+      codes(q.toLong) != codes((1000 + q).toLong) || // code flip: no claim
+        top1.get(q.toLong).contains(1000L + q) ||
+        // another corpus row may TIE on all four codes; rank-1 then goes to
+        // the lowest corpus id among maximal scorers — accept any such tie
+        top1.get(q.toLong).exists(c => codes(c) == codes(q.toLong))
+    }
+    info(s"pq adc rank-1 planted-dup (or code-tie) hits: $hits/20")
+    assert(hits >= 18, s"adc rank-1 misses: $hits/20")
+  }
+
   test("LSH candidate count stays linear in n at nBits=12") {
     val n = vectors.size
     // minCosine = -1 disables the verification filter → output = ALL
