@@ -632,15 +632,24 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
-    // ---- similarity: IVF centroid-probe ANN (rows-only) -----------------
+    // ---- similarity: IVF ANN, k-means-trained, OUTCOME-oracled ----------
+    // The k-means FIT stays engine-specific (rows-only was its old status),
+    // but the fitted centers are exported and everything downstream —
+    // L2 assignment (assignEuclidean, k-means' own assignment step as
+    // relational math), probe selection, scoring, ranking — replays
+    // bit-for-bit in a runtime-generated SQL oracle, the m4/m5 doctrine
+    // applied to clustering.
     "n3_ann_ivf" -> ((s, dir) => {
       val emb = Tables.spread(t(s, dir, "embeddings"))
-      val (assigned, centers) = Embeddings.ivfIndex(emb, "embedding",
+      val (_, centers) = Embeddings.ivfIndex(emb, "embedding",
         nCentroids = 8, seed = 42L)
+      n3FittedCenters = Some(centers)
+      val assigned = Embeddings.assignEuclidean(emb, "embedding", centers)
       Embeddings.ivfTopK(assigned, "vec_id", "embedding",
           emb.where(col("vec_id") < 5), "vec_id", "embedding",
           centers, nProbe = 2, k = 3)
-        .select(col("query_id"), col("corpus_id"), col("rank"))
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1435,7 +1444,59 @@ object SparkEntry {
          FROM s"""
   }.toMap
 
-  def oracleSql: Map[String, String] = m4OracleEntry ++ m5OracleEntry ++ Map(
+  /** The k-means centers n3 fitted in this process. Same runtime-oracle
+    * contract as [[m4FittedSpec]]/[[m5TunedSpec]]: the replay uses exactly
+    * the centers the engine trained (Double.toString round-trips the
+    * doubles), so within one Verify run the comparison is airtight
+    * regardless of fit determinism across environments. */
+  @volatile private var n3FittedCenters: Option[Array[(Int, Seq[Double])]] = None
+
+  private def n3OracleEntry: Map[String, String] = n3FittedCenters.map { centers =>
+    val values = centers.map { case (cid, v) =>
+      s"($cid, [${v.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n           ")
+    // corpus assignment = L2 argmin on RAW vectors (2·dot − ‖c‖², ties to
+    // cid) replaying assignEuclidean; probes/scoring on unit vectors as n5
+    "n3_ann_ivf" ->
+      s"""WITH cents AS (
+           SELECT * FROM (VALUES $values) t(cid, cvec)),
+         uv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         ca AS (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY 2.0 * list_dot_product(v, cvec)
+                             - list_dot_product(cvec, cvec) DESC, cid) AS rn
+           FROM uv CROSS JOIN cents),
+         nr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM uv),
+         u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uvec FROM nr WHERE nrm > 0),
+         assigned AS (
+           SELECT c.vec_id, u.uvec, c.cid AS centroid_id
+           FROM ca c JOIN u USING (vec_id) WHERE c.rn = 1),
+         cq AS (
+           SELECT u.vec_id, u.uvec, c.cid,
+                  row_number() OVER (PARTITION BY u.vec_id
+                    ORDER BY list_dot_product(u.uvec, c.cvec) DESC, c.cid) AS rn
+           FROM u CROSS JOIN cents c),
+         probes AS (SELECT vec_id AS query_id, uvec AS qu, cid AS centroid_id
+                    FROM cq WHERE vec_id < 5 AND rn <= 2),
+         scored AS (
+           SELECT p.query_id, a.vec_id AS corpus_id,
+                  list_dot_product(a.uvec, p.qu) AS cos
+           FROM assigned a JOIN probes p USING (centroid_id)
+           WHERE a.vec_id != p.query_id),
+         ranked AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, corpus_id) AS "rank"
+           FROM scored)
+         SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 3
+         ORDER BY query_id, "rank""""
+  }.toMap
+
+  def oracleSql: Map[String, String] =
+    m4OracleEntry ++ m5OracleEntry ++ n3OracleEntry ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -202,6 +202,30 @@ object Embeddings {
       .drop("__vec")
   }
 
+  /** Assign each row to the L2-NEAREST centroid from a FIXED literal
+    * centroid table — k-means' assignment step as pure relational math:
+    * argmax of 2·dot(v, c) − ‖c‖² over the RAW (double-cast) vector (the
+    * L2 argmin with the per-row ‖v‖² constant dropped), ties → lowest cid.
+    * Pair with [[ivfIndex]]'s fitted centers to keep the TRAINER
+    * engine-specific while the assignment (and everything downstream)
+    * replays bit-for-bit in SQL: the driver-side ‖c‖² sum and the native
+    * dot are both sequential left-to-right, exactly like the oracle's
+    * `list_dot_product`. */
+  def assignEuclidean(df: DataFrame, vecCol: String,
+      centroids: Array[(Int, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val v = asDouble(col(vecCol))
+    val scored = array(centroids.toSeq.map { case (cid, c) =>
+      struct((lit(2.0) * dot(v, array(c.map(lit): _*)) -
+        lit(c.map(x => x * x).sum)).as("s"), lit(cid).as("cid"))
+    }: _*)
+    df.withColumn("centroid_id",
+      element_at(array_sort(scored, (l, r) =>
+        when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
+          .otherwise(when(l("cid") < r("cid"), -1)
+            .when(l("cid") > r("cid"), 1).otherwise(0))), 1)("cid"))
+  }
+
   /** Driver-side union of the centroid ids a query batch will probe — the
     * partition-pruning companion to [[ivfTopK]]: store the assigned corpus
     * `partitionBy("centroid_id")`, filter it to these ids before the probe
