@@ -287,6 +287,13 @@ object SparkEntry {
     }),
 
     // ---- corpus: concat-then-chunk packing provenance map ----------------
+    // ---- chunk materialization: overlapping sliding token windows -------
+    "t12_chunk_explode" -> ((s, dir) => {
+      graft.text.Corpus.chunkExplode(Tables.spread(t(s, dir, "documents")),
+          "doc_id", "text", size = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     "t8_chunk_map" -> ((s, dir) => {
       graft.text.Corpus.chunkMap(t(s, dir, "documents"), "doc_id", "text",
           budget = 512)
@@ -2441,6 +2448,27 @@ object SparkEntry {
            len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tokens,
            length(text) AS len_chars
          FROM documents ORDER BY doc_id""",
+
+    // sliding windows: starts 0, stride, ..., smallest stride multiple
+    // reaching n-size (≥0), chunk ordinal = start/stride (exact integer
+    // division of multiples), text = the joined token slice re-tokenized
+    // for the count exactly as the Spark side does
+    "t12_chunk_explode" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk
+           FROM documents),
+         sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+         chunks AS (
+           SELECT doc_id,
+                  CAST(t.s AS BIGINT) // 48 AS chunk_id,
+                  array_to_string(list_slice(tk, t.s + 1, t.s + 64), ' ') AS chunk_text
+           FROM sized,
+                UNNEST(range(0, greatest(CAST(ceil((n - 64) / 48.0) AS BIGINT) * 48, 0) + 1, 48)) AS t(s))
+         SELECT doc_id, chunk_id, chunk_text,
+                CAST(len(list_filter(string_split_regex(trim(chunk_text), '\s+'),
+                  x -> x != '')) AS BIGINT) AS n_tokens
+         FROM chunks ORDER BY doc_id, chunk_id""",
 
     // t11 composes three already-hash-matched replays: t2's quality
     // expression, d1's md5 duplicate groups, and q8's CUBE+GROUPING shape.

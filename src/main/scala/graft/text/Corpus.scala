@@ -66,6 +66,34 @@ object Corpus {
           / budget).cast("long"))
   }
 
+  /** Materialized sliding-window chunking — the RAG/context-window
+    * counterpart of the [[chunkMap]] provenance map: each document explodes
+    * into overlapping `size`-token windows starting every `stride` tokens.
+    * The last window starts at the smallest stride multiple reaching the
+    * tail, and every document emits at least one (possibly short) chunk,
+    * so no token is dropped. Output: (id, chunk_id ordinal, chunk_text,
+    * n_tokens).
+    *
+    * Scale: pure per-row explode + slice — NO shuffle anywhere; output
+    * volume is input tokens × (size/stride) overlap factor, the knob the
+    * caller owns. Chunk ids are per-document ordinals so downstream dedup /
+    * packing keys on (id, chunk_id) without a global order. */
+  def chunkExplode(df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, s"size and stride must be positive, got $size/$stride")
+    val toks = TextOps.tokens(col(textCol))
+    val lastStart = greatest(
+      ceil((TextOps.tokenCount(col(textCol)) - lit(size)).cast("double") / stride)
+        .cast("long") * stride, lit(0L))
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0L), lastStart, lit(stride.toLong)),
+          s0 => array_join(slice(toks, s0.cast("int") + 1, lit(size)), " ")))
+          .as(Seq("chunk_id", "chunk_text")))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_text"),
+        TextOps.tokenCount(col("chunk_text")).cast("long").as("n_tokens"))
+  }
+
   /** Core of line/span-level exact dedup (C4-style): `units` is one row per
     * (doc, position, unit-text); any unit text occurring in at least
     * `minDocs` DISTINCT documents is boilerplate and removed from EVERY

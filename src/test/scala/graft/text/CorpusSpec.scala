@@ -24,6 +24,34 @@ class CorpusSpec extends SparkSpec {
       (4L, 2L, 8L, 2L, 2L)), got.toString)
   }
 
+  test("chunkExplode covers every token, overlaps by size-stride, short tail kept") {
+    val rng = new scala.util.Random(9)
+    val docs = (1 to 50).map { i =>
+      (i.toLong, Seq.tabulate(rng.nextInt(40))(j => s"w${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Corpus.chunkExplode(docs, "doc_id", "text", size = 8, stride = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    (1 to 50).foreach { i =>
+      val chunks = got(i.toLong).sortBy(_._2)
+      val toks = docs.where(col("doc_id") === i).collect()(0).getString(1)
+        .trim.split("\\s+").filter(_.nonEmpty)
+      // chunk ids are consecutive ordinals from 0
+      assert(chunks.map(_._2).toSeq == chunks.indices.map(_.toLong))
+      // reassembling chunk c's tokens = the slice starting at c*stride
+      chunks.foreach { case (_, cid, text, n) =>
+        val words = text.trim.split("\\s+").filter(_.nonEmpty)
+        assert(words.length == n)
+        assert(words.toSeq == toks.slice((cid * 5).toInt, (cid * 5).toInt + 8).toSeq,
+          s"doc $i chunk $cid")
+      }
+      // coverage: the last chunk reaches the final token; empty docs emit
+      // exactly one empty chunk
+      if (toks.isEmpty) assert(chunks.map(_._3).toSeq == Seq(""))
+      else assert(chunks.last._2 * 5 + chunks.last._4 == toks.length)
+    }
+  }
+
   test("chunkMap offsets are independent of the input partition layout") {
     // the sharded two-phase cumsum must yield the same exact offsets no
     // matter how the input arrives partitioned (token counts are longs, so
