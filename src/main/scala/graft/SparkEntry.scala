@@ -287,6 +287,19 @@ object SparkEntry {
     }),
 
     // ---- corpus: concat-then-chunk packing provenance map ----------------
+    // ---- tokenizer vocab + id encoding ----------------------------------
+    // top-256 corpus vocabulary (freq desc, token asc ties), ids = ranks,
+    // every token position encoded (OOV = -1). The vocab is bounded by
+    // construction -> driver collect + literal-map lookup is the scale
+    // design; the corpus explode never shuffles.
+    "t13_vocab_encode" -> ((s, dir) => {
+      val docs = Tables.spread(t(s, dir, "documents"))
+      val vocab = graft.text.Vocab.buildVocab(docs, "text", topN = 256)
+      graft.text.Vocab.encodeTokens(docs, "doc_id", "text",
+          vocab.map(v => (v._1, v._2)).toMap)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // ---- chunk materialization: overlapping sliding token windows -------
     "t12_chunk_explode" -> ((s, dir) => {
       graft.text.Corpus.chunkExplode(Tables.spread(t(s, dir, "documents")),
@@ -2448,6 +2461,22 @@ object SparkEntry {
            len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tokens,
            length(text) AS len_chars
          FROM documents ORDER BY doc_id""",
+
+    // vocab = top-256 by (count desc, token asc); both engines derive ids
+    // as that rank - 1 and left-join positions (OOV coalesces to -1)
+    "t13_vocab_encode" ->
+      """WITH toks AS (
+           SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, tk[u.i] AS tok
+           FROM (SELECT doc_id,
+                        list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk
+                 FROM documents),
+                UNNEST(range(1, len(tk) + 1)) AS u(i)),
+         vocab AS (
+           SELECT tok, CAST(row_number() OVER (ORDER BY count(*) DESC, tok) - 1 AS BIGINT) AS tid
+           FROM toks GROUP BY tok ORDER BY count(*) DESC, tok LIMIT 256)
+         SELECT t.doc_id, t.pos, CAST(coalesce(v.tid, -1) AS BIGINT) AS token_id
+         FROM toks t LEFT JOIN vocab v USING (tok)
+         ORDER BY doc_id, pos""",
 
     // sliding windows: starts 0, stride, ..., smallest stride multiple
     // reaching n-size (≥0), chunk ordinal = start/stride (exact integer
