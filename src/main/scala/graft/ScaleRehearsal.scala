@@ -66,9 +66,12 @@ object ScaleRehearsal {
       println(s"REHEARSAL generated ${replicas}x tables under $out")
     }
 
-    Seq("d2_minhash_neardup", "n2_ann_lsh", "t11_corpus_report").foreach { q =>
-      val df = SparkEntry.queries(q)(spark, out)
+    Seq("d2_minhash_neardup", "n2_ann_lsh", "t11_corpus_report",
+        "t12_chunk_explode", "t13_vocab_encode", "n6_pq_probe").foreach { q =>
+      // construction inside the timer, exactly like Bench: queries with
+      // driver-side stages (t13's vocab collect, n3's fit) run jobs there
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(q)(spark, out)
       val n = df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       val plan = df.queryExecution.executedPlan.toString
