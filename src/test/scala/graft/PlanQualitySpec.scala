@@ -207,6 +207,25 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("t12/t13: chunking and vocab encoding never hash-shuffle the corpus") {
+    // pure per-row explodes: the only exchanges are the deliberate spread
+    // (round-robin) and the output orderBy (range)
+    Seq("t12_chunk_explode", "t13_vocab_encode").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"), s"$q:\n$p")
+    }
+  }
+
+  test("n6: ADC probe prunes top-k before its single exchange") {
+    val p = plan("n6_pq_probe")
+    // codes x broadcast-query cross is the deliberate ADC scan; the per-
+    // query top-k must be pruned map-side (WindowGroupLimit) so only
+    // candidate winners cross the one hash exchange
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("whole-stage codegen spans cover the relational queries") {
     Seq("q1_agg", "p2_cast_project", "e1_events_hourly").foreach { q =>
       val p = finalPlan(q)
