@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Whole-surface plan tripwire: a NEW query (or an operator edit) that
+  * introduces a loop join or a partition-less window anywhere in the
+  * 90+-query surface must either justify itself onto the deliberate list
+  * below or fix its plan — a silent scale regression can't ride in unnoticed.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // 1-row aggregated cross joins (j1/m3/n4/r13/t10 vocab), the exact
+  // brute-force baseline (n1), and the ADC codes scan (n6)
+  private val deliberateLoops = Set(
+    "j1_cross_agg", "m3_tree_score", "n1_ann_topk", "n4_bm25",
+    "n6_pq_probe", "r13_permanova_stat", "t10_ngram_lm")
+
+  // distinct-score ROC curves (m3/r4/r8 — bounded by score cardinality),
+  // the DPP dim max (p7 — days-sized, and crossJoin+filter would break
+  // DPP's Filter requirement), the chain-TV projection (r14 — sequential
+  // running sums kept bit-compatible with the oracle), and the A7
+  // reference semantics (w2 — dimension-sized table)
+  private val deliberateGlobalWindows = Set(
+    "m3_tree_score", "p7_partition_prune", "r14_tv_projection",
+    "r4_roc_threshold", "r8_roc_empirical", "w2_global_window")
+
+  test("no query grows an undeclared loop join or partition-less window") {
+    val loops = scala.collection.mutable.ArrayBuffer[String]()
+    val globals = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val qe = fn(spark, dir).queryExecution
+      val p = qe.executedPlan.toString
+      if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"))
+        loops += name
+      if (qe.sparkPlan.collectFirst {
+          case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty)
+        globals += name
+    }
+    val newLoops = loops.toSet -- deliberateLoops
+    val newGlobals = globals.toSet -- deliberateGlobalWindows
+    assert(newLoops.isEmpty, s"undeclared loop joins in: $newLoops")
+    assert(newGlobals.isEmpty, s"undeclared global windows in: $newGlobals")
+    // and the lists don't go stale: everything declared still exists
+    assert((deliberateLoops -- SparkEntry.queries.keySet).isEmpty)
+    assert((deliberateGlobalWindows -- SparkEntry.queries.keySet).isEmpty)
+  }
+}
