@@ -287,6 +287,26 @@ object SparkEntry {
     }),
 
     // ---- corpus: concat-then-chunk packing provenance map ----------------
+    // ---- end-to-end extension pipeline capstone -------------------------
+    // quality gate → exact dedup survivors → deterministic content-hash
+    // sample → per-language corpus stats: each stage is an operator whose
+    // oracle is already proven (t2 / d1 / s3 / t3), composed, and the WHOLE
+    // chain hash-verifies as one SQL WITH-chain — the composability check
+    // the per-operator queries can't give.
+    "t14_pipeline_e2e" -> ((s, dir) => {
+      val docs = Tables.spread(t(s, dir, "documents"))
+      val scored = graft.text.TextOps.withQualityScore(docs, "text", "quality")
+        .where(col("quality") >= 0.5)
+        .select(col("doc_id"), col("text"), col("lang"), col("quality"))
+      val deduped = graft.dedup.Dedup.exactDedup(scored, "text", "doc_id")
+      val sampled = graft.ops.Sampling.hashSample(deduped, col("doc_id"), rate = 0.5)
+      sampled.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.text.TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+          round(avg(col("quality")), 6).as("avg_quality"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- tokenizer vocab + id encoding ----------------------------------
     // top-256 corpus vocabulary (freq desc, token asc ties), ids = ranks,
     // every token position encoded (OOV = -1). The vocab is bounded by
@@ -2461,6 +2481,45 @@ object SparkEntry {
            len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tokens,
            length(text) AS len_chars
          FROM documents ORDER BY doc_id""",
+
+    // the e2e chain reuses the PROVEN per-stage replays: t2's quality
+    // formula, d1's min-id-per-md5 dedup, s3's 4-nibble hash threshold
+    // (0.5 → '8000'), t3's tokenization; avg rounds at 6 like t11
+    "t14_pipeline_e2e" ->
+      """WITH base AS (
+           SELECT doc_id, text, lang,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS toks,
+             length(text) AS lc
+           FROM documents),
+         parts AS (
+           SELECT doc_id, text, lang, toks,
+             CAST(len(toks) AS DOUBLE) AS ntok,
+             CASE WHEN lc = 0 THEN 0.0
+                  ELSE CAST(lc - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / lc END AS pr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, t -> list_contains(
+                    ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be'], t))) AS DOUBLE) / len(toks) END AS sr,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(toks) END AS mtl
+           FROM base),
+         q AS (
+           SELECT doc_id, text, lang, toks,
+             least(ntok / 20.0, 1.0) * 0.4 +
+             greatest(1.0 - pr * 4, 0.0) * 0.3 +
+             least(sr * 5, 1.0) * 0.2 +
+             (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.5 END) * 0.1 AS quality
+           FROM parts),
+         gated AS (SELECT * FROM q WHERE quality >= 0.5),
+         deduped AS (
+           SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY md5(text)
+             ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
+         sampled AS (
+           SELECT * FROM deduped
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                round(avg(quality), 6) AS avg_quality
+         FROM sampled GROUP BY 1 ORDER BY 1""",
 
     // vocab = top-256 by (count desc, token asc); both engines derive ids
     // as that rank - 1 and left-join positions (OOV coalesces to -1)
