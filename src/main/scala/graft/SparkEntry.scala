@@ -1410,6 +1410,25 @@ object SparkEntry {
       both.unionByName(custOnly).orderBy(col("relation"), col("nationkey"))
     }),
 
+    // ---- moving-frame windows: ROWS BETWEEN n PRECEDING -----------------
+    // the remaining window shape the W-family lacked: per-key sliding
+    // 5-row average (DECIMAL moving sum so the sliding-frame FP order
+    // can't diverge between engines), running max, and lag diff — all
+    // key-partitioned windows, no global sort
+    "w4_moving_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val frame = w.rowsBetween(-4, Window.currentRow)
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .where(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value").cast("decimal(18,2)")).over(frame).cast("double") /
+            count(lit(1)).over(frame), 6).as("mavg_5"),
+          round(max(col("value")).over(cum).cast("double"), 2).as("run_max"),
+          round(col("value") - lag(col("value"), 1).over(w), 6).as("diff_prev"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ---- §2.6 ranking window suite: lead/lag/ntile/percent_rank ---------
     "w3_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2341,6 +2360,22 @@ object SparkEntry {
          FROM (SELECT c_nationkey AS nationkey FROM customer
                EXCEPT SELECT s_nationkey FROM supplier)
          ORDER BY relation, nationkey""",
+
+    // moving DECIMAL sum (exact, order-proof) / frame count; running max
+    // and lag diff are order-independent / row-local — same frame specs
+    "w4_moving_window" ->
+      """SELECT user_id, event_id,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mavg_5,
+           round(CAST(max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS run_max,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS diff_prev
+         FROM events
+         WHERE user_id < 50
+         ORDER BY user_id, event_id""",
 
     "w3_window_rank" ->
       """WITH w3 AS (
