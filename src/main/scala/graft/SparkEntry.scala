@@ -1429,6 +1429,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ---- RANGE-frame windows: time-based trailing aggregates ------------
+    // the VALUE-bounded frame shape (vs w4's row-bounded): per-user 1-hour
+    // trailing count and exact DECIMAL sum over epoch-micros ordering —
+    // the same numeric frame in any engine, peers included by RANGE
+    // semantics. Key-partitioned; scales like any keyed window.
+    "w5_range_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.events(s, dir)
+        .where(col("user_id") < 30)
+        .select(col("user_id"), col("event_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double"), 2).as("sum_1h"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
     // ---- §2.6 ranking window suite: lead/lag/ntile/percent_rank ---------
     "w3_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2360,6 +2377,19 @@ object SparkEntry {
          FROM (SELECT c_nationkey AS nationkey FROM customer
                EXCEPT SELECT s_nationkey FROM supplier)
          ORDER BY relation, nationkey""",
+
+    // identical numeric RANGE frame: epoch micros both sides (nanos are
+    // micro-aligned in the testdata — the e3 ASOF oracle relies on this too)
+    "w5_range_window" ->
+      """SELECT user_id, event_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS sum_1h
+         FROM events
+         WHERE user_id < 30
+         ORDER BY user_id, event_id""",
 
     // moving DECIMAL sum (exact, order-proof) / frame count; running max
     // and lag diff are order-independent / row-local — same frame specs
