@@ -1429,6 +1429,22 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ---- §2.7 string-function parity suite ------------------------------
+    // the scalar string surface beyond what the medical cleaning stages
+    // exercise: case mapping, translate, padding, reverse, edit distance,
+    // substring, multi-arg concat — all deterministic, all hash-verified
+    "t15_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer").select(col("c_custkey"),
+          upper(col("c_name")).as("u"),
+          translate(col("c_name"), "#0", "_x").as("tr"),
+          lpad(col("c_custkey").cast("string"), 12, "0").as("lp"),
+          reverse(col("c_name")).as("rev"),
+          levenshtein(col("c_name"), lit("Customer#000000001")).as("lev"),
+          substring(col("c_name"), 10, 5).as("sub5"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("cw"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- RANGE-frame windows: time-based trailing aggregates ------------
     // the VALUE-bounded frame shape (vs w4's row-bounded): per-user 1-hour
     // trailing count and exact DECIMAL sum over epoch-micros ordering —
@@ -2377,6 +2393,17 @@ object SparkEntry {
          FROM (SELECT c_nationkey AS nationkey FROM customer
                EXCEPT SELECT s_nationkey FROM supplier)
          ORDER BY relation, nationkey""",
+
+    "t15_string_funcs" ->
+      """SELECT c_custkey,
+           upper(c_name) AS u,
+           translate(c_name, '#0', '_x') AS tr,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS lp,
+           reverse(c_name) AS rev,
+           levenshtein(c_name, 'Customer#000000001') AS lev,
+           substring(c_name, 10, 5) AS sub5,
+           concat_ws('|', c_mktsegment, c_name) AS cw
+         FROM customer ORDER BY c_custkey""",
 
     // identical numeric RANGE frame: epoch micros both sides (nanos are
     // micro-aligned in the testdata — the e3 ASOF oracle relies on this too)
