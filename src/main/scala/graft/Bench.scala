@@ -117,6 +117,9 @@ object Bench {
     // stop Spark BEFORE emitting the metric so shutdown logging cannot land
     // after it: the JSON must be the final stdout line for tail capture
     spark.stop()
-    println(s"""{"metric":"total","value":$value,"unit":"sec","failed":$nFailed,"sf":"$sfDir","runs":$runs,"run_totals":[${runTotals.mkString(",")}],"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"load_contaminated":$contaminated,"queries_file":"$queriesFile"}""")
+    // "protocol" flags that value = sum of per-query BEST-of-N times in one
+    // warm JVM — a composite no single pass achieved. Cross-round consumers
+    // must compare like protocols (or use run_totals[0], the cold pass).
+    println(s"""{"metric":"total","value":$value,"unit":"sec","protocol":"best-of-$runs-warm","failed":$nFailed,"sf":"$sfDir","runs":$runs,"run_totals":[${runTotals.mkString(",")}],"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"load_contaminated":$contaminated,"queries_file":"$queriesFile"}""")
   }
 }

@@ -395,14 +395,26 @@ object CohortClassifier {
       col(labelCol).cast("double").as("label"),
       col("prediction"),
       vector_to_array(col("rawPrediction")).getItem(1).as("score"))
+    // Driver-size guard: the collect is bounded by DISTINCT scores, which
+    // for tree models is ≤ 2^maxDepth leaf posteriors — but the signature
+    // accepts any Transformer, and a continuous-score model (logistic
+    // regression) would have ~|test| distinct scores and OOM the driver.
+    // The limit+1 fetch caps what ever crosses; breaching it is a clear
+    // error telling the caller to use a distributed evaluator instead.
+    val maxDistinctScores = 65536
     val rows = scored.groupBy(col("score")).agg(
         count(when(col("label") === 1.0, 1)).as("np"),
         count(when(col("label") =!= 1.0, 1)).as("nn"),
         count(when(col("prediction") === col("label"), 1)).as("nc"),
         count(lit(1)).as("nt"))
+      .limit(maxDistinctScores + 1)
       .collect()
       .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .sortBy(-_._1)
+    require(rows.length <= maxDistinctScores,
+      s"metricsOf: > $maxDistinctScores distinct rawPrediction scores — this " +
+        "driver-side trapezoid is for tree-like models with bounded score " +
+        "cardinality; use a distributed evaluator for continuous-score models")
     var tp = 0L; var fp = 0L; var num = 0L; var nc = 0L; var nt = 0L
     rows.foreach { case (_, np, nn, c, t) =>
       val tpPrev = tp; val fpPrev = fp

@@ -16,6 +16,14 @@ object Embeddings {
   /** Cast array<float> → array<double> (the parquet embeddings are float). */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** `c` if it holds at least `minDim` elements, else raise_error — slicing
+    * a short vector produces empty subvectors and degenerate dot products,
+    * a silent wrong-answer mode worth a loud per-row failure. */
+  private def checkedVec(c: Column, minDim: Int, who: String): Column =
+    when(size(c) >= minDim, c).otherwise(raise_error(
+      concat(lit(s"$who: expected vector dim >= $minDim, got "),
+        size(c).cast("string"))))
+
   /** Codegen'd native dot product (graft.expressions.DotProduct) — the
     * zip_with/aggregate HOF form is CodegenFallback and ~10× slower per
     * pair, which dominates ANN candidate joins. */
@@ -269,7 +277,10 @@ object Embeddings {
     val subdim = codebooks(0)(0)._2.length
     require(codebooks.forall(_.forall(_._2.length == subdim)),
       "all centroids must share one subvector width")
-    val v = asDouble(col(vecCol))
+    // runtime guard: a vector shorter than M×subdim would make slice()
+    // return short/empty subvectors and silently assign degenerate codes
+    // (typically code 0) — fail loudly instead, per row, at scan time
+    val v = checkedVec(asDouble(col(vecCol)), codebooks.length * subdim, "pqAssign")
     val codes = array(codebooks.zipWithIndex.map { case (cents, m) =>
       val sub = slice(v, m * subdim + 1, subdim)
       // driver-side ‖c‖² is a short sum of dyadic-friendly literals and the
@@ -300,7 +311,8 @@ object Embeddings {
       queries: DataFrame, queryId: String, queryVec: String,
       codebooks: Array[Array[(Int, Seq[Double])]], k: Int): DataFrame = {
     val subdim = codebooks(0)(0)._2.length
-    val qv = asDouble(col(queryVec))
+    // same degenerate-slice guard as pqAssign, on the query side
+    val qv = checkedVec(asDouble(col(queryVec)), codebooks.length * subdim, "pqTopK")
     val lut = array(codebooks.zipWithIndex.map { case (cents, m) =>
       val sub = slice(qv, m * subdim + 1, subdim)
       array(cents.sortBy(_._1).map { case (_, c) =>

@@ -54,7 +54,12 @@ object FDR {
     * base counts, and the step-up suffix min combines each shard's windowed
     * suffix min with the min over all later shards (driver-side over one
     * row per shard). No stage is a single-partition sort, and every value
-    * (rank, n·p/rank, the mins) is bit-identical to the global-window form. */
+    * (rank, n·p/rank, the mins) is bit-identical to the global-window form.
+    *
+    * EAGER: runs Spark jobs at call time (the per-shard stats collects) and
+    * pins the range-sharded input via localCheckpoint — this is not a pure
+    * plan builder. The returned frame reads the pinned materialization, so
+    * downstream actions do not re-run the upstream pipeline. */
   def adjustDF(df: DataFrame, pCol: String, tieBreak: Column,
       lambda: Double = 0.5): DataFrame =
     adjustShardedGlobal(df, pCol, tieBreak, lambda)
@@ -98,8 +103,19 @@ object FDR {
     * stage being a global sort. */
   private def adjustShardedGlobal(df: DataFrame, pCol: String,
       tieBreak: Column, lambda: Double): DataFrame = {
+    // Eager localCheckpoint PINS the range partitioning: the shard stats
+    // below and the returned plan all read this one materialization, so
+    // row-to-shard assignment cannot drift between the stats jobs and the
+    // final pass (the range partitioner samples bounds per execution; a
+    // nondeterministic upstream — any shuffle without a total order — could
+    // otherwise land rows in different shards across jobs and silently
+    // corrupt the rank bases and suffix mins). It also stops downstream
+    // actions from re-running the whole upstream pipeline. Storage is one
+    // row per hypothesis; callers running many adjusts in one session can
+    // free it with [[graft.dedup.Dedup.releaseCheckpoints]].
     val sharded = df.repartitionByRange(col(pCol).asc, tieBreak.asc)
       .withColumn("__shard", spark_partition_id())
+      .localCheckpoint()
     val stats = sharded.groupBy(col("__shard")).agg(
         count(lit(1)).as("__cnt"),
         sum(when(col(pCol) > lambda, 1L).otherwise(0L)).as("__gt"))
@@ -164,7 +180,11 @@ object FDR {
     * (IEEE-total-order-safe in any engine, and no engine's α·k/n can reach
     * it), so they never reject — same semantics as [[sabha]].
     *
-    * Adds `qhat`, `qp`, and `rejected` (0/1). */
+    * Adds `qhat`, `qp`, and `rejected` (0/1).
+    *
+    * EAGER: runs Spark jobs at call time (shard counts and the step-up k̂)
+    * and pins the range-sharded frame via localCheckpoint; the returned
+    * frame reads that materialization. Not a pure plan builder. */
   def sabhaSelectDF(df: DataFrame, pCol: String, blockCol: String,
       tieBreak: Column, alpha: Double = 0.05, tau: Double = 0.5,
       eps: Double = 0.1): DataFrame = {
@@ -182,8 +202,11 @@ object FDR {
     // step-up k̂ = max over rows of (rk where qp ≤ α·rk/n) are global
     // aggregates of row-local values, folded shard-wise then on the driver
     // (one row per shard crosses). The final rejection test is row-local.
+    // pinned for the same cross-job shard-stability reason as
+    // [[adjustShardedGlobal]] (see comment there)
     val sharded = withQ.repartitionByRange(col("qp").asc, tieBreak.asc)
       .withColumn("__shard", spark_partition_id())
+      .localCheckpoint()
     val counts = sharded.groupBy(col("__shard")).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum

@@ -28,7 +28,11 @@ object Corpus {
     * the single-sort values (contiguous shards ⇒ the prefix decomposes),
     * but every stage is key-partitioned. Range-partitioner sampling is
     * seeded deterministically, so the totals pass and the window pass see
-    * identical shard assignment. */
+    * identical shard assignment.
+    *
+    * EAGER: runs a Spark job at call time (the shard-totals collect) and
+    * pins the range-sharded tokenized rows via localCheckpoint; the
+    * returned frame reads that materialization. Not a pure plan builder. */
   def chunkMap(df: DataFrame, idCol: String, textCol: String,
       budget: Int, orderCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
@@ -36,8 +40,17 @@ object Corpus {
         TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
     // contiguous shards in total (__ord, id) order; idCol tie-break makes
     // the order total so no peer group straddles a shard boundary ambiguously
+    // Eager localCheckpoint pins the range partitioning: the shard-total
+    // pass below and the returned plan read ONE materialization, so
+    // row-to-shard assignment cannot drift between jobs (the partitioner
+    // re-samples bounds per execution; nondeterministic upstream order
+    // would otherwise corrupt the base offsets), and downstream actions
+    // reuse the tokenized rows instead of recomputing the scan. One row
+    // per document of (id, ord, n_tokens); release via
+    // [[graft.dedup.Dedup.releaseCheckpoints]] in long-lived sessions.
     val sharded = base.repartitionByRange(col("__ord"), col(idCol))
       .withColumn("__shard", spark_partition_id())
+      .localCheckpoint()
     // ROWS frame + idCol tie-break: the default RANGE frame sums ALL rows
     // tied on orderCol into each peer's running offset (overlapping chunks,
     // silently); a ROWS frame over a total order counts each doc once

@@ -196,12 +196,16 @@ class PlanQualitySpec extends SparkSpec {
 
   test("r9/r15/r11: FDR adjustment plans have no partition-less window") {
     // the BH/SABHA rank must come from the sharded two-phase pass (r9, r11)
-    // or per-family partitions (r15) — never a global sort
+    // or per-family partitions (r15) — never a global sort. r11's rank/qhat
+    // windows run in the EAGER khat jobs upstream of the pinned
+    // localCheckpoint, so its returned plan may carry no WindowExec at all;
+    // r9's suffix-min and r15's family windows stay in the returned plan.
     Seq("r9_fdr_distributed", "r15_fdr_family", "r11_sabha_distributed").foreach { q =>
       val wins = df(q).queryExecution.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
-      assert(wins.nonEmpty, s"expected windowed FDR math in $q's plan")
+      if (q != "r11_sabha_distributed")
+        assert(wins.nonEmpty, s"expected windowed FDR math in $q's plan")
       wins.foreach(w => assert(w.partitionSpec.nonEmpty,
         s"partition-less WindowExec in $q's plan:\n$w"))
     }
