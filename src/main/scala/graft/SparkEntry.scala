@@ -718,7 +718,9 @@ object SparkEntry {
     // the reference's R call shape and live on in MedicalPipeline/StatsSpec;
     // r10 is the binormal variant's hash-matched decimal-power-sum twin.) --
     "r4_roc_threshold" -> ((s, dir) => {
-      Roc.empiricalCostThresholdDF(t(s, dir, "customer"),
+      // driver-side candidate sweep (bounded by distinct scores) — the
+      // windowed empiricalCostThresholdDF stays as the spec-pinned twin
+      Roc.empiricalCostThresholdDriver(t(s, dir, "customer"),
         col("c_mktsegment") === "BUILDING", col("c_acctbal"),
         rhoNum = 1, rhoDen = 100)
     }),
@@ -1093,7 +1095,9 @@ object SparkEntry {
             ((col("c_nationkey") % 11) - 1) * 1000, 1)).cast("double")
           / count(lit(1))).as("p"))
         .withColumn("y", when(col("p") > 0.5, lit(2.0)).otherwise(lit(0.0)))
-      graft.stats.FDR.tvChainProjectDF(ps, "y",
+      // driver-side water-filling over the hypothesis-sized chain — the
+      // windowed tvChainProjectDF stays as the spec-pinned twin
+      graft.stats.FDR.tvChainProjectDriver(ps, "y",
           Seq(col("block"), col("nation")), tvBound = 3.0)
         .select(col("block"), col("nation"), round(col("p"), 6).as("p"),
           round(col("y_tv"), 6).as("y_tv"))
@@ -1347,7 +1351,9 @@ object SparkEntry {
 
     // ---- §2.8 R6 (distributed twin): empirical ROC, no driver collect ---
     "r8_roc_empirical" -> ((s, dir) => {
-      Roc.empiricalRoc(t(s, dir, "customer"),
+      // driver-side curve sweep (bounded by distinct scores) — the windowed
+      // empiricalRoc stays as the spec-pinned bit-identical twin
+      Roc.empiricalRocDriver(t(s, dir, "customer"),
         col("c_mktsegment") === "BUILDING", col("c_acctbal"))
     }),
 

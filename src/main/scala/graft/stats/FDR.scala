@@ -386,6 +386,74 @@ object FDR {
       .drop("__d", "__absd", "__rk", "__cum", "__s", "__xi", "__theta", "__dproj")
   }
 
+  /** [[tvChainProjectDF]] with the water-filling moved DRIVER-side: the
+    * chain rows are hypothesis-sized (one per hypothesis, never per
+    * observation), so after the upstream distributed aggregation they are a
+    * bounded collect, and the sequential rank/cum/threshold/rebuild math —
+    * inherently a chain recurrence — runs as plain Scala instead of four
+    * single-partition global windows (each a straggler stage at scale).
+    *
+    * Every double operation replays the windowed twin's order EXACTLY
+    * (sequential running cum in rank order, sequential dproj prefix in
+    * chain order, the same feasibility test), so the two forms are
+    * bit-identical — spec-pinned in StatsSpec, and the r14 oracle replays
+    * the same arithmetic as windowed SQL. Output = input columns +
+    * `<valCol>_tv`, in chain order. */
+  def tvChainProjectDriver(df: DataFrame, valCol: String,
+      chainOrder: Seq[Column], tvBound: Double,
+      maxChainRows: Int = 1 << 21): DataFrame = {
+    require(tvBound > 0, s"tvBound must be > 0, got $tvBound")
+    val sorted = df.orderBy(chainOrder: _*)
+    val rows = sorted.limit(maxChainRows + 1).collect()
+    require(rows.length <= maxChainRows,
+      s"tvChainProjectDriver: > $maxChainRows chain rows — this driver " +
+        "variant is for hypothesis-sized chains; shard by a family column " +
+        "or use tvChainProjectDF")
+    val vIdx = sorted.schema.fieldIndex(valCol)
+    val y = rows.map(r => r.getDouble(vIdx))
+    val nRows = y.length
+    val yTv = new Array[Double](nRows)
+    if (nRows <= 1) { if (nRows == 1) yTv(0) = y(0) + 0.0 }
+    else {
+      val d = Array.tabulate(nRows - 1)(i => y(i + 1) - y(i))
+      val absd = d.map(math.abs)
+      // rank order: |d| desc, chain position asc (the windowed tie-break)
+      val rankIdx = absd.indices.sortBy(i => (-absd(i), i))
+      // sequential running cum in rank order — same association as the
+      // running-frame window sum
+      var acc = 0.0
+      val cumAt = new Array[Double](nRows - 1) // by edge index
+      rankIdx.foreach { i => acc += absd(i); cumAt(i) = acc }
+      val s = acc // max of the running cum = its last value (absd ≥ 0)
+      // θ at the LARGEST feasible rank (rank 1 is always feasible when
+      // s > bound and bound > 0, so θ is always set on the infeasible path)
+      var theta = 0.0
+      rankIdx.zipWithIndex.foreach { case (i, r0) =>
+        val rk = r0 + 1
+        if (absd(i) - (cumAt(i) - tvBound) / rk > 0) theta = (cumAt(i) - tvBound) / rk
+      }
+      val dproj = d.indices.map { i =>
+        if (s <= tvBound) d(i)
+        else if (absd(i) - theta > 0) (absd(i) - theta) * math.signum(d(i))
+        else 0.0
+      }
+      // sequential prefix in chain order, anchored at y0 — y0 + acc per row
+      var run = 0.0
+      var i = 0
+      while (i < nRows) {
+        yTv(i) = y(0) + run
+        if (i < nRows - 1) run += dproj(i)
+        i += 1
+      }
+    }
+    val spark = df.sparkSession
+    val outSchema = sorted.schema.add(s"${valCol}_tv",
+      org.apache.spark.sql.types.DoubleType)
+    val out = rows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ yTv(i)) }
+    spark.createDataFrame(java.util.Arrays.asList(out: _*), outSchema)
+  }
+
   /** 2-d grid TV (`Solve_q_TV_2dim`, R :121-131): `pvals(i)(j)` is the
     * (row i, column j) entry of an n1×n2 matrix; horizontal + vertical
     * 4-neighbour edges. Returns q̂ flattened COLUMN-major (index i + j·n1),

@@ -142,6 +142,115 @@ object Roc {
       max(col("p")).as("n_pos"), max(col("n")).as("n_neg"))
   }
 
+  /** [[empiricalRoc]] with the curve sweep moved DRIVER-side: the
+    * distributed work is exactly the one groupBy over distinct scores
+    * (shuffle bounded by score cardinality); the curve rows — bounded,
+    * quantize first if continuous at scale — then cross once to the driver
+    * where the cumulative sweep runs as plain sequential Scala. No
+    * partition-less WindowExec anywhere in the plan; at 100 TB a global
+    * single-partition sort of even bounded rows is a straggler stage,
+    * while a bounded collect is a metadata move (the same trade the
+    * classifier trapezoid makes, CohortClassifier.metricsOf).
+    *
+    * Arithmetic is bit-identical to [[empiricalRoc]] (which stays as the
+    * windowed twin, spec-pinned equal): the AUC numerator accumulates in
+    * exact LONG math, the Youden argmax orders (j, threshold) exactly like
+    * the max-struct, and rounding is Spark's own HALF_UP-on-toString. */
+  def empiricalRocDriver(df: DataFrame, label: Column, score: Column,
+      maxCurvePoints: Int = 1 << 21): DataFrame = {
+    val pts = curvePoints(df, label, score, maxCurvePoints, "empiricalRocDriver")
+    var tp = 0L; var fp = 0L; var num = 0L
+    var bestJ = Double.NegativeInfinity; var bestT = Double.NaN; var seen = false
+    val p = pts.map(_._2).sum; val n = pts.map(_._3).sum
+    pts.foreach { case (t, np, nn) =>
+      val tpPrev = tp; val fpPrev = fp
+      tp += np; fp += nn
+      num += (fp - fpPrev) * (tp + tpPrev)
+      // j in the same double ops as the windowed form: long/long division
+      // after implicit cast; ties → larger threshold, which the desc sweep
+      // order gives for free (first winner kept on strict improvement)
+      val j = tp.toDouble / p - fp.toDouble / n
+      if (!seen || j > bestJ || (j == bestJ && t > bestT)) {
+        bestJ = j; bestT = t; seen = true
+      }
+    }
+    val auc = roundHalfUp(num.toDouble / (2.0 * p * n), 6)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("auc", DoubleType), StructField("youden_j", DoubleType),
+      StructField("threshold", DoubleType),
+      StructField("n_pos", LongType, nullable = false),
+      StructField("n_neg", LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        auc, roundHalfUp(bestJ, 6), bestT, p, n)), schema)
+  }
+
+  /** [[empiricalCostThresholdDF]] with the candidate sweep moved
+    * DRIVER-side — same plan trade and same bit-compat contract as
+    * [[empiricalRocDriver]]: one distinct-score groupBy is the only
+    * distributed stage, the exact LONG cost ranks candidates, ties go to
+    * the smaller midpoint (the min-struct order). */
+  def empiricalCostThresholdDriver(df: DataFrame, label: Column, score: Column,
+      rhoNum: Int, rhoDen: Int, maxCurvePoints: Int = 1 << 21): DataFrame = {
+    val pts = curvePoints(df, label, score, maxCurvePoints,
+      "empiricalCostThresholdDriver")
+    val p = pts.map(_._2).sum; val n = pts.map(_._3).sum
+    // cumulative ≥-counts at each distinct value (desc sweep), then the
+    // candidate at a cut between v and the NEXT HIGHER value carries that
+    // higher value's cumulative counts — identical to the lead() form
+    var tp = 0L; var fp = 0L
+    val cum = pts.map { case (v, np, nn) => tp += np; fp += nn; (v, tp, fp) }
+    var bestCost = Long.MaxValue; var bestM = Double.NaN; var seen = false
+    var i = cum.length - 1
+    while (i > 0) { // ascending v: cut between cum(i) and cum(i-1)
+      val m = (cum(i)._1 + cum(i - 1)._1) / 2
+      val icost = rhoNum.toLong * (p - cum(i - 1)._2) * n +
+        (rhoDen - rhoNum).toLong * cum(i - 1)._3 * p
+      if (!seen || icost < bestCost || (icost == bestCost && m < bestM)) {
+        bestCost = icost; bestM = m; seen = true
+      }
+      i -= 1
+    }
+    val spark = df.sparkSession
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("threshold", DoubleType), StructField("cost", DoubleType),
+      StructField("n_pos", LongType, nullable = false),
+      StructField("n_neg", LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        bestM, roundHalfUp(bestCost.toDouble / (rhoDen.toDouble * p * n), 6),
+        p, n)), schema)
+  }
+
+  /** Distinct-score curve points (threshold desc, positives, negatives) —
+    * the shared distributed stage of the driver-side sweeps. The collect is
+    * bounded by DISTINCT scores and guarded: breaching the cap is an
+    * instruction to quantize the score, not a silent driver OOM. */
+  private def curvePoints(df: DataFrame, label: Column, score: Column,
+      maxPoints: Int, who: String): Array[(Double, Long, Long)] = {
+    val rows = df.where(score.isNotNull)
+      .groupBy(score.cast("double").as("v"))
+      .agg(count(when(label, 1)).as("np"), count(when(!label, 1)).as("nn"))
+      .limit(maxPoints + 1)
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._1)
+    require(rows.length <= maxPoints,
+      s"$who: > $maxPoints distinct scores — quantize the score column " +
+        "(e.g. round(score, 3)) before the sweep")
+    rows
+  }
+
+  /** Spark's `round(col, s)` semantics for doubles: HALF_UP on the
+    * shortest-decimal (toString) representation. Used so driver-side math
+    * reproduces the windowed twins bit-for-bit. */
+  private[stats] def roundHalfUp(x: Double, s: Int): Double =
+    if (x.isNaN || x.isInfinite) x
+    else BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Distributed twin of [[thres2Equal]]: the equal-variance binormal
     * threshold from ONE aggregation — group sums accumulate in DECIMAL
     * (order-independent), the closed-form formula runs on the exact sums,

@@ -17,14 +17,14 @@ class PlanAuditSpec extends SparkSpec {
     "j1_cross_agg", "m3_tree_score", "n1_ann_topk", "n4_bm25",
     "n6_pq_probe", "r13_permanova_stat", "t10_ngram_lm")
 
-  // distinct-score ROC curves (m3/r4/r8 — bounded by score cardinality),
-  // the DPP dim max (p7 — days-sized, and crossJoin+filter would break
-  // DPP's Filter requirement), the chain-TV projection (r14 — sequential
-  // running sums kept bit-compatible with the oracle), and the A7
-  // reference semantics (w2 — dimension-sized table)
+  // the in-SQL ROC curve over 4 leaf scores (m3 — plan-required: the
+  // curve is built inside one query), the DPP dim max (p7 — days-sized,
+  // and crossJoin+filter would break DPP's Filter requirement), and the A7
+  // reference semantics (w2 — dimension-sized table). r4/r8/r14 moved
+  // their bounded sweeps driver-side in round 8 (Roc.empiricalRocDriver /
+  // empiricalCostThresholdDriver / FDR.tvChainProjectDriver).
   private val deliberateGlobalWindows = Set(
-    "m3_tree_score", "p7_partition_prune", "r14_tv_projection",
-    "r4_roc_threshold", "r8_roc_empirical", "w2_global_window")
+    "m3_tree_score", "p7_partition_prune", "w2_global_window")
 
   test("no query grows an undeclared loop join or partition-less window") {
     val loops = scala.collection.mutable.ArrayBuffer[String]()

@@ -165,6 +165,33 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("tvChainProjectDriver is BIT-identical to the windowed tvChainProjectDF") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    // irrational-ish magnitudes so any FP-association drift would show;
+    // ties and zero diffs exercise the rank tie-break path
+    val y = Array.fill(60)(math.rint(rng.nextDouble() * 16) / 4.0 + rng.nextInt(2))
+    for (bound <- Seq(0.25, 3.0, 1e7)) {
+      val df = y.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "y")
+      def vals(out: org.apache.spark.sql.DataFrame): Array[Double] =
+        out.select("i", "y_tv").collect()
+          .map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+      val win = vals(FDR.tvChainProjectDF(df, "y", Seq(col("i")), bound))
+      val drv = vals(FDR.tvChainProjectDriver(df, "y", Seq(col("i")), bound))
+      win.indices.foreach { i =>
+        assert(java.lang.Double.doubleToLongBits(win(i)) ==
+          java.lang.Double.doubleToLongBits(drv(i)),
+          s"bound $bound idx $i: windowed ${win(i)} vs driver ${drv(i)}")
+      }
+    }
+    // single-row chain: both anchor at y0
+    val one = Seq((0, -0.0)).toDF("i", "y")
+    assert(FDR.tvChainProjectDriver(one, "y", Seq(col("i")), 1.0)
+      .select("y_tv").collect()(0).getDouble(0) ==
+      FDR.tvChainProjectDF(one, "y", Seq(col("i")), 1.0)
+        .select("y_tv").collect()(0).getDouble(0))
+  }
+
   test("tvChainProject shrinks total variation to the ball radius, preserving y0") {
     val y = Array(0.0, 2.0, 0.0, 2.0, 2.0, 0.0)
     val out = FDR.tvChainProject(y, 3.0)
@@ -500,6 +527,32 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("youden_j") == 0.5)
     assert(r.getAs[Double]("threshold") == 3.0)
     assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
+  }
+
+  test("empiricalRocDriver / empiricalCostThresholdDriver are bit-identical to the windowed twins") {
+    // random quantized scores with heavy ties: the driver-side sweeps must
+    // reproduce the windowed forms exactly (same LONG numerators, same
+    // double division order, same tie-breaks) — no tolerance
+    val rng = new scala.util.Random(23)
+    val df = (1 to 400).map { _ =>
+      (rng.nextBoolean(), math.rint(rng.nextDouble() * 200) / 10.0)
+    }.toDF("label", "score")
+    val w1 = Roc.empiricalRoc(df, $"label", $"score").collect()(0)
+    val d1 = Roc.empiricalRocDriver(df, $"label", $"score").collect()(0)
+    Seq("auc", "youden_j", "threshold").foreach { c =>
+      assert(java.lang.Double.doubleToLongBits(w1.getAs[Double](c)) ==
+        java.lang.Double.doubleToLongBits(d1.getAs[Double](c)), s"$c: $w1 vs $d1")
+    }
+    Seq("n_pos", "n_neg").foreach { c =>
+      assert(w1.getAs[Long](c) == d1.getAs[Long](c), s"$c: $w1 vs $d1") }
+    val w2 = Roc.empiricalCostThresholdDF(df, $"label", $"score", 3, 10).collect()(0)
+    val d2 = Roc.empiricalCostThresholdDriver(df, $"label", $"score", 3, 10).collect()(0)
+    Seq("threshold", "cost").foreach { c =>
+      assert(java.lang.Double.doubleToLongBits(w2.getAs[Double](c)) ==
+        java.lang.Double.doubleToLongBits(d2.getAs[Double](c)), s"$c: $w2 vs $d2")
+    }
+    Seq("n_pos", "n_neg").foreach { c =>
+      assert(w2.getAs[Long](c) == d2.getAs[Long](c), s"$c: $w2 vs $d2") }
   }
 
   test("empiricalThreshold separates well-separated groups") {
