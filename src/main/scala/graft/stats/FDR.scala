@@ -129,17 +129,16 @@ object FDR {
       var acc = 0L
       stats.map { case (s, c, _) => val e = (s, acc); acc += c; e }.toMap
     }
-    val baseCol =
-      if (rankBase.isEmpty) lit(0L)
-      else coalesce(element_at(typedLit(rankBase), col("__shard")), lit(0L))
     val localRankW = Window.partitionBy(col("__shard"))
       .orderBy(col(pCol).asc, tieBreak.asc)
     val suffW = Window.partitionBy(col("__shard"))
       .orderBy(col(pCol).desc, tieBreak.desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = sharded
-      .withColumn("__rk", baseCol + row_number().over(localRankW))
+    val ranked = graft.ops.ShardLookup
+      .attachLong(sharded, col("__shard"), rankBase, "__base", 0L)
+      .withColumn("__rk", col("__base") + row_number().over(localRankW))
       .withColumn("__ratio", lit(n) * col(pCol) / col("__rk"))
+      .drop("__base")
     // min ratio over all LATER shards (every row there has a larger rank):
     // one row per shard, exclusive suffix min on the driver
     val laterMin: Map[Int, Double] = {
@@ -152,13 +151,12 @@ object FDR {
         .map { case (s, m) => val e = (s, acc); acc = math.min(acc, m); e }
         .toMap
     }
-    val laterCol =
-      if (laterMin.isEmpty) lit(Double.PositiveInfinity)
-      else coalesce(element_at(typedLit(laterMin), col("__shard")),
-        lit(Double.PositiveInfinity))
-    ranked
+    graft.ops.ShardLookup
+      .attachDouble(ranked, col("__shard"), laterMin, "__later",
+        Double.PositiveInfinity)
       .withColumn("bh_adj",
-        least(lit(1.0), least(min(col("__ratio")).over(suffW), laterCol)))
+        least(lit(1.0), least(min(col("__ratio")).over(suffW), col("__later"))))
+      .drop("__later")
       .withColumn("storey_pi0",
         least(lit(1.0), lit(gt) / (lit(1 - lambda) * lit(n))))
       .withColumn("storey_adj", least(lit(1.0), col("storey_pi0") * col("bh_adj")))
@@ -214,13 +212,12 @@ object FDR {
       var acc = 0L
       counts.map { case (s, c) => val e = (s, acc); acc += c; e }.toMap
     }
-    val baseCol =
-      if (rankBase.isEmpty) lit(0L)
-      else coalesce(element_at(typedLit(rankBase), col("__shard")), lit(0L))
     val localRankW = Window.partitionBy(col("__shard"))
       .orderBy(col("qp").asc, tieBreak.asc)
-    val ranked = sharded
-      .withColumn("__rk", baseCol + row_number().over(localRankW))
+    val ranked = graft.ops.ShardLookup
+      .attachLong(sharded, col("__shard"), rankBase, "__base", 0L)
+      .withColumn("__rk", col("__base") + row_number().over(localRankW))
+      .drop("__base")
     val khat =
       if (n == 0L) 0L
       else {

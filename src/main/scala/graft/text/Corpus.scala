@@ -65,13 +65,12 @@ object Corpus {
         .sortBy(_._1)
         .map { case (s, t) => val e = (s, acc); acc += t; e }.toMap
     }
-    val shardBase =
-      if (bases.isEmpty) lit(0L)
-      else coalesce(element_at(typedLit(bases), col("__shard")), lit(0L))
-    sharded
+    graft.ops.ShardLookup
+      .attachLong(sharded, col("__shard"), bases, "__base", 0L)
       .withColumn("start_offset",
-        coalesce(shardBase + sum(col("n_tokens")).over(w) - col("n_tokens"),
+        coalesce(col("__base") + sum(col("n_tokens")).over(w) - col("n_tokens"),
           lit(0L)))
+      .drop("__base")
       .drop("__ord", "__shard")
       .withColumn("start_chunk", (col("start_offset") / budget).cast("long"))
       .withColumn("end_chunk",
