@@ -47,6 +47,53 @@ class SnapshotTableSpec extends SparkSpec {
       == Set((1, "a"), (9, "z"), (2, "b")))
   }
 
+  test("concurrent racing appenders: no lost update, no torn manifest") {
+    // A REAL race, not a simulated one: N threads append concurrently to
+    // one table. The optimistic protocol (stage → CREATE_NEW next manifest
+    // → loser re-resolves head, re-bases, retries) must serialize them into
+    // a contiguous version chain where every writer's rows appear exactly
+    // once in the final snapshot and every manifest parses completely.
+    val root = freshRoot()
+    SnapshotTable.write(Seq((0, "base")).toDF("k", "v"), root)
+    val nWriters = 6
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(nWriters)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val versions = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    (1 to nWriters).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            start.await()
+            versions.add(SnapshotTable.write(
+              Seq((i, s"w$i")).toDF("k", "v"), root, mode = "append"))
+          } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    start.countDown() // fire all writers at once to maximize collisions
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writers timed out")
+    assert(errors.isEmpty, s"writer failed: ${errors.peek()}")
+    // contiguous chain: versions 2..nWriters+1, each claimed exactly once
+    import scala.jdk.CollectionConverters._
+    assert(versions.asScala.map(_.toInt).toSet == (2 to nWriters + 1).toSet,
+      s"non-contiguous committed versions: ${versions.asScala.toList.sorted}")
+    assert(SnapshotTable.latestVersion(root) == nWriters + 1)
+    // no torn manifest: every version parses and each append grows the
+    // file list strictly (base files + its own)
+    val manifests = (1 to nWriters + 1).map(SnapshotTable.readManifest(root, _))
+    manifests.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.files.size > a.files.size, s"v${b.version} lost files of v${a.version}")
+      assert(a.files.toSet.subsetOf(b.files.toSet),
+        s"v${b.version} dropped base files — lost update")
+    }
+    // no lost update: the final snapshot holds every writer's row once
+    val got = SnapshotTable.read(spark, root).as[(Int, String)].collect().toSeq
+    assert(got.size == nWriters + 1, s"row count ${got.size}")
+    assert(got.toSet == ((0, "base") +: (1 to nWriters).map(i => (i, s"w$i"))).toSet)
+  }
+
   test("manifest schema pins the read schema (evolution-safe)") {
     val root = freshRoot()
     SnapshotTable.write(Seq((1, "a")).toDF("k", "v"), root)
