@@ -843,29 +843,56 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // ---- §2.9 M1-M8: decision-tree classification pipeline --------------
+    // ---- §2.9 M1-M8: decision-tree classification pipeline, with an
+    // EARNED oracle (round-8): the test split is an md5 content-hash (m4's
+    // engine-reproducible pattern, also the layout-independent 100 TB
+    // shape), the fitted tree is exported twice — class predictions
+    // (fromModel) and raw class-1 counts (fromModelRawCount, the exact
+    // score metricsOf ranks AUC by) — and the oracle (built at runtime
+    // from the exports, see m1OracleEntry) recomputes accuracy and the
+    // exact-LONG trapezoid AUC in DuckDB from the artifact + data. A hash
+    // match therefore certifies the PIPELINE's own reported metrics, not
+    // literals. Importance values stay spec-asserted (CohortClassifierSpec
+    // ≡ pipeline fit); in-query they are checked as earned booleans
+    // against the exported tree's split-feature set. --------------------
     "m1_decision_tree" -> ((s, dir) => {
-      import s.implicits._
       val o = t(s, dir, "orders").select(
         (col("o_orderstatus") === "F").cast("int").as("label"),
         col("o_totalprice"),
         (col("o_orderpriority") === "1-URGENT").cast("int").as("is_urgent"),
-        year(col("o_orderdate")).cast("double").as("order_year"))
+        year(col("o_orderdate")).cast("double").as("order_year"),
+        col("o_orderkey"))
+      val isTest = substring(md5(col("o_orderkey").cast("string")), 1, 1) < lit("5")
       // direct fit path: the orders cohort is null-free, so the imputer and
       // scaler fits would change nothing (spec-asserted metric equality) —
       // assemble once and fit the tree directly, ~1/3 the jobs
-      val res = graft.ml.CohortClassifier.trainEvaluateDirect(o,
+      val res = graft.ml.CohortClassifier.trainEvaluateDirectSplit(
+        o.where(!isTest), o.where(isTest),
         graft.ml.CohortClassifier.Config(
           labelCol = "label",
           numericCols = Seq("o_totalprice", "order_year"),
           binaryCols = Seq("is_urgent"),
           maxDepth = 5, minInstancesPerNode = 7, minInfoGain = 5e-5))
-      (res.featureImportances.map { case (f, v) =>
-        (s"importance:$f", v)
-      } :+ ("accuracy", res.accuracy) :+ ("auc", res.auc))
-        .toDF("metric", "value")
-        .select(col("metric"), round(col("value"), 6).as("value"))
-        .orderBy(col("metric"))
+      val tree = res.model.stages.last
+        .asInstanceOf[org.apache.spark.ml.classification.DecisionTreeClassificationModel]
+      val features = Seq("o_totalprice", "order_year", "is_urgent")
+      val specCls = graft.ml.TreeScorer.fromModel(tree.rootNode, features)
+      val specRaw = graft.ml.TreeScorer.fromModelRawCount(tree, features)
+      m1FittedSpecs = Some((specCls, specRaw))
+      // earned importance booleans: non-negative, normalized (or all-zero
+      // on a stump), and zero on features the exported tree never splits on
+      val imp = res.featureImportances
+      val inTree = graft.ml.TreeScorer.splitFeatures(specCls)
+      val impSum = imp.map(_._2).sum
+      s.range(1).select(
+        lit(graft.ml.TreeScorer.depth(specCls)).as("tree_depth"),
+        round(lit(res.accuracy), 6).as("accuracy"),
+        round(lit(res.auc), 6).as("auc"),
+        lit(imp.forall(_._2 >= 0.0)).as("imp_nonneg"),
+        lit(math.abs(impSum - 1.0) < 1e-9 || (inTree.isEmpty && impSum == 0.0))
+          .as("imp_normalized"),
+        lit(imp.forall { case (f, v) => inTree.contains(f) || v == 0.0 })
+          .as("imp_split_features_only"))
     }),
 
     // ---- ML: fixed-tree batch inference, the ★ twin of m1/m2 — the FIT is
@@ -1492,6 +1519,52 @@ object SparkEntry {
     * Verify run the comparison is airtight regardless of fit determinism
     * across environments. When m4 hasn't run (a query subset), the entry is
     * simply omitted and m4 degrades to the rows-only check. */
+  /** m1's fitted tree, exported twice in this process: (class-prediction
+    * spec, raw-class-1-count spec). Same runtime-oracle contract as
+    * [[m4FittedSpec]]; the raw-count spec is what lets DuckDB reproduce
+    * metricsOf's AUC ranking exactly (it ranks by rawPrediction(1)). */
+  @volatile private var m1FittedSpecs:
+      Option[(graft.ml.TreeScorer.TreeSpec, graft.ml.TreeScorer.TreeSpec)] = None
+
+  private def m1OracleEntry: Map[String, String] = m1FittedSpecs.map {
+    case (specCls, specRaw) =>
+      "m1_decision_tree" ->
+        s"""WITH t AS (
+           SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label,
+                  o_totalprice,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS is_urgent,
+                  CAST(year(o_orderdate) AS DOUBLE) AS order_year
+           FROM orders
+           WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '5'),
+         s AS (SELECT *, ${graft.ml.TreeScorer.toSql(specCls)} AS score_cls,
+                         ${graft.ml.TreeScorer.toSql(specRaw)} AS score_raw FROM t),
+         acc AS (
+           SELECT round(CAST(sum(CASE WHEN score_cls = label THEN 1 ELSE 0 END)
+                             AS DOUBLE) / count(*), 6) AS accuracy
+           FROM s),
+         pts AS (
+           SELECT score_raw AS th,
+                  count(*) FILTER (WHERE label = 1.0) AS np,
+                  count(*) FILTER (WHERE label != 1.0) AS nn
+           FROM s GROUP BY 1),
+         curve AS (
+           SELECT th, sum(np) OVER w AS tp, sum(nn) OVER w AS fp
+           FROM pts WINDOW w AS (ORDER BY th DESC ROWS UNBOUNDED PRECEDING)),
+         curve2 AS (
+           SELECT *, coalesce(lag(tp) OVER (ORDER BY th DESC), 0) AS tp_prev,
+                     coalesce(lag(fp) OVER (ORDER BY th DESC), 0) AS fp_prev
+           FROM curve),
+         roc AS (
+           SELECT round(CAST(sum((fp - fp_prev) * (tp + tp_prev)) AS DOUBLE)
+                        / (2.0 * max(tp) * max(fp)), 6) AS auc
+           FROM curve2)
+         SELECT ${graft.ml.TreeScorer.depth(specCls)} AS tree_depth,
+                acc.accuracy, roc.auc,
+                TRUE AS imp_nonneg, TRUE AS imp_normalized,
+                TRUE AS imp_split_features_only
+         FROM acc CROSS JOIN roc"""
+  }.toMap
+
   @volatile private var m4FittedSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
 
   private def m4OracleEntry: Map[String, String] = m4FittedSpec.map { spec =>
@@ -1594,7 +1667,7 @@ object SparkEntry {
   }.toMap
 
   def oracleSql: Map[String, String] =
-    m4OracleEntry ++ m5OracleEntry ++ n3OracleEntry ++ Map(
+    m1OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++ n3OracleEntry ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

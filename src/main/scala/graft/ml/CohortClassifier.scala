@@ -124,6 +124,33 @@ object CohortClassifier {
     } finally data.unpersist(blocking = false)
   }
 
+  /** [[trainEvaluateDirect]] with a CALLER-OWNED train/test split instead
+    * of `randomSplit`: the m1 query passes md5 content-hash splits (the m4
+    * pattern) so the evaluated test set is engine-reproducible and the
+    * pipeline's reported accuracy/AUC can be recomputed by an independent
+    * engine from the exported tree — the earned-oracle contract. Content-
+    * hash splits are also the 100 TB-correct shape: layout-independent,
+    * no sampling job, stable under repartitioning. */
+  def trainEvaluateDirectSplit(trainDf: DataFrame, testDf: DataFrame,
+      cfg: Config): Result = {
+    val prepared = prepare(trainDf, cfg)
+    val train =
+      (if (cfg.fitPartitions > 0) prepared.coalesce(cfg.fitPartitions) else prepared).cache()
+    try {
+      val assembler = new VectorAssembler()
+        .setInputCols((cfg.numericCols ++ cfg.binaryCols).toArray)
+        .setOutputCol("features").setHandleInvalid("keep")
+      val treeModel = treeEstimator(cfg).fit(assembler.transform(train))
+      val model = new Pipeline()
+        .setStages(Array[org.apache.spark.ml.PipelineStage](assembler, treeModel))
+        .fit(train)
+      evaluate(model, prepare(testDf, cfg), cfg, Map(
+        "maxDepth" -> cfg.maxDepth,
+        "minInstancesPerNode" -> cfg.minInstancesPerNode,
+        "minInfoGain" -> cfg.minInfoGain))
+    } finally train.unpersist(blocking = false)
+  }
+
   /** M7: search the reference's space, maximizing AUC on a validation split.
     * `budget` caps the number of grid points (HyperDrive ran 50). */
   def tune(df: DataFrame, cfg: Config, budget: Int = 50): Result = {

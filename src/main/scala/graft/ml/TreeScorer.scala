@@ -53,6 +53,53 @@ object TreeScorer {
     case SplitLE(_, _, l, r) => 1 + math.max(depth(l), depth(r))
   }
 
+  /** [[fromModel]] with leaf values = the model's RAW class-1 count
+    * (`rawPrediction(1)`) instead of the class prediction — the exact
+    * ranking score `CohortClassifier.metricsOf` computes AUC over, so a
+    * SQL replay of this spec reproduces the pipeline's trapezoid
+    * bit-for-bit. Leaf impurity stats are private[ml]; instead each leaf
+    * is reached through the PUBLIC `predictRaw` by synthesizing a feature
+    * vector inside the leaf's path box (upper bounds come from left
+    * branches, strict lower bounds from right ones — the box is non-empty
+    * because every leaf held training rows). */
+  def fromModelRawCount(
+      model: org.apache.spark.ml.classification.DecisionTreeClassificationModel,
+      features: Seq[String]): TreeSpec = {
+    def walk(node: Node, lo: Map[Int, Double], hi: Map[Int, Double]): TreeSpec =
+      node match {
+        case _: LeafNode =>
+          val v = org.apache.spark.ml.linalg.Vectors.dense(
+            features.indices.map { i =>
+              val l = lo.getOrElse(i, Double.NegativeInfinity)
+              val h = hi.getOrElse(i, Double.PositiveInfinity)
+              if (h != Double.PositiveInfinity) h // v <= every upper bound, > l
+              else if (l != Double.NegativeInfinity) l + 1.0 // strictly right
+              else 0.0
+            }.toArray)
+          Leaf(model.predictRaw(v)(1))
+        case in: InternalNode => in.split match {
+          case cs: ContinuousSplit =>
+            val i = cs.featureIndex
+            SplitLE(features(i), cs.threshold,
+              walk(in.leftChild, lo,
+                hi.updated(i, math.min(hi.getOrElse(i, Double.PositiveInfinity), cs.threshold))),
+              walk(in.rightChild,
+                lo.updated(i, math.max(lo.getOrElse(i, Double.NegativeInfinity), cs.threshold)), hi))
+          case other => throw new IllegalArgumentException(
+            s"unsupported split type: ${other.getClass.getSimpleName}")
+        }
+        case other => throw new IllegalArgumentException(
+          s"unsupported node type: ${other.getClass.getSimpleName}")
+      }
+    walk(model.rootNode, Map.empty, Map.empty)
+  }
+
+  /** Features appearing in the spec's splits (importance cross-check). */
+  def splitFeatures(t: TreeSpec): Set[String] = t match {
+    case Leaf(_) => Set.empty
+    case SplitLE(f, _, l, r) => splitFeatures(l) ++ splitFeatures(r) + f
+  }
+
   /** Extract a FITTED spark.ml tree into a [[TreeSpec]]; leaf value = the
     * model's class prediction. `features` maps featureIndex → source column
     * (the VectorAssembler input order — only valid when the tree was fit on

@@ -75,6 +75,43 @@ class CohortClassifierSpec extends SparkSpec {
     }
   }
 
+  test("explicit-split direct fit + raw-count export replay the pipeline exactly (m1 contract)") {
+    // the m1 earned-oracle chain: content-hash-style caller split, tree fit,
+    // export via fromModel (class predictions) and fromModelRawCount
+    // (rawPrediction(1) scores). The compiled specs must reproduce the
+    // PIPELINE transform's prediction and raw score per row bit-for-bit —
+    // that equality is what makes the DuckDB replay of accuracy/AUC an
+    // oracle of metricsOf's own values.
+    val cfg = CohortClassifier.Config(
+      labelCol = "label", numericCols = Seq("x", "noise"), binaryCols = Seq("flag"))
+    val split = data.withColumn("__h",
+      substring(md5(concat_ws(",", col("x"), col("noise"), col("flag"))), 1, 1))
+    val train = split.where(col("__h") >= "5").drop("__h")
+    val test0 = split.where(col("__h") < "5").drop("__h")
+    val res = CohortClassifier.trainEvaluateDirectSplit(train, test0, cfg)
+    val tree = res.model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.DecisionTreeClassificationModel]
+    val features = Seq("x", "noise", "flag")
+    val specCls = TreeScorer.fromModel(tree.rootNode, features)
+    val specRaw = TreeScorer.fromModelRawCount(tree, features)
+    assert(TreeScorer.splitFeatures(specCls).contains("x"))
+    import org.apache.spark.ml.functions.vector_to_array
+    val casted = test0.select(col("label").cast("double").as("label"),
+      col("x").cast("double").as("x"), col("noise").cast("double").as("noise"),
+      col("flag").cast("double").as("flag"))
+    val both = res.model.transform(casted)
+      .withColumn("spec_cls", TreeScorer.compile(specCls))
+      .withColumn("spec_raw", TreeScorer.compile(specRaw))
+      .select(col("prediction"), col("spec_cls"),
+        vector_to_array(col("rawPrediction")).getItem(1).as("raw1"), col("spec_raw"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"prediction mismatch: $r")
+      assert(r.getDouble(2) == r.getDouble(3), s"raw score mismatch: $r")
+    }
+  }
+
   test("tune searches the reference grid within budget and beats a stump") {
     val res = CohortClassifier.tune(data, CohortClassifier.Config(
       labelCol = "label", numericCols = Seq("x", "noise"), binaryCols = Seq("flag")),
