@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** State-growth soak: the 100 TB streaming claim is that WATERMARKS BOUND
+  * STATE — dedup hashes and LSH band buckets must expire as event time
+  * advances, so state plateaus under continuous ingest instead of growing
+  * with stream length. A 100+-micro-batch replay with ever-fresh content
+  * is the direct test: if expiry is broken, state grows linearly with
+  * batches and the late-window ceiling blows past the early-window one. */
+class StreamingSoakSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  private val batches = 100
+  private def tsAt(minute: Int) =
+    new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      .getTime + minute * 60000L)
+
+  /** Drive `batches` micro-batches (1 event-time minute apart, `perBatch`
+    * UNIQUE docs each) through `query`, returning per-batch state rows. */
+  private def soak(input: MemoryStream[Doc], q: org.apache.spark.sql.streaming.StreamingQuery,
+      perBatch: Int): Seq[Long] = {
+    val sizes = Seq.newBuilder[Long]
+    (0 until batches).foreach { b =>
+      input.addData((0 until perBatch).map { i =>
+        // fresh content every batch: worst case for state growth — every
+        // doc inserts new state; only expiry can keep the store bounded
+        Doc(b.toLong * perBatch + i, tsAt(b),
+          s"soak batch $b doc $i " + (0 to 8).map(j => s"w${b * 31 + i * 7 + j}").mkString(" "))
+      })
+      q.processAllAvailable()
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty)
+        sizes += p.stateOperators.map(_.numRowsTotal).sum
+    }
+    sizes.result()
+  }
+
+  /** Plateau assertion: the ceiling over the LAST quarter of the soak must
+    * not exceed the ceiling over the second quarter (post-warmup) by more
+    * than 50% — linear growth would roughly double it — and stays under an
+    * absolute bound derived from the watermark window. */
+  private def assertPlateau(sizes: Seq[Long], hardBound: Long, who: String): Unit = {
+    assert(sizes.size >= batches * 3 / 4, s"$who: too few progress samples")
+    val early = sizes.slice(sizes.size / 4, sizes.size / 2).max
+    val late = sizes.slice(sizes.size * 3 / 4, sizes.size).max
+    assert(late <= early * 3 / 2 + 10,
+      s"$who state grows: early-window max $early, late-window max $late\n$sizes")
+    assert(sizes.max <= hardBound,
+      s"$who state ${sizes.max} exceeds watermark-window bound $hardBound\n$sizes")
+  }
+
+  test("streamingExactDedup state plateaus under the watermark across 100 batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = EventStream.streamingExactDedup(input.toDF(), lateness = "5 minutes")
+      .writeStream.format("memory").queryName("dedup_soak")
+      .outputMode("append").start()
+    try {
+      val sizes = soak(input, q, perBatch = 3)
+      // ~3 docs/minute alive for (5 min lateness + watermark lag) ⇒ ~20-30
+      // rows steady-state; 120 is 4× headroom, far under the 300 rows of
+      // unbounded accumulation
+      assertPlateau(sizes, hardBound = 120L, "streamingExactDedup")
+    } finally q.stop()
+  }
+
+  test("StreamingNearDup bucket state plateaus under the watermark across 100 batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingNearDup.matches(input.toDF(), lateness = "5 minutes")
+      .writeStream.format("memory").queryName("neardup_soak")
+      .outputMode("append").start()
+    try {
+      val sizes = soak(input, q, perBatch = 2)
+      // 2 docs × 4 band keys per minute alive ~7 minutes ⇒ ~56 buckets
+      // steady-state; 250 is >4× headroom vs the ~800 of unbounded growth
+      assertPlateau(sizes, hardBound = 250L, "StreamingNearDup")
+    } finally q.stop()
+  }
+}
