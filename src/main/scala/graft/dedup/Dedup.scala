@@ -197,6 +197,51 @@ object Dedup {
     minHashCandidates(df, idCol, textCol, shingleN, k, bands, seed)
       .where(col("est_jaccard") >= threshold)
 
+  /** Bucket-cap telemetry for [[minHashCandidates]]: ONE cheap aggregate
+    * (signature pass + a (band, bucket) count — no join) reporting what the
+    * mega-bucket cap discards at these parameters, so a production run can
+    * SEE the recall trade instead of inferring it:
+    *   buckets_total / buckets_capped, rows_in_capped_buckets,
+    *   pairs_at_risk = Σ B·(B−1)/2 over capped buckets (an UPPER bound on
+    *   forfeited candidate pairs — a pair in a capped bucket still emits if
+    *   its owning band survives elsewhere), max_bucket_size.
+    * Run it alongside (not inside) the candidate query; at scale it costs
+    * one map-side-combined count shuffle over band keys. */
+  def minHashBucketReport(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+      seed: Long = 42L, maxBucketSize: Int = 500): DataFrame = {
+    val buckets = df.select(
+        graft.expressions.ShingleHashExpr.shingleHashes(col(textCol), shingleN).as("__hs"))
+      .select(minHashSignatureNative(col("__hs"), k, seed).as("sig"))
+      .select(posexplode(bandHashes(col("sig"), k, bands)).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("b"))
+    capReport(buckets, maxBucketSize)
+  }
+
+  /** [[minHashBucketReport]] for the SimHash 16-bit-chunk buckets of
+    * [[simHashNearDups]] — same columns, same cost shape. */
+  def simHashBucketReport(df: DataFrame, idCol: String, textCol: String,
+      maxBucketSize: Int = 500): DataFrame = {
+    val buckets = df.select(
+        graft.expressions.SimHash64Expr.simhash64(col(textCol)).as("sig"))
+      .select(posexplode(array(
+        (0 until 4).map(i => expr(s"shiftright(sig, ${i * 16}) & 65535")): _*))
+        .as(Seq("chunk", "chunk_val")))
+      .groupBy(col("chunk"), col("chunk_val")).agg(count(lit(1)).as("b"))
+    capReport(buckets, maxBucketSize)
+  }
+
+  private def capReport(buckets: DataFrame, cap: Int): DataFrame =
+    buckets.agg(
+      count(lit(1)).as("buckets_total"),
+      sum(when(col("b") > cap, 1L).otherwise(0L)).as("buckets_capped"),
+      sum(when(col("b") > cap, col("b")).otherwise(0L)).as("rows_in_capped_buckets"),
+      // B·(B−1) is even, so the /2 is exact; cast back from the non-ANSI
+      // double division to keep the counter integral
+      sum(when(col("b") > cap, (col("b") * (col("b") - 1) / 2).cast("long"))
+        .otherwise(0L)).as("pairs_at_risk"),
+      max(col("b")).as("max_bucket_size"))
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from each

@@ -94,4 +94,87 @@ class ApproxDedupQualitySpec extends SparkSpec {
     // and verification is exact → the operator IS the exact predicate
     assert(got == exact)
   }
+
+  // ---------------- adversarial 10-clique density (the sf1 rehearsal shape)
+
+  /** Every base doc becomes a 10-member near-dup clique (ScaleRehearsal's
+    * replica perturbation: a short suffix), so band buckets see clique
+    * pileups ~10× denser than a neutral corpus — the density the bucket
+    * caps were designed for. Intra-clique pairs are the high-Jaccard truth
+    * set (suffix edits on 40-80-token docs keep 3-gram Jaccard ≳ 0.85). */
+  private lazy val cliqueRows: Seq[(Long, String)] = {
+    val offset = 1000000L
+    corpusRows.take(150).flatMap { case (id, text) =>
+      (0 until 10).map { r =>
+        (id + r * offset, if (r == 0) text else s"$text rehearsal replica $r")
+      }
+    }
+  }
+  private lazy val cliqueCorpus = cliqueRows.toDF("doc_id", "text")
+
+  /** Exact 3-gram Jaccard, driver-side, intra-clique pairs only (inter-
+    * clique similarity is base-corpus noise, below every threshold here). */
+  private lazy val cliqueTruth: Map[(Long, Long), Double] = {
+    def grams(t: String): Set[Seq[String]] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.length < 3) Set(toks) else toks.sliding(3).toSet
+    }
+    cliqueRows.groupBy(_._1 % 1000000L).valuesIterator.flatMap { clique =>
+      val sorted = clique.sortBy(_._1)
+      for {
+        i <- sorted.indices; j <- (i + 1) until sorted.length
+        a = grams(sorted(i)._2); b = grams(sorted(j)._2)
+      } yield (sorted(i)._1, sorted(j)._1) ->
+        (a & b).size.toDouble / (a | b).size
+    }.toMap
+  }
+
+  test("MinHash candidate recall ≥ 0.9 at 10-clique pileup density, caps active") {
+    val strong = cliqueTruth.filter(_._2 >= 0.7).keySet
+    assert(strong.size >= 2000, s"clique corpus must be dense, got ${strong.size}")
+    val cand = Dedup.minHashCandidates(cliqueCorpus, "doc_id", "text")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = strong.count(cand).toDouble / strong.size
+    info(f"clique-density minhash candidate recall@j≥0.7: $recall%.4f over ${strong.size} pairs")
+    assert(recall >= 0.9, f"recall $recall%.4f below floor at clique density")
+  }
+
+  test("SimHash stays exact at 10-clique density (pigeonhole survives pileups)") {
+    val sigs = cliqueCorpus.select(col("doc_id"),
+        graft.expressions.SimHash64Expr.simhash64(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val exact = (for {
+      i <- sigs.indices.iterator; j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 3
+    } yield (sigs(i)._1, sigs(j)._1)).toSet
+    val got = Dedup.simHashNearDups(cliqueCorpus, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0 else exact.count(got).toDouble / exact.size
+    info(f"clique-density simhash recall vs exact Hamming≤3: $recall%.4f " +
+      s"(${got.size} of ${exact.size}; drops are capped-bucket pairs)")
+    assert(got.subsetOf(exact), "precision must stay exact (verification is exact)")
+    assert(recall >= 0.95, f"recall $recall%.4f below floor at clique density")
+  }
+
+  test("bucket-cap reports quantify what the cap discards, and agree with recall") {
+    // at the spec's density nothing reaches the 500 cap — the report must
+    // say so (zero discards ⇒ the recall floors above measure banding
+    // probability, not cap loss); with the cap forced tiny the report must
+    // see the pileups the cliques create
+    val r = Dedup.minHashBucketReport(cliqueCorpus, "doc_id", "text").collect()(0)
+    info(s"minhash cap report @500: $r")
+    assert(r.getAs[Long]("buckets_capped") == 0L)
+    assert(r.getAs[Long]("pairs_at_risk") == 0L)
+    assert(r.getAs[Long]("max_bucket_size") >= 10L, // cliques pile up per band
+      s"expected clique pileups, got ${r.getAs[Long]("max_bucket_size")}")
+    val tight = Dedup.minHashBucketReport(cliqueCorpus, "doc_id", "text",
+      maxBucketSize = 5).collect()(0)
+    info(s"minhash cap report @5: $tight")
+    assert(tight.getAs[Long]("buckets_capped") > 0L)
+    assert(tight.getAs[Long]("pairs_at_risk") >=
+      tight.getAs[Long]("buckets_capped") * 5L * 4L / 2L)
+    val sr = Dedup.simHashBucketReport(cliqueCorpus, "doc_id", "text").collect()(0)
+    info(s"simhash cap report @500: $sr")
+    assert(sr.getAs[Long]("buckets_total") > 0L)
+  }
 }
