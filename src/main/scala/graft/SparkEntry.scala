@@ -1495,6 +1495,47 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_id"))
     }),
 
+    // ---- §2.6 GROUPS-frame windows (w6): Spark's window frames are ROWS
+    // and RANGE only — no GROUPS mode and no EXCLUDE clause. Both emulate
+    // exactly: dense_rank is GAPLESS per partition, so an integer RANGE
+    // frame over the dense_rank IS a GROUPS frame (peer groups g−1..g+1),
+    // and EXCLUDE GROUP / CURRENT ROW / TIES are exact DECIMAL subtractions
+    // of the peer-group frame (RANGE 0..0) / the row's own value, NULL-
+    // guarded where the exclusion empties the frame (SQL:2016). The oracle
+    // evaluates the SAME frames through DuckDB's NATIVE EXCLUDE machinery
+    // (DuckDB 1.0 lacks GROUPS mode, so both engines frame over the
+    // dense_rank; the exclusions are genuinely independent
+    // implementations). Order key is bucketed acctbal — tie-heavy, so
+    // GROUPS genuinely differs from ROWS. --------------------------------
+    "w6_groups_window" -> ((s, dir) => {
+      val vd = col("c_acctbal").cast("decimal(18,2)")
+      val grpW = Window.partitionBy(col("c_mktsegment")).orderBy(col("v"))
+      def g(lo: Long, hi: Long) = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("grp")).rangeBetween(lo, hi)
+      def d2(c: Column) = round(c.cast("double"), 2)
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          // + 0.0 normalizes IEEE -0.0 (negative sub-50 balances round to
+          // the negative zero in one engine, positive in the other)
+          (round(col("c_acctbal"), -2) + lit(0.0)).as("v"), vd.as("vd"))
+        .withColumn("grp", dense_rank().over(grpW).cast("long"))
+        .select(col("c_mktsegment"), col("c_custkey"), col("v"), col("grp"),
+          count(lit(1)).over(g(-1, 0)).as("cnt_g"),
+          d2(sum(col("vd")).over(g(-1, 1))).as("sum_g"),
+          // SQL:2016: an EXCLUDE that empties the frame yields NULL, so the
+          // subtractions are guarded by the surviving-row counts
+          d2(when(count(lit(1)).over(g(-1, 1)) === count(lit(1)).over(g(0, 0)),
+              lit(null))
+            .otherwise(sum(col("vd")).over(g(-1, 1)) - sum(col("vd")).over(g(0, 0))))
+            .as("sum_xgrp"),
+          d2(when(count(lit(1)).over(g(-1, 1)) === 1, lit(null))
+            .otherwise(sum(col("vd")).over(g(-1, 1)) - col("vd"))).as("sum_xrow"),
+          d2(sum(col("vd")).over(g(-1, 1)) - sum(col("vd")).over(g(0, 0))
+            + col("vd")).as("sum_xties"))
+        .where(col("c_custkey") <= 1500)
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
+    }),
+
     // ---- §2.6 ranking window suite: lead/lag/ntile/percent_rank ---------
     "w3_window_rank" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2486,6 +2527,35 @@ object SparkEntry {
 
     // identical numeric RANGE frame: epoch micros both sides (nanos are
     // micro-aligned in the testdata — the e3 ASOF oracle relies on this too)
+    // w6: the GROUPS frame realized as an integer RANGE over the gapless
+    // dense_rank on BOTH engines (DuckDB 1.0 has no GROUPS mode), but the
+    // EXCLUDE clauses run on DuckDB's NATIVE frame-exclusion machinery vs
+    // Spark's guarded DECIMAL subtractions — independent implementations of
+    // the SQL:2016 exclusion semantics on the two sides of the hash
+    "w6_groups_window" ->
+      """WITH c AS (
+           SELECT c_mktsegment, c_custkey, round(c_acctbal, -2) + 0.0 AS v,
+                  CAST(c_acctbal AS DECIMAL(18,2)) AS vd
+           FROM customer),
+         g AS (
+           SELECT *, CAST(dense_rank()
+             OVER (PARTITION BY c_mktsegment ORDER BY v) AS BIGINT) AS grp
+           FROM c),
+         w AS (
+           SELECT c_mktsegment, c_custkey, v, grp,
+                  count(*) OVER (o RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS cnt_g,
+                  round(CAST(sum(vd) OVER (o RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+                        AS DOUBLE), 2) AS sum_g,
+                  round(CAST(sum(vd) OVER (o RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                        EXCLUDE GROUP) AS DOUBLE), 2) AS sum_xgrp,
+                  round(CAST(sum(vd) OVER (o RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                        EXCLUDE CURRENT ROW) AS DOUBLE), 2) AS sum_xrow,
+                  round(CAST(sum(vd) OVER (o RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+                        EXCLUDE TIES) AS DOUBLE), 2) AS sum_xties
+           FROM g WINDOW o AS (PARTITION BY c_mktsegment ORDER BY grp))
+         SELECT * FROM w WHERE c_custkey <= 1500
+         ORDER BY c_mktsegment, c_custkey""",
+
     "w5_range_window" ->
       """SELECT user_id, event_id,
            count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
