@@ -1189,6 +1189,28 @@ object SparkEntry {
         .orderBy(col("r_regionkey"))
     }),
 
+    // ---- S5 extension: Delta-style MERGE upsert on the snapshot table.
+    // Base rows, then an overlapping update slice merged by key — matched
+    // keys replaced, new keys inserted, one committed version. The oracle
+    // replays the upsert relationally (updates ∪ base-anti-updates), so
+    // the hash match verifies the whole write→merge→read round trip. -----
+    "s8_merge_upsert" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s8-${ProcessHandle.current().pid()}/cust_merge"
+      graft.sources.SnapshotTable.write(
+        cust.where(col("c_custkey") <= 300), root, mode = "overwrite")
+      graft.sources.SnapshotTable.merge(
+        cust.where(col("c_custkey").between(200, 400))
+          .withColumn("c_acctbal", round(col("c_acctbal") + 1000, 2)),
+        root, Seq("c_custkey"))
+      graft.sources.SnapshotTable.read(s, root)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- §2.3 outer join: customers with/without orders -----------------
     "j4_outer_join" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -2121,6 +2143,22 @@ object SparkEntry {
 
     "s5_snapshot_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    // s8: the MERGE result expressed relationally — update rows win on
+    // matched keys, base rows survive elsewhere
+    "s8_merge_upsert" ->
+      """WITH b AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey <= 300),
+         u AS (
+           SELECT c_custkey, c_mktsegment, round(c_acctbal + 1000, 2) AS c_acctbal
+           FROM customer WHERE c_custkey BETWEEN 200 AND 400)
+         SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+         FROM (SELECT * FROM u
+               UNION ALL
+               SELECT * FROM b
+               WHERE c_custkey NOT IN (SELECT c_custkey FROM u))
+         ORDER BY c_custkey""",
 
     "e6_resample_ffill" ->
       """WITH b AS (

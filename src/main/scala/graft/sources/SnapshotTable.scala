@@ -78,38 +78,10 @@ object SnapshotTable {
     * the committed version. */
   def write(df: DataFrame, root: String, mode: String = "overwrite"): Int = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
-    Files.createDirectories(manifestDir(root))
-    Files.createDirectories(dataDir(root))
-    // 1. stage: write part files UNDER THE TABLE ROOT (same filesystem as
-    // data/, so the ATOMIC_MOVE rename below is guaranteed to be supported —
-    // java.io.tmpdir may live on a different mount), then move under a
-    // commit-unique prefix
-    val commitId = UUID.randomUUID().toString.take(8)
-    val staging = Paths.get(root, "_staging", commitId)
-    Files.createDirectories(staging)
-    val staged =
-      try {
-        df.write.mode("overwrite").parquet(staging.toString)
-        listDir(staging)(_.filter(_.getFileName.toString.endsWith(".parquet"))
-          .map { p =>
-            val name = s"$commitId-${p.getFileName}"
-            Files.move(p, dataDir(root).resolve(name), StandardCopyOption.ATOMIC_MOVE)
-            name
-          }.toSeq.sorted)
-      } finally {
-        // drop the staging tree (Spark's _SUCCESS/.crc/_temporary leftovers)
-        // whether or not the commit below succeeds — data files already moved
-        // out. Deepest-first walk: a failed df.write leaves a non-empty
-        // _temporary/ subtree that a flat delete would trip over. Cleanup
-        // failures are swallowed so they can't mask the original exception.
-        try {
-          val walk = Files.walk(staging)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-          finally walk.close()
-        } catch { case _: java.io.IOException => /* leave orphan staging dir */ }
-      }
-    // 2. commit: atomic create-new of the next version; losers re-base
+    val staged = stage(df, root)
+    // commit: atomic create-new of the next version; losers re-base. An
+    // append loser only re-reads the new head's FILE LIST (its own rows
+    // are position-independent); an overwrite loser needs nothing at all.
     val schemaJson = df.schema.json
     var committed = -1
     while (committed < 0) {
@@ -117,18 +89,99 @@ object SnapshotTable {
       val files =
         if (mode == "overwrite" || base == 0) staged
         else readManifest(root, base).files ++ staged
-      val v = base + 1
-      val body = (Seq(s"version=$v", s"op=$mode", s"schema=$schemaJson") ++
-        files.map(f => s"file=$f")).mkString("\n")
-      try {
-        Files.write(manifestPath(root, v), body.getBytes(StandardCharsets.UTF_8),
-          StandardOpenOption.CREATE_NEW)
-        committed = v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => // lost the race; retry
-      }
+      committed = tryCommit(root, base, mode, schemaJson, files)
     }
     committed
+  }
+
+  /** Delta-style MERGE (upsert): rows of `updates` REPLACE current rows
+    * sharing the same `keyCols` values; unmatched update rows insert. One
+    * new version per call; the full merged snapshot is rewritten (the
+    * simple, always-correct copy-on-write — file-level pruning of
+    * untouched files is a layout optimization on top of the same commit
+    * protocol, not a different protocol).
+    *
+    * Unlike append, a merge's CONTENT depends on the base snapshot, so a
+    * loser of the optimistic race must RE-READ the new head and recompute
+    * the merged frame before retrying — re-basing just the file list (the
+    * append rule) would silently resurrect overwritten rows. That
+    * read-merge-stage-commit loop is the serializable-upsert contract the
+    * open table formats document; raced merges on disjoint keys both
+    * survive (SnapshotTableSpec pins it). */
+  def merge(updates: DataFrame, root: String, keyCols: Seq[String]): Int = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val spark = updates.sparkSession
+    val schemaJson = updates.schema.json
+    var committed = -1
+    while (committed < 0) {
+      val base = latestVersion(root)
+      val merged =
+        if (base == 0) updates
+        else {
+          val current = read(spark, root, Some(base))
+          val keep = current.join(
+            updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct(),
+            keyCols, "left_anti")
+          keep.unionByName(updates)
+        }
+      val staged = stage(merged, root)
+      committed = tryCommit(root, base, "merge", schemaJson, staged)
+      // lost the race: the staged files stay orphaned in data/ until
+      // [[vacuum]] (no manifest references them), same as any aborted
+      // commit in the open formats
+    }
+    committed
+  }
+
+  /** Stage `df`'s part files into the table's data dir under a
+    * commit-unique prefix; returns the staged file names. Staging writes
+    * UNDER THE TABLE ROOT (same filesystem as data/, so the ATOMIC_MOVE
+    * rename is guaranteed supported — java.io.tmpdir may live on a
+    * different mount). */
+  private def stage(df: DataFrame, root: String): Seq[String] = {
+    Files.createDirectories(manifestDir(root))
+    Files.createDirectories(dataDir(root))
+    val commitId = UUID.randomUUID().toString.take(8)
+    val staging = Paths.get(root, "_staging", commitId)
+    Files.createDirectories(staging)
+    try {
+      df.write.mode("overwrite").parquet(staging.toString)
+      listDir(staging)(_.filter(_.getFileName.toString.endsWith(".parquet"))
+        .map { p =>
+          val name = s"$commitId-${p.getFileName}"
+          Files.move(p, dataDir(root).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          name
+        }.toSeq.sorted)
+    } finally {
+      // drop the staging tree (Spark's _SUCCESS/.crc/_temporary leftovers)
+      // whether or not the commit succeeds — data files already moved out.
+      // Deepest-first walk: a failed df.write leaves a non-empty
+      // _temporary/ subtree that a flat delete would trip over. Cleanup
+      // failures are swallowed so they can't mask the original exception.
+      try {
+        val walk = Files.walk(staging)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: java.io.IOException => /* leave orphan staging dir */ }
+    }
+  }
+
+  /** One optimistic commit attempt at version `base`+1: the committed
+    * version on success, -1 when a concurrent committer took the slot
+    * (caller decides how to recompute before retrying). */
+  private def tryCommit(root: String, base: Int, op: String,
+      schemaJson: String, files: Seq[String]): Int = {
+    val v = base + 1
+    val body = (Seq(s"version=$v", s"op=$op", s"schema=$schemaJson") ++
+      files.map(f => s"file=$f")).mkString("\n")
+    try {
+      Files.write(manifestPath(root, v), body.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW)
+      v
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => -1
+    }
   }
 
   /** Read a snapshot: the latest version, or a pinned `version` (time
@@ -145,8 +198,12 @@ object SnapshotTable {
   }
 
   /** Drop manifests older than the newest `keepVersions` and delete data
-    * files no surviving manifest references. Readers pinned to vacuumed
-    * versions break — the retention contract every snapshot format has. */
+    * files no surviving manifest references — including ORPHANS that never
+    * made a manifest (staged files of commit-race losers, e.g. a lost
+    * [[merge]]). Readers pinned to vacuumed versions break, and vacuum
+    * must not run concurrently with in-flight writers (their staged files
+    * look orphaned until their commit lands) — the retention contract
+    * every snapshot format has. */
   def vacuum(root: String, keepVersions: Int = 1): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val latest = latestVersion(root)
@@ -155,13 +212,11 @@ object SnapshotTable {
       .flatMap(v => readManifest(root, v).files).toSet
     (1 until keepFrom).foreach { v =>
       val p = manifestPath(root, v)
-      if (Files.exists(p)) {
-        // a dropped manifest's files survive only if a live manifest shares
-        // them (append chains share data files across versions)
-        readManifest(root, v).files.filterNot(live).foreach { f =>
-          Files.deleteIfExists(dataDir(root).resolve(f)) }
-        Files.delete(p)
-      }
+      if (Files.exists(p)) Files.delete(p)
     }
+    // one sweep deletes both dropped-version files and never-committed
+    // orphans: anything in data/ no surviving manifest references
+    listDir(dataDir(root))(_.filter(p => !live(p.getFileName.toString)).toList)
+      .foreach(p => Files.deleteIfExists(p))
   }
 }

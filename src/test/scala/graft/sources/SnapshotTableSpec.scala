@@ -94,6 +94,62 @@ class SnapshotTableSpec extends SparkSpec {
     assert(got.toSet == ((0, "base") +: (1 to nWriters).map(i => (i, s"w$i"))).toSet)
   }
 
+  test("merge upserts by key: matched rows replaced, new rows inserted, one version") {
+    val root = freshRoot()
+    SnapshotTable.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), root)
+    val v = SnapshotTable.merge(Seq((2, "B"), (4, "d")).toDF("k", "v"), root, Seq("k"))
+    assert(v == 2)
+    assert(SnapshotTable.read(spark, root).as[(Int, String)].collect().toSet
+      == Set((1, "a"), (2, "B"), (3, "c"), (4, "d")))
+    // time travel still sees the pre-merge snapshot
+    assert(SnapshotTable.read(spark, root, Some(1)).as[(Int, String)].collect().toSet
+      == Set((1, "a"), (2, "b"), (3, "c")))
+    // merge into an empty table is an insert
+    val root2 = freshRoot()
+    assert(SnapshotTable.merge(Seq((9, "z")).toDF("k", "v"), root2, Seq("k")) == 1)
+    assert(SnapshotTable.read(spark, root2).as[(Int, String)].collect().toSet
+      == Set((9, "z")))
+  }
+
+  test("racing mergers serialize: disjoint-key upserts both survive, orphans vacuum away") {
+    // merge content depends on the base snapshot, so a race loser must
+    // RECOMPUTE from the new head (not just re-base a file list) — fire
+    // concurrent mergers on disjoint keys and require every upsert in the
+    // final state
+    val root = freshRoot()
+    SnapshotTable.write(Seq((0, "base")).toDF("k", "v"), root)
+    val nWriters = 4
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(nWriters)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    (1 to nWriters).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try {
+            start.await()
+            SnapshotTable.merge(Seq((i, s"m$i")).toDF("k", "v"), root, Seq("k"))
+          } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "mergers timed out")
+    assert(errors.isEmpty, s"merger failed: ${errors.peek()}")
+    assert(SnapshotTable.latestVersion(root) == nWriters + 1)
+    assert(SnapshotTable.read(spark, root).as[(Int, String)].collect().toSet
+      == ((0, "base") +: (1 to nWriters).map(i => (i, s"m$i"))).toSet)
+    // losers re-staged per attempt → orphaned data files; vacuum sweeps
+    // everything no surviving manifest references, and the table still reads
+    SnapshotTable.vacuum(root, keepVersions = 1)
+    val live = SnapshotTable.readManifest(root, nWriters + 1).files.toSet
+    val onDisk = java.nio.file.Files.list(
+        java.nio.file.Paths.get(root, "data")).toArray.map(_.toString)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(onDisk == live, s"unreferenced files survive vacuum: ${onDisk -- live}")
+    assert(SnapshotTable.read(spark, root).count() == nWriters + 1)
+  }
+
   test("manifest schema pins the read schema (evolution-safe)") {
     val root = freshRoot()
     SnapshotTable.write(Seq((1, "a")).toDF("k", "v"), root)
