@@ -924,9 +924,15 @@ object SparkEntry {
 
     // ---- ML: Bayesian-sampling hyperparameter search (reference
     // BayesianParameterSampling, 50 runs) as a deterministic TPE over the
-    // same discrete space; rows-only like m1 (tree fits engine-specific) ----
+    // same discrete space — with an EARNED oracle (round 8, the m1
+    // pattern): md5 content-hash trainFit/valid/test splits, the WINNING
+    // tree exported twice (class predictions + raw class-1 counts) along
+    // with the fitted MinMaxScaler's min/range per feature, and the
+    // runtime-built oracle recomputes the tune's reported accuracy/AUC in
+    // DuckDB by re-scaling the raw columns and replaying the tree — the
+    // trial TRAJECTORY stays engine-specific (that is the search), but the
+    // reported OUTCOME is hash-verified, not asserted. ------------------
     "m2_bayes_tune" -> ((s, dir) => {
-      import s.implicits._
       // deterministic 10% cohort (the reference's Bayesian sweep ran on a
       // small medical cohort; the search semantics, not the corpus size,
       // are what this query demonstrates)
@@ -934,21 +940,36 @@ object SparkEntry {
         (col("o_orderstatus") === "F").cast("int").as("label"),
         col("o_totalprice"),
         (col("o_orderpriority") === "1-URGENT").cast("int").as("is_urgent"),
-        year(col("o_orderdate")).cast("double").as("order_year"))
-      val res = graft.ml.CohortClassifier.tuneBayesian(o,
+        year(col("o_orderdate")).cast("double").as("order_year"),
+        col("o_orderkey"))
+      val h = md5(col("o_orderkey").cast("string"))
+      val isTest = substring(h, 1, 1) < lit("5")
+      val isValid = substring(h, 2, 1) < lit("4")
+      val trainAll = o.where(!isTest)
+      val (res, featModel, bestTree) = graft.ml.CohortClassifier.tuneBayesianSplit(
+        trainAll.where(!isValid), trainAll.where(isValid), o.where(isTest),
         graft.ml.CohortClassifier.Config(
           labelCol = "label",
           numericCols = Seq("o_totalprice", "order_year"),
           binaryCols = Seq("is_urgent"), fitPartitions = 4),
         budget = 10, parallelism = 5, nWarmup = 5)
-      Seq(
-        ("best_max_depth", res.bestParams("maxDepth").toString),
-        ("best_min_instances", res.bestParams("minInstancesPerNode").toString),
-        ("trials", res.bestParams("trials").toString),
-        ("auc", f"${res.auc}%.6f"),
-        ("accuracy", f"${res.accuracy}%.6f"))
-        .toDF("metric", "value")
-        .orderBy(col("metric"))
+      val scaler = featModel.stages.last
+        .asInstanceOf[org.apache.spark.ml.feature.MinMaxScalerModel]
+      // scaled-feature names in VectorAssembler order (numerics ++ binaries)
+      val scaledNames = Seq("sx_price", "sx_year", "sx_urgent")
+      m2TunedArtifacts = Some((
+        scaler.originalMin.toArray, scaler.originalMax.toArray,
+        graft.ml.TreeScorer.fromModel(bestTree.rootNode, scaledNames),
+        graft.ml.TreeScorer.fromModelRawCount(bestTree, scaledNames),
+        res.bestParams))
+      s.range(1).select(
+        lit(res.bestParams("maxDepth").asInstanceOf[Int]).cast("long")
+          .as("best_max_depth"),
+        lit(res.bestParams("minInstancesPerNode").asInstanceOf[Int]).cast("long")
+          .as("best_min_instances"),
+        lit(res.bestParams("trials").asInstanceOf[Int]).cast("long").as("trials"),
+        round(lit(res.accuracy), 6).as("accuracy"),
+        round(lit(res.auc), 6).as("auc"))
     }),
 
     // ---- ML: fit→export→score replay. A tree is FITTED in-engine on a
@@ -1628,6 +1649,67 @@ object SparkEntry {
          FROM acc CROSS JOIN roc"""
   }.toMap
 
+  /** m2's tune outcome, exported in this process: (scaler originalMin,
+    * originalMax, class-prediction spec, raw-count spec, winning params).
+    * The oracle re-scales the raw columns with the EXPORTED min/range —
+    * (x − min)/range is bit-identical to MinMaxScalerModel's
+    * raw·1.0 + 0.0 on the default [0,1] output — then replays both tree
+    * specs, so DuckDB recomputes the tune's reported accuracy and AUC. */
+  @volatile private var m2TunedArtifacts: Option[(Array[Double], Array[Double],
+      graft.ml.TreeScorer.TreeSpec, graft.ml.TreeScorer.TreeSpec,
+      Map[String, Any])] = None
+
+  private def m2OracleEntry: Map[String, String] = m2TunedArtifacts.map {
+    case (mins, maxs, specCls, specRaw, params) =>
+      def d(x: Double) = java.lang.Double.toString(x)
+      def scaleSql(j: Int, x: String): String = {
+        val range = maxs(j) - mins(j)
+        if (range == 0.0) "0.5" else s"(($x - ${d(mins(j))}) / ${d(range)})"
+      }
+      "m2_bayes_tune" ->
+        s"""WITH t AS (
+           SELECT CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label,
+                  o_totalprice,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS is_urgent,
+                  CAST(year(o_orderdate) AS DOUBLE) AS order_year
+           FROM orders
+           WHERE o_orderkey % 10 = 0
+             AND substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '5'),
+         sx AS (
+           SELECT label,
+                  ${scaleSql(0, "o_totalprice")} AS sx_price,
+                  ${scaleSql(1, "order_year")} AS sx_year,
+                  ${scaleSql(2, "is_urgent")} AS sx_urgent
+           FROM t),
+         s AS (SELECT *, ${graft.ml.TreeScorer.toSql(specCls)} AS score_cls,
+                         ${graft.ml.TreeScorer.toSql(specRaw)} AS score_raw FROM sx),
+         acc AS (
+           SELECT round(CAST(sum(CASE WHEN score_cls = label THEN 1 ELSE 0 END)
+                             AS DOUBLE) / count(*), 6) AS accuracy
+           FROM s),
+         pts AS (
+           SELECT score_raw AS th,
+                  count(*) FILTER (WHERE label = 1.0) AS np,
+                  count(*) FILTER (WHERE label != 1.0) AS nn
+           FROM s GROUP BY 1),
+         curve AS (
+           SELECT th, sum(np) OVER w AS tp, sum(nn) OVER w AS fp
+           FROM pts WINDOW w AS (ORDER BY th DESC ROWS UNBOUNDED PRECEDING)),
+         curve2 AS (
+           SELECT *, coalesce(lag(tp) OVER (ORDER BY th DESC), 0) AS tp_prev,
+                     coalesce(lag(fp) OVER (ORDER BY th DESC), 0) AS fp_prev
+           FROM curve),
+         roc AS (
+           SELECT round(CAST(sum((fp - fp_prev) * (tp + tp_prev)) AS DOUBLE)
+                        / (2.0 * max(tp) * max(fp)), 6) AS auc
+           FROM curve2)
+         SELECT CAST(${params("maxDepth")} AS BIGINT) AS best_max_depth,
+                CAST(${params("minInstancesPerNode")} AS BIGINT) AS best_min_instances,
+                CAST(${params("trials")} AS BIGINT) AS trials,
+                acc.accuracy, roc.auc
+         FROM acc CROSS JOIN roc"""
+  }.toMap
+
   @volatile private var m4FittedSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
 
   private def m4OracleEntry: Map[String, String] = m4FittedSpec.map { spec =>
@@ -1730,7 +1812,8 @@ object SparkEntry {
   }.toMap
 
   def oracleSql: Map[String, String] =
-    m1OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++ n3OracleEntry ++ Map(
+    m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
+      n3OracleEntry ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

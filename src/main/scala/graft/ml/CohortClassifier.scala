@@ -216,46 +216,69 @@ object CohortClassifier {
     try {
       val Array(train, test) = data.randomSplit(Array(0.7, 0.3), cfg.seed)
       val Array(trainFit, valid) = train.randomSplit(Array(0.75, 0.25), cfg.seed)
-      trainFit.cache(); valid.cache()
-      // the feature stages don't depend on the tree hyperparameters: fit
-      // them ONCE and materialize the assembled features, so each trial is
-      // one tree fit over cached vectors instead of a full pipeline refit
-      // (imputer + scaler aggregation jobs and feature re-transforms, ~3×
-      // the per-trial job count, with identical results)
-      val featModel = new Pipeline().setStages(featureStages(cfg)).fit(trainFit)
-      val trainFeat = featModel.transform(trainFit)
-        .select(col("features"), col(cfg.labelCol)).cache()
-      val validFeat = featModel.transform(valid)
-        .select(col("features"), col(cfg.labelCol)).cache()
-      val tree = treeEstimator(cfg)
-      def fitScore(p: (Int, Int, Double)):
-          ((Int, Int, Double), DecisionTreeClassificationModel, Double) = {
-        val pm = new org.apache.spark.ml.param.ParamMap()
-          .put(tree.maxDepth, p._1)
-          .put(tree.minInstancesPerNode, p._2)
-          .put(tree.minInfoGain, p._3)
-        val model = tree.fit(trainFeat, pm)
-        (p, model, metricsOf(model, validFeat, cfg.labelCol)._1)
-      }
-      val observed = tpeSearch(fitScore, budget, parallelism, nWarmup, gamma, cfg.seed)
-      // max validation AUC; ties break to the lexicographically smallest
-      // point so the result is independent of evaluation order
-      val (bestP, bestTree, _) = observed.minBy(t => (-t._3, t._1))
-      // recompose the fitted feature stages + winning tree into the full
-      // PipelineModel (all stages are transformers, so this fit runs no jobs)
-      val bestModel = new Pipeline()
-        .setStages(Array[org.apache.spark.ml.PipelineStage](featModel, bestTree))
-        .fit(trainFit)
-      try evaluate(bestModel, test, cfg, Map(
-        "maxDepth" -> bestP._1,
-        "minInstancesPerNode" -> bestP._2,
-        "minInfoGain" -> bestP._3,
-        "trials" -> observed.size))
-      finally {
-        trainFit.unpersist(blocking = false); valid.unpersist(blocking = false)
-        trainFeat.unpersist(blocking = false); validFeat.unpersist(blocking = false)
-      }
+      tuneCore(trainFit, valid, test, cfg, budget, parallelism, nWarmup, gamma)._1
     } finally data.unpersist(blocking = false)
+  }
+
+  /** [[tuneBayesian]] with CALLER-OWNED trainFit/valid/test splits (the m2
+    * earned-oracle contract, mirroring [[trainEvaluateDirectSplit]]) —
+    * content-hash splits make the evaluated test set engine-reproducible.
+    * Returns the Result plus the fitted artifacts an independent engine
+    * needs to REPLAY the reported metrics: the feature pipeline (for the
+    * scaler's min/range) and the winning tree. */
+  def tuneBayesianSplit(trainFit: DataFrame, valid: DataFrame, test: DataFrame,
+      cfg: Config, budget: Int = 50, parallelism: Int = 4, nWarmup: Int = 12,
+      gamma: Double = 0.25): (Result, PipelineModel, DecisionTreeClassificationModel) = {
+    def prep(d: DataFrame) = {
+      val p = prepare(d, cfg)
+      if (cfg.fitPartitions > 0) p.coalesce(cfg.fitPartitions) else p
+    }
+    tuneCore(prep(trainFit), prep(valid), prep(test), cfg,
+      budget, parallelism, nWarmup, gamma)
+  }
+
+  private def tuneCore(trainFit: DataFrame, valid: DataFrame, test: DataFrame,
+      cfg: Config, budget: Int, parallelism: Int, nWarmup: Int, gamma: Double)
+      : (Result, PipelineModel, DecisionTreeClassificationModel) = {
+    trainFit.cache(); valid.cache()
+    // the feature stages don't depend on the tree hyperparameters: fit
+    // them ONCE and materialize the assembled features, so each trial is
+    // one tree fit over cached vectors instead of a full pipeline refit
+    // (imputer + scaler aggregation jobs and feature re-transforms, ~3×
+    // the per-trial job count, with identical results)
+    val featModel = new Pipeline().setStages(featureStages(cfg)).fit(trainFit)
+    val trainFeat = featModel.transform(trainFit)
+      .select(col("features"), col(cfg.labelCol)).cache()
+    val validFeat = featModel.transform(valid)
+      .select(col("features"), col(cfg.labelCol)).cache()
+    val tree = treeEstimator(cfg)
+    def fitScore(p: (Int, Int, Double)):
+        ((Int, Int, Double), DecisionTreeClassificationModel, Double) = {
+      val pm = new org.apache.spark.ml.param.ParamMap()
+        .put(tree.maxDepth, p._1)
+        .put(tree.minInstancesPerNode, p._2)
+        .put(tree.minInfoGain, p._3)
+      val model = tree.fit(trainFeat, pm)
+      (p, model, metricsOf(model, validFeat, cfg.labelCol)._1)
+    }
+    val observed = tpeSearch(fitScore, budget, parallelism, nWarmup, gamma, cfg.seed)
+    // max validation AUC; ties break to the lexicographically smallest
+    // point so the result is independent of evaluation order
+    val (bestP, bestTree, _) = observed.minBy(t => (-t._3, t._1))
+    // recompose the fitted feature stages + winning tree into the full
+    // PipelineModel (all stages are transformers, so this fit runs no jobs)
+    val bestModel = new Pipeline()
+      .setStages(Array[org.apache.spark.ml.PipelineStage](featModel, bestTree))
+      .fit(trainFit)
+    try (evaluate(bestModel, test, cfg, Map(
+      "maxDepth" -> bestP._1,
+      "minInstancesPerNode" -> bestP._2,
+      "minInfoGain" -> bestP._3,
+      "trials" -> observed.size)), featModel, bestTree)
+    finally {
+      trainFit.unpersist(blocking = false); valid.unpersist(blocking = false)
+      trainFeat.unpersist(blocking = false); validFeat.unpersist(blocking = false)
+    }
   }
 
   /** The TPE search loop shared by [[tuneBayesian]] and [[tuneTreeSpec]]:

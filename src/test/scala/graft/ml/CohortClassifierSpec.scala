@@ -112,6 +112,54 @@ class CohortClassifierSpec extends SparkSpec {
     }
   }
 
+  test("tuneBayesianSplit artifacts replay the scaled pipeline exactly (m2 contract)") {
+    // the m2 earned-oracle chain: caller content-hash splits, TPE tune,
+    // winning tree + fitted scaler exported. Re-scaling the raw columns
+    // with the exported (min, range) and compiling the specs must
+    // reproduce the full pipeline transform's prediction and raw score
+    // per row bit-for-bit — the equality the DuckDB replay stands on.
+    val cfg = CohortClassifier.Config(
+      labelCol = "label", numericCols = Seq("x", "noise"),
+      binaryCols = Seq("flag"), fitPartitions = 4)
+    val split = data.withColumn("__h",
+      substring(md5(concat_ws(",", col("x"), col("noise"), col("flag"))), 1, 1))
+    val test0 = split.where(col("__h") < "4").drop("__h")
+    val rest = split.where(col("__h") >= "4")
+    val valid = rest.where(col("__h") < "8").drop("__h")
+    val trainFit = rest.where(col("__h") >= "8").drop("__h")
+    val (res, featModel, bestTree) = CohortClassifier.tuneBayesianSplit(
+      trainFit, valid, test0, cfg, budget = 4, parallelism = 2, nWarmup = 2)
+    val scaler = featModel.stages.last
+      .asInstanceOf[org.apache.spark.ml.feature.MinMaxScalerModel]
+    val mins = scaler.originalMin.toArray; val maxs = scaler.originalMax.toArray
+    val names = Seq("sx0", "sx1", "sx2")
+    val specCls = TreeScorer.fromModel(bestTree.rootNode, names)
+    val specRaw = TreeScorer.fromModelRawCount(bestTree, names)
+    def sx(j: Int, c: org.apache.spark.sql.Column) = {
+      val r = maxs(j) - mins(j)
+      if (r == 0.0) lit(0.5) else (c - lit(mins(j))) / lit(r)
+    }
+    import org.apache.spark.ml.functions.vector_to_array
+    val casted = test0.select(col("label").cast("double").as("label"),
+      col("x").cast("double").as("x"), col("noise").cast("double").as("noise"),
+      col("flag").cast("double").as("flag"))
+    val both = res.model.transform(casted)
+      .withColumn("sx0", sx(0, col("x")))
+      .withColumn("sx1", sx(1, col("noise")))
+      .withColumn("sx2", sx(2, col("flag")))
+      .withColumn("spec_cls", TreeScorer.compile(specCls))
+      .withColumn("spec_raw", TreeScorer.compile(specRaw))
+      .select(col("prediction"), col("spec_cls"),
+        vector_to_array(col("rawPrediction")).getItem(1).as("raw1"), col("spec_raw"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"prediction mismatch: $r")
+      assert(r.getDouble(2) == r.getDouble(3), s"raw score mismatch: $r")
+    }
+    assert(res.bestParams.contains("maxDepth") && res.auc > 0.5)
+  }
+
   test("tune searches the reference grid within budget and beats a stump") {
     val res = CohortClassifier.tune(data, CohortClassifier.Config(
       labelCol = "label", numericCols = Seq("x", "noise"), binaryCols = Seq("flag")),
