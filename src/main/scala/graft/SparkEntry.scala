@@ -1551,30 +1551,25 @@ object SparkEntry {
     // implementations). Order key is bucketed acctbal — tie-heavy, so
     // GROUPS genuinely differs from ROWS. --------------------------------
     "w6_groups_window" -> ((s, dir) => {
-      val vd = col("c_acctbal").cast("decimal(18,2)")
-      val grpW = Window.partitionBy(col("c_mktsegment")).orderBy(col("v"))
-      def g(lo: Long, hi: Long) = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("grp")).rangeBetween(lo, hi)
+      import graft.ops.GroupsFrames._
+      val seg = Seq(col("c_mktsegment"))
       def d2(c: Column) = round(c.cast("double"), 2)
-      t(s, dir, "customer")
-        .select(col("c_mktsegment"), col("c_custkey"),
-          // + 0.0 normalizes IEEE -0.0 (negative sub-50 balances round to
-          // the negative zero in one engine, positive in the other)
-          (round(col("c_acctbal"), -2) + lit(0.0)).as("v"), vd.as("vd"))
-        .withColumn("grp", dense_rank().over(grpW).cast("long"))
-        .select(col("c_mktsegment"), col("c_custkey"), col("v"), col("grp"),
-          count(lit(1)).over(g(-1, 0)).as("cnt_g"),
-          d2(sum(col("vd")).over(g(-1, 1))).as("sum_g"),
-          // SQL:2016: an EXCLUDE that empties the frame yields NULL, so the
-          // subtractions are guarded by the surviving-row counts
-          d2(when(count(lit(1)).over(g(-1, 1)) === count(lit(1)).over(g(0, 0)),
-              lit(null))
-            .otherwise(sum(col("vd")).over(g(-1, 1)) - sum(col("vd")).over(g(0, 0))))
-            .as("sum_xgrp"),
-          d2(when(count(lit(1)).over(g(-1, 1)) === 1, lit(null))
-            .otherwise(sum(col("vd")).over(g(-1, 1)) - col("vd"))).as("sum_xrow"),
-          d2(sum(col("vd")).over(g(-1, 1)) - sum(col("vd")).over(g(0, 0))
-            + col("vd")).as("sum_xties"))
+      val base = withGroupOrdinal(
+        t(s, dir, "customer")
+          .select(col("c_mktsegment"), col("c_custkey"),
+            // + 0.0 normalizes IEEE -0.0 (negative sub-50 balances round to
+            // the negative zero in one engine, positive in the other)
+            (round(col("c_acctbal"), -2) + lit(0.0)).as("v"),
+            col("c_acctbal").cast("decimal(18,2)").as("vd")),
+        "grp", seg, Seq(col("v")))
+      val frame = groupsBetween(seg, col("grp"), -1, 1)
+      val peers = groupsBetween(seg, col("grp"), 0, 0)
+      base.select(col("c_mktsegment"), col("c_custkey"), col("v"), col("grp"),
+          count(lit(1)).over(groupsBetween(seg, col("grp"), -1, 0)).as("cnt_g"),
+          d2(sum(col("vd")).over(frame)).as("sum_g"),
+          d2(excludeGroup(sum, col("vd"), frame, peers)).as("sum_xgrp"),
+          d2(excludeCurrentRow(sum, col("vd"), frame)).as("sum_xrow"),
+          d2(excludeTies(sum, col("vd"), frame, peers)).as("sum_xties"))
         .where(col("c_custkey") <= 1500)
         .orderBy(col("c_mktsegment"), col("c_custkey"))
     }),

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** SQL:2016 GROUPS window frames + EXCLUDE clauses for Spark, which
+  * natively supports neither (frames are ROWS/RANGE only, no exclusion).
+  * Both emulate EXACTLY:
+  *
+  *  - `dense_rank` over the partition's order is gapless, so an integer
+  *    RANGE frame over the dense-rank column IS a GROUPS frame: peer
+  *    groups g−lo .. g+hi. (w6's contract, hash-verified against DuckDB's
+  *    native frame-EXCLUDE evaluation.)
+  *  - EXCLUDE GROUP / CURRENT ROW / TIES are frame-aggregate corrections:
+  *    subtract the peer-group aggregate (RANGE 0..0) or the row's own
+  *    value. For non-subtractable aggregates (min/max), compose from the
+  *    adjacent disjoint frames instead.
+  *  - an EXCLUDE that empties the frame yields NULL (the standard's
+  *    semantics), guarded here by surviving-row counts.
+  *
+  * Usage: add the group ordinal once with [[withGroupOrdinal]], then build
+  * frames with [[groupsBetween]] and the exclude helpers. All inputs for
+  * sums should be exact types (DECIMAL/long) so the subtractions are
+  * lossless — the same discipline as every other exact-sum operator here.
+  */
+object GroupsFrames {
+
+  /** Add `ordinalCol` = dense_rank over (partition, order) — the gapless
+    * group index every GROUPS frame is built on. One window pass. */
+  def withGroupOrdinal(df: org.apache.spark.sql.DataFrame, ordinalCol: String,
+      partitionBy: Seq[Column], orderBy: Seq[Column]): org.apache.spark.sql.DataFrame =
+    df.withColumn(ordinalCol,
+      dense_rank().over(Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*))
+        .cast("long"))
+
+  /** The WindowSpec for GROUPS BETWEEN `lo` PRECEDING AND `hi` FOLLOWING
+    * over the ordinal added by [[withGroupOrdinal]]. */
+  def groupsBetween(partitionBy: Seq[Column], ordinal: Column,
+      lo: Long, hi: Long): WindowSpec =
+    Window.partitionBy(partitionBy: _*).orderBy(ordinal).rangeBetween(lo, hi)
+
+  /** agg over the frame EXCLUDE GROUP: frame minus the whole peer group;
+    * NULL when nothing survives. `agg` must be a subtractable aggregate
+    * (sum/count over exact types). */
+  def excludeGroup(aggCol: Column => Column, value: Column,
+      frame: WindowSpec, peerFrame: WindowSpec): Column =
+    when(count(lit(1)).over(frame) === count(lit(1)).over(peerFrame), lit(null))
+      .otherwise(aggCol(value).over(frame) - aggCol(value).over(peerFrame))
+
+  /** agg over the frame EXCLUDE CURRENT ROW; NULL when the row was the
+    * whole frame. */
+  def excludeCurrentRow(aggCol: Column => Column, value: Column,
+      frame: WindowSpec): Column =
+    when(count(lit(1)).over(frame) === 1, lit(null))
+      .otherwise(aggCol(value).over(frame) - value)
+
+  /** agg over the frame EXCLUDE TIES: peers leave, the current row stays —
+    * never empty, no guard needed. */
+  def excludeTies(aggCol: Column => Column, value: Column,
+      frame: WindowSpec, peerFrame: WindowSpec): Column =
+    aggCol(value).over(frame) - aggCol(value).over(peerFrame) + value
+}
