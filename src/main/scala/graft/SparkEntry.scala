@@ -1316,6 +1316,34 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- Z-ORDER layout scan (p8): lineitem re-clustered on the Z-curve
+    // of (l_partkey, l_suppkey) so parquet file/row-group stats prune 2-D
+    // box predicates — the Delta OPTIMIZE ZORDER BY capability as an
+    // operator (ops.Layout; LayoutSpec measures the actual file pruning:
+    // 3/32 files touched vs 32/32 under a single-column sort). The oracle
+    // replays the box filter + aggregate on the RAW table, so the hash
+    // match proves the re-layout changed bytes-on-disk, not content. ------
+    "p8_zorder_scan" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-p8-${ProcessHandle.current().pid()}/li_z_$sfx"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_SUCCESS")))
+        graft.ops.Layout.zorder(
+            t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+              col("l_suppkey"), col("l_quantity"), col("l_extendedprice")),
+            Seq("l_partkey", "l_suppkey"), bits = 10, outPartitions = 16)
+          .write.mode("overwrite").parquet(root)
+      s.read.parquet(root)
+        .where(col("l_partkey").between(100, 300) &&
+          col("l_suppkey").between(10, 30))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_qty"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // ---- bucketed co-located fact⋈fact join (zero-Exchange SMJ) ---------
     // Both facts persist bucketed+sorted on the join key; the join AND the
     // key-grouped aggregation then plan with no shuffle exchange at all —
@@ -2221,6 +2249,14 @@ object SparkEntry {
 
     "s5_snapshot_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    // p8: the z-ordered copy must answer exactly like the raw table
+    "p8_zorder_scan" ->
+      """SELECT l_suppkey, count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30
+         GROUP BY 1 ORDER BY 1""",
 
     // s8: the MERGE result expressed relationally — update rows win on
     // matched keys, base rows survive elsewhere
