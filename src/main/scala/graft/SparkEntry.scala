@@ -1335,8 +1335,8 @@ object SparkEntry {
             Seq("l_partkey", "l_suppkey"), bits = 10, outPartitions = 16)
           .write.mode("overwrite").parquet(root)
       s.read.parquet(root)
-        .where(col("l_partkey").between(100, 300) &&
-          col("l_suppkey").between(10, 30))
+        .where(col("l_partkey").between(10, 150) &&
+          col("l_suppkey").between(2, 8))
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
@@ -2255,7 +2255,7 @@ object SparkEntry {
       """SELECT l_suppkey, count(*) AS n,
            round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
          FROM lineitem
-         WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 30
+         WHERE l_partkey BETWEEN 10 AND 150 AND l_suppkey BETWEEN 2 AND 8
          GROUP BY 1 ORDER BY 1""",
 
     // s8: the MERGE result expressed relationally — update rows win on
