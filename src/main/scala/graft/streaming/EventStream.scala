@@ -157,4 +157,38 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .start()
   }
+
+  /** Streaming CDC upsert into a [[graft.sources.SnapshotTable]]: each
+    * micro-batch MERGEs by `keyCols` (last write per key wins across
+    * batches — the Delta `foreachBatch` + MERGE pattern for keyed change
+    * streams). Within one micro-batch, `tsCol` picks the newest change per
+    * key BEFORE the merge, so intra-batch ordering is deterministic (ties
+    * break to the largest value tuple, deterministic because a max-struct
+    * is order-independent).
+    *
+    * Exactly-once note: foreachBatch is at-least-once on retries, but the
+    * merge is IDEMPOTENT for a replayed batch (same keys, same rows ⇒
+    * same resulting snapshot content, one extra version) — the standard
+    * contract for MERGE sinks. State: none held by the sink; the table's
+    * manifest chain is the recovery point. Returns the started query. */
+  def upsertSink(updates: DataFrame, root: String, keyCols: Seq[String],
+      tsCol: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val keyCs = keyCols.map(col)
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val otherNames = batch.columns.filterNot(keyCols.contains)
+          // newest change per key within the batch: max struct on (ts, rest)
+          val latest = batch
+            .groupBy(keyCs: _*)
+            .agg(max(struct(
+              (tsCol +: otherNames.filterNot(_ == tsCol)).map(col): _*)).as("__l"))
+            .select(keyCs ++ otherNames.map(c => col(s"__l.$c").as(c)): _*)
+          graft.sources.SnapshotTable.merge(latest, root, keyCols): Unit
+        }
+      }
+      .start()
+  }
 }

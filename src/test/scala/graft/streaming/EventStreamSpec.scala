@@ -123,6 +123,7 @@ class EventStreamSpec extends SparkSpec {
   }
 
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  case class Change(k: Long, ts: java.sql.Timestamp, v: String)
 
   test("streamingExactDedup keeps first-seen content across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -153,6 +154,38 @@ class EventStreamSpec extends SparkSpec {
           .toDF("doc_id", "ts", "text"))
         .select($"doc_id").as[Long].collect().toSet
       assert(replay == ids, s"replay $replay vs live $ids")
+    } finally q.stop()
+  }
+
+  test("upsertSink merges each micro-batch into a SnapshotTable (last write per key wins)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert")
+      .resolve("tbl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsert-ckpt").toString
+    val input = MemoryStream[Change]
+    val q = EventStream.upsertSink(input.toDF(), root, Seq("k"), "ts", ckpt)
+    try {
+      // batch 1: two keys, plus an intra-batch duplicate for k=1 where the
+      // NEWER ts must win inside the same micro-batch
+      input.addData(Change(1L, ts(1), "a1"), Change(1L, ts(5), "a2"),
+        Change(2L, ts(2), "b1"))
+      q.processAllAvailable()
+      assert(graft.sources.SnapshotTable.read(spark, root)
+        .select($"k", $"v").as[(Long, String)].collect().toSet
+        == Set((1L, "a2"), (2L, "b1")))
+      // batch 2: update one key, insert another — cross-batch last write wins
+      input.addData(Change(2L, ts(9), "b2"), Change(3L, ts(3), "c1"))
+      q.processAllAvailable()
+      assert(graft.sources.SnapshotTable.read(spark, root)
+        .select($"k", $"v").as[(Long, String)].collect().toSet
+        == Set((1L, "a2"), (2L, "b2"), (3L, "c1")))
+      // two committed versions, both time-travelable
+      assert(graft.sources.SnapshotTable.latestVersion(root) == 2)
+      assert(graft.sources.SnapshotTable.read(spark, root, Some(1))
+        .select($"k", $"v").as[(Long, String)].collect().toSet
+        == Set((1L, "a2"), (2L, "b1")))
     } finally q.stop()
   }
 }
