@@ -792,6 +792,45 @@ object SparkEntry {
         .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
     }),
 
+    // ---- explicit GROUPING SETS (q9): the arbitrary-subset form rollup/
+    // cube can't express — (status, priority) detail, per-status, per-
+    // priority, but NO grand total. One pass, grouping_id disambiguates. --
+    "q9_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("__q9_orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               count(1) AS n,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS total,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        FROM __q9_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        ORDER BY gid, o_orderstatus, o_orderpriority""")
+    }),
+
+    // ---- text analysis: URL/domain extraction + per-domain stats (t16) —
+    // the C4-style link census. documents carry no natural URLs, so
+    // deterministic synthetic links are appended per row on BOTH sides (the
+    // t5 PII pattern); the regex chain + domain normalization is what's
+    // under test. regexp_extract_all is native in both engines. ----------
+    "t16_domain_stats" -> ((s, dir) => {
+      val augmented = t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          lit(" see https://site"), col("doc_id") % 7,
+          lit(".example.com/p/"), col("doc_id"),
+          lit(" and http://mirror"), col("doc_id") % 3,
+          lit(".example.org/x")).as("text"))
+      augmented
+        .select(col("doc_id"), explode(expr(
+          """regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1)"""))
+          .as("domain"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("domain"))
+    }),
+
     // ---- deterministic content-hash sampling (layout-independent) -------
     "s3_hash_sample" -> ((s, dir) => {
       graft.ops.Sampling.hashSample(
@@ -2249,6 +2288,35 @@ object SparkEntry {
 
     "s5_snapshot_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    // q9: DuckDB GROUPING(a,b) ≡ Spark grouping_id() (round-2 recipe);
+    // gid leads the ORDER BY so NULL subtotal rows can't hit the
+    // nulls-first/last divergence
+    "q9_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                 (o_orderstatus), (o_orderpriority))
+         ORDER BY gid, o_orderstatus, o_orderpriority""",
+
+    // t16: both engines run their native regexp_extract_all with group 1
+    "t16_domain_stats" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                       || ' and http://mirror' || CAST(doc_id % 3 AS VARCHAR)
+                       || '.example.org/x' AS text
+           FROM documents),
+         links AS (
+           SELECT doc_id,
+                  unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))
+                    AS domain
+           FROM aug)
+         SELECT domain, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+         FROM links GROUP BY 1 ORDER BY 1""",
 
     // p8: the z-ordered copy must answer exactly like the raw table
     "p8_zorder_scan" ->

@@ -60,4 +60,36 @@ object GroupsFrames {
   def excludeTies(aggCol: Column => Column, value: Column,
       frame: WindowSpec, peerFrame: WindowSpec): Column =
     aggCol(value).over(frame) - aggCol(value).over(peerFrame) + value
+
+  /** min/max over GROUPS lo..hi EXCLUDE GROUP — non-subtractable
+    * aggregates compose from the two DISJOINT adjacent frames instead
+    * (groups lo..−1 and +1..hi); `least`/`greatest` of two window minima
+    * is exact, and an emptied side contributes NULL which both ignore.
+    * NULL overall when both sides are empty — the standard's semantics. */
+  def excludeGroupMin(value: Column, partitionBy: Seq[Column], ordinal: Column,
+      lo: Long, hi: Long): Column =
+    disjointCompose(isMin = true, value, partitionBy, ordinal, lo, hi)
+
+  def excludeGroupMax(value: Column, partitionBy: Seq[Column], ordinal: Column,
+      lo: Long, hi: Long): Column =
+    disjointCompose(isMin = false, value, partitionBy, ordinal, lo, hi)
+
+  private def disjointCompose(isMin: Boolean, value: Column,
+      partitionBy: Seq[Column], ordinal: Column, lo: Long, hi: Long): Column = {
+    require(lo <= -1 || hi >= 1, "EXCLUDE GROUP over a group-only frame is always NULL")
+    def agg(c: Column) = if (isMin) min(c) else max(c)
+    val before =
+      if (lo <= -1) Some(agg(value).over(groupsBetween(partitionBy, ordinal, lo, -1)))
+      else None
+    val after =
+      if (hi >= 1) Some(agg(value).over(groupsBetween(partitionBy, ordinal, 1, hi)))
+      else None
+    (before, after) match {
+      case (Some(b), Some(a)) => // least/greatest skip NULLs (emptied side)
+        if (isMin) least(b, a) else greatest(b, a)
+      case (Some(b), None) => b
+      case (None, Some(a)) => a
+      case (None, None) => lit(null)
+    }
+  }
 }

@@ -56,6 +56,28 @@ class GroupsFramesSpec extends SparkSpec {
     assert(got == reference, s"\ngot  $got\nwant $reference")
   }
 
+  test("excludeGroupMin/Max compose exactly from the disjoint adjacent frames") {
+    import GroupsFrames._
+    val part = Seq(col("part"))
+    val base = withGroupOrdinal(df, "grp", part, Seq(col("v")))
+    val got = base.select(col("id"),
+        excludeGroupMin(col("x"), part, col("grp"), -1, 1).as("mn"),
+        excludeGroupMax(col("x"), part, col("grp"), -1, 1).as("mx"))
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val sorted = rows.sortBy(_._2)
+    val groups = sorted.map(_._2).distinct.zipWithIndex.toMap
+    val want = rows.map { case (id, v, _) =>
+      val g = groups(v)
+      val others = sorted.filter(r =>
+        math.abs(groups(r._2) - g) <= 1 && r._2 != v).map(_._3)
+      id -> (others.minOption, others.maxOption)
+    }.toMap
+    assert(got == want, s"\ngot  $got\nwant $want")
+  }
+
   test("EXCLUDE GROUP / CURRENT ROW yield NULL when the frame empties") {
     import GroupsFrames._
     val part = Seq(col("part"))
