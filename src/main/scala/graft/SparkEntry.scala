@@ -1383,6 +1383,30 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    // ---- interval-overlap join by binned blocking (j7): the range
+    // predicate l.s ≤ r.e ∧ r.s ≤ l.e would plan as a nested loop; binning
+    // both sides into hour cells turns it into a hash EQUI join on the
+    // bin with owning-bin single emission (ops.IntervalJoin; the LSH
+    // owning-band contract applied to time). Oracle: DuckDB's native
+    // range join evaluates the same predicate directly. ------------------
+    "j7_interval_overlap" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      // parity split works at every SF (sf0.001 has only 15 users)
+      def side(parity: Int, mod: Int, lenUs: Long, idName: String) =
+        ev.where(col("user_id") % 2 === parity && col("event_id") % mod === 0)
+          .select(col("event_id").as(idName),
+            unix_micros(col("ts")).as("s"),
+            (unix_micros(col("ts")) + lenUs).as("e"))
+      val l = side(0, 29, 1800000000L, "l_id")  // 30-min intervals
+      val r = side(1, 23, 2700000000L, "r_id")  // 45-min intervals
+      graft.ops.IntervalJoin.overlapJoin(l, r, "s", "e",
+          binWidth = 3600000000L) // 1-hour bins ≈ interval length
+        .select(col("l_id"), col("r_id"),
+          (least(col("e"), col("e_r")) - greatest(col("s"), col("s_r")))
+            .as("overlap_us"))
+        .orderBy(col("l_id"), col("r_id"))
+    }),
+
     // ---- bucketed co-located fact⋈fact join (zero-Exchange SMJ) ---------
     // Both facts persist bucketed+sorted on the join key; the join AND the
     // key-grouped aggregation then plan with no shuffle exchange at all —
@@ -2288,6 +2312,22 @@ object SparkEntry {
 
     "s5_snapshot_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    // j7: DuckDB's native range join evaluates the overlap predicate the
+    // direct way; epoch_us(ts) ≡ Spark unix_micros (w5 precedent)
+    "j7_interval_overlap" ->
+      """WITH le AS (
+           SELECT event_id AS l_id, epoch_us(ts) AS ls,
+                  epoch_us(ts) + 1800000000 AS le_
+           FROM events WHERE user_id % 2 = 0 AND event_id % 29 = 0),
+         re AS (
+           SELECT event_id AS r_id, epoch_us(ts) AS rs,
+                  epoch_us(ts) + 2700000000 AS re_
+           FROM events WHERE user_id % 2 = 1 AND event_id % 23 = 0)
+         SELECT l_id, r_id,
+                least(le_, re_) - greatest(ls, rs) AS overlap_us
+         FROM le JOIN re ON ls <= re_ AND rs <= le_
+         ORDER BY l_id, r_id""",
 
     // q9: DuckDB GROUPING(a,b) ≡ Spark grouping_id() (round-2 recipe);
     // gid leads the ORDER BY so NULL subtotal rows can't hit the
