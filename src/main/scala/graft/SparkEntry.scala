@@ -1383,6 +1383,34 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    // ---- ordered funnel analysis (e9): view → click → purchase with
+    // STRICT event-time ordering per user (a click before the first view
+    // doesn't count). Three chained stages, each ONE key-partitioned
+    // aggregation + one key join (the stage frames are user-count-sized —
+    // broadcast-able dims at scale); no window over the raw event stream,
+    // no per-user collect. ------------------------------------------------
+    "e9_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("us"))).as("t_view"))
+      val c = ev.join(v, Seq("user_id"))
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(when(col("event_type") === "click" && col("us") > col("t_view")
+            && col("us") <= col("t_view") + 604800000000L,
+          col("us"))).as("t_click"))
+      val p = ev.join(c, Seq("user_id"))
+        .groupBy(col("user_id"), col("t_view"), col("t_click"))
+        .agg(min(when(col("event_type") === "purchase" && col("us") > col("t_click")
+            && col("us") <= col("t_click") + 604800000000L,
+          col("us"))).as("t_purchase"))
+      p.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_view")).as("reached_view"),
+        count(col("t_click")).as("reached_click"),
+        count(col("t_purchase")).as("reached_purchase"))
+    }),
+
     // ---- interval-overlap join by binned blocking (j7): the range
     // predicate l.s ≤ r.e ∧ r.s ≤ l.e would plan as a nested loop; binning
     // both sides into hour cells turns it into a hash EQUI join on the
@@ -2312,6 +2340,27 @@ object SparkEntry {
 
     "s5_snapshot_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+
+    // e9: the same three chained stage aggregations as CTEs
+    "e9_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         v AS (SELECT user_id,
+                      min(CASE WHEN event_type = 'view' THEN us END) AS t_view
+               FROM e GROUP BY 1),
+         c AS (SELECT e.user_id, v.t_view,
+                      min(CASE WHEN e.event_type = 'click' AND e.us > v.t_view
+                               AND e.us <= v.t_view + 604800000000
+                          THEN e.us END) AS t_click
+               FROM e JOIN v USING (user_id) GROUP BY 1, 2),
+         p AS (SELECT e.user_id, c.t_view, c.t_click,
+                      min(CASE WHEN e.event_type = 'purchase' AND e.us > c.t_click
+                               AND e.us <= c.t_click + 604800000000
+                          THEN e.us END) AS t_purchase
+               FROM e JOIN c USING (user_id) GROUP BY 1, 2, 3)
+         SELECT count(*) AS n_users, count(t_view) AS reached_view,
+                count(t_click) AS reached_click,
+                count(t_purchase) AS reached_purchase
+         FROM p""",
 
     // j7: DuckDB's native range join evaluates the overlap predicate the
     // direct way; epoch_us(ts) ≡ Spark unix_micros (w5 precedent)
