@@ -1271,6 +1271,36 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- stats-pruned snapshot scan (s9): the round-8 composition —
+    // Layout.zorder clusters lineitem on (partkey, suppkey), the
+    // SnapshotTable write records each file's min/max envelopes FROM THE
+    // PARQUET FOOTERS into the manifest, and readPruned drops files whose
+    // envelope misses the predicate before Spark ever lists them — the
+    // Iceberg/Delta file-skipping loop closed inside the engine's own
+    // table format. Oracle = the raw-table relational replay. ------------
+    "s9_stats_pruned_scan" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s9-${ProcessHandle.current().pid()}/li_snap_$sfx"
+      if (graft.sources.SnapshotTable.latestVersion(root) == 0)
+        graft.sources.SnapshotTable.write(
+          graft.ops.Layout.zorder(
+            t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+              col("l_suppkey"), col("l_quantity")),
+            Seq("l_partkey", "l_suppkey"), bits = 10, outPartitions = 16),
+          root, statsCols = Seq("l_partkey", "l_suppkey"))
+      val (pruned, _) = graft.sources.SnapshotTable.readPruned(
+        s, root, "l_partkey", 50, 180)
+      pruned
+        .where(col("l_partkey").between(50, 180) && col("l_suppkey").between(1, 5))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_qty"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // ---- §2.3 outer join: customers with/without orders -----------------
     "j4_outer_join" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -2406,6 +2436,14 @@ object SparkEntry {
            FROM aug)
          SELECT domain, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
          FROM links GROUP BY 1 ORDER BY 1""",
+
+    // s9: the stats-pruned snapshot must answer exactly like the raw table
+    "s9_stats_pruned_scan" ->
+      """SELECT l_suppkey, count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 50 AND 180 AND l_suppkey BETWEEN 1 AND 5
+         GROUP BY 1 ORDER BY 1""",
 
     // p8: the z-ordered copy must answer exactly like the raw table
     "p8_zorder_scan" ->

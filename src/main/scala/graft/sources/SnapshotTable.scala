@@ -43,7 +43,9 @@ object SnapshotTable {
     manifestDir(root).resolve(f"v$v%08d.txt")
 
   final case class Manifest(version: Int, op: String, schema: StructType,
-      files: Seq[String])
+      files: Seq[String],
+      /** per-file numeric column envelopes: file → col → (min, max) */
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
 
   /** `Files.list` with guaranteed close — the returned stream holds an open
     * directory fd until closed; leaking one per commit exhausts the limit. */
@@ -67,18 +69,35 @@ object SnapshotTable {
       StandardCharsets.UTF_8).asScala
     def field(k: String) = lines.collect {
       case l if l.startsWith(k + "=") => l.drop(k.length + 1) }
+    // stats lines: stats=<file>;<col>;<min>;<max> — unknown keys are
+    // ignored by construction, so older manifests read fine
+    val stats = field("stats").toSeq
+      .map(_.split(";", 4))
+      .collect { case Array(f, c, mn, mx) => (f, c, mn.toDouble, mx.toDouble) }
+      .groupBy(_._1)
+      .map { case (f, xs) => f -> xs.map(x => x._2 -> (x._3, x._4)).toMap }
     Manifest(
       field("version").head.toInt,
       field("op").head,
       DataType.fromJson(field("schema").head).asInstanceOf[StructType],
-      field("file").toSeq)
+      field("file").toSeq,
+      stats)
   }
 
   /** Write `df` into the table. `mode` ∈ {"overwrite", "append"}. Returns
-    * the committed version. */
-  def write(df: DataFrame, root: String, mode: String = "overwrite"): Int = {
+    * the committed version.
+    *
+    * `statsCols` (numeric columns) records each staged file's min/max
+    * envelope in the manifest — read from the parquet FOOTERS the write
+    * already produced, no data re-scan — so [[readPruned]] can skip files
+    * whose envelope misses a predicate (the Iceberg/Delta file-skipping
+    * design; compose with [[graft.ops.Layout.zorder]] so the envelopes
+    * are tight on every clustered dimension at once). */
+  def write(df: DataFrame, root: String, mode: String = "overwrite",
+      statsCols: Seq[String] = Nil): Int = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val staged = stage(df, root)
+    val stagedStats = footerStats(root, staged, statsCols)
     // commit: atomic create-new of the next version; losers re-base. An
     // append loser only re-reads the new head's FILE LIST (its own rows
     // are position-independent); an overwrite loser needs nothing at all.
@@ -86,12 +105,74 @@ object SnapshotTable {
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
-      val files =
-        if (mode == "overwrite" || base == 0) staged
-        else readManifest(root, base).files ++ staged
-      committed = tryCommit(root, base, mode, schemaJson, files)
+      val (files, stats) =
+        if (mode == "overwrite" || base == 0) (staged, stagedStats)
+        else {
+          val m = readManifest(root, base)
+          (m.files ++ staged, m.stats ++ stagedStats)
+        }
+      committed = tryCommit(root, base, mode, schemaJson, files, stats)
     }
     committed
+  }
+
+  /** Per-file numeric min/max from the parquet footers (row-group
+    * statistics folded per file) — metadata reads only. Columns without
+    * usable stats are simply absent, which [[readPruned]] treats as
+    * "cannot prune" (safe). */
+  private def footerStats(root: String, files: Seq[String],
+      statsCols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
+    if (statsCols.isEmpty) Map.empty
+    else files.map { name =>
+      val path = new org.apache.hadoop.fs.Path(dataDir(root).resolve(name).toUri)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(path, new org.apache.hadoop.conf.Configuration())
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        name -> statsCols.flatMap { c =>
+          val perBlock = blocks.flatMap { b =>
+            b.getColumns.asScala
+              .find(_.getPath.toDotString == c)
+              .map(_.getStatistics)
+              .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+              .flatMap { s =>
+                (s.genericGetMin, s.genericGetMax) match {
+                  case (mn: Number, mx: Number) =>
+                    Some((mn.doubleValue(), mx.doubleValue()))
+                  case _ => None // non-numeric stats: no envelope
+                }
+              }
+          }
+          if (perBlock.isEmpty || perBlock.size != blocks.size) None
+          else Some(c -> (perBlock.map(_._1).min, perBlock.map(_._2).max))
+        }.toMap
+      } finally reader.close()
+    }.toMap
+  }
+
+  /** Read the latest (or pinned) snapshot keeping only files whose
+    * recorded [min, max] envelope on `col` intersects [lo, hi]; files
+    * without an envelope are always kept (safe). The relational filter is
+    * still the caller's job — this prunes I/O, not rows. Returns the
+    * pruned frame plus (filesKept, filesTotal) for observability. */
+  def readPruned(spark: SparkSession, root: String, col: String,
+      lo: Double, hi: Double, version: Option[Int] = None): (DataFrame, (Int, Int)) = {
+    val v = version.getOrElse(latestVersion(root))
+    require(v > 0, s"snapshot table at $root has no committed version")
+    val m = readManifest(root, v)
+    val kept = m.files.filter { f =>
+      m.stats.get(f).flatMap(_.get(col)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    val df =
+      if (kept.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      else spark.read.schema(m.schema)
+        .parquet(kept.map(f => dataDir(root).resolve(f).toString): _*)
+    (df, (kept.size, m.files.size))
   }
 
   /** Delta-style MERGE (upsert): rows of `updates` REPLACE current rows
@@ -171,10 +252,15 @@ object SnapshotTable {
     * version on success, -1 when a concurrent committer took the slot
     * (caller decides how to recompute before retrying). */
   private def tryCommit(root: String, base: Int, op: String,
-      schemaJson: String, files: Seq[String]): Int = {
+      schemaJson: String, files: Seq[String],
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): Int = {
     val v = base + 1
+    val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"stats=$f;$c;${java.lang.Double.toString(mn)};${java.lang.Double.toString(mx)}" }
+    }
     val body = (Seq(s"version=$v", s"op=$op", s"schema=$schemaJson") ++
-      files.map(f => s"file=$f")).mkString("\n")
+      files.map(f => s"file=$f") ++ statLines).mkString("\n")
     try {
       Files.write(manifestPath(root, v), body.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW)

@@ -150,6 +150,41 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == nWriters + 1)
   }
 
+  test("file-stats pruning: z-ordered write records envelopes; readPruned skips files") {
+    val root = freshRoot()
+    val rng = new scala.util.Random(19)
+    val rows = (1 to 20000).map(i =>
+      (i.toLong, rng.nextInt(1000).toLong, rng.nextInt(1000).toLong)).toSeq
+    val df = rows.toDF("id", "a", "b")
+    // z-order on (a, b) so every file covers a tight 2-D envelope, then
+    // write WITH stats — the footers the write produced are the source
+    SnapshotTable.write(
+      graft.ops.Layout.zorder(df, Seq("a", "b"), bits = 8, outPartitions = 16),
+      root, statsCols = Seq("a", "b"))
+    val m = SnapshotTable.readManifest(root, 1)
+    assert(m.files.size >= 8, s"need a multi-file table, got ${m.files.size}")
+    assert(m.files.forall(f => m.stats.get(f).exists(s =>
+      s.contains("a") && s.contains("b"))), "every file needs both envelopes")
+    // a 10% slice on `a` must skip most files and return exactly the rows
+    val (pruned, (kept, total)) = SnapshotTable.readPruned(spark, root, "a", 100, 199)
+    info(s"readPruned kept $kept of $total files for a 10% slice")
+    assert(kept * 2 < total, s"pruning too weak: $kept/$total")
+    val got = pruned.where($"a".between(100, 199))
+      .select($"id").as[Long].collect().sorted.toSeq
+    val want = rows.collect { case (id, a, _) if a >= 100 && a <= 199 => id }.sorted
+    assert(got == want, "pruned read lost or invented rows")
+    // the OTHER dimension prunes too (the z-order composition)
+    val (_, (keptB, _)) = SnapshotTable.readPruned(spark, root, "b", 700, 799)
+    info(s"readPruned kept $keptB of $total files on dimension b")
+    assert(keptB * 2 <= total, s"b-dimension pruning too weak: $keptB/$total")
+    // out-of-range predicate keeps nothing
+    val (empty, (k0, _)) = SnapshotTable.readPruned(spark, root, "a", 5000, 6000)
+    assert(k0 == 0 && empty.count() == 0)
+    // a column without stats never prunes
+    val (_, (kAll, tAll)) = SnapshotTable.readPruned(spark, root, "id", -1, -1)
+    assert(kAll == tAll, "stat-less column must keep every file")
+  }
+
   test("manifest schema pins the read schema (evolution-safe)") {
     val root = freshRoot()
     SnapshotTable.write(Seq((1, "a")).toDF("k", "v"), root)
