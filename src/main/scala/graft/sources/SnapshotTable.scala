@@ -92,28 +92,61 @@ object SnapshotTable {
     * already produced, no data re-scan — so [[readPruned]] can skip files
     * whose envelope misses a predicate (the Iceberg/Delta file-skipping
     * design; compose with [[graft.ops.Layout.zorder]] so the envelopes
-    * are tight on every clustered dimension at once). */
+    * are tight on every clustered dimension at once).
+    *
+    * `mergeSchema` (append only): fields the table has and `df` lacks, or
+    * vice versa, UNION into the committed manifest schema (same-name
+    * fields must agree on type) — parquet readers backfill missing
+    * columns with NULL, so old files read fine under the evolved schema
+    * and old manifests still time-travel with their own schema. Without
+    * the flag, an append whose fields differ from the table's is refused
+    * (silent column loss is the failure mode this guards). */
   def write(df: DataFrame, root: String, mode: String = "overwrite",
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil, mergeSchema: Boolean = false): Int = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val staged = stage(df, root)
     val stagedStats = footerStats(root, staged, statsCols)
     // commit: atomic create-new of the next version; losers re-base. An
     // append loser only re-reads the new head's FILE LIST (its own rows
     // are position-independent); an overwrite loser needs nothing at all.
-    val schemaJson = df.schema.json
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
-      val (files, stats) =
-        if (mode == "overwrite" || base == 0) (staged, stagedStats)
+      val (files, stats, schemaJson) =
+        if (mode == "overwrite" || base == 0)
+          (staged, stagedStats, df.schema.json)
         else {
           val m = readManifest(root, base)
-          (m.files ++ staged, m.stats ++ stagedStats)
+          (m.files ++ staged, m.stats ++ stagedStats,
+            unionSchema(m.schema, df.schema, mergeSchema).json)
         }
       committed = tryCommit(root, base, mode, schemaJson, files, stats)
     }
     committed
+  }
+
+  /** Evolved schema for an append: table fields first (order-stable),
+    * then `df`'s new fields. Same-name fields must agree on type; field
+    * sets may only differ when `allowEvolution` is set. */
+  private def unionSchema(table: StructType, incoming: StructType,
+      allowEvolution: Boolean): StructType = {
+    val tableNames = table.fieldNames.toSet
+    val incomingNames = incoming.fieldNames.toSet
+    incoming.fields.foreach { f =>
+      table.fields.find(_.name == f.name).foreach { t =>
+        require(t.dataType == f.dataType,
+          s"append changes type of '${f.name}': ${t.dataType} -> ${f.dataType}")
+      }
+    }
+    if (tableNames == incomingNames) table
+    else {
+      require(allowEvolution,
+        s"append schema differs from the table's (missing: " +
+          s"${(tableNames -- incomingNames).mkString(",")}; new: " +
+          s"${(incomingNames -- tableNames).mkString(",")}) — pass " +
+          "mergeSchema = true to evolve, the Delta semantics")
+      StructType(table.fields ++ incoming.fields.filterNot(f => tableNames(f.name)))
+    }
   }
 
   /** Per-file numeric min/max from the parquet footers (row-group
