@@ -222,24 +222,29 @@ object SnapshotTable {
     * read-merge-stage-commit loop is the serializable-upsert contract the
     * open table formats document; raced merges on disjoint keys both
     * survive (SnapshotTableSpec pins it). */
-  def merge(updates: DataFrame, root: String, keyCols: Seq[String]): Int = {
+  def merge(updates: DataFrame, root: String, keyCols: Seq[String],
+      mergeSchema: Boolean = false): Int = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = updates.sparkSession
-    val schemaJson = updates.schema.json
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
       val merged =
         if (base == 0) updates
         else {
+          val m = readManifest(root, base)
+          // same evolution contract as append: field drift is refused
+          // unless flagged, then the union schema applies and unionByName
+          // backfills NULL on either side
+          unionSchema(m.schema, updates.schema, mergeSchema)
           val current = read(spark, root, Some(base))
           val keep = current.join(
             updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct(),
             keyCols, "left_anti")
-          keep.unionByName(updates)
+          keep.unionByName(updates, allowMissingColumns = mergeSchema)
         }
       val staged = stage(merged, root)
-      committed = tryCommit(root, base, "merge", schemaJson, staged)
+      committed = tryCommit(root, base, "merge", merged.schema.json, staged)
       // lost the race: the staged files stay orphaned in data/ until
       // [[vacuum]] (no manifest references them), same as any aborted
       // commit in the open formats

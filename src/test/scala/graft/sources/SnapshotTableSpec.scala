@@ -179,6 +179,21 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root, Some(1)).columns.toSeq == Seq("k", "v"))
   }
 
+  test("merge evolves schema only when flagged, same contract as append") {
+    val root = freshRoot()
+    SnapshotTable.write(Seq((1, "a"), (2, "b")).toDF("k", "v"), root)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(Seq((2, "B", 1.5)).toDF("k", "v", "score"), root, Seq("k"))
+    }
+    SnapshotTable.merge(Seq((2, "B", 1.5)).toDF("k", "v", "score"), root,
+      Seq("k"), mergeSchema = true)
+    val out = SnapshotTable.read(spark, root)
+      .select($"k", $"v", $"score").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out == Set((1, "a", None), (2, "B", Some(1.5))))
+  }
+
   test("file-stats pruning: z-ordered write records envelopes; readPruned skips files") {
     val root = freshRoot()
     val rng = new scala.util.Random(19)
