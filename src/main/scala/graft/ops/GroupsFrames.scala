@@ -41,25 +41,41 @@ object GroupsFrames {
     Window.partitionBy(partitionBy: _*).orderBy(ordinal).rangeBetween(lo, hi)
 
   /** agg over the frame EXCLUDE GROUP: frame minus the whole peer group;
-    * NULL when nothing survives. `agg` must be a subtractable aggregate
-    * (sum/count over exact types). */
+    * NULL when no non-NULL input survives (SQL's empty-input semantics for
+    * sum). `agg` must be a VALUE-ADDITIVE aggregate (sum over exact types).
+    *
+    * NULL discipline (all three exclude helpers): a NULL input row
+    * contributes nothing to a SQL aggregate, so exclusions subtract
+    * `coalesce(value, 0)` — never the raw value, which would NULL the whole
+    * result — and the survives-guard counts NON-NULL inputs the aggregate
+    * would actually see (`count(value)`), not frame rows. */
   def excludeGroup(aggCol: Column => Column, value: Column,
       frame: WindowSpec, peerFrame: WindowSpec): Column =
-    when(count(lit(1)).over(frame) === count(lit(1)).over(peerFrame), lit(null))
-      .otherwise(aggCol(value).over(frame) - aggCol(value).over(peerFrame))
+    when(count(value).over(frame) === count(value).over(peerFrame), lit(null))
+      .otherwise(coalesce(aggCol(value).over(frame), lit(0)) -
+        coalesce(aggCol(value).over(peerFrame), lit(0)))
 
   /** agg over the frame EXCLUDE CURRENT ROW; NULL when the row was the
-    * whole frame. */
+    * frame's only non-NULL input (or the frame had none). */
   def excludeCurrentRow(aggCol: Column => Column, value: Column,
       frame: WindowSpec): Column =
-    when(count(lit(1)).over(frame) === 1, lit(null))
-      .otherwise(aggCol(value).over(frame) - value)
+    when(count(value).over(frame) -
+        when(value.isNotNull, lit(1)).otherwise(lit(0)) === 0, lit(null))
+      .otherwise(coalesce(aggCol(value).over(frame), lit(0)) -
+        coalesce(value, lit(0)))
 
-  /** agg over the frame EXCLUDE TIES: peers leave, the current row stays —
-    * never empty, no guard needed. */
+  /** agg over the frame EXCLUDE TIES: peers leave, the current row stays.
+    * NULL when neither the current row nor any non-peer frame row carries a
+    * non-NULL input — the standard's empty-aggregate semantics. */
   def excludeTies(aggCol: Column => Column, value: Column,
-      frame: WindowSpec, peerFrame: WindowSpec): Column =
-    aggCol(value).over(frame) - aggCol(value).over(peerFrame) + value
+      frame: WindowSpec, peerFrame: WindowSpec): Column = {
+    val survivors = count(value).over(frame) - count(value).over(peerFrame) +
+      when(value.isNotNull, lit(1)).otherwise(lit(0))
+    when(survivors === 0, lit(null))
+      .otherwise(coalesce(aggCol(value).over(frame), lit(0)) -
+        coalesce(aggCol(value).over(peerFrame), lit(0)) +
+        coalesce(value, lit(0)))
+  }
 
   /** min/max over GROUPS lo..hi EXCLUDE GROUP — non-subtractable
     * aggregates compose from the two DISJOINT adjacent frames instead

@@ -33,8 +33,15 @@ object IntervalJoin {
       startCol: String, endCol: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val rs = s"${startCol}_r"; val re = s"${endCol}_r"
-    def bins(s: Column, e: Column) = explode(sequence(
-      floor(s / binWidth).cast("long"), floor(e / binWidth).cast("long")))
+    // bins are keyed by their START VALUE (floor-aligned to binWidth) in
+    // pure LONG arithmetic — `x - pmod(x, w)` is the exact floor alignment
+    // for any long, negative included. The earlier `floor(x / w)` form went
+    // through DOUBLE division, which mis-bins (and silently drops pairs)
+    // once |x| leaves the 2^53 exact-integer range — real at 100 TB with
+    // arbitrary integer timelines.
+    def align(x: Column) = (x - pmod(x, lit(binWidth))).cast("long")
+    def bins(s: Column, e: Column) =
+      explode(sequence(align(s), align(e), lit(binWidth)))
     val lb = left.withColumn("__bin", bins(col(startCol), col(endCol)))
     val rb = right.withColumnRenamed(startCol, rs).withColumnRenamed(endCol, re)
       .withColumn("__rbin", bins(col(rs), col(re)))
@@ -42,8 +49,7 @@ object IntervalJoin {
     // where BOTH intervals are present; row-local, no dedup shuffle
     lb.join(rb, col("__bin") === col("__rbin") &&
         col(startCol) <= col(re) && col(rs) <= col(endCol) &&
-        col("__bin") === floor(greatest(col(startCol), col(rs)) / binWidth)
-          .cast("long"))
+        col("__bin") === align(greatest(col(startCol), col(rs))))
       .drop("__bin", "__rbin")
   }
 }

@@ -223,14 +223,14 @@ object SnapshotTable {
     * open table formats document; raced merges on disjoint keys both
     * survive (SnapshotTableSpec pins it). */
   def merge(updates: DataFrame, root: String, keyCols: Seq[String],
-      mergeSchema: Boolean = false): Int = {
+      mergeSchema: Boolean = false, statsCols: Seq[String] = Nil): Int = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val spark = updates.sparkSession
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
-      val merged =
-        if (base == 0) updates
+      val (merged, baseStatsCols) =
+        if (base == 0) (updates, Set.empty[String])
         else {
           val m = readManifest(root, base)
           // same evolution contract as append: field drift is refused
@@ -241,10 +241,17 @@ object SnapshotTable {
           val keep = current.join(
             updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct(),
             keyCols, "left_anti")
-          keep.unionByName(updates, allowMissingColumns = mergeSchema)
+          (keep.unionByName(updates, allowMissingColumns = mergeSchema),
+            // a merge rewrites every file, so the base's envelopes can't
+            // carry over by file name — re-derive them for the staged
+            // files over the SAME column set, so a stats-pruned table
+            // keeps its readPruned skipping across upserts
+            m.stats.valuesIterator.flatMap(_.keysIterator).toSet)
         }
+      val cols = (baseStatsCols ++ statsCols).toSeq.sorted
       val staged = stage(merged, root)
-      committed = tryCommit(root, base, "merge", merged.schema.json, staged)
+      committed = tryCommit(root, base, "merge", merged.schema.json, staged,
+        footerStats(root, staged, cols))
       // lost the race: the staged files stay orphaned in data/ until
       // [[vacuum]] (no manifest references them), same as any aborted
       // commit in the open formats
@@ -324,23 +331,37 @@ object SnapshotTable {
   /** Drop manifests older than the newest `keepVersions` and delete data
     * files no surviving manifest references — including ORPHANS that never
     * made a manifest (staged files of commit-race losers, e.g. a lost
-    * [[merge]]). Readers pinned to vacuumed versions break, and vacuum
-    * must not run concurrently with in-flight writers (their staged files
-    * look orphaned until their commit lands) — the retention contract
-    * every snapshot format has. */
-  def vacuum(root: String, keepVersions: Int = 1): Unit = {
+    * [[merge]]). Readers pinned to vacuumed versions break.
+    *
+    * Never-committed orphans are AGE-GATED (`orphanRetentionMs`, default
+    * 10 minutes): a concurrent writer's staged files look orphaned in the
+    * window between its data-file move and its manifest commit, and an
+    * ungated sweep would delete them — the committed manifest then
+    * references missing files and the table is corrupt. Gating on file
+    * mtime is the same defense Delta's VACUUM retention / Iceberg's
+    * `older_than` orphan cleanup use. Files referenced by the DROPPED
+    * manifests were durably committed (no in-flight writer can still be
+    * staging them), so those delete immediately regardless of age. */
+  def vacuum(root: String, keepVersions: Int = 1,
+      orphanRetentionMs: Long = 10 * 60 * 1000L): Unit = {
     require(keepVersions >= 1, "must keep at least the current version")
     val latest = latestVersion(root)
     val keepFrom = math.max(1, latest - keepVersions + 1)
     val live = (keepFrom to latest)
       .flatMap(v => readManifest(root, v).files).toSet
+    // earlier vacuums already removed some old manifests — skip the gaps
+    val dropped = (1 until keepFrom)
+      .filter(v => Files.exists(manifestPath(root, v)))
+      .flatMap(v => readManifest(root, v).files).toSet -- live
     (1 until keepFrom).foreach { v =>
       val p = manifestPath(root, v)
       if (Files.exists(p)) Files.delete(p)
     }
-    // one sweep deletes both dropped-version files and never-committed
-    // orphans: anything in data/ no surviving manifest references
-    listDir(dataDir(root))(_.filter(p => !live(p.getFileName.toString)).toList)
-      .foreach(p => Files.deleteIfExists(p))
+    val cutoff = System.currentTimeMillis() - math.max(0L, orphanRetentionMs)
+    listDir(dataDir(root))(_.filter { p =>
+      val name = p.getFileName.toString
+      !live(name) && (dropped(name) ||
+        Files.getLastModifiedTime(p).toMillis < cutoff)
+    }.toList).foreach(p => Files.deleteIfExists(p))
   }
 }

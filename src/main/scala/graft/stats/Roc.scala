@@ -162,6 +162,9 @@ object Roc {
     var tp = 0L; var fp = 0L; var num = 0L
     var bestJ = Double.NegativeInfinity; var bestT = Double.NaN; var seen = false
     val p = pts.map(_._2).sum; val n = pts.map(_._3).sum
+    require(p > 0 && n > 0,
+      s"empiricalRocDriver: both classes must be present " +
+        s"(n_pos=$p, n_neg=$n) — TPR/FPR are undefined otherwise")
     pts.foreach { case (t, np, nn) =>
       val tpPrev = tp; val fpPrev = fp
       tp += np; fp += nn
@@ -197,6 +200,9 @@ object Roc {
     val pts = curvePoints(df, label, score, maxCurvePoints,
       "empiricalCostThresholdDriver")
     val p = pts.map(_._2).sum; val n = pts.map(_._3).sum
+    require(p > 0 && n > 0,
+      s"empiricalCostThresholdDriver: both classes must be present " +
+        s"(n_pos=$p, n_neg=$n) — sens/spec are undefined otherwise")
     // cumulative ≥-counts at each distinct value (desc sweep), then the
     // candidate at a cut between v and the NEXT HIGHER value carries that
     // higher value's cumulative counts — identical to the lead() form
@@ -217,12 +223,16 @@ object Roc {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("threshold", DoubleType), StructField("cost", DoubleType),
-      StructField("n_pos", LongType, nullable = false),
-      StructField("n_neg", LongType, nullable = false)))
-    spark.createDataFrame(
-      java.util.Arrays.asList(org.apache.spark.sql.Row(
+      StructField("n_pos", LongType), StructField("n_neg", LongType)))
+    // degenerate sweep (one distinct score ⇒ no candidate cuts): the
+    // windowed twin aggregates an EMPTY candidate frame into one all-NULL
+    // row — return exactly that instead of the old NaN/Long.MaxValue junk
+    val row =
+      if (!seen) org.apache.spark.sql.Row(null, null, null, null)
+      else org.apache.spark.sql.Row(
         bestM, roundHalfUp(bestCost.toDouble / (rhoDen.toDouble * p * n), 6),
-        p, n)), schema)
+        p, n)
+    spark.createDataFrame(java.util.Arrays.asList(row), schema)
   }
 
   /** Distinct-score curve points (threshold desc, positives, negatives) —

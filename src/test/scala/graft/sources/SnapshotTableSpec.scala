@@ -139,15 +139,38 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(root) == nWriters + 1)
     assert(SnapshotTable.read(spark, root).as[(Int, String)].collect().toSet
       == ((0, "base") +: (1 to nWriters).map(i => (i, s"m$i"))).toSet)
-    // losers re-staged per attempt → orphaned data files; vacuum sweeps
+    // losers re-staged per attempt → orphaned data files; with the orphan
+    // age gate DISARMED (no writer is still in flight here) vacuum sweeps
     // everything no surviving manifest references, and the table still reads
-    SnapshotTable.vacuum(root, keepVersions = 1)
+    SnapshotTable.vacuum(root, keepVersions = 1, orphanRetentionMs = 0L)
     val live = SnapshotTable.readManifest(root, nWriters + 1).files.toSet
     val onDisk = java.nio.file.Files.list(
         java.nio.file.Paths.get(root, "data")).toArray.map(_.toString)
       .map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
     assert(onDisk == live, s"unreferenced files survive vacuum: ${onDisk -- live}")
     assert(SnapshotTable.read(spark, root).count() == nWriters + 1)
+  }
+
+  test("vacuum age-gates never-committed orphans but sweeps dropped-version files now") {
+    // the corruption ADVICE warned about: a concurrent writer's staged
+    // files (moved into data/, manifest not yet committed) look orphaned —
+    // vacuum must NOT delete them inside the retention window
+    val root = freshRoot()
+    SnapshotTable.write(Seq((1, "a")).toDF("k", "v"), root)             // v1
+    SnapshotTable.write(Seq((2, "b")).toDF("k", "v"), root)             // v2 overwrite
+    val inFlight = Paths.get(root, "data", "deadbeef-part-00000.parquet")
+    Files.write(inFlight, Array[Byte](1, 2, 3))                          // fresh mtime
+    SnapshotTable.vacuum(root, keepVersions = 1)                         // default gate
+    assert(Files.exists(inFlight),
+      "fresh uncommitted staged file must survive the age-gated sweep")
+    // v1's data file was durably COMMITTED then dropped — deleted at once
+    val v2Files = SnapshotTable.readManifest(root, 2).files.toSet
+    val onDisk = Files.list(Paths.get(root, "data")).toArray
+      .map(_.toString).map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+    assert(onDisk == v2Files + inFlight.getFileName.toString)
+    // gate disarmed: the orphan goes too
+    SnapshotTable.vacuum(root, keepVersions = 1, orphanRetentionMs = 0L)
+    assert(!Files.exists(inFlight))
   }
 
   test("schema evolution: mergeSchema append unions fields, old files backfill NULL") {
@@ -227,6 +250,25 @@ class SnapshotTableSpec extends SparkSpec {
     // a column without stats never prunes
     val (_, (kAll, tAll)) = SnapshotTable.readPruned(spark, root, "id", -1, -1)
     assert(kAll == tAll, "stat-less column must keep every file")
+  }
+
+  test("merge re-derives the base manifest's stats columns, so pruning survives upserts") {
+    val root = freshRoot()
+    val df = (1L to 4000L).map(i => (i, i % 1000)).toDF("id", "a")
+      .repartition(8, $"a")
+    SnapshotTable.write(df, root, statsCols = Seq("a"))
+    assert(SnapshotTable.readManifest(root, 1).stats.nonEmpty)
+    // an upsert with NO explicit statsCols must keep the envelope column
+    // set (the merge rewrites every file, so envelopes are re-derived from
+    // the staged footers — tightness depends on the merged layout, but the
+    // COLUMN SET must never silently vanish, the ADVICE failure mode)
+    SnapshotTable.merge(Seq((1L, 999L)).toDF("id", "a"), root, Seq("id"))
+    val m = SnapshotTable.readManifest(root, 2)
+    assert(m.files.nonEmpty && m.files.forall(f =>
+        m.stats.get(f).exists(_.contains("a"))),
+      "merge dropped the stats envelopes the base manifest carried")
+    assert(m.stats.valuesIterator.flatMap(_.get("a")).forall {
+      case (mn, mx) => mn <= mx })
   }
 
   test("manifest schema pins the read schema (evolution-safe)") {
