@@ -590,12 +590,19 @@ object SparkEntry {
     // ============ statistical operators (reference's R stage) ============
 
     // ---- §2.8 R1: two-sample permutation test (seeded MC, distributed) --
+    // The explicit 2^18 subsample gate is the scale story: below it (sf0.01
+    // Verify, 60k rows) the full cohort runs — the rows-only value is
+    // unchanged; above it (sf1+) the deterministic content-hash subsample
+    // caps the collect AND the per-draw O(n) sweep, so cost stops growing
+    // with data size — at sf100 an ungated run would collect ~600M rows
+    // and sweep them 999 times. The ungated driver protocol stays as the
+    // spec-pinned twin (StatsSpec); exact enumeration is ★r12.
     "r1_perm_test" -> ((s, dir) => {
       import s.implicits._
       val li = t(s, dir, "lineitem")
         .select((col("l_returnflag") === "R").as("is_return"), col("l_extendedprice"))
       val p = PermutationTest.onColumnsDistributed(li, "is_return",
-        "l_extendedprice", nPerm = 999, seed = 42L)
+        "l_extendedprice", nPerm = 999, seed = 42L, maxRows = 1 << 18)
       Seq(("price_by_returnflag", p)).toDF("test", "p_value")
     }),
 

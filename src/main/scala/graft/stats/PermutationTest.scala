@@ -78,16 +78,42 @@ object PermutationTest {
 
   /** Distributed Monte-Carlo resampling: permutations fan out over the
     * cluster (one task batch per seed range), data broadcast once. Use when
-    * nPerm is large or many hypotheses run at once. */
+    * nPerm is large or many hypotheses run at once.
+    *
+    * Scale gate (`maxRows`, default 2^20): when the NA-filtered cohort
+    * exceeds it, a DETERMINISTIC content-hash subsample (keep rows whose
+    * xxhash64(bool, value, seed) falls under the proportional threshold —
+    * layout- and partitioning-independent, the s3_hash_sample doctrine)
+    * caps both the driver collect and the per-permutation O(n) work, so
+    * cost stops growing with data size once the gate binds. Without it the
+    * cohort at sf100 is the full fact-table column — a driver-side and
+    * per-draw scale killer. Statistically the result is the same seeded MC
+    * permutation test run on the subsample (duplicate (bool, value) rows
+    * gate together — all-or-nothing, the content-hash trade). Pass
+    * `maxRows = Int.MaxValue` to disable. */
   def onColumnsDistributed(df: DataFrame, boolCol: String, numCol: String,
-      nPerm: Int = 99999, seed: Long = 42L): Double = {
+      nPerm: Int = 99999, seed: Long = 42L, maxRows: Int = 1 << 20): Double = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = df.select(col(boolCol).cast("boolean"), col(numCol).cast("double"))
+    val base = df.select(col(boolCol).cast("boolean"), col(numCol).cast("double"))
       .where(col(boolCol).isNotNull && col(numCol).isNotNull)
-      .collect()
+    val n = base.count()
+    val gated =
+      if (n <= maxRows) base
+      else {
+        // threshold on |hash| ∈ [0, Long.MaxValue): expected keep fraction
+        // maxRows/n of the cohort, exact enough for a resampling cap
+        val thresh = (Long.MaxValue.toDouble * (maxRows.toDouble / n)).toLong
+        base.where(abs(xxhash64(col(boolCol), col(numCol), lit(seed))) < thresh)
+      }
+    val rows = gated.collect()
     val (t, f) = rows.partition(_.getBoolean(0))
-    val trues = t.map(_.getDouble(1)); val falses = f.map(_.getDouble(1))
+    // canonical ascending order per group: collect() order follows the
+    // partition layout, and the pooled array's order feeds the draws — so
+    // without this sort the p-value would depend on partitioning. Sorted,
+    // it is a pure function of (multiset, seed), cluster-layout-proof.
+    val trues = t.map(_.getDouble(1)).sorted
+    val falses = f.map(_.getDouble(1)).sorted
     if (falses.length <= 1) return DegenerateSentinel
     val pooledB = spark.sparkContext.broadcast(trues ++ falses)
     val nA = trues.length

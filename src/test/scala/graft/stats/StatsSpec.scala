@@ -73,6 +73,27 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(pLocal - pDist) < 0.05) // both MC, both near the true p
   }
 
+  test("subsample gate: inert below maxRows, deterministic and sane when binding") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 4000).map(i =>
+      (i % 2 == 0, rng.nextGaussian() + (if (i % 2 == 0) 0.0 else 0.15)))
+    val df = rows.toDF("g", "x")
+    // gate above the cohort: bit-identical to the ungated path
+    val pFull = PermutationTest.onColumnsDistributed(df, "g", "x",
+      nPerm = 499, seed = 7, maxRows = Int.MaxValue)
+    val pWide = PermutationTest.onColumnsDistributed(df, "g", "x",
+      nPerm = 499, seed = 7, maxRows = 100000)
+    assert(pFull == pWide)
+    // gate binding: layout-independent (repartition cannot change the
+    // subsample, hence not the p-value) and still a valid p in [0, 1]
+    val pG1 = PermutationTest.onColumnsDistributed(df, "g", "x",
+      nPerm = 499, seed = 7, maxRows = 500)
+    val pG2 = PermutationTest.onColumnsDistributed(df.repartition(13), "g", "x",
+      nPerm = 499, seed = 7, maxRows = 500)
+    assert(pG1 == pG2, "content-hash subsample must be layout-independent")
+    assert(pG1 > 0.0 && pG1 <= 1.0)
+  }
+
   // ---------------------------------------------------------------- FDR
 
   test("BH matches hand computation") {
