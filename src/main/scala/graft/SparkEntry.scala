@@ -1308,6 +1308,40 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    // ---- S5 extension: bin-packing compaction (the OPTIMIZE story for
+    // the CDC sink's one-version-per-micro-batch layout). Eight 1-file
+    // appends, then compact packs them into target-size files as a NEW
+    // committed version with identical content — the oracle reads the
+    // same slice relationally, so the hash match certifies the whole
+    // append*-compact-read round trip, and the query itself asserts the
+    // layout actually shrank (a no-op compact would still hash-match). --
+    "s10_compacted_scan" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s10-${ProcessHandle.current().pid()}/cust_compact_$sfx"
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .where(col("c_custkey") <= 800)
+      if (graft.sources.SnapshotTable.latestVersion(root) == 0) {
+        (0 until 8).foreach { i =>
+          graft.sources.SnapshotTable.write(
+            cust.where(col("c_custkey") % 8 === i).coalesce(1), root,
+            mode = if (i == 0) "overwrite" else "append",
+            statsCols = Seq("c_custkey"))
+        }
+        graft.sources.SnapshotTable.compact(s, root, targetBytes = 64L << 20)
+      }
+      val m = graft.sources.SnapshotTable.readManifest(
+        root, graft.sources.SnapshotTable.latestVersion(root))
+      require(m.op == "compact" && m.files.size < 8,
+        s"compaction inert: op=${m.op} files=${m.files.size}")
+      graft.sources.SnapshotTable.read(s, root)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---- §2.3 outer join: customers with/without orders -----------------
     "j4_outer_join" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -2451,6 +2485,12 @@ object SparkEntry {
          FROM lineitem
          WHERE l_partkey BETWEEN 50 AND 180 AND l_suppkey BETWEEN 1 AND 5
          GROUP BY 1 ORDER BY 1""",
+
+    // s10: the compacted snapshot must answer exactly like the raw table
+    "s10_compacted_scan" ->
+      """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+         FROM customer WHERE c_custkey <= 800
+         ORDER BY c_custkey""",
 
     // p8: the z-ordered copy must answer exactly like the raw table
     "p8_zorder_scan" ->

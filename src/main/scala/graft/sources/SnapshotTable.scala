@@ -259,6 +259,83 @@ object SnapshotTable {
     committed
   }
 
+  /** Bin-packing file compaction — the OPTIMIZE of the open table formats.
+    * Files smaller than `smallFraction · targetBytes` are packed,
+    * name-order (= write order, so a z-ordered layout's clustering is
+    * preserved bin-locally), into bins of ≤ `targetBytes` and rewritten as
+    * one file per bin; the result commits as a NEW version whose content
+    * is IDENTICAL to the base snapshot (only the file layout changes).
+    * Needed because every streaming MERGE micro-batch ([[graft.streaming
+    * .EventStream.upsertSink]]) commits a version of small files — at
+    * 100 TB unbounded file count is the scan killer.
+    *
+    * Stats: untouched files keep their manifest envelopes; packed files
+    * get fresh footer-derived envelopes over the SAME column set, so
+    * [[readPruned]] skipping survives compaction.
+    *
+    * Concurrency (optimistic, same [[tryCommit]] contract as merge): on a
+    * lost race, if the new head still lists every input file (a concurrent
+    * APPEND landed), the packed data is still exact — re-base the file
+    * list and retry without rewriting; if any input vanished (concurrent
+    * overwrite/merge/compact), the packed files are stale — abandon them
+    * as vacuum-able orphans and re-select from the new head.
+    *
+    * Returns the committed version, or the current version unchanged when
+    * fewer than two files qualify (nothing to pack). */
+  def compact(spark: SparkSession, root: String,
+      targetBytes: Long = 128L << 20, smallFraction: Double = 0.5): Int = {
+    require(targetBytes > 0 && smallFraction > 0 && smallFraction <= 1)
+    val cutoff = (targetBytes * smallFraction).toLong
+    var committed = -1
+    var result = -1
+    while (committed < 0 && result < 0) {
+      val base = latestVersion(root)
+      require(base > 0, s"snapshot table at $root has no committed version")
+      val m = readManifest(root, base)
+      val sized = m.files.sorted.map { f =>
+        f -> Files.size(dataDir(root).resolve(f)) }
+      val small = sized.filter(_._2 < cutoff)
+      if (small.size < 2) result = base // nothing to gain
+      else {
+        // first-fit over name order: consecutive files share a bin until
+        // the target would overflow (parquet re-encoding changes sizes a
+        // little; the bound is a layout target, not a contract)
+        val bins = small.foldLeft(List.empty[(List[String], Long)]) {
+          case ((names, sz) :: rest, (f, fsz)) if sz + fsz <= targetBytes =>
+            (f :: names, sz + fsz) :: rest
+          case (acc, (f, fsz)) => (List(f), fsz) :: acc
+        }.map(_._1.reverse).reverse
+        val inputs = small.map(_._1).toSet
+        val statsCols =
+          m.stats.valuesIterator.flatMap(_.keysIterator).toSet.toSeq.sorted
+        // one packed file per bin: each bin reads in name order and lands
+        // as a single part; stage() moves it under a commit-unique prefix
+        val staged = bins.flatMap { bin =>
+          stage(spark.read.schema(m.schema)
+            .parquet(bin.map(f => dataDir(root).resolve(f).toString): _*)
+            .coalesce(1), root)
+        }
+        val stagedStats = footerStats(root, staged, statsCols)
+        // commit loop for THIS packing: re-base over appends, bail to
+        // re-pack when an input was rewritten underneath us
+        var stale = false
+        var attempt = m
+        while (committed < 0 && !stale) {
+          committed = tryCommit(root, attempt.version, "compact",
+            attempt.schema.json,
+            attempt.files.filterNot(inputs) ++ staged,
+            (attempt.stats -- inputs) ++ stagedStats)
+          if (committed < 0) {
+            val hm = readManifest(root, latestVersion(root))
+            if (inputs.forall(hm.files.contains)) attempt = hm
+            else stale = true // packed content no longer matches — restart
+          }
+        }
+      }
+    }
+    if (committed > 0) committed else result
+  }
+
   /** Stage `df`'s part files into the table's data dir under a
     * commit-unique prefix; returns the staged file names. Staging writes
     * UNDER THE TABLE ROOT (same filesystem as data/, so the ATOMIC_MOVE

@@ -151,6 +151,66 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == nWriters + 1)
   }
 
+  test("compact bin-packs small files: same content, fewer files, stats preserved") {
+    val root = freshRoot()
+    // ten 1-file appends with per-file stats — the CDC-sink layout shape
+    (1 to 10).foreach { i =>
+      SnapshotTable.write(
+        Seq.tabulate(100)(j => (i * 1000L + j, i.toLong)).toDF("id", "grp")
+          .coalesce(1),
+        root, mode = if (i == 1) "overwrite" else "append",
+        statsCols = Seq("grp"))
+    }
+    val before = SnapshotTable.readManifest(root, 10)
+    assert(before.files.size == 10)
+    val v = SnapshotTable.compact(spark, root, targetBytes = 1L << 20)
+    assert(v == 11)
+    val after = SnapshotTable.readManifest(root, v)
+    assert(after.files.size < before.files.size,
+      s"compaction did not shrink the layout: ${after.files.size}")
+    // content identical to the pre-compact snapshot
+    val pre = SnapshotTable.read(spark, root, Some(10))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val post = SnapshotTable.read(spark, root).as[(Long, Long)].collect()
+      .sorted.toSeq
+    assert(pre == post, "compaction changed table content")
+    // packed files carry fresh grp envelopes (pruning survives)
+    assert(after.files.forall(f => after.stats.get(f).exists(_.contains("grp"))),
+      "packed files lost their stats envelopes")
+    // idempotent-ish: a second compact with everything already packed into
+    // one target-size file is a no-op returning the current version
+    val v2 = SnapshotTable.compact(spark, root, targetBytes = 1L << 20)
+    assert(v2 == v, "re-compacting a packed table must be a no-op")
+  }
+
+  test("compact races a concurrent appender: no lost rows, both commits land") {
+    val root = freshRoot()
+    (1 to 6).foreach { i =>
+      SnapshotTable.write(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1),
+        root, mode = if (i == 1) "overwrite" else "append")
+    }
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    pool.submit(new Runnable { def run(): Unit =
+      try { start.await()
+        SnapshotTable.compact(spark, root, targetBytes = 1L << 20): Unit }
+      catch { case t: Throwable => errors.add(t) } })
+    pool.submit(new Runnable { def run(): Unit =
+      try { start.await()
+        (7 to 9).foreach { i =>
+          SnapshotTable.write(Seq((i.toLong, s"r$i")).toDF("id", "v")
+            .coalesce(1), root, mode = "append") } }
+      catch { case t: Throwable => errors.add(t) } })
+    start.countDown(); pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "racers timed out")
+    assert(errors.isEmpty, s"racer failed: ${errors.peek()}")
+    assert(SnapshotTable.read(spark, root).as[(Long, String)].collect().toSet
+      == (1 to 9).map(i => (i.toLong, s"r$i")).toSet,
+      "a row was lost to the compaction race")
+  }
+
   test("vacuum age-gates never-committed orphans but sweeps dropped-version files now") {
     // the corruption ADVICE warned about: a concurrent writer's staged
     // files (moved into data/, manifest not yet committed) look orphaned —
