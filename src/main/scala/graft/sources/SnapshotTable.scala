@@ -19,15 +19,23 @@ import scala.jdk.CollectionConverters._
   * data files are immutable and only vacuum deletes them.
   *
   *   root/_manifests/v00000001.txt   version=..., op=..., schema=..., file=...
+  *   root/_manifests/v00000002.txt   ... base=1, chain=1, add=..., remove=...
   *   root/data/<commit-uuid>-part-*.parquet
   *
+  * Manifests come in two forms (the Delta-log checkpoint design): a
+  * CHECKPOINT lists the full live-file set; a DELTA lists only its own
+  * adds/removes against `base=`, so an append/compact commit writes
+  * O(changed files) bytes regardless of table size. Chains are bounded:
+  * every [[checkpointEvery]]-th commit rolls the chain up into a fresh
+  * checkpoint, so resolving any version walks at most that many files.
+  *
   * Commit protocol: stage part files under a per-commit UUID prefix, build
-  * the file list (overwrite → staged files only; append → base manifest's
-  * files + staged), then `CREATE_NEW` the next manifest. A losing
+  * the manifest (overwrite/merge → checkpoint of staged files; append /
+  * compact → delta), then `CREATE_NEW` the next version file. A losing
   * concurrent committer gets FileAlreadyExists, re-resolves the new head,
-  * rebuilds its list (append re-bases; overwrite doesn't need to) and
-  * retries — optimistic concurrency, winner decided by the filesystem's
-  * atomic create.
+  * rebuilds its delta (append re-reads ONE raw manifest; overwrite needs
+  * nothing) and retries — optimistic concurrency, winner decided by the
+  * filesystem's atomic create.
   *
   * Scale note: on a local/HDFS filesystem `Files.move` is a rename; the
   * manifest lists RELATIVE paths so the table directory is relocatable. A
@@ -47,6 +55,23 @@ object SnapshotTable {
       /** per-file numeric column envelopes: file → col → (min, max) */
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
 
+  /** One manifest FILE as written, without chain resolution: a CHECKPOINT
+    * lists the full live-file set (`file=` lines, `base` absent); a DELTA
+    * records only this commit's `add=`/`remove=` lines against `base`,
+    * with `chain` = hops back to the nearest checkpoint. Delta commits
+    * make commit cost O(changed files) instead of O(table files) — the
+    * manifest-scalability fix: at millions of live files a full rewrite
+    * per append is a driver and listing bottleneck. `checkpointEvery`
+    * bounds the read-side walk: every `chain` ≥ that rolls up into a new
+    * checkpoint (the Delta-log checkpoint design). */
+  private[sources] final case class RawManifest(version: Int, op: String,
+      schema: StructType, base: Option[Int], chain: Int, files: Seq[String],
+      adds: Seq[String], removes: Set[String],
+      stats: Map[String, Map[String, (Double, Double)]])
+
+  /** Delta-chain length at which the next commit writes a checkpoint. */
+  private[sources] val checkpointEvery = 20
+
   /** `Files.list` with guaranteed close — the returned stream holds an open
     * directory fd until closed; leaking one per commit exhausts the limit. */
   private def listDir[A](dir: Path)(f: Iterator[Path] => A): A = {
@@ -64,7 +89,8 @@ object SnapshotTable {
       .foldLeft(0)(math.max))
   }
 
-  def readManifest(root: String, version: Int): Manifest = {
+  /** Parse ONE manifest file — no chain resolution, O(its own lines). */
+  private[sources] def readRaw(root: String, version: Int): RawManifest = {
     val lines = Files.readAllLines(manifestPath(root, version),
       StandardCharsets.UTF_8).asScala
     def field(k: String) = lines.collect {
@@ -76,12 +102,35 @@ object SnapshotTable {
       .collect { case Array(f, c, mn, mx) => (f, c, mn.toDouble, mx.toDouble) }
       .groupBy(_._1)
       .map { case (f, xs) => f -> xs.map(x => x._2 -> (x._3, x._4)).toMap }
-    Manifest(
+    RawManifest(
       field("version").head.toInt,
       field("op").head,
       DataType.fromJson(field("schema").head).asInstanceOf[StructType],
+      field("base").headOption.map(_.toInt),
+      field("chain").headOption.map(_.toInt).getOrElse(0),
       field("file").toSeq,
+      field("add").toSeq,
+      field("remove").toSet,
       stats)
+  }
+
+  /** Resolve a version's LIVE STATE: walk back through delta manifests to
+    * the nearest checkpoint (≤ [[checkpointEvery]] hops), then replay the
+    * adds/removes forward. Schema and op come from the requested version's
+    * own manifest (each version pins its schema — evolution-safe). */
+  def readManifest(root: String, version: Int): Manifest = {
+    val head = readRaw(root, version)
+    var back = List(head)
+    while (back.head.base.isDefined)
+      back = readRaw(root, back.head.base.get) :: back
+    val cp = back.head // the checkpoint: full file list
+    var files = cp.files
+    var stats = cp.stats
+    back.tail.foreach { d =>
+      files = files.filterNot(d.removes) ++ d.adds
+      stats = (stats -- d.removes) ++ d.stats
+    }
+    Manifest(head.version, head.op, head.schema, files, stats)
   }
 
   /** Write `df` into the table. `mode` ∈ {"overwrite", "append"}. Returns
@@ -107,23 +156,39 @@ object SnapshotTable {
     val staged = stage(df, root)
     val stagedStats = footerStats(root, staged, statsCols)
     // commit: atomic create-new of the next version; losers re-base. An
-    // append loser only re-reads the new head's FILE LIST (its own rows
-    // are position-independent); an overwrite loser needs nothing at all.
+    // overwrite loser needs nothing at all; an append loser re-reads only
+    // the new HEAD manifest (O(1) raw parse — its own rows are position-
+    // independent and the delta lists just its adds).
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
-      val (files, stats, schemaJson) =
+      committed =
         if (mode == "overwrite" || base == 0)
-          (staged, stagedStats, df.schema.json)
+          tryCommit(root, base, mode, df.schema.json, staged, stagedStats)
         else {
-          val m = readManifest(root, base)
-          (m.files ++ staged, m.stats ++ stagedStats,
-            unionSchema(m.schema, df.schema, mergeSchema).json)
+          val head = readRaw(root, base)
+          val schemaJson = unionSchema(head.schema, df.schema, mergeSchema).json
+          commitChange(root, head, "append", schemaJson,
+            adds = staged, removes = Set.empty, addStats = stagedStats)
         }
-      committed = tryCommit(root, base, mode, schemaJson, files, stats)
     }
     committed
   }
+
+  /** Commit `adds`/`removes` against head raw manifest `base` as a DELTA,
+    * or roll the chain up into a CHECKPOINT when it has reached
+    * [[checkpointEvery]] (one full resolution, amortized O(1/interval)).
+    * Same -1-on-race contract as [[tryCommit]]. */
+  private def commitChange(root: String, base: RawManifest, op: String,
+      schemaJson: String, adds: Seq[String], removes: Set[String],
+      addStats: Map[String, Map[String, (Double, Double)]]): Int =
+    if (base.chain + 1 >= checkpointEvery) {
+      val m = readManifest(root, base.version)
+      tryCommit(root, base.version, op, schemaJson,
+        m.files.filterNot(removes) ++ adds, (m.stats -- removes) ++ addStats)
+    } else
+      tryCommitDelta(root, base.version, op, schemaJson, adds, removes,
+        addStats, base.chain + 1)
 
   /** Evolved schema for an append: table fields first (order-stable),
     * then `df`'s new fields. Same-name fields must agree on type; field
@@ -316,18 +381,19 @@ object SnapshotTable {
             .coalesce(1), root)
         }
         val stagedStats = footerStats(root, staged, statsCols)
-        // commit loop for THIS packing: re-base over appends, bail to
-        // re-pack when an input was rewritten underneath us
+        // commit loop for THIS packing (a DELTA: remove inputs, add packed
+        // files): re-base over appends, bail to re-pack when an input was
+        // rewritten underneath us
         var stale = false
-        var attempt = m
+        var attemptRaw = readRaw(root, base)
         while (committed < 0 && !stale) {
-          committed = tryCommit(root, attempt.version, "compact",
-            attempt.schema.json,
-            attempt.files.filterNot(inputs) ++ staged,
-            (attempt.stats -- inputs) ++ stagedStats)
+          committed = commitChange(root, attemptRaw, "compact",
+            attemptRaw.schema.json, adds = staged, removes = inputs,
+            addStats = stagedStats)
           if (committed < 0) {
-            val hm = readManifest(root, latestVersion(root))
-            if (inputs.forall(hm.files.contains)) attempt = hm
+            val head = latestVersion(root)
+            if (inputs.forall(readManifest(root, head).files.contains))
+              attemptRaw = readRaw(root, head)
             else stale = true // packed content no longer matches — restart
           }
         }
@@ -373,16 +439,14 @@ object SnapshotTable {
   /** One optimistic commit attempt at version `base`+1: the committed
     * version on success, -1 when a concurrent committer took the slot
     * (caller decides how to recompute before retrying). */
-  private def tryCommit(root: String, base: Int, op: String,
-      schemaJson: String, files: Seq[String],
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): Int = {
-    val v = base + 1
-    val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+  private def statLines(
+      stats: Map[String, Map[String, (Double, Double)]]): Seq[String] =
+    stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
         s"stats=$f;$c;${java.lang.Double.toString(mn)};${java.lang.Double.toString(mx)}" }
     }
-    val body = (Seq(s"version=$v", s"op=$op", s"schema=$schemaJson") ++
-      files.map(f => s"file=$f") ++ statLines).mkString("\n")
+
+  private def atomicCreate(root: String, v: Int, body: String): Int =
     try {
       Files.write(manifestPath(root, v), body.getBytes(StandardCharsets.UTF_8),
         StandardOpenOption.CREATE_NEW)
@@ -390,6 +454,28 @@ object SnapshotTable {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => -1
     }
+
+  private[sources] def tryCommit(root: String, base: Int, op: String,
+      schemaJson: String, files: Seq[String],
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): Int = {
+    val v = base + 1
+    val body = (Seq(s"version=$v", s"op=$op", s"schema=$schemaJson") ++
+      files.map(f => s"file=$f") ++ statLines(stats)).mkString("\n")
+    atomicCreate(root, v, body)
+  }
+
+  /** One optimistic DELTA commit attempt: records only this commit's
+    * adds/removes against `base` — O(changed files) bytes, never
+    * O(table files). `stats` should cover the added files only. */
+  private[sources] def tryCommitDelta(root: String, base: Int, op: String,
+      schemaJson: String, adds: Seq[String], removes: Set[String],
+      stats: Map[String, Map[String, (Double, Double)]], chain: Int): Int = {
+    val v = base + 1
+    val body = (Seq(s"version=$v", s"op=$op", s"schema=$schemaJson",
+      s"base=$base", s"chain=$chain") ++
+      adds.map(f => s"add=$f") ++ removes.toSeq.sorted.map(f => s"remove=$f") ++
+      statLines(stats)).mkString("\n")
+    atomicCreate(root, v, body)
   }
 
   /** Read a snapshot: the latest version, or a pinned `version` (time
@@ -426,14 +512,29 @@ object SnapshotTable {
     val keepFrom = math.max(1, latest - keepVersions + 1)
     val live = (keepFrom to latest)
       .flatMap(v => readManifest(root, v).files).toSet
-    // earlier vacuums already removed some old manifests — skip the gaps
-    val dropped = (1 until keepFrom)
-      .filter(v => Files.exists(manifestPath(root, v)))
-      .flatMap(v => readManifest(root, v).files).toSet -- live
-    (1 until keepFrom).foreach { v =>
-      val p = manifestPath(root, v)
-      if (Files.exists(p)) Files.delete(p)
+    // chain closure: a surviving DELTA version still resolves through its
+    // base manifests — those files must stay on disk even when their
+    // versions are older than the retention line (they are resolution
+    // bases, not readable snapshots; their data-file references are pruned
+    // by the delta replay, so data liveness is unaffected)
+    val closure = scala.collection.mutable.Set.empty[Int]
+    (keepFrom to latest).foreach { v =>
+      var r = readRaw(root, v)
+      closure += v
+      while (r.base.isDefined && !closure(r.base.get)) {
+        closure += r.base.get
+        r = readRaw(root, r.base.get)
+      }
     }
+    // files referenced only by dropped versions: resolve BEFORE deleting
+    // their manifests; a version whose own chain was broken by an earlier
+    // vacuum is unresolvable — its files fall to the age-gated sweep
+    val droppable = (1 until keepFrom)
+      .filterNot(closure)
+      .filter(v => Files.exists(manifestPath(root, v)))
+    val dropped = droppable.flatMap(v =>
+      scala.util.Try(readManifest(root, v).files).getOrElse(Nil)).toSet -- live
+    droppable.foreach(v => Files.delete(manifestPath(root, v)))
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanRetentionMs)
     listDir(dataDir(root))(_.filter { p =>
       val name = p.getFileName.toString
