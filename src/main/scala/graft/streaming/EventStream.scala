@@ -147,6 +147,23 @@ object EventStream {
       .select(col("content_hash"), col(s"__f.$tsCol").as(tsCol),
         col(s"__f.$idCol").as(idCol))
 
+  /** A session whose streaming state lives in RocksDB instead of the
+    * default in-memory HDFSBackedStateStore — the scale path for the
+    * stateful ops here (sessionize, dedup, near-dup buckets): state spills
+    * to local disk with a bounded in-heap working set, so key cardinality
+    * is capped by executor DISK, not heap. `newSession()` shares the
+    * SparkContext but carries its own SQLConf, so the provider choice
+    * never leaks into other queries on the same cluster; queries capture
+    * the conf at start. Checkpoint compatibility: the provider is part of
+    * the checkpoint contract — restart a query under the SAME provider it
+    * began with. */
+  def withRocksDBStateStore(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s
+  }
+
   /** Wire a parquet-directory stream of events through the rollup to an
     * in-memory (testing) or file sink. Returns the started query. */
   def startFileStream(spark: SparkSession, inputDir: String, queryName: String,
