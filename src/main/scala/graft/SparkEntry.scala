@@ -530,6 +530,26 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- ANN: TRAINED product quantization (n3's doctrine applied to
+    // n6): k-means fits one codebook per subspace at runtime, the fitted
+    // centers export as exact Double.toString literals, and the whole
+    // assignment + ADC ranking replays in DuckDB against the pipeline's
+    // OWN trained codebooks — the oracle certifies the trained artifact,
+    // not a fixture. ------------------------------------------------------
+    "n7_pq_trained" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      val books = Embeddings.pqTrain(emb, "embedding",
+        numSubspaces = 4, k = 8, dim = 64, seed = 42L)
+      n7TrainedCodebooks = Some(books)
+      val coded = Embeddings.pqAssign(emb, "embedding", books)
+      Embeddings.pqTopK(coded, "vec_id",
+          emb.where(col("vec_id") < 8), "vec_id", "embedding",
+          books, k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- §2.2 P7-P9 rename/drop batch -----------------------------------
     "p4_rename_drop" -> ((s, dir) => {
       val renamed = Cleaning.renameByMap(
@@ -1996,9 +2016,56 @@ object SparkEntry {
          ORDER BY query_id, "rank""""
   }.toMap
 
+  @volatile private var n7TrainedCodebooks:
+      Option[Array[Array[(Int, Seq[Double])]]] = None
+
+  private def n7OracleEntry: Map[String, String] = n7TrainedCodebooks.map { books =>
+    // same replay as n6's fixed-codebook SQL, over the TRAINED centers —
+    // raw Double.toString literals parse to identical doubles in DuckDB
+    val values = (for { m <- books.indices; (cid, v) <- books(m) }
+      yield s"($m, $cid, [${v.map(_.toString).mkString(", ")}])")
+      .mkString(",\n           ")
+    "n7_pq_trained" ->
+      s"""WITH cents AS (
+           SELECT * FROM (VALUES $values) t(m, cid, cvec)),
+         uv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         scored_cents AS (
+           SELECT u.vec_id, c.m, c.cid,
+                  2.0 * list_dot_product(
+                    list_slice(u.v, c.m * 16 + 1, c.m * 16 + 16), c.cvec)
+                    - list_dot_product(c.cvec, c.cvec) AS s
+           FROM uv u CROSS JOIN cents c),
+         codes AS (
+           SELECT vec_id, m, cid AS code
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY s DESC, cid) AS rn FROM scored_cents)
+           WHERE rn = 1),
+         qlut AS (
+           SELECT vec_id AS query_id, m, cid, s
+           FROM scored_cents WHERE vec_id < 8),
+         pair_scores AS (
+           SELECT q.query_id, c.vec_id AS corpus_id, c.m, q.s
+           FROM codes c JOIN qlut q ON q.m = c.m AND q.cid = c.code
+           WHERE c.vec_id != q.query_id),
+         adc AS (
+           SELECT query_id, corpus_id,
+                  max(s) FILTER (WHERE m = 0) + max(s) FILTER (WHERE m = 1)
+                + max(s) FILTER (WHERE m = 2) + max(s) FILTER (WHERE m = 3) AS score
+           FROM pair_scores GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, corpus_id) AS "rank"
+           FROM adc)
+         SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 5
+         ORDER BY query_id, "rank""""
+  }.toMap
+
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
-      n3OracleEntry ++ Map(
+      n3OracleEntry ++ n7OracleEntry ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -298,6 +298,40 @@ object Embeddings {
     df.withColumn("pq_code", codes)
   }
 
+  /** Train PQ codebooks: one k-means per contiguous subspace over the
+    * corpus's subvectors — completes the ANN story (the round-8 verdict's
+    * item 7): [[pqAssign]]/[[pqTopK]] previously only accepted FIXED
+    * literal codebooks; this trains them at runtime, n3's doctrine — the
+    * TRAINER is engine-specific (spark.ml k-means), but the fitted centers
+    * export as plain doubles (Double.toString round-trips exactly), so
+    * assignment and ADC ranking replay bit-for-bit in SQL (n7's oracle).
+    *
+    * Returns `codebooks(m)` = (cid 0..k−1, center) for subspace m, the
+    * exact shape pqAssign requires. Seeded per-subspace (`seed + m`) so
+    * every codebook is an independent deterministic fit. At 100 TB the fit
+    * runs on a sample (k-means cost is per-pass; pass a `.sample` frame),
+    * while assignment stays a full single pass — the PQ contract. */
+  def pqTrain(df: DataFrame, vecCol: String, numSubspaces: Int, k: Int,
+      dim: Int, seed: Long = 42L,
+      maxIter: Int = 10): Array[Array[(Int, Seq[Double])]] = {
+    require(numSubspaces > 0 && dim % numSubspaces == 0,
+      s"dim $dim must split evenly into $numSubspaces subspaces")
+    val subdim = dim / numSubspaces
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = checkedVec(asDouble(col(vecCol)), dim, "pqTrain")
+    Array.tabulate(numSubspaces) { m =>
+      val fitInput = df
+        .select(array_to_vector(slice(v, m * subdim + 1, subdim)).as("__features"))
+        .coalesce(math.max(1,
+          df.sparkSession.sparkContext.defaultParallelism / 4)).cache()
+      val km = new KMeans().setK(k).setSeed(seed + m).setMaxIter(maxIter)
+        .setFeaturesCol("__features").setPredictionCol("__c")
+      val model = try km.fit(fitInput) finally fitInput.unpersist(blocking = false)
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }
+    }
+  }
+
   /** ADC (asymmetric-distance) top-k over PQ codes (n6): each query builds
     * a (subspace × centroid) lookup table of 2·dot(q_m, c) − dot(c,c)
     * scores once; a corpus row's approximate score is then the EXPLICIT

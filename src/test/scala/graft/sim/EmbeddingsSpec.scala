@@ -85,4 +85,38 @@ class EmbeddingsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("corpus_id")).toSeq
     assert(prunedTop == full && full == Seq(1L))
   }
+
+  test("pqTrain fits per-subspace codebooks pqAssign accepts; deterministic by seed") {
+    // two well-separated clusters per 2-dim subspace: trained centers must
+    // land near them and codes must separate the clusters
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 200).map { i =>
+      val hi = i % 2 == 0
+      (i.toLong, Seq.tabulate(4)(d =>
+        ((if (hi) 5.0 else -5.0) + rng.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val books = Embeddings.pqTrain(df, "embedding",
+      numSubspaces = 2, k = 2, dim = 4, seed = 9L)
+    assert(books.length == 2 && books.forall(_.length == 2))
+    assert(books.forall(_.forall(_._2.length == 2)))
+    // shape contract pqAssign enforces: cids exactly 0..k-1
+    assert(books.forall(cb => cb.map(_._1).sorted.sameElements(cb.indices)))
+    // each subspace's two centers straddle the two planted clusters
+    books.foreach { cb =>
+      val means = cb.map(_._2.sum / 2).sorted
+      assert(means(0) < -4 && means(1) > 4, s"centers missed the clusters: ${cb.toSeq}")
+    }
+    // deterministic: same seed, same fit
+    val again = Embeddings.pqTrain(df, "embedding",
+      numSubspaces = 2, k = 2, dim = 4, seed = 9L)
+    assert(books.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // codes separate the clusters: rows of one cluster share a code vector
+    val coded = Embeddings.pqAssign(df, "embedding", books)
+      .select($"vec_id", $"pq_code").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    val byCluster = coded.groupBy(_._1 % 2).view.mapValues(_.map(_._2).distinct)
+    assert(byCluster(0L).size == 1 && byCluster(1L).size == 1)
+    assert(byCluster(0L).head != byCluster(1L).head)
+  }
 }
