@@ -23,11 +23,51 @@ object Bench {
         java.nio.charset.StandardCharsets.UTF_8).split("\\s+")(0).toDouble
     catch { case NonFatal(_) => -1.0 } // non-Linux: record -1, never crash
 
+  /** Live count of WindowExec "No Partition Defined" WARNs — the runtime
+    * tripwire the round-8 verdict asked for: PlanAuditSpec proves which
+    * QUERY PLANS contain global windows, but a non-query code path (oracle
+    * prep, layout build) could hide one in the log noise. Counting per
+    * query at runtime and asserting every nonzero count is attributable to
+    * the whitelist closes that gap, and the per-query map goes into the
+    * artifact itself. */
+  private val windowWarns = new java.util.concurrent.atomic.AtomicLong
+  private def installWindowWarnCounter(): Unit = {
+    import org.apache.logging.log4j.core.LoggerContext
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[LoggerContext]
+    val appender = new org.apache.logging.log4j.core.appender.AbstractAppender(
+        "graftWindowWarnCounter", null,
+        org.apache.logging.log4j.core.layout.PatternLayout.createDefaultLayout(),
+        true, Array.empty) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        if (e.getLoggerName.endsWith("WindowExec") &&
+            e.getMessage.getFormattedMessage.contains("No Partition Defined"))
+          windowWarns.incrementAndGet(): Unit
+    }
+    appender.start()
+    val cfg = ctx.getConfiguration
+    cfg.getRootLogger.addAppender(appender, null, null)
+    ctx.updateLoggers()
+  }
+
+  // queries whose RUNTIME global-window warnings are deliberate: the three
+  // plan-audited ones (PlanAuditSpec.deliberateGlobalWindows) plus the
+  // bounded-frame stats chains that keep sequential windows for oracle
+  // bit-compat (FDR tv/sabha chains, empirical ROC curve twins — all
+  // distinct-score / strata-sized frames, never data-sized)
+  private val windowWarnWhitelist = Set(
+    "m3_tree_score", "p7_partition_prune", "w2_global_window",
+    "r8_roc_empirical", "r9_fdr_distributed", "r11_sabha_distributed",
+    "r14_tv_projection", "r15_fdr_family", "m1_decision_tree",
+    "m2_bayes_tune", "m4_fit_score", "m5_tune_score")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(3).max(1)
+    val warmups = sys.env.get("SPARK_GRAFT_BENCH_WARMUPS")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).getOrElse(1).max(0)
     val guard = sys.env.get("SPARK_GRAFT_LOAD_GUARD")
       .flatMap(s => scala.util.Try(s.trim.toDouble).toOption).getOrElse(2.0)
     // loadavg guard: contention inflates code-untouched queries 2-8x (the
@@ -64,17 +104,42 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    installWindowWarnCounter()
+    // UNTIMED warmup pass(es): one-time layout builds (z-order, snapshot,
+    // bucketed tables — keyed caches the s9/s10/p8/j5 family creates on
+    // first touch) and codegen compilation land here, so every TIMED pass
+    // is steady-state and the run band is comparable (round-8 verdict's
+    // artifact-hygiene item: sf1 pass 1 carried the one-time writes)
+    (1 to warmups).foreach { _ =>
+      selected.foreach { case (name, fn) =>
+        try { fn(spark, sfDir).count(): Unit }
+        catch { case t: Throwable => System.err.println(s"BENCH WARMUP FAIL $name: $t") }
+      }
+    }
     // N full passes; a query that fails in ANY pass is an error (flakiness
-    // must invalidate the record, not shrink it)
+    // must invalidate the record, not shrink it). Window warnings are
+    // attributed per (query, pass) via before/after counter snapshots.
+    val warnCounts = scala.collection.mutable.Map.empty[String, Long]
     val passes: Seq[Seq[(String, Double, Boolean)]] = (1 to runs).map { _ =>
       selected.map { case (name, fn) =>
+        val w0 = windowWarns.get()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
           catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val dw = windowWarns.get() - w0
+        if (dw > 0) warnCounts(name) = warnCounts.getOrElse(name, 0L) + dw
+        (name, dt, ok)
       }
     }
+    // the tripwire: every query that fired a runtime global-window warning
+    // must be on the deliberate list — anything else is a plan regression
+    val unattributed = warnCounts.keySet.filterNot(windowWarnWhitelist).toSeq.sorted
+    if (unattributed.nonEmpty)
+      System.err.println(
+        s"BENCH TRIPWIRE: unattributed global-window warnings from: " +
+          unattributed.mkString(","))
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // best-of-N per query: min over passes where the query succeeded
     val results: Seq[(String, Double, Boolean)] = selected.map { case (name, _) =>
@@ -117,9 +182,14 @@ object Bench {
     // stop Spark BEFORE emitting the metric so shutdown logging cannot land
     // after it: the JSON must be the final stdout line for tail capture
     spark.stop()
+    // attribution map is small (only warning-emitting queries) so it fits
+    // the metric line without threatening the tail capture
+    val warnJson = warnCounts.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // "protocol" flags that value = sum of per-query BEST-of-N times in one
-    // warm JVM — a composite no single pass achieved. Cross-round consumers
-    // must compare like protocols (or use run_totals[0], the cold pass).
-    println(s"""{"metric":"total","value":$value,"unit":"sec","protocol":"best-of-$runs-warm","failed":$nFailed,"sf":"$sfDir","runs":$runs,"run_totals":[${runTotals.mkString(",")}],"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"load_contaminated":$contaminated,"queries_file":"$queriesFile"}""")
+    // warm JVM after $warmups untimed warmup pass(es) — a composite no
+    // single pass achieved. Cross-round consumers must compare like
+    // protocols (or use run_totals[0]).
+    println(s"""{"metric":"total","value":$value,"unit":"sec","protocol":"best-of-$runs-warm","failed":$nFailed,"sf":"$sfDir","runs":$runs,"warmups":$warmups,"run_totals":[${runTotals.mkString(",")}],"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"load_contaminated":$contaminated,"window_warnings":$warnJson,"window_warnings_attributed":${unattributed.isEmpty},"queries_file":"$queriesFile"}""")
   }
 }
