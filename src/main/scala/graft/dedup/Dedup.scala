@@ -118,7 +118,8 @@ object Dedup {
   def minHashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-      seed: Long = 42L, maxBucketSize: Int = 500): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Int = 500,
+      recoverCapped: Boolean = true): DataFrame = {
     // staged projections: the native shingle-hash expression tokenizes and
     // hashes each row's n-grams in one byte pass (no string shingle arrays),
     // then the native signature expression folds all k permutations in one
@@ -142,7 +143,7 @@ object Dedup {
       .select(col("id"),
         minHashSignatureNative(col("__hs"), k, seed).as("sig"))
       .localCheckpoint()
-    val banded = sigs
+    val bandedAll = sigs
       .select(col("id"), bandHashes(col("sig"), k, bands).as("bh"))
       .select(col("id"), col("bh"),
         posexplode(col("bh")).as(Seq("band", "bucket")))
@@ -152,20 +153,56 @@ object Dedup {
       // standard LSH scale practice
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bucket"))))
-      .where(col("__bn") <= maxBucketSize).drop("__bn")
+    val banded = bandedAll.where(col("__bn") <= maxBucketSize).drop("__bn")
+    // CAP RECOVERY: the owning-band rule below would drop a pair whose
+    // first agreeing band was capped even when a LATER uncapped band still
+    // holds both rows. The capped (band, bucket) set is pathological-
+    // pileup-sized (telemetry scale, see minHashBucketReport), so it
+    // collects to a bounded driver set and rides the owning filter as a
+    // literal exclusion — the pair then emits from its first SURVIVING
+    // agreeing band. Degrades to the strict rule (with a loud stderr note)
+    // if the set ever exceeds the bound, instead of failing a 100 TB job.
+    val cappedPerBand: Option[Seq[Seq[Long]]] =
+      if (!recoverCapped) None
+      else {
+        val bound = 65536
+        val rows = bandedAll.where(col("__bn") > maxBucketSize)
+          .select(col("band"), col("bucket")).distinct()
+          .limit(bound + 1).collect()
+        if (rows.length > bound) {
+          System.err.println(s"minHashCandidates: > $bound capped buckets — " +
+            "recovery disabled, capped-owning pairs forfeit (raise the cap " +
+            "or re-shingle; see minHashBucketReport)")
+          None
+        } else if (rows.isEmpty) Some(Nil) // common case: nothing capped
+        else Some((0 until bands).map { bd =>
+          rows.collect { case r if r.getInt(0) == bd => r.getLong(1) }.toSeq
+        })
+      }
     // candidate generation carries ids + the band-hash array; a pair
     // colliding in several bands is emitted exactly once, by its OWNING band
     // (the lowest index where the two band-hash arrays agree — the streaming
-    // twin's contract, StreamingNearDup). The row-local filter replaces a
-    // full candidate-pair distinct() shuffle; a pair whose owning band fell
-    // to the bucket cap is dropped, as any capped bucket's pairs already are.
+    // twin's contract, StreamingNearDup), band indices restricted to
+    // SURVIVING buckets when the recovery set is available. The row-local
+    // filter replaces a full candidate-pair distinct() shuffle.
     val a = banded.alias("a")
     val b = banded.alias("b")
+    val owning: Column = cappedPerBand match {
+      case Some(capped) if capped.nonEmpty =>
+        val cappedLit = array(capped.map(s => typedLit(s)): _*)
+        col("a.band") === element_at(
+          filter(sequence(lit(0), lit(bands - 1)), i =>
+            element_at(col("a.bh"), i + 1) === element_at(col("b.bh"), i + 1) &&
+              !array_contains(element_at(cappedLit, i + 1),
+                element_at(col("a.bh"), i + 1))), 1)
+      case _ =>
+        col("a.band") + 1 === array_position(
+          zip_with(col("a.bh"), col("b.bh"), (x, y) => x === y), lit(true))
+    }
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .where(col("a.band") + 1 === array_position(
-        zip_with(col("a.bh"), col("b.bh"), (x, y) => x === y), lit(true)))
+      .where(owning)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     cand
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))

@@ -156,6 +156,43 @@ class ApproxDedupQualitySpec extends SparkSpec {
     assert(recall >= 0.95, f"recall $recall%.4f below floor at clique density")
   }
 
+  test("forced-tiny cap: recovery re-emits from surviving bands; loss bounded by pairs_at_risk") {
+    // cap 5 ≪ clique size 10 makes the cap BIND on the clique pileups —
+    // the round-8 verdict's missing measurement. Three candidate sets:
+    // uncapped truthy baseline (cap 500 never binds here), strict owning
+    // rule at cap 5 (recovery off), and the recovery path at cap 5.
+    val strong = cliqueTruth.filter(_._2 >= 0.7).keySet
+    def cands(cap: Int, recover: Boolean): Set[(Long, Long)] =
+      Dedup.minHashCandidates(cliqueCorpus, "doc_id", "text",
+          maxBucketSize = cap, recoverCapped = recover)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = cands(500, recover = true)
+    val strict = cands(5, recover = false)
+    val recovered = cands(5, recover = true)
+    // recovery only ADDS pairs the strict rule forfeited, and never
+    // invents one the uncapped run would not produce
+    assert(strict.subsetOf(recovered),
+      "recovery lost pairs the strict rule emitted")
+    assert(recovered.subsetOf(base),
+      "recovery invented pairs the uncapped run does not produce")
+    val rb = strong.count(base).toDouble / strong.size
+    val rs = strong.count(strict).toDouble / strong.size
+    val rr = strong.count(recovered).toDouble / strong.size
+    info(f"strong-pair recall: uncapped $rb%.4f, cap5-strict $rs%.4f, cap5-recovered $rr%.4f")
+    assert(rr >= rs, "recovery must not reduce recall")
+    assert(rr > rs, "cap 5 at clique density must give recovery something to recover")
+    // reconciliation: what the capped run still forfeits is bounded by the
+    // report's pairs_at_risk upper bound at the same cap
+    val lost = (base -- recovered).size.toLong
+    val report = Dedup.minHashBucketReport(cliqueCorpus, "doc_id", "text",
+      maxBucketSize = 5).collect()(0)
+    info(s"cap5 report: $report; pairs lost vs uncapped: $lost")
+    assert(report.getAs[Long]("buckets_capped") > 0L, "cap must bind in this spec")
+    assert(lost <= report.getAs[Long]("pairs_at_risk"),
+      s"lost $lost exceeds the report's pairs_at_risk upper bound")
+  }
+
   test("bucket-cap reports quantify what the cap discards, and agree with recall") {
     // at the spec's density nothing reaches the 500 cap — the report must
     // say so (zero discards ⇒ the recall floors above measure banding
