@@ -312,30 +312,72 @@ object Dedup {
     * the native codegen'd [[graft.expressions.SimHash64Expr]]; the HOF
     * [[simHash64]] stays as the pure-`functions` formulation. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucketSize: Int = 500): DataFrame = {
+      maxHamming: Int = 3, maxBucketSize: Int = 500,
+      recoverCapped: Boolean = true): DataFrame = {
     // same materialization rationale as minHashCandidates: the chunk
     // projection + self-join reference `sig` ~10×, and each inlined
     // reference re-runs the full text pass
     val sigs = df.select(col(idCol).as("id"),
       graft.expressions.SimHash64Expr.simhash64(col(textCol)).as("sig"))
       .localCheckpoint()
-    val chunks = sigs
+    val chunksAll = sigs
       .select(col("id"), col("sig"), posexplode(array(
         (0 until 4).map(i => expr(s"shiftright(sig, ${i * 16}) & 65535")): _*))
         .as(Seq("chunk", "chunk_val")))
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("chunk"), col("chunk_val"))))
-      .where(col("__bn") <= maxBucketSize).drop("__bn")
+    val chunks = chunksAll.where(col("__bn") <= maxBucketSize).drop("__bn")
+    // CAP RECOVERY (same contract as minHashCandidates): the owning-chunk
+    // rule below would drop a pair whose first agreeing chunk fell to the
+    // bucket cap even when a LATER uncapped chunk still holds both rows.
+    // Capped (chunk, chunk_val) buckets are pathological-pileup-sized, so
+    // they collect to a bounded driver set and the owning rule skips them —
+    // the pair then emits from its first SURVIVING agreeing chunk. Degrades
+    // to the strict rule (loudly) past the bound instead of failing the job.
+    val cappedPerChunk: Option[IndexedSeq[Seq[Long]]] =
+      if (!recoverCapped) None
+      else {
+        val bound = 65536
+        val rows = chunksAll.where(col("__bn") > maxBucketSize)
+          .select(col("chunk"), col("chunk_val")).distinct()
+          .limit(bound + 1).collect()
+        if (rows.length > bound) {
+          System.err.println(s"simHashNearDups: > $bound capped buckets — " +
+            "recovery disabled, capped-owning pairs forfeit (raise the cap; " +
+            "see simHashBucketReport)")
+          None
+        } else if (rows.isEmpty) Some(IndexedSeq.empty) // common: nothing capped
+        else Some((0 until 4).map { c =>
+          rows.collect { case r if r.getInt(0) == c => r.getLong(1) }.toSeq
+        })
+      }
     // owning-chunk single emission (same contract as minHashCandidates'
     // owning band): the signature is ONE long, so it rides along and the
     // first-agreeing-chunk index is recomputed row-locally from the two
-    // sigs — no candidate distinct() shuffle, no signature-fetch joins
+    // sigs — no candidate distinct() shuffle, no signature-fetch joins.
+    // With a non-empty capped set, "agreeing" additionally requires the
+    // shared chunk value to sit in a SURVIVING bucket (chunk count is a
+    // static 4, so the skip-list rides as four literal arrays).
     val a = chunks.alias("a"); val b = chunks.alias("b")
-    val agreeChunks = array((0 until 4).map(i =>
-      expr(s"(shiftright(a.sig, ${i * 16}) & 65535) = (shiftright(b.sig, ${i * 16}) & 65535)")): _*)
+    def chunkEq(i: Int): Column =
+      expr(s"(shiftright(a.sig, ${i * 16}) & 65535) = (shiftright(b.sig, ${i * 16}) & 65535)")
+    val owning: Column = cappedPerChunk match {
+      case Some(capped) if capped.nonEmpty =>
+        val ok = array((0 until 4).map { i =>
+          val surviving =
+            if (capped(i).isEmpty) lit(true)
+            else !array_contains(typedLit(capped(i)),
+              expr(s"shiftright(a.sig, ${i * 16}) & 65535"))
+          chunkEq(i) && surviving
+        }: _*)
+        col("a.chunk") + 1 === array_position(ok, lit(true))
+      case _ =>
+        col("a.chunk") + 1 === array_position(
+          array((0 until 4).map(chunkEq): _*), lit(true))
+    }
     a.join(b, col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") && col("a.id") < col("b.id"))
-      .where(col("a.chunk") + 1 === array_position(agreeChunks, lit(true)))
+      .where(owning)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
       .where(col("hamming") <= maxHamming)

@@ -193,6 +193,47 @@ class ApproxDedupQualitySpec extends SparkSpec {
       s"lost $lost exceeds the report's pairs_at_risk upper bound")
   }
 
+  test("forced-tiny cap: SimHash recovery re-emits from surviving chunks; loss bounded by pairs_at_risk") {
+    // same measurement as the MinHash forced-cap spec, for the 16-bit-chunk
+    // blocking: cap 5 ≪ clique size 10 binds on the chunk pileups. The
+    // exact-Hamming verification makes precision exact in every regime, so
+    // the three sets differ only in candidate recall.
+    val truth = {
+      val sigs = cliqueCorpus.select(col("doc_id"),
+          graft.expressions.SimHash64Expr.simhash64(col("text")).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      (for {
+        i <- sigs.indices.iterator; j <- (i + 1) until sigs.length
+        if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= 3
+      } yield (sigs(i)._1, sigs(j)._1)).toSet
+    }
+    def pairs(cap: Int, recover: Boolean): Set[(Long, Long)] =
+      Dedup.simHashNearDups(cliqueCorpus, "doc_id", "text",
+          maxBucketSize = cap, recoverCapped = recover)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairs(500, recover = true)     // cap never binds here
+    val strict = pairs(5, recover = false)
+    val recovered = pairs(5, recover = true)
+    assert(strict.subsetOf(recovered),
+      "recovery lost pairs the strict rule emitted")
+    assert(recovered.subsetOf(base),
+      "recovery invented pairs the uncapped run does not produce")
+    val rb = if (truth.isEmpty) 1.0 else truth.count(base).toDouble / truth.size
+    val rs = if (truth.isEmpty) 1.0 else truth.count(strict).toDouble / truth.size
+    val rr = if (truth.isEmpty) 1.0 else truth.count(recovered).toDouble / truth.size
+    info(f"hamming≤3 recall: uncapped $rb%.4f, cap5-strict $rs%.4f, cap5-recovered $rr%.4f " +
+      s"(${strict.size} strict, ${recovered.size} recovered, ${base.size} uncapped pairs)")
+    assert(rr > rs, "cap 5 at clique density must give recovery something to recover")
+    val lost = (base -- recovered).size.toLong
+    val report = Dedup.simHashBucketReport(cliqueCorpus, "doc_id", "text",
+      maxBucketSize = 5).collect()(0)
+    info(s"simhash cap5 report: $report; pairs lost vs uncapped: $lost")
+    assert(report.getAs[Long]("buckets_capped") > 0L, "cap must bind in this spec")
+    assert(lost <= report.getAs[Long]("pairs_at_risk"),
+      s"lost $lost exceeds the report's pairs_at_risk upper bound")
+  }
+
   test("bucket-cap reports quantify what the cap discards, and agree with recall") {
     // at the spec's density nothing reaches the 500 cap — the report must
     // say so (zero discards ⇒ the recall floors above measure banding
