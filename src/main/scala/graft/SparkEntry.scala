@@ -1362,6 +1362,41 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- S5 extension: stats-pruned copy-on-write DELETE + file-diff
+    // CHANGE FEED. Three single-file appends partition the key range, so
+    // the delete's manifest-envelope prune touches exactly ONE file (the
+    // query requires it); a final compact packs the layout and the change
+    // feed must report NOTHING for it (dataChange = false). The oracle
+    // replays every insert/delete event relationally, so the hash match
+    // certifies the whole write→delete→compact→changes round trip. ------
+    "s11_changes_read" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s11-${ProcessHandle.current().pid()}/nation_cdc_$sfx"
+      val nat = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val S = graft.sources.SnapshotTable
+      if (S.latestVersion(root) == 0) {
+        S.write(nat.where(col("n_nationkey") < 10).coalesce(1), root,
+          mode = "overwrite", statsCols = Seq("n_nationkey"))        // v1
+        S.write(nat.where(col("n_nationkey").between(10, 19)).coalesce(1),
+          root, mode = "append", statsCols = Seq("n_nationkey"))     // v2
+        S.write(nat.where(col("n_nationkey") >= 20).coalesce(1), root,
+          mode = "append", statsCols = Seq("n_nationkey"))           // v3
+        val (_, rewritten, _) = S.deleteWhere(s, root,
+          col("n_nationkey").between(12, 17),
+          pruneHint = Some(("n_nationkey", 12.0, 17.0)))                 // v4
+        require(rewritten == 1,
+          s"delete should rewrite exactly the one hit file, got $rewritten")
+        S.compact(s, root, targetBytes = 64L << 20)                  // v5
+      }
+      require(S.readManifest(root, S.latestVersion(root)).op == "compact")
+      S.readChanges(s, root, fromVersion = 1)
+        .orderBy(col("_change_version"), col("_change_type"),
+          col("n_nationkey"))
+    }),
+
     // ---- §2.3 outer join: customers with/without orders -----------------
     "j4_outer_join" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -2558,6 +2593,27 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
          FROM customer WHERE c_custkey <= 800
          ORDER BY c_custkey""",
+
+    // s11: the change feed replayed relationally — appends land as
+    // inserts at their commit version, the pruned DELETE reports the hit
+    // file's rows out (delete) and its survivors back in (insert), and
+    // the compact commit contributes nothing (dataChange = false)
+    "s11_changes_read" ->
+      """WITH ch AS (
+           SELECT n_nationkey, n_name, n_regionkey,
+                  'insert' AS _change_type, 2 AS _change_version
+           FROM nation WHERE n_nationkey BETWEEN 10 AND 19
+           UNION ALL
+           SELECT n_nationkey, n_name, n_regionkey, 'insert', 3
+           FROM nation WHERE n_nationkey >= 20
+           UNION ALL
+           SELECT n_nationkey, n_name, n_regionkey, 'delete', 4
+           FROM nation WHERE n_nationkey BETWEEN 10 AND 19
+           UNION ALL
+           SELECT n_nationkey, n_name, n_regionkey, 'insert', 4
+           FROM nation WHERE n_nationkey IN (10, 11, 18, 19))
+         SELECT * FROM ch
+         ORDER BY _change_version, _change_type, n_nationkey""",
 
     // p8: the z-ordered copy must answer exactly like the raw table
     "p8_zorder_scan" ->

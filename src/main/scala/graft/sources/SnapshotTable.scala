@@ -402,6 +402,139 @@ object SnapshotTable {
     if (committed > 0) committed else result
   }
 
+  /** Copy-on-write DELETE: removes rows matching `condition` by rewriting
+    * ONLY the files that actually contain matches, in two file-level skip
+    * stages (the Delta/Iceberg DELETE design):
+    *
+    *  1. `pruneHint = (col, lo, hi)`: files whose manifest [min, max]
+    *     envelope on `col` misses [lo, hi] are skipped WITHOUT reading
+    *     them (use when the predicate implies a range on a stats column);
+    *  2. one scan of the surviving candidates finds the files with ≥1
+    *     matching row (`input_file_name` distinct) — envelope-loose files
+    *     with no real match keep their bytes untouched.
+    *
+    * Hit files rewrite as a group (filter keeps rows where the condition
+    * is false OR NULL — SQL DELETE semantics) and commit as a DELTA
+    * (remove hits, add rewrites), so commit cost is O(changed files).
+    * Concurrency mirrors [[compact]]: a lost race re-bases over appends
+    * (file-local rewrites stay exact — appends only add files) and
+    * restarts from scratch when an input file vanished (concurrent
+    * overwrite/merge/compact). Returns (version, filesRewritten,
+    * filesSkipped); an all-skip delete commits nothing and returns the
+    * current version. */
+  def deleteWhere(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column,
+      pruneHint: Option[(String, Double, Double)] = None): (Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{col => fcol, input_file_name, coalesce, lit}
+    var done: Option[(Int, Int, Int)] = None
+    while (done.isEmpty) {
+      val base = latestVersion(root)
+      require(base > 0, s"snapshot table at $root has no committed version")
+      val m = readManifest(root, base)
+      val candidates = pruneHint match {
+        case Some((c, lo, hi)) => m.files.filter { f =>
+          m.stats.get(f).flatMap(_.get(c)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true // no envelope: cannot skip
+          }
+        }
+        case None => m.files
+      }
+      if (candidates.isEmpty) done = Some((base, 0, m.files.size))
+      else {
+        val candPaths = candidates.map(f => dataDir(root).resolve(f).toString)
+        // ONE job over the candidates to find files with real matches —
+        // input_file_name() distinct is file-count-sized, never row-sized
+        val hitPaths = spark.read.schema(m.schema).parquet(candPaths: _*)
+          .where(condition).select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val hits = candidates.filter(f =>
+          hitPaths.exists(_.endsWith("/" + f)))
+        if (hits.isEmpty) done = Some((base, 0, m.files.size))
+        else {
+          val statsCols =
+            m.stats.valuesIterator.flatMap(_.keysIterator).toSet.toSeq.sorted
+          val kept = spark.read.schema(m.schema)
+            .parquet(hits.map(f => dataDir(root).resolve(f).toString): _*)
+            .where(!coalesce(condition, lit(false)))
+            .coalesce(math.max(1, hits.size))
+          val staged = stage(kept, root)
+          val stagedStats = footerStats(root, staged, statsCols)
+          val inputs = hits.toSet
+          var committed = -1
+          var stale = false
+          var attemptRaw = readRaw(root, base)
+          while (committed < 0 && !stale) {
+            committed = commitChange(root, attemptRaw, "delete",
+              attemptRaw.schema.json, adds = staged, removes = inputs,
+              addStats = stagedStats)
+            if (committed < 0) {
+              val head = latestVersion(root)
+              if (inputs.forall(readManifest(root, head).files.contains))
+                attemptRaw = readRaw(root, head)
+              else stale = true // inputs rewritten underneath us — restart
+            }
+          }
+          if (committed > 0)
+            done = Some((committed, hits.size, m.files.size - hits.size))
+          // else stale: abandoned staged files become vacuum-able orphans
+        }
+      }
+    }
+    done.get
+  }
+
+  /** File-diff CHANGE FEED between two committed versions — the CDC read
+    * the open formats expose (Delta CDF without per-commit change files:
+    * computed from the manifest chain alone). For each version in
+    * (`fromVersion`, `toVersion`]: files that ENTER the live set carry
+    * their rows as `_change_type = 'insert'`, files that LEAVE it as
+    * `'delete'`, each stamped `_change_version`. Versions whose op is
+    * `compact` are SKIPPED — compaction changes layout, not data (the
+    * `dataChange = false` contract of OPTIMIZE) — and a file both added
+    * and removed inside the window by a later rewrite reports both events
+    * (the row was visible in between). A full-rewrite commit (overwrite /
+    * merge) honestly reports delete-all + insert-all; row-level netting
+    * is the caller's relational job, not the format's.
+    *
+    * Files are read with THEIR version's manifest schema and unioned by
+    * name (schema evolution adds columns; missing ones backfill NULL), so
+    * a changes read spanning an evolution is well-typed. Requires the
+    * versions in the window to still exist (not vacuumed). */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Int,
+      toVersion: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val to = toVersion.getOrElse(latestVersion(root))
+    require(fromVersion >= 1 && to >= fromVersion,
+      s"bad change window [$fromVersion, $to]")
+    var prevLive = readManifest(root, fromVersion).files.toSet
+    // (version, change_type, files, that version's schema)
+    val events = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Seq[String], StructType)]
+    ((fromVersion + 1) to to).foreach { v =>
+      val m = readManifest(root, v)
+      val live = m.files.toSet
+      if (m.op != "compact") {
+        val added = m.files.filterNot(prevLive)
+        val removed = prevLive.diff(live).toSeq.sorted
+        if (added.nonEmpty) events += ((v, "insert", added, m.schema))
+        if (removed.nonEmpty) events += ((v, "delete", removed, m.schema))
+      }
+      prevLive = live
+    }
+    val headSchema = readManifest(root, to).schema
+    val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], headSchema)
+      .withColumn("_change_type", lit(null).cast("string"))
+      .withColumn("_change_version", lit(null).cast("int"))
+    events.map { case (v, tpe, files, schema) =>
+      spark.read.schema(schema)
+        .parquet(files.map(f => dataDir(root).resolve(f).toString): _*)
+        .withColumn("_change_type", lit(tpe))
+        .withColumn("_change_version", lit(v))
+    }.foldLeft(empty)((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   /** Stage `df`'s part files into the table's data dir under a
     * commit-unique prefix; returns the staged file names. Staging writes
     * UNDER THE TABLE ROOT (same filesystem as data/, so the ATOMIC_MOVE

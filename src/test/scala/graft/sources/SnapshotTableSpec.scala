@@ -353,4 +353,112 @@ class SnapshotTableSpec extends SparkSpec {
     val dataFiles = Files.list(Paths.get(root, "data")).count()
     assert(dataFiles == SnapshotTable.readManifest(root, 3).files.size)
   }
+
+  test("deleteWhere rewrites only hit files; envelope prune skips without reading") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    // three single-file commits partitioning the key space, envelopes on k
+    SnapshotTable.write((1 to 10).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), root, statsCols = Seq("k"))
+    SnapshotTable.write((11 to 20).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), root, mode = "append", statsCols = Seq("k"))
+    SnapshotTable.write((21 to 30).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), root, mode = "append", statsCols = Seq("k"))
+    val (v, rewritten, skipped) = SnapshotTable.deleteWhere(spark, root,
+      col("k").between(14, 17), pruneHint = Some(("k", 14.0, 17.0)))
+    assert(v == 4 && rewritten == 1 && skipped == 2,
+      s"expected 1 rewrite / 2 envelope skips, got ($v, $rewritten, $skipped)")
+    assert(SnapshotTable.read(spark, root).as[(Int, String)].collect()
+      .map(_._1).toSet == ((1 to 30).toSet -- (14 to 17)))
+    // untouched files keep their envelopes; the rewrite re-derives its own,
+    // so a later pruned read still skips
+    val m = SnapshotTable.readManifest(root, v)
+    assert(m.files.forall(f => m.stats.get(f).exists(_.contains("k"))))
+    // second delete with no matches commits nothing
+    val (v2, r2, _) = SnapshotTable.deleteWhere(spark, root,
+      col("k") === 15, pruneHint = Some(("k", 15.0, 15.0)))
+    assert(v2 == v && r2 == 0, "no-match delete must not commit a version")
+  }
+
+  test("deleteWhere keeps NULL-condition rows (SQL DELETE semantics)") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    SnapshotTable.write(Seq((Some(1), "a"), (None, "nullk"), (Some(3), "c"))
+      .toDF("k", "v"), root)
+    SnapshotTable.deleteWhere(spark, root, col("k") > 2)
+    // k=NULL makes (k > 2) NULL — DELETE must NOT remove that row
+    assert(SnapshotTable.read(spark, root).select("v").as[String]
+      .collect().toSet == Set("a", "nullk"))
+  }
+
+  test("readChanges: appends insert, delete reports out+in, compact is dataChange=false") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    SnapshotTable.write((1 to 5).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), root, statsCols = Seq("k"))                        // v1
+    SnapshotTable.write((6 to 10).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), root, mode = "append", statsCols = Seq("k"))       // v2
+    SnapshotTable.deleteWhere(spark, root, col("k").between(7, 8),
+      pruneHint = Some(("k", 7.0, 8.0)))                                   // v3
+    SnapshotTable.compact(spark, root, targetBytes = 1L << 20)         // v4
+    assert(SnapshotTable.readManifest(root, 4).op == "compact")
+    val ch = SnapshotTable.readChanges(spark, root, fromVersion = 1)
+      .select("k", "_change_type", "_change_version")
+      .as[(Int, String, Int)].collect().toSet
+    val expected =
+      (6 to 10).map(i => (i, "insert", 2)).toSet ++        // append
+      (6 to 10).map(i => (i, "delete", 3)).toSet ++        // hit file out
+      Set(6, 9, 10).map(i => (i, "insert", 3))             // survivors back
+    assert(ch == expected, s"change feed mismatch: $ch")
+    // a window past the compact sees nothing at all
+    assert(SnapshotTable.readChanges(spark, root, fromVersion = 3).count() == 0L)
+  }
+
+  test("readChanges spans schema evolution: old-file events backfill NULL") {
+    val root = freshRoot()
+    SnapshotTable.write(Seq((1, "a")).toDF("k", "v"), root)            // v1
+    SnapshotTable.write(Seq((2, "b", 9.5)).toDF("k", "v", "score"),
+      root, mode = "append", mergeSchema = true)                       // v2
+    SnapshotTable.write(Seq((3, "c", 1.0)).toDF("k", "v", "score"), root) // v3 overwrite
+    val ch = SnapshotTable.readChanges(spark, root, fromVersion = 1)
+    assert(ch.columns.toSet ==
+      Set("k", "v", "score", "_change_type", "_change_version"))
+    val rows = ch.select("k", "score", "_change_type", "_change_version")
+      .as[(Int, Option[Double], String, Int)].collect().toSet
+    // the overwrite at v3 honestly reports the v1 and v2 files out — the
+    // v1 rows never carried `score`, so the event backfills NULL
+    assert(rows == Set(
+      (2, Some(9.5), "insert", 2),
+      (1, None, "delete", 3), (2, Some(9.5), "delete", 3),
+      (3, Some(1.0), "insert", 3)), s"evolved change feed mismatch: $rows")
+  }
+
+  test("deleteWhere races a concurrent appender: no lost rows, both commits land") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    (1 to 4).foreach { i =>
+      SnapshotTable.write(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1),
+        root, mode = if (i == 1) "overwrite" else "append")
+    }
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    pool.submit(new Runnable { def run(): Unit =
+      try { start.await()
+        SnapshotTable.deleteWhere(spark, root, col("id") === 2L): Unit }
+      catch { case t: Throwable => errors.add(t) } })
+    pool.submit(new Runnable { def run(): Unit =
+      try { start.await()
+        (5 to 7).foreach { i =>
+          SnapshotTable.write(Seq((i.toLong, s"r$i")).toDF("id", "v")
+            .coalesce(1), root, mode = "append") } }
+      catch { case t: Throwable => errors.add(t) } })
+    start.countDown(); pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "racers timed out")
+    assert(errors.isEmpty, s"racer failed: ${errors.peek()}")
+    assert(SnapshotTable.read(spark, root).as[(Long, String)].collect().toSet
+      == ((1 to 7).toSet - 2).map(i => (i.toLong, s"r$i")),
+      "delete/append race lost rows")
+  }
 }
