@@ -1432,6 +1432,25 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- bloom-prefiltered join (identical results to the plain join):
+    // a sketch of the selective dim's key set drops non-matching fact rows
+    // BEFORE the join's exchange — only might-match rows shuffle; the
+    // exact join behind the filter removes the fpp false positives. The
+    // membership test is a native codegen expression, never a UDF. ------
+    "j8_bloom_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      graft.ops.Bloom.prefilteredJoin(li, urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 1L << 20, fpp = 0.03)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+            .as("qty"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- hot-key-isolated join (identical results to the plain join):
     // the hotKeys head joins via broadcast of its right slice — hot rows
     // never shuffle — while the tail takes the normal path --------------
@@ -2678,6 +2697,15 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n,
                 round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    // j8: the bloom pre-filter must be output-invariant — oracle = the
+    // plain join on the selective dim (false positives die in the join)
+    "j8_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     // j6: hot-key isolation must be output-invariant — oracle = plain join

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.expressions.BloomMightContainExpr
+
+/** Bloom-filter semi-join pre-filtering — the shuffle-reduction pattern for
+  * a fact⋈dim join where the dim side is too large to broadcast-hash-join
+  * but its KEY SET fits a bloom sketch. Build once over the dim keys
+  * (`Dataset.stat.bloomFilter`, a distributed treeAggregate; the sketch —
+  * not the keys — comes back to the driver), then drop fact rows whose key
+  * cannot be present BEFORE the join's shuffle. At fact ≫ matches, the
+  * shuffle moves `fpp` of the non-matching rows instead of all of them.
+  *
+  * Spark's own runtime bloom filter (`spark.sql.optimizer.runtime
+  * .bloomFilter.enabled`) injects the same shape automatically when the
+  * creation side is already filtered and stats make it look worthwhile;
+  * this operator is for the cases the optimizer cannot see — a dim whose
+  * selectivity comes from upstream computation, a reused filter across
+  * several fact scans, or a pipeline that builds the sketch once per day.
+  *
+  * Scale guard: the sketch's size is `expectedItems`-driven (~1.2 bytes
+  * per item at 3% fpp). `maxSketchBytes` refuses a bloom too big to ship
+  * per-task (Spark's own runtime filter caps at 8 MB by default) — raise
+  * it deliberately or raise `fpp` instead.
+  */
+object Bloom {
+
+  /** Approximate pre-filter: rows of `fact` whose `factKey` (long) might be
+    * in `dim`'s `dimKey` set. False positives pass through (fpp-bounded);
+    * false negatives cannot occur. */
+  def semiFilter(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedItems: Long, fpp: Double = 0.03,
+      maxSketchBytes: Long = 64L << 20): DataFrame = {
+    val bloom = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
+    val bytes = bloom.bitSize() / 8
+    require(bytes <= maxSketchBytes,
+      s"bloom sketch is $bytes bytes (> $maxSketchBytes): raise fpp or " +
+        "maxSketchBytes, or broadcast-join instead")
+    fact.where(BloomMightContainExpr.mightContain(col(factKey), bloom))
+  }
+
+  /** Exact inner join with the bloom pre-filter in front: identical result
+    * to `fact.join(dim, fact(factKey) === dim(dimKey))` — the join removes
+    * the sketch's false positives — but only might-match fact rows reach
+    * the join's exchange. */
+  def prefilteredJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, expectedItems: Long, fpp: Double = 0.03): DataFrame = {
+    val pre = semiFilter(fact, dim, factKey, dimKey, expectedItems, fpp)
+    pre.join(dim, pre(factKey) === dim(dimKey))
+  }
+}

@@ -171,6 +171,18 @@ class PlanQualitySpec extends SparkSpec {
     assert("BroadcastExchange".r.findAllIn(p).length >= 3, p)
   }
 
+  test("j8: bloom pre-filter sits below the join's exchange on the fact side") {
+    val p = plan("j8_bloom_join")
+    // the membership test must run BEFORE rows shuffle: in the plan text
+    // the fact-side Exchange's child subtree contains the bloom filter
+    val filterAt = p.indexOf("graft_bloom_might_contain")
+    assert(filterAt >= 0, p)
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0 && joinAt < filterAt,
+      "bloom filter should be in a join input subtree (below the join)\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("j5: bucketed fact-fact join + key agg plan with zero hash exchanges") {
     val p = plan("j5_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
