@@ -50,6 +50,23 @@ object Bench {
     ctx.updateLoggers()
   }
 
+  /** Prove the counter is actually armed: the tripwire silently disarms if
+    * WindowExec WARNs never reach the root logger (a stricter log4j2 config,
+    * a level change), and then `window_warnings_attributed:true` with zero
+    * counts is indistinguishable from a genuinely clean run. Emit one known
+    * WARN through a WindowExec-suffixed logger and check the counter moved;
+    * the artifact records the result so a disarmed run is self-describing.
+    * Runs BEFORE any timed query, so the probe never pollutes attribution. */
+  private def selfCheckWindowWarnCounter(): Boolean = {
+    val before = windowWarns.get()
+    org.apache.logging.log4j.LogManager
+      .getLogger("graft.selfcheck.WindowExec")
+      .warn("No Partition Defined for Window operation! (bench self-check)")
+    val armed = windowWarns.get() > before
+    windowWarns.set(before) // the probe must not count toward any query
+    armed
+  }
+
   // queries whose RUNTIME global-window warnings are deliberate: the three
   // plan-audited ones (PlanAuditSpec.deliberateGlobalWindows) plus the
   // bounded-frame stats chains that keep sequential windows for oracle
@@ -116,11 +133,20 @@ object Bench {
         catch { case t: Throwable => System.err.println(s"BENCH WARMUP FAIL $name: $t") }
       }
     }
+    val warnArmed = selfCheckWindowWarnCounter()
+    if (!warnArmed)
+      System.err.println("BENCH TRIPWIRE DISARMED: WindowExec WARNs are not " +
+        "reaching the root logger; window_warnings will undercount")
     // N full passes; a query that fails in ANY pass is an error (flakiness
     // must invalidate the record, not shrink it). Window warnings are
-    // attributed per (query, pass) via before/after counter snapshots.
-    val warnCounts = scala.collection.mutable.Map.empty[String, Long]
-    val passes: Seq[Seq[(String, Double, Boolean)]] = (1 to runs).map { _ =>
+    // attributed per (query, pass) via before/after counter snapshots; the
+    // per-pass breakdown is kept so the artifact can assert the count is a
+    // function of the PLAN (constant across passes), not of accumulated
+    // state — a count that grows pass-over-pass means a window is being
+    // re-evaluated more times as the session ages, which is how a
+    // days-sized dim-max window quietly becomes a data-sized one.
+    val warnPerPass = scala.collection.mutable.Map.empty[String, Vector[Long]]
+    val passes: Seq[Seq[(String, Double, Boolean)]] = (1 to runs).map { pass =>
       selected.map { case (name, fn) =>
         val w0 = windowWarns.get()
         val t0 = System.nanoTime()
@@ -129,10 +155,27 @@ object Bench {
           catch { case t: Throwable => System.err.println(s"BENCH FAIL $name: $t"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         val dw = windowWarns.get() - w0
-        if (dw > 0) warnCounts(name) = warnCounts.getOrElse(name, 0L) + dw
+        if (dw > 0 || warnPerPass.contains(name)) {
+          val prev = warnPerPass.getOrElse(name, Vector.fill(pass - 1)(0L))
+          // pad with zeros for passes where this query emitted nothing
+          val padded = prev ++ Vector.fill(pass - 1 - prev.length)(0L)
+          warnPerPass(name) = padded :+ dw
+        }
         (name, dt, ok)
       }
     }
+    val warnCounts: Map[String, Long] =
+      warnPerPass.view.mapValues(_.sum).filter(_._2 > 0).toMap
+    // stability: every warning-emitting query must emit the SAME count each
+    // pass (p7's 30 = 3 passes x 10 is the r9 baseline; growth = regression)
+    val warnUnstable = warnPerPass.filter { case (_, v) =>
+      val full = v ++ Vector.fill(runs - v.length)(0L)
+      full.distinct.length > 1
+    }.keys.toSeq.sorted
+    if (warnUnstable.nonEmpty)
+      System.err.println(
+        s"BENCH TRIPWIRE: per-pass global-window warning counts not constant " +
+          s"for: ${warnUnstable.mkString(",")}")
     // the tripwire: every query that fired a runtime global-window warning
     // must be on the deliberate list — anything else is a plan regression
     val unattributed = warnCounts.keySet.filterNot(windowWarnWhitelist).toSeq.sorted
@@ -186,10 +229,17 @@ object Bench {
     // the metric line without threatening the tail capture
     val warnJson = warnCounts.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val warnPerPassJson = warnPerPass.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k + "\":[" + (v ++ Vector.fill(runs - v.length)(0L)).mkString(",") + "]"
+      }.mkString("{", ",", "}")
     // "protocol" flags that value = sum of per-query BEST-of-N times in one
     // warm JVM after $warmups untimed warmup pass(es) — a composite no
     // single pass achieved. Cross-round consumers must compare like
-    // protocols (or use run_totals[0]).
-    println(s"""{"metric":"total","value":$value,"unit":"sec","protocol":"best-of-$runs-warm","failed":$nFailed,"sf":"$sfDir","runs":$runs,"warmups":$warmups,"run_totals":[${runTotals.mkString(",")}],"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"load_contaminated":$contaminated,"window_warnings":$warnJson,"window_warnings_attributed":${unattributed.isEmpty},"queries_file":"$queriesFile"}""")
+    // protocols (or use run_totals[0]). The per-query best map rides ON the
+    // metric line (round-9 verdict: per-query regressions were invisible at
+    // sf0.1 because the map lived only in the side file) — ~2.5 KB for 112
+    // queries; the side file stays as the redundancy copy.
+    println(s"""{"metric":"total","value":$value,"unit":"sec","protocol":"best-of-$runs-warm","failed":$nFailed,"sf":"$sfDir","runs":$runs,"warmups":$warmups,"queries":$qs,"run_totals":[${runTotals.mkString(",")}],"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"load_contaminated":$contaminated,"warn_counter_armed":$warnArmed,"window_warnings":$warnJson,"window_warnings_per_pass":$warnPerPassJson,"window_warnings_stable":${warnUnstable.isEmpty},"window_warnings_attributed":${unattributed.isEmpty},"queries_file":"$queriesFile"}""")
   }
 }

@@ -619,10 +619,14 @@ object SparkEntry {
     // spec-pinned twin (StatsSpec); exact enumeration is ★r12.
     "r1_perm_test" -> ((s, dir) => {
       import s.implicits._
+      // the PK rides along as gate-hash salt so duplicate prices gate
+      // independently (row-level subsample, not duplicate-class-level)
       val li = t(s, dir, "lineitem")
-        .select((col("l_returnflag") === "R").as("is_return"), col("l_extendedprice"))
+        .select((col("l_returnflag") === "R").as("is_return"),
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
       val p = PermutationTest.onColumnsDistributed(li, "is_return",
-        "l_extendedprice", nPerm = 999, seed = 42L, maxRows = 1 << 18)
+        "l_extendedprice", nPerm = 999, seed = 42L, maxRows = 1 << 18,
+        hashCols = Seq("l_orderkey", "l_linenumber"))
       Seq(("price_by_returnflag", p)).toDF("test", "p_value")
     }),
 
@@ -1395,6 +1399,47 @@ object SparkEntry {
       S.readChanges(s, root, fromVersion = 1)
         .orderBy(col("_change_version"), col("_change_type"),
           col("n_nationkey"))
+    }),
+
+    // ---- S5 extension: ROW-LEVEL change capture (the Delta CDF
+    // contract). A merge and a delete committed with changeCapture=true
+    // record their EXACT changed rows as manifest-referenced cdc files
+    // (update_preimage / update_postimage / insert; delete); the change
+    // feed replays those verbatim instead of the file-diff fallback's
+    // rewrite-amplified delete+insert pairs. The query asserts the
+    // amplification is gone — the merge rewrote every file of the
+    // ~500-row table, yet its feed slice is exactly 2·matched + inserted
+    // events — and the oracle replays each commit's changed rows
+    // relationally, so the hash match certifies the captured rows, their
+    // change types, and their version stamps all at once. --------------
+    "s12_cdc_rowlevel" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s12-${ProcessHandle.current().pid()}/cust_cdc_$sfx"
+      val S = graft.sources.SnapshotTable
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      if (S.latestVersion(root) == 0) {
+        S.write(cust.where(col("c_custkey") <= 500).coalesce(1), root,
+          mode = "overwrite")                                          // v1
+        S.merge(cust.where(col("c_custkey").between(450, 520))
+            .withColumn("c_acctbal", round(col("c_acctbal") + 1000, 2)),
+          root, Seq("c_custkey"), changeCapture = true)                // v2
+        S.deleteWhere(s, root, col("c_custkey").between(100, 120),
+          changeCapture = true)                                        // v3
+      }
+      val feed = S.readChanges(s, root, fromVersion = 1)
+      val nMatch = cust.where(col("c_custkey").between(450, 500)).count()
+      val nIns = cust.where(col("c_custkey").between(501, 520)).count()
+      val v2Events = feed.where(col("_change_version") === 2).count()
+      require(v2Events == 2 * nMatch + nIns,
+        s"merge change feed amplified: $v2Events events for " +
+          s"$nMatch matched + $nIns inserted rows")
+      feed.select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("acctbal"),
+          col("_change_type"), col("_change_version"))
+        .orderBy(col("_change_version"), col("_change_type"), col("c_custkey"))
     }),
 
     // ---- §2.3 outer join: customers with/without orders -----------------
@@ -2633,6 +2678,35 @@ object SparkEntry {
            FROM nation WHERE n_nationkey IN (10, 11, 18, 19))
          SELECT * FROM ch
          ORDER BY _change_version, _change_type, n_nationkey""",
+
+    // s12: the row-level change feed replayed relationally — the merge
+    // contributes preimage/postimage pairs for matched keys plus inserts
+    // for new keys (never the rewrite's untouched rows), the delete
+    // contributes exactly the removed rows
+    "s12_cdc_rowlevel" ->
+      """WITH b AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey <= 500),
+         u AS (
+           SELECT c_custkey, c_mktsegment, round(c_acctbal + 1000, 2) AS c_acctbal
+           FROM customer WHERE c_custkey BETWEEN 450 AND 520),
+         ch AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal,
+                  'update_preimage' AS _change_type, 2 AS _change_version
+           FROM b WHERE c_custkey BETWEEN 450 AND 500
+           UNION ALL
+           SELECT c_custkey, c_mktsegment, c_acctbal, 'update_postimage', 2
+           FROM u WHERE c_custkey <= 500
+           UNION ALL
+           SELECT c_custkey, c_mktsegment, c_acctbal, 'insert', 2
+           FROM u WHERE c_custkey > 500
+           UNION ALL
+           SELECT c_custkey, c_mktsegment, c_acctbal, 'delete', 3
+           FROM b WHERE c_custkey BETWEEN 100 AND 120)
+         SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+                _change_type, _change_version
+         FROM ch
+         ORDER BY _change_version, _change_type, c_custkey""",
 
     // p8: the z-ordered copy must answer exactly like the raw table
     "p8_zorder_scan" ->

@@ -189,11 +189,17 @@ object Dedup {
     val b = banded.alias("b")
     val owning: Column = cappedPerBand match {
       case Some(capped) if capped.nonEmpty =>
-        val cappedLit = array(capped.map(s => typedLit(s)): _*)
+        // the skip-list rides as a BROADCAST of per-band sorted arrays and
+        // each probe is a codegen binary search — O(log n) per row and a
+        // handle-sized task binary, vs the literal-array array_contains
+        // form whose per-row linear scan and ~0.5 MB plan literal grew
+        // with the capped set (round-9 advisory)
+        val bc = df.sparkSession.sparkContext.broadcast(
+          capped.map(_.toArray.sorted).toArray)
         col("a.band") === element_at(
           filter(sequence(lit(0), lit(bands - 1)), i =>
             element_at(col("a.bh"), i + 1) === element_at(col("b.bh"), i + 1) &&
-              !array_contains(element_at(cappedLit, i + 1),
+              !graft.expressions.CappedBucketContains.contains(bc, i,
                 element_at(col("a.bh"), i + 1))), 1)
       case _ =>
         col("a.band") + 1 === array_position(
@@ -363,10 +369,15 @@ object Dedup {
       expr(s"(shiftright(a.sig, ${i * 16}) & 65535) = (shiftright(b.sig, ${i * 16}) & 65535)")
     val owning: Column = cappedPerChunk match {
       case Some(capped) if capped.nonEmpty =>
+        // broadcast + codegen binary search, same rationale as the
+        // minHashCandidates skip-list (round-9 advisory: the literal-array
+        // probe scanned O(|capped|) per row and bloated the task binary)
+        val bc = df.sparkSession.sparkContext.broadcast(
+          capped.map(_.toArray.sorted).toArray)
         val ok = array((0 until 4).map { i =>
           val surviving =
             if (capped(i).isEmpty) lit(true)
-            else !array_contains(typedLit(capped(i)),
+            else !graft.expressions.CappedBucketContains.contains(bc, lit(i),
               expr(s"shiftright(a.sig, ${i * 16}) & 65535"))
           chunkEq(i) && surviving
         }: _*)

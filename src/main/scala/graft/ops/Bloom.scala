@@ -50,4 +50,28 @@ object Bloom {
     val pre = semiFilter(fact, dim, factKey, dimKey, expectedItems, fpp)
     pre.join(dim, pre(factKey) === dim(dimKey))
   }
+
+  /** Count the dim's non-null keys for bloom sizing. A distinct-free,
+    * column-pruned count — one cheap scan of one column, and the price of
+    * NOT guessing: a sketch sized for 1/10th of the real key set doesn't
+    * fail, it silently degrades (measured in BloomSpec: ~40% actual fpp for
+    * a nominal 3% at items = 10x expected), which defeats the pre-filter's
+    * whole purpose while still paying for the scan and the sketch. */
+  private def sizeFor(dim: DataFrame, dimKey: String): Long =
+    dim.select(dimKey).where(col(dimKey).isNotNull).count().max(1L)
+
+  /** Auto-sized variant: derives `expectedItems` from a count of the dim's
+    * non-null keys, trading one extra dim scan for a sketch whose actual
+    * fpp matches the nominal one. Use the explicit-size overload when the
+    * caller already knows the cardinality (a catalog stat, a previous
+    * count) and wants to skip the scan. NOTE: deliberately NOT an
+    * `(..., fpp: Double)` overload next to `(..., expectedItems: Long)` —
+    * numeric widening would let a count literal silently resolve as fpp. */
+  def semiFilterAuto(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, fpp: Double = 0.03): DataFrame =
+    semiFilter(fact, dim, factKey, dimKey, sizeFor(dim, dimKey), fpp)
+
+  def prefilteredJoinAuto(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, fpp: Double = 0.03): DataFrame =
+    prefilteredJoin(fact, dim, factKey, dimKey, sizeFor(dim, dimKey), fpp)
 }

@@ -47,6 +47,7 @@ object SnapshotTable {
 
   private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
   private def dataDir(root: String): Path = Paths.get(root, "data")
+  private def changesDir(root: String): Path = Paths.get(root, "_changes")
   private def manifestPath(root: String, v: Int): Path =
     manifestDir(root).resolve(f"v$v%08d.txt")
 
@@ -67,7 +68,11 @@ object SnapshotTable {
   private[sources] final case class RawManifest(version: Int, op: String,
       schema: StructType, base: Option[Int], chain: Int, files: Seq[String],
       adds: Seq[String], removes: Set[String],
-      stats: Map[String, Map[String, (Double, Double)]])
+      stats: Map[String, Map[String, (Double, Double)]],
+      /** row-level change files under _changes/ for THIS commit (Delta-CDF
+        * `cdc` actions): present only when the writer opted into
+        * changeCapture on a merge/delete. */
+      cdc: Seq[String] = Nil)
 
   /** Delta-chain length at which the next commit writes a checkpoint. */
   private[sources] val checkpointEvery = 20
@@ -111,7 +116,8 @@ object SnapshotTable {
       field("file").toSeq,
       field("add").toSeq,
       field("remove").toSet,
-      stats)
+      stats,
+      field("cdc").toSeq)
   }
 
   /** Resolve a version's LIVE STATE: walk back through delta manifests to
@@ -181,14 +187,16 @@ object SnapshotTable {
     * Same -1-on-race contract as [[tryCommit]]. */
   private def commitChange(root: String, base: RawManifest, op: String,
       schemaJson: String, adds: Seq[String], removes: Set[String],
-      addStats: Map[String, Map[String, (Double, Double)]]): Int =
+      addStats: Map[String, Map[String, (Double, Double)]],
+      cdc: Seq[String] = Nil): Int =
     if (base.chain + 1 >= checkpointEvery) {
       val m = readManifest(root, base.version)
       tryCommit(root, base.version, op, schemaJson,
-        m.files.filterNot(removes) ++ adds, (m.stats -- removes) ++ addStats)
+        m.files.filterNot(removes) ++ adds, (m.stats -- removes) ++ addStats,
+        cdc)
     } else
       tryCommitDelta(root, base.version, op, schemaJson, adds, removes,
-        addStats, base.chain + 1)
+        addStats, base.chain + 1, cdc)
 
   /** Evolved schema for an append: table fields first (order-stable),
     * then `df`'s new fields. Same-name fields must agree on type; field
@@ -288,14 +296,16 @@ object SnapshotTable {
     * open table formats document; raced merges on disjoint keys both
     * survive (SnapshotTableSpec pins it). */
   def merge(updates: DataFrame, root: String, keyCols: Seq[String],
-      mergeSchema: Boolean = false, statsCols: Seq[String] = Nil): Int = {
+      mergeSchema: Boolean = false, statsCols: Seq[String] = Nil,
+      changeCapture: Boolean = false): Int = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    import org.apache.spark.sql.functions.{col => fcol, lit}
     val spark = updates.sparkSession
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
-      val (merged, baseStatsCols) =
-        if (base == 0) (updates, Set.empty[String])
+      val (merged, baseStatsCols, changes) =
+        if (base == 0) (updates, Set.empty[String], None)
         else {
           val m = readManifest(root, base)
           // same evolution contract as append: field drift is refused
@@ -303,23 +313,42 @@ object SnapshotTable {
           // backfills NULL on either side
           unionSchema(m.schema, updates.schema, mergeSchema)
           val current = read(spark, root, Some(base))
-          val keep = current.join(
-            updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*).distinct(),
-            keyCols, "left_anti")
+          val keys = updates.select(keyCols.map(fcol): _*).distinct()
+          val keep = current.join(keys, keyCols, "left_anti")
+          // row-level change capture (Delta CDF): the rows this merge
+          // REPLACES leave as update_preimage, their replacements arrive
+          // as update_postimage, and key-unmatched update rows as insert.
+          // Computed from the same base snapshot the merge itself reads,
+          // so a recomputed retry (lost race) recaptures consistently.
+          val changeDf =
+            if (!changeCapture) None
+            else {
+              val curKeys = current.select(keyCols.map(fcol): _*).distinct()
+              val pre = current.join(keys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_preimage"))
+              val post = updates.join(curKeys, keyCols, "left_semi")
+                .withColumn("_change_type", lit("update_postimage"))
+              val ins = updates.join(curKeys, keyCols, "left_anti")
+                .withColumn("_change_type", lit("insert"))
+              Some(pre.unionByName(post, allowMissingColumns = mergeSchema)
+                .unionByName(ins, allowMissingColumns = mergeSchema))
+            }
           (keep.unionByName(updates, allowMissingColumns = mergeSchema),
             // a merge rewrites every file, so the base's envelopes can't
             // carry over by file name — re-derive them for the staged
             // files over the SAME column set, so a stats-pruned table
             // keeps its readPruned skipping across upserts
-            m.stats.valuesIterator.flatMap(_.keysIterator).toSet)
+            m.stats.valuesIterator.flatMap(_.keysIterator).toSet,
+            changeDf)
         }
       val cols = (baseStatsCols ++ statsCols).toSeq.sorted
       val staged = stage(merged, root)
+      val cdcStaged = changes.map(stageChanges(_, root)).getOrElse(Nil)
       committed = tryCommit(root, base, "merge", merged.schema.json, staged,
-        footerStats(root, staged, cols))
-      // lost the race: the staged files stay orphaned in data/ until
-      // [[vacuum]] (no manifest references them), same as any aborted
-      // commit in the open formats
+        footerStats(root, staged, cols), cdcStaged)
+      // lost the race: the staged files stay orphaned in data/ (and
+      // _changes/) until [[vacuum]] — no manifest references them, same
+      // as any aborted commit in the open formats
     }
     committed
   }
@@ -424,7 +453,8 @@ object SnapshotTable {
     * current version. */
   def deleteWhere(spark: SparkSession, root: String,
       condition: org.apache.spark.sql.Column,
-      pruneHint: Option[(String, Double, Double)] = None): (Int, Int, Int) = {
+      pruneHint: Option[(String, Double, Double)] = None,
+      changeCapture: Boolean = false): (Int, Int, Int) = {
     import org.apache.spark.sql.functions.{col => fcol, input_file_name, coalesce, lit}
     var done: Option[(Int, Int, Int)] = None
     while (done.isEmpty) {
@@ -454,11 +484,20 @@ object SnapshotTable {
         else {
           val statsCols =
             m.stats.valuesIterator.flatMap(_.keysIterator).toSet.toSeq.sorted
-          val kept = spark.read.schema(m.schema)
+          val hitFrame = spark.read.schema(m.schema)
             .parquet(hits.map(f => dataDir(root).resolve(f).toString): _*)
+          val kept = hitFrame
             .where(!coalesce(condition, lit(false)))
             .coalesce(math.max(1, hits.size))
           val staged = stage(kept, root)
+          // row-level change capture: exactly the rows the condition
+          // removes, from exactly the files being rewritten — one more
+          // scan of the HIT files only (never the skipped ones)
+          val cdcStaged =
+            if (!changeCapture) Nil
+            else stageChanges(hitFrame
+              .where(coalesce(condition, lit(false)))
+              .withColumn("_change_type", lit("delete")), root)
           val stagedStats = footerStats(root, staged, statsCols)
           val inputs = hits.toSet
           var committed = -1
@@ -467,7 +506,7 @@ object SnapshotTable {
           while (committed < 0 && !stale) {
             committed = commitChange(root, attemptRaw, "delete",
               attemptRaw.schema.json, adds = staged, removes = inputs,
-              addStats = stagedStats)
+              addStats = stagedStats, cdc = cdcStaged)
             if (committed < 0) {
               val head = latestVersion(root)
               if (inputs.forall(readManifest(root, head).files.contains))
@@ -484,23 +523,36 @@ object SnapshotTable {
     done.get
   }
 
-  /** File-diff CHANGE FEED between two committed versions — the CDC read
-    * the open formats expose (Delta CDF without per-commit change files:
-    * computed from the manifest chain alone). For each version in
-    * (`fromVersion`, `toVersion`]: files that ENTER the live set carry
-    * their rows as `_change_type = 'insert'`, files that LEAVE it as
-    * `'delete'`, each stamped `_change_version`. Versions whose op is
-    * `compact` are SKIPPED — compaction changes layout, not data (the
-    * `dataChange = false` contract of OPTIMIZE) — and a file both added
-    * and removed inside the window by a later rewrite reports both events
-    * (the row was visible in between). A full-rewrite commit (overwrite /
-    * merge) honestly reports delete-all + insert-all; row-level netting
-    * is the caller's relational job, not the format's.
+  /** CHANGE FEED between two committed versions — the CDC read the open
+    * formats expose. Two granularities, chosen per commit:
     *
-    * Files are read with THEIR version's manifest schema and unioned by
-    * name (schema evolution adds columns; missing ones backfill NULL), so
-    * a changes read spanning an evolution is well-typed. Requires the
-    * versions in the window to still exist (not vacuumed). */
+    *  - **Row-level** (Delta CDF): a merge/delete committed with
+    *    `changeCapture = true` recorded its exact changed rows in
+    *    `cdc=`-referenced change files (`update_preimage` /
+    *    `update_postimage` / `insert` for merge, `delete` for delete) —
+    *    those replay verbatim, so a 1-row MERGE into a 1000-row file
+    *    emits 2 events, not ~2000 (CdcAmplificationSpec measures both
+    *    feeds on exactly that shape).
+    *  - **File-diff fallback** (any other commit): files that ENTER the
+    *    live set carry their rows as `_change_type = 'insert'`, files
+    *    that LEAVE it as `'delete'`. Exact for append (added rows ARE the
+    *    inserts) and overwrite (delete-all + insert-all IS the row-level
+    *    truth); write-amplified for a capture-less merge/delete, where
+    *    rewritten-but-unchanged rows report delete+insert pairs that a
+    *    downstream consumer must net out relationally.
+    *
+    * Versions whose op is `compact` are SKIPPED — compaction changes
+    * layout, not data (the `dataChange = false` contract of OPTIMIZE) —
+    * and a file both added and removed inside the window by a later
+    * rewrite reports both events (the row was visible in between).
+    *
+    * Schema: entering files read with their version's manifest schema;
+    * LEAVING files read with the schema of the previous version — the
+    * last one that contained them — so an overwrite that narrows or
+    * renames columns still renders its delete-events with the dropped
+    * columns' values intact. The union is by name with NULL backfill, so
+    * a window spanning an evolution is well-typed. Requires the versions
+    * in the window to still exist (not vacuumed). */
   def readChanges(spark: SparkSession, root: String, fromVersion: Int,
       toVersion: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -508,29 +560,48 @@ object SnapshotTable {
     require(fromVersion >= 1 && to >= fromVersion,
       s"bad change window [$fromVersion, $to]")
     var prevLive = readManifest(root, fromVersion).files.toSet
-    // (version, change_type, files, that version's schema)
+    var prevSchema = readManifest(root, fromVersion).schema
+    // (version, change_type, dir-qualified files, render schema)
     val events = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, Seq[String], StructType)]
+      .empty[(Int, String, Seq[Path], StructType, Boolean)]
     ((fromVersion + 1) to to).foreach { v =>
       val m = readManifest(root, v)
+      val raw = readRaw(root, v)
       val live = m.files.toSet
       if (m.op != "compact") {
-        val added = m.files.filterNot(prevLive)
-        val removed = prevLive.diff(live).toSeq.sorted
-        if (added.nonEmpty) events += ((v, "insert", added, m.schema))
-        if (removed.nonEmpty) events += ((v, "delete", removed, m.schema))
+        if (raw.cdc.nonEmpty) {
+          // row-level capture: the change files carry their own
+          // _change_type column; schema = version schema + that column
+          events += ((v, "", raw.cdc.map(changesDir(root).resolve),
+            m.schema, true))
+        } else {
+          val added = m.files.filterNot(prevLive)
+          val removed = prevLive.diff(live).toSeq.sorted
+          if (added.nonEmpty)
+            events += ((v, "insert", added.map(dataDir(root).resolve),
+              m.schema, false))
+          if (removed.nonEmpty)
+            events += ((v, "delete", removed.map(dataDir(root).resolve),
+              prevSchema, false))
+        }
       }
       prevLive = live
+      prevSchema = m.schema
     }
     val headSchema = readManifest(root, to).schema
     val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], headSchema)
       .withColumn("_change_type", lit(null).cast("string"))
       .withColumn("_change_version", lit(null).cast("int"))
-    events.map { case (v, tpe, files, schema) =>
-      spark.read.schema(schema)
-        .parquet(files.map(f => dataDir(root).resolve(f).toString): _*)
-        .withColumn("_change_type", lit(tpe))
+    events.map { case (v, tpe, paths, schema, rowLevel) =>
+      val readSchema =
+        if (rowLevel) StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType))
+        else schema
+      val base = spark.read.schema(readSchema)
+        .parquet(paths.map(_.toString): _*)
+      (if (rowLevel) base else base.withColumn("_change_type", lit(tpe)))
         .withColumn("_change_version", lit(v))
     }.foldLeft(empty)((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
@@ -540,9 +611,20 @@ object SnapshotTable {
     * UNDER THE TABLE ROOT (same filesystem as data/, so the ATOMIC_MOVE
     * rename is guaranteed supported — java.io.tmpdir may live on a
     * different mount). */
-  private def stage(df: DataFrame, root: String): Seq[String] = {
+  private def stage(df: DataFrame, root: String): Seq[String] =
+    stageInto(df, root, dataDir(root))
+
+  /** Stage a ROW-LEVEL CHANGE frame (table columns + `_change_type`) into
+    * `_changes/` — same move-then-commit mechanics as data staging; the
+    * files only become visible when a manifest's `cdc=` lines reference
+    * them, and a commit-race loser's change files are vacuum-able orphans
+    * exactly like its data files. */
+  private def stageChanges(df: DataFrame, root: String): Seq[String] =
+    stageInto(df, root, changesDir(root))
+
+  private def stageInto(df: DataFrame, root: String, target: Path): Seq[String] = {
     Files.createDirectories(manifestDir(root))
-    Files.createDirectories(dataDir(root))
+    Files.createDirectories(target)
     val commitId = UUID.randomUUID().toString.take(8)
     val staging = Paths.get(root, "_staging", commitId)
     Files.createDirectories(staging)
@@ -551,7 +633,7 @@ object SnapshotTable {
       listDir(staging)(_.filter(_.getFileName.toString.endsWith(".parquet"))
         .map { p =>
           val name = s"$commitId-${p.getFileName}"
-          Files.move(p, dataDir(root).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          Files.move(p, target.resolve(name), StandardCopyOption.ATOMIC_MOVE)
           name
         }.toSeq.sorted)
     } finally {
@@ -590,10 +672,12 @@ object SnapshotTable {
 
   private[sources] def tryCommit(root: String, base: Int, op: String,
       schemaJson: String, files: Seq[String],
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty): Int = {
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      cdc: Seq[String] = Nil): Int = {
     val v = base + 1
     val body = (Seq(s"version=$v", s"op=$op", s"schema=$schemaJson") ++
-      files.map(f => s"file=$f") ++ statLines(stats)).mkString("\n")
+      files.map(f => s"file=$f") ++ statLines(stats) ++
+      cdc.map(f => s"cdc=$f")).mkString("\n")
     atomicCreate(root, v, body)
   }
 
@@ -602,12 +686,13 @@ object SnapshotTable {
     * O(table files). `stats` should cover the added files only. */
   private[sources] def tryCommitDelta(root: String, base: Int, op: String,
       schemaJson: String, adds: Seq[String], removes: Set[String],
-      stats: Map[String, Map[String, (Double, Double)]], chain: Int): Int = {
+      stats: Map[String, Map[String, (Double, Double)]], chain: Int,
+      cdc: Seq[String] = Nil): Int = {
     val v = base + 1
     val body = (Seq(s"version=$v", s"op=$op", s"schema=$schemaJson",
       s"base=$base", s"chain=$chain") ++
       adds.map(f => s"add=$f") ++ removes.toSeq.sorted.map(f => s"remove=$f") ++
-      statLines(stats)).mkString("\n")
+      statLines(stats) ++ cdc.map(f => s"cdc=$f")).mkString("\n")
     atomicCreate(root, v, body)
   }
 
@@ -667,12 +752,23 @@ object SnapshotTable {
       .filter(v => Files.exists(manifestPath(root, v)))
     val dropped = droppable.flatMap(v =>
       scala.util.Try(readManifest(root, v).files).getOrElse(Nil)).toSet -- live
+    // row-level change files follow their owning manifest: referenced by a
+    // surviving version (incl. chain bases) → live; referenced only by a
+    // dropped version → delete now; never-committed (race loser) → age gate
+    val liveCdc = closure.toSeq
+      .flatMap(v => scala.util.Try(readRaw(root, v).cdc).getOrElse(Nil)).toSet
+    val droppedCdc = droppable.flatMap(v =>
+      scala.util.Try(readRaw(root, v).cdc).getOrElse(Nil)).toSet -- liveCdc
     droppable.foreach(v => Files.delete(manifestPath(root, v)))
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanRetentionMs)
-    listDir(dataDir(root))(_.filter { p =>
-      val name = p.getFileName.toString
-      !live(name) && (dropped(name) ||
-        Files.getLastModifiedTime(p).toMillis < cutoff)
-    }.toList).foreach(p => Files.deleteIfExists(p))
+    def sweep(dir: Path, liveSet: Set[String], droppedSet: Set[String]): Unit =
+      if (Files.isDirectory(dir))
+        listDir(dir)(_.filter { p =>
+          val name = p.getFileName.toString
+          !liveSet(name) && (droppedSet(name) ||
+            Files.getLastModifiedTime(p).toMillis < cutoff)
+        }.toList).foreach(p => Files.deleteIfExists(p))
+    sweep(dataDir(root), live, dropped)
+    sweep(changesDir(root), liveCdc, droppedCdc)
   }
 }

@@ -87,15 +87,25 @@ object PermutationTest {
     * caps both the driver collect and the per-permutation O(n) work, so
     * cost stops growing with data size once the gate binds. Without it the
     * cohort at sf100 is the full fact-table column — a driver-side and
-    * per-draw scale killer. Statistically the result is the same seeded MC
-    * permutation test run on the subsample (duplicate (bool, value) rows
-    * gate together — all-or-nothing, the content-hash trade). Pass
-    * `maxRows = Int.MaxValue` to disable. */
+    * per-draw scale killer. Pass `maxRows = Int.MaxValue` to disable.
+    *
+    * Statistical caveat (and its remedy): with the default hash over
+    * (bool, value) alone, DUPLICATE rows gate all-or-nothing — a whole
+    * duplicate class is kept or dropped together, so on heavily
+    * duplicated columns the subsample over/under-weights those classes
+    * and the p-value's MC variance is higher than a uniform row sample's.
+    * Pass `hashCols` (any row-distinguishing columns, e.g. the table's
+    * key) to fold them into the gate hash: duplicates then gate
+    * independently and the subsample approximates a true uniform row
+    * sample while staying deterministic and layout-proof. `hashCols`
+    * affect ONLY the gate — the test statistic still sees (bool, value). */
   def onColumnsDistributed(df: DataFrame, boolCol: String, numCol: String,
-      nPerm: Int = 99999, seed: Long = 42L, maxRows: Int = 1 << 20): Double = {
+      nPerm: Int = 99999, seed: Long = 42L, maxRows: Int = 1 << 20,
+      hashCols: Seq[String] = Nil): Double = {
     val spark = df.sparkSession
     import spark.implicits._
-    val base = df.select(col(boolCol).cast("boolean"), col(numCol).cast("double"))
+    val base = df.select(col(boolCol).cast("boolean").as(boolCol) +:
+        col(numCol).cast("double").as(numCol) +: hashCols.map(col): _*)
       .where(col(boolCol).isNotNull && col(numCol).isNotNull)
     val n = base.count()
     val gated =
@@ -104,9 +114,10 @@ object PermutationTest {
         // threshold on |hash| ∈ [0, Long.MaxValue): expected keep fraction
         // maxRows/n of the cohort, exact enough for a resampling cap
         val thresh = (Long.MaxValue.toDouble * (maxRows.toDouble / n)).toLong
-        base.where(abs(xxhash64(col(boolCol), col(numCol), lit(seed))) < thresh)
+        base.where(abs(xxhash64(col(boolCol) +: col(numCol) +:
+          hashCols.map(col) :+ lit(seed): _*)) < thresh)
       }
-    val rows = gated.collect()
+    val rows = gated.select(col(boolCol), col(numCol)).collect()
     val (t, f) = rows.partition(_.getBoolean(0))
     // canonical ascending order per group: collect() order follows the
     // partition layout, and the pooled array's order feeds the draws — so

@@ -45,6 +45,45 @@ class BloomSpec extends SparkSpec {
     assert(e.getMessage.contains("raise fpp"))
   }
 
+  test("auto-sized semiFilter counts the dim and matches the explicit size") {
+    val auto = Bloom.semiFilterAuto(fact, dim, "k", "dk")
+      .select("k").as[Long].collect().toSet
+    val truth = dim.select("dk").as[Long].collect().toSet
+    assert(truth.subsetOf(auto), s"auto-sized bloom dropped: ${truth -- auto}")
+    // sized for the real 200-key dim, the pass-through is 200 + ~3% noise
+    assert(auto.size < 800, s"auto-sizing produced a useless sketch: ${auto.size}")
+    // nulls don't count toward the size (and don't crash the builder)
+    val dimWithNulls = dim.select(
+      when($"dk" > 5000L, lit(null).cast("long")).otherwise($"dk").as("dk"),
+      $"name")
+    val got = Bloom.prefilteredJoinAuto(fact, dimWithNulls, "k", "dk")
+      .select("k", "name").as[(Long, String)].collect().toSet
+    val want = fact.join(dimWithNulls, fact("k") === dimWithNulls("dk"))
+      .select("k", "name").as[(Long, String)].collect().toSet
+    assert(got == want)
+  }
+
+  test("undersized sketch degrades silently — the measured footgun " +
+      "auto-sizing exists to prevent") {
+    // the dim has 200 keys; size the sketch for 20 (items = 10x expected).
+    // No row is LOST (false negatives are impossible), but the measured
+    // fpp explodes past the 3% nominal, so the pre-filter passes most of
+    // the fact through and the shuffle saving evaporates.
+    val under = Bloom.semiFilter(fact, dim, "k", "dk", expectedItems = 20L)
+      .select("k").as[Long].collect().toSet
+    val truth = dim.select("dk").as[Long].collect().toSet
+    assert(truth.subsetOf(under), "undersizing must never drop matches")
+    val nonMatches = 10000 - truth.size
+    val measuredFpp = (under.size - truth.size).toDouble / nonMatches
+    assert(measuredFpp > 0.10,
+      s"expected a badly degraded fpp at 10x overload, measured $measuredFpp")
+    // the auto-sized sketch on the same data stays near nominal
+    val auto = Bloom.semiFilterAuto(fact, dim, "k", "dk")
+      .select("k").as[Long].collect().toSet
+    val autoFpp = (auto.size - truth.size).toDouble / nonMatches
+    assert(autoFpp < 0.06, s"auto-sized fpp should be ~nominal, got $autoFpp")
+  }
+
   test("non-long key is a type-check error, not a runtime surprise") {
     val bloom = dim.stat.bloomFilter("dk", 100L, 0.03)
     val err = intercept[Exception] {

@@ -233,6 +233,51 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!Files.exists(inFlight))
   }
 
+  test("vacuum vs a slow writer: default retention lands the commit intact; " +
+      "retention 0 corrupts it (the race the age gate exists for)") {
+    // the full race, both outcomes, played out with a real staged parquet
+    // and a real commit. A writer's protocol is stage-into-data/ THEN
+    // create the manifest; vacuum running in that window sees files no
+    // manifest references. With the default retention the writer's commit
+    // must land readable; with retention forced to 0 the files are swept
+    // and the subsequent commit references data that no longer exists —
+    // the corruption is the PROOF the gate is load-bearing, not paranoia.
+    def stageSlowWriter(root: String): (String, String) = {
+      val tmp = Files.createTempDirectory("graft-slow-writer")
+      Seq((99, "slow")).toDF("k", "v").coalesce(1).write
+        .mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val name = s"slowwriter-${part.getFileName}"
+      Files.move(part, Paths.get(root, "data", name))
+      (name, Seq((99, "slow")).toDF("k", "v").schema.json)
+    }
+    // positive: vacuum with the DEFAULT gate while the writer is mid-flight
+    val ok = freshRoot()
+    SnapshotTable.write(Seq((1, "a")).toDF("k", "v"), ok)               // v1
+    val (stagedOk, schemaOk) = stageSlowWriter(ok)
+    SnapshotTable.vacuum(ok, keepVersions = 1)          // writer still staging
+    val prior = SnapshotTable.readManifest(ok, 1).files
+    assert(SnapshotTable.tryCommit(ok, 1, "append", schemaOk,
+      prior :+ stagedOk) == 2, "slow writer's commit should land")
+    assert(SnapshotTable.read(spark, ok).as[(Int, String)].collect().toSet
+      == Set((1, "a"), (99, "slow")), "commit intact after gated vacuum")
+    // negative: an operator who disarms the gate loses the race
+    val bad = freshRoot()
+    SnapshotTable.write(Seq((1, "a")).toDF("k", "v"), bad)              // v1
+    val (stagedBad, schemaBad) = stageSlowWriter(bad)
+    Thread.sleep(5)
+    SnapshotTable.vacuum(bad, keepVersions = 1, orphanRetentionMs = 0L)
+    assert(!Files.exists(Paths.get(bad, "data", stagedBad)),
+      "retention 0 sweeps the in-flight staged file")
+    val priorBad = SnapshotTable.readManifest(bad, 1).files
+    assert(SnapshotTable.tryCommit(bad, 1, "append", schemaBad,
+      priorBad :+ stagedBad) == 2, "the doomed commit still wins its slot")
+    intercept[Exception] { // the table is corrupt: a listed file is gone
+      SnapshotTable.read(spark, bad).collect()
+    }
+  }
+
   test("schema evolution: mergeSchema append unions fields, old files backfill NULL") {
     val root = freshRoot()
     SnapshotTable.write(Seq((1, "a")).toDF("k", "v"), root)

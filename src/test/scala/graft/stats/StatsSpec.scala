@@ -94,6 +94,30 @@ class StatsSpec extends SparkSpec {
     assert(pG1 > 0.0 && pG1 <= 1.0)
   }
 
+  test("hashCols gate salts duplicates apart (round-9 advisory remedy)") {
+    // two fully-duplicated value classes: the default (bool, value) hash
+    // gates each class all-or-nothing — at keep-fraction 1/8 the expected
+    // outcome is an empty or wildly skewed subsample. Salting the gate
+    // with a row id keeps ~1/8 of EACH class, so the test stays valid.
+    val rows = (1 to 2000).map(i => (i % 2 == 0, if (i % 2 == 0) 1.0 else 2.0, i))
+    val df = rows.toDF("g", "x", "id")
+    val p = PermutationTest.onColumnsDistributed(df, "g", "x",
+      nPerm = 499, seed = 7, maxRows = 250, hashCols = Seq("id"))
+    // fully-separated duplicated groups: the salted subsample must retain
+    // both groups (no sentinel) and find the separation
+    assert(p > 0.0 && p <= 0.05, s"salted-gate p out of range: $p")
+    // layout-proof like the unsalted gate
+    val p2 = PermutationTest.onColumnsDistributed(df.repartition(13), "g", "x",
+      nPerm = 499, seed = 7, maxRows = 250, hashCols = Seq("id"))
+    assert(p == p2)
+    // hashCols are gate-only: ungated results are identical with/without
+    val pOff = PermutationTest.onColumnsDistributed(df, "g", "x",
+      nPerm = 499, seed = 7, maxRows = Int.MaxValue)
+    val pOn = PermutationTest.onColumnsDistributed(df, "g", "x",
+      nPerm = 499, seed = 7, maxRows = Int.MaxValue, hashCols = Seq("id"))
+    assert(pOff == pOn)
+  }
+
   // ---------------------------------------------------------------- FDR
 
   test("BH matches hand computation") {
