@@ -805,6 +805,23 @@ object SparkEntry {
         Seq("f_pos", "f_rich", "f_west", "f_even"))
     }),
 
+    // ---- §2.8 R4 distributed beta-dispersion twin: the betadisper leg of
+    // PERMANOVA over the same pair stream as r13 — per-point mean Jaccard
+    // distance to own-group members, per-group mean/max, all-integer sums
+    // (scale = lcm(1..4) = 12 turns every distance into an integer) so the
+    // DuckDB replay is bit-exact. Removes the last O(n²)-driver stat. ----
+    "r16_dispersion" -> ((s, dir) => {
+      val c = t(s, dir, "customer").where(col("c_custkey") <= 150)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") > 0).as("f_pos"),
+          (col("c_acctbal") > 5000).as("f_rich"),
+          (col("c_nationkey") < 12).as("f_west"),
+          (length(col("c_name")) % 2 === 0).as("f_even"))
+      graft.stats.Permanova.dispersionDF(c, "c_custkey", "c_mktsegment",
+        Seq("f_pos", "f_rich", "f_west", "f_even"))
+        .orderBy(col("grp"))
+    }),
+
     // ---- §2.5 explicit rollup (subtotals + grand total) -----------------
     "q7_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -3750,6 +3767,31 @@ object SparkEntry {
                 round(((ss_tot_raw / n - ss_within) / (g - 1)) /
                   (ss_within / (n - g)), 6) AS pseudo_f
          FROM nn, tot, w""",
+
+    // r16: the distributed dispersion replayed relationally — directed
+    // same-group pairs, integer-scaled distances (12·d), one final
+    // division per output row (exact-integer discipline, no FP drift)
+    "r16_dispersion" ->
+      """WITH b AS (SELECT c_custkey AS id, c_mktsegment AS grp,
+                      CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS f0,
+                      CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS f1,
+                      CASE WHEN c_nationkey < 12 THEN 1 ELSE 0 END AS f2,
+                      CASE WHEN length(c_name) % 2 = 0 THEN 1 ELSE 0 END AS f3
+                    FROM customer WHERE c_custkey <= 150),
+         p AS (SELECT a.id AS ida, a.grp AS ga,
+                 (a.f0*bb.f0 + a.f1*bb.f1 + a.f2*bb.f2 + a.f3*bb.f3) AS inter,
+                 (greatest(a.f0,bb.f0) + greatest(a.f1,bb.f1) +
+                  greatest(a.f2,bb.f2) + greatest(a.f3,bb.f3)) AS un
+               FROM b a JOIN b bb ON a.id <> bb.id AND a.grp = bb.grp),
+         pp AS (SELECT ida, ga,
+                  sum(CASE WHEN un = 0 THEN 0 ELSE (12*(un-inter)) // un END) AS s,
+                  count(*) AS cnt
+                FROM p GROUP BY 1, 2)
+         SELECT ga AS grp, max(cnt) + 1 AS gsize,
+                round(CAST(sum(s) AS DOUBLE) /
+                  (12 * (max(cnt) + 1 - 1) * (max(cnt) + 1)), 6) AS mean_disp,
+                round(CAST(max(s) AS DOUBLE) / (12 * max(cnt)), 6) AS max_disp
+         FROM pp GROUP BY 1 ORDER BY 1""",
 
     // x1: the Spark side encodes text as a real 16×16 gray PNG and decodes
     // it back through javax.imageio; gray PNG is lossless and bin 0's mean is

@@ -124,6 +124,67 @@ object Permanova {
           (col("ss_within") / (col("n") - col("g"))), 6).as("pseudo_f"))
   }
 
+  /** Distributed EXACT beta-dispersion twin of the `betadisper` leg of
+    * [[test]] — the last O(n²)-DRIVER stat, re-expressed over the same
+    * pairwise stream as [[pseudoFDF]] so the distance matrix never
+    * materializes anywhere: each point's dispersion (mean Jaccard distance
+    * to its own-group members) comes from a directed same-group self-join
+    * aggregated per point, then per group.
+    *
+    * Cross-engine exactness: with k features every Jaccard distance is a
+    * rational with denominator ≤ k, so `scale = lcm(1..k)` makes
+    * `scale·d` an INTEGER per pair — sums are exact integer arithmetic in
+    * any order (no FP-association drift), and the single final division
+    * happens once per output row. Within a group every member has the
+    * same pair count (gsize−1), so the group mean needs only the group's
+    * integer total: mean = Σsᵢ / (scale·(gsize−1)·gsize).
+    *
+    * Output, one row per group of size ≥ 2 (singletons have no pairs and
+    * no defined dispersion): `grp, gsize, mean_disp, max_disp` (6 dp). */
+  def dispersionDF(df: DataFrame, idCol: String, groupCol: String,
+      featureCols: Seq[String], broadcastMaxRows: Long = 500000L): DataFrame = {
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val k = featureCols.size
+    val scale = (1 to k).foldLeft(1L) { (acc, i) =>
+      val g = BigInt(acc).gcd(BigInt(i)).toLong; acc / g * i
+    }
+    val base = df.select(
+      col(idCol).as("id") +: col(groupCol).cast("string").as("grp") +:
+        featureCols.zipWithIndex.map { case (c, i) =>
+          col(c).cast("boolean").cast("int").as(s"f$i")
+        }: _*)
+    def side(tag: String) = base.select(
+      col("id").as(s"id$tag") +: col("grp").as(s"g$tag") +:
+        featureCols.indices.map(i => col(s"f$i").as(s"f$i$tag")): _*)
+    val inter = featureCols.indices
+      .map(i => col(s"f${i}a") * col(s"f${i}b")).reduce(_ + _)
+    val union = featureCols.indices
+      .map(i => greatest(col(s"f${i}a"), col(s"f${i}b"))).reduce(_ + _)
+    // scale·d = scale·(union−inter)/union is integer (union | scale); the
+    // double division is exact because the true quotient IS that integer
+    val num = when(union === 0, lit(0L))
+      .otherwise(((lit(scale) * (union - inter)) / union).cast("long"))
+    val probe =
+      if (broadcastMaxRows >= Int.MaxValue - 1) Int.MaxValue
+      else (broadcastMaxRows + 1).toInt
+    val fitsBroadcast = base.limit(probe).count() <= broadcastMaxRows
+    val buildSide = if (fitsBroadcast) broadcast(side("b")) else side("b")
+    // DIRECTED same-group pairs: each point sees all gsize−1 partners
+    val perPoint = side("a")
+      .join(buildSide, col("ida") =!= col("idb") && col("ga") === col("gb"))
+      .groupBy(col("ida"), col("ga"))
+      .agg(sum(num).as("s"), count(lit(1)).as("cnt"))
+    perPoint
+      .groupBy(col("ga").as("grp"))
+      .agg((max(col("cnt")) + 1).as("gsize"), sum(col("s")).as("stot"),
+        max(col("s")).as("smax"))
+      .select(col("grp"), col("gsize"),
+        round(col("stot").cast("double") /
+          (lit(scale) * (col("gsize") - 1) * col("gsize")), 6).as("mean_disp"),
+        round(col("smax").cast("double") /
+          (lit(scale) * (col("gsize") - 1)), 6).as("max_disp"))
+  }
+
   /** @param df frame of boolean feature columns + a group column
     * @param groupCol the dependent grouping (reference's referenceColumnName)
     */

@@ -189,7 +189,8 @@ object EventStream {
     * contract for MERGE sinks. State: none held by the sink; the table's
     * manifest chain is the recovery point. Returns the started query. */
   def upsertSink(updates: DataFrame, root: String, keyCols: Seq[String],
-      tsCol: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      tsCol: String, checkpointDir: String,
+      changeCapture: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     val keyCs = keyCols.map(col)
     updates.writeStream
       .outputMode(OutputMode.Update())
@@ -203,7 +204,8 @@ object EventStream {
             .agg(max(struct(
               (tsCol +: otherNames.filterNot(_ == tsCol)).map(col): _*)).as("__l"))
             .select(keyCs ++ otherNames.map(c => col(s"__l.$c").as(c)): _*)
-          graft.sources.SnapshotTable.merge(latest, root, keyCols): Unit
+          graft.sources.SnapshotTable.merge(latest, root, keyCols,
+            changeCapture = changeCapture): Unit
         }
       }
       .start()

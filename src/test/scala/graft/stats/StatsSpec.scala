@@ -118,6 +118,33 @@ class StatsSpec extends SparkSpec {
     assert(pOff == pOn)
   }
 
+  test("dispersionDF matches driver-side betadisper dispersions exactly") {
+    val rng = new scala.util.Random(17)
+    val rows = (1 to 30).map { i =>
+      (i.toLong, s"g${i % 3}",
+        rng.nextBoolean(), rng.nextBoolean(), rng.nextBoolean(), rng.nextBoolean())
+    }
+    val df = rows.toDF("id", "grp", "f0", "f1", "f2", "f3")
+    // driver truth: per-point mean Jaccard distance to own-group members,
+    // then per-group mean and max — the betadisper leg of Permanova.test
+    val feats = rows.map(r => Array(r._3, r._4, r._5, r._6)).toArray
+    val groups = rows.map(_._2).toArray
+    def disp(i: Int): Double = {
+      val idx = rows.indices.filter(j => j != i && groups(j) == groups(i))
+      idx.map(j => Permanova.jaccard(feats(i), feats(j))).sum / idx.size
+    }
+    val expected = rows.indices.groupBy(groups(_)).map { case (g, idx) =>
+      val ds = idx.map(disp)
+      (g, idx.size.toLong,
+        BigDecimal(ds.sum / ds.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(ds.max).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = Permanova.dispersionDF(df, "id", "grp",
+        Seq("f0", "f1", "f2", "f3"))
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(got == expected)
+  }
+
   // ---------------------------------------------------------------- FDR
 
   test("BH matches hand computation") {
