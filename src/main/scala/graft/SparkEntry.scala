@@ -1459,6 +1459,49 @@ object SparkEntry {
         .orderBy(col("_change_version"), col("_change_type"), col("c_custkey"))
     }),
 
+    // ---- S5 extension: OPTIMIZE ZORDER BY — z-order-preserving
+    // compaction. Six appends split by partkey % 6, so EVERY file spans
+    // the whole partkey range and plain name-order packing could never
+    // restore pruning; the zorderBy compact rewrites the set into
+    // key-space hyper-rectangles and the query REQUIRES readPruned to
+    // skip files again afterward. targetBytes derives from the observed
+    // input (total/4 → 4 packed files) so the shape is scale-proof.
+    // Oracle = the raw-table relational replay (content identical). ------
+    "s13_zorder_compact" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s13-${ProcessHandle.current().pid()}/li_zcompact_$sfx"
+      val S = graft.sources.SnapshotTable
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity"))
+        .where(col("l_partkey") <= 200)
+      if (S.latestVersion(root) == 0) {
+        (0 until 6).foreach { i =>
+          S.write(li.where(col("l_partkey") % 6 === i).coalesce(1), root,
+            mode = if (i == 0) "overwrite" else "append",
+            statsCols = Seq("l_partkey", "l_suppkey"))
+        }
+        val m0 = S.readManifest(root, S.latestVersion(root))
+        val total = m0.files.map(f => java.nio.file.Files.size(
+          java.nio.file.Paths.get(root, "data", f))).sum
+        S.compact(s, root, targetBytes = math.max(1L, total / 4),
+          smallFraction = 1.0, zorderBy = Seq("l_partkey", "l_suppkey"))
+      }
+      require(S.readManifest(root, S.latestVersion(root)).op == "compact",
+        "z-order compaction was inert")
+      val (pruned, (kept, total)) = S.readPruned(s, root, "l_partkey", 20, 60)
+      require(kept < total,
+        s"z-order compaction restored no pruning: kept $kept of $total")
+      pruned.where(col("l_partkey").between(20, 60))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_qty"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // ---- §2.3 outer join: customers with/without orders -----------------
     "j4_outer_join" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -2724,6 +2767,15 @@ object SparkEntry {
                 _change_type, _change_version
          FROM ch
          ORDER BY _change_version, _change_type, c_custkey""",
+
+    // s13: the z-order-compacted snapshot must answer exactly like the
+    // raw table (compaction is a permutation; pruning is asserted in-query)
+    "s13_zorder_compact" ->
+      """SELECT l_suppkey, count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+         FROM lineitem
+         WHERE l_partkey <= 200 AND l_partkey BETWEEN 20 AND 60
+         GROUP BY 1 ORDER BY 1""",
 
     // p8: the z-ordered copy must answer exactly like the raw table
     "p8_zorder_scan" ->

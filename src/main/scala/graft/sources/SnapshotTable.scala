@@ -374,10 +374,24 @@ object SnapshotTable {
     * overwrite/merge/compact), the packed files are stale — abandon them
     * as vacuum-able orphans and re-select from the new head.
     *
+    * `zorderBy` (OPTIMIZE ZORDER BY): instead of name-order bin-packing —
+    * which preserves EXISTING clustering bin-locally but cannot create
+    * any — the whole small-file set rewrites through
+    * [[graft.ops.Layout.zorder]] into ~`totalBytes / targetBytes` files,
+    * each covering a tight hyper-rectangle of the named key space, and
+    * the re-derived manifest envelopes make [[readPruned]] skip again.
+    * This is the maintenance command for a CDC table: every streaming
+    * MERGE rewrites in shuffle order, so after enough micro-batches every
+    * file spans the whole key range and stats-pruning is dead — plain
+    * packing would fossilize that; the z-order rewrite restores it.
+    * Content is identical either way (a permutation), so the commit stays
+    * a `compact` and the change feed stays silent.
+    *
     * Returns the committed version, or the current version unchanged when
     * fewer than two files qualify (nothing to pack). */
   def compact(spark: SparkSession, root: String,
-      targetBytes: Long = 128L << 20, smallFraction: Double = 0.5): Int = {
+      targetBytes: Long = 128L << 20, smallFraction: Double = 0.5,
+      zorderBy: Seq[String] = Nil, zorderBits: Int = 12): Int = {
     require(targetBytes > 0 && smallFraction > 0 && smallFraction <= 1)
     val cutoff = (targetBytes * smallFraction).toLong
     var committed = -1
@@ -400,15 +414,24 @@ object SnapshotTable {
           case (acc, (f, fsz)) => (List(f), fsz) :: acc
         }.map(_._1.reverse).reverse
         val inputs = small.map(_._1).toSet
-        val statsCols =
-          m.stats.valuesIterator.flatMap(_.keysIterator).toSet.toSeq.sorted
-        // one packed file per bin: each bin reads in name order and lands
-        // as a single part; stage() moves it under a commit-unique prefix
-        val staged = bins.flatMap { bin =>
-          stage(spark.read.schema(m.schema)
-            .parquet(bin.map(f => dataDir(root).resolve(f).toString): _*)
-            .coalesce(1), root)
-        }
+        val statsCols = (m.stats.valuesIterator.flatMap(_.keysIterator).toSet
+          ++ zorderBy).toSeq.sorted
+        // one packed file per bin (each bin reads in name order, lands as
+        // a single part), or one globally re-clustered rewrite when
+        // z-ordering; stage() moves parts under a commit-unique prefix
+        val staged =
+          if (zorderBy.nonEmpty) {
+            val outParts = math.max(1, math.ceil(
+              small.map(_._2).sum.toDouble / targetBytes).toInt)
+            stage(graft.ops.Layout.zorder(
+              spark.read.schema(m.schema).parquet(
+                small.map(f => dataDir(root).resolve(f._1).toString): _*),
+              zorderBy, zorderBits, outParts), root)
+          } else bins.flatMap { bin =>
+            stage(spark.read.schema(m.schema)
+              .parquet(bin.map(f => dataDir(root).resolve(f).toString): _*)
+              .coalesce(1), root)
+          }
         val stagedStats = footerStats(root, staged, statsCols)
         // commit loop for THIS packing (a DELTA: remove inputs, add packed
         // files): re-base over appends, bail to re-pack when an input was

@@ -233,6 +233,46 @@ class SnapshotTableSpec extends SparkSpec {
     assert(!Files.exists(inFlight))
   }
 
+  test("zorderBy compaction restores stats-pruning that name-order packing " +
+      "cannot, with identical content") {
+    // interleaved appends: every file spans the WHOLE key range, so the
+    // manifest envelopes are useless and plain bin-packing (name order)
+    // fossilizes that. The z-order rewrite re-clusters globally.
+    val rows = (0 until 4000).map(i => (i % 100, i.toLong))
+    def build(): String = {
+      val root = freshRoot()
+      (0 until 4).foreach { j =>
+        SnapshotTable.write(
+          rows.filter(_._2 % 4 == j).toDF("k", "payload").coalesce(1), root,
+          mode = if (j == 0) "overwrite" else "append", statsCols = Seq("k"))
+      }
+      root
+    }
+    def totalBytes(root: String): Long =
+      SnapshotTable.readManifest(root, SnapshotTable.latestVersion(root))
+        .files.map(f => Files.size(Paths.get(root, "data", f))).sum
+    val plain = build(); val zed = build()
+    SnapshotTable.compact(spark, plain,
+      targetBytes = totalBytes(plain) / 2, smallFraction = 1.0)
+    SnapshotTable.compact(spark, zed,
+      targetBytes = totalBytes(zed) / 2, smallFraction = 1.0,
+      zorderBy = Seq("k"))
+    val (_, (keptP, totP)) = SnapshotTable.readPruned(spark, plain, "k", 10, 20)
+    val (prunedZ, (keptZ, totZ)) = SnapshotTable.readPruned(spark, zed, "k", 10, 20)
+    assert(totP >= 2 && totZ >= 2, s"compaction produced $totP/$totZ files")
+    assert(keptP == totP,
+      "name-order packing of interleaved files cannot prune — test setup broke")
+    assert(keptZ < totZ, s"z-order compaction must restore pruning: $keptZ/$totZ")
+    // permutation contract: both tables still hold exactly the input rows
+    assert(SnapshotTable.read(spark, plain).as[(Int, Long)].collect().toSet
+      == rows.toSet)
+    assert(SnapshotTable.read(spark, zed).as[(Int, Long)].collect().toSet
+      == rows.toSet)
+    // and the pruned read still returns every matching row
+    assert(prunedZ.where($"k".between(10, 20)).count()
+      == rows.count(r => r._1 >= 10 && r._1 <= 20))
+  }
+
   test("vacuum vs a slow writer: default retention lands the commit intact; " +
       "retention 0 corrupts it (the race the age gate exists for)") {
     // the full race, both outcomes, played out with a real staged parquet
