@@ -1502,6 +1502,43 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    // ---- S5 extension: MERGE-ON-READ DELETE (deletion vectors). The
+    // delete records matching row POSITIONS in a sidecar instead of
+    // rewriting data files — the query REQUIRES the file set unchanged
+    // and vectors present, then reads the table back with the vectors
+    // applied transparently. Oracle = the relational remainder, so the
+    // hash match certifies position capture + masked read end to end. --
+    "s14_mor_delete" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s14-${ProcessHandle.current().pid()}/orders_mor_$sfx"
+      val S = graft.sources.SnapshotTable
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .where(col("o_orderkey") <= 8000)
+      if (S.latestVersion(root) == 0) {
+        (0 until 2).foreach { i =>
+          S.write(o.where(col("o_orderkey") % 2 === i).coalesce(1), root,
+            mode = if (i == 0) "overwrite" else "append",
+            statsCols = Seq("o_orderkey"))
+        }
+        val filesBefore = S.readManifest(root, S.latestVersion(root)).files
+        val (_, touched, deleted) = S.deleteWhereMoR(s, root,
+          col("o_orderstatus") === "F" && col("o_orderkey") % 10 === 0)
+        require(deleted > 0, "MoR delete matched nothing — bad fixture")
+        val mAfter = S.readManifest(root, S.latestVersion(root))
+        require(mAfter.files == filesBefore,
+          "merge-on-read delete must not rewrite data files")
+        require(mAfter.dvs.nonEmpty && touched > 0,
+          "deletion vectors missing after MoR delete")
+      }
+      S.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- §2.3 outer join: customers with/without orders -----------------
     "j4_outer_join" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -2776,6 +2813,15 @@ object SparkEntry {
          FROM lineitem
          WHERE l_partkey <= 200 AND l_partkey BETWEEN 20 AND 60
          GROUP BY 1 ORDER BY 1""",
+
+    // s14: the vector-masked read must equal the relational remainder
+    // (in-query requires pin that no data file was rewritten)
+    "s14_mor_delete" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+         FROM orders
+         WHERE o_orderkey <= 8000
+           AND NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+         ORDER BY o_orderkey""",
 
     // p8: the z-ordered copy must answer exactly like the raw table
     "p8_zorder_scan" ->

@@ -48,13 +48,18 @@ object SnapshotTable {
   private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
   private def dataDir(root: String): Path = Paths.get(root, "data")
   private def changesDir(root: String): Path = Paths.get(root, "_changes")
+  private def deletesDir(root: String): Path = Paths.get(root, "_deletes")
   private def manifestPath(root: String, v: Int): Path =
     manifestDir(root).resolve(f"v$v%08d.txt")
 
   final case class Manifest(version: Int, op: String, schema: StructType,
       files: Seq[String],
       /** per-file numeric column envelopes: file → col → (min, max) */
-      stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+      stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+      /** DELETION VECTORS (merge-on-read): data file → position-sidecar
+        * files under `_deletes/` whose (file_name, pos) rows mark logically
+        * deleted row indexes. A file without an entry has no deletes. */
+      dvs: Map[String, Seq[String]] = Map.empty)
 
   /** One manifest FILE as written, without chain resolution: a CHECKPOINT
     * lists the full live-file set (`file=` lines, `base` absent); a DELTA
@@ -72,7 +77,12 @@ object SnapshotTable {
       /** row-level change files under _changes/ for THIS commit (Delta-CDF
         * `cdc` actions): present only when the writer opted into
         * changeCapture on a merge/delete. */
-      cdc: Seq[String] = Nil)
+      cdc: Seq[String] = Nil,
+      /** deletion-vector entries of THIS manifest file: in a checkpoint,
+        * the full live map; in a delta, per-file REPLACEMENTS (a writer
+        * that extends a file's vector unions the old positions into the
+        * new sidecar, so replacement semantics keep resolution O(lines)). */
+      dvSet: Map[String, Seq[String]] = Map.empty)
 
   /** Delta-chain length at which the next commit writes a checkpoint. */
   private[sources] val checkpointEvery = 20
@@ -117,7 +127,11 @@ object SnapshotTable {
       field("add").toSeq,
       field("remove").toSet,
       stats,
-      field("cdc").toSeq)
+      field("cdc").toSeq,
+      // dv lines: dv=<datafile>;<sidecar> — several sidecars per file allowed
+      field("dv").toSeq.map(_.split(";", 2))
+        .collect { case Array(f, s) => (f, s) }
+        .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSeq })
   }
 
   /** Resolve a version's LIVE STATE: walk back through delta manifests to
@@ -132,11 +146,14 @@ object SnapshotTable {
     val cp = back.head // the checkpoint: full file list
     var files = cp.files
     var stats = cp.stats
+    var dvs = cp.dvSet
     back.tail.foreach { d =>
       files = files.filterNot(d.removes) ++ d.adds
       stats = (stats -- d.removes) ++ d.stats
+      // a removed file's vector dies with it; a delta's entries REPLACE
+      dvs = (dvs -- d.removes) ++ d.dvSet
     }
-    Manifest(head.version, head.op, head.schema, files, stats)
+    Manifest(head.version, head.op, head.schema, files, stats, dvs)
   }
 
   /** Write `df` into the table. `mode` ∈ {"overwrite", "append"}. Returns
@@ -188,15 +205,16 @@ object SnapshotTable {
   private def commitChange(root: String, base: RawManifest, op: String,
       schemaJson: String, adds: Seq[String], removes: Set[String],
       addStats: Map[String, Map[String, (Double, Double)]],
-      cdc: Seq[String] = Nil): Int =
+      cdc: Seq[String] = Nil,
+      dvSet: Map[String, Seq[String]] = Map.empty): Int =
     if (base.chain + 1 >= checkpointEvery) {
       val m = readManifest(root, base.version)
       tryCommit(root, base.version, op, schemaJson,
         m.files.filterNot(removes) ++ adds, (m.stats -- removes) ++ addStats,
-        cdc)
+        cdc, (m.dvs -- removes) ++ dvSet)
     } else
       tryCommitDelta(root, base.version, op, schemaJson, adds, removes,
-        addStats, base.chain + 1, cdc)
+        addStats, base.chain + 1, cdc, dvSet)
 
   /** Evolved schema for an append: table fields first (order-stable),
     * then `df`'s new fields. Same-name fields must agree on type; field
@@ -273,12 +291,9 @@ object SnapshotTable {
         case None => true
       }
     }
-    val df =
-      if (kept.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-      else spark.read.schema(m.schema)
-        .parquet(kept.map(f => dataDir(root).resolve(f).toString): _*)
-    (df, (kept.size, m.files.size))
+    // envelopes are over-approximations after a merge-on-read delete (the
+    // vector can only shrink a file's live range) — pruning stays safe
+    (readFiles(spark, root, m, kept), (kept.size, m.files.size))
   }
 
   /** Delta-style MERGE (upsert): rows of `updates` REPLACE current rows
@@ -419,23 +434,24 @@ object SnapshotTable {
         // one packed file per bin (each bin reads in name order, lands as
         // a single part), or one globally re-clustered rewrite when
         // z-ordering; stage() moves parts under a commit-unique prefix
+        // packing reads THROUGH deletion vectors (compaction doubles as
+        // vector MATERIALIZATION — the packed files carry only live rows
+        // and the inputs' dv entries die with the removes); live content
+        // is unchanged either way, so the commit stays feed-silent
         val staged =
           if (zorderBy.nonEmpty) {
             val outParts = math.max(1, math.ceil(
               small.map(_._2).sum.toDouble / targetBytes).toInt)
             stage(graft.ops.Layout.zorder(
-              spark.read.schema(m.schema).parquet(
-                small.map(f => dataDir(root).resolve(f._1).toString): _*),
+              readFiles(spark, root, m, small.map(_._1)),
               zorderBy, zorderBits, outParts), root)
           } else bins.flatMap { bin =>
-            stage(spark.read.schema(m.schema)
-              .parquet(bin.map(f => dataDir(root).resolve(f).toString): _*)
-              .coalesce(1), root)
+            stage(readFiles(spark, root, m, bin).coalesce(1), root)
           }
         val stagedStats = footerStats(root, staged, statsCols)
         // commit loop for THIS packing (a DELTA: remove inputs, add packed
         // files): re-base over appends, bail to re-pack when an input was
-        // rewritten underneath us
+        // rewritten (or re-deleted — its vector changed) underneath us
         var stale = false
         var attemptRaw = readRaw(root, base)
         while (committed < 0 && !stale) {
@@ -444,7 +460,9 @@ object SnapshotTable {
             addStats = stagedStats)
           if (committed < 0) {
             val head = latestVersion(root)
-            if (inputs.forall(readManifest(root, head).files.contains))
+            val hm = readManifest(root, head)
+            if (inputs.forall(f => hm.files.contains(f) &&
+                hm.dvs.get(f) == m.dvs.get(f)))
               attemptRaw = readRaw(root, head)
             else stale = true // packed content no longer matches — restart
           }
@@ -495,20 +513,21 @@ object SnapshotTable {
       }
       if (candidates.isEmpty) done = Some((base, 0, m.files.size))
       else {
-        val candPaths = candidates.map(f => dataDir(root).resolve(f).toString)
-        // ONE job over the candidates to find files with real matches —
-        // input_file_name() distinct is file-count-sized, never row-sized
-        val hitPaths = spark.read.schema(m.schema).parquet(candPaths: _*)
-          .where(condition).select(input_file_name().as("f")).distinct()
+        // ONE job over the candidates to find files with real LIVE matches
+        // (deletion vectors applied — a file whose only matches are
+        // already dv-deleted keeps its bytes untouched); the distinct is
+        // file-count-sized, never row-sized
+        val hitNames = readFiles(spark, root, m, candidates, keepFilePos = true)
+          .where(condition).select(fcol("__file")).distinct()
           .collect().map(_.getString(0)).toSet
-        val hits = candidates.filter(f =>
-          hitPaths.exists(_.endsWith("/" + f)))
+        val hits = candidates.filter(hitNames)
         if (hits.isEmpty) done = Some((base, 0, m.files.size))
         else {
           val statsCols =
             m.stats.valuesIterator.flatMap(_.keysIterator).toSet.toSeq.sorted
-          val hitFrame = spark.read.schema(m.schema)
-            .parquet(hits.map(f => dataDir(root).resolve(f).toString): _*)
+          // the rewrite reads THROUGH the vectors: kept = live ∧ ¬cond,
+          // and the rewritten files' dv entries die with the removes
+          val hitFrame = readFiles(spark, root, m, hits)
           val kept = hitFrame
             .where(!coalesce(condition, lit(false)))
             .coalesce(math.max(1, hits.size))
@@ -532,14 +551,108 @@ object SnapshotTable {
               addStats = stagedStats, cdc = cdcStaged)
             if (committed < 0) {
               val head = latestVersion(root)
-              if (inputs.forall(readManifest(root, head).files.contains))
+              val hm = readManifest(root, head)
+              // an input that vanished OR grew a different deletion vector
+              // was rewritten/re-deleted underneath us — restart
+              if (inputs.forall(f => hm.files.contains(f) &&
+                  hm.dvs.get(f) == m.dvs.get(f)))
                 attemptRaw = readRaw(root, head)
-              else stale = true // inputs rewritten underneath us — restart
+              else stale = true
             }
           }
           if (committed > 0)
             done = Some((committed, hits.size, m.files.size - hits.size))
           // else stale: abandoned staged files become vacuum-able orphans
+        }
+      }
+    }
+    done.get
+  }
+
+  /** MERGE-ON-READ DELETE via deletion vectors — the modern alternative
+    * to [[deleteWhere]]'s copy-on-write: no data file is rewritten;
+    * instead the matching rows' parquet positions are recorded in a
+    * position sidecar under `_deletes/` and the manifest's `dv=` entries
+    * point each touched file at it (Delta deletion vectors / Iceberg
+    * positional deletes). Readers apply vectors transparently
+    * ([[readFiles]]); [[compact]] MATERIALIZES them (packs live rows,
+    * drops the entries), which is the maintenance path that keeps read
+    * amplification bounded.
+    *
+    * Cost shape vs copy-on-write: a delete touching 1 row of a 1 GB file
+    * writes a KB-sized sidecar instead of re-encoding the gigabyte — the
+    * right trade for frequent small deletes (GDPR erasure, dedup purges)
+    * at 100 TB; the read side pays one broadcast anti-join on the touched
+    * files until the next compaction.
+    *
+    * The match scan applies EXISTING vectors, so already-deleted rows
+    * never re-match (a repeated identical delete is a no-op) and the
+    * change feed derives exact row-level delete events from the vector
+    * DIFF — no capture flag needed, the vector IS the row-level record.
+    * A writer extending a file's vector unions the prior positions into
+    * the new sidecar (replacement semantics keep resolution O(lines)).
+    *
+    * Concurrency: mirrors [[deleteWhere]] — a lost race re-bases over
+    * appends; it restarts when a touched file vanished (rewritten) or its
+    * vector changed (concurrent MoR delete), so vector updates serialize.
+    *
+    * Returns (version, filesTouched, rowsDeleted); a no-match delete
+    * commits nothing and returns the current version. */
+  def deleteWhereMoR(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column,
+      pruneHint: Option[(String, Double, Double)] = None): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{col => fcol}
+    var done: Option[(Int, Int, Long)] = None
+    while (done.isEmpty) {
+      val base = latestVersion(root)
+      require(base > 0, s"snapshot table at $root has no committed version")
+      val m = readManifest(root, base)
+      val candidates = pruneHint match {
+        case Some((c, lo, hi)) => m.files.filter { f =>
+          m.stats.get(f).flatMap(_.get(c)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        }
+        case None => m.files
+      }
+      if (candidates.isEmpty) done = Some((base, 0, 0L))
+      else {
+        // live matches with their (file, position) addresses — one scan
+        val matches = readFiles(spark, root, m, candidates, keepFilePos = true)
+          .where(condition)
+          .select(fcol("__file").as("file_name"), fcol("__pos").as("pos"))
+          .localCheckpoint() // pin: the sidecar write and the count reuse it
+        val hitFiles = matches.select("file_name").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        if (hitFiles.isEmpty) done = Some((base, 0, 0L))
+        else {
+          val rowsDeleted = matches.count()
+          // new sidecar = new positions ∪ the touched files' PRIOR
+          // positions (replacement semantics); live matches are disjoint
+          // from prior positions by construction, no dedup needed
+          val allPos = matches.unionByName(
+            dvPositions(spark, root, m, hitFiles))
+          val staged = stageInto(allPos, root, deletesDir(root))
+          val dvSet = hitFiles.map(f => f -> staged).toMap
+          var committed = -1
+          var stale = false
+          var attemptRaw = readRaw(root, base)
+          while (committed < 0 && !stale) {
+            committed = commitChange(root, attemptRaw, "delete_mor",
+              attemptRaw.schema.json, adds = Nil, removes = Set.empty,
+              addStats = Map.empty, dvSet = dvSet)
+            if (committed < 0) {
+              val head = latestVersion(root)
+              val hm = readManifest(root, head)
+              if (hitFiles.forall(f => hm.files.contains(f) &&
+                  hm.dvs.get(f) == m.dvs.get(f)))
+                attemptRaw = readRaw(root, head)
+              else stale = true // touched file rewritten or re-deleted
+            }
+          }
+          if (committed > 0) done = Some((committed, hitFiles.size, rowsDeleted))
+          // else stale: staged sidecars become vacuum-able orphans
         }
       }
     }
@@ -578,55 +691,67 @@ object SnapshotTable {
     * in the window to still exist (not vacuumed). */
   def readChanges(spark: SparkSession, root: String, fromVersion: Int,
       toVersion: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{broadcast, col, lit, substring_index}
     val to = toVersion.getOrElse(latestVersion(root))
     require(fromVersion >= 1 && to >= fromVersion,
       s"bad change window [$fromVersion, $to]")
-    var prevLive = readManifest(root, fromVersion).files.toSet
-    var prevSchema = readManifest(root, fromVersion).schema
-    // (version, change_type, dir-qualified files, render schema)
-    val events = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, Seq[Path], StructType, Boolean)]
+    var prev = readManifest(root, fromVersion)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     ((fromVersion + 1) to to).foreach { v =>
       val m = readManifest(root, v)
       val raw = readRaw(root, v)
-      val live = m.files.toSet
       if (m.op != "compact") {
         if (raw.cdc.nonEmpty) {
           // row-level capture: the change files carry their own
           // _change_type column; schema = version schema + that column
-          events += ((v, "", raw.cdc.map(changesDir(root).resolve),
-            m.schema, true))
+          val readSchema = StructType(m.schema.fields :+
+            org.apache.spark.sql.types.StructField("_change_type",
+              org.apache.spark.sql.types.StringType))
+          frames += spark.read.schema(readSchema)
+            .parquet(raw.cdc.map(f => changesDir(root).resolve(f).toString): _*)
+            .withColumn("_change_version", lit(v))
+        } else if (m.op == "delete_mor" && raw.dvSet.nonEmpty) {
+          // merge-on-read delete: exact row-level delete events from the
+          // VECTOR DIFF — the rows whose positions entered the touched
+          // files' vectors at this commit (a raw scan, vectors NOT
+          // applied: the deleted rows are the payload)
+          val touched = raw.dvSet.keys.toSeq.sorted
+          val diff = dvPositions(spark, root, m, touched)
+            .exceptAll(dvPositions(spark, root, prev, touched))
+            .select(col("file_name").as("__df"), col("pos").as("__dp"))
+          frames += spark.read.schema(prev.schema)
+            .parquet(touched.map(f => dataDir(root).resolve(f).toString): _*)
+            .withColumn("__file",
+              substring_index(col("_metadata.file_path"), "/", -1))
+            .withColumn("__pos", col("_metadata.row_index"))
+            .join(broadcast(diff),
+              col("__file") === col("__df") && col("__pos") === col("__dp"),
+              "left_semi")
+            .drop("__file", "__pos")
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_change_version", lit(v))
         } else {
+          val prevLive = prev.files.toSet
           val added = m.files.filterNot(prevLive)
-          val removed = prevLive.diff(live).toSeq.sorted
+          val removed = prevLive.diff(m.files.toSet).toSeq.sorted
           if (added.nonEmpty)
-            events += ((v, "insert", added.map(dataDir(root).resolve),
-              m.schema, false))
+            frames += readFiles(spark, root, m, added)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_change_version", lit(v))
           if (removed.nonEmpty)
-            events += ((v, "delete", removed.map(dataDir(root).resolve),
-              prevSchema, false))
+            frames += readFiles(spark, root, prev, removed)
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_change_version", lit(v))
         }
       }
-      prevLive = live
-      prevSchema = m.schema
+      prev = m
     }
     val headSchema = readManifest(root, to).schema
     val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], headSchema)
       .withColumn("_change_type", lit(null).cast("string"))
       .withColumn("_change_version", lit(null).cast("int"))
-    events.map { case (v, tpe, paths, schema, rowLevel) =>
-      val readSchema =
-        if (rowLevel) StructType(schema.fields :+
-          org.apache.spark.sql.types.StructField("_change_type",
-            org.apache.spark.sql.types.StringType))
-        else schema
-      val base = spark.read.schema(readSchema)
-        .parquet(paths.map(_.toString): _*)
-      (if (rowLevel) base else base.withColumn("_change_type", lit(tpe)))
-        .withColumn("_change_version", lit(v))
-    }.foldLeft(empty)((a, b) => a.unionByName(b, allowMissingColumns = true))
+    frames.foldLeft(empty)((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
   /** Stage `df`'s part files into the table's data dir under a
@@ -693,14 +818,18 @@ object SnapshotTable {
       case _: java.nio.file.FileAlreadyExistsException => -1
     }
 
+  private def dvLines(dvs: Map[String, Seq[String]]): Seq[String] =
+    dvs.toSeq.sortBy(_._1).flatMap { case (f, ss) => ss.map(s => s"dv=$f;$s") }
+
   private[sources] def tryCommit(root: String, base: Int, op: String,
       schemaJson: String, files: Seq[String],
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
-      cdc: Seq[String] = Nil): Int = {
+      cdc: Seq[String] = Nil,
+      dvs: Map[String, Seq[String]] = Map.empty): Int = {
     val v = base + 1
     val body = (Seq(s"version=$v", s"op=$op", s"schema=$schemaJson") ++
       files.map(f => s"file=$f") ++ statLines(stats) ++
-      cdc.map(f => s"cdc=$f")).mkString("\n")
+      cdc.map(f => s"cdc=$f") ++ dvLines(dvs)).mkString("\n")
     atomicCreate(root, v, body)
   }
 
@@ -710,26 +839,95 @@ object SnapshotTable {
   private[sources] def tryCommitDelta(root: String, base: Int, op: String,
       schemaJson: String, adds: Seq[String], removes: Set[String],
       stats: Map[String, Map[String, (Double, Double)]], chain: Int,
-      cdc: Seq[String] = Nil): Int = {
+      cdc: Seq[String] = Nil,
+      dvs: Map[String, Seq[String]] = Map.empty): Int = {
     val v = base + 1
     val body = (Seq(s"version=$v", s"op=$op", s"schema=$schemaJson",
       s"base=$base", s"chain=$chain") ++
       adds.map(f => s"add=$f") ++ removes.toSeq.sorted.map(f => s"remove=$f") ++
-      statLines(stats) ++ cdc.map(f => s"cdc=$f")).mkString("\n")
+      statLines(stats) ++ cdc.map(f => s"cdc=$f") ++ dvLines(dvs)).mkString("\n")
     atomicCreate(root, v, body)
+  }
+
+  /** Current (file_name, pos) deletion-vector rows for `files` under
+    * snapshot `m`: each sidecar is read once and its rows kept only when
+    * addressed to a file that points at THAT sidecar in this snapshot —
+    * stale rows (a replaced vector, another file's entries) filter out
+    * row-locally against the small literal pair list. */
+  private def dvPositions(spark: SparkSession, root: String, m: Manifest,
+      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, input_file_name, lit, substring_index}
+    val pairs = files.flatMap(f => m.dvs.getOrElse(f, Nil).map(s => s"$f;$s"))
+    val sidecars = files.flatMap(f => m.dvs.getOrElse(f, Nil)).distinct
+    if (sidecars.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read
+      .parquet(sidecars.map(s => deletesDir(root).resolve(s).toString): _*)
+      .where(concat(col("file_name"), lit(";"),
+        substring_index(input_file_name(), "/", -1)).isin(pairs: _*))
+      .select(col("file_name"), col("pos"))
+  }
+
+  /** DV-aware scan of `files` from snapshot `m`. Files WITHOUT deletion
+    * vectors take the plain parquet path (zero overhead); files WITH them
+    * read alongside their parquet `_metadata.row_index` and drop deleted
+    * positions via a broadcast anti-join on (file, pos) — the
+    * merge-on-read application. `keepFilePos` keeps `__file`/`__pos`
+    * columns on every row (the MoR delete's match-addressing needs them). */
+  private def readFiles(spark: SparkSession, root: String, m: Manifest,
+      files: Seq[String], keepFilePos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, substring_index}
+    def emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    if (files.isEmpty)
+      return if (!keepFilePos) emptyDf
+        else emptyDf.withColumn("__file", org.apache.spark.sql.functions.lit(""))
+          .withColumn("__pos", org.apache.spark.sql.functions.lit(0L))
+    def scan(fs: Seq[String]) = spark.read.schema(m.schema)
+      .parquet(fs.map(f => dataDir(root).resolve(f).toString): _*)
+      .withColumn("__file", substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val dvd = files.filter(m.dvs.contains)
+    val plainFiles = files.filterNot(m.dvs.contains)
+    val masked =
+      if (dvd.isEmpty) None
+      else {
+        val dv = dvPositions(spark, root, m, dvd)
+          .select(col("file_name").as("__df"), col("pos").as("__dp"))
+        Some(scan(dvd).join(broadcast(dv),
+          col("__file") === col("__df") && col("__pos") === col("__dp"),
+          "left_anti"))
+      }
+    val plain =
+      if (plainFiles.isEmpty) None
+      else if (keepFilePos || masked.nonEmpty) Some(scan(plainFiles))
+      else Some(spark.read.schema(m.schema)
+        .parquet(plainFiles.map(f => dataDir(root).resolve(f).toString): _*))
+    val joined = (plain, masked) match {
+      case (Some(p), Some(q)) => p.unionByName(q)
+      case (Some(p), None) => p
+      case (None, Some(q)) => q
+      case (None, None) => emptyDf
+    }
+    if (keepFilePos) joined
+    else if (joined.columns.contains("__file")) joined.drop("__file", "__pos")
+    else joined
   }
 
   /** Read a snapshot: the latest version, or a pinned `version` (time
     * travel). The schema comes from the manifest, so readers are immune to
-    * later schema evolution. An empty table (version 0) is an error. */
+    * later schema evolution; deletion vectors apply transparently. An
+    * empty table (version 0) is an error. */
   def read(spark: SparkSession, root: String, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(latestVersion(root))
     require(v > 0, s"snapshot table at $root has no committed version")
     val m = readManifest(root, v)
-    if (m.files.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else spark.read.schema(m.schema)
-      .parquet(m.files.map(f => dataDir(root).resolve(f).toString): _*)
+    readFiles(spark, root, m, m.files)
   }
 
   /** Drop manifests older than the newest `keepVersions` and delete data
@@ -782,6 +980,15 @@ object SnapshotTable {
       .flatMap(v => scala.util.Try(readRaw(root, v).cdc).getOrElse(Nil)).toSet
     val droppedCdc = droppable.flatMap(v =>
       scala.util.Try(readRaw(root, v).cdc).getOrElse(Nil)).toSet -- liveCdc
+    // deletion-vector sidecars: any sidecar a SURVIVING raw manifest
+    // mentions stays (resolution only ever selects from those lines, so
+    // this is a safe superset of the resolvable-live set)
+    val liveDv = closure.toSeq.flatMap(v =>
+      scala.util.Try(readRaw(root, v).dvSet.values.flatten.toSeq)
+        .getOrElse(Nil)).toSet
+    val droppedDv = droppable.flatMap(v =>
+      scala.util.Try(readRaw(root, v).dvSet.values.flatten.toSeq)
+        .getOrElse(Nil)).toSet -- liveDv
     droppable.foreach(v => Files.delete(manifestPath(root, v)))
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanRetentionMs)
     def sweep(dir: Path, liveSet: Set[String], droppedSet: Set[String]): Unit =
@@ -793,5 +1000,6 @@ object SnapshotTable {
         }.toList).foreach(p => Files.deleteIfExists(p))
     sweep(dataDir(root), live, dropped)
     sweep(changesDir(root), liveCdc, droppedCdc)
+    sweep(deletesDir(root), liveDv, droppedDv)
   }
 }
