@@ -1539,6 +1539,49 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- S5 extension: copy-on-write UPDATE ... SET with row-level
+    // change capture. Two stats-bounded files; the pruneHint must skip
+    // the non-overlapping one (pinned in-query), and the captured feed
+    // must hold exactly 2×matched events — preimage rows verbatim,
+    // postimage rows with the assignments applied. Oracle = the
+    // relational replay of both event classes. --------------------------
+    "s15_cow_update" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s15-${ProcessHandle.current().pid()}/orders_upd_$sfx"
+      val S = graft.sources.SnapshotTable
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .where(col("o_orderkey") <= 6000)
+      if (S.latestVersion(root) == 0) {
+        (0 until 2).foreach { i =>
+          S.write(o.where((col("o_orderkey") <= 3000) === (i == 0))
+            .coalesce(1), root, mode = if (i == 0) "overwrite" else "append",
+            statsCols = Seq("o_orderkey"))
+        }                                                          // v1, v2
+        val (_, rewritten, skipped) = S.updateWhere(s, root,
+          col("o_orderkey").between(1000, 2000) &&
+            col("o_orderstatus") === "O",
+          Map("o_orderstatus" -> lit("U"),
+            "o_totalprice" -> (col("o_totalprice") + 1000)),
+          pruneHint = Some(("o_orderkey", 1000.0, 2000.0)),
+          changeCapture = true)                                    // v3
+        require(rewritten == 1 && skipped == 1,
+          s"update must rewrite 1 file and stats-skip 1, " +
+            s"got rewritten=$rewritten skipped=$skipped")
+      }
+      val feed = S.readChanges(s, root, fromVersion = 2)
+      val nMatch = o.where(col("o_orderkey").between(1000, 2000) &&
+        col("o_orderstatus") === "O").count()
+      require(nMatch > 0, "update matched nothing — bad fixture")
+      require(feed.count() == 2 * nMatch,
+        "captured update feed must hold exactly 2 events per matched row")
+      feed.select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("totalprice"), col("_change_type"))
+        .orderBy(col("o_orderkey"), col("_change_type"))
+    }),
+
     // ---- §2.3 outer join: customers with/without orders -----------------
     "j4_outer_join" -> ((s, dir) => {
       val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
@@ -2822,6 +2865,25 @@ object SparkEntry {
          WHERE o_orderkey <= 8000
            AND NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
          ORDER BY o_orderkey""",
+
+    // s15: the captured UPDATE feed expressed relationally — preimage
+    // rows verbatim, postimage rows with the assignments applied
+    "s15_cow_update" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey <= 6000),
+         m AS (
+           SELECT * FROM b
+           WHERE o_orderkey BETWEEN 1000 AND 2000 AND o_orderstatus = 'O')
+         SELECT o_orderkey, o_orderstatus,
+                round(o_totalprice, 2) AS totalprice, _change_type
+         FROM (
+           SELECT o_orderkey, o_orderstatus, o_totalprice,
+                  'update_preimage' AS _change_type FROM m
+           UNION ALL
+           SELECT o_orderkey, 'U', o_totalprice + 1000,
+                  'update_postimage' FROM m)
+         ORDER BY o_orderkey, _change_type""",
 
     // p8: the z-ordered copy must answer exactly like the raw table
     "p8_zorder_scan" ->

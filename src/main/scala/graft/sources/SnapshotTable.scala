@@ -569,6 +569,103 @@ object SnapshotTable {
     done.get
   }
 
+  /** Copy-on-write UPDATE ... SET: rows matching `condition` get
+    * `assignments` applied (each value expression may reference any table
+    * column; it is cast to the column's declared type), rewriting ONLY
+    * the files that contain matches — the same two-stage file skipping,
+    * DV-awareness, change capture (`update_preimage`/`update_postimage`
+    * cdc files), delta commit, and race handling as [[deleteWhere]].
+    * Non-matching rows (including condition-NULL rows, SQL semantics)
+    * pass through byte-identical. Returns (version, filesRewritten,
+    * filesSkipped); a no-match update commits nothing. */
+  def updateWhere(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      pruneHint: Option[(String, Double, Double)] = None,
+      changeCapture: Boolean = false): (Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{col => fcol, coalesce, lit, when}
+    require(assignments.nonEmpty, "update needs at least one assignment")
+    var done: Option[(Int, Int, Int)] = None
+    while (done.isEmpty) {
+      val base = latestVersion(root)
+      require(base > 0, s"snapshot table at $root has no committed version")
+      val m = readManifest(root, base)
+      val unknown = assignments.keySet -- m.schema.fieldNames
+      require(unknown.isEmpty, s"update assigns unknown columns: $unknown")
+      val candidates = pruneHint match {
+        case Some((c, lo, hi)) => m.files.filter { f =>
+          m.stats.get(f).flatMap(_.get(c)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        }
+        case None => m.files
+      }
+      if (candidates.isEmpty) done = Some((base, 0, m.files.size))
+      else {
+        val hitNames = readFiles(spark, root, m, candidates, keepFilePos = true)
+          .where(condition).select(fcol("__file")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val hits = candidates.filter(hitNames)
+        if (hits.isEmpty) done = Some((base, 0, m.files.size))
+        else {
+          val statsCols =
+            m.stats.valuesIterator.flatMap(_.keysIterator).toSet.toSeq.sorted
+          val hitFrame = readFiles(spark, root, m, hits)
+          val matched = coalesce(condition, lit(false))
+          // assigned columns switch on the row's own match flag; every
+          // other column (and every non-matching row) passes through
+          val updatedCols = m.schema.fields.map { f =>
+            assignments.get(f.name) match {
+              case Some(a) =>
+                when(matched, a.cast(f.dataType)).otherwise(fcol(f.name))
+                  .as(f.name)
+              case None => fcol(f.name)
+            }
+          }
+          val rewritten = hitFrame.select(updatedCols.toSeq: _*)
+            .coalesce(math.max(1, hits.size))
+          val staged = stage(rewritten, root)
+          val cdcStaged =
+            if (!changeCapture) Nil
+            else {
+              val pre = hitFrame.where(matched)
+                .withColumn("_change_type", lit("update_preimage"))
+              val post = hitFrame.where(matched)
+                .select(m.schema.fields.map { f =>
+                  assignments.get(f.name)
+                    .map(_.cast(f.dataType).as(f.name))
+                    .getOrElse(fcol(f.name))
+                }.toSeq: _*)
+                .withColumn("_change_type", lit("update_postimage"))
+              stageChanges(pre.unionByName(post), root)
+            }
+          val stagedStats = footerStats(root, staged, statsCols)
+          val inputs = hits.toSet
+          var committed = -1
+          var stale = false
+          var attemptRaw = readRaw(root, base)
+          while (committed < 0 && !stale) {
+            committed = commitChange(root, attemptRaw, "update",
+              attemptRaw.schema.json, adds = staged, removes = inputs,
+              addStats = stagedStats, cdc = cdcStaged)
+            if (committed < 0) {
+              val head = latestVersion(root)
+              val hm = readManifest(root, head)
+              if (inputs.forall(f => hm.files.contains(f) &&
+                  hm.dvs.get(f) == m.dvs.get(f)))
+                attemptRaw = readRaw(root, head)
+              else stale = true
+            }
+          }
+          if (committed > 0)
+            done = Some((committed, hits.size, m.files.size - hits.size))
+        }
+      }
+    }
+    done.get
+  }
+
   /** MERGE-ON-READ DELETE via deletion vectors — the modern alternative
     * to [[deleteWhere]]'s copy-on-write: no data file is rewritten;
     * instead the matching rows' parquet positions are recorded in a
