@@ -1539,6 +1539,47 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- S5 extension: MERGE-ON-READ UPDATE — deletion vectors mask
+    // the matched rows' old positions, postimage rows append as new
+    // files, nothing is rewritten (pinned in-query: every original file
+    // survives and carries a vector). The captured feed must hold
+    // exactly 2×matched events. Oracle = the relational CASE over the
+    // base table. ------------------------------------------------------
+    "s16_mor_update" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s16-${ProcessHandle.current().pid()}/orders_morupd_$sfx"
+      val S = graft.sources.SnapshotTable
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .where(col("o_orderkey") <= 8000)
+      if (S.latestVersion(root) == 0) {
+        (0 until 2).foreach { i =>
+          S.write(o.where(col("o_orderkey") % 2 === i).coalesce(1), root,
+            mode = if (i == 0) "overwrite" else "append",
+            statsCols = Seq("o_orderkey"))
+        }
+        val before = S.readManifest(root, 2).files
+        val (_, touched, updated) = S.updateWhereMoR(s, root,
+          col("o_orderstatus") === "O" && col("o_orderkey") % 10 === 3,
+          Map("o_totalprice" -> (col("o_totalprice") + 5000)),
+          changeCapture = true)                                    // v3
+        require(updated > 0, "MoR update matched nothing — bad fixture")
+        val mAfter = S.readManifest(root, 3)
+        require(before.forall(mAfter.files.contains) && touched > 0 &&
+          mAfter.dvs.nonEmpty,
+          "merge-on-read update must keep originals and add vectors")
+        val nCdc = S.readChanges(s, root, fromVersion = 2).count()
+        require(nCdc == 2 * updated,
+          s"captured update feed must hold 2 events per row, got $nCdc")
+      }
+      S.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- S5 extension: copy-on-write UPDATE ... SET with row-level
     // change capture. Two stats-bounded files; the pruneHint must skip
     // the non-overlapping one (pinned in-query), and the captured feed
@@ -2864,6 +2905,16 @@ object SparkEntry {
          FROM orders
          WHERE o_orderkey <= 8000
            AND NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 0)
+         ORDER BY o_orderkey""",
+
+    // s16: the vector-masked read plus appended postimages must equal
+    // the relational CASE over the base table
+    "s16_mor_update" ->
+      """SELECT o_orderkey, o_orderstatus,
+           round(CASE WHEN o_orderstatus = 'O' AND o_orderkey % 10 = 3
+                      THEN o_totalprice + 5000 ELSE o_totalprice END,
+                 2) AS totalprice
+         FROM orders WHERE o_orderkey <= 8000
          ORDER BY o_orderkey""",
 
     // s15: the captured UPDATE feed expressed relationally — preimage

@@ -756,6 +756,110 @@ object SnapshotTable {
     done.get
   }
 
+  /** MERGE-ON-READ UPDATE via deletion vectors — completes the
+    * CoW/MoR × delete/update DML matrix: matched rows' old positions
+    * enter the touched files' vectors (as in [[deleteWhereMoR]]) and
+    * their postimage rows — `assignments` applied, cast to each column's
+    * declared type — land in NEWLY APPENDED files. No existing data file
+    * is rewritten: an update touching 1 row of a 1 GB file writes a
+    * KB-sized sidecar plus a 1-row file, the Delta DV-update /
+    * Iceberg positional-delete-plus-append shape.
+    *
+    * The match scan applies EXISTING vectors, so rows deleted earlier
+    * never resurrect as postimages. Fresh footer stats ride the appended
+    * files, keeping pruned reads exact. The change feed: with
+    * `changeCapture` the commit carries exact `update_preimage` /
+    * `update_postimage` rows; without it the feed derives row-level
+    * delete events from the vector diff plus insert events from the
+    * appended files — exact, just typed delete+insert rather than
+    * update pairs.
+    *
+    * Concurrency mirrors [[deleteWhereMoR]]: lost races re-base over
+    * appends and restart when a touched file vanished or its vector
+    * changed. Returns (version, filesTouched, rowsUpdated); a no-match
+    * update commits nothing. */
+  def updateWhereMoR(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      pruneHint: Option[(String, Double, Double)] = None,
+      changeCapture: Boolean = false): (Int, Int, Long) = {
+    import org.apache.spark.sql.functions.{col => fcol, lit}
+    require(assignments.nonEmpty, "update needs at least one assignment")
+    var done: Option[(Int, Int, Long)] = None
+    while (done.isEmpty) {
+      val base = latestVersion(root)
+      require(base > 0, s"snapshot table at $root has no committed version")
+      val m = readManifest(root, base)
+      val unknown = assignments.keySet -- m.schema.fieldNames
+      require(unknown.isEmpty, s"update assigns unknown columns: $unknown")
+      val candidates = pruneHint match {
+        case Some((c, lo, hi)) => m.files.filter { f =>
+          m.stats.get(f).flatMap(_.get(c)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true
+          }
+        }
+        case None => m.files
+      }
+      if (candidates.isEmpty) done = Some((base, 0, 0L))
+      else {
+        // live matches with their (file, position) addresses AND full row
+        // payload — one scan feeds the vector, the postimages, and capture
+        val matches = readFiles(spark, root, m, candidates, keepFilePos = true)
+          .where(condition)
+          .localCheckpoint()
+        val hitFiles = matches.select("__file").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        if (hitFiles.isEmpty) done = Some((base, 0, 0L))
+        else {
+          val rowsUpdated = matches.count()
+          val statsCols =
+            m.stats.valuesIterator.flatMap(_.keysIterator).toSet.toSeq.sorted
+          val post = matches.select(m.schema.fields.map { f =>
+            assignments.get(f.name)
+              .map(_.cast(f.dataType).as(f.name))
+              .getOrElse(fcol(f.name))
+          }.toSeq: _*)
+          val staged = stage(post.coalesce(math.max(1, hitFiles.size)), root)
+          val stagedStats = footerStats(root, staged, statsCols)
+          val allPos = matches
+            .select(fcol("__file").as("file_name"), fcol("__pos").as("pos"))
+            .unionByName(dvPositions(spark, root, m, hitFiles))
+          val dvStaged = stageInto(allPos, root, deletesDir(root))
+          val dvSet = hitFiles.map(f => f -> dvStaged).toMap
+          val cdcStaged =
+            if (!changeCapture) Nil
+            else stageChanges(
+              matches.drop("__file", "__pos")
+                .withColumn("_change_type", lit("update_preimage"))
+                .unionByName(
+                  post.withColumn("_change_type", lit("update_postimage"))),
+              root)
+          var committed = -1
+          var stale = false
+          var attemptRaw = readRaw(root, base)
+          while (committed < 0 && !stale) {
+            committed = commitChange(root, attemptRaw, "update_mor",
+              attemptRaw.schema.json, adds = staged, removes = Set.empty,
+              addStats = stagedStats, cdc = cdcStaged, dvSet = dvSet)
+            if (committed < 0) {
+              val head = latestVersion(root)
+              val hm = readManifest(root, head)
+              if (hitFiles.forall(f => hm.files.contains(f) &&
+                  hm.dvs.get(f) == m.dvs.get(f)))
+                attemptRaw = readRaw(root, head)
+              else stale = true // touched file rewritten or re-vectored
+            }
+          }
+          if (committed > 0)
+            done = Some((committed, hitFiles.size, rowsUpdated))
+          // else stale: staged files/sidecars become vacuum-able orphans
+        }
+      }
+    }
+    done.get
+  }
+
   /** CHANGE FEED between two committed versions — the CDC read the open
     * formats expose. Two granularities, chosen per commit:
     *
@@ -807,11 +911,14 @@ object SnapshotTable {
           frames += spark.read.schema(readSchema)
             .parquet(raw.cdc.map(f => changesDir(root).resolve(f).toString): _*)
             .withColumn("_change_version", lit(v))
-        } else if (m.op == "delete_mor" && raw.dvSet.nonEmpty) {
-          // merge-on-read delete: exact row-level delete events from the
-          // VECTOR DIFF — the rows whose positions entered the touched
-          // files' vectors at this commit (a raw scan, vectors NOT
-          // applied: the deleted rows are the payload)
+        } else if ((m.op == "delete_mor" || m.op == "update_mor") &&
+            raw.dvSet.nonEmpty) {
+          // merge-on-read delete/update: exact row-level delete events
+          // from the VECTOR DIFF — the rows whose positions entered the
+          // touched files' vectors at this commit (a raw scan, vectors
+          // NOT applied: the deleted rows are the payload). An update
+          // additionally reports its appended postimage files as inserts
+          // (delete+insert typing; changeCapture gives update pairs).
           val touched = raw.dvSet.keys.toSeq.sorted
           val diff = dvPositions(spark, root, m, touched)
             .exceptAll(dvPositions(spark, root, prev, touched))
@@ -827,6 +934,12 @@ object SnapshotTable {
             .drop("__file", "__pos")
             .withColumn("_change_type", lit("delete"))
             .withColumn("_change_version", lit(v))
+          val prevLive = prev.files.toSet
+          val added = m.files.filterNot(prevLive)
+          if (added.nonEmpty)
+            frames += readFiles(spark, root, m, added)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_change_version", lit(v))
         } else {
           val prevLive = prev.files.toSet
           val added = m.files.filterNot(prevLive)
