@@ -550,6 +550,28 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- curation: SemDeDup — k-means cluster blocking, within-cluster
+    // cosine dominance (drop a row when a LOWER-id same-cluster row is
+    // >= minCosine similar). Same planted near-dups as d7/n2; the fitted
+    // centers export as literals and the oracle replays clustering,
+    // blocking, and the keep rule relationally (the n3/n7 doctrine). ------
+    "n8_semantic_dedup" -> ((s, dir) => {
+      val base = Tables.spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.select(
+          (col("vec_id") + lit(1000000L)).as("pid"),
+          transform(col("embedding"), (x, i) =>
+            x + (((col("vec_id") * 31 + i.cast("long") * 7) % 17) - 8) / lit(800.0))
+            .as("pemb"))
+        .select(col("pid").as("vec_id"), col("pemb").as("embedding"))
+      val allv = base.unionAll(planted)
+      val (kept, centers) = Embeddings.semanticDedup(allv, "vec_id", "embedding",
+        k = 8, minCosine = 0.9, seed = 42L)
+      n8FittedCenters = Some(centers)
+      kept.select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- §2.2 P7-P9 rename/drop batch -----------------------------------
     "p4_rename_drop" -> ((s, dir) => {
       val renamed = Cleaning.renameByMap(
@@ -2343,9 +2365,60 @@ object SparkEntry {
          ORDER BY query_id, "rank""""
   }.toMap
 
+  /** The k-means centers n8's SemDeDup fitted in this process — same
+    * runtime-oracle contract as [[n3FittedCenters]]. */
+  @volatile private var n8FittedCenters: Option[Array[(Int, Seq[Double])]] = None
+
+  private def n8OracleEntry: Map[String, String] = n8FittedCenters.map { centers =>
+    val values = centers.map { case (cid, v) =>
+      s"($cid, [${v.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n           ")
+    // clustering = L2 argmax replay on RAW vectors (assignEuclidean, ties
+    // to cid); the dominance rule pairs UNIT vectors within a cluster and
+    // drops the higher id — all relational, replayed on the same planted
+    // corpus as d7/n2
+    "n8_semantic_dedup" ->
+      s"""WITH cents AS (
+           SELECT * FROM (VALUES $values) t(cid, cvec)),
+         base AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+           FROM embeddings),
+         planted AS (
+           SELECT vec_id + 1000000 AS pid,
+                  list_transform(range(0, 64), i ->
+                    emb[CAST(i + 1 AS INT)] + (((vec_id * 31 + i * 7) % 17) - 8) / 800.0) AS emb
+           FROM base),
+         allv AS (
+           SELECT vec_id, emb FROM base
+           UNION ALL SELECT pid AS vec_id, emb FROM planted),
+         ca AS (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY 2.0 * list_dot_product(emb, cvec)
+                             - list_dot_product(cvec, cvec) DESC, cid) AS rn
+           FROM allv CROSS JOIN cents),
+         assigned AS (SELECT vec_id, cid AS centroid_id FROM ca WHERE rn = 1),
+         unit AS (
+           SELECT vec_id,
+                  list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS u
+           FROM allv WHERE list_dot_product(emb, emb) > 0),
+         ub AS (
+           SELECT u.vec_id, u.u, a.centroid_id
+           FROM unit u JOIN assigned a USING (vec_id)),
+         dup AS (
+           SELECT DISTINCT b.vec_id AS dup_id
+           FROM ub a JOIN ub b
+             ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+           WHERE list_dot_product(a.u, b.u) >= 0.9)
+         SELECT v.vec_id, CAST(a.centroid_id AS BIGINT) AS centroid_id
+         FROM allv v JOIN assigned a USING (vec_id)
+         WHERE v.vec_id NOT IN (SELECT dup_id FROM dup)
+         ORDER BY vec_id"""
+  }.toMap
+
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
-      n3OracleEntry ++ n7OracleEntry ++ Map(
+      n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

@@ -33,17 +33,27 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * only reads as a raw long (`spark.sql.legacy.parquet.nanosAsLong=true`,
-    * set in Verify/Bench sessions). Normalize to a proper TimestampType at
-    * microsecond precision — integer DIV, not double division, because ns
-    * epochs (~1.7e18) exceed double's 53-bit mantissa. */
+  /** Normalize the events `ts` column to plain TimestampType whatever the
+    * parquet generation stored:
+    *  - TIMESTAMP(NANOS) reads as a raw long under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` → integer DIV to µs
+    *    (not double division: ns epochs ~1.7e18 exceed double's mantissa);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as TIMESTAMP_NTZ in
+    *    a session that infers NTZ (our sessions set
+    *    `spark.sql.parquet.inferTimestampNTZ.enabled=false`, so this branch
+    *    only fires under a FOREIGN session, e.g. the driver's smoke check)
+    *    → cast, which under the UTC session timezone preserves the wall
+    *    clock as the same instant unix_micros/epoch_us agree on. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

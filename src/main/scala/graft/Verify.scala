@@ -12,6 +12,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // reference semantics: Spark-3/Databricks non-ANSI (bad cast → NULL)
       .config("spark.sql.ansi.enabled", "false")
       // fresh warehouse per JVM: bucketed saveAsTable must not land in cwd

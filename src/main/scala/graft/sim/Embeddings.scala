@@ -172,21 +172,27 @@ object Embeddings {
     * frame AND the centroid vectors (for query-side probe selection). */
   def ivfIndex(df: DataFrame, vecCol: String, nCentroids: Int,
       seed: Long = 42L, maxIter: Int = 10): (DataFrame, Array[(Int, Seq[Double])]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = df.withColumn("__features", array_to_vector(asDouble(col(vecCol))))
-    val km = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(maxIter)
-      .setFeaturesCol("__features").setPredictionCol("centroid_id")
-    // k-means makes maxIter+ passes; cache the (small: fit is typically on a
-    // sample at scale) input and coalesce so each iteration isn't dominated
-    // by task scheduling over near-empty partitions
-    val fitInput = feat.select(col("__features"))
-      .coalesce(math.max(1, df.sparkSession.sparkContext.defaultParallelism / 4)).cache()
-    val model = try km.fit(fitInput) finally fitInput.unpersist(blocking = false)
-    val centers = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.toSeq)
-    }
-    (model.transform(feat).drop("__features"), centers)
+    val centers = kmeansTrain(df, vecCol, nCentroids, seed = seed, maxIter = maxIter)
+    (assignEuclidean(df, vecCol, centers), centers)
+  }
+
+  /** Full-vector k-means — [[pqTrain]]'s joint Lloyd's trainer with a single
+    * subspace: one cached pass-per-iteration fit, deterministic by seed and
+    * partition-order-independent (decimal accumulation). `dim` is inferred
+    * from the first non-null vector when not given. The first-class curation
+    * primitive behind IVF indexing and cluster-census / SemDeDup-style
+    * pipelines: fit on a sample at 100 TB, assignment stays one pass. */
+  def kmeansTrain(df: DataFrame, vecCol: String, k: Int, dim: Int = -1,
+      seed: Long = 42L, maxIter: Int = 10): Array[(Int, Seq[Double])] = {
+    val d =
+      if (dim > 0) dim
+      else df.select(size(asDouble(col(vecCol))).as("n"))
+        .where(col("n") > 0).limit(1).collect()
+        .headOption.map(_.getInt(0))
+        .getOrElse(throw new IllegalArgumentException(
+          s"kmeansTrain: no non-empty vectors in '$vecCol' to infer dim from"))
+    pqTrain(df, vecCol, numSubspaces = 1, k = k, dim = d,
+      seed = seed, maxIter = maxIter).head
   }
 
   /** Assign each row to the centroid maximizing dot(unit vector, centroid)
@@ -232,6 +238,46 @@ object Embeddings {
         when(l("s") > r("s"), -1).when(l("s") < r("s"), 1)
           .otherwise(when(l("cid") < r("cid"), -1)
             .when(l("cid") > r("cid"), 1).otherwise(0))), 1)("cid"))
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means clusters the corpus, then only WITHIN each cluster are cosine
+    * pairs examined — a row is dropped when some SAME-CLUSTER row with a
+    * LOWER id is ≥ `minCosine` similar to it. Dominance, not closure: a row
+    * whose only close neighbor was itself dropped stays dropped (the rule is
+    * locally checkable and exactly SQL-replayable); compose with
+    * `Dedup.connectedComponents` when transitive grouping is wanted (d7).
+    * Zero-norm vectors have no direction and are always kept.
+    *
+    * Returns (kept rows + their `centroid_id`, fitted centers). The centers
+    * export as exact literals so the whole pipeline — assignment, blocking,
+    * pair predicate, keep rule — replays in DuckDB (n8's oracle).
+    *
+    * The cluster blocking IS the scale contract: candidate pairs cost
+    * Σ_c n_c² instead of n², and the only shuffle is keyed by centroid_id.
+    * At 100 TB pick k so clusters stay ~10⁴-row-sized (the paper's regime:
+    * k ≈ n/10⁴), fit on a sample, and skew in cluster sizes is dealt the
+    * same way as any hot key — raise k. Boundary pairs straddling two
+    * clusters are invisible by design (the paper's documented recall
+    * tradeoff) — and since the oracle replays the same blocking, the
+    * comparison stays exact. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, minCosine: Double, seed: Long = 42L,
+      maxIter: Int = 10): (DataFrame, Array[(Int, Seq[Double])]) = {
+    val centers = kmeansTrain(df, vecCol, k, seed = seed, maxIter = maxIter)
+    val assigned = assignEuclidean(df, vecCol, centers)
+    val u = withUnit(assigned, vecCol)
+      .select(col(idCol).as("__id"), col("centroid_id").as("__cid"), col("__vec"))
+      .where(col("__vec").isNotNull)
+    val dominated = u.select(col("__id").as("__id_a"), col("__cid"), col("__vec").as("__va"))
+      .join(u.select(col("__id").as("__id_b"), col("__cid"), col("__vec").as("__vb")),
+        Seq("__cid"))
+      .where(col("__id_a") < col("__id_b"))
+      .where(dot(col("__va"), col("__vb")) >= minCosine)
+      .select(col("__id_b").as("__dup"))
+      .distinct()
+    val kept = assigned.join(dominated, col(idCol) === col("__dup"), "left_anti")
+    (kept, centers)
   }
 
   /** Driver-side union of the centroid ids a query batch will probe — the
@@ -298,38 +344,144 @@ object Embeddings {
     df.withColumn("pq_code", codes)
   }
 
-  /** Train PQ codebooks: one k-means per contiguous subspace over the
-    * corpus's subvectors — completes the ANN story (the round-8 verdict's
+  /** Train PQ codebooks — completes the ANN story (the round-8 verdict's
     * item 7): [[pqAssign]]/[[pqTopK]] previously only accepted FIXED
     * literal codebooks; this trains them at runtime, n3's doctrine — the
-    * TRAINER is engine-specific (spark.ml k-means), but the fitted centers
-    * export as plain doubles (Double.toString round-trips exactly), so
-    * assignment and ADC ranking replay bit-for-bit in SQL (n7's oracle).
+    * TRAINER is engine-specific, but the fitted centers export as plain
+    * doubles (Double.toString round-trips exactly), so assignment and ADC
+    * ranking replay bit-for-bit in SQL (n7's oracle).
+    *
+    * Execution is a BOUNDED PROTOCOL (the r1 permutation-test doctrine):
+    * ONE Spark job collects a content-hash-gated sample of at most
+    * ~`sampleCap` vectors (threshold on |xxhash64(vec, seed)| — layout-
+    * and partitioning-independent, binds only past the cap), and Lloyd's
+    * k-means runs driver-side per subspace over the canonically SORTED
+    * sample, so the fit is a pure function of (vector multiset, seed) —
+    * bit-deterministic on any cluster layout, which a distributed
+    * double-sum update could never be. A k-means fit never needed the
+    * full corpus (the PQ contract is fit-on-sample, assign-everything);
+    * the gate just enforces it: at 100 TB the fit costs one filtered
+    * pass + a ≤`sampleCap`-row collect, and assignment stays a full
+    * single distributed pass. Duplicate vectors gate all-or-nothing
+    * (whole duplicate classes kept or dropped together) — harmless for
+    * cluster means, documented for symmetry with the r1 gate. Init per
+    * subspace = the k distinct subvectors of smallest seeded mix-hash;
+    * iterations assign in parallel (independent per point) but
+    * accumulate means sequentially in sample order; an iteration that
+    * moves no center ends the loop; an emptied cluster keeps its center.
     *
     * Returns `codebooks(m)` = (cid 0..k−1, center) for subspace m, the
-    * exact shape pqAssign requires. Seeded per-subspace (`seed + m`) so
-    * every codebook is an independent deterministic fit. At 100 TB the fit
-    * runs on a sample (k-means cost is per-pass; pass a `.sample` frame),
-    * while assignment stays a full single pass — the PQ contract. */
+    * exact shape pqAssign requires. */
   def pqTrain(df: DataFrame, vecCol: String, numSubspaces: Int, k: Int,
       dim: Int, seed: Long = 42L,
-      maxIter: Int = 10): Array[Array[(Int, Seq[Double])]] = {
+      maxIter: Int = 10,
+      sampleCap: Int = 1 << 17): Array[Array[(Int, Seq[Double])]] = {
     require(numSubspaces > 0 && dim % numSubspaces == 0,
       s"dim $dim must split evenly into $numSubspaces subspaces")
     val subdim = dim / numSubspaces
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val v = checkedVec(asDouble(col(vecCol)), dim, "pqTrain")
-    Array.tabulate(numSubspaces) { m =>
-      val fitInput = df
-        .select(array_to_vector(slice(v, m * subdim + 1, subdim)).as("__features"))
-        .coalesce(math.max(1,
-          df.sparkSession.sparkContext.defaultParallelism / 4)).cache()
-      val km = new KMeans().setK(k).setSeed(seed + m).setMaxIter(maxIter)
-        .setFeaturesCol("__features").setPredictionCol("__c")
-      val model = try km.fit(fitInput) finally fitInput.unpersist(blocking = false)
-      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray.toSeq) }
+    val base = df.select(v.as("__v")).where(col("__v").isNotNull)
+    val n = base.count()
+    val gated =
+      if (n <= sampleCap) base
+      else base.where(abs(xxhash64(col("__v"), lit(seed))) <
+        (Long.MaxValue.toDouble * (sampleCap.toDouble / n)).toLong)
+    val sample: Array[Array[Double]] =
+      gated.collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTrain: empty training sample")
+    // canonical order: collect() follows the partition layout; sorted, the
+    // sequential mean accumulation below is layout-proof (same move as
+    // PermutationTest's pooled sort)
+    val cmp: java.util.Comparator[Array[Double]] = (a, b) => {
+      var i = 0
+      var r = 0
+      while (r == 0 && i < a.length && i < b.length) {
+        r = java.lang.Double.compare(a(i), b(i))
+        i += 1
+      }
+      if (r != 0) r else Integer.compare(a.length, b.length)
     }
+    java.util.Arrays.sort(sample, cmp)
+    Array.tabulate(numSubspaces) { m =>
+      val pts = sample.map(r => java.util.Arrays.copyOfRange(r, m * subdim, (m + 1) * subdim))
+      lloydsDriver(pts, k, seed + m, maxIter, s"subspace $m")
+        .zipWithIndex.map { case (c, cid) => (cid, c.toSeq) }
+    }
+  }
+
+  /** Deterministic sequential-ish Lloyd's on a driver-side sample: seeded
+    * smallest-mix-hash distinct init, parallel per-point assignment (each
+    * point independent — no FP-order hazard), sequential in-order mean
+    * accumulation. Pure function of (pts order, seed); callers pass
+    * canonically sorted pts. */
+  private def lloydsDriver(pts: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int, who: String): Array[Array[Double]] = {
+    val d = pts(0).length
+    def mix(p: Array[Double]): Long = {
+      var x = seed * 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < p.length) {
+        x = java.lang.Long.rotateLeft(
+          x ^ java.lang.Double.doubleToLongBits(p(i)) * 0xC2B2AE3D27D4EB4FL,
+          31) * 0x9E3779B185EBCA87L
+        i += 1
+      }
+      x
+    }
+    val distinct = pts.map(_.toSeq).distinct.map(_.toArray)
+    require(distinct.length >= k,
+      s"pqTrain: $who has only ${distinct.length} distinct subvectors, need k=$k")
+    var centers = distinct
+      .sortWith((a, b) => { val c = java.lang.Long.compare(mix(a), mix(b))
+        if (c != 0) c < 0 else {
+          var i = 0
+          while (i < a.length && a(i) == b(i)) i += 1
+          i < a.length && java.lang.Double.compare(a(i), b(i)) < 0
+        }})
+      .take(k)
+    val assign = new Array[Int](pts.length)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val cs = centers
+      // parallel over points: writes to disjoint slots, reads frozen cs
+      java.util.stream.IntStream.range(0, pts.length).parallel().forEach { i =>
+        val p = pts(i)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val cv = cs(c)
+          var s = 0.0
+          var j = 0
+          while (j < d) { val t = p(j) - cv(j); s += t * t; j += 1 }
+          if (s < bestD) { bestD = s; best = c } // strict <: ties keep lower cid
+          c += 1
+        }
+        assign(i) = best
+      }
+      val sums = Array.fill(k, d)(0.0)
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < pts.length) { // sequential, in sample order: deterministic
+        val c = assign(i)
+        counts(c) += 1
+        val p = pts(i)
+        var j = 0
+        while (j < d) { sums(c)(j) += p(j); j += 1 }
+        i += 1
+      }
+      val next = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cs(c).clone()
+        else { val out = sums(c); var j = 0
+          while (j < d) { out(j) /= counts(c); j += 1 }
+          out }
+      }
+      moved = !next.zip(cs).forall { case (a, b) => java.util.Arrays.equals(a, b) }
+      centers = next
+      iter += 1
+    }
+    centers
   }
 
   /** ADC (asymmetric-distance) top-k over PQ codes (n6): each query builds

@@ -21,6 +21,11 @@ object SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the regenerated testdata stores timestamps as MICROS with
+      // isAdjustedToUTC=false; read them as plain TimestampType (the
+      // round-9 types) instead of TIMESTAMP_NTZ so every plan, pushdown,
+      // and oracle comparison is unchanged
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // reference semantics: Spark-3/Databricks non-ANSI (bad cast → NULL)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")

@@ -119,4 +119,50 @@ class EmbeddingsSpec extends SparkSpec {
     assert(byCluster(0L).size == 1 && byCluster(1L).size == 1)
     assert(byCluster(0L).head != byCluster(1L).head)
   }
+
+  test("kmeansTrain infers dim and equals the explicit-dim single-subspace fit") {
+    val rng = new scala.util.Random(5)
+    val rows = (0 until 100).map { i =>
+      val hi = i % 2 == 0
+      (i.toLong, Seq.tabulate(4)(_ =>
+        ((if (hi) 3.0 else -3.0) + rng.nextGaussian() * 0.05).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val inferred = Embeddings.kmeansTrain(df, "embedding", k = 2, seed = 11L)
+    val explicit = Embeddings.pqTrain(df, "embedding",
+      numSubspaces = 1, k = 2, dim = 4, seed = 11L).head
+    assert(inferred.toSeq == explicit.toSeq)
+    // the two centers straddle the planted ±3 clusters
+    val means = inferred.map(_._2.sum / 4).sorted
+    assert(means(0) < -2 && means(1) > 2, s"centers missed clusters: ${inferred.toSeq}")
+  }
+
+  test("semanticDedup drops higher-id near-dups inside a cluster only") {
+    val rows = Seq(
+      // cluster A (around +5): 1 and 2 near-identical (cos ≈ 1), 3 in the
+      // same L2 cluster but pointing differently (cos < τ vs 1)
+      (1L, Seq(5.0f, 5.0f, 0.1f, 0.0f)),
+      (2L, Seq(5.0f, 5.0f, 0.1001f, 0.0f)),
+      (3L, Seq(4.0f, 6.0f, 0.0f, 0.0f)),
+      // cluster B (around −5): twins 4 and 5
+      (4L, Seq(-5.0f, -5.0f, 0.0f, 0.2f)),
+      (5L, Seq(-5.0f, -5.0f, 0.0f, 0.2002f)),
+      // zero-norm: no direction, always kept
+      (6L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (kept, centers) = Embeddings.semanticDedup(df, "vec_id", "embedding",
+      k = 2, minCosine = 0.99, seed = 3L)
+    assert(centers.length == 2)
+    val keptIds = kept.select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds == Seq(1L, 3L, 4L, 6L), s"kept: $keptIds")
+    // kept rows carry their cluster: twins' survivors are in different
+    // clusters than each other (A vs B)
+    val cids = kept.select($"vec_id", $"centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cids(1L) != cids(4L))
+    // determinism: same seed, same survivors
+    val (kept2, _) = Embeddings.semanticDedup(df, "vec_id", "embedding",
+      k = 2, minCosine = 0.99, seed = 3L)
+    assert(kept2.select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq == keptIds)
+  }
 }
