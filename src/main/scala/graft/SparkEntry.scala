@@ -1602,6 +1602,57 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- S5 extension: incremental materialized-view maintenance — a
+    // keyed count+sum rollup kept current by FOLDING the base table's
+    // row-level change feed into the summary SnapshotTable (inserts/
+    // postimages +, deletes/preimages −) instead of recomputing: the
+    // 100 TB pattern where the rollup costs O(|changes|) per refresh.
+    // Sums ride as DECIMAL end to end so incremental ≡ batch EXACTLY;
+    // the in-query require pins that equality against a fresh batch
+    // recompute, and the oracle recomputes the same rollup relationally
+    // from the mutated base — a hash match certifies the whole chain:
+    // capture, delta fold, merge, empty-group deletion. ------------------
+    "s17_incremental_agg" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-s17-$pid/ord_base_$sfx"
+      val sroot = sys.props("java.io.tmpdir") + s"/graft-s17-$pid/ord_sum_$sfx"
+      val S = graft.sources.SnapshotTable
+      val IA = graft.sources.IncrementalAgg
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      if (S.latestVersion(root) == 0) {
+        S.write(ord.where(col("o_orderkey") <= 1000).coalesce(1), root,
+          mode = "overwrite")                                          // v1
+        S.write(IA.summarize(S.read(s, root), Seq("o_orderstatus"),
+          Seq("o_totalprice" -> "turnover")).coalesce(1), sroot,
+          mode = "overwrite")
+        S.merge(ord.where(col("o_orderkey").between(800, 1200))
+            .withColumn("o_totalprice", round(col("o_totalprice") + 500, 2)),
+          root, Seq("o_orderkey"), changeCapture = true)               // v2
+        S.deleteWhere(s, root, col("o_orderkey") <= 150,
+          changeCapture = true)                                        // v3
+        IA.applyChanges(s, root, sroot, fromVersion = 1,
+          Seq("o_orderstatus"), Seq("o_totalprice" -> "turnover"))
+        // the maintained view must equal a batch recompute EXACTLY —
+        // row set, counts, and decimal sums (group-count-sized collect)
+        val inc = S.read(s, sroot)
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getDecimal(2).toPlainString)).toSet
+        val batch = IA.summarize(S.read(s, root), Seq("o_orderstatus"),
+          Seq("o_totalprice" -> "turnover"))
+          .collect().map(r => (r.getString(0), r.getLong(1),
+            r.getDecimal(2).toPlainString)).toSet
+        require(inc == batch,
+          s"incremental view diverged from batch recompute:\n$inc\nvs\n$batch")
+      }
+      S.read(s, sroot)
+        .select(col("o_orderstatus"), col("n"),
+          round(col("turnover").cast("double"), 2).as("turnover"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- S5 extension: copy-on-write UPDATE ... SET with row-level
     // change capture. Two stats-bounded files; the pruneHint must skip
     // the non-overlapping one (pinned in-query), and the captured feed
@@ -2989,6 +3040,29 @@ object SparkEntry {
                  2) AS totalprice
          FROM orders WHERE o_orderkey <= 8000
          ORDER BY o_orderkey""",
+
+    // s17: the incrementally-maintained rollup must equal the batch
+    // recompute over the mutated base (merge upserts win on matched keys,
+    // inserts join, deletes leave) — same decimal-sum money doctrine as q1
+    "s17_incremental_agg" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey <= 1000),
+         m AS (
+           SELECT o_orderkey, o_orderstatus,
+                  round(o_totalprice + 500, 2) AS o_totalprice
+           FROM orders WHERE o_orderkey BETWEEN 800 AND 1200),
+         final AS (
+           SELECT * FROM (
+             SELECT * FROM m
+             UNION ALL
+             SELECT * FROM b
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM m))
+           WHERE o_orderkey > 150)
+         SELECT o_orderstatus, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                  AS turnover
+         FROM final GROUP BY 1 ORDER BY 1""",
 
     // s15: the captured UPDATE feed expressed relationally — preimage
     // rows verbatim, postimage rows with the assignments applied

@@ -1,0 +1,76 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def roots(): (String, String) = {
+    val d = java.nio.file.Files.createTempDirectory("ia-spec").toString
+    (d + "/base", d + "/sum")
+  }
+
+  private def summaryRows(root: String): Set[(String, Long, String)] =
+    SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString))
+      .toSet
+
+  test("applyChanges folds a captured merge+delete: incremental == batch, " +
+      "emptied groups physically deleted") {
+    val (root, sroot) = roots()
+    val base = Seq((1L, "a", 10.50), (2L, "a", 5.25), (3L, "b", 7.00),
+      (4L, "c", 1.75)).toDF("id", "grp", "amt")
+    SnapshotTable.write(base.coalesce(1), root)                         // v1
+    SnapshotTable.write(
+      IncrementalAgg.summarize(SnapshotTable.read(spark, root),
+        Seq("grp"), Seq("amt" -> "total")).coalesce(1), sroot)
+    // update id=2 (a: 5.25 → 8.00) and insert id=5 into b, then drop all
+    // of group c — both captured row-level
+    SnapshotTable.merge(Seq((2L, "a", 8.00), (5L, "b", 2.00))
+      .toDF("id", "grp", "amt"), root, Seq("id"), changeCapture = true) // v2
+    SnapshotTable.deleteWhere(spark, root, col("grp") === "c",
+      changeCapture = true)                                             // v3
+    IncrementalAgg.applyChanges(spark, root, sroot, fromVersion = 1,
+      Seq("grp"), Seq("amt" -> "total"))
+    val inc = summaryRows(sroot)
+    val batch = IncrementalAgg.summarize(SnapshotTable.read(spark, root),
+      Seq("grp"), Seq("amt" -> "total")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString))
+      .toSet
+    assert(inc == batch, s"incremental $inc != batch $batch")
+    assert(inc == Set(("a", 2L, "18.50"), ("b", 2L, "9.00")))
+    assert(!inc.exists(_._1 == "c"), "emptied group must leave the row set")
+  }
+
+  test("applyChanges folds a pure insert into an existing group") {
+    val (root, sroot) = roots()
+    val base = (1L to 40L).map(i => (i, if (i % 2 == 0) "even" else "odd",
+      i.toDouble)).toDF("id", "grp", "amt")
+    SnapshotTable.write(base.coalesce(1), root)                         // v1
+    SnapshotTable.write(
+      IncrementalAgg.summarize(SnapshotTable.read(spark, root),
+        Seq("grp"), Seq("amt" -> "total")).coalesce(1), sroot)
+    SnapshotTable.merge(Seq((41L, "odd", 1.00)).toDF("id", "grp", "amt"),
+      root, Seq("id"), changeCapture = true)                            // v2
+    IncrementalAgg.applyChanges(spark, root, sroot, fromVersion = 1,
+      Seq("grp"), Seq("amt" -> "total"))
+    val inc = summaryRows(sroot)
+    assert(inc == Set(("even", 20L, "420.00"), ("odd", 21L, "401.00")))
+  }
+
+  test("applyChanges with an empty change window is a no-op commit-wise") {
+    val (root, sroot) = roots()
+    SnapshotTable.write(Seq((1L, "a", 2.00)).toDF("id", "grp", "amt")
+      .coalesce(1), root)
+    SnapshotTable.write(
+      IncrementalAgg.summarize(SnapshotTable.read(spark, root),
+        Seq("grp"), Seq("amt" -> "total")).coalesce(1), sroot)
+    val before = SnapshotTable.latestVersion(sroot)
+    val v = IncrementalAgg.applyChanges(spark, root, sroot,
+      fromVersion = SnapshotTable.latestVersion(root),
+      Seq("grp"), Seq("amt" -> "total"))
+    assert(v == before && SnapshotTable.latestVersion(sroot) == before)
+    assert(summaryRows(sroot) == Set(("a", 1L, "2.00")))
+  }
+}
