@@ -137,6 +137,26 @@ class EmbeddingsSpec extends SparkSpec {
     assert(means(0) < -2 && means(1) > 2, s"centers missed clusters: ${inferred.toSeq}")
   }
 
+  test("pqTrain's sample gate binds deterministically and fits still separate") {
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 1000).map { i =>
+      val hi = i % 2 == 0
+      (i.toLong, Seq.tabulate(4)(_ =>
+        ((if (hi) 4.0 else -4.0) + rng.nextGaussian() * 0.1).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val capped = Embeddings.pqTrain(df, "embedding",
+      numSubspaces = 1, k = 2, dim = 4, seed = 7L, sampleCap = 100)
+    // deterministic under the gate: the content-hash threshold selects the
+    // same sample on any layout, so the fit is bit-identical
+    val again = Embeddings.pqTrain(df, "embedding",
+      numSubspaces = 1, k = 2, dim = 4, seed = 7L, sampleCap = 100)
+    assert(capped.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // and a ~10% sample of well-separated clusters still recovers them
+    val means = capped.head.map(_._2.sum / 4).sorted
+    assert(means(0) < -3 && means(1) > 3, s"gated fit missed clusters: ${capped.head.toSeq}")
+  }
+
   test("semanticDedup drops higher-id near-dups inside a cluster only") {
     val rows = Seq(
       // cluster A (around +5): 1 and 2 near-identical (cos ≈ 1), 3 in the

@@ -59,6 +59,23 @@ class IncrementalAggSpec extends SparkSpec {
     assert(inc == Set(("even", 20L, "420.00"), ("odd", 21L, "401.00")))
   }
 
+  test("applyChanges folds merge-on-read delete events (vector-diff feed, " +
+      "no explicit capture)") {
+    val (root, sroot) = roots()
+    val base = Seq((1L, "a", 3.00), (2L, "a", 4.00), (3L, "b", 5.00))
+      .toDF("id", "grp", "amt")
+    SnapshotTable.write(base.coalesce(1), root)                         // v1
+    SnapshotTable.write(
+      IncrementalAgg.summarize(SnapshotTable.read(spark, root),
+        Seq("grp"), Seq("amt" -> "total")).coalesce(1), sroot)
+    // MoR delete: no cdc files — readChanges derives exact row-level
+    // delete events from the deletion-vector diff
+    SnapshotTable.deleteWhereMoR(spark, root, col("id") === 2L)         // v2
+    IncrementalAgg.applyChanges(spark, root, sroot, fromVersion = 1,
+      Seq("grp"), Seq("amt" -> "total"))
+    assert(summaryRows(sroot) == Set(("a", 1L, "3.00"), ("b", 1L, "5.00")))
+  }
+
   test("applyChanges with an empty change window is a no-op commit-wise") {
     val (root, sroot) = roots()
     SnapshotTable.write(Seq((1L, "a", 2.00)).toDF("id", "grp", "amt")
