@@ -1951,6 +1951,64 @@ object SparkEntry {
         .orderBy(col("content_hash"))
     }),
 
+    // ---- streaming materialized view, batch-replayed (the e7/e8
+    // doctrine): four deterministic TIME-ORDERED micro-batches (fixed
+    // quartile boundaries on unix_micros(ts), so equal timestamps never
+    // straddle batches) run rollupSink's exact per-batch path — newest
+    // event per user upserted with capture, captured slice folded into
+    // the per-event-type rollup. Time-ordered batches make sequential
+    // last-write-wins ≡ global newest-per-user, which is what the oracle
+    // replays relationally; the in-query require additionally pins
+    // summary == fresh batch recompute engine-side. --------------------
+    "e10_stream_rollup" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-e10-$pid/base_$sfx"
+      val sroot = sys.props("java.io.tmpdir") + s"/graft-e10-$pid/sum_$sfx"
+      val S = graft.sources.SnapshotTable
+      val IA = graft.sources.IncrementalAgg
+      val ev = Tables.events(s, dir)
+        .where(col("user_id") <= 300 && col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("value").cast("double").as("value"))
+      if (S.latestVersion(root) == 0) {
+        val mm = ev.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).head
+        val lo = mm.getLong(0)
+        val step = (mm.getLong(1) - lo) / 4 + 1
+        (0 until 4).foreach { b =>
+          val batch = ev.where(
+            expr(s"(unix_micros(ts) - ${lo}L) div ${step}L") === b)
+          if (!batch.isEmpty) {
+            val others = Seq("ts", "event_type", "value")
+            val latest = batch.groupBy(col("user_id"))
+              .agg(max(struct(others.map(col): _*)).as("__l"))
+              .select(col("user_id") +: others.map(c => col(s"__l.$c").as(c)): _*)
+            val pre = S.latestVersion(root)
+            S.merge(latest, root, Seq("user_id"), changeCapture = true)
+            if (S.latestVersion(sroot) == 0)
+              S.write(IA.summarize(S.read(s, root), Seq("event_type"),
+                Seq("value" -> "total")).coalesce(1), sroot)
+            else
+              IA.applyChanges(s, root, sroot, fromVersion = pre,
+                Seq("event_type"), Seq("value" -> "total"))
+          }
+        }
+        val inc = S.read(s, sroot).collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSet
+        val batchRe = IA.summarize(S.read(s, root), Seq("event_type"),
+          Seq("value" -> "total")).collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSet
+        require(inc == batchRe,
+          s"streamed rollup diverged from batch recompute:\n$inc\nvs\n$batchRe")
+      }
+      S.read(s, sroot)
+        .select(col("event_type"), col("n"),
+          round(col("total").cast("double"), 2).as("total"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- time-series resample + forward fill (grid ∘ as-of join) --------
     "e6_resample_ffill" -> ((s, dir) => {
       graft.ops.Resample.forwardFillGrid(Tables.events(s, dir),
@@ -3040,6 +3098,24 @@ object SparkEntry {
                  2) AS totalprice
          FROM orders WHERE o_orderkey <= 8000
          ORDER BY o_orderkey""",
+
+    // e10: sequential time-ordered batch upserts ≡ global newest event
+    // per user (equal timestamps share a batch; the max-struct tie order
+    // is (ts, event_type, value) DESC lexicographic), then the rollup is
+    // a plain group-by over those survivors — the decimal-sum doctrine
+    "e10_stream_rollup" ->
+      """WITH ev AS (
+           SELECT user_id, ts, event_type, CAST(value AS DOUBLE) AS value
+           FROM events WHERE user_id <= 300 AND value IS NOT NULL),
+         last AS (
+           SELECT user_id, event_type, value FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_type DESC, value DESC) AS rn
+             FROM ev) WHERE rn = 1)
+         SELECT event_type, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                  AS total
+         FROM last GROUP BY 1 ORDER BY 1""",
 
     // s17: the incrementally-maintained rollup must equal the batch
     // recompute over the mutated base (merge upserts win on matched keys,

@@ -210,4 +210,58 @@ object EventStream {
       }
       .start()
   }
+
+  /** Streaming MATERIALIZED VIEW: each micro-batch upserts into the base
+    * [[graft.sources.SnapshotTable]] exactly like [[upsertSink]] (newest
+    * change per key wins, row-level capture ON), then folds that batch's
+    * captured change slice into a keyed count+sum summary table
+    * ([[graft.sources.IncrementalAgg.applyChanges]]) — base and rollup
+    * advance in lockstep, and the rollup's refresh costs O(batch), never
+    * O(table). The first batch seeds the summary from the base it just
+    * wrote.
+    *
+    * Retry contract (foreachBatch is at-least-once): a REPLAYED batch is
+    * exact for free — the replayed merge captures every row as
+    * update_preimage + update_postimage with identical values, so the
+    * fold's counts (+1/−1) and DECIMAL sums (+x/−x) cancel to net zero.
+    * The one window that is NOT covered is a crash precisely between the
+    * base commit and its fold: the replay's merge is net-zero, so that
+    * lost window's deltas never fold — on such a recovery, reseed the
+    * summary with one batch recompute ([[graft.sources.IncrementalAgg
+    * .summarize]]); StreamingRollupSpec pins the replayed-batch and
+    * lockstep cases. */
+  def rollupSink(updates: DataFrame, root: String, summaryRoot: String,
+      keyCols: Seq[String], tsCol: String, groupCols: Seq[String],
+      sumCols: Seq[(String, String)], checkpointDir: String,
+      countName: String = "n"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val keyCs = keyCols.map(col)
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val S = graft.sources.SnapshotTable
+          val otherNames = batch.columns.filterNot(keyCols.contains)
+          val latest = batch
+            .groupBy(keyCs: _*)
+            .agg(max(struct(
+              (tsCol +: otherNames.filterNot(_ == tsCol)).map(col): _*)).as("__l"))
+            .select(keyCs ++ otherNames.map(c => col(s"__l.$c").as(c)): _*)
+          val pre = S.latestVersion(root)
+          S.merge(latest, root, keyCols, changeCapture = true)
+          if (S.latestVersion(summaryRoot) == 0) {
+            S.write(graft.sources.IncrementalAgg.summarize(
+              S.read(spark, root), groupCols, sumCols, countName).coalesce(1),
+              summaryRoot, mode = "overwrite")
+            ()
+          } else {
+            graft.sources.IncrementalAgg.applyChanges(spark, root, summaryRoot,
+              fromVersion = pre, groupCols, sumCols, countName)
+            ()
+          }
+        }
+      }
+      .start()
+  }
 }

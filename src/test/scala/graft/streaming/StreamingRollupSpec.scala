@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sources.{IncrementalAgg, SnapshotTable}
+import org.apache.spark.sql.functions._
+
+case class RollupChange(k: Long, ts: java.sql.Timestamp, grp: String, amt: Double)
+
+class StreamingRollupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+
+  private def summaryRows(root: String): Set[(String, Long, String)] =
+    SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString))
+      .toSet
+
+  private def batchRecompute(root: String): Set[(String, Long, String)] =
+    IncrementalAgg.summarize(SnapshotTable.read(spark, root),
+      Seq("grp"), Seq("amt" -> "total")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString))
+      .toSet
+
+  test("rollupSink keeps the summary in lockstep with the upserted base") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup")
+    val root = dir.resolve("base").toString
+    val sroot = dir.resolve("sum").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[RollupChange]
+    val q = EventStream.rollupSink(input.toDF(), root, sroot,
+      Seq("k"), "ts", Seq("grp"), Seq("amt" -> "total"), ckpt)
+    try {
+      // batch 1: seeds base AND summary (intra-batch dup: newer ts wins)
+      input.addData(RollupChange(1L, ts(1), "a", 10.00),
+        RollupChange(1L, ts(5), "a", 12.00), RollupChange(2L, ts(2), "b", 3.00))
+      q.processAllAvailable()
+      assert(summaryRows(sroot) == Set(("a", 1L, "12.00"), ("b", 1L, "3.00")))
+      // batch 2: key 1 MOVES group a→b (preimage −a, postimage +b), key 3
+      // inserts into a
+      input.addData(RollupChange(1L, ts(9), "b", 7.00),
+        RollupChange(3L, ts(8), "a", 1.50))
+      q.processAllAvailable()
+      assert(summaryRows(sroot) == Set(("a", 1L, "1.50"), ("b", 2L, "10.00")))
+      assert(summaryRows(sroot) == batchRecompute(root))
+      // batch 3: pure update within a group
+      input.addData(RollupChange(2L, ts(12), "b", 4.00))
+      q.processAllAvailable()
+      assert(summaryRows(sroot) == Set(("a", 1L, "1.50"), ("b", 2L, "11.00")))
+      assert(summaryRows(sroot) == batchRecompute(root))
+    } finally q.stop()
+  }
+
+  test("a replayed batch folds to net zero (at-least-once is exact)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-replay")
+    val root = dir.resolve("base").toString
+    val sroot = dir.resolve("sum").toString
+    val b1 = Seq((1L, "a", 5.00), (2L, "b", 2.50)).toDF("k", "grp", "amt")
+    SnapshotTable.write(b1.coalesce(1), root)                           // v1
+    SnapshotTable.write(IncrementalAgg.summarize(
+      SnapshotTable.read(spark, root), Seq("grp"), Seq("amt" -> "total"))
+      .coalesce(1), sroot)
+    // the same upsert twice, fold after each — the second merge captures
+    // identical preimage/postimage pairs, so the second fold is net zero
+    val upd = Seq((1L, "a", 6.00), (3L, "b", 1.00)).toDF("k", "grp", "amt")
+    (1 to 2).foreach { _ =>
+      val pre = SnapshotTable.latestVersion(root)
+      SnapshotTable.merge(upd, root, Seq("k"), changeCapture = true)
+      IncrementalAgg.applyChanges(spark, root, sroot, fromVersion = pre,
+        Seq("grp"), Seq("amt" -> "total"))
+    }
+    assert(summaryRows(sroot) == Set(("a", 1L, "6.00"), ("b", 2L, "3.50")))
+    assert(summaryRows(sroot) == batchRecompute(root))
+  }
+}
