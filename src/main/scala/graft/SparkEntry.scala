@@ -572,6 +572,22 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- ANN: Johnson–Lindenstrauss ±1 projection prefilter — rank all
+    // pairs in the 16-dim PROJECTED space (4× cheaper per pair), keep 24
+    // candidates per query, exact-rerank those by true cosine. The sign
+    // matrix is a pure function of the seed, so the oracle rebuilds the
+    // identical matrix and replays both stages exactly; recall vs brute
+    // force is spec-measured, never assumed. --------------------------
+    "n9_rp_prefilter" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      Embeddings.rpPrefilterTopK(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 8), "vec_id", "embedding",
+          inDim = 64, outDim = 16, seed = 42L, candidates = 24, k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- §2.2 P7-P9 rename/drop batch -----------------------------------
     "p4_rename_drop" -> ((s, dir) => {
       val renamed = Cleaning.renameByMap(
@@ -2525,9 +2541,53 @@ object SparkEntry {
          ORDER BY vec_id"""
   }.toMap
 
+  /** n9's oracle: the JL sign matrix is a pure function of the seed, so
+    * the SQL replay rebuilds the IDENTICAL matrix as literals at
+    * oracle-generation time — no fitted artifact, no volatile capture. */
+  private def n9OracleEntry: Map[String, String] = {
+    val mvalues = Embeddings.rpMatrix(64, 16, 42L).zipWithIndex
+      .map { case (row, j) => s"($j, [${row.map(_.toString).mkString(", ")}])" }
+      .mkString(",\n           ")
+    Map("n9_rp_prefilter" ->
+      s"""WITH m AS (
+           SELECT * FROM (VALUES $mvalues) t(j, mvec)),
+         raw AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         unit AS (
+           SELECT vec_id, v,
+                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+           FROM raw WHERE list_dot_product(v, v) > 0),
+         proj AS (
+           SELECT unit.vec_id,
+                  list(list_dot_product(unit.v, m.mvec) ORDER BY m.j) AS p
+           FROM unit CROSS JOIN m GROUP BY unit.vec_id),
+         pu AS (
+           SELECT u.vec_id, u.u, p.p FROM unit u JOIN proj p USING (vec_id)),
+         pc AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                  c.u AS cu, q.u AS qu,
+                  list_dot_product(c.p, q.p) /
+                    (sqrt(list_dot_product(c.p, c.p)) *
+                     sqrt(list_dot_product(q.p, q.p))) AS pcos
+           FROM pu c JOIN pu q ON q.vec_id < 8 AND c.vec_id != q.vec_id),
+         cand AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY pcos DESC, corpus_id) AS prank FROM pc)
+           WHERE prank <= 24),
+         ranked AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY list_dot_product(cu, qu) DESC, corpus_id) AS "rank"
+           FROM cand)
+         SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 5
+         ORDER BY query_id, "rank"""")
+  }
+
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
-      n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ Map(
+      n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,

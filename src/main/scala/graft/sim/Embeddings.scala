@@ -240,6 +240,70 @@ object Embeddings {
             .when(l("cid") > r("cid"), 1).otherwise(0))), 1)("cid"))
   }
 
+  /** Deterministic ±1 Johnson–Lindenstrauss sign matrix: entry (j,i) is a
+    * pure function of (seed, j, i) (Achlioptas 2003's database-friendly
+    * projection — ±1 entries preserve pairwise angles in expectation), so
+    * any engine can rebuild the identical matrix and the projection
+    * replays exactly as literal dot products. */
+  def rpMatrix(inDim: Int, outDim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(outDim) { j =>
+      Array.tabulate(inDim) { i =>
+        var x = (seed * 0x9E3779B97F4A7C15L) ^ (j * 0xC2B2AE3D27D4EB4FL) ^
+          (i * 0x165667B19E3779F9L)
+        x = java.lang.Long.rotateLeft(x, 31) * 0x9E3779B185EBCA87L
+        x ^= (x >>> 29)
+        if ((x & 1L) == 0L) 1.0 else -1.0
+      }
+    }
+
+  /** Append `outCol` = the `outDim`-dimensional ±1 projection of `vecCol`
+    * (one codegen dot product per output dimension). */
+  def randomProject(df: DataFrame, vecCol: String, inDim: Int, outDim: Int,
+      seed: Long, outCol: String = "__proj"): DataFrame = {
+    val m = rpMatrix(inDim, outDim, seed)
+    val v = checkedVec(asDouble(col(vecCol)), inDim, "randomProject")
+    df.withColumn(outCol,
+      array(m.map(row => dot(v, array(row.map(lit).toSeq: _*))).toSeq: _*))
+  }
+
+  /** JL-prefiltered exact ANN: rank ALL pairs by cosine in the PROJECTED
+    * space (outDim ≪ inDim — the per-pair cost drops by inDim/outDim),
+    * keep `candidates` per query, then rerank only those by TRUE cosine
+    * and keep k. The output is defined BY this two-stage algorithm (ties
+    * to the lower corpus id at both stages), so a SQL replay with the
+    * same seed-derived matrix is exact — no recall hand-waving in the
+    * oracle (recall itself is spec-measured against brute force). At
+    * 100 TB the projected vectors are the only thing the candidate stage
+    * touches: 4× narrower rows through the same bucketed/blocked
+    * candidate machinery, with the full vectors fetched only for the
+    * `candidates`-sized rerank. */
+  def rpPrefilterTopK(corpus: DataFrame, corpusId: String, vecCol: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      inDim: Int, outDim: Int, seed: Long,
+      candidates: Int, k: Int): DataFrame = {
+    val c = withUnit(randomProject(corpus, vecCol, inDim, outDim, seed), vecCol)
+      .where(col("__vec").isNotNull)
+      .select(col(corpusId).as("corpus_id"), col("__vec").as("cvec"),
+        col("__proj").as("cproj"))
+    val q = withUnit(randomProject(queries, queryVec, inDim, outDim, seed), queryVec)
+      .where(col("__vec").isNotNull)
+      .select(col(queryId).as("query_id"), col("__vec").as("qvec"),
+        col("__proj").as("qproj"))
+    val wP = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("corpus_id").asc)
+    val cand = c.crossJoin(broadcast(q))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("cvec"), col("qvec"),
+        (dot(col("cproj"), col("qproj")) /
+          (l2Norm(col("cproj")) * l2Norm(col("qproj")))).as("pcos"))
+      .withColumn("prank", row_number().over(wP)).where(col("prank") <= candidates)
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    cand.select(col("query_id"), col("corpus_id"),
+        dot(col("cvec"), col("qvec")).as("cos"))
+      .withColumn("rank", row_number().over(wE)).where(col("rank") <= k)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * k-means clusters the corpus, then only WITHIN each cluster are cosine
     * pairs examined — a row is dropped when some SAME-CLUSTER row with a

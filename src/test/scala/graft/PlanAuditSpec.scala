@@ -16,7 +16,8 @@ class PlanAuditSpec extends SparkSpec {
   // codebooks, n7 trained codebooks — same broadcast-LUT × codes shape)
   private val deliberateLoops = Set(
     "j1_cross_agg", "m3_tree_score", "n1_ann_topk", "n4_bm25",
-    "n6_pq_probe", "n7_pq_trained", "r13_permanova_stat", "t10_ngram_lm")
+    "n6_pq_probe", "n7_pq_trained", "n9_rp_prefilter",
+    "r13_permanova_stat", "t10_ngram_lm")
 
   // the in-SQL ROC curve over 4 leaf scores (m3 — plan-required: the
   // curve is built inside one query), the DPP dim max (p7 — days-sized,

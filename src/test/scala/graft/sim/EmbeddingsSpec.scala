@@ -137,6 +137,36 @@ class EmbeddingsSpec extends SparkSpec {
     assert(means(0) < -2 && means(1) > 2, s"centers missed clusters: ${inferred.toSeq}")
   }
 
+  test("JL random projection preserves planted nearest neighbors through " +
+      "the prefilter") {
+    val rng = new scala.util.Random(31)
+    // 60 random unit-ish vectors + a planted twin for each of 4 queries
+    val base = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val twins = (0 until 4).map(i =>
+      (100L + i, base(i)._2.map(x => x + 0.01f)))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val queries = df.where($"vec_id" < 4)
+    val got = Embeddings.rpPrefilterTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding",
+      inDim = 16, outDim = 8, seed = 5L, candidates = 16, k = 1)
+      .select($"query_id", $"corpus_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Embeddings.bruteForceTopK(df, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 1)
+      .select($"query_id", $"corpus_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the planted twin is the true top-1 and survives the prefilter
+    (0 until 4).foreach { i =>
+      assert(exact(i.toLong) == 100L + i)
+      assert(got(i.toLong) == exact(i.toLong),
+        s"query $i: prefilter ${got(i.toLong)} vs exact ${exact(i.toLong)}")
+    }
+    // deterministic matrix: same seed, same entries
+    assert(Embeddings.rpMatrix(16, 8, 5L).map(_.toSeq).toSeq ==
+      Embeddings.rpMatrix(16, 8, 5L).map(_.toSeq).toSeq)
+  }
+
   test("pqTrain's sample gate binds deterministically and fits still separate") {
     val rng = new scala.util.Random(23)
     val rows = (0 until 1000).map { i =>
