@@ -1669,6 +1669,53 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- S5 extension: incremental view WITH exact min/max — the
+    // retraction hybrid: arrivals fold monotonically, and only groups
+    // whose stored extremum was retracted rescan their base slice. The
+    // delete removes every row above a price threshold, so group maxes
+    // ARE retracted and the rescan path runs for real; the in-query
+    // require pins incremental == fresh batch recompute. ----------------
+    "s18_incremental_minmax" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-s18-$pid/ord_base_$sfx"
+      val sroot = sys.props("java.io.tmpdir") + s"/graft-s18-$pid/ord_sum_$sfx"
+      val S = graft.sources.SnapshotTable
+      val IA = graft.sources.IncrementalAgg
+      val mm = Seq(("o_totalprice", "tp_min", "tp_max"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString,
+          r.getDouble(3), r.getDouble(4))).toSet
+      if (S.latestVersion(root) == 0) {
+        S.write(ord.where(col("o_orderkey") <= 1000).coalesce(1), root,
+          mode = "overwrite")                                          // v1
+        S.write(IA.summarizeWithMinMax(S.read(s, root), Seq("o_orderstatus"),
+          Seq("o_totalprice" -> "turnover"), mm).coalesce(1), sroot,
+          mode = "overwrite")
+        S.merge(ord.where(col("o_orderkey").between(800, 1200))
+            .withColumn("o_totalprice", round(col("o_totalprice") + 500, 2)),
+          root, Seq("o_orderkey"), changeCapture = true)               // v2
+        S.deleteWhere(s, root, col("o_totalprice") > 350000,
+          changeCapture = true)                                        // v3
+        IA.applyChangesWithMinMax(s, root, sroot, fromVersion = 1,
+          Seq("o_orderstatus"), Seq("o_totalprice" -> "turnover"), mm)
+        val inc = rows(S.read(s, sroot))
+        val batch = rows(IA.summarizeWithMinMax(S.read(s, root),
+          Seq("o_orderstatus"), Seq("o_totalprice" -> "turnover"), mm))
+        require(inc == batch,
+          s"min/max view diverged from batch recompute:\n$inc\nvs\n$batch")
+      }
+      S.read(s, sroot)
+        .select(col("o_orderstatus"), col("n"),
+          round(col("turnover").cast("double"), 2).as("turnover"),
+          round(col("tp_min"), 2).as("tp_min"),
+          round(col("tp_max"), 2).as("tp_max"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- S5 extension: copy-on-write UPDATE ... SET with row-level
     // change capture. Two stats-bounded files; the pruneHint must skip
     // the non-overlapping one (pinned in-query), and the captured feed
@@ -3198,6 +3245,30 @@ object SparkEntry {
          SELECT o_orderstatus, count(*) AS n,
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                   AS turnover
+         FROM final GROUP BY 1 ORDER BY 1""",
+
+    // s18: the min/max-carrying incremental view must equal the batch
+    // recompute — the delete predicate applies to POST-merge values
+    // (deleteWhere runs on the merged head), extrema are exact picks
+    "s18_incremental_minmax" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey <= 1000),
+         m AS (
+           SELECT o_orderkey, o_orderstatus,
+                  round(o_totalprice + 500, 2) AS o_totalprice
+           FROM orders WHERE o_orderkey BETWEEN 800 AND 1200),
+         merged AS (
+           SELECT * FROM m
+           UNION ALL
+           SELECT * FROM b
+           WHERE o_orderkey NOT IN (SELECT o_orderkey FROM m)),
+         final AS (SELECT * FROM merged WHERE NOT (o_totalprice > 350000))
+         SELECT o_orderstatus, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                  AS turnover,
+                round(min(o_totalprice), 2) AS tp_min,
+                round(max(o_totalprice), 2) AS tp_max
          FROM final GROUP BY 1 ORDER BY 1""",
 
     // s15: the captured UPDATE feed expressed relationally — preimage

@@ -76,6 +76,61 @@ class IncrementalAggSpec extends SparkSpec {
     assert(summaryRows(sroot) == Set(("a", 1L, "3.00"), ("b", 1L, "5.00")))
   }
 
+  private def mmRows(root: String): Set[(String, Long, String, Double, Double)] =
+    SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getDouble(3), r.getDouble(4)))
+      .toSet
+
+  test("applyChangesWithMinMax: retracted extremum rescans its group, " +
+      "arrivals fold monotonically") {
+    val (root, sroot) = roots()
+    val mm = Seq(("amt", "amt_min", "amt_max"))
+    val base = Seq((1L, "a", 10.0), (2L, "a", 5.0), (3L, "a", 7.0),
+      (4L, "b", 2.0), (5L, "b", 9.0)).toDF("id", "grp", "amt")
+    SnapshotTable.write(base.coalesce(1), root)                         // v1
+    SnapshotTable.write(IncrementalAgg.summarizeWithMinMax(
+      SnapshotTable.read(spark, root), Seq("grp"), Seq("amt" -> "total"), mm)
+      .coalesce(1), sroot)
+    // group a: DELETE its max (10.0 → rescan must find 7.0) and its min
+    // (5.0 → rescan must find... both retracted, survivor is 7.0);
+    // group b: INSERT 11.0 (monotone fold, no rescan — max moves up
+    // without touching the base)
+    SnapshotTable.deleteWhere(spark, root,
+      col("id") === 1L || col("id") === 2L, changeCapture = true)       // v2
+    SnapshotTable.merge(Seq((6L, "b", 11.0)).toDF("id", "grp", "amt"),
+      root, Seq("id"), changeCapture = true)                            // v3
+    IncrementalAgg.applyChangesWithMinMax(spark, root, sroot,
+      fromVersion = 1, Seq("grp"), Seq("amt" -> "total"), mm)
+    val inc = mmRows(sroot)
+    assert(inc == Set(("a", 1L, "7.00", 7.0, 7.0),
+      ("b", 3L, "22.00", 2.0, 11.0)), s"got $inc")
+    val batch = IncrementalAgg.summarizeWithMinMax(
+      SnapshotTable.read(spark, root), Seq("grp"), Seq("amt" -> "total"), mm)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).toPlainString, r.getDouble(3), r.getDouble(4))).toSet
+    assert(inc == batch)
+  }
+
+  test("applyChangesWithMinMax: a non-extremal retraction needs no rescan " +
+      "and an emptied group leaves the row set") {
+    val (root, sroot) = roots()
+    val mm = Seq(("amt", "amt_min", "amt_max"))
+    val base = Seq((1L, "a", 1.0), (2L, "a", 5.0), (3L, "a", 9.0),
+      (4L, "c", 3.0)).toDF("id", "grp", "amt")
+    SnapshotTable.write(base.coalesce(1), root)                         // v1
+    SnapshotTable.write(IncrementalAgg.summarizeWithMinMax(
+      SnapshotTable.read(spark, root), Seq("grp"), Seq("amt" -> "total"), mm)
+      .coalesce(1), sroot)
+    // delete a's MIDDLE value (5.0: strictly inside [1,9] — extrema hold)
+    // and ALL of c (group empties)
+    SnapshotTable.deleteWhere(spark, root,
+      col("id") === 2L || col("grp") === "c", changeCapture = true)     // v2
+    IncrementalAgg.applyChangesWithMinMax(spark, root, sroot,
+      fromVersion = 1, Seq("grp"), Seq("amt" -> "total"), mm)
+    assert(mmRows(sroot) == Set(("a", 2L, "10.00", 1.0, 9.0)))
+  }
+
   test("applyChanges with an empty change window is a no-op commit-wise") {
     val (root, sroot) = roots()
     SnapshotTable.write(Seq((1L, "a", 2.00)).toDF("id", "grp", "amt")
