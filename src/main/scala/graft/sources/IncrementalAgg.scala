@@ -31,6 +31,51 @@ import org.apache.spark.sql.functions._
 object IncrementalAgg {
   private def dec(c: String) = col(c).cast("decimal(18,2)")
 
+  /** txn key recording the base version a summary has folded through —
+    * stamped ATOMICALLY with each fold's merge commit, so the watermark
+    * and the fold can never disagree (the Delta SetTransaction pattern). */
+  val foldedThroughKey = "graft.foldedThrough"
+
+  /** Seed (or re-seed) the summary from the base's CURRENT head with one
+    * batch recompute, stamping the watermark in the same commit. Returns
+    * the base version the summary now reflects. */
+  def seedSummary(spark: SparkSession, baseRoot: String, summaryRoot: String,
+      groupCols: Seq[String], sumCols: Seq[(String, String)],
+      countName: String = "n"): Int = {
+    val head = SnapshotTable.latestVersion(baseRoot)
+    SnapshotTable.write(
+      summarize(SnapshotTable.read(spark, baseRoot), groupCols, sumCols,
+        countName).coalesce(1),
+      summaryRoot, mode = "overwrite",
+      txn = Map(foldedThroughKey -> head.toString))
+    head
+  }
+
+  /** EXACTLY-ONCE fold step: read the summary's own durable watermark,
+    * fold base changes (watermark, head] and advance the watermark in the
+    * same atomic commit. A crash anywhere leaves a consistent pair — a
+    * fold that never committed left no stamp (the window refolds in full
+    * on the next call), a fold that committed advanced the stamp (the
+    * window can never refold) — so calling this after every batch of base
+    * commits maintains the view exactly once regardless of retries. A
+    * window containing no change events (e.g. only compacts) leaves the
+    * watermark in place: the refold of an empty window is free.
+    * Returns the base version now folded through. */
+  def foldOnce(spark: SparkSession, baseRoot: String, summaryRoot: String,
+      groupCols: Seq[String], sumCols: Seq[(String, String)],
+      countName: String = "n"): Int = {
+    val w = SnapshotTable.lastTxn(summaryRoot, foldedThroughKey)
+      .getOrElse(throw new IllegalStateException(
+        s"summary at $summaryRoot carries no '$foldedThroughKey' stamp — " +
+          "seed it with seedSummary first"))._2.toInt
+    val head = SnapshotTable.latestVersion(baseRoot)
+    if (head > w)
+      applyChanges(spark, baseRoot, summaryRoot, fromVersion = w, groupCols,
+        sumCols, countName, toVersion = Some(head),
+        txn = Map(foldedThroughKey -> head.toString))
+    head
+  }
+
   /** Batch-build the summary frame the incremental path maintains:
     * one exact count + DECIMAL(28,2) sum per group. */
   def summarize(base: DataFrame, groupCols: Seq[String],
@@ -52,6 +97,100 @@ object IncrementalAgg {
           sum(dec(c)).cast("decimal(28,2)").as(a) } ++
         minMaxCols.flatMap { case (c, mn, mx) =>
           Seq(min(col(c)).as(mn), max(col(c)).as(mx)) }: _*)
+
+  /** [[summarize]] plus exact COUNT(DISTINCT value) per group (NULLs
+    * ignored, SQL semantics). */
+  def summarizeWithDistinct(base: DataFrame, groupCols: Seq[String],
+      sumCols: Seq[(String, String)], distinctCol: (String, String),
+      countName: String = "n"): DataFrame =
+    base.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(countName),
+        sumCols.map { case (c, a) =>
+          sum(dec(c)).cast("decimal(28,2)").as(a) } :+
+        countDistinct(col(distinctCol._1)).as(distinctCol._2): _*)
+
+  /** Seed the DETAIL table behind [[applyChangesWithDistinct]]: one row
+    * per live (group, value) pair with its multiplicity `__m` — the
+    * standard exact distinct-view auxiliary (size = number of distinct
+    * pairs, the irreducible state for exactness under retraction: an HLL
+    * can fold arrivals but can never retract). NULL values are excluded,
+    * matching COUNT(DISTINCT). */
+  def seedDistinctDetail(spark: SparkSession, baseRoot: String,
+      detailRoot: String, groupCols: Seq[String], valueCol: String): Int = {
+    val detail = SnapshotTable.read(spark, baseRoot)
+      .where(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("__m"))
+    SnapshotTable.write(detail.coalesce(1), detailRoot, mode = "overwrite")
+  }
+
+  /** [[applyChanges]] for summaries that ALSO carry an exact
+    * COUNT(DISTINCT) — the aggregate that is NOT a commutative group
+    * (a retracted value might or might not still be present in other
+    * rows), maintained exactly with the two-level fold:
+    *
+    *  1. the change feed folds into the (group, value)→multiplicity
+    *     DETAIL table (multiplicities ARE a commutative group), emptied
+    *     pairs physically deleted;
+    *  2. the distinct count of each group the window TOUCHED is then
+    *     re-read from the detail table — a semi-join-pruned scan of the
+    *     changed groups' pairs only, O(|changed groups' distinct
+    *     values|), never the base table.
+    *
+    * Count/sum behave exactly as in [[applyChanges]]. The summary and
+    * detail tables must both have been seeded from the same base version
+    * ([[summarizeWithDistinct]] + [[seedDistinctDetail]]). */
+  def applyChangesWithDistinct(spark: SparkSession, baseRoot: String,
+      summaryRoot: String, detailRoot: String, fromVersion: Int,
+      groupCols: Seq[String], sumCols: Seq[(String, String)],
+      distinctCol: (String, String), countName: String = "n",
+      toVersion: Option[Int] = None,
+      txn: Map[String, String] = Map.empty): Int = {
+    val (vCol, dAlias) = distinctCol
+    val feed = SnapshotTable.readChanges(spark, baseRoot, fromVersion,
+      toVersion)
+    if (feed.isEmpty) return SnapshotTable.latestVersion(summaryRoot)
+    val sign = when(
+      col("_change_type").isin("insert", "update_postimage"), lit(1L))
+      .otherwise(lit(-1L))
+    val signed = feed.withColumn("__sign", sign)
+    // 1. detail fold: per-(group, value) multiplicity deltas
+    val pairKeys = groupCols :+ vCol
+    val dDeltas = signed.where(col(vCol).isNotNull)
+      .groupBy(pairKeys.map(col): _*)
+      .agg(sum(col("__sign")).as("__dm"))
+    val detailCur = SnapshotTable.read(spark, detailRoot)
+    val dUpserts = dDeltas.join(detailCur, pairKeys, "left")
+      .select(pairKeys.map(col) :+
+        (coalesce(col("__m"), lit(0L)) + col("__dm")).as("__m"): _*)
+    SnapshotTable.merge(dUpserts, detailRoot, pairKeys)
+    SnapshotTable.deleteWhere(spark, detailRoot, col("__m") === 0L)
+    // 2. count/sum deltas per group, as in applyChanges
+    val deltas = signed
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__sign")).as("__dn"),
+        sumCols.map { case (c, a) =>
+          sum(col("__sign") * dec(c)).cast("decimal(28,2)").as(s"__d_$a") }: _*)
+    // 3. fresh distinct counts for the touched groups from the NEW detail
+    val dCounts = SnapshotTable.read(spark, detailRoot)
+      .join(broadcast(deltas.select(groupCols.map(col): _*)), groupCols,
+        "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__dc"))
+    val cur = SnapshotTable.read(spark, summaryRoot)
+    val upserts = deltas.join(cur, groupCols, "left")
+      .join(dCounts, groupCols, "left")
+      .select(groupCols.map(col) ++
+        Seq((coalesce(col(countName), lit(0L)) + col("__dn")).as(countName)) ++
+        sumCols.map { case (_, a) =>
+          (coalesce(col(a), lit(0).cast("decimal(28,2)")) + col(s"__d_$a"))
+            .cast("decimal(28,2)").as(a) } :+
+        coalesce(col("__dc"), lit(0L)).as(dAlias): _*)
+    val v = SnapshotTable.merge(upserts, summaryRoot, groupCols, txn = txn)
+    val (v2, _, _) = SnapshotTable.deleteWhere(spark, summaryRoot,
+      col(countName) === 0)
+    math.max(v, v2)
+  }
 
   /** [[applyChanges]] for summaries that ALSO carry min/max — the standard
     * retraction hybrid: arrivals fold monotonically
@@ -127,8 +266,10 @@ object IncrementalAgg {
     * batch recompute's. Returns the summary's new version. */
   def applyChanges(spark: SparkSession, baseRoot: String, summaryRoot: String,
       fromVersion: Int, groupCols: Seq[String],
-      sumCols: Seq[(String, String)], countName: String = "n"): Int = {
-    val feed = SnapshotTable.readChanges(spark, baseRoot, fromVersion)
+      sumCols: Seq[(String, String)], countName: String = "n",
+      toVersion: Option[Int] = None,
+      txn: Map[String, String] = Map.empty): Int = {
+    val feed = SnapshotTable.readChanges(spark, baseRoot, fromVersion, toVersion)
     if (feed.isEmpty) return SnapshotTable.latestVersion(summaryRoot)
     val sign = when(
       col("_change_type").isin("insert", "update_postimage"), lit(1L))
@@ -147,7 +288,9 @@ object IncrementalAgg {
         sumCols.map { case (_, a) =>
           (coalesce(col(a), lit(0).cast("decimal(28,2)")) + col(s"__d_$a"))
             .cast("decimal(28,2)").as(a) }: _*)
-    val v = SnapshotTable.merge(upserts, summaryRoot, groupCols)
+    // the txn stamp (e.g. "folded through base version V") commits
+    // ATOMICALLY with the summary change — the exactly-once anchor
+    val v = SnapshotTable.merge(upserts, summaryRoot, groupCols, txn = txn)
     val (v2, _, _) = SnapshotTable.deleteWhere(spark, summaryRoot,
       col(countName) === 0)
     math.max(v, v2)

@@ -82,7 +82,13 @@ object SnapshotTable {
         * the full live map; in a delta, per-file REPLACEMENTS (a writer
         * that extends a file's vector unions the old positions into the
         * new sidecar, so replacement semantics keep resolution O(lines)). */
-      dvSet: Map[String, Seq[String]] = Map.empty)
+      dvSet: Map[String, Seq[String]] = Map.empty,
+      /** application transaction markers of THIS commit (the Delta
+        * `SetTransaction` action): arbitrary key→value pairs a writer
+        * stamps ATOMICALLY with its change, so "which input version has
+        * this derived table folded through" survives any crash — the
+        * exactly-once anchor for incremental-view maintenance. */
+      txn: Map[String, String] = Map.empty)
 
   /** Delta-chain length at which the next commit writes a checkpoint. */
   private[sources] val checkpointEvery = 20
@@ -102,6 +108,25 @@ object SnapshotTable {
       .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
         s.stripPrefix("v").stripSuffix(".txt").toInt }
       .foldLeft(0)(math.max))
+  }
+
+  /** Newest committed value for application-transaction key `key` (the
+    * Delta `txn` lookup): walks manifests head→1 and returns the first
+    * commit carrying the key as (version, value), or None. A writer that
+    * stamps its derived-table commit with the input version it consumed
+    * reads its own watermark back here — crash-safe because the stamp and
+    * the change share one atomic manifest create. O(versions-since-last-
+    * stamp) raw parses; a maintenance loop that stamps every fold keeps
+    * the walk O(1)-ish. */
+  def lastTxn(root: String, key: String): Option[(Int, String)] = {
+    var v = latestVersion(root)
+    while (v > 0) {
+      readRaw(root, v).txn.get(key) match {
+        case Some(value) => return Some((v, value))
+        case None => v -= 1
+      }
+    }
+    None
   }
 
   /** Parse ONE manifest file — no chain resolution, O(its own lines). */
@@ -131,7 +156,10 @@ object SnapshotTable {
       // dv lines: dv=<datafile>;<sidecar> — several sidecars per file allowed
       field("dv").toSeq.map(_.split(";", 2))
         .collect { case Array(f, s) => (f, s) }
-        .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSeq })
+        .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSeq },
+      // txn lines: txn=<key>;<value> — the value may itself contain ';'
+      field("txn").toSeq.map(_.split(";", 2))
+        .collect { case Array(k, v) => k -> v }.toMap)
   }
 
   /** Resolve a version's LIVE STATE: walk back through delta manifests to
@@ -174,7 +202,8 @@ object SnapshotTable {
     * the flag, an append whose fields differ from the table's is refused
     * (silent column loss is the failure mode this guards). */
   def write(df: DataFrame, root: String, mode: String = "overwrite",
-      statsCols: Seq[String] = Nil, mergeSchema: Boolean = false): Int = {
+      statsCols: Seq[String] = Nil, mergeSchema: Boolean = false,
+      txn: Map[String, String] = Map.empty): Int = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     val staged = stage(df, root)
     val stagedStats = footerStats(root, staged, statsCols)
@@ -187,12 +216,14 @@ object SnapshotTable {
       val base = latestVersion(root)
       committed =
         if (mode == "overwrite" || base == 0)
-          tryCommit(root, base, mode, df.schema.json, staged, stagedStats)
+          tryCommit(root, base, mode, df.schema.json, staged, stagedStats,
+            txn = txn)
         else {
           val head = readRaw(root, base)
           val schemaJson = unionSchema(head.schema, df.schema, mergeSchema).json
           commitChange(root, head, "append", schemaJson,
-            adds = staged, removes = Set.empty, addStats = stagedStats)
+            adds = staged, removes = Set.empty, addStats = stagedStats,
+            txn = txn)
         }
     }
     committed
@@ -206,15 +237,16 @@ object SnapshotTable {
       schemaJson: String, adds: Seq[String], removes: Set[String],
       addStats: Map[String, Map[String, (Double, Double)]],
       cdc: Seq[String] = Nil,
-      dvSet: Map[String, Seq[String]] = Map.empty): Int =
+      dvSet: Map[String, Seq[String]] = Map.empty,
+      txn: Map[String, String] = Map.empty): Int =
     if (base.chain + 1 >= checkpointEvery) {
       val m = readManifest(root, base.version)
       tryCommit(root, base.version, op, schemaJson,
         m.files.filterNot(removes) ++ adds, (m.stats -- removes) ++ addStats,
-        cdc, (m.dvs -- removes) ++ dvSet)
+        cdc, (m.dvs -- removes) ++ dvSet, txn)
     } else
       tryCommitDelta(root, base.version, op, schemaJson, adds, removes,
-        addStats, base.chain + 1, cdc, dvSet)
+        addStats, base.chain + 1, cdc, dvSet, txn)
 
   /** Evolved schema for an append: table fields first (order-stable),
     * then `df`'s new fields. Same-name fields must agree on type; field
@@ -312,7 +344,8 @@ object SnapshotTable {
     * survive (SnapshotTableSpec pins it). */
   def merge(updates: DataFrame, root: String, keyCols: Seq[String],
       mergeSchema: Boolean = false, statsCols: Seq[String] = Nil,
-      changeCapture: Boolean = false): Int = {
+      changeCapture: Boolean = false,
+      txn: Map[String, String] = Map.empty): Int = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     import org.apache.spark.sql.functions.{col => fcol, lit}
     val spark = updates.sparkSession
@@ -360,7 +393,7 @@ object SnapshotTable {
       val staged = stage(merged, root)
       val cdcStaged = changes.map(stageChanges(_, root)).getOrElse(Nil)
       committed = tryCommit(root, base, "merge", merged.schema.json, staged,
-        footerStats(root, staged, cols), cdcStaged)
+        footerStats(root, staged, cols), cdcStaged, txn = txn)
       // lost the race: the staged files stay orphaned in data/ (and
       // _changes/) until [[vacuum]] — no manifest references them, same
       // as any aborted commit in the open formats
@@ -1031,15 +1064,26 @@ object SnapshotTable {
   private def dvLines(dvs: Map[String, Seq[String]]): Seq[String] =
     dvs.toSeq.sortBy(_._1).flatMap { case (f, ss) => ss.map(s => s"dv=$f;$s") }
 
+  private def txnLines(txn: Map[String, String]): Seq[String] = {
+    txn.keys.foreach { k =>
+      require(!k.contains(";") && !k.contains("\n") && !k.contains("="),
+        s"txn key '$k' may not contain ';', '=', or newlines")
+    }
+    txn.values.foreach(v => require(!v.contains("\n"),
+      "txn values may not contain newlines"))
+    txn.toSeq.sortBy(_._1).map { case (k, v) => s"txn=$k;$v" }
+  }
+
   private[sources] def tryCommit(root: String, base: Int, op: String,
       schemaJson: String, files: Seq[String],
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
       cdc: Seq[String] = Nil,
-      dvs: Map[String, Seq[String]] = Map.empty): Int = {
+      dvs: Map[String, Seq[String]] = Map.empty,
+      txn: Map[String, String] = Map.empty): Int = {
     val v = base + 1
     val body = (Seq(s"version=$v", s"op=$op", s"schema=$schemaJson") ++
       files.map(f => s"file=$f") ++ statLines(stats) ++
-      cdc.map(f => s"cdc=$f") ++ dvLines(dvs)).mkString("\n")
+      cdc.map(f => s"cdc=$f") ++ dvLines(dvs) ++ txnLines(txn)).mkString("\n")
     atomicCreate(root, v, body)
   }
 
@@ -1050,12 +1094,14 @@ object SnapshotTable {
       schemaJson: String, adds: Seq[String], removes: Set[String],
       stats: Map[String, Map[String, (Double, Double)]], chain: Int,
       cdc: Seq[String] = Nil,
-      dvs: Map[String, Seq[String]] = Map.empty): Int = {
+      dvs: Map[String, Seq[String]] = Map.empty,
+      txn: Map[String, String] = Map.empty): Int = {
     val v = base + 1
     val body = (Seq(s"version=$v", s"op=$op", s"schema=$schemaJson",
       s"base=$base", s"chain=$chain") ++
       adds.map(f => s"add=$f") ++ removes.toSeq.sorted.map(f => s"remove=$f") ++
-      statLines(stats) ++ cdc.map(f => s"cdc=$f") ++ dvLines(dvs)).mkString("\n")
+      statLines(stats) ++ cdc.map(f => s"cdc=$f") ++ dvLines(dvs) ++
+      txnLines(txn)).mkString("\n")
     atomicCreate(root, v, body)
   }
 

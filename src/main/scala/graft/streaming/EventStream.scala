@@ -213,23 +213,25 @@ object EventStream {
 
   /** Streaming MATERIALIZED VIEW: each micro-batch upserts into the base
     * [[graft.sources.SnapshotTable]] exactly like [[upsertSink]] (newest
-    * change per key wins, row-level capture ON), then folds that batch's
-    * captured change slice into a keyed count+sum summary table
-    * ([[graft.sources.IncrementalAgg.applyChanges]]) — base and rollup
+    * change per key wins, row-level capture ON), then folds the base's
+    * captured changes into a keyed count+sum summary table
+    * ([[graft.sources.IncrementalAgg.foldOnce]]) — base and rollup
     * advance in lockstep, and the rollup's refresh costs O(batch), never
     * O(table). The first batch seeds the summary from the base it just
-    * wrote.
+    * wrote, stamping the initial watermark.
     *
-    * Retry contract (foreachBatch is at-least-once): a REPLAYED batch is
-    * exact for free — the replayed merge captures every row as
-    * update_preimage + update_postimage with identical values, so the
-    * fold's counts (+1/−1) and DECIMAL sums (+x/−x) cancel to net zero.
-    * The one window that is NOT covered is a crash precisely between the
-    * base commit and its fold: the replay's merge is net-zero, so that
-    * lost window's deltas never fold — on such a recovery, reseed the
-    * summary with one batch recompute ([[graft.sources.IncrementalAgg
-    * .summarize]]); StreamingRollupSpec pins the replayed-batch and
-    * lockstep cases. */
+    * EXACTLY-ONCE, end to end: the fold window is derived from the
+    * summary's own durable `foldedThrough` watermark (a txn stamp
+    * committed atomically with each fold's merge — the Delta
+    * SetTransaction pattern), not from sink-local state. A crash between
+    * the base commit and its fold therefore costs nothing: the watermark
+    * did not advance, so the NEXT fold's window still contains the
+    * orphaned commit's events. A replayed batch stays exact through both
+    * defenses — its re-merge captures identical preimage/postimage pairs
+    * (net zero under the fold), and a fold that already committed
+    * advanced the watermark past its window, so it can never re-apply.
+    * StreamingRollupSpec pins the lockstep, replayed-batch, and
+    * crash-recovery cases. */
   def rollupSink(updates: DataFrame, root: String, summaryRoot: String,
       keyCols: Seq[String], tsCol: String, groupCols: Seq[String],
       sumCols: Seq[(String, String)], checkpointDir: String,
@@ -242,24 +244,21 @@ object EventStream {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val S = graft.sources.SnapshotTable
+          val IA = graft.sources.IncrementalAgg
           val otherNames = batch.columns.filterNot(keyCols.contains)
           val latest = batch
             .groupBy(keyCs: _*)
             .agg(max(struct(
               (tsCol +: otherNames.filterNot(_ == tsCol)).map(col): _*)).as("__l"))
             .select(keyCs ++ otherNames.map(c => col(s"__l.$c").as(c)): _*)
-          val pre = S.latestVersion(root)
           S.merge(latest, root, keyCols, changeCapture = true)
-          if (S.latestVersion(summaryRoot) == 0) {
-            S.write(graft.sources.IncrementalAgg.summarize(
-              S.read(spark, root), groupCols, sumCols, countName).coalesce(1),
-              summaryRoot, mode = "overwrite")
-            ()
-          } else {
-            graft.sources.IncrementalAgg.applyChanges(spark, root, summaryRoot,
-              fromVersion = pre, groupCols, sumCols, countName)
-            ()
-          }
+          if (S.lastTxn(summaryRoot, IA.foldedThroughKey).isEmpty)
+            IA.seedSummary(spark, root, summaryRoot, groupCols, sumCols,
+              countName)
+          else
+            IA.foldOnce(spark, root, summaryRoot, groupCols, sumCols,
+              countName)
+          ()
         }
       }
       .start()

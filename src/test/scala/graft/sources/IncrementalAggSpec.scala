@@ -131,6 +131,81 @@ class IncrementalAggSpec extends SparkSpec {
     assert(mmRows(sroot) == Set(("a", 2L, "10.00", 1.0, 9.0)))
   }
 
+  private def dRows(root: String): Set[(String, Long, String, Long)] =
+    SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getLong(3)))
+      .toSet
+
+  test("applyChangesWithDistinct: value fully leaves a group, value " +
+      "survives via another row, new value arrives — incremental == batch") {
+    val (root, sroot) = roots()
+    val droot = sroot + "_detail"
+    // group a: cust 100 twice (one delete leaves it PRESENT), cust 200
+    // once (its delete REMOVES it); group b: cust 300
+    val base = Seq((1L, "a", 100L, 2.00), (2L, "a", 100L, 3.00),
+      (3L, "a", 200L, 4.00), (4L, "b", 300L, 5.00))
+      .toDF("id", "grp", "cust", "amt")
+    SnapshotTable.write(base.coalesce(1), root)                          // v1
+    SnapshotTable.write(IncrementalAgg.summarizeWithDistinct(
+      SnapshotTable.read(spark, root), Seq("grp"), Seq("amt" -> "total"),
+      ("cust", "custs")).coalesce(1), sroot)
+    IncrementalAgg.seedDistinctDetail(spark, root, droot, Seq("grp"), "cust")
+    // delete one of cust 100's rows AND cust 200's only row; insert a
+    // NEW cust 400 into b
+    SnapshotTable.deleteWhere(spark, root,
+      col("id") === 2L || col("id") === 3L, changeCapture = true)        // v2
+    SnapshotTable.merge(Seq((5L, "b", 400L, 1.00))
+      .toDF("id", "grp", "cust", "amt"), root, Seq("id"),
+      changeCapture = true)                                              // v3
+    IncrementalAgg.applyChangesWithDistinct(spark, root, sroot, droot,
+      fromVersion = 1, Seq("grp"), Seq("amt" -> "total"), ("cust", "custs"))
+    val inc = dRows(sroot)
+    assert(inc == Set(("a", 1L, "2.00", 1L), ("b", 2L, "6.00", 2L)),
+      s"got $inc")
+    val batch = IncrementalAgg.summarizeWithDistinct(
+      SnapshotTable.read(spark, root), Seq("grp"), Seq("amt" -> "total"),
+      ("cust", "custs")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getLong(3))).toSet
+    assert(inc == batch)
+    // detail rows: only live (group, value) pairs survive
+    assert(SnapshotTable.read(spark, droot).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == Set(("a", 100L, 1L), ("b", 300L, 1L), ("b", 400L, 1L)))
+  }
+
+  test("applyChangesWithDistinct: NULL values never count, an emptied " +
+      "group leaves the row set, untouched groups keep their counts") {
+    val (root, sroot) = roots()
+    val droot = sroot + "_detail"
+    val base = Seq((1L, "a", Some(7L), 1.00), (2L, "a", None, 2.00),
+      (3L, "c", Some(9L), 3.00), (4L, "q", Some(5L), 4.00))
+      .toDF("id", "grp", "cust", "amt")
+    SnapshotTable.write(base.coalesce(1), root)                          // v1
+    SnapshotTable.write(IncrementalAgg.summarizeWithDistinct(
+      SnapshotTable.read(spark, root), Seq("grp"), Seq("amt" -> "total"),
+      ("cust", "custs")).coalesce(1), sroot)
+    IncrementalAgg.seedDistinctDetail(spark, root, droot, Seq("grp"), "cust")
+    // a NULL-valued insert into a (count moves, distinct must not) and a
+    // full delete of group c; group q is untouched by the window
+    SnapshotTable.merge(Seq((5L, "a", Option.empty[Long], 1.50))
+      .toDF("id", "grp", "cust", "amt"), root, Seq("id"),
+      changeCapture = true)                                              // v2
+    SnapshotTable.deleteWhere(spark, root, col("grp") === "c",
+      changeCapture = true)                                              // v3
+    IncrementalAgg.applyChangesWithDistinct(spark, root, sroot, droot,
+      fromVersion = 1, Seq("grp"), Seq("amt" -> "total"), ("cust", "custs"))
+    val inc = dRows(sroot)
+    assert(inc == Set(("a", 3L, "4.50", 1L), ("q", 1L, "4.00", 1L)),
+      s"got $inc")
+    assert(inc == IncrementalAgg.summarizeWithDistinct(
+      SnapshotTable.read(spark, root), Seq("grp"), Seq("amt" -> "total"),
+      ("cust", "custs")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getLong(3))).toSet)
+  }
+
   test("applyChanges with an empty change window is a no-op commit-wise") {
     val (root, sroot) = roots()
     SnapshotTable.write(Seq((1L, "a", 2.00)).toDF("id", "grp", "amt")

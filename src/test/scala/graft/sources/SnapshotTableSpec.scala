@@ -546,4 +546,26 @@ class SnapshotTableSpec extends SparkSpec {
       == ((1 to 7).toSet - 2).map(i => (i.toLong, s"r$i")),
       "delete/append race lost rows")
   }
+
+  test("txn stamps commit atomically and lastTxn walks back to the newest") {
+    val root = freshRoot()
+    SnapshotTable.write(Seq((1, "a")).toDF("k", "v"), root,
+      txn = Map("app.watermark" -> "7"))                               // v1
+    assert(SnapshotTable.lastTxn(root, "app.watermark") == Some((1, "7")))
+    // a commit without the key does not clobber it — the walk skips it
+    SnapshotTable.write(Seq((2, "b")).toDF("k", "v"), root,
+      mode = "append")                                                 // v2
+    assert(SnapshotTable.lastTxn(root, "app.watermark") == Some((1, "7")))
+    // merge path carries the stamp too; newest wins; values may hold ';'
+    SnapshotTable.merge(Seq((2, "B")).toDF("k", "v"), root, Seq("k"),
+      txn = Map("app.watermark" -> "9;x", "other" -> "1"))             // v3
+    assert(SnapshotTable.lastTxn(root, "app.watermark") == Some((3, "9;x")))
+    assert(SnapshotTable.lastTxn(root, "other") == Some((3, "1")))
+    assert(SnapshotTable.lastTxn(root, "absent").isEmpty)
+    // malformed keys are refused before anything commits
+    intercept[IllegalArgumentException] {
+      SnapshotTable.write(Seq((3, "c")).toDF("k", "v"), root,
+        mode = "append", txn = Map("bad;key" -> "v"))
+    }
+  }
 }

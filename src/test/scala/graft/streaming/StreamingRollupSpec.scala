@@ -74,4 +74,51 @@ class StreamingRollupSpec extends SparkSpec {
     assert(summaryRows(sroot) == Set(("a", 1L, "6.00"), ("b", 2L, "3.50")))
     assert(summaryRows(sroot) == batchRecompute(root))
   }
+
+  test("crash between base commit and fold recovers via the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-crash")
+    val root = dir.resolve("base").toString
+    val sroot = dir.resolve("sum").toString
+    SnapshotTable.write(Seq((1L, "a", 5.00), (2L, "b", 2.50))
+      .toDF("k", "grp", "amt").coalesce(1), root)                       // v1
+    IncrementalAgg.seedSummary(spark, root, sroot,
+      Seq("grp"), Seq("amt" -> "total"))
+    // base commit whose fold CRASHES (never runs): the watermark stays
+    // at v1, so the orphaned window is still owed
+    SnapshotTable.merge(Seq((3L, "a", 9.00)).toDF("k", "grp", "amt"),
+      root, Seq("k"), changeCapture = true)                             // v2
+    // restart: next batch merges AND folds — the fold window (v1, v3]
+    // picks up the orphaned v2 events too
+    SnapshotTable.merge(Seq((2L, "b", 4.00)).toDF("k", "grp", "amt"),
+      root, Seq("k"), changeCapture = true)                             // v3
+    IncrementalAgg.foldOnce(spark, root, sroot,
+      Seq("grp"), Seq("amt" -> "total"))
+    assert(summaryRows(sroot) == Set(("a", 2L, "14.00"), ("b", 1L, "4.00")))
+    assert(summaryRows(sroot) == batchRecompute(root))
+    assert(SnapshotTable.lastTxn(sroot, IncrementalAgg.foldedThroughKey)
+      .map(_._2) == Some("3"))
+  }
+
+  test("a committed fold never re-applies (watermark advanced atomically)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-once")
+    val root = dir.resolve("base").toString
+    val sroot = dir.resolve("sum").toString
+    SnapshotTable.write(Seq((1L, "a", 5.00)).toDF("k", "grp", "amt")
+      .coalesce(1), root)                                               // v1
+    IncrementalAgg.seedSummary(spark, root, sroot,
+      Seq("grp"), Seq("amt" -> "total"))
+    SnapshotTable.merge(Seq((2L, "a", 3.00)).toDF("k", "grp", "amt"),
+      root, Seq("k"), changeCapture = true)                             // v2
+    IncrementalAgg.foldOnce(spark, root, sroot,
+      Seq("grp"), Seq("amt" -> "total"))
+    val after = summaryRows(sroot)
+    val v = SnapshotTable.latestVersion(sroot)
+    // a retried fold with no new base commits must be a pure no-op:
+    // same watermark → empty window → no new summary version
+    IncrementalAgg.foldOnce(spark, root, sroot,
+      Seq("grp"), Seq("amt" -> "total"))
+    assert(SnapshotTable.latestVersion(sroot) == v)
+    assert(summaryRows(sroot) == after)
+    assert(after == Set(("a", 2L, "8.00")))
+  }
 }
