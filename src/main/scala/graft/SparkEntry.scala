@@ -1669,6 +1669,58 @@ object SparkEntry {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ---- S5 extension: incremental view WITH exact COUNT(DISTINCT) —
+    // the aggregate that is not a commutative group, maintained by the
+    // two-level fold: changes maintain a (group, value)→multiplicity
+    // detail table (multiplicities DO retract exactly), then touched
+    // groups re-read their distinct counts from the detail slice only.
+    // The merge inserts new custkeys and the delete retracts custkeys
+    // whose only orders die, so both distinct transitions run; the
+    // in-query require pins incremental == fresh batch recompute. ------
+    "s19_incremental_distinct" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-s19-$pid/ord_base_$sfx"
+      val sroot = sys.props("java.io.tmpdir") + s"/graft-s19-$pid/ord_sum_$sfx"
+      val droot = sys.props("java.io.tmpdir") + s"/graft-s19-$pid/ord_det_$sfx"
+      val S = graft.sources.SnapshotTable
+      val IA = graft.sources.IncrementalAgg
+      val dc = ("o_custkey", "custs")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString,
+          r.getLong(3))).toSet
+      if (S.latestVersion(root) == 0) {
+        S.write(ord.where(col("o_orderkey") <= 1000).coalesce(1), root,
+          mode = "overwrite")                                          // v1
+        S.write(IA.summarizeWithDistinct(S.read(s, root), Seq("o_orderstatus"),
+          Seq("o_totalprice" -> "turnover"), dc).coalesce(1), sroot,
+          mode = "overwrite")
+        IA.seedDistinctDetail(s, root, droot, Seq("o_orderstatus"),
+          "o_custkey")
+        S.merge(ord.where(col("o_orderkey").between(800, 1200))
+            .withColumn("o_totalprice", round(col("o_totalprice") + 500, 2)),
+          root, Seq("o_orderkey"), changeCapture = true)               // v2
+        S.deleteWhere(s, root, col("o_orderkey") <= 150,
+          changeCapture = true)                                        // v3
+        IA.applyChangesWithDistinct(s, root, sroot, droot, fromVersion = 1,
+          Seq("o_orderstatus"), Seq("o_totalprice" -> "turnover"), dc)
+        val inc = rows(S.read(s, sroot))
+        val batch = rows(IA.summarizeWithDistinct(S.read(s, root),
+          Seq("o_orderstatus"), Seq("o_totalprice" -> "turnover"), dc))
+        require(inc == batch,
+          s"distinct view diverged from batch recompute:\n$inc\nvs\n$batch")
+      }
+      S.read(s, sroot)
+        .select(col("o_orderstatus"), col("n"),
+          round(col("turnover").cast("double"), 2).as("turnover"),
+          col("custs"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- S5 extension: incremental view WITH exact min/max — the
     // retraction hybrid: arrivals fold monotonically, and only groups
     // whose stored extremum was retracted rescan their base slice. The
@@ -3245,6 +3297,30 @@ object SparkEntry {
          SELECT o_orderstatus, count(*) AS n,
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                   AS turnover
+         FROM final GROUP BY 1 ORDER BY 1""",
+
+    // s19: the distinct-carrying incremental view must equal the batch
+    // recompute — custkeys arrive with the merge's inserts and leave with
+    // the delete when their only orders die
+    "s19_incremental_distinct" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey <= 1000),
+         m AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus,
+                  round(o_totalprice + 500, 2) AS o_totalprice
+           FROM orders WHERE o_orderkey BETWEEN 800 AND 1200),
+         final AS (
+           SELECT * FROM (
+             SELECT * FROM m
+             UNION ALL
+             SELECT * FROM b
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM m))
+           WHERE o_orderkey > 150)
+         SELECT o_orderstatus, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                  AS turnover,
+                count(DISTINCT o_custkey) AS custs
          FROM final GROUP BY 1 ORDER BY 1""",
 
     // s18: the min/max-carrying incremental view must equal the batch
