@@ -250,6 +250,28 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- Misra–Gries two-pass heavy hitters: pass 1 bounds per-partition
+    // state at 64 counters (only sketches shuffle — the scale path where
+    // Partitioning.hotKeys' exact groupBy would shuffle one row per
+    // distinct key), pass 2 counts only the surviving candidates exactly.
+    // The key is engineered skewed: line numbers 1–2 map onto 7 hot keys
+    // (~4k rows each), the rest stay per-(order,line) singletons (~30k
+    // distinct), so eviction actually runs. The in-query require pins the
+    // exactness certificate (kth·counters > n); output = exact counts →
+    // full hash oracle against DuckDB's plain top-k. ----------------------
+    "a11_heavy_hitters" -> ((s, dir) => {
+      val keyed = t(s, dir, "lineitem").withColumn("hot_key",
+        when(col("l_linenumber") <= 2,
+          concat(lit("hot_"), col("l_orderkey") % 7))
+          .otherwise(concat(lit("cold_"), col("l_orderkey"), lit("_"),
+            col("l_linenumber"))))
+      val r = graft.ops.HeavyHitters.topKExact(keyed, "hot_key",
+        k = 5, counters = 64)
+      require(r.provablyExact,
+        s"certificate must hold on the engineered skew (n=${r.totalRows})")
+      r.rows.orderBy(col("n_rows").desc, col("key").asc)
+    }),
+
     // ================= training-data pipeline extensions =================
 
     // ---- text analysis: stopword-vote language ID -----------------------
@@ -4143,6 +4165,18 @@ object SparkEntry {
            TRUE AS acd_within_eps,
            TRUE AS p95_within_bounds
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // a11: the two-pass heavy-hitter result is EXACT (certified in-query),
+    // so the oracle is just the plain top-k over the same engineered key
+    "a11_heavy_hitters" ->
+      """WITH keyed AS (
+           SELECT CASE WHEN l_linenumber <= 2
+                       THEN 'hot_' || CAST(l_orderkey % 7 AS VARCHAR)
+                       ELSE 'cold_' || CAST(l_orderkey AS VARCHAR) || '_' ||
+                            CAST(l_linenumber AS VARCHAR) END AS key
+           FROM lineitem)
+         SELECT key, count(*) AS n_rows FROM keyed
+         GROUP BY 1 ORDER BY n_rows DESC, key ASC LIMIT 5""",
 
     "d1_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
