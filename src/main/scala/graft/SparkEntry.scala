@@ -2146,6 +2146,66 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- streaming materialized view WITH exact COUNT(DISTINCT),
+    // batch-replayed: rollupDistinctSink's per-batch path — newest event
+    // per user upserted with capture, captured slice folded through the
+    // two-level distinct protocol, windows driven by the foldedThrough
+    // watermarks exactly as the sink runs them (not a hand-carried
+    // fromVersion). `cohort` = user_id % 10 retracts from a group when a
+    // user's newest event changes type, so distinct counts move in both
+    // directions; the in-query require pins summary == batch recompute.
+    "e11_stream_distinct" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-e11-$pid/base_$sfx"
+      val sroot = sys.props("java.io.tmpdir") + s"/graft-e11-$pid/sum_$sfx"
+      val droot = sys.props("java.io.tmpdir") + s"/graft-e11-$pid/det_$sfx"
+      val S = graft.sources.SnapshotTable
+      val IA = graft.sources.IncrementalAgg
+      val dc = ("cohort", "cohorts")
+      val ev = Tables.events(s, dir)
+        .where(col("user_id") <= 300 && col("value").isNotNull)
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("value").cast("double").as("value"),
+          (col("user_id") % 10).as("cohort"))
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString,
+          r.getLong(3))).toSet
+      if (S.latestVersion(root) == 0) {
+        val mm = ev.agg(min(unix_micros(col("ts"))),
+          max(unix_micros(col("ts")))).head
+        val lo = mm.getLong(0)
+        val step = (mm.getLong(1) - lo) / 4 + 1
+        (0 until 4).foreach { b =>
+          val batch = ev.where(
+            expr(s"(unix_micros(ts) - ${lo}L) div ${step}L") === b)
+          if (!batch.isEmpty) {
+            val others = Seq("ts", "event_type", "value", "cohort")
+            val latest = batch.groupBy(col("user_id"))
+              .agg(max(struct(others.map(col): _*)).as("__l"))
+              .select(col("user_id") +: others.map(c => col(s"__l.$c").as(c)): _*)
+            S.merge(latest, root, Seq("user_id"), changeCapture = true)
+            if (S.lastTxn(sroot, IA.foldedThroughKey).isEmpty)
+              IA.seedSummaryWithDistinct(s, root, sroot, droot,
+                Seq("event_type"), Seq("value" -> "total"), dc)
+            else
+              IA.foldOnceWithDistinct(s, root, sroot, droot,
+                Seq("event_type"), Seq("value" -> "total"), dc)
+          }
+        }
+        val inc = rows(S.read(s, sroot))
+        val batchRe = rows(IA.summarizeWithDistinct(S.read(s, root),
+          Seq("event_type"), Seq("value" -> "total"), dc))
+        require(inc == batchRe,
+          s"streamed distinct view diverged from batch:\n$inc\nvs\n$batchRe")
+      }
+      S.read(s, sroot)
+        .select(col("event_type"), col("n"),
+          round(col("total").cast("double"), 2).as("total"), col("cohorts"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- time-series resample + forward fill (grid ∘ as-of join) --------
     "e6_resample_ffill" -> ((s, dir) => {
       graft.ops.Resample.forwardFillGrid(Tables.events(s, dir),
@@ -3368,6 +3428,25 @@ object SparkEntry {
                 round(min(o_totalprice), 2) AS tp_min,
                 round(max(o_totalprice), 2) AS tp_max
          FROM final GROUP BY 1 ORDER BY 1""",
+
+    // e11: the distinct-carrying streaming view — global newest-per-user
+    // (time-ordered batches make sequential LWW ≡ global), per-type
+    // count/sum plus distinct active cohorts
+    "e11_stream_distinct" ->
+      """WITH ev AS (
+           SELECT user_id, ts, event_type, CAST(value AS DOUBLE) AS value,
+                  user_id % 10 AS cohort
+           FROM events WHERE user_id <= 300 AND value IS NOT NULL),
+         last AS (
+           SELECT user_id, event_type, value, cohort FROM (
+             SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_type DESC, value DESC) AS rn
+             FROM ev) WHERE rn = 1)
+         SELECT event_type, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                  AS total,
+                count(DISTINCT cohort) AS cohorts
+         FROM last GROUP BY 1 ORDER BY 1""",
 
     // s15: the captured UPDATE feed expressed relationally — preimage
     // rows verbatim, postimage rows with the assignments applied

@@ -114,14 +114,57 @@ object IncrementalAgg {
     * standard exact distinct-view auxiliary (size = number of distinct
     * pairs, the irreducible state for exactness under retraction: an HLL
     * can fold arrivals but can never retract). NULL values are excluded,
-    * matching COUNT(DISTINCT). */
+    * matching COUNT(DISTINCT). The seed commit stamps the detail's OWN
+    * [[foldedThroughKey]] watermark — the distinct fold mutates two
+    * tables, and only per-table watermarks make the pair exactly-once. */
   def seedDistinctDetail(spark: SparkSession, baseRoot: String,
       detailRoot: String, groupCols: Seq[String], valueCol: String): Int = {
+    val head = SnapshotTable.latestVersion(baseRoot)
     val detail = SnapshotTable.read(spark, baseRoot)
       .where(col(valueCol).isNotNull)
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("__m"))
-    SnapshotTable.write(detail.coalesce(1), detailRoot, mode = "overwrite")
+    SnapshotTable.write(detail.coalesce(1), detailRoot, mode = "overwrite",
+      txn = Map(foldedThroughKey -> head.toString))
+  }
+
+  /** Seed detail THEN summary from the base's current head, both stamped
+    * with the same watermark. Detail first: a crash in between leaves the
+    * summary unstamped, so the seeding branch re-runs in full (overwrite
+    * seeds are idempotent). Returns the base version both now reflect. */
+  def seedSummaryWithDistinct(spark: SparkSession, baseRoot: String,
+      summaryRoot: String, detailRoot: String, groupCols: Seq[String],
+      sumCols: Seq[(String, String)], distinctCol: (String, String),
+      countName: String = "n"): Int = {
+    val head = SnapshotTable.latestVersion(baseRoot)
+    seedDistinctDetail(spark, baseRoot, detailRoot, groupCols,
+      distinctCol._1)
+    SnapshotTable.write(
+      summarizeWithDistinct(SnapshotTable.read(spark, baseRoot), groupCols,
+        sumCols, distinctCol, countName).coalesce(1),
+      summaryRoot, mode = "overwrite",
+      txn = Map(foldedThroughKey -> head.toString))
+    head
+  }
+
+  /** [[foldOnce]] for the distinct-carrying view: exactly-once across
+    * BOTH tables via their independent watermarks (see
+    * [[applyChangesWithDistinct]]'s detail-window rule). */
+  def foldOnceWithDistinct(spark: SparkSession, baseRoot: String,
+      summaryRoot: String, detailRoot: String, groupCols: Seq[String],
+      sumCols: Seq[(String, String)], distinctCol: (String, String),
+      countName: String = "n"): Int = {
+    val w = SnapshotTable.lastTxn(summaryRoot, foldedThroughKey)
+      .getOrElse(throw new IllegalStateException(
+        s"summary at $summaryRoot carries no '$foldedThroughKey' stamp — " +
+          "seed it with seedSummaryWithDistinct first"))._2.toInt
+    val head = SnapshotTable.latestVersion(baseRoot)
+    if (head > w)
+      applyChangesWithDistinct(spark, baseRoot, summaryRoot, detailRoot,
+        fromVersion = w, groupCols, sumCols, distinctCol, countName,
+        toVersion = Some(head),
+        txn = Map(foldedThroughKey -> head.toString))
+    head
   }
 
   /** [[applyChanges]] for summaries that ALSO carry an exact
@@ -147,24 +190,38 @@ object IncrementalAgg {
       toVersion: Option[Int] = None,
       txn: Map[String, String] = Map.empty): Int = {
     val (vCol, dAlias) = distinctCol
+    val to = toVersion.getOrElse(SnapshotTable.latestVersion(baseRoot))
     val feed = SnapshotTable.readChanges(spark, baseRoot, fromVersion,
-      toVersion)
+      Some(to))
     if (feed.isEmpty) return SnapshotTable.latestVersion(summaryRoot)
     val sign = when(
       col("_change_type").isin("insert", "update_postimage"), lit(1L))
       .otherwise(lit(-1L))
     val signed = feed.withColumn("__sign", sign)
-    // 1. detail fold: per-(group, value) multiplicity deltas
+    // 1. detail fold — windowed by the detail's OWN watermark: the fold
+    // mutates two tables, so a crash after the detail commit but before
+    // the summary commit must not refold the detail on the retry. The
+    // detail window is (its own watermark, to]; legacy unstamped detail
+    // tables fall back to the caller's window.
     val pairKeys = groupCols :+ vCol
-    val dDeltas = signed.where(col(vCol).isNotNull)
-      .groupBy(pairKeys.map(col): _*)
-      .agg(sum(col("__sign")).as("__dm"))
-    val detailCur = SnapshotTable.read(spark, detailRoot)
-    val dUpserts = dDeltas.join(detailCur, pairKeys, "left")
-      .select(pairKeys.map(col) :+
-        (coalesce(col("__m"), lit(0L)) + col("__dm")).as("__m"): _*)
-    SnapshotTable.merge(dUpserts, detailRoot, pairKeys)
-    SnapshotTable.deleteWhere(spark, detailRoot, col("__m") === 0L)
+    val wd = SnapshotTable.lastTxn(detailRoot, foldedThroughKey)
+      .map(_._2.toInt).getOrElse(fromVersion)
+    if (wd < to) {
+      val dSigned =
+        if (wd == fromVersion) signed
+        else SnapshotTable.readChanges(spark, baseRoot, wd, Some(to))
+          .withColumn("__sign", sign)
+      val dDeltas = dSigned.where(col(vCol).isNotNull)
+        .groupBy(pairKeys.map(col): _*)
+        .agg(sum(col("__sign")).as("__dm"))
+      val detailCur = SnapshotTable.read(spark, detailRoot)
+      val dUpserts = dDeltas.join(detailCur, pairKeys, "left")
+        .select(pairKeys.map(col) :+
+          (coalesce(col("__m"), lit(0L)) + col("__dm")).as("__m"): _*)
+      SnapshotTable.merge(dUpserts, detailRoot, pairKeys,
+        txn = Map(foldedThroughKey -> to.toString))
+      SnapshotTable.deleteWhere(spark, detailRoot, col("__m") === 0L)
+    }
     // 2. count/sum deltas per group, as in applyChanges
     val deltas = signed
       .groupBy(groupCols.map(col): _*)

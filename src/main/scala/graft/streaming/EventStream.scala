@@ -263,4 +263,48 @@ object EventStream {
       }
       .start()
   }
+
+  /** [[rollupSink]] whose summary ALSO carries an exact COUNT(DISTINCT
+    * `distinctCol._1`) per group — the streaming materialized view with
+    * the aggregate a sketch cannot retract. Each batch folds the captured
+    * change slice through [[graft.sources.IncrementalAgg
+    * .applyChangesWithDistinct]]'s two-level protocol ((group, value)
+    * multiplicity detail table + touched-group re-reads), and the
+    * exactly-once story extends across all THREE tables because the
+    * detail and summary each advance their own `foldedThrough` watermark
+    * atomically with their own commit: any crash point either refolds an
+    * unfolded window or skips an already-folded one, never double-folds. */
+  def rollupDistinctSink(updates: DataFrame, root: String,
+      summaryRoot: String, detailRoot: String, keyCols: Seq[String],
+      tsCol: String, groupCols: Seq[String],
+      sumCols: Seq[(String, String)], distinctCol: (String, String),
+      checkpointDir: String,
+      countName: String = "n"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val keyCs = keyCols.map(col)
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val S = graft.sources.SnapshotTable
+          val IA = graft.sources.IncrementalAgg
+          val otherNames = batch.columns.filterNot(keyCols.contains)
+          val latest = batch
+            .groupBy(keyCs: _*)
+            .agg(max(struct(
+              (tsCol +: otherNames.filterNot(_ == tsCol)).map(col): _*)).as("__l"))
+            .select(keyCs ++ otherNames.map(c => col(s"__l.$c").as(c)): _*)
+          S.merge(latest, root, keyCols, changeCapture = true)
+          if (S.lastTxn(summaryRoot, IA.foldedThroughKey).isEmpty)
+            IA.seedSummaryWithDistinct(spark, root, summaryRoot, detailRoot,
+              groupCols, sumCols, distinctCol, countName)
+          else
+            IA.foldOnceWithDistinct(spark, root, summaryRoot, detailRoot,
+              groupCols, sumCols, distinctCol, countName)
+          ()
+        }
+      }
+      .start()
+  }
 }

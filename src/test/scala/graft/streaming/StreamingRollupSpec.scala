@@ -5,6 +5,8 @@ import graft.sources.{IncrementalAgg, SnapshotTable}
 import org.apache.spark.sql.functions._
 
 case class RollupChange(k: Long, ts: java.sql.Timestamp, grp: String, amt: Double)
+case class RollupDistinctChange(k: Long, ts: java.sql.Timestamp, grp: String,
+  cust: Long, amt: Double)
 
 class StreamingRollupSpec extends SparkSpec {
   import spark.implicits._
@@ -73,6 +75,89 @@ class StreamingRollupSpec extends SparkSpec {
     }
     assert(summaryRows(sroot) == Set(("a", 1L, "6.00"), ("b", 2L, "3.50")))
     assert(summaryRows(sroot) == batchRecompute(root))
+  }
+
+  private def distinctRows(root: String): Set[(String, Long, String, Long)] =
+    SnapshotTable.read(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getLong(3)))
+      .toSet
+
+  private def distinctBatch(root: String): Set[(String, Long, String, Long)] =
+    IncrementalAgg.summarizeWithDistinct(SnapshotTable.read(spark, root),
+      Seq("grp"), Seq("amt" -> "total"), ("cust", "custs")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString,
+        r.getLong(3)))
+      .toSet
+
+  test("rollupDistinctSink keeps count/sum/distinct in lockstep with the " +
+      "base across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-dist")
+    val root = dir.resolve("base").toString
+    val sroot = dir.resolve("sum").toString
+    val droot = dir.resolve("det").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[RollupDistinctChange]
+    val q = EventStream.rollupDistinctSink(input.toDF(), root, sroot, droot,
+      Seq("k"), "ts", Seq("grp"), Seq("amt" -> "total"), ("cust", "custs"),
+      ckpt)
+    try {
+      // batch 1 seeds all three tables: group a has custs {7, 8}
+      input.addData(RollupDistinctChange(1L, ts(1), "a", 7L, 10.00),
+        RollupDistinctChange(2L, ts(2), "a", 8L, 3.00),
+        RollupDistinctChange(3L, ts(3), "b", 7L, 1.00))
+      q.processAllAvailable()
+      assert(distinctRows(sroot) == Set(("a", 2L, "13.00", 2L),
+        ("b", 1L, "1.00", 1L)))
+      // batch 2: key 1 moves its cust 7 row a→b (7 leaves a entirely, b
+      // already had 7 so b's distinct must NOT grow), key 4 brings a NEW
+      // cust 9 to a
+      input.addData(RollupDistinctChange(1L, ts(9), "b", 7L, 2.00),
+        RollupDistinctChange(4L, ts(8), "a", 9L, 4.00))
+      q.processAllAvailable()
+      assert(distinctRows(sroot) == Set(("a", 2L, "7.00", 2L),
+        ("b", 2L, "3.00", 1L)))
+      assert(distinctRows(sroot) == distinctBatch(root))
+    } finally q.stop()
+  }
+
+  test("crash between the detail fold and the summary fold never " +
+      "double-folds the detail") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dist-crash")
+    val root = dir.resolve("base").toString
+    val sroot = dir.resolve("sum").toString
+    val droot = dir.resolve("det").toString
+    SnapshotTable.write(Seq((1L, "a", 7L, 5.00), (2L, "a", 8L, 2.50))
+      .toDF("k", "grp", "cust", "amt").coalesce(1), root)               // v1
+    IncrementalAgg.seedSummaryWithDistinct(spark, root, sroot, droot,
+      Seq("grp"), Seq("amt" -> "total"), ("cust", "custs"))
+    // base change: a NEW cust 9 arrives
+    SnapshotTable.merge(Seq((3L, "a", 9L, 1.00))
+      .toDF("k", "grp", "cust", "amt"), root, Seq("k"),
+      changeCapture = true)                                             // v2
+    // manufacture the crash state: the DETAIL fold of window (1, 2]
+    // committed (multiplicity 9→1 added, watermark stamped 2) but the
+    // summary fold never ran — exactly what a crash between the two
+    // commits leaves behind
+    val det = SnapshotTable.read(spark, droot)
+    SnapshotTable.merge(
+      Seq(("a", 9L, 1L)).toDF("grp", "cust", "__m"), droot,
+      Seq("grp", "cust"),
+      txn = Map(IncrementalAgg.foldedThroughKey -> "2"))
+    assert(det.count() == 2)
+    // recovery: the normal fold runs — the detail window (2, 2] is empty
+    // (already folded), the summary window (1, 2] folds now
+    IncrementalAgg.foldOnceWithDistinct(spark, root, sroot, droot,
+      Seq("grp"), Seq("amt" -> "total"), ("cust", "custs"))
+    assert(distinctRows(sroot) == Set(("a", 3L, "8.50", 3L)))
+    assert(distinctRows(sroot) == distinctBatch(root))
+    // the detail held exactly one row for cust 9 — a double-fold would
+    // have left __m = 2
+    val m9 = SnapshotTable.read(spark, droot)
+      .where(col("cust") === 9L).select(col("__m")).collect()
+    assert(m9.map(_.getLong(0)).toSeq == Seq(1L), "detail double-folded")
   }
 
   test("crash between base commit and fold recovers via the watermark") {
