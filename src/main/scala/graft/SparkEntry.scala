@@ -1317,6 +1317,27 @@ object SparkEntry {
     }),
 
     // ---- S-ops: JSON-lines sink + source roundtrip ----------------------
+    // ---- ORC source/sink roundtrip: the engine's second columnar format —
+    // write the fact projection as ORC, read it back, aggregate; a hash
+    // match against the parquet-side replay certifies the roundtrip is
+    // value-exact (types, nulls, doubles) not just row-complete. ----------
+    "s21_orc_roundtrip" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+      val tmp = sys.props("java.io.tmpdir") +
+        s"/graft-s21-${ProcessHandle.current().pid()}/lineitem_orc"
+      graft.sources.Sources.writeOrc(li, tmp, singleFile = false)
+      graft.sources.Sources.readOrc(s, tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("double"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     "s2_json_roundtrip" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val sample = t(s, dir, "region")
@@ -1345,6 +1366,38 @@ object SparkEntry {
     // ---- S5 transactional sink: snapshot-table roundtrip — overwrite v1
     // with half the rows, append the rest (v2), read the latest snapshot;
     // oracle is the untouched source table (lossless ACID roundtrip) -------
+    // ---- S5 extension: TIME TRAVEL through the oracle gate — after a
+    // merge and a delete mutate the table, the pinned v1 read must return
+    // the PRE-mutation snapshot bit-exact while the head reflects both
+    // mutations; the oracle replays each version's relational definition
+    // and a hash match certifies snapshot isolation, not just row counts.
+    "s20_time_travel" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-s20-$pid/ord_tt_$sfx"
+      val S = graft.sources.SnapshotTable
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      if (S.latestVersion(root) == 0) {
+        S.write(ord.where(col("o_orderkey") <= 500).coalesce(1), root,
+          mode = "overwrite")                                          // v1
+        S.merge(ord.where(col("o_orderkey").between(400, 700))
+            .withColumn("o_totalprice", round(col("o_totalprice") + 100, 2)),
+          root, Seq("o_orderkey"))                                     // v2
+        S.deleteWhere(s, root, col("o_orderkey") <= 100)               // v3
+      }
+      def summary(df: org.apache.spark.sql.DataFrame, v: Int) =
+        df.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double"), 2).as("turnover"))
+          .withColumn("version", lit(v))
+      summary(S.read(s, root, Some(1)), 1)
+        .unionByName(summary(S.read(s, root), 3))
+        .orderBy(col("version"), col("o_orderstatus"))
+    }),
+
     "s5_snapshot_roundtrip" -> ((s, dir) => {
       val region = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
       val root = sys.props("java.io.tmpdir") +
@@ -3176,6 +3229,16 @@ object SparkEntry {
     "s2_json_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
 
+    // s21: the ORC roundtrip must preserve every value — the oracle runs
+    // the same aggregate over the original parquet
+    "s21_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS revenue
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
     "s4_excel_roundtrip" ->
       """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
 
@@ -3380,6 +3443,36 @@ object SparkEntry {
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                   AS turnover
          FROM final GROUP BY 1 ORDER BY 1""",
+
+    // s20: both snapshots replayed relationally — v1 is the original
+    // subset untouched by the later merge/delete, v3 applies both
+    "s20_time_travel" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey <= 500),
+         m AS (
+           SELECT o_orderkey, o_orderstatus,
+                  round(o_totalprice + 100, 2) AS o_totalprice
+           FROM orders WHERE o_orderkey BETWEEN 400 AND 700),
+         head AS (
+           SELECT * FROM (
+             SELECT * FROM m
+             UNION ALL
+             SELECT * FROM b
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM m))
+           WHERE o_orderkey > 100),
+         s1 AS (
+           SELECT o_orderstatus, count(*) AS n,
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                    AS turnover, 1 AS version
+           FROM b GROUP BY 1),
+         s3 AS (
+           SELECT o_orderstatus, count(*) AS n,
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                    AS turnover, 3 AS version
+           FROM head GROUP BY 1)
+         SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s3)
+         ORDER BY version, o_orderstatus""",
 
     // s19: the distinct-carrying incremental view must equal the batch
     // recompute — custkeys arrive with the merge's inserts and leave with

@@ -52,6 +52,23 @@ object Sources {
     out.write.mode("overwrite").json(path)
   }
 
+  /** ORC source (extension): Spark-native columnar alternative to parquet —
+    * schema'd reads skip footer inference; predicate pushdown and column
+    * pruning work exactly as for parquet (the ORC reader publishes the
+    * same stats surface). */
+  def readOrc(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).orc(path)
+      case None => spark.read.orc(path)
+    }
+
+  /** ORC sink (extension). `singleFile` mirrors [[writeTsv]]. */
+  def writeOrc(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").orc(path)
+  }
+
   /** S7 — local rows → DataFrame (no RDD detour; `studyGrScalaA.scala:182`
     * parallelizes first for no benefit). */
   def fromRows(spark: SparkSession, rows: Seq[Seq[Any]], schema: StructType): DataFrame = {

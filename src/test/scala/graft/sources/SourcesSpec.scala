@@ -35,6 +35,21 @@ class SourcesSpec extends SparkSpec {
     assert(inferred.schema("n").dataType == LongType) // JSON integers infer long
   }
 
+  test("ORC round-trip preserves types, values, and nulls") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val df = Seq((1L, Some(2.5), "a"), (2L, None, "b"),
+      (3L, Some(-0.25), null)).toDF("id", "x", "s")
+    Sources.writeOrc(df, dir)
+    val back = Sources.readOrc(spark, dir)
+    // file sources re-read everything as nullable; names/types must hold
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      == df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // schema'd read pins types without footer inference
+    val pinned = Sources.readOrc(spark, dir, Some(df.schema))
+    assert(pinned.count() == 3)
+  }
+
   test("fromRows builds a frame without an RDD detour") {
     val schema = StructType(Seq(StructField("divisionName", StringType),
       StructField("listOfColumnNames", ArrayType(StringType))))
