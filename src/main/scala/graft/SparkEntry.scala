@@ -975,6 +975,26 @@ object SparkEntry {
     // DECODED luminances. Gray PNG is lossless and the 32-pixel bin means
     // are exact dyadic rationals, so this hash-matches a SQL oracle that
     // recomputes the bin mean from the char codes directly.
+    // ---- multimodal AUDIO: text-derived samples → real PCM16 WAV →
+    // genuine javax.sound AudioSystem decode → integer energy bins. The
+    // whole path is Long arithmetic (sum of squared int16 samples), so
+    // the oracle replays bin 0 exactly from the char codes — the x1
+    // doctrine applied to the audio modality. -----------------------------
+    "x2_audio_features" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          Multimodal.MediaRow(id, "audio", Multimodal.textToWavPayload(text),
+            Multimodal.MediaMeta("wav", 0, 0, 1, 64L))
+        }
+      Multimodal.extractAudioFeatures(media, dim = 8)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          element_at(col("energy"), 1).as("e0"))
+        .orderBy(col("media_id"))
+    }),
+
     "x1_multimodal_features" -> ((s, dir) => {
       import s.implicits._
       import graft.multimodal.Multimodal
@@ -4644,6 +4664,19 @@ object SparkEntry {
     // it back through javax.imageio; gray PNG is lossless and bin 0's mean is
     // sum(first 32 char codes)/32 — a /2^5 dyadic rational, exact in both
     // Float and Double. The oracle recomputes that mean from the char codes.
+    // x2: bin 0 of the energy embedding = sum over the first 64 samples
+    // of ((code-64)*256)^2 — pure integer replay of the decoded PCM
+    "x2_audio_features" ->
+      """SELECT doc_id AS media_id, 8000 AS sample_rate, 512 AS n_samples,
+           CAST(list_sum(list_transform(
+             list_transform(range(1, 65),
+               i -> CAST((unicode(substr(padded, CAST(i AS INT), 1)) - 64) * 256 AS BIGINT)),
+             v -> v * v)) AS BIGINT) AS e0
+         FROM (SELECT doc_id,
+                 rpad(regexp_replace(text, '[^ -~]', '', 'g'), 512, ' ') AS padded
+               FROM documents)
+         ORDER BY media_id""",
+
     "x1_multimodal_features" ->
       """SELECT doc_id AS media_id, 16 AS width, 16 AS height,
            round(list_sum(list_transform(range(1, 33),

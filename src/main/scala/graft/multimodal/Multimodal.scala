@@ -140,6 +140,124 @@ object Multimodal {
     }
   }
 
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+      n_samples: Int, energy: Array[Long])
+
+  /** Real JDK audio codec layer (`javax.sound.sampled` — no external
+    * deps): canonical PCM16 mono WAV write, AudioSystem decode, and
+    * integer-exact features. Deterministic in the payload bytes, like
+    * [[Codecs]]. */
+  object AudioCodecs {
+    /** Encode signed 16-bit mono samples as a canonical 44-byte-header
+      * RIFF/WAVE payload (PCM, little-endian). */
+    def pcm16Wav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16) // block align, bits
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(s => buf.putShort(s.toShort))
+      buf.array()
+    }
+
+    /** REAL decode through `javax.sound.sampled.AudioSystem`: returns
+      * (sampleRate, samples) for PCM-signed 16-bit mono payloads, None
+      * for bytes that are not decodable audio (corrupt media filters,
+      * not fails — same contract as [[Codecs.decodeImage]]). */
+    def decodeWav(payload: Array[Byte]): Option[(Int, Array[Int])] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new ByteArrayInputStream(payload))
+        try {
+          val f = ais.getFormat
+          if (f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+              || f.getSampleSizeInBits != 16 || f.getChannels != 1) None
+          else {
+            val bytes = ais.readAllBytes()
+            val bb = java.nio.ByteBuffer.wrap(bytes).order(
+              if (f.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            val out = new Array[Int](bytes.length / 2)
+            var i = 0
+            while (i < out.length) { out(i) = bb.getShort(i * 2).toInt; i += 1 }
+            Some((f.getSampleRate.toInt, out))
+          }
+        } finally ais.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+
+    /** Per-bin ENERGY (sum of squared samples) with the same
+      * `floor(i*dim/n)` binning as [[Codecs.gridEmbedding]] — pure Long
+      * arithmetic, so the value replays exactly in SQL (no FP
+      * association anywhere). */
+    def energyBins(samples: Array[Int], dim: Int): Array[Long] = {
+      val n = samples.length.toLong
+      val out = new Array[Long](dim)
+      var i = 0
+      while (i < samples.length) {
+        out((i * dim / n).toInt) += samples(i).toLong * samples(i)
+        i += 1
+      }
+      out
+    }
+
+    /** Integer decimation resample: keep every `factor`-th sample. */
+    def decimate(samples: Array[Int], factor: Int): Array[Int] = {
+      require(factor > 0)
+      Array.tabulate((samples.length + factor - 1) / factor)(i => samples(i * factor))
+    }
+  }
+
+  /** Render printable-ASCII text into a real mono PCM16 WAV: char i maps
+    * to sample `(code - 64) * 256` (signed, within int16), padded or
+    * truncated to `n` samples. The `x2` counterpart of
+    * [[textToPngPayload]] — the payload round-trips through a genuine
+    * AudioSystem decode and the energy bins are exact integers. */
+  def textToWavPayload(text: String, n: Int = 512,
+      sampleRate: Int = 8000): Array[Byte] = {
+    val clean = text.replaceAll("[^ -~]", "")
+    val padded =
+      if (clean.length >= n) clean.substring(0, n)
+      else clean + (" " * (n - clean.length))
+    AudioCodecs.pcm16Wav(padded.toCharArray.map(c => (c - 64) * 256), sampleRate)
+  }
+
+  /** Audio feature extraction: projects (id, payload), streams partitions
+    * through the REAL AudioSystem decoder, emits integer energy bins.
+    * Undecodable payloads drop; output carries no payload. */
+  def extractAudioFeatures(media: Dataset[MediaRow],
+      dim: Int = 8): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      AudioCodecs.decodeWav(m.payload).map { case (rate, samples) =>
+        AudioFeatures(m.media_id, rate, samples.length,
+          AudioCodecs.energyBins(samples, dim))
+      }
+    })
+  }
+
+  /** Downsample pass: decode → keep every `factor`-th sample → re-encode
+    * WAV at the reduced rate. Payload-in payload-out, partition-local, no
+    * shuffle; rows that don't decode pass through unchanged. */
+  def downsampleAudio(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      AudioCodecs.decodeWav(m.payload) match {
+        case Some((rate, samples)) =>
+          m.copy(payload = AudioCodecs.pcm16Wav(
+            AudioCodecs.decimate(samples, factor), rate / factor))
+        case None => m
+      }
+    })
+  }
+
   /** Render printable-ASCII text into a real w×h gray PNG (pixel = char
     * code, row-major, space-padded/truncated to w·h chars). Used by `x1` so
     * the feature path exercises a genuine ImageIO encode→decode round-trip

@@ -123,4 +123,52 @@ class MultimodalSpec extends SparkSpec {
     val exp2 = ("caf" + " " * 29).map(_.toInt).sum / 32.0f
     assert(e2(0) == exp2)
   }
+
+  test("WAV round-trip: canonical PCM16 encode decodes through the real " +
+      "AudioSystem to the same samples") {
+    val samples = Array(0, 100, -100, 32767, -32768, 12345, -1)
+    val wav = AudioCodecs.pcm16Wav(samples, 8000)
+    val (rate, back) = AudioCodecs.decodeWav(wav).get
+    assert(rate == 8000)
+    assert(back.toSeq == samples.toSeq)
+    // corrupt bytes drop, not fail
+    assert(AudioCodecs.decodeWav("not audio".getBytes).isEmpty)
+    assert(AudioCodecs.decodeWav(gradientPng).isEmpty)
+  }
+
+  test("audio features: integer energy bins from the decoded samples, " +
+      "payload-free downstream") {
+    val m = Seq(
+      MediaRow(1L, "audio", AudioCodecs.pcm16Wav(Array(2, -3, 4, 5), 8000),
+        MediaMeta("wav", 0, 0, 1, 1L)),
+      MediaRow(2L, "audio", "junk".getBytes, MediaMeta("wav", 0, 0, 1, 0L))
+    ).toDS()
+    val feats = extractAudioFeatures(m, dim = 2).collect()
+    assert(feats.length == 1, "undecodable audio must drop")
+    val f = feats.head
+    assert(f.media_id == 1L && f.sample_rate == 8000 && f.n_samples == 4)
+    // bins of floor(i*2/4): {2,-3} and {4,5}
+    assert(f.energy.toSeq == Seq(4L + 9L, 16L + 25L))
+  }
+
+  test("downsample: decimation halves the samples and the rate, " +
+      "non-audio passes through") {
+    val m = Seq(MediaRow(1L, "audio",
+      AudioCodecs.pcm16Wav(Array(10, 20, 30, 40, 50), 8000),
+      MediaMeta("wav", 0, 0, 1, 1L))).toDS()
+    val down = downsampleAudio(m, 2).collect().head
+    val (rate, samples) = AudioCodecs.decodeWav(down.payload).get
+    assert(rate == 4000)
+    assert(samples.toSeq == Seq(10, 30, 50))
+  }
+
+  test("textToWavPayload: energy bin 0 = exact char-code arithmetic") {
+    val text = "Hello, audio! " * 50 // > 512 printable chars
+    val (rate, samples) = AudioCodecs.decodeWav(textToWavPayload(text)).get
+    assert(rate == 8000 && samples.length == 512)
+    val e = AudioCodecs.energyBins(samples, 8)
+    val expected0 = text.substring(0, 64).map(c => {
+      val v = (c - 64) * 256L; v * v }).sum
+    assert(e(0) == expected0)
+  }
 }
