@@ -1386,6 +1386,36 @@ object SparkEntry {
     // ---- S5 transactional sink: snapshot-table roundtrip — overwrite v1
     // with half the rows, append the rest (v2), read the latest snapshot;
     // oracle is the untouched source table (lossless ACID roundtrip) -------
+    // ---- S5 extension: CONDITIONAL MERGE (Delta WHEN MATCHED AND cond) —
+    // update-if-greater guard (only matched rows whose new price rose
+    // replace; the out-of-order-CDC pattern), conditional delete on a key
+    // predicate, unmatched inserts. The oracle replays all four clauses
+    // relationally; row-level output so every kept/updated/deleted/
+    // inserted value is in the hash. ---------------------------------------
+    "s22_merge_conditional" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-s22-$pid/ord_cm_$sfx"
+      val S = graft.sources.SnapshotTable
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      if (S.latestVersion(root) == 0) {
+        S.write(ord.where(col("o_orderkey") <= 1000).coalesce(1), root,
+          mode = "overwrite")                                          // v1
+        val upd = ord.where(col("o_orderkey").between(700, 1200))
+          .withColumn("o_totalprice", round(col("o_totalprice") +
+            when(col("o_orderkey") % 3 === 0, 1000).otherwise(-1000), 2))
+        S.mergeConditional(upd, root, Seq("o_orderkey"),
+          updateWhen = col("src_o_totalprice") > col("o_totalprice"),
+          deleteWhen = Some(col("src_o_orderkey") % 7 === 0))          // v2
+      }
+      S.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- S5 extension: TIME TRAVEL through the oracle gate — after a
     // merge and a delete mutate the table, the pinned v1 read must return
     // the PRE-mutation snapshot bit-exact while the head reflects both
@@ -3463,6 +3493,33 @@ object SparkEntry {
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                   AS turnover
          FROM final GROUP BY 1 ORDER BY 1""",
+
+    // s22: the four MERGE clauses replayed — matched %7 keys delete,
+    // matched rows update only when the new price is GREATER (%3 keys),
+    // other matched rows keep their original values, 1001-1200 insert
+    "s22_merge_conditional" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey <= 1000),
+         u AS (
+           SELECT o_orderkey, o_orderstatus,
+                  round(o_totalprice +
+                    CASE WHEN o_orderkey % 3 = 0 THEN 1000 ELSE -1000 END, 2)
+                    AS o_totalprice
+           FROM orders WHERE o_orderkey BETWEEN 700 AND 1200),
+         kept AS (
+           SELECT b.o_orderkey, b.o_orderstatus,
+                  CASE WHEN u.o_orderkey IS NOT NULL
+                            AND u.o_totalprice > b.o_totalprice
+                       THEN u.o_totalprice ELSE b.o_totalprice END
+                    AS o_totalprice
+           FROM b LEFT JOIN u ON u.o_orderkey = b.o_orderkey
+           WHERE NOT (u.o_orderkey IS NOT NULL AND u.o_orderkey % 7 = 0)),
+         ins AS (SELECT * FROM u WHERE o_orderkey > 1000)
+         SELECT o_orderkey, o_orderstatus,
+                round(o_totalprice, 2) AS totalprice
+         FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+         ORDER BY o_orderkey""",
 
     // s20: both snapshots replayed relationally — v1 is the original
     // subset untouched by the later merge/delete, v3 applies both

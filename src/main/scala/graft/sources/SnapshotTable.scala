@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption
 import java.nio.charset.StandardCharsets
 import java.util.UUID
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import scala.jdk.CollectionConverters._
@@ -397,6 +397,93 @@ object SnapshotTable {
       // lost the race: the staged files stay orphaned in data/ (and
       // _changes/) until [[vacuum]] — no manifest references them, same
       // as any aborted commit in the open formats
+    }
+    committed
+  }
+
+  /** CONDITIONAL MERGE — the Delta `WHEN MATCHED [AND cond]` surface:
+    *
+    *  - matched target rows where `deleteWhen` holds are DELETED;
+    *  - matched rows where `updateWhen` holds (and deleteWhen does not)
+    *    are REPLACED by their source row;
+    *  - other matched rows KEEP their current values (the out-of-order
+    *    CDC guard: `updateWhen = col("src_ts") > col("ts")` makes a late
+    *    replay a no-op instead of a regression);
+    *  - unmatched source rows INSERT when `insertUnmatched`.
+    *
+    * Conditions are Columns over a row that exposes TARGET columns under
+    * their own names and SOURCE columns prefixed `src_`. NULL-valued
+    * conditions count as false (SQL WHERE semantics). Several source rows
+    * matching one target key is refused (the Delta multiple-match error).
+    * Same optimistic read-merge-stage-commit race loop, change capture,
+    * stats carry-over, and txn stamping as [[merge]]. */
+  def mergeConditional(updates: DataFrame, root: String, keyCols: Seq[String],
+      updateWhen: Column, deleteWhen: Option[Column] = None,
+      insertUnmatched: Boolean = true, statsCols: Seq[String] = Nil,
+      changeCapture: Boolean = false,
+      txn: Map[String, String] = Map.empty): Int = {
+    require(keyCols.nonEmpty, "mergeConditional needs at least one key column")
+    import org.apache.spark.sql.functions.{coalesce, col => fcol, lit, when}
+    val spark = updates.sparkSession
+    val dup = updates.groupBy(keyCols.map(fcol): _*)
+      .count().where(fcol("count") > 1).limit(1).count()
+    require(dup == 0, "mergeConditional: updates carry duplicate keys " +
+      "(the Delta multiple-source-match error)")
+    var committed = -1
+    while (committed < 0) {
+      val base = latestVersion(root)
+      val (merged, baseStatsCols, changes) =
+        if (base == 0) {
+          val ins = if (insertUnmatched) updates else updates.limit(0)
+          (ins, Set.empty[String],
+            if (changeCapture) Some(ins.withColumn("_change_type", lit("insert")))
+            else None)
+        } else {
+          val m = readManifest(root, base)
+          require(m.schema.fieldNames.sorted.sameElements(
+            updates.schema.fieldNames.sorted),
+            "mergeConditional refuses schema drift — align the update " +
+              "frame's columns with the table first")
+          val current = read(spark, root, Some(base))
+          val cols = current.columns.toSeq
+          val src = cols.foldLeft(updates)((df, c) =>
+            df.withColumnRenamed(c, s"src_$c"))
+            .withColumn("__src_present", lit(true))
+          val joinCond = keyCols.map(k => fcol(k) === fcol(s"src_$k"))
+            .reduce(_ && _)
+          val j = current.join(src, joinCond, "left")
+          val matched = coalesce(fcol("__src_present"), lit(false))
+          val delC = coalesce(
+            deleteWhen.map(d => matched && d).getOrElse(lit(false)), lit(false))
+          val updC = coalesce(matched && !delC && updateWhen, lit(false))
+          val kept = j.where(!delC)
+            .select(cols.map(c =>
+              when(updC, fcol(s"src_$c")).otherwise(fcol(c)).as(c)): _*)
+          val curKeys = current.select(keyCols.map(fcol): _*).distinct()
+          val inserts =
+            if (insertUnmatched) updates.join(curKeys, keyCols, "left_anti")
+            else updates.limit(0)
+          val changeDf =
+            if (!changeCapture) None
+            else {
+              val deleted = j.where(delC).select(cols.map(fcol): _*)
+                .withColumn("_change_type", lit("delete"))
+              val pre = j.where(updC).select(cols.map(fcol): _*)
+                .withColumn("_change_type", lit("update_preimage"))
+              val post = j.where(updC)
+                .select(cols.map(c => fcol(s"src_$c").as(c)): _*)
+                .withColumn("_change_type", lit("update_postimage"))
+              Some(deleted.unionByName(pre).unionByName(post).unionByName(
+                inserts.withColumn("_change_type", lit("insert"))))
+            }
+          (kept.unionByName(inserts),
+            m.stats.valuesIterator.flatMap(_.keysIterator).toSet, changeDf)
+        }
+      val cols = (baseStatsCols ++ statsCols).toSeq.sorted
+      val staged = stage(merged, root)
+      val cdcStaged = changes.map(stageChanges(_, root)).getOrElse(Nil)
+      committed = tryCommit(root, base, "merge", merged.schema.json, staged,
+        footerStats(root, staged, cols), cdcStaged, txn = txn)
     }
     committed
   }

@@ -547,6 +547,47 @@ class SnapshotTableSpec extends SparkSpec {
       "delete/append race lost rows")
   }
 
+  test("mergeConditional: update-if-newer guard, conditional delete, " +
+      "unmatched insert, and the captured feed") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = freshRoot()
+    SnapshotTable.write(Seq((1L, "a", 5L), (2L, "b", 5L), (3L, "c", 5L),
+      (4L, "d", 5L)).toDF("id", "v", "ts").coalesce(1), root)          // v1
+    val upd = Seq((1L, "A", 9L), // newer → update
+      (2L, "B", 3L),             // older → target keeps (the CDC guard)
+      (3L, "X", 9L),             // deleteWhen fires → row removed
+      (5L, "E", 1L))             // unmatched → insert
+      .toDF("id", "v", "ts")
+    SnapshotTable.mergeConditional(upd, root, Seq("id"),
+      updateWhen = col("src_ts") > col("ts"),
+      deleteWhen = Some(col("src_v") === "X"),
+      changeCapture = true)                                            // v2
+    assert(SnapshotTable.read(spark, root).as[(Long, String, Long)]
+      .collect().toSet
+      == Set((1L, "A", 9L), (2L, "b", 5L), (4L, "d", 5L), (5L, "E", 1L)))
+    // the captured feed types every clause correctly
+    val feed = SnapshotTable.readChanges(spark, root, 1)
+      .select(col("id"), col("v"), col("ts"), col("_change_type"))
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(feed == Set(
+      (3L, "c", 5L, "delete"),
+      (1L, "a", 5L, "update_preimage"),
+      (1L, "A", 9L, "update_postimage"),
+      (5L, "E", 1L, "insert")))
+    // NULL conditions count false: a null ts neither updates nor deletes
+    SnapshotTable.mergeConditional(
+      Seq((2L, "Z", Option.empty[Long])).toDF("id", "v", "ts"),
+      root, Seq("id"), updateWhen = col("src_ts") > col("ts"))         // v3
+    assert(SnapshotTable.read(spark, root).where(col("id") === 2L)
+      .as[(Long, String, Long)].collect().toSeq == Seq((2L, "b", 5L)))
+    // duplicate source keys are refused before anything commits
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeConditional(
+        Seq((7L, "x", 1L), (7L, "y", 2L)).toDF("id", "v", "ts"),
+        root, Seq("id"), updateWhen = lit(true))
+    }
+  }
+
   test("txn stamps commit atomically and lastTxn walks back to the newest") {
     val root = freshRoot()
     SnapshotTable.write(Seq((1, "a")).toDF("k", "v"), root,
