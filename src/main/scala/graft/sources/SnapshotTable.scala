@@ -110,6 +110,83 @@ object SnapshotTable {
       .foldLeft(0)(math.max))
   }
 
+  // ------------------------------------------------------------------
+  // CHECK constraints (Delta parity, table-scoped): stored as
+  // `name;sqlExpr` lines in `_manifests/_checks.txt`, replaced
+  // atomically. The enforced invariant is inductive — adding a
+  // constraint validates the WHOLE current table, and every subsequent
+  // writer validates only its INCOMING/REWRITTEN rows before staging —
+  // so the full table always satisfies the active set without any
+  // write-time full scans. Unlike Delta the set is not versioned with
+  // the commits (a time-traveled read reflects today's constraints,
+  // documented trade-off for not threading them through every commit
+  // path).
+  // ------------------------------------------------------------------
+
+  private def checksPath(root: String): Path =
+    manifestDir(root).resolve("_checks.txt")
+
+  /** Active CHECK constraints: name → SQL boolean expression. */
+  def checkConstraints(root: String): Map[String, String] = {
+    val p = checksPath(root)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).map(_.split(";", 2))
+      .collect { case Array(n, e) => n -> e }.toMap
+  }
+
+  private def writeChecks(root: String, checks: Map[String, String]): Unit = {
+    Files.createDirectories(manifestDir(root))
+    val tmp = manifestDir(root).resolve(s"_checks.${UUID.randomUUID()}.tmp")
+    Files.write(tmp, checks.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"$n;$e" }.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, checksPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Add a CHECK constraint. The CURRENT table is validated first — a
+    * violated constraint is refused with the violation count (the Delta
+    * `ALTER TABLE ADD CONSTRAINT` contract), so the invariant "table
+    * always satisfies the active set" holds from the moment of adding. */
+  def addCheckConstraint(spark: SparkSession, root: String, name: String,
+      sqlExpr: String): Unit = {
+    require(!name.contains(";") && !name.contains("\n"),
+      s"bad constraint name '$name'")
+    require(!sqlExpr.contains("\n"), "constraint expression must be one line")
+    if (latestVersion(root) > 0) {
+      val bad = read(spark, root)
+        .where(org.apache.spark.sql.functions.not(
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(sqlExpr),
+            org.apache.spark.sql.functions.lit(false))))
+        .count()
+      require(bad == 0,
+        s"cannot add CHECK $name ($sqlExpr): $bad existing rows violate it")
+    }
+    writeChecks(root, checkConstraints(root) + (name -> sqlExpr))
+  }
+
+  /** Drop a CHECK constraint by name (absent names are a no-op). */
+  def dropCheckConstraint(root: String, name: String): Unit =
+    writeChecks(root, checkConstraints(root) - name)
+
+  /** Validate `df` (a writer's incoming or rewritten rows) against the
+    * active constraint set; throws naming the first violated constraint.
+    * NULL evaluations violate, matching Delta CHECK semantics. */
+  private def validateChecks(df: DataFrame, root: String): Unit = {
+    val checks = checkConstraints(root)
+    checks.foreach { case (name, e) =>
+      val bad = df.where(org.apache.spark.sql.functions.not(
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.expr(e),
+            org.apache.spark.sql.functions.lit(false))))
+        .limit(1).count()
+      require(bad == 0,
+        s"CHECK constraint $name ($e) violated by incoming data")
+    }
+  }
+
   /** Newest committed value for application-transaction key `key` (the
     * Delta `txn` lookup): walks manifests head→1 and returns the first
     * commit carrying the key as (version, value), or None. A writer that
@@ -205,6 +282,7 @@ object SnapshotTable {
       statsCols: Seq[String] = Nil, mergeSchema: Boolean = false,
       txn: Map[String, String] = Map.empty): Int = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
+    validateChecks(df, root)
     val staged = stage(df, root)
     val stagedStats = footerStats(root, staged, statsCols)
     // commit: atomic create-new of the next version; losers re-base. An
@@ -349,6 +427,9 @@ object SnapshotTable {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     import org.apache.spark.sql.functions.{col => fcol, lit}
     val spark = updates.sparkSession
+    // only update rows can introduce new values; kept rows passed their
+    // own writer's validation (the inductive CHECK invariant)
+    validateChecks(updates, root)
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
@@ -429,6 +510,7 @@ object SnapshotTable {
       .count().where(fcol("count") > 1).limit(1).count()
     require(dup == 0, "mergeConditional: updates carry duplicate keys " +
       "(the Delta multiple-source-match error)")
+    validateChecks(updates, root)
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
@@ -745,6 +827,15 @@ object SnapshotTable {
           }
           val rewritten = hitFrame.select(updatedCols.toSeq: _*)
             .coalesce(math.max(1, hits.size))
+          // validate post-assignment values of the rows the PRE-assignment
+          // condition matched (the condition may reference the very column
+          // being updated, so re-filtering the rewritten frame would miss)
+          validateChecks(hitFrame.where(matched)
+            .select(m.schema.fields.map { f =>
+              assignments.get(f.name)
+                .map(_.cast(f.dataType).as(f.name))
+                .getOrElse(fcol(f.name))
+            }.toSeq: _*), root)
           val staged = stage(rewritten, root)
           val cdcStaged =
             if (!changeCapture) Nil
@@ -940,6 +1031,7 @@ object SnapshotTable {
               .map(_.cast(f.dataType).as(f.name))
               .getOrElse(fcol(f.name))
           }.toSeq: _*)
+          validateChecks(post, root)
           val staged = stage(post.coalesce(math.max(1, hitFiles.size)), root)
           val stagedStats = footerStats(root, staged, statsCols)
           val allPos = matches

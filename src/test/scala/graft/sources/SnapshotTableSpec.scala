@@ -588,6 +588,55 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("CHECK constraints: add validates the table, every writer refuses " +
+      "violations pre-commit, drop restores") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = freshRoot()
+    SnapshotTable.write(Seq((1L, "a", Option(10.0)))
+      .toDF("id", "v", "x").coalesce(1), root)                         // v1
+    SnapshotTable.addCheckConstraint(spark, root, "x_pos", "x > 0")
+    // a constraint the CURRENT table violates is refused at add time
+    intercept[IllegalArgumentException] {
+      SnapshotTable.addCheckConstraint(spark, root, "bad", "x > 100")
+    }
+    assert(SnapshotTable.checkConstraints(root) == Map("x_pos" -> "x > 0"))
+    val v = SnapshotTable.latestVersion(root)
+    // append, merge, conditional merge: violating incoming rows refuse
+    // BEFORE anything commits
+    intercept[IllegalArgumentException] {
+      SnapshotTable.write(Seq((2L, "b", Option(-1.0))).toDF("id", "v", "x"),
+        root, mode = "append")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.merge(Seq((3L, "c", Option(-5.0))).toDF("id", "v", "x"),
+        root, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeConditional(
+        Seq((3L, "c", Option(-5.0))).toDF("id", "v", "x"), root, Seq("id"),
+        updateWhen = lit(true))
+    }
+    // NULL evaluations violate (Delta CHECK semantics)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.write(Seq((4L, "d", Option.empty[Double]))
+        .toDF("id", "v", "x"), root, mode = "append")
+    }
+    assert(SnapshotTable.latestVersion(root) == v, "refusals must not commit")
+    // an UPDATE driving a row out of bounds refuses too — validated on
+    // the post-assignment values
+    intercept[IllegalArgumentException] {
+      SnapshotTable.updateWhere(spark, root, col("id") === 1L,
+        Map("x" -> lit(-9.0)))
+    }
+    // valid writes pass, and dropping the constraint restores liberty
+    SnapshotTable.merge(Seq((3L, "c", Option(5.0))).toDF("id", "v", "x"),
+      root, Seq("id"))
+    SnapshotTable.dropCheckConstraint(root, "x_pos")
+    SnapshotTable.write(Seq((5L, "e", Option(-2.0))).toDF("id", "v", "x"),
+      root, mode = "append")
+    assert(SnapshotTable.read(spark, root).count() == 3)
+  }
+
   test("txn stamps commit atomically and lastTxn walks back to the newest") {
     val root = freshRoot()
     SnapshotTable.write(Seq((1, "a")).toDF("k", "v"), root,
