@@ -1416,6 +1416,34 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- S5 extension: RESTORE — after a merge and a delete corrupt the
+    // table, restore(v1) must reproduce the original content EXACTLY as
+    // a new auditable commit (history intact). The oracle is simply the
+    // v1 relational definition: a hash match proves the rollback is
+    // bit-faithful. ------------------------------------------------------
+    "s23_restore" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-s23-$pid/ord_rs_$sfx"
+      val S = graft.sources.SnapshotTable
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      if (S.latestVersion(root) == 0) {
+        S.write(ord.where(col("o_orderkey") <= 800).coalesce(1), root,
+          mode = "overwrite")                                          // v1
+        S.merge(ord.where(col("o_orderkey").between(500, 900))
+            .withColumn("o_totalprice", lit(0.0)),
+          root, Seq("o_orderkey"))                                     // v2 (the mistake)
+        S.deleteWhere(s, root, col("o_orderkey") <= 200)               // v3 (another)
+        S.restore(root, 1)                                             // v4
+      }
+      S.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- S5 extension: TIME TRAVEL through the oracle gate — after a
     // merge and a delete mutate the table, the pinned v1 read must return
     // the PRE-mutation snapshot bit-exact while the head reflects both
@@ -3493,6 +3521,13 @@ object SparkEntry {
                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                   AS turnover
          FROM final GROUP BY 1 ORDER BY 1""",
+
+    // s23: restore(v1) == the v1 definition, bit-faithful
+    "s23_restore" ->
+      """SELECT o_orderkey, o_orderstatus,
+                round(o_totalprice, 2) AS totalprice
+         FROM orders WHERE o_orderkey <= 800
+         ORDER BY o_orderkey""",
 
     // s22: the four MERGE clauses replayed — matched %7 keys delete,
     // matched rows update only when the new price is GREATER (%3 keys),

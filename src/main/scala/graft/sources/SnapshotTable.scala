@@ -482,6 +482,37 @@ object SnapshotTable {
     committed
   }
 
+  /** Delta RESTORE: commit a NEW version whose live state (files, stats,
+    * deletion vectors, schema) equals `toVersion`'s — history is never
+    * rewritten, the rollback is itself a commit, so the mistake AND the
+    * recovery both stay auditable and time-travelable. Requires the
+    * target version's files to still exist (a vacuumed target refuses
+    * with the missing file named — the Delta RESTORE limitation). The
+    * change feed reports the revert as file-diff delete+insert events,
+    * which is the row-level truth of a content rollback. */
+  def restore(root: String, toVersion: Int): Int = {
+    val m =
+      try readManifest(root, toVersion)
+      catch {
+        case _: java.nio.file.NoSuchFileException =>
+          throw new IllegalArgumentException(
+            s"cannot restore to v$toVersion: its manifest was vacuumed")
+      }
+    m.files.foreach { f =>
+      require(Files.exists(dataDir(root).resolve(f)),
+        s"cannot restore to v$toVersion: data file $f was vacuumed")
+    }
+    m.dvs.valuesIterator.flatten.foreach { s =>
+      require(Files.exists(deletesDir(root).resolve(s)),
+        s"cannot restore to v$toVersion: deletion sidecar $s was vacuumed")
+    }
+    var committed = -1
+    while (committed < 0)
+      committed = tryCommit(root, latestVersion(root), "restore",
+        m.schema.json, m.files, m.stats, dvs = m.dvs)
+    committed
+  }
+
   /** CONDITIONAL MERGE — the Delta `WHEN MATCHED [AND cond]` surface:
     *
     *  - matched target rows where `deleteWhen` holds are DELETED;

@@ -588,6 +588,35 @@ class SnapshotTableSpec extends SparkSpec {
     }
   }
 
+  test("restore rolls the live state back as a NEW auditable commit") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    SnapshotTable.write(Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("id", "v").coalesce(1), root)                              // v1
+    SnapshotTable.merge(Seq((2L, "B"), (4L, "d")).toDF("id", "v"),
+      root, Seq("id"))                                                 // v2
+    SnapshotTable.deleteWhere(spark, root, col("id") === 1L)           // v3
+    val v4 = SnapshotTable.restore(root, 1)
+    assert(v4 == 4, "restore must be a new commit, not history rewrite")
+    assert(SnapshotTable.read(spark, root).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the mistake stays time-travelable after the rollback
+    assert(SnapshotTable.read(spark, root, Some(3)).as[(Long, String)]
+      .collect().toSet == Set((2L, "B"), (3L, "c"), (4L, "d")))
+    // the feed reports the revert's row-level truth
+    val feed = SnapshotTable.readChanges(spark, root, 3)
+      .select(col("id"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect().toSet
+    assert(feed.contains((1L, "a", "insert")) &&
+      feed.contains((2L, "B", "delete")))
+    // a vacuumed target refuses by name
+    SnapshotTable.vacuum(root, keepVersions = 1, orphanRetentionMs = 0)
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.restore(root, 2)
+    }
+    assert(err.getMessage.contains("vacuumed"))
+  }
+
   test("CHECK constraints: add validates the table, every writer refuses " +
       "violations pre-commit, drop restores") {
     import org.apache.spark.sql.functions.{col, lit}
