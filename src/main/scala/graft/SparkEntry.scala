@@ -1173,6 +1173,34 @@ object SparkEntry {
         .withColumn("tree_depth", lit(graft.ml.TreeScorer.depth(spec)))
     }),
 
+    // ---- ML: fit→export→replay for a LINEAR model — logistic regression
+    // fit in-engine on the m4 cohort, exported as (intercept,
+    // coefficients), scored WITHOUT the ML runtime as an explicit
+    // left-assoc arithmetic chain whose doubles replay bit-for-bit in
+    // DuckDB (margin > 0 classification, n6's explicit-sum doctrine). ----
+    "m6_linear_score" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
+          .cast("double").as("label"),
+        col("o_totalprice"),
+        (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
+        year(col("o_orderdate")).cast("double").as("order_year"),
+        col("o_orderkey"))
+      val isTest = substring(md5(col("o_orderkey").cast("string")), 1, 1) < lit("5")
+      val spec = graft.ml.LinearScorer.fitLogistic(
+        o.where(!isTest), Seq("o_totalprice", "is_urgent", "order_year"),
+        "label", maxIter = 50)
+      m6LinearSpec = Some(spec)
+      val m = graft.ml.LinearScorer.margin(spec)
+      o.where(isTest)
+        .agg(
+          count(lit(1)).as("n"),
+          sum((m > 0).cast("long")).as("n_pred_pos"),
+          round(sum(((m > 0) === (col("label") === 1.0)).cast("long"))
+            .cast("double") / count(lit(1)), 6).as("accuracy"))
+        .withColumn("n_features", lit(spec.coefs.size.toLong))
+    }),
+
     // ---- ML: the m2 tune's OUTCOME, oracled. The TPE search runs over
     // trees fit on RAW assembled features (fitTreeSpec regime, m2's search
     // machinery), the winning tree is exported as a TreeSpec, and its
@@ -2656,6 +2684,27 @@ object SparkEntry {
 
   @volatile private var m4FittedSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
 
+  @volatile private var m6LinearSpec: Option[graft.ml.LinearScorer.LinearSpec] = None
+
+  private def m6OracleEntry: Map[String, String] = m6LinearSpec.map { spec =>
+    "m6_linear_score" ->
+      s"""WITH t AS (
+           SELECT CASE WHEN (o_totalprice > 250000) != (o_orderpriority = '1-URGENT')
+                       THEN 1.0 ELSE 0.0 END AS label,
+                  o_totalprice,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS is_urgent,
+                  CAST(year(o_orderdate) AS DOUBLE) AS order_year
+           FROM orders
+           WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '5'),
+         s AS (SELECT *, ${graft.ml.LinearScorer.marginSql(spec)} AS m FROM t)
+         SELECT count(*) AS n,
+                CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+                round(CAST(sum(CASE WHEN (CASE WHEN m > 0 THEN 1.0 ELSE 0.0 END) = label
+                                    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS accuracy,
+                ${spec.coefs.size} AS n_features
+         FROM s"""
+  }.toMap
+
   private def m4OracleEntry: Map[String, String] = m4FittedSpec.map { spec =>
     "m4_fit_score" ->
       s"""WITH t AS (
@@ -2899,6 +2948,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
+    m6OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
