@@ -175,6 +175,46 @@ object EventStream {
       .start()
   }
 
+  /** The txn key under which a sink records its last applied (appId,
+    * batchId) — the Delta idempotent-writes design: the stamp commits
+    * atomically with the batch's merge, so "was this batch applied"
+    * survives any crash. `appId` scopes the counter to one checkpoint
+    * lineage (batch ids restart at 0 for a fresh checkpoint; a stable
+    * app id keeps old stamps from shadowing the new stream). */
+  private[streaming] def batchKey(appId: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(appId.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    s"graft.batch.$h"
+  }
+
+  /** True iff `batchId` (or a later one) of this app already committed. */
+  private[streaming] def batchApplied(root: String, appId: String,
+      batchId: Long): Boolean =
+    graft.sources.SnapshotTable.lastTxn(root, batchKey(appId))
+      .exists(_._2.toLong >= batchId)
+
+  /** One upsert micro-batch, exposed for testing and for the replay-skip
+    * contract: newest change per key within the batch (max-struct — order
+    * independent), MERGEd with the `(appId, batchId)` stamp riding the
+    * same commit. An already-applied batch returns without touching the
+    * table at all — the replay costs a manifest read, not a merge. */
+  def upsertBatch(batch: DataFrame, root: String, keyCols: Seq[String],
+      tsCol: String, appId: String, batchId: Long,
+      changeCapture: Boolean = false): Unit = {
+    if (!batch.isEmpty && !batchApplied(root, appId, batchId)) {
+      val keyCs = keyCols.map(col)
+      val otherNames = batch.columns.filterNot(keyCols.contains)
+      val latest = batch
+        .groupBy(keyCs: _*)
+        .agg(max(struct(
+          (tsCol +: otherNames.filterNot(_ == tsCol)).map(col): _*)).as("__l"))
+        .select(keyCs ++ otherNames.map(c => col(s"__l.$c").as(c)): _*)
+      graft.sources.SnapshotTable.merge(latest, root, keyCols,
+        changeCapture = changeCapture,
+        txn = Map(batchKey(appId) -> batchId.toString)): Unit
+    }
+  }
+
   /** Streaming CDC upsert into a [[graft.sources.SnapshotTable]]: each
     * micro-batch MERGEs by `keyCols` (last write per key wins across
     * batches — the Delta `foreachBatch` + MERGE pattern for keyed change
@@ -183,30 +223,22 @@ object EventStream {
     * break to the largest value tuple, deterministic because a max-struct
     * is order-independent).
     *
-    * Exactly-once note: foreachBatch is at-least-once on retries, but the
-    * merge is IDEMPOTENT for a replayed batch (same keys, same rows ⇒
-    * same resulting snapshot content, one extra version) — the standard
-    * contract for MERGE sinks. State: none held by the sink; the table's
-    * manifest chain is the recovery point. Returns the started query. */
+    * EXACTLY-ONCE: foreachBatch is at-least-once on retries, and the
+    * merge content is idempotent for a replayed batch — but beyond that,
+    * the `(appId, batchId)` txn stamp ([[upsertBatch]]) makes a replay
+    * SKIP entirely: no table rewrite, no extra version. The checkpoint
+    * directory is the app id (stable across restarts of the same
+    * lineage). State: none held by the sink; the table's manifest chain
+    * is the recovery point. Returns the started query. */
   def upsertSink(updates: DataFrame, root: String, keyCols: Seq[String],
       tsCol: String, checkpointDir: String,
       changeCapture: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
-    val keyCs = keyCols.map(col)
     updates.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val otherNames = batch.columns.filterNot(keyCols.contains)
-          // newest change per key within the batch: max struct on (ts, rest)
-          val latest = batch
-            .groupBy(keyCs: _*)
-            .agg(max(struct(
-              (tsCol +: otherNames.filterNot(_ == tsCol)).map(col): _*)).as("__l"))
-            .select(keyCs ++ otherNames.map(c => col(s"__l.$c").as(c)): _*)
-          graft.sources.SnapshotTable.merge(latest, root, keyCols,
-            changeCapture = changeCapture): Unit
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, root, keyCols, tsCol, checkpointDir, batchId,
+          changeCapture)
       }
       .start()
   }
@@ -232,34 +264,40 @@ object EventStream {
     * advanced the watermark past its window, so it can never re-apply.
     * StreamingRollupSpec pins the lockstep, replayed-batch, and
     * crash-recovery cases. */
+  /** One rollup micro-batch: upsert (skipped when the `(appId, batchId)`
+    * stamp says it already committed — the replay's only remaining work
+    * is the fold, which the watermark makes a no-op when it too already
+    * ran; together the crash-anywhere matrix is covered), then fold. */
+  def rollupBatch(batch: DataFrame, root: String, summaryRoot: String,
+      keyCols: Seq[String], tsCol: String, groupCols: Seq[String],
+      sumCols: Seq[(String, String)], appId: String, batchId: Long,
+      countName: String = "n"): Unit = {
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val S = graft.sources.SnapshotTable
+      val IA = graft.sources.IncrementalAgg
+      upsertBatch(batch, root, keyCols, tsCol, appId, batchId,
+        changeCapture = true)
+      if (S.lastTxn(summaryRoot, IA.foldedThroughKey).isEmpty)
+        IA.seedSummary(spark, root, summaryRoot, groupCols, sumCols,
+          countName)
+      else
+        IA.foldOnce(spark, root, summaryRoot, groupCols, sumCols,
+          countName)
+      ()
+    }
+  }
+
   def rollupSink(updates: DataFrame, root: String, summaryRoot: String,
       keyCols: Seq[String], tsCol: String, groupCols: Seq[String],
       sumCols: Seq[(String, String)], checkpointDir: String,
       countName: String = "n"): org.apache.spark.sql.streaming.StreamingQuery = {
-    val keyCs = keyCols.map(col)
     updates.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val S = graft.sources.SnapshotTable
-          val IA = graft.sources.IncrementalAgg
-          val otherNames = batch.columns.filterNot(keyCols.contains)
-          val latest = batch
-            .groupBy(keyCs: _*)
-            .agg(max(struct(
-              (tsCol +: otherNames.filterNot(_ == tsCol)).map(col): _*)).as("__l"))
-            .select(keyCs ++ otherNames.map(c => col(s"__l.$c").as(c)): _*)
-          S.merge(latest, root, keyCols, changeCapture = true)
-          if (S.lastTxn(summaryRoot, IA.foldedThroughKey).isEmpty)
-            IA.seedSummary(spark, root, summaryRoot, groupCols, sumCols,
-              countName)
-          else
-            IA.foldOnce(spark, root, summaryRoot, groupCols, sumCols,
-              countName)
-          ()
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        rollupBatch(batch, root, summaryRoot, keyCols, tsCol, groupCols,
+          sumCols, checkpointDir, batchId, countName)
       }
       .start()
   }
@@ -274,36 +312,41 @@ object EventStream {
     * detail and summary each advance their own `foldedThrough` watermark
     * atomically with their own commit: any crash point either refolds an
     * unfolded window or skips an already-folded one, never double-folds. */
+  /** [[rollupBatch]] for the distinct-carrying view. */
+  def rollupDistinctBatch(batch: DataFrame, root: String,
+      summaryRoot: String, detailRoot: String, keyCols: Seq[String],
+      tsCol: String, groupCols: Seq[String],
+      sumCols: Seq[(String, String)], distinctCol: (String, String),
+      appId: String, batchId: Long, countName: String = "n"): Unit = {
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val S = graft.sources.SnapshotTable
+      val IA = graft.sources.IncrementalAgg
+      upsertBatch(batch, root, keyCols, tsCol, appId, batchId,
+        changeCapture = true)
+      if (S.lastTxn(summaryRoot, IA.foldedThroughKey).isEmpty)
+        IA.seedSummaryWithDistinct(spark, root, summaryRoot, detailRoot,
+          groupCols, sumCols, distinctCol, countName)
+      else
+        IA.foldOnceWithDistinct(spark, root, summaryRoot, detailRoot,
+          groupCols, sumCols, distinctCol, countName)
+      ()
+    }
+  }
+
   def rollupDistinctSink(updates: DataFrame, root: String,
       summaryRoot: String, detailRoot: String, keyCols: Seq[String],
       tsCol: String, groupCols: Seq[String],
       sumCols: Seq[(String, String)], distinctCol: (String, String),
       checkpointDir: String,
       countName: String = "n"): org.apache.spark.sql.streaming.StreamingQuery = {
-    val keyCs = keyCols.map(col)
     updates.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val S = graft.sources.SnapshotTable
-          val IA = graft.sources.IncrementalAgg
-          val otherNames = batch.columns.filterNot(keyCols.contains)
-          val latest = batch
-            .groupBy(keyCs: _*)
-            .agg(max(struct(
-              (tsCol +: otherNames.filterNot(_ == tsCol)).map(col): _*)).as("__l"))
-            .select(keyCs ++ otherNames.map(c => col(s"__l.$c").as(c)): _*)
-          S.merge(latest, root, keyCols, changeCapture = true)
-          if (S.lastTxn(summaryRoot, IA.foldedThroughKey).isEmpty)
-            IA.seedSummaryWithDistinct(spark, root, summaryRoot, detailRoot,
-              groupCols, sumCols, distinctCol, countName)
-          else
-            IA.foldOnceWithDistinct(spark, root, summaryRoot, detailRoot,
-              groupCols, sumCols, distinctCol, countName)
-          ()
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        rollupDistinctBatch(batch, root, summaryRoot, detailRoot, keyCols,
+          tsCol, groupCols, sumCols, distinctCol, checkpointDir, batchId,
+          countName)
       }
       .start()
   }

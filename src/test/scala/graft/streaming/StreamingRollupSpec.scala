@@ -160,6 +160,55 @@ class StreamingRollupSpec extends SparkSpec {
     assert(m9.map(_.getLong(0)).toSeq == Seq(1L), "detail double-folded")
   }
 
+  test("upsertBatch: a replayed (appId, batchId) skips entirely — no " +
+      "rewrite, no version; other apps are not shadowed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-batchskip")
+    val root = dir.resolve("base").toString
+    val b = Seq(RollupChange(1L, ts(1), "a", 5.00)).toDF()
+    EventStream.upsertBatch(b, root, Seq("k"), "ts", "appA", 0L)
+    val v1 = SnapshotTable.latestVersion(root)
+    // the replay costs a manifest read, not a merge
+    EventStream.upsertBatch(b, root, Seq("k"), "ts", "appA", 0L)
+    assert(SnapshotTable.latestVersion(root) == v1, "replay must skip")
+    // a LATER batch of the same app applies
+    EventStream.upsertBatch(Seq(RollupChange(2L, ts(2), "a", 1.00)).toDF(),
+      root, Seq("k"), "ts", "appA", 1L)
+    assert(SnapshotTable.latestVersion(root) == v1 + 1)
+    // an earlier-or-equal id is also skipped after the later stamp
+    EventStream.upsertBatch(b, root, Seq("k"), "ts", "appA", 0L)
+    assert(SnapshotTable.latestVersion(root) == v1 + 1)
+    // a DIFFERENT app (fresh checkpoint lineage, ids restart at 0) is
+    // not shadowed by appA's stamps
+    EventStream.upsertBatch(Seq(RollupChange(3L, ts(3), "b", 2.00)).toDF(),
+      root, Seq("k"), "ts", "appB", 0L)
+    assert(SnapshotTable.latestVersion(root) == v1 + 2)
+    assert(SnapshotTable.read(spark, root).count() == 3)
+  }
+
+  test("rollupBatch replay after a crash between merge and fold: the " +
+      "merge skips, the fold still catches up") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rollup-skipfold")
+    val root = dir.resolve("base").toString
+    val sroot = dir.resolve("sum").toString
+    val app = dir.toString
+    // batch 0 seeds everything through the normal path
+    EventStream.rollupBatch(
+      Seq(RollupChange(1L, ts(1), "a", 5.00)).toDF(), root, sroot,
+      Seq("k"), "ts", Seq("grp"), Seq("amt" -> "total"), app, 0L)
+    assert(summaryRows(sroot) == Set(("a", 1L, "5.00")))
+    // batch 1's MERGE commits (stamped) but the fold crashes before running
+    EventStream.upsertBatch(
+      Seq(RollupChange(2L, ts(2), "b", 3.00)).toDF(), root,
+      Seq("k"), "ts", app, 1L, changeCapture = true)
+    assert(summaryRows(sroot) == Set(("a", 1L, "5.00")), "fold never ran")
+    // the replay of batch 1: upsert skips (stamped), fold catches up
+    EventStream.rollupBatch(
+      Seq(RollupChange(2L, ts(2), "b", 3.00)).toDF(), root, sroot,
+      Seq("k"), "ts", Seq("grp"), Seq("amt" -> "total"), app, 1L)
+    assert(summaryRows(sroot) == Set(("a", 1L, "5.00"), ("b", 1L, "3.00")))
+    assert(summaryRows(sroot) == batchRecompute(root))
+  }
+
   test("crash between base commit and fold recovers via the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft-rollup-crash")
     val root = dir.resolve("base").toString
