@@ -1414,6 +1414,38 @@ object SparkEntry {
     // ---- S5 transactional sink: snapshot-table roundtrip — overwrite v1
     // with half the rows, append the rest (v2), read the latest snapshot;
     // oracle is the untouched source table (lossless ACID roundtrip) -------
+    // ---- S5 extension: replaceWhere — Delta's dynamic-partition-overwrite
+    // backfill: the 300-599 slice of a range-clustered table is atomically
+    // replaced by a RECOMPUTED slice (only odd keys survive, prices
+    // adjusted) in one commit; stats pruning keeps the other range files
+    // untouched. The oracle replays the slice swap relationally; row-level
+    // output so every kept/replaced/dropped row value is in the hash. ------
+    "s24_replace_where" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-s24-$pid/ord_rw_$sfx"
+      val S = graft.sources.SnapshotTable
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      if (S.latestVersion(root) == 0) {
+        S.write(ord.where(col("o_orderkey") <= 1200)
+            .repartitionByRange(4, col("o_orderkey")), root,
+          mode = "overwrite", statsCols = Seq("o_orderkey"))           // v1
+        val backfill = ord
+          .where(col("o_orderkey").between(300, 599) &&
+            col("o_orderkey") % 2 === 1)
+          .withColumn("o_totalprice", round(col("o_totalprice") + 50, 2))
+        S.replaceWhere(backfill, root,
+          col("o_orderkey").between(300, 599),
+          pruneHint = Some(("o_orderkey", 300.0, 599.0)))              // v2
+      }
+      S.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- S5 extension: CONDITIONAL MERGE (Delta WHEN MATCHED AND cond) —
     // update-if-greater guard (only matched rows whose new price rose
     // replace; the out-of-order-CDC pattern), conditional delete on a key
@@ -3577,6 +3609,23 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus,
                 round(o_totalprice, 2) AS totalprice
          FROM orders WHERE o_orderkey <= 800
+         ORDER BY o_orderkey""",
+
+    // s24: the slice swap replayed — rows outside 300-599 untouched, the
+    // slice itself is exactly the recomputed backfill (odd keys, +50)
+    "s24_replace_where" ->
+      """WITH b AS (
+           SELECT o_orderkey, o_orderstatus, o_totalprice
+           FROM orders WHERE o_orderkey <= 1200),
+         r AS (
+           SELECT o_orderkey, o_orderstatus,
+                  round(o_totalprice + 50, 2) AS o_totalprice
+           FROM orders
+           WHERE o_orderkey BETWEEN 300 AND 599 AND o_orderkey % 2 = 1)
+         SELECT o_orderkey, o_orderstatus,
+                round(o_totalprice, 2) AS totalprice
+         FROM (SELECT * FROM b WHERE o_orderkey NOT BETWEEN 300 AND 599
+               UNION ALL SELECT * FROM r)
          ORDER BY o_orderkey""",
 
     // s22: the four MERGE clauses replayed — matched %7 keys delete,

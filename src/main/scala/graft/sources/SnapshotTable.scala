@@ -802,6 +802,118 @@ object SnapshotTable {
     done.get
   }
 
+  /** Delta's `INSERT OVERWRITE ... replaceWhere` — the dynamic-partition-
+    * overwrite generalization: atomically replace EXACTLY the rows matching
+    * `condition` with `data`, in ONE commit. The 100 TB use case is the
+    * daily backfill — "rewrite this day/region slice" — where running
+    * [[deleteWhere]] then [[write]](append) would expose a torn
+    * intermediate snapshot (slice deleted, replacement not yet landed) to
+    * any concurrent reader; here readers see old-slice or new-slice, never
+    * neither.
+    *
+    * Contract (matching Delta's):
+    *  - every incoming row MUST satisfy `condition` (checked with one job
+    *    over `data`; a violating row would silently survive the next
+    *    replace of the same slice, so it is refused up front);
+    *  - files whose stats envelope proves no overlap with the condition
+    *    (`pruneHint`, the [[readPruned]] doctrine) are skipped untouched —
+    *    a slice replace in a stats-clustered table rewrites O(slice) files
+    *    regardless of table size;
+    *  - candidate files are scanned ONCE to find real live matches
+    *    (deletion vectors applied); files with matches are rewritten
+    *    keeping only their non-matching rows, dropping their DV entries
+    *    with them;
+    *  - `changeCapture` commits the row-level feed: the replaced rows as
+    *    `delete` events and `data` as `insert` events (Delta-CDF).
+    *
+    * Returns (version, filesRewritten, filesSkipped). Incoming files are
+    * staged once; a commit-race loser re-reads the head and re-stages only
+    * the kept-rows rewrite (its abandoned files are vacuum-able orphans,
+    * like any loser's). */
+  def replaceWhere(data: DataFrame, root: String,
+      condition: org.apache.spark.sql.Column,
+      pruneHint: Option[(String, Double, Double)] = None,
+      changeCapture: Boolean = false,
+      txn: Map[String, String] = Map.empty): (Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{col => fcol, coalesce, lit}
+    val spark = data.sparkSession
+    validateChecks(data, root)
+    require(data.where(!coalesce(condition, lit(false))).isEmpty,
+      "replaceWhere: incoming rows must all satisfy the replace condition " +
+        "(Delta semantics) — a non-matching row would silently survive the " +
+        "next replace of the same slice")
+    val incomingStaged = stage(data, root)
+    var done: Option[(Int, Int, Int)] = None
+    while (done.isEmpty) {
+      val base = latestVersion(root)
+      require(base > 0, s"snapshot table at $root has no committed version")
+      val m = readManifest(root, base)
+      // same no-drift contract as append: the slice replaces rows, not the
+      // table's shape
+      require(unionSchema(m.schema, data.schema, allowEvolution = false)
+        .fieldNames.sameElements(m.schema.fieldNames),
+        "replaceWhere data schema must match the table schema")
+      val candidates = pruneHint match {
+        case Some((c, lo, hi)) => m.files.filter { f =>
+          m.stats.get(f).flatMap(_.get(c)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None => true // no envelope: cannot skip
+          }
+        }
+        case None => m.files
+      }
+      val hitNames =
+        if (candidates.isEmpty) Set.empty[String]
+        else readFiles(spark, root, m, candidates, keepFilePos = true)
+          .where(condition).select(fcol("__file")).distinct()
+          .collect().map(_.getString(0)).toSet
+      val hits = candidates.filter(hitNames)
+      val statsCols =
+        m.stats.valuesIterator.flatMap(_.keysIterator).toSet.toSeq.sorted
+      val hitFrame = readFiles(spark, root, m, hits)
+      val keptStaged =
+        if (hits.isEmpty) Nil
+        else stage(hitFrame.where(!coalesce(condition, lit(false)))
+          .coalesce(math.max(1, hits.size)), root)
+      val cdcStaged =
+        if (!changeCapture) Nil
+        else {
+          val deletes = hitFrame.where(coalesce(condition, lit(false)))
+            .withColumn("_change_type", lit("delete"))
+          stageChanges(
+            deletes.unionByName(data.withColumn("_change_type", lit("insert"))),
+            root)
+        }
+      val adds = keptStaged ++ incomingStaged
+      val stagedStats = footerStats(root, adds, statsCols)
+      val inputs = hits.toSet
+      var committed = -1
+      var stale = false
+      var attemptRaw = readRaw(root, base)
+      while (committed < 0 && !stale) {
+        committed = commitChange(root, attemptRaw, "replace",
+          attemptRaw.schema.json, adds = adds, removes = inputs,
+          addStats = stagedStats, cdc = cdcStaged, txn = txn)
+        if (committed < 0) {
+          val head = latestVersion(root)
+          val hm = readManifest(root, head)
+          // an input that vanished OR grew a different deletion vector was
+          // rewritten underneath us: the kept-rows rewrite (and the hit
+          // set itself) is stale — restart from the new head
+          if (inputs.forall(f => hm.files.contains(f) &&
+              hm.dvs.get(f) == m.dvs.get(f)))
+            attemptRaw = readRaw(root, head)
+          else stale = true
+        }
+      }
+      if (committed > 0)
+        done = Some((committed, hits.size, m.files.size - hits.size))
+      // else stale: loop re-reads the head; abandoned kept/cdc staged
+      // files become vacuum-able orphans (incoming files are reused)
+    }
+    done.get
+  }
+
   /** Copy-on-write UPDATE ... SET: rows matching `condition` get
     * `assignments` applied (each value expression may reference any table
     * column; it is cast to the column's declared type), rewriting ONLY

@@ -465,6 +465,74 @@ class SnapshotTableSpec extends SparkSpec {
     assert(v2 == v && r2 == 0, "no-match delete must not commit a version")
   }
 
+  test("replaceWhere swaps exactly the slice in ONE commit; prune skips the rest") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    SnapshotTable.write((1 to 10).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), root, statsCols = Seq("k"))
+    SnapshotTable.write((11 to 20).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), root, mode = "append", statsCols = Seq("k"))
+    SnapshotTable.write((21 to 30).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), root, mode = "append", statsCols = Seq("k"))
+    // backfill the 14-17 slice: 15 is dropped, the rest recomputed
+    val (v, rewritten, skipped) = SnapshotTable.replaceWhere(
+      Seq((14, "n14"), (16, "n16"), (17, "n17")).toDF("k", "v"), root,
+      col("k").between(14, 17), pruneHint = Some(("k", 14.0, 17.0)))
+    // ONE commit (v4): readers never see the deleted-but-not-yet-replaced state
+    assert(v == 4 && rewritten == 1 && skipped == 2,
+      s"expected 1 rewrite / 2 envelope skips, got ($v, $rewritten, $skipped)")
+    val got = SnapshotTable.read(spark, root).as[(Int, String)].collect().toSet
+    val expected = (1 to 30).filterNot((14 to 17).contains)
+      .map(i => (i, s"r$i")).toSet ++ Set((14, "n14"), (16, "n16"), (17, "n17"))
+    assert(got == expected)
+    // every live file still carries its envelope (skipped keep theirs, the
+    // rewrite and the incoming slice re-derive their own)
+    val m = SnapshotTable.readManifest(root, v)
+    assert(m.files.forall(f => m.stats.get(f).exists(_.contains("k"))))
+  }
+
+  test("replaceWhere refuses incoming rows outside the condition") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    SnapshotTable.write((1 to 10).map(i => (i, s"r$i")).toDF("k", "v"), root)
+    val ex = intercept[IllegalArgumentException] {
+      SnapshotTable.replaceWhere(Seq((4, "ok"), (99, "outside")).toDF("k", "v"),
+        root, col("k").between(3, 6))
+    }
+    assert(ex.getMessage.contains("must all satisfy"))
+    // the refusal left the table untouched at v1
+    assert(SnapshotTable.latestVersion(root) == 1)
+  }
+
+  test("replaceWhere with no live matches is a pure backfill insert") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    SnapshotTable.write((1 to 10).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), root, statsCols = Seq("k"))
+    val (v, rewritten, skipped) = SnapshotTable.replaceWhere(
+      Seq((45, "x45")).toDF("k", "v"), root, col("k").between(40, 50),
+      pruneHint = Some(("k", 40.0, 50.0)))
+    assert(v == 2 && rewritten == 0 && skipped == 1)
+    assert(SnapshotTable.read(spark, root).count() == 11)
+  }
+
+  test("replaceWhere changeCapture commits the row-level delete+insert feed") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    SnapshotTable.write((1 to 10).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), root, statsCols = Seq("k"))
+    val v = SnapshotTable.replaceWhere(
+      Seq((4, "n4"), (5, "n5")).toDF("k", "v"), root,
+      col("k").between(4, 6), changeCapture = true)._1
+    val ch = SnapshotTable.readChanges(spark, root, fromVersion = v - 1)
+      .select("k", "v", "_change_type").as[(Int, String, String)]
+      .collect().toSet
+    // exactly the replaced rows out, exactly the backfill in — row-level,
+    // not the file-diff amplification (6 is dropped, not re-inserted)
+    assert(ch == Set((4, "r4", "delete"), (5, "r5", "delete"),
+      (6, "r6", "delete"), (4, "n4", "insert"), (5, "n5", "insert")))
+  }
+
   test("deleteWhere keeps NULL-condition rows (SQL DELETE semantics)") {
     import org.apache.spark.sql.functions.col
     val root = freshRoot()
