@@ -342,6 +342,21 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // ---- BPE tokenizer training (canonical Sennrich merges) + corpus
+    // encoding: ONE corpus-sized word-frequency job, driver merge loop on
+    // the capped dict (bounded protocol), then k chained codegen replace
+    // calls over DISTINCT words. The trained merges export as literals and
+    // the oracle replays seed→merge-chain→token-count relationally — the
+    // two-space delimiter format makes replace-all EXACTLY the BPE
+    // leftmost-greedy merge in both engines. --------------------------------
+    "t17_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.spread(t(s, dir, "documents"))
+      val wf = graft.text.Bpe.wordFrequencies(docs, "text")
+      val merges = graft.text.Bpe.train(wf, numMerges = 48, dictSize = 2048)
+      t17TrainedMerges = Some(merges)
+      graft.text.Bpe.encodeCounts(wf, merges).orderBy(col("token"))
+    }),
+
     // ---- chunk materialization: overlapping sliding token windows -------
     "t12_chunk_explode" -> ((s, dir) => {
       graft.text.Corpus.chunkExplode(Tables.spread(t(s, dir, "documents")),
@@ -2883,6 +2898,34 @@ object SparkEntry {
          ORDER BY query_id, "rank""""
   }.toMap
 
+  /** The BPE merge rules t17 trained in this process — same runtime-oracle
+    * contract as [[n3FittedCenters]]: the oracle replays the ENCODE stage
+    * (seed → chained replace-all → token counts) against the exported
+    * merges; merges are `[a-z]+` only, so inlining them into SQL string
+    * literals needs no escaping. */
+  @volatile private var t17TrainedMerges: Option[Seq[(String, String)]] = None
+
+  private def t17OracleEntry: Map[String, String] = t17TrainedMerges.map { merges =>
+    val seedSql = """' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' '"""
+    val chain = merges.foldLeft(seedSql) { case (acc, (a, b)) =>
+      s"replace($acc, ' $a  $b ', ' ${a + b} ')"
+    }
+    "t17_bpe_encode" ->
+      s"""WITH toks AS (
+           SELECT t.tok AS w
+           FROM documents,
+                unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> '')) AS t(tok)
+           WHERE regexp_full_match(t.tok, '[a-z]+') AND length(t.tok) <= 20),
+         wf AS (SELECT w, count(*) AS freq FROM toks GROUP BY w),
+         enc AS (SELECT freq, $chain AS s FROM wf),
+         tok2 AS (
+           SELECT freq, u.tk AS token
+           FROM enc, unnest(string_split(trim(s), '  ')) AS u(tk))
+         SELECT token, CAST(sum(freq) AS BIGINT) AS n
+         FROM tok2 GROUP BY token ORDER BY token"""
+  }.toMap
+
   /** The k-means centers n8's SemDeDup fitted in this process — same
     * runtime-oracle contract as [[n3FittedCenters]]. */
   @volatile private var n8FittedCenters: Option[Array[(Int, Seq[Double])]] = None
@@ -2981,7 +3024,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
     m6OracleEntry ++
-      n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++ Map(
+      n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
+      t17OracleEntry ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity), 2) AS sum_qty,
