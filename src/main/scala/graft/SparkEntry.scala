@@ -1615,6 +1615,34 @@ object SparkEntry {
         .orderBy(col("l_suppkey"))
     }),
 
+    // ---- categorical file skipping (s25): string-column envelopes via
+    // the order-preserving 6-byte prefix key — documents land lang-
+    // clustered (hash repartition on lang → lang-pure files), the write
+    // records the string envelopes from the parquet footers, and the
+    // pruned read drops every non-'en' file before Spark lists it: the
+    // partition-pruning analog without hive directories. The query asserts
+    // IN-BAND that pruning really bit (kept < total), so a silently
+    // envelope-less write cannot hash-match. Oracle = relational replay. --
+    "s25_lang_pruned_scan" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s25-${ProcessHandle.current().pid()}/docs_lang_$sfx"
+      val S = graft.sources.SnapshotTable
+      if (S.latestVersion(root) == 0)
+        S.write(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+            .repartitionByRange(5, col("lang")),
+          root, statsCols = Seq("lang"))
+      val k = S.prefixKey("en")
+      val (pruned, (kept, total)) = S.readPruned(s, root, "lang", k, k)
+      require(kept < total,
+        s"lang envelopes failed to prune ($kept of $total files kept)")
+      pruned.where(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- S5 extension: bin-packing compaction (the OPTIMIZE story for
     // the CDC sink's one-version-per-micro-batch layout). Eight 1-file
     // appends, then compact packs them into target-size files as a NEW
@@ -3528,6 +3556,12 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
          FROM customer WHERE c_custkey <= 800
          ORDER BY c_custkey""",
+
+    // s25: the pruned categorical scan must equal the relational filter —
+    // pruning is I/O skipping, never row semantics
+    "s25_lang_pruned_scan" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE lang = 'en' ORDER BY doc_id""",
 
     // s11: the change feed replayed relationally — appends land as
     // inserts at their commit version, the pruned DELETE reports the hit

@@ -374,7 +374,16 @@ object SnapshotTable {
                 (s.genericGetMin, s.genericGetMax) match {
                   case (mn: Number, mx: Number) =>
                     Some((mn.doubleValue(), mx.doubleValue()))
-                  case _ => None // non-numeric stats: no envelope
+                  case (mn: org.apache.parquet.io.api.Binary,
+                        mx: org.apache.parquet.io.api.Binary) =>
+                    // string/binary columns: order-preserving 6-byte prefix
+                    // key (see [[prefixKey]]) — byte-lexicographic order is
+                    // exactly the order parquet ranks binary stats by, so
+                    // [key(min), key(max)] is a safe envelope even when the
+                    // footer truncated the values (truncation keeps min a
+                    // lower and max an upper bound)
+                    Some((prefixKeyBytes(mn.getBytes), prefixKeyBytes(mx.getBytes)))
+                  case _ => None // other stat types: no envelope
                 }
               }
           }
@@ -383,6 +392,29 @@ object SnapshotTable {
         }.toMap
       } finally reader.close()
     }.toMap
+  }
+
+  /** Order-preserving numeric key of a string's first 6 UTF-8 bytes: the
+    * unsigned 48-bit big-endian integer, exact in a Double. Non-strictly
+    * monotone in byte-lexicographic order (s ≤ t ⇒ key(s) ≤ key(t)), which
+    * makes [key(fileMin), key(fileMax)] a SAFE pruning envelope for string
+    * columns inside the existing numeric stats machinery: a file can
+    * contain value v only if key(v) lands inside its envelope. Categorical
+    * file skipping — `readPruned(…, "lang", prefixKey("en"), prefixKey("en"))`
+    * scans only the files whose range could hold 'en' — is the
+    * partition-pruning analog for stats-clustered tables; 6-byte
+    * resolution only ever costs extra kept files, never correctness. */
+  def prefixKey(s: String): Double =
+    prefixKeyBytes(s.getBytes(StandardCharsets.UTF_8))
+
+  private def prefixKeyBytes(bs: Array[Byte]): Double = {
+    var v = 0L
+    var i = 0
+    while (i < 6) {
+      v = (v << 8) | (if (i < bs.length) bs(i) & 0xffL else 0L)
+      i += 1
+    }
+    v.toDouble
   }
 
   /** Read the latest (or pinned) snapshot keeping only files whose

@@ -491,6 +491,41 @@ class SnapshotTableSpec extends SparkSpec {
     assert(m.files.forall(f => m.stats.get(f).exists(_.contains("k"))))
   }
 
+  test("string envelopes: categorical pruning skips non-matching files, never rows") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    // three lang-pure files + one mixed file whose envelope spans de..zh
+    SnapshotTable.write(Seq((1, "de"), (2, "de")).toDF("id", "lang")
+      .coalesce(1), root, statsCols = Seq("lang"))
+    SnapshotTable.write(Seq((3, "en"), (4, "en")).toDF("id", "lang")
+      .coalesce(1), root, mode = "append", statsCols = Seq("lang"))
+    SnapshotTable.write(Seq((5, "zh")).toDF("id", "lang")
+      .coalesce(1), root, mode = "append", statsCols = Seq("lang"))
+    SnapshotTable.write(Seq((6, "de"), (7, "zh")).toDF("id", "lang")
+      .coalesce(1), root, mode = "append", statsCols = Seq("lang"))
+    val k = SnapshotTable.prefixKey("en")
+    val (pruned, (kept, total)) = SnapshotTable.readPruned(spark, root, "lang", k, k)
+    // the en file AND the spanning mixed file survive; de and zh files skip
+    assert(total == 4 && kept == 2, s"expected 2/4 kept, got $kept/$total")
+    assert(pruned.where(col("lang") === "en").select("id").as[Int]
+      .collect().toSet == Set(3, 4))
+    // range prune: everything < 'f' keeps de, en, and the mixed file
+    val (_, (kept2, _)) = SnapshotTable.readPruned(spark, root, "lang",
+      SnapshotTable.prefixKey("a"), SnapshotTable.prefixKey("f"))
+    assert(kept2 == 3)
+  }
+
+  test("prefixKey is order-preserving and saturates safely past 6 bytes") {
+    val ss = Seq("", "a", "ab", "abcdef", "abcdefx", "abcdefy", "abcdeg", "b", "zz")
+    val sorted = ss.sorted
+    val keys = sorted.map(SnapshotTable.prefixKey)
+    // non-strict monotone: s <= t => key(s) <= key(t)
+    assert(keys.zip(keys.tail).forall { case (x, y) => x <= y })
+    // beyond-6-byte values collapse to the same key — kept, never pruned
+    assert(SnapshotTable.prefixKey("abcdefx") == SnapshotTable.prefixKey("abcdefy"))
+    assert(SnapshotTable.prefixKey("abcdef") == SnapshotTable.prefixKey("abcdefx"))
+  }
+
   test("replaceWhere refuses incoming rows outside the condition") {
     import org.apache.spark.sql.functions.col
     val root = freshRoot()
