@@ -2641,6 +2641,23 @@ object SparkEntry {
           lead(col("o_orderkey"), 1).over(w).as("next_key"))
         .where(col("rn") <= 20)
         .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
+    // ---- per-group top-k WITHOUT the window sort (w7): the bounded-heap
+    // TypedImperativeAggregate (n1's operator) on a relational group-by —
+    // map-side partial k-heaps, only k rows per group cross the shuffle,
+    // vs row_number's full per-group sort-and-discard. Oracle = the window
+    // formulation in DuckDB (identical (score desc, id asc) tiebreak), so
+    // the hash match proves heap ≡ window semantics on real data. ---------
+    "w7_group_topk" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(graft.expressions.TopKByScore.topKByScore(
+          col("o_totalprice"), col("o_orderkey").cast("long"), 10).as("top"))
+        .select(col("o_orderstatus"), posexplode(col("top")).as(Seq("idx", "r")))
+        .select(col("o_orderstatus"), (col("idx") + 1).cast("long").as("rnk"),
+          col("r.id").as("o_orderkey"), col("r.score").as("price"))
+        .orderBy(col("o_orderstatus"), col("rnk"))
     })
   )
 
@@ -4355,6 +4372,18 @@ object SparkEntry {
            FROM orders
            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey))
          SELECT * FROM w3 WHERE rn <= 20 ORDER BY o_orderpriority, rn""",
+
+    // w7: the heap aggregate must equal the window formulation — identical
+    // (price desc, key asc) tiebreak, rank from heap order
+    "w7_group_topk" ->
+      """WITH r AS (
+           SELECT o_orderstatus, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders)
+         SELECT o_orderstatus, rnk, o_orderkey, o_totalprice AS price
+         FROM r WHERE rnk <= 10
+         ORDER BY o_orderstatus, rnk""",
 
     "r5_assoc_rules" ->
       """WITH flags AS (
