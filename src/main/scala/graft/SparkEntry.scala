@@ -1461,6 +1461,33 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- S5 extension: SCHEMA EVOLUTION through the oracle gate (s26) —
+    // a widening mergeSchema append: v1 rows lack the new column and the
+    // head read must backfill NULL for them (manifest schema, not file
+    // schema, drives the scan). The oracle replays the union with an
+    // explicit NULL literal, so the hash match certifies evolution + NULL
+    // backfill row-for-row. ------------------------------------------------
+    "s26_schema_evolution" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-s26-$pid/ord_ev_$sfx"
+      val S = graft.sources.SnapshotTable
+      val ord = t(s, dir, "orders")
+      if (S.latestVersion(root) == 0) {
+        S.write(ord.where(col("o_orderkey") <= 400)
+          .select(col("o_orderkey"), col("o_orderstatus")), root,
+          mode = "overwrite")                                          // v1
+        S.write(ord.where(col("o_orderkey").between(401, 800))
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+          root, mode = "append", mergeSchema = true)                   // v2
+      }
+      S.read(s, root)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- S5 extension: CONDITIONAL MERGE (Delta WHEN MATCHED AND cond) —
     // update-if-greater guard (only matched rows whose new price rose
     // replace; the out-of-order-CDC pattern), conditional delete on a key
@@ -3704,6 +3731,16 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus,
                 round(o_totalprice, 2) AS totalprice
          FROM orders WHERE o_orderkey <= 800
+         ORDER BY o_orderkey""",
+
+    // s26: the widening evolution replayed — pre-evolution rows carry an
+    // explicit NULL in the new column
+    "s26_schema_evolution" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS totalprice
+         FROM orders WHERE o_orderkey <= 400
+         UNION ALL
+         SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS totalprice
+         FROM orders WHERE o_orderkey BETWEEN 401 AND 800
          ORDER BY o_orderkey""",
 
     // s24: the slice swap replayed — rows outside 300-599 untouched, the
