@@ -2407,6 +2407,52 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- streaming partition overwrite, batch-replayed (e12): three
+    // day-sliced recompute batches with OVERLAPPING coverage run
+    // replaceSink's per-batch path — each batch atomically replaces the
+    // days it covers, so the final owner of a day is the LAST batch that
+    // recomputed it. Batch 3 is then redelivered under a new batchId
+    // (executes; content-idempotent by construction) and replayed under
+    // the same batchId (skipped by the txn stamp); the in-query require
+    // pins the version accounting of both defenses. The oracle assigns
+    // each day its final owner relationally via dense_rank. -------------
+    "e12_stream_replace" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-e12-$pid/days_$sfx"
+      val S = graft.sources.SnapshotTable
+      val ES = graft.streaming.EventStream
+      val ev = Tables.events(s, dir)
+        .where(col("user_id") <= 200 && col("value").isNotNull)
+        .select(col("user_id"), col("ts"),
+          col("value").cast("double").as("value"),
+          to_date(col("ts")).cast("string").as("day"))
+      if (S.latestVersion(root) == 0) {
+        val days = ev.select(col("day")).distinct().orderBy(col("day"))
+          .collect().map(_.getString(0)) // bounded: calendar-sized
+        def slice(from: Int, until: Int, tag: Int) =
+          ev.where(col("day").isin(days.slice(from, until).toSeq: _*))
+            .withColumn("loaded_by", lit(tag))
+        ES.replaceBatch(slice(0, 12, 1), root, "day", root, 0L)
+        ES.replaceBatch(slice(9, 21, 2), root, "day", root, 1L)
+        ES.replaceBatch(slice(19, days.length, 3), root, "day", root, 2L)
+        val vAfter = S.latestVersion(root)
+        // redelivered content under a NEW id: executes, changes nothing
+        ES.replaceBatch(slice(19, days.length, 3), root, "day", root, 3L)
+        // replay under the SAME id: the stamp skips it without a commit
+        ES.replaceBatch(slice(19, days.length, 3), root, "day", root, 3L)
+        require(S.latestVersion(root) == vAfter + 1,
+          "replay accounting broke: expected exactly one extra commit")
+      }
+      S.read(s, root)
+        .groupBy(col("day"), col("loaded_by"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")).cast("double"), 2)
+            .as("total"))
+        .orderBy(col("day"))
+    }),
+
     // ---- streaming materialized view WITH exact COUNT(DISTINCT),
     // batch-replayed: rollupDistinctSink's per-batch path — newest event
     // per user upserted with capture, captured slice folded through the
@@ -3689,6 +3735,29 @@ object SparkEntry {
     // per user (equal timestamps share a batch; the max-struct tie order
     // is (ts, event_type, value) DESC lexicographic), then the rollup is
     // a plain group-by over those survivors — the decimal-sum doctrine
+    // e12: final day ownership replayed relationally — a day belongs to
+    // the last overlapping batch that recomputed it (1-9 → b1, 10-19 →
+    // b2, 20-30 → b3 by dense day rank), redeliveries change nothing
+    "e12_stream_replace" ->
+      """WITH ev AS (
+           SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                  CAST(value AS DOUBLE) AS value
+           FROM events WHERE user_id <= 200 AND value IS NOT NULL),
+         d AS (
+           SELECT day, dense_rank() OVER (ORDER BY day) AS di
+           FROM (SELECT DISTINCT day FROM ev)),
+         tagged AS (
+           SELECT e.day,
+                  CASE WHEN d.di <= 9 THEN 1
+                       WHEN d.di <= 19 THEN 2 ELSE 3 END AS loaded_by,
+                  e.value
+           FROM ev e JOIN d USING (day))
+         SELECT day, loaded_by, count(*) AS n,
+                round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                  AS total
+         FROM tagged GROUP BY day, loaded_by
+         ORDER BY day""",
+
     "e10_stream_rollup" ->
       """WITH ev AS (
            SELECT user_id, ts, event_type, CAST(value AS DOUBLE) AS value

@@ -243,6 +243,53 @@ object EventStream {
       .start()
   }
 
+  /** One partition-overwrite micro-batch: the batch's rows atomically
+    * REPLACE the slices (distinct non-null `sliceCol` values) they cover —
+    * [[graft.sources.SnapshotTable.replaceWhere]] per batch, the Delta
+    * `foreachBatch` + replaceWhere pattern for recompute streams ("this
+    * hour/day arrived again, swap it"). The slice set is collected per
+    * batch (bounded: a micro-batch covers few slices by construction).
+    *
+    * EXACTLY-ONCE twice over: a redelivered batch carries the same slices
+    * and the same content, so re-executing it is a no-op on the table
+    * CONTENT (idempotent by construction — unlike blind appends); and the
+    * `(appId, batchId)` txn stamp makes the replay skip entirely without
+    * even re-staging files. `sliceCol` must be non-null in the batch (a
+    * NULL slice row cannot satisfy its own replace condition and is
+    * refused by replaceWhere's incoming check). */
+  def replaceBatch(batch: DataFrame, root: String, sliceCol: String,
+      appId: String, batchId: Long, changeCapture: Boolean = false): Unit = {
+    if (!batch.isEmpty && !batchApplied(root, appId, batchId)) {
+      val S = graft.sources.SnapshotTable
+      val stamp = Map(batchKey(appId) -> batchId.toString)
+      if (S.latestVersion(root) == 0)
+        S.write(batch, root, mode = "overwrite", txn = stamp): Unit
+      else {
+        val slices = batch.select(col(sliceCol)).distinct()
+          .collect().map(_.get(0))
+        S.replaceWhere(batch, root, col(sliceCol).isin(slices: _*),
+          changeCapture = changeCapture, txn = stamp): Unit
+      }
+    }
+  }
+
+  /** Streaming partition-overwrite sink: each micro-batch replaces the
+    * slices it covers ([[replaceBatch]]) — the recompute-stream
+    * counterpart of [[upsertSink]]'s keyed CDC merge. Returns the started
+    * query. */
+  def replaceSink(updates: DataFrame, root: String, sliceCol: String,
+      checkpointDir: String, changeCapture: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    updates.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        replaceBatch(batch, root, sliceCol, checkpointDir, batchId,
+          changeCapture)
+      }
+      .start()
+  }
+
   /** Streaming MATERIALIZED VIEW: each micro-batch upserts into the base
     * [[graft.sources.SnapshotTable]] exactly like [[upsertSink]] (newest
     * change per key wins, row-level capture ON), then folds the base's

@@ -5,6 +5,7 @@ import graft.sources.{IncrementalAgg, SnapshotTable}
 import org.apache.spark.sql.functions._
 
 case class RollupChange(k: Long, ts: java.sql.Timestamp, grp: String, amt: Double)
+case class SliceRow(day: String, id: Long, v: Double)
 case class RollupDistinctChange(k: Long, ts: java.sql.Timestamp, grp: String,
   cust: Long, amt: Double)
 
@@ -53,6 +54,50 @@ class StreamingRollupSpec extends SparkSpec {
       assert(summaryRows(sroot) == Set(("a", 1L, "1.50"), ("b", 2L, "11.00")))
       assert(summaryRows(sroot) == batchRecompute(root))
     } finally q.stop()
+  }
+
+  test("replaceSink: each micro-batch atomically owns the slices it covers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-replace-sink")
+    val root = dir.resolve("tbl").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val input = MemoryStream[SliceRow]
+    val q = EventStream.replaceSink(input.toDF(), root, "day", ckpt)
+    try {
+      // batch 1 seeds days d1+d2
+      input.addData(SliceRow("d1", 1, 1.0), SliceRow("d1", 2, 2.0),
+        SliceRow("d2", 3, 3.0))
+      q.processAllAvailable()
+      // batch 2 RECOMPUTES d2 (row 3 gone, rows 4-5 arrive) and adds d3
+      input.addData(SliceRow("d2", 4, 4.0), SliceRow("d2", 5, 5.0),
+        SliceRow("d3", 6, 6.0))
+      q.processAllAvailable()
+      val got = SnapshotTable.read(spark, root)
+        .select("day", "id").as[(String, Long)].collect().toSet
+      assert(got == Set(("d1", 1L), ("d1", 2L), ("d2", 4L), ("d2", 5L),
+        ("d3", 6L)), s"slice ownership broke: $got")
+    } finally q.stop()
+  }
+
+  test("replaceBatch: redelivery is content-idempotent, same-id replay skips entirely") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-replace-batch")
+    val root = dir.resolve("tbl").toString
+    val b1 = Seq(("d1", 1L, 1.0), ("d2", 2L, 2.0)).toDF("day", "id", "v")
+    val b2 = Seq(("d2", 3L, 9.0)).toDF("day", "id", "v")
+    EventStream.replaceBatch(b1, root, "day", "app", 0L)
+    EventStream.replaceBatch(b2, root, "day", "app", 1L)
+    val v = SnapshotTable.latestVersion(root)
+    def content = SnapshotTable.read(spark, root)
+      .as[(String, Long, Double)].collect().toSet
+    val expected = Set(("d1", 1L, 1.0), ("d2", 3L, 9.0))
+    assert(content == expected)
+    // redelivered content under a NEW id: executes (one commit), no change
+    EventStream.replaceBatch(b2, root, "day", "app", 2L)
+    assert(SnapshotTable.latestVersion(root) == v + 1 && content == expected)
+    // replay under the SAME id: stamp short-circuits, no commit at all
+    EventStream.replaceBatch(b2, root, "day", "app", 2L)
+    assert(SnapshotTable.latestVersion(root) == v + 1 && content == expected)
   }
 
   test("a replayed batch folds to net zero (at-least-once is exact)") {
