@@ -1461,6 +1461,63 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- S5 extension: zero-copy CLONE (s27) — the source (with a merge
+    // in its history) is cloned via hard links, the clone diverges with a
+    // delete, then the source is OVERWRITTEN and vacuumed to zero
+    // retention: if the clone shared the source's directory entries (the
+    // manifest-reference shallow-clone design), the vacuum would corrupt
+    // it and this query would error — the hard-link contract keeps both
+    // lineages independent. The oracle replays both heads relationally. --
+    "s27_clone" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val src = sys.props("java.io.tmpdir") + s"/graft-s27-$pid/src_$sfx"
+      val cln = sys.props("java.io.tmpdir") + s"/graft-s27-$pid/cln_$sfx"
+      val S = graft.sources.SnapshotTable
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      if (S.latestVersion(cln) == 0) {
+        S.write(cust.where(col("c_custkey") <= 500).coalesce(1), src)   // src v1
+        S.merge(cust.where(col("c_custkey").between(300, 600))
+            .withColumn("c_acctbal", round(col("c_acctbal") + 1000, 2)),
+          src, Seq("c_custkey"))                                        // src v2
+        S.clone(src, cln)                                               // cln v1
+        S.deleteWhere(s, cln, col("c_custkey") <= 200)                  // cln v2
+        S.write(cust.where(col("c_custkey") <= 50).coalesce(1), src)    // src v3
+        S.vacuum(src, keepVersions = 1, orphanRetentionMs = 0L)
+      }
+      def side(root: String, tag: String) = S.read(s, root)
+        .select(lit(tag).as("side"), col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("acctbal"))
+      side(src, "source").unionByName(side(cln, "clone"))
+        .orderBy(col("side"), col("c_custkey"))
+    }),
+
+    // ---- S5 extension: DESCRIBE HISTORY (s28) — the commit chain as a
+    // queryable frame; a deterministic op sequence (overwrite, append,
+    // pruned delete, restore) pins version, operation, and live-file
+    // count against a literal replay. -------------------------------------
+    "s28_history" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-s28-$pid/hist_$sfx"
+      val S = graft.sources.SnapshotTable
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      if (S.latestVersion(root) == 0) {
+        S.write(ord.where(col("o_orderkey") <= 500).coalesce(1), root,
+          statsCols = Seq("o_orderkey"))                               // v1: 1 file
+        S.write(ord.where(col("o_orderkey").between(501, 900)).coalesce(1),
+          root, mode = "append", statsCols = Seq("o_orderkey"))        // v2: 2 files
+        S.deleteWhere(s, root, col("o_orderkey").between(600, 700),
+          pruneHint = Some(("o_orderkey", 600.0, 700.0)))              // v3: 2 files
+        S.restore(root, 1)                                             // v4: 1 file
+      }
+      S.history(s, root).orderBy(col("version"))
+    }),
+
     // ---- S5 extension: SCHEMA EVOLUTION through the oracle gate (s26) —
     // a widening mergeSchema append: v1 rows lack the new column and the
     // head read must backfill NULL for them (manifest schema, not file
@@ -3801,6 +3858,42 @@ object SparkEntry {
                 round(o_totalprice, 2) AS totalprice
          FROM orders WHERE o_orderkey <= 800
          ORDER BY o_orderkey""",
+
+    // s27: both heads replayed — the source was overwritten to the <=50
+    // slice after the clone; the clone holds the merged state minus the
+    // <=200 delete, untouched by the source's overwrite AND its vacuum
+    "s27_clone" ->
+      """WITH b AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey <= 500),
+         m AS (
+           SELECT c_custkey, c_mktsegment,
+                  round(c_acctbal + 1000, 2) AS c_acctbal
+           FROM customer WHERE c_custkey BETWEEN 300 AND 600),
+         merged AS (
+           SELECT * FROM m
+           UNION ALL
+           SELECT * FROM b
+           WHERE c_custkey NOT IN (SELECT c_custkey FROM m)),
+         srcv3 AS (
+           SELECT 'source' AS side, c_custkey, c_mktsegment,
+                  round(c_acctbal, 2) AS acctbal
+           FROM customer WHERE c_custkey <= 50),
+         clnv2 AS (
+           SELECT 'clone' AS side, c_custkey, c_mktsegment,
+                  round(c_acctbal, 2) AS acctbal
+           FROM merged WHERE c_custkey > 200)
+         SELECT * FROM (SELECT * FROM srcv3 UNION ALL SELECT * FROM clnv2)
+         ORDER BY side, c_custkey""",
+
+    // s28: the recorded commit chain against the declared op sequence
+    "s28_history" ->
+      """SELECT * FROM (VALUES (1, 'overwrite', CAST(1 AS BIGINT)),
+                               (2, 'append',    CAST(2 AS BIGINT)),
+                               (3, 'delete',    CAST(2 AS BIGINT)),
+                               (4, 'restore',   CAST(1 AS BIGINT)))
+           t(version, op, num_files)
+         ORDER BY version""",
 
     // s26: the widening evolution replayed — pre-evolution rows carry an
     // explicit NULL in the new column

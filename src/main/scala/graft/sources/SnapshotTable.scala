@@ -1540,6 +1540,68 @@ object SnapshotTable {
     readFiles(spark, root, m, m.files)
   }
 
+  /** Zero-copy table CLONE (the Delta `CREATE TABLE ... CLONE` feature,
+    * local-filesystem flavor): the source head's data files and deletion-
+    * vector sidecars are HARD-LINKED into the target (O(1) storage, no
+    * byte copy; `createLink` falls back to a real copy when the
+    * filesystem refuses, e.g. cross-device), the live stats/DV map carries
+    * over, and the target commits a fresh v1 checkpoint with op `clone`.
+    * CHECK constraints are inherited. Version history and the change feed
+    * are NOT cloned — the clone starts a new lineage at the cloned state
+    * (Delta clone semantics).
+    *
+    * Two properties the manifest-reference "shallow clone" design does
+    * NOT have: (1) a `vacuum` on the source can never corrupt the clone —
+    * both sides own their directory entry, the inode lives until the last
+    * link drops; (2) readers/writers need no foreign-path resolution —
+    * every downstream op (merge, delete, compact, CDC) works on the clone
+    * unchanged. Divergence after the clone is free: each side stages its
+    * own new files; a rewritten file un-links, never mutates (data files
+    * are immutable by protocol, so shared inodes are write-safe). */
+  def clone(sourceRoot: String, targetRoot: String): Int = {
+    val v = latestVersion(sourceRoot)
+    require(v > 0, s"snapshot table at $sourceRoot has no committed version")
+    require(latestVersion(targetRoot) == 0,
+      s"clone target $targetRoot already has commits")
+    val m = readManifest(sourceRoot, v)
+    Files.createDirectories(manifestDir(targetRoot))
+    Files.createDirectories(dataDir(targetRoot))
+    def linkOrCopy(from: Path, to: Path): Unit =
+      if (!Files.exists(to)) {
+        try Files.createLink(to, from)
+        catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            Files.copy(from, to, StandardCopyOption.REPLACE_EXISTING)
+        }
+      }
+    m.files.foreach { f =>
+      linkOrCopy(dataDir(sourceRoot).resolve(f), dataDir(targetRoot).resolve(f))
+    }
+    val sidecars = m.dvs.valuesIterator.flatten.toSet
+    if (sidecars.nonEmpty) Files.createDirectories(deletesDir(targetRoot))
+    sidecars.foreach { s =>
+      linkOrCopy(deletesDir(sourceRoot).resolve(s), deletesDir(targetRoot).resolve(s))
+    }
+    val checks = checkConstraints(sourceRoot)
+    if (checks.nonEmpty) writeChecks(targetRoot, checks)
+    val committed = tryCommit(targetRoot, 0, "clone", m.schema.json,
+      m.files, m.stats, dvs = m.dvs)
+    require(committed > 0, s"clone target $targetRoot was committed concurrently")
+    committed
+  }
+
+  /** The commit history as a DataFrame (the `DESCRIBE HISTORY` surface):
+    * one row per version with the operation and live-file count. Walks raw
+    * manifests (no data reads); oldest first. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    val rows = (1 to latestVersion(root)).map { v =>
+      val m = readManifest(root, v)
+      (v, readRaw(root, v).op, m.files.size.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("version", "op", "num_files")
+  }
+
   /** Drop manifests older than the newest `keepVersions` and delete data
     * files no surviving manifest references — including ORPHANS that never
     * made a manifest (staged files of commit-race losers, e.g. a lost

@@ -568,6 +568,68 @@ class SnapshotTableSpec extends SparkSpec {
       (6, "r6", "delete"), (4, "n4", "insert"), (5, "n5", "insert")))
   }
 
+  test("clone: zero-copy lineage fork survives source overwrite AND vacuum") {
+    import org.apache.spark.sql.functions.col
+    val src = freshRoot()
+    val cln = src + "_clone"
+    SnapshotTable.write((1 to 10).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), src, statsCols = Seq("k"))
+    SnapshotTable.merge(Seq((5, "m5"), (11, "m11")).toDF("k", "v"), src,
+      Seq("k"))
+    SnapshotTable.clone(src, cln)
+    // clone starts a fresh lineage at the cloned state, stats carried
+    val m = SnapshotTable.readManifest(cln, 1)
+    assert(SnapshotTable.latestVersion(cln) == 1 &&
+      SnapshotTable.readRaw(cln, 1).op == "clone" &&
+      m.files.forall(f => m.stats.get(f).exists(_.contains("k"))))
+    // divergence: delete on the clone, overwrite + 0-retention vacuum on
+    // the source — a manifest-reference shallow clone would now be corrupt
+    SnapshotTable.deleteWhere(spark, cln, col("k") <= 3)
+    SnapshotTable.write(Seq((99, "z")).toDF("k", "v").coalesce(1), src)
+    SnapshotTable.vacuum(src, keepVersions = 1, orphanRetentionMs = 0L)
+    assert(SnapshotTable.read(spark, src).as[(Int, String)].collect().toSet
+      == Set((99, "z")))
+    assert(SnapshotTable.read(spark, cln).as[(Int, String)].collect().toSet
+      == ((4 to 10).map(i => (i, s"r$i")).toSet - ((5, "r5")) ++
+        Set((5, "m5"), (11, "m11"))))
+  }
+
+  test("clone carries deletion vectors and CHECK constraints; refuses non-empty targets") {
+    import org.apache.spark.sql.functions.col
+    val src = freshRoot()
+    val cln = src + "_clone"
+    SnapshotTable.write((1 to 8).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), src)
+    SnapshotTable.addCheckConstraint(spark, src, "pos_k", "k > 0")
+    // merge-on-read delete: the clone must see THROUGH the linked vector
+    SnapshotTable.deleteWhereMoR(spark, src, col("k").between(2, 3))
+    SnapshotTable.clone(src, cln)
+    assert(SnapshotTable.read(spark, cln).select("k").as[Int].collect().toSet
+      == Set(1, 4, 5, 6, 7, 8))
+    assert(SnapshotTable.checkConstraints(cln) == Map("pos_k" -> "k > 0"))
+    // inherited constraint enforced on the clone's own writers
+    intercept[IllegalArgumentException] {
+      SnapshotTable.write(Seq((-1, "bad")).toDF("k", "v"), cln, mode = "append")
+    }
+    intercept[IllegalArgumentException] { SnapshotTable.clone(src, cln) }
+  }
+
+  test("history reports the commit chain oldest-first with live-file counts") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    SnapshotTable.write((1 to 5).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), root, statsCols = Seq("k"))
+    SnapshotTable.write((6 to 9).map(i => (i, s"r$i")).toDF("k", "v")
+      .coalesce(1), root, mode = "append", statsCols = Seq("k"))
+    SnapshotTable.deleteWhere(spark, root, col("k").between(7, 8),
+      pruneHint = Some(("k", 7.0, 8.0)))
+    SnapshotTable.restore(root, 1)
+    assert(SnapshotTable.history(spark, root)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1) ==
+      Seq((1, "overwrite", 1L), (2, "append", 2L), (3, "delete", 2L),
+        (4, "restore", 1L)))
+  }
+
   test("deleteWhere keeps NULL-condition rows (SQL DELETE semantics)") {
     import org.apache.spark.sql.functions.col
     val root = freshRoot()
