@@ -712,6 +712,36 @@ class SnapshotTableSpec extends SparkSpec {
       "delete/append race lost rows")
   }
 
+  test("replaceWhere races a concurrent appender: no lost rows, both commits land") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    (1 to 4).foreach { i =>
+      SnapshotTable.write(Seq((i.toLong, s"r$i")).toDF("id", "v").coalesce(1),
+        root, mode = if (i == 1) "overwrite" else "append")
+    }
+    import java.util.concurrent.{Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    pool.submit(new Runnable { def run(): Unit =
+      try { start.await()
+        SnapshotTable.replaceWhere(Seq((2L, "n2")).toDF("id", "v"), root,
+          col("id") === 2L): Unit }
+      catch { case t: Throwable => errors.add(t) } })
+    pool.submit(new Runnable { def run(): Unit =
+      try { start.await()
+        (5 to 7).foreach { i =>
+          SnapshotTable.write(Seq((i.toLong, s"r$i")).toDF("id", "v")
+            .coalesce(1), root, mode = "append") } }
+      catch { case t: Throwable => errors.add(t) } })
+    start.countDown(); pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "racers timed out")
+    assert(errors.isEmpty, s"racer failed: ${errors.peek()}")
+    assert(SnapshotTable.read(spark, root).as[(Long, String)].collect().toSet
+      == (((1 to 7).toSet - 2).map(i => (i.toLong, s"r$i")) + ((2L, "n2"))),
+      "replace/append race lost rows")
+  }
+
   test("mergeConditional: update-if-newer guard, conditional delete, " +
       "unmatched insert, and the captured feed") {
     import org.apache.spark.sql.functions.{col, lit}
