@@ -1025,6 +1025,34 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- multimodal video (x3): deterministic 4-frame PNG containers
+    // built from document text chunks, stride-sampled at 2 of 4 frames
+    // (duration 4000 ms, every 2000 ms → frames 0 and 2), each sampled
+    // frame decoded through the REAL ImageIO path and featurized like x1.
+    // The oracle recomputes the sampled chunks' pixel means from the text
+    // — container split, frame selection, and decode all certified by the
+    // hash. Payload bytes never shuffle (flatMap → map → mapPartitions). --
+    "x3_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val padded = text.replaceAll("[^ -~]", "").padTo(1024, ' ').mkString
+          val frames = (0 until 4).map(j =>
+            Multimodal.textToPngPayload(padded.substring(256 * j, 256 * j + 256)))
+          Multimodal.MediaRow(id, "video", frames.reduce(_ ++ _),
+            Multimodal.MediaMeta("png", 16, 16, 3, 4000L))
+        }
+      val frameMedia = Multimodal.sampleFrames(media, everyMs = 2000L)
+        .map(fs => Multimodal.MediaRow(fs.media_id * 10 + fs.frame_index,
+          "image", fs.frame, Multimodal.MediaMeta("png", 16, 16, 3, 0L)))
+      Multimodal.extractImageFeatures(frameMedia, dim = 8)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- §2.9 M1-M8: decision-tree classification pipeline, with an
     // EARNED oracle (round-8): the test split is an md5 content-hash (m4's
     // engine-reproducible pattern, also the layout-independent 100 TB
@@ -5181,6 +5209,24 @@ object SparkEntry {
          FROM (SELECT doc_id,
                  rpad(regexp_replace(text, '[^ -~]', '', 'g'), 256, ' ') AS padded
                FROM documents)
-         ORDER BY media_id"""
+         ORDER BY media_id""",
+
+    // x3: the stride-sampled frames replayed — sample 0 reads chunk 0
+    // (chars 1-256), sample 1 reads chunk 2 (chars 513-768) of the padded
+    // printable text; e0 is the first 32-pixel bin mean as in x1
+    "x3_video_frames" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  rpad(regexp_replace(text, '[^ -~]', '', 'g'), 1024, ' ')
+                    AS padded
+           FROM documents),
+         f AS (
+           SELECT doc_id, 0 AS s, substr(padded, 1, 256) AS fr FROM p
+           UNION ALL
+           SELECT doc_id, 1 AS s, substr(padded, 513, 256) AS fr FROM p)
+         SELECT doc_id * 10 + s AS media_id, 16 AS width, 16 AS height,
+                round(list_sum(list_transform(range(1, 33),
+                  i -> unicode(substr(fr, CAST(i AS INT), 1)))) / 32.0, 4) AS e0
+         FROM f ORDER BY media_id"""
   )
 }
