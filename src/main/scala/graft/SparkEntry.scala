@@ -1546,6 +1546,39 @@ object SparkEntry {
       S.history(s, root).orderBy(col("version"))
     }),
 
+    // ---- S5 extension: metadata-only aggregates (s29) — COUNT/MIN/MAX
+    // answered from the manifest's per-file envelopes + exact __rows
+    // footer counts, NO data scan (the Delta answer-from-the-log
+    // optimization), and still exact after a copy-on-write delete because
+    // the rewrite re-derived its envelopes. The hash match certifies the
+    // metadata arithmetic against the relational truth. -------------------
+    "s29_metadata_agg" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-s29-$pid/meta_$sfx"
+      val S = graft.sources.SnapshotTable
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      if (S.latestVersion(root) == 0) {
+        S.write(ord.where(col("o_orderkey") <= 1000)
+            .repartitionByRange(3, col("o_orderkey")), root,
+          statsCols = Seq("o_orderkey", "o_totalprice"))               // v1
+        S.write(ord.where(col("o_orderkey").between(1001, 1500)).coalesce(1),
+          root, mode = "append",
+          statsCols = Seq("o_orderkey", "o_totalprice"))               // v2
+        S.deleteWhere(s, root, col("o_orderkey").between(200, 400),
+          pruneHint = Some(("o_orderkey", 200.0, 400.0)))              // v3
+      }
+      val fast = S.fastStats(root, Seq("o_orderkey", "o_totalprice"))
+      require(fast.nonEmpty, "metadata aggregates unavailable — envelope lost")
+      val (n, agg) = fast.get
+      s.range(1).select(lit(n).as("n"),
+        lit(agg("o_orderkey")._1).cast("long").as("min_key"),
+        lit(agg("o_orderkey")._2).cast("long").as("max_key"),
+        round(lit(agg("o_totalprice")._1), 2).as("min_price"),
+        round(lit(agg("o_totalprice")._2), 2).as("max_price"))
+    }),
+
     // ---- S5 extension: SCHEMA EVOLUTION through the oracle gate (s26) —
     // a widening mergeSchema append: v1 rows lack the new column and the
     // head read must backfill NULL for them (manifest schema, not file
@@ -3886,6 +3919,18 @@ object SparkEntry {
                 round(o_totalprice, 2) AS totalprice
          FROM orders WHERE o_orderkey <= 800
          ORDER BY o_orderkey""",
+
+    // s29: the metadata-only aggregates against the relational truth of
+    // the mutated table (writes minus the copy-on-write delete)
+    "s29_metadata_agg" ->
+      """WITH live AS (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderkey <= 1500 AND o_orderkey NOT BETWEEN 200 AND 400)
+         SELECT CAST(count(*) AS BIGINT) AS n,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+                round(min(o_totalprice), 2) AS min_price,
+                round(max(o_totalprice), 2) AS max_price
+         FROM live""",
 
     // s27: both heads replayed — the source was overwritten to the <=50
     // slice after the clone; the clone holds the merged state minus the

@@ -364,7 +364,13 @@ object SnapshotTable {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = reader.getFooter.getBlocks.asScala
-        name -> statsCols.flatMap { c =>
+        // exact per-file row count from the footer, stored as a degenerate
+        // envelope under the reserved pseudo-column — rides every stats
+        // machinery (delta commits, checkpoint rollups, compact/delete
+        // re-derivation) with no manifest format change, and feeds
+        // [[fastStats]]' metadata-only aggregates
+        val rowCount = blocks.map(_.getRowCount).sum.toDouble
+        name -> (statsCols.filterNot(_ == rowsKey).flatMap { c =>
           val perBlock = blocks.flatMap { b =>
             b.getColumns.asScala
               .find(_.getPath.toDotString == c)
@@ -389,9 +395,52 @@ object SnapshotTable {
           }
           if (perBlock.isEmpty || perBlock.size != blocks.size) None
           else Some(c -> (perBlock.map(_._1).min, perBlock.map(_._2).max))
-        }.toMap
+        }.toMap + (rowsKey -> (rowCount, rowCount)))
       } finally reader.close()
     }.toMap
+  }
+
+  /** Reserved stats pseudo-column carrying each file's exact footer row
+    * count as a degenerate (n, n) envelope. */
+  val rowsKey: String = "__rows"
+
+  /** Metadata-only aggregates — the Delta "answer COUNT(*)/MIN/MAX from
+    * the log" optimization: (rowCount, min, max per requested column)
+    * computed purely from the manifest's per-file envelopes, NO data scan.
+    * Exact because envelopes are footer truth per live file and
+    * copy-on-write writers re-derive them on every rewrite. Returns None —
+    * caller falls back to a real scan — when any live file lacks a row
+    * count or a requested column's envelope, or carries a deletion vector
+    * (a DV shrinks a file's live rows/range below its footer stats).
+    * Non-numeric columns are refused by type: their envelopes are lossy
+    * [[prefixKey]] values, not extrema. Cost: O(live files) manifest
+    * arithmetic on the driver. */
+  def fastStats(root: String, cols: Seq[String],
+      version: Option[Int] = None): Option[(Long, Map[String, (Double, Double)])] = {
+    val v = version.getOrElse(latestVersion(root))
+    require(v > 0, s"snapshot table at $root has no committed version")
+    val m = readManifest(root, v)
+    cols.foreach { c =>
+      val f = m.schema.fields.find(_.name == c)
+      require(f.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+        s"fastStats: '$c' is not a numeric table column — string envelopes " +
+          "are lossy prefix keys, not extrema; scan for those")
+    }
+    if (m.files.isEmpty) return Some((0L, cols.map(c => c -> (Double.NaN, Double.NaN)).toMap))
+    val complete = m.dvs.isEmpty && m.files.forall { f =>
+      m.stats.get(f).exists(s =>
+        s.contains(rowsKey) && cols.forall(s.contains))
+    }
+    if (!complete) None
+    else {
+      val perFile = m.files.map(m.stats)
+      val n = perFile.map(_(rowsKey)._1).sum.toLong
+      val agg = cols.map { c =>
+        val envs = perFile.map(_(c))
+        c -> (envs.map(_._1).min, envs.map(_._2).max)
+      }.toMap
+      Some((n, agg))
+    }
   }
 
   /** Order-preserving numeric key of a string's first 6 UTF-8 bytes: the

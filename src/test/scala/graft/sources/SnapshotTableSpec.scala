@@ -568,6 +568,39 @@ class SnapshotTableSpec extends SparkSpec {
       (6, "r6", "delete"), (4, "n4", "insert"), (5, "n5", "insert")))
   }
 
+  test("fastStats answers count/min/max from metadata, exactly, or refuses honestly") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    SnapshotTable.write((1 to 10).map(i => (i, i * 1.5)).toDF("k", "x")
+      .coalesce(1), root, statsCols = Seq("k", "x"))
+    SnapshotTable.write((11 to 20).map(i => (i, i * 1.5)).toDF("k", "x")
+      .coalesce(1), root, mode = "append", statsCols = Seq("k", "x"))
+    assert(SnapshotTable.fastStats(root, Seq("k", "x"))
+      == Some((20L, Map("k" -> (1.0, 20.0), "x" -> (1.5, 30.0)))))
+    // copy-on-write delete: the rewrite re-derives envelopes → still exact
+    SnapshotTable.deleteWhere(spark, root, col("k") >= 18)
+    assert(SnapshotTable.fastStats(root, Seq("k"))
+      == Some((17L, Map("k" -> (1.0, 17.0)))))
+    // a deletion vector makes footer stats over-approximate → refuse
+    SnapshotTable.deleteWhereMoR(spark, root, col("k") === 5)
+    assert(SnapshotTable.fastStats(root, Seq("k")).isEmpty)
+  }
+
+  test("fastStats refuses stat-less files and non-numeric columns") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    SnapshotTable.write(Seq((1, "a")).toDF("k", "v").coalesce(1), root,
+      statsCols = Seq("k"))
+    // an envelope-less append poisons completeness
+    SnapshotTable.write(Seq((2, "b")).toDF("k", "v").coalesce(1), root,
+      mode = "append")
+    assert(SnapshotTable.fastStats(root, Seq("k")).isEmpty)
+    // string columns are lossy prefix keys, refused by type
+    intercept[IllegalArgumentException] {
+      SnapshotTable.fastStats(root, Seq("v"))
+    }
+  }
+
   test("clone: zero-copy lineage fork survives source overwrite AND vacuum") {
     import org.apache.spark.sql.functions.col
     val src = freshRoot()
