@@ -880,6 +880,24 @@ object SparkEntry {
         Seq("f_pos", "f_rich", "f_west", "f_even"))
     }),
 
+    // ---- §2.8 rank-test extensions: Mann–Whitney U (r17) and two-sample
+    // KS (r18), both over value-level counts + the integer-exact sharded
+    // prefix sum (no global sort). r17's outputs are exact LONGs plus one
+    // closed-form z whose expression tree the oracle mirrors; r18's D is
+    // an exact integer numerator over n_a·n_b — no float in the extremum
+    // search at all. ------------------------------------------------------
+    "r17_mannwhitney" -> ((s, dir) => {
+      graft.stats.RankTests.mannWhitneyDF(
+          t(s, dir, "lineitem"), "l_quantity", col("l_returnflag") === "R")
+        .select(col("n_a"), col("n_b"), col("u2"), col("tie_term"),
+          round(col("z"), 6).as("z"))
+    }),
+
+    "r18_ks_test" -> ((s, dir) => {
+      graft.stats.RankTests.ksDF(
+        t(s, dir, "lineitem"), "l_extendedprice", col("l_returnflag") === "R")
+    }),
+
     // ---- §2.8 R4 distributed beta-dispersion twin: the betadisper leg of
     // PERMANOVA over the same pair stream as r13 — per-point mean Jaccard
     // distance to own-group members, per-group mean/max, all-integer sums
@@ -5204,6 +5222,68 @@ object SparkEntry {
                 round(((ss_tot_raw / n - ss_within) / (g - 1)) /
                   (ss_within / (n - g)), 6) AS pseudo_f
          FROM nn, tot, w""",
+
+    // r17: value-level counts, windowed exclusive B-prefix, the 2U and
+    // tie-term integer aggregates, and the IDENTICAL z expression tree
+    "r17_mannwhitney" ->
+      """WITH src AS (
+           SELECT CAST(l_quantity AS DOUBLE) AS v,
+                  (l_returnflag = 'R') AS a
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+         vc AS (
+           SELECT v,
+                  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(count(*) - sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           FROM src GROUP BY v),
+         pc AS (
+           SELECT v, na, nb,
+                  coalesce(sum(nb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+           FROM vc),
+         ag AS (
+           SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                  CAST(sum(nb) AS BIGINT) AS n_b,
+                  CAST(sum(na * (2 * cumb + nb)) AS BIGINT) AS u2,
+                  CAST(sum((na + nb) * (na + nb) * (na + nb) - (na + nb))
+                    AS BIGINT) AS tie_term
+           FROM pc)
+         SELECT n_a, n_b, u2, tie_term,
+                round((CAST(u2 AS DOUBLE) / 2.0
+                        - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+                      / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                             * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                                - CAST(tie_term AS DOUBLE)
+                                  / (CAST(n_a + n_b AS DOUBLE)
+                                     * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+                             / 12.0), 6) AS z
+         FROM ag""",
+
+    // r18: inclusive ECDF cross-difference, integer numerator extremum
+    "r18_ks_test" ->
+      """WITH src AS (
+           SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                  (l_returnflag = 'R') AS a
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+         vc AS (
+           SELECT v,
+                  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(count(*) - sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           FROM src GROUP BY v),
+         ic AS (
+           SELECT v, sum(na) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ia,
+                  sum(nb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ib
+           FROM vc),
+         t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                      CAST(sum(nb) AS BIGINT) AS n_b FROM vc)
+         SELECT t.n_a, t.n_b,
+                CAST(max(abs(ic.ia * t.n_b - ic.ib * t.n_a)) AS BIGINT) AS d_num,
+                CAST(max(abs(ic.ia * t.n_b - ic.ib * t.n_a)) AS DOUBLE)
+                  / CAST(t.n_a * t.n_b AS DOUBLE) AS d
+         FROM ic, t GROUP BY t.n_a, t.n_b""",
 
     // r16: the distributed dispersion replayed relationally — directed
     // same-group pairs, integer-scaled distances (12·d), one final
