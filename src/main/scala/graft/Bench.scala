@@ -76,7 +76,7 @@ object Bench {
     "m3_tree_score", "p7_partition_prune", "w2_global_window",
     "r8_roc_empirical", "r9_fdr_distributed", "r11_sabha_distributed",
     "r14_tv_projection", "r15_fdr_family", "m1_decision_tree",
-    "m2_bayes_tune", "m4_fit_score", "m5_tune_score")
+    "m2_bayes_tune", "m4_fit_score", "m5_tune_score", "r19_chi2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -886,6 +886,20 @@ object SparkEntry {
     // closed-form z whose expression tree the oracle mirrors; r18's D is
     // an exact integer numerator over n_a·n_b — no float in the extremum
     // search at all. ------------------------------------------------------
+    // ---- §2.8 chi-squared independence (r19): corpus → R×C cells in one
+    // groupBy, margins + contributions as cell-level windows, chi² as a
+    // RUNNING sum in (row, col) order so the FP association is a fixed
+    // chain both engines reproduce. ---------------------------------------
+    "r19_chi2" -> ((s, dir) => {
+      graft.stats.ChiSquare.contingencyDF(
+          t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+        .select(col("l_returnflag"), col("l_linestatus"), col("o"),
+          round(col("expected"), 4).as("expected"),
+          round(col("contrib"), 6).as("contrib"),
+          round(col("chi2_running"), 6).as("chi2_running"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     "r17_mannwhitney" -> ((s, dir) => {
       graft.stats.RankTests.mannWhitneyDF(
           t(s, dir, "lineitem"), "l_quantity", col("l_returnflag") === "R")
@@ -5222,6 +5236,38 @@ object SparkEntry {
                 round(((ss_tot_raw / n - ss_within) / (g - 1)) /
                   (ss_within / (n - g)), 6) AS pseudo_f
          FROM nn, tot, w""",
+
+    // r19: cells, window margins, the exact-long numerator trick
+    // ((O·N − rt·ct)² / (N·rt·ct)), and the same ordered running chain
+    "r19_chi2" ->
+      """WITH cells AS (
+           SELECT l_returnflag AS rf, l_linestatus AS ls,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (
+           SELECT rf, ls, o,
+                  sum(o) OVER (PARTITION BY rf) AS rt,
+                  sum(o) OVER (PARTITION BY ls) AS ct,
+                  sum(o) OVER () AS n
+           FROM cells),
+         c AS (
+           SELECT rf, ls, o,
+                  CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)
+                    AS expected,
+                  (CAST(o * n - rt * ct AS DOUBLE)
+                    * CAST(o * n - rt * ct AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE)
+                      * CAST(ct AS DOUBLE)) AS contrib
+           FROM m)
+         SELECT rf AS l_returnflag, ls AS l_linestatus, o,
+                round(expected, 4) AS expected,
+                round(contrib, 6) AS contrib,
+                round(sum(contrib) OVER (ORDER BY rf, ls
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                  AS chi2_running
+         FROM c ORDER BY l_returnflag, l_linestatus""",
 
     // r17: value-level counts, windowed exclusive B-prefix, the 2U and
     // tie-term integer aggregates, and the IDENTICAL z expression tree

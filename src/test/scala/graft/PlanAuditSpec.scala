@@ -26,7 +26,10 @@ class PlanAuditSpec extends SparkSpec {
   // their bounded sweeps driver-side in round 8 (Roc.empiricalRocDriver /
   // empiricalCostThresholdDriver / FDR.tvChainProjectDriver).
   private val deliberateGlobalWindows = Set(
-    "m3_tree_score", "p7_partition_prune", "w2_global_window")
+    "m3_tree_score", "p7_partition_prune", "w2_global_window",
+    // r19: margins + running chi2 over the R×C CELL frame (6 rows here;
+    // never data-sized — the corpus reduced to cells in the one groupBy)
+    "r19_chi2")
 
   test("no query grows an undeclared loop join or partition-less window") {
     val loops = scala.collection.mutable.ArrayBuffer[String]()
