@@ -489,6 +489,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- dedup: edit-distance VERIFICATION of the d8 LSH candidates —
+    // the propose/dispose two-stage a near-dup pipeline actually ships.
+    // Spark's thresholded levenshtein caps the DP band (O(t·len), not
+    // O(len²)) and runs only on candidate pairs; the whole chain (md5
+    // MinHash → banded join → bounded exact distance) replays in SQL. ----
+    "d12_edit_verify" -> ((s, dir) => {
+      Dedup.editVerifiedPairs(Tables.spread(t(s, dir, "documents")), "doc_id", "text",
+          k = 8, n = 3, window = 25, minAgree = 4, maxDist = 64)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- dedup: SimHash md5 twin — cross-engine-verifiable variant of d3's
     // fingerprint (per-token md5 bits vote ±1), hash-matched ---------------
     "d9_simhash_md5" -> ((s, dir) => {
@@ -912,6 +923,48 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_extendedprice", col("l_returnflag") === "R")
     }),
 
+    // ---- §2.8 Kruskal–Wallis (r20): k-group generalization of r17 —
+    // integer doubled rank sums per group via the same sharded prefix,
+    // H as the r19-style fixed running chain over the k-row group frame. -
+    "r20_kruskal" -> ((s, dir) => {
+      graft.stats.RankTests.kruskalWallisDF(
+        t(s, dir, "lineitem"), "l_quantity", "l_returnflag")
+    }),
+
+    // ---- §2.8 Spearman rank correlation (r21): two value-level rank
+    // maps (sharded prefix each), two row-level equi-joins, five exact
+    // DECIMAL power sums over integer doubled ranks, one closed-form ρ. --
+    "r21_spearman" -> ((s, dir) => {
+      graft.stats.RankTests.spearmanDF(
+        t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
+    }),
+
+    // ---- §2.8 Welch's t-test (r22): the parametric sibling of r1's
+    // permutation test — the corpus reduces to six exact aggregates in
+    // ONE map-side-combined pass; t and the Welch–Satterthwaite df are a
+    // fixed expression tree over them. ------------------------------------
+    "r22_welch" -> ((s, dir) => {
+      graft.stats.TTest.welchDF(
+        t(s, dir, "lineitem"), "l_extendedprice", col("l_returnflag") === "R")
+    }),
+
+    // ---- §2.8 one-way ANOVA (r23): k-group parametric sibling — exact
+    // decimal power sums per group in one pass, SS chains + F as fixed
+    // running windows over the k-row group frame. ------------------------
+    "r23_anova" -> ((s, dir) => {
+      graft.stats.Anova.onewayDF(
+        t(s, dir, "lineitem"), "l_extendedprice", "l_returnflag")
+    }),
+
+    // ---- data-quality: per-group Tukey-fence outlier census (q10) over
+    // EXACT type-1 rank quantiles — half-cent integer scaling makes the
+    // quantiles, fences, and outlier comparisons pure LONG arithmetic. ----
+    "q10_iqr_outliers" -> ((s, dir) => {
+      graft.ops.Quality.iqrOutliers(
+          t(s, dir, "lineitem"), "l_extendedprice", "l_returnflag")
+        .orderBy(col("grp"))
+    }),
+
     // ---- §2.8 R4 distributed beta-dispersion twin: the betadisper leg of
     // PERMANOVA over the same pair stream as r13 — per-point mean Jaccard
     // distance to own-group members, per-group mean/max, all-integer sums
@@ -1013,6 +1066,16 @@ object SparkEntry {
           t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
           col("source"), col("doc_id"),
           Map("src0" -> 0.5, "src1" -> 1.0, "src2" -> 0.1, "src3" -> 0.02))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- weighted systematic sample: PPS without replacement on the
+    // exact cumulative char-weight line (sharded prefix sum, long-only
+    // DIV arithmetic) — k equal buckets, keep each boundary-completing
+    // row. Deterministic, RNG-free, layout-independent. ------------------
+    "s30_systematic_sample" -> ((s, dir) => {
+      graft.ops.Sampling.systematicSample(
+          t(s, dir, "documents"), "doc_id", "n_chars", k = 40)
         .orderBy(col("doc_id"))
     }),
 
@@ -3536,6 +3599,26 @@ object SparkEntry {
             OR (source = 'src3' AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '051f')
          ORDER BY doc_id""",
 
+    // s30: the exact cumulative char-weight line (windowed exclusive
+    // prefix), k = 40 equal buckets, keep boundary-completing rows —
+    // integer floor division end to end
+    "s30_systematic_sample" ->
+      """WITH base AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS w FROM documents
+           WHERE doc_id IS NOT NULL AND n_chars > 0),
+         pc AS (SELECT doc_id, w,
+                  CAST(coalesce(sum(w) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum
+                FROM base),
+         t AS (SELECT CAST(sum(w) AS BIGINT) AS w0 FROM base)
+         SELECT doc_id, w, cum,
+                cum * 40 // w0 AS bucket,
+                (cum + w) * 40 // w0 - cum * 40 // w0 AS picks
+         FROM pc, t
+         WHERE (cum + w) * 40 // w0 - cum * 40 // w0 > 0
+         ORDER BY doc_id""",
+
     // r15: r9's window replay with every window partitioned by family
     "r15_fdr_family" ->
       """WITH ps AS (
@@ -5078,6 +5161,39 @@ object SparkEntry {
              ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
          WHERE agree >= 4 ORDER BY id_a, id_b""",
 
+    // d12: the d8 candidate chain verbatim, then the exact edit-distance
+    // verification stage — texts re-joined by id, levenshtein ≤ 64 kept
+    "d12_edit_verify" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+                FROM toks),
+         exs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         ex AS (SELECT doc_id, md5(sg) AS h FROM exs),
+         sig AS (SELECT doc_id,
+                   min(substr(h, 1, 4)) AS m0, min(substr(h, 5, 4)) AS m1,
+                   min(substr(h, 9, 4)) AS m2, min(substr(h, 13, 4)) AS m3,
+                   min(substr(h, 17, 4)) AS m4, min(substr(h, 21, 4)) AS m5,
+                   min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
+                 FROM ex GROUP BY doc_id),
+         pairs AS (SELECT * FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    (a.m0=b.m0)::INT + (a.m1=b.m1)::INT + (a.m2=b.m2)::INT +
+                    (a.m3=b.m3)::INT + (a.m4=b.m4)::INT + (a.m5=b.m5)::INT +
+                    (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree
+             FROM sig a JOIN sig b
+               ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+           WHERE agree >= 4)
+         SELECT p.id_a, p.id_b, p.agree,
+                CAST(levenshtein(ta.text, tb.text) AS INT) AS dist
+         FROM pairs p
+           JOIN documents ta ON ta.doc_id = p.id_a
+           JOIN documents tb ON tb.doc_id = p.id_b
+         WHERE levenshtein(ta.text, tb.text) <= 64
+         ORDER BY id_a, id_b""",
+
     // d9: full SQL replay of md5 SimHash — 32-bit per-token hash from the
     // first 8 md5 hex chars, bits vote ±1 with term multiplicity
     "d9_simhash_md5" ->
@@ -5330,6 +5446,186 @@ object SparkEntry {
                 CAST(max(abs(ic.ia * t.n_b - ic.ib * t.n_a)) AS DOUBLE)
                   / CAST(t.n_a * t.n_b AS DOUBLE) AS d
          FROM ic, t GROUP BY t.n_a, t.n_b""",
+
+    // r20: k-group doubled rank sums (tied block of size t at exclusive
+    // prefix c contributes 2c+t+1 per member — integers), H as the SAME
+    // fixed running chain in group order, tie-corrected twin alongside
+    "r20_kruskal" ->
+      """WITH src AS (
+           SELECT CAST(l_quantity AS DOUBLE) AS v, l_returnflag AS grp
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+         vc AS (SELECT v, grp, CAST(count(*) AS BIGINT) AS c
+                FROM src GROUP BY 1, 2),
+         tot AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM vc GROUP BY 1),
+         pc AS (SELECT v, t,
+                  CAST(coalesce(sum(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum
+                FROM tot),
+         pg AS (SELECT grp, CAST(sum(c) AS BIGINT) AS n_g,
+                  CAST(sum(c * (2 * cum + t + 1)) AS BIGINT) AS r2sum
+                FROM vc JOIN pc USING (v) GROUP BY 1),
+         tt AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                  CAST(sum(t * t * t - t) AS BIGINT) AS tie_term FROM tot)
+         SELECT grp, n_g, r2sum, tt.n, tt.tie_term,
+                round(12.0 / (CAST(tt.n AS DOUBLE) * (CAST(tt.n AS DOUBLE) + 1.0))
+                    * sum((CAST(r2sum AS DOUBLE) / 2.0) * (CAST(r2sum AS DOUBLE) / 2.0)
+                          / CAST(n_g AS DOUBLE))
+                      OVER (ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - 3.0 * (CAST(tt.n AS DOUBLE) + 1.0), 6) AS h_running,
+                round((12.0 / (CAST(tt.n AS DOUBLE) * (CAST(tt.n AS DOUBLE) + 1.0))
+                    * sum((CAST(r2sum AS DOUBLE) / 2.0) * (CAST(r2sum AS DOUBLE) / 2.0)
+                          / CAST(n_g AS DOUBLE))
+                      OVER (ORDER BY grp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - 3.0 * (CAST(tt.n AS DOUBLE) + 1.0))
+                  / (1.0 - CAST(tt.tie_term AS DOUBLE)
+                     / (CAST(tt.n AS DOUBLE) * CAST(tt.n AS DOUBLE)
+                        * CAST(tt.n AS DOUBLE) - CAST(tt.n AS DOUBLE))), 6)
+                  AS h_corr_running
+         FROM pg, tt ORDER BY grp""",
+
+    // r21: two value-level rank maps (windowed exclusive prefixes), the
+    // row-level re-join, exact integer power sums (HUGEINT here, DECIMAL
+    // there — same integers), and the IDENTICAL closed-form ρ tree
+    "r21_spearman" ->
+      """WITH base AS (
+           SELECT CAST(l_quantity AS DOUBLE) AS x,
+                  CAST(l_extendedprice AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         rx AS (SELECT x, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY 1),
+         px AS (SELECT x,
+                  2 * CAST(coalesce(sum(t) OVER (ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) + t + 1 AS dx
+                FROM rx),
+         ry AS (SELECT y, CAST(count(*) AS BIGINT) AS t FROM base GROUP BY 1),
+         py AS (SELECT y,
+                  2 * CAST(coalesce(sum(t) OVER (ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) + t + 1 AS dy
+                FROM ry),
+         j AS (SELECT dx, dy FROM base JOIN px USING (x) JOIN py USING (y)),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  sum(dx) AS sdx0, sum(dy) AS sdy0, sum(dx * dy) AS sdxy0,
+                  sum(dx * dx) AS sdx20, sum(dy * dy) AS sdy20
+                FROM j)
+         SELECT n, CAST(sdx0 AS DOUBLE) AS sdx, CAST(sdy0 AS DOUBLE) AS sdy,
+                CAST(sdxy0 AS DOUBLE) AS sdxy,
+                CAST(sdx20 AS DOUBLE) AS sdx2, CAST(sdy20 AS DOUBLE) AS sdy2,
+                round((CAST(n AS DOUBLE) * CAST(sdxy0 AS DOUBLE)
+                       - CAST(sdx0 AS DOUBLE) * CAST(sdy0 AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE) * CAST(sdx20 AS DOUBLE)
+                              - CAST(sdx0 AS DOUBLE) * CAST(sdx0 AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(sdy20 AS DOUBLE)
+                                - CAST(sdy0 AS DOUBLE) * CAST(sdy0 AS DOUBLE))), 6)
+                  AS rho
+         FROM ag""",
+
+    // r22: six exact aggregates in one pass, then the same fixed Welch
+    // tree (means → (n−1) variances → t → Welch–Satterthwaite df)
+    "r22_welch" ->
+      """WITH src AS (
+           SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS x,
+                  (l_returnflag = 'R') AS a
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+         ag AS (SELECT
+                  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                  sum(CASE WHEN a THEN x END) AS sa0,
+                  sum(CASE WHEN NOT a THEN x END) AS sb0,
+                  sum(CASE WHEN a THEN x * x END) AS ssa0,
+                  sum(CASE WHEN NOT a THEN x * x END) AS ssb0
+                FROM src),
+         d1 AS (SELECT n_a, n_b,
+                  CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+                  CAST(sa0 AS DOUBLE) AS sa, CAST(sb0 AS DOUBLE) AS sb,
+                  CAST(ssa0 AS DOUBLE) AS ssa, CAST(ssb0 AS DOUBLE) AS ssb
+                FROM ag),
+         d2 AS (SELECT *,
+                  (ssa - sa * sa / na) / (na - 1.0) AS va,
+                  (ssb - sb * sb / nb) / (nb - 1.0) AS vb
+                FROM d1),
+         d3 AS (SELECT *, va / na AS sea, vb / nb AS seb FROM d2)
+         SELECT n_a, n_b,
+                round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+                round((sa / na - sb / nb) / sqrt(sea + seb), 6) AS t,
+                round((sea + seb) * (sea + seb)
+                      / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 4)
+                  AS df
+         FROM d3""",
+
+    // r23: per-group exact power sums, staged grand totals, the same
+    // running SS chains in group order, F from the chained totals
+    "r23_anova" ->
+      """WITH src AS (
+           SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+                  CAST(l_extendedprice AS DECIMAL(12,2)) AS x
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+         pg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_g,
+                  sum(x) AS s0, sum(x * x) AS ss0
+                FROM src GROUP BY 1),
+         st AS (SELECT grp, n_g,
+                  CAST(n_g AS DOUBLE) AS ng,
+                  CAST(s0 AS DOUBLE) AS s, CAST(ss0 AS DOUBLE) AS ss,
+                  CAST(sum(n_g) OVER () AS DOUBLE) AS bigN,
+                  CAST(count(*) OVER () AS DOUBLE) AS k,
+                  CAST(sum(s0) OVER () AS DOUBLE)
+                    / CAST(sum(n_g) OVER () AS DOUBLE) AS m
+                FROM pg),
+         r AS (SELECT grp, n_g, s / ng AS mean_g, k, bigN,
+                 sum(ss - s * s / ng) OVER (ORDER BY grp
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ssw,
+                 sum(ng * (s / ng - m) * (s / ng - m)) OVER (ORDER BY grp
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ssb
+               FROM st)
+         SELECT grp, n_g, round(mean_g, 6) AS mean_g,
+                round(ssw, 4) AS ssw_running, round(ssb, 4) AS ssb_running,
+                round((ssb / (k - 1.0)) / (ssw / (bigN - k)), 6) AS f_running
+         FROM r ORDER BY grp""",
+
+    // q10: half-cent integer cells, partitioned cumulative ranks, type-1
+    // quantiles at ⌈n/4⌉/⌈3n/4⌉, LONG fences, cell-level outlier census
+    "q10_iqr_outliers" ->
+      """WITH cells AS (
+           SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+                  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 200 AS BIGINT) AS v2,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+           GROUP BY 1, 2),
+         cum AS (
+           SELECT grp, v2, c,
+                  CAST(sum(c) OVER (PARTITION BY grp ORDER BY v2
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ci,
+                  CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+           FROM cells),
+         f AS (
+           SELECT grp, n,
+                  min(CASE WHEN ci >= (n + 3) // 4 THEN v2 END) AS q25_2,
+                  min(CASE WHEN ci >= (3 * n + 3) // 4 THEN v2 END) AS q75_2
+           FROM cum GROUP BY 1, 2),
+         f2 AS (
+           SELECT grp, n, q25_2, q75_2,
+                  q25_2 - 3 * (q75_2 - q25_2) // 2 AS lo2,
+                  q75_2 + 3 * (q75_2 - q25_2) // 2 AS hi2
+           FROM f)
+         SELECT c.grp, f2.n,
+                CAST(q25_2 AS DOUBLE) / 200.0 AS q25,
+                CAST(q75_2 AS DOUBLE) / 200.0 AS q75,
+                CAST(lo2 AS DOUBLE) / 200.0 AS lo_fence,
+                CAST(hi2 AS DOUBLE) / 200.0 AS hi_fence,
+                CAST(coalesce(sum(CASE WHEN v2 < lo2 THEN c.c END), 0)
+                  AS BIGINT) AS n_below,
+                CAST(coalesce(sum(CASE WHEN v2 > hi2 THEN c.c END), 0)
+                  AS BIGINT) AS n_above
+         FROM cells c JOIN f2 USING (grp)
+         GROUP BY c.grp, f2.n, q25_2, q75_2, lo2, hi2
+         ORDER BY c.grp""",
 
     // r16: the distributed dispersion replayed relationally — directed
     // same-group pairs, integer-scaled distances (12·d), one final

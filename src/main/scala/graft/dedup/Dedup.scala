@@ -461,6 +461,32 @@ object Dedup {
       .where(col("agree") >= minAgree)
   }
 
+  /** Edit-distance VERIFICATION of LSH candidates — the two-stage shape a
+    * near-dup pipeline actually ships: cheap signature blocking proposes,
+    * a bounded exact distance disposes. Candidates come from
+    * [[minHashMd5Pairs]] (so the whole chain replays relationally);
+    * each candidate pair re-joins its texts and keeps only pairs with
+    * `levenshtein ≤ maxDist`, emitting the exact distance.
+    *
+    * Scale shape: the expensive O(len²) distance runs ONLY on candidate
+    * pairs (linear in corpus size by the banded-join bound, ~2·window
+    * partners max per row), never all pairs; Spark's THRESHOLDED
+    * `levenshtein(l, r, t)` caps the DP band at `2t+1` diagonals, so a
+    * far-apart candidate costs O(t·len), not O(len²). The text re-joins
+    * are id equi-joins driven by the (sparse) candidate side. */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, n: Int = 3, window: Long = 25, minAgree: Int = 4,
+      maxDist: Int = 64): DataFrame = {
+    val cands = minHashMd5Pairs(df, idCol, textCol, k, n, window, minAgree)
+    val txt = df.select(col(idCol).as("__tid"), col(textCol).as("__t"))
+    cands
+      .join(txt.select(col("__tid").as("id_a"), col("__t").as("__ta")), "id_a")
+      .join(txt.select(col("__tid").as("id_b"), col("__t").as("__tb")), "id_b")
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      .where(col("dist") >= 0)   // thresholded form returns -1 past maxDist
+      .select(col("id_a"), col("id_b"), col("agree"), col("dist"))
+  }
+
   /** Cross-engine-verifiable twin of [[simHash64]]: per-token 32-bit hash
     * from the first 8 hex chars of md5, each bit voting ±1, fingerprint bit
     * set where the vote sum is non-negative. Token multiplicity counts

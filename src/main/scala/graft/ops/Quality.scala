@@ -109,4 +109,53 @@ object Quality {
     }
     oneRow.select(explode(array(structs: _*)).as("r")).select(col("r.*"))
   }
+
+  /** Per-group Tukey-fence outlier census over EXACT rank quantiles — the
+    * reference's z-score outlier idea (`utils.scala:143-152`) made robust
+    * (IQR fences don't need normality) and integer-exact end to end.
+    *
+    * Quantiles are type-1 (value at rank ⌈q·n⌉ — a DATA value, never an
+    * interpolation), found on the value-level count frame: money values
+    * scale to HALF-CENT integers (×200), so the fences
+    * `q25 − 3·IQR/2` / `q75 + 3·IQR/2` are pure LONG arithmetic (IQR is a
+    * multiple of 200, so DIV 2 is exact) and every outlier comparison is
+    * an integer compare — no FP anywhere until the final /200 display
+    * division, which both engines round identically.
+    *
+    * Plan: ONE corpus-sized groupBy to (group, value) cells; cumulative
+    * counts as a window PARTITIONED by group over the value-level frame
+    * (never data-sized, never global); fences as a k-row frame joined
+    * back to the CELLS (no second corpus scan) for the conditional
+    * outlier sums. */
+  def iqrOutliers(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        (col(valueCol).cast("decimal(12,2)") * 200).cast("long").as("v2"))
+      .groupBy(col("grp"), col("v2")).agg(count(lit(1)).as("c"))
+    val cw = Window.partitionBy(col("grp")).orderBy(col("v2").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nw = Window.partitionBy(col("grp"))
+    val fences = cells
+      .withColumn("ci", sum(col("c")).over(cw))
+      .withColumn("n", sum(col("c")).over(nw))
+      .withColumn("q25c", when(col("ci") >= expr("(n + 3) DIV 4"), col("v2")))
+      .withColumn("q75c", when(col("ci") >= expr("(3 * n + 3) DIV 4"), col("v2")))
+      .groupBy(col("grp"), col("n"))
+      .agg(min(col("q25c")).as("q25_2"), min(col("q75c")).as("q75_2"))
+      .withColumn("lo2", col("q25_2") - expr("3 * (q75_2 - q25_2) DIV 2"))
+      .withColumn("hi2", col("q75_2") + expr("3 * (q75_2 - q25_2) DIV 2"))
+    cells.join(fences, "grp")
+      .groupBy(col("grp"), col("n"), col("q25_2"), col("q75_2"),
+        col("lo2"), col("hi2"))
+      .agg(
+        coalesce(sum(when(col("v2") < col("lo2"), col("c"))), lit(0L)).as("n_below"),
+        coalesce(sum(when(col("v2") > col("hi2"), col("c"))), lit(0L)).as("n_above"))
+      .select(col("grp"), col("n"),
+        (col("q25_2").cast("double") / lit(200.0)).as("q25"),
+        (col("q75_2").cast("double") / lit(200.0)).as("q75"),
+        (col("lo2").cast("double") / lit(200.0)).as("lo_fence"),
+        (col("hi2").cast("double") / lit(200.0)).as("hi_fence"),
+        col("n_below"), col("n_above"))
+  }
 }

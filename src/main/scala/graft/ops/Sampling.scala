@@ -87,4 +87,39 @@ object Sampling {
     }.reduce(_ || _)
     df.where(cond)
   }
+
+  /** Weighted SYSTEMATIC sampling without replacement — probability-
+    * proportional-to-size with a deterministic grid instead of an RNG
+    * (the classic PPS-systematic design, the reproducible cousin of
+    * Efraimidis–Spirakis reservoir keys): lay the rows end-to-end on the
+    * exact cumulative-weight line in `idCol` order, cut it into `k` equal
+    * buckets, and keep each row that COMPLETES a bucket boundary. All
+    * arithmetic is LONG (cum·k ≤ W·k), so the selection replays exactly
+    * in any engine; the cumulative line is the [[graft.stats.RankTests]]
+    * sharded prefix sum — no global sort, no RNG, layout-independent.
+    *
+    * Output: `(idCol, w, cum, bucket, picks)` for selected rows only —
+    * `cum` the EXCLUSIVE prefix weight, `bucket` the first bucket index
+    * the row completes, `picks` how many boundaries it spans (a row
+    * heavier than W/k absorbs several — selections number ≤ k, with
+    * equality when no row outweighs a bucket). Zero/negative weights and
+    * NULL ids drop (they have no extent on the line). */
+  def systematicSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need a positive bucket count, got $k")
+    val base = df.where(col(idCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol).as("v"), col(weightCol).cast("long").as("w"))
+    val pref = graft.stats.RankTests.withExclusivePrefixCols(base, Seq("w" -> "cum"))
+    val w0 = pref.agg(sum(col("w"))).head().getLong(0)
+    require(w0 >= k, s"total weight $w0 is below the bucket count $k")
+    // integral DIV (not `/`, which widens to double and drifts past 2^53);
+    // operands are non-negative so truncation ≡ floor in both engines
+    pref
+      .withColumn("bucket", expr(s"cum * ${k}L DIV ${w0}L"))
+      .withColumn("picks",
+        expr(s"(cum + w) * ${k}L DIV ${w0}L") - col("bucket"))
+      .where(col("picks") > 0)
+      .select(col("v").as(idCol), col("w"), col("cum"),
+        col("bucket"), col("picks"))
+  }
 }

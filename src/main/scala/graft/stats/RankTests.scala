@@ -37,31 +37,41 @@ object RankTests {
     * prefix sum, no global sort. The eager localCheckpoint pins the range
     * partitioning so shard assignment cannot drift between the base-stats
     * job and the final pass (the [[FDR]] doctrine). */
-  private def withExclusivePrefix(vc: DataFrame): DataFrame = {
+  private def withExclusivePrefix(vc: DataFrame): DataFrame =
+    withExclusivePrefixCols(vc, Seq("na" -> "cuma", "nb" -> "cumb"))
+
+  /** The general form: for each `(countCol, outCol)` pair attach the
+    * EXCLUSIVE cumulative sum of `countCol` in `v` order as `outCol`.
+    * Contiguous range shards + per-shard windows + driver-computed shard
+    * bases via [[graft.ops.ShardLookup]] — one shard-totals job, then a
+    * single final pass; everything LONG so shard decomposition is exact. */
+  private[graft] def withExclusivePrefixCols(
+      vc: DataFrame, cols: Seq[(String, String)]): DataFrame = {
     val sharded = vc.repartitionByRange(col("v").asc)
       .withColumn("__shard", spark_partition_id())
       .localCheckpoint()
+    val aggs = cols.map { case (c, _) => sum(col(c)).as(s"__s_$c") }
     val shardTotals = sharded.groupBy(col("__shard"))
-      .agg(sum(col("na")).as("sa"), sum(col("nb")).as("sb"))
-      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2))))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => (r.getInt(0), cols.indices.map(i => r.getLong(i + 1)).toArray))
       .sortBy(_._1)
     // exclusive prefix over shards: one row per shard, driver arithmetic
-    val bases = shardTotals.scanLeft((0, (0L, 0L))) { case ((_, (pa, pb)), (s, (a, b))) =>
-      (s, (pa + a, pb + b))
+    val zero = Array.fill(cols.size)(0L)
+    val bases = shardTotals.scanLeft((0, zero)) { case ((_, acc), (s, a)) =>
+      (s, acc.zip(a).map { case (x, y) => x + y })
     }.init.zip(shardTotals).map { case ((_, acc), (s, _)) => (s, acc) }.toMap
     // scanLeft.init pairs shard s with the sum of all PRIOR shards
     val w = Window.partitionBy(col("__shard")).orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val withIn = sharded
-      .withColumn("__ca", coalesce(sum(col("na")).over(w), lit(0L)))
-      .withColumn("__cb", coalesce(sum(col("nb")).over(w), lit(0L)))
-    val withBaseA = graft.ops.ShardLookup.attachLong(withIn, col("__shard"),
-      bases.map { case (s, (a, _)) => s -> a }, "__ba", 0L)
-    graft.ops.ShardLookup.attachLong(withBaseA, col("__shard"),
-      bases.map { case (s, (_, b)) => s -> b }, "__bb", 0L)
-      .withColumn("cuma", col("__ba") + col("__ca"))
-      .withColumn("cumb", col("__bb") + col("__cb"))
-      .drop("__shard", "__ca", "__cb", "__ba", "__bb")
+    var out = sharded
+    cols.zipWithIndex.foreach { case ((c, o), i) =>
+      out = out.withColumn(s"__c_$c", coalesce(sum(col(c)).over(w), lit(0L)))
+      out = graft.ops.ShardLookup.attachLong(out, col("__shard"),
+        bases.map { case (s, a) => s -> a(i) }, s"__b_$c", 0L)
+        .withColumn(o, col(s"__b_$c") + col(s"__c_$c"))
+        .drop(s"__c_$c", s"__b_$c")
+    }
+    out.drop("__shard")
   }
 
   /** Tie-corrected Mann–Whitney U (normal approximation, no continuity
@@ -90,6 +100,93 @@ object RankTests {
     (u2.cast("double") / lit(2.0) - na.cast("double") * nb.cast("double") / lit(2.0)) /
       sqrt(na.cast("double") * nb.cast("double") *
         ((n + lit(1.0)) - t.cast("double") / (n * (n - lit(1.0)))) / lit(12.0))
+  }
+
+  /** Kruskal–Wallis H (the k-group generalization of [[mannWhitneyDF]]):
+    * one row per group, ordered by group key, carrying the group's size
+    * `n_g` and DOUBLED rank sum `r2sum` (ties at average rank make every
+    * doubled rank an integer: a tied block of size t at exclusive prefix
+    * c contributes 2c + t + 1 per member) — both exact LONGs — plus the
+    * statistic as a RUNNING chain `h_running` in group order (the r19
+    * fixed-chain doctrine: the k-term double sum re-associates nowhere),
+    * with the tie-corrected variant `h_corr_running` alongside. The LAST
+    * row's running values are H and H/(1 − ΣT/(N³−N)).
+    *
+    * Plan: corpus → (value, group) cells in one map-side-combined groupBy,
+    * value-level totals, the sharded exclusive prefix over values, a
+    * value-level equi-join back to the cells, then a k-row group frame.
+    * The only k-sized window is the deliberate dimension-sized running
+    * chain (the w2/r19 whitelist family). */
+  def kruskalWallisDF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val vc = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(valueCol).cast("double").as("v"),
+        col(groupCol).cast("string").as("grp"))
+      .groupBy(col("v"), col("grp")).agg(count(lit(1)).as("c"))
+    val tot = vc.groupBy(col("v")).agg(sum(col("c")).as("t"))
+    val pref = withExclusivePrefixCols(tot, Seq("t" -> "cum"))
+    val perGroup = vc.join(pref, "v")
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_g"),
+        sum(col("c") * (lit(2L) * col("cum") + col("t") + lit(1L))).as("r2sum"))
+    val totals = tot.agg(sum(col("t")),
+      sum(col("t") * col("t") * col("t") - col("t"))).head()
+    val (nTot, tieTerm) = (totals.getLong(0), totals.getLong(1))
+    val nD = lit(nTot.toDouble)
+    // Σ R_g²/n_g with R_g = r2sum/2, accumulated left-to-right in grp order
+    val runW = Window.partitionBy().orderBy(col("grp").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val term = (col("r2sum").cast("double") / lit(2.0)) *
+      (col("r2sum").cast("double") / lit(2.0)) / col("n_g").cast("double")
+    val h = lit(12.0) / (nD * (nD + lit(1.0))) * sum(term).over(runW) -
+      lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - lit(tieTerm.toDouble) / (nD * nD * nD - nD)
+    perGroup
+      .select(col("grp"), col("n_g"), col("r2sum"),
+        lit(nTot).as("n"), lit(tieTerm).as("tie_term"),
+        round(h, 6).as("h_running"),
+        round(h / corr, 6).as("h_corr_running"))
+      .orderBy(col("grp"))
+  }
+
+  /** Spearman rank correlation, EXACT up to one closed-form expression:
+    * both columns map to DOUBLED average ranks (integers, as in
+    * [[kruskalWallisDF]]) via value-level counts + the sharded prefix
+    * sum; the five power sums over the doubled ranks accumulate as
+    * DECIMAL(38,0) (order-independent integer arithmetic — the q6
+    * exact-moments doctrine), and ρ is one fixed Pearson expression over
+    * them. One row `(n, sdx, sdy, sdxy, sdx2, sdy2, rho)`; the sums are
+    * emitted as doubles (an exact-integer → double conversion both
+    * engines round identically).
+    *
+    * Plan: two value-level rank maps (each: one groupBy + prefix sum),
+    * two row-level equi-joins on the value, one map-side-combined global
+    * aggregate. No global sort, no corpus-sized window. */
+  def spearmanDF(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    def rankMap(c: String): DataFrame = {
+      val tot = base.select(col(c).as("v")).groupBy(col("v"))
+        .agg(count(lit(1)).as("t"))
+      withExclusivePrefixCols(tot, Seq("t" -> "cum"))
+        .select(col("v").as(c),
+          (lit(2L) * col("cum") + col("t") + lit(1L)).as(s"d$c"))
+    }
+    val dec = "decimal(18,0)"
+    val joined = base.join(rankMap("x"), "x").join(rankMap("y"), "y")
+      .select(col("dx").cast(dec).as("dx"), col("dy").cast(dec).as("dy"))
+    val agg = joined.agg(count(lit(1)).as("n"),
+      sum(col("dx")).as("sdx0"), sum(col("dy")).as("sdy0"),
+      sum(col("dx") * col("dy")).as("sdxy0"),
+      sum(col("dx") * col("dx")).as("sdx20"),
+      sum(col("dy") * col("dy")).as("sdy20"))
+    val n = col("n").cast("double")
+    val sdx = col("sdx0").cast("double"); val sdy = col("sdy0").cast("double")
+    val sdxy = col("sdxy0").cast("double")
+    val sdx2 = col("sdx20").cast("double"); val sdy2 = col("sdy20").cast("double")
+    agg.select(col("n"), sdx.as("sdx"), sdy.as("sdy"), sdxy.as("sdxy"),
+      sdx2.as("sdx2"), sdy2.as("sdy2"),
+      round((n * sdxy - sdx * sdy) /
+        sqrt((n * sdx2 - sdx * sdx) * (n * sdy2 - sdy * sdy)), 6).as("rho"))
   }
 
   /** Two-sample Kolmogorov–Smirnov D, EXACT: the max over values of

@@ -29,7 +29,13 @@ class PlanAuditSpec extends SparkSpec {
     "m3_tree_score", "p7_partition_prune", "w2_global_window",
     // r19: margins + running chi2 over the R×C CELL frame (6 rows here;
     // never data-sized — the corpus reduced to cells in the one groupBy)
-    "r19_chi2")
+    "r19_chi2",
+    // r20: the H running chain over the k-row GROUP frame (3 rows here;
+    // the corpus reduced to (value,group) cells then k groups upstream)
+    "r20_kruskal",
+    // r23: grand totals + SS running chains over the same k-row group
+    // frame (one corpus-sized groupBy upstream, never data-sized)
+    "r23_anova")
 
   test("no query grows an undeclared loop join or partition-less window") {
     val loops = scala.collection.mutable.ArrayBuffer[String]()

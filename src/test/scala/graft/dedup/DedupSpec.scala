@@ -232,4 +232,30 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(1L, 4L, 5L)) // 1 reps {1,2,3}, 4 singleton, 5 reps {5,6}
   }
+
+  test("editVerifiedPairs keeps only candidates within the edit budget, with the exact distance") {
+    import spark.implicits._
+    val near = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, near),
+      (2L, near.replace("lazy", "hazy")),          // 1 substitution
+      (3L, near + " and tomorrow"),                // 13 inserts
+      (4L, "completely different content talking about spark query engines instead"),
+      (5L, "unrelated sentence with nothing shared across any of the others here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+        minAgree = 1, maxDist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    assert(got((1L, 2L)) == 1, s"one substitution: $got")
+    assert(got((1L, 3L)) == 13, s"suffix insert: $got")
+    assert(got((2L, 3L)) == 14, s"both edits: $got")
+    // candidate pairs past the budget are REJECTED by the verify stage
+    assert(!got.keySet.exists { case (a, b) => a >= 4L || b >= 4L },
+      s"far-apart texts must not survive verification: $got")
+    // a tighter budget drops the 13/14-distance pairs too
+    val tight = Dedup.editVerifiedPairs(docs, "doc_id", "text",
+        minAgree = 1, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((1L, 2L)))
+  }
 }

@@ -43,4 +43,36 @@ class QualitySpec extends SparkSpec {
       .collect().head.getLong(2)
     assert(rep == manual)
   }
+
+  test("iqrOutliers: hand-computed type-1 quantiles, fences, and census") {
+    // one group, values 1..8 plus outlier 100: n=9, rank ⌈9/4⌉=3 → q25=3,
+    // rank ⌈27/4⌉=7 → q75=7, IQR=4, fences [-3, 13] → only 100 is outside
+    val d2 = ((1 to 8).map(_.toDouble) :+ 100.0).map(v => (v, "g"))
+      .toDF("x", "grp")
+    val r = Quality.iqrOutliers(d2, "x", "grp")
+      .as[(String, Long, Double, Double, Double, Double, Long, Long)].head()
+    assert(r == (("g", 9L, 3.0, 7.0, -3.0, 13.0, 0L, 1L)))
+  }
+
+  test("iqrOutliers: distributed equals a driver replay per group") {
+    val rng = new scala.util.Random(41)
+    val data = Seq.fill(900)(
+      (math.round(rng.nextGaussian() * 500) / 100.0 + (rng.nextInt(3) * 10),
+        s"g${rng.nextInt(3)}"))
+    val df2 = data.toDF("x", "grp").repartition(7)
+    val got = Quality.iqrOutliers(df2, "x", "grp")
+      .as[(String, Long, Double, Double, Double, Double, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    data.groupBy(_._2).foreach { case (g, xs) =>
+      val v2 = xs.map(x => math.round(x._1 * 200)).sorted
+      val n = v2.size
+      val q25 = v2((n + 3) / 4 - 1); val q75 = v2((3 * n + 3) / 4 - 1)
+      val lo = q25 - 3 * (q75 - q25) / 2; val hi = q75 + 3 * (q75 - q25) / 2
+      val r = got(g)
+      assert(r._2 == n.toLong)
+      assert(r._3 == q25 / 200.0 && r._4 == q75 / 200.0)
+      assert(r._7 == v2.count(_ < lo).toLong, s"below in $g")
+      assert(r._8 == v2.count(_ > hi).toLong, s"above in $g")
+    }
+  }
 }

@@ -80,4 +80,40 @@ class SamplingSpec extends SparkSpec {
     assert(got.forall(_ % 2 == 0))
     assert(math.abs(got.length / 2000.0 - 0.5) < 0.05)
   }
+
+  test("systematicSample: equals the driver grid replay, exactly k picks") {
+    val rng = new scala.util.Random(31)
+    val data = (0L until 800L).map(i => (i, 1L + rng.nextInt(200).toLong))
+    val df = data.toDF("id", "w").repartition(11) // layout must not matter
+    val k = 37
+    val got = Sampling.systematicSample(df, "id", "w", k)
+      .select($"id", $"picks").as[(Long, Long)].collect().sortBy(_._1)
+    // driver replay of the grid rule on the exact cumulative line
+    val w0 = data.map(_._2).sum
+    var cum = 0L
+    val ref = data.flatMap { case (id, w) =>
+      val lo = cum * k / w0; val hi = (cum + w) * k / w0; cum += w
+      if (hi > lo) Some((id, hi - lo)) else None
+    }
+    assert(got.toSeq == ref)
+    // no row outweighs a bucket here → exactly k selections total
+    assert(got.map(_._2).sum == k.toLong)
+  }
+
+  test("systematicSample: a heavier-than-bucket row absorbs several picks") {
+    val data = Seq((0L, 10L), (1L, 1000L), (2L, 10L), (3L, 20L))
+    val got = Sampling.systematicSample(data.toDF("id", "w"), "id", "w", 10)
+      .select($"id", $"picks").as[(Long, Long)].collect().toMap
+    assert(got(1L) >= 9L)          // the 96%-weight row owns ~all buckets
+    assert(got.values.sum == 10L)  // boundaries are conserved regardless
+  }
+
+  test("systematicSample drops zero weights and refuses W < k") {
+    val df = Seq((0L, 5L), (1L, 0L), (2L, 5L)).toDF("id", "w")
+    val got = Sampling.systematicSample(df, "id", "w", 2)
+      .select($"id").as[Long].collect()
+    assert(!got.contains(1L))
+    intercept[IllegalArgumentException](
+      Sampling.systematicSample(df, "id", "w", 11).collect())
+  }
 }

@@ -71,4 +71,83 @@ class RankTestsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].head()
     assert(r._1 == 1L && r._2 == 1L)
   }
+
+  // driver-side reference: average ranks (ties), then the H formula
+  private def kwRef(data: Seq[(Double, String)]): (Double, Double) = {
+    val n = data.size
+    val sorted = data.map(_._1).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.size }
+    val s = data.groupBy(_._2).values
+      .map { g => val r = g.map(x => rankOf(x._1)).sum; r * r / g.size }.sum
+    val h = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+    val tie = sorted.groupBy(identity).values.map(_.size.toLong)
+      .map(t => t * t * t - t).sum
+    (h, h / (1.0 - tie.toDouble / (n.toDouble * n * n - n)))
+  }
+
+  test("Kruskal-Wallis: hand-computed 3-group example with ties") {
+    // A = {1, 2}, B = {2, 3}, C = {3, 3}: doubled ranks 2·{1, 2.5, 2.5, 5, 5, 5}
+    val df = Seq((1.0, "A"), (2.0, "A"), (2.0, "B"), (3.0, "B"),
+      (3.0, "C"), (3.0, "C")).toDF("x", "g")
+    val rows = RankTests.kruskalWallisDF(df, "x", "g")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
+    // doubled rank sums: A = 2 + 5 = 7, B = 5 + 10 = 15, C = 10 + 10 = 20
+    assert(rows.map(_._3).toSeq == Seq(7L, 15L, 20L))
+    assert(rows.forall(r => r._4 == 6L))
+    // ties: one pair (t=2) and one triple (t=3) → 6 + 24 = 30
+    assert(rows.forall(r => r._5 == 30L))
+    val (h, hc) = kwRef(Seq((1.0, "A"), (2.0, "A"), (2.0, "B"), (3.0, "B"),
+      (3.0, "C"), (3.0, "C")))
+    assert(math.abs(rows.last._6 - h) < 5e-7)
+    assert(math.abs(rows.last._7 - hc) < 5e-7)
+  }
+
+  test("Kruskal-Wallis: distributed equals the driver rank formula") {
+    val rng = new scala.util.Random(13)
+    val data = Seq.fill(600)(
+      (rng.nextInt(25).toDouble, s"g${rng.nextInt(4)}"))
+    val df = data.toDF("x", "g").repartition(9)
+    val rows = RankTests.kruskalWallisDF(df, "x", "g")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    val (h, hc) = kwRef(data)
+    assert(rows.last._4 == 600L)
+    assert(math.abs(rows.last._6 - h) < 5e-7)
+    assert(math.abs(rows.last._7 - hc) < 5e-7)
+    // per-group sizes agree with the data
+    val sizes = data.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach(r => assert(r._2 == sizes(r._1)))
+  }
+
+  test("Spearman: monotone data gives rho 1, anti-monotone gives -1") {
+    val up = (1 to 50).map(i => (i.toDouble, (i * i).toDouble))
+    assert(RankTests.spearmanDF(up.toDF("x", "y"), "x", "y")
+      .select(col("rho")).as[Double].head() == 1.0)
+    val down = (1 to 50).map(i => (i.toDouble, (100 - i).toDouble))
+    assert(RankTests.spearmanDF(down.toDF("x", "y"), "x", "y")
+      .select(col("rho")).as[Double].head() == -1.0)
+  }
+
+  test("Spearman: distributed equals the driver rank Pearson under ties") {
+    val rng = new scala.util.Random(17)
+    val data = Seq.fill(500)(
+      (rng.nextInt(20).toDouble, rng.nextInt(30).toDouble))
+    val df = data.toDF("x", "y").repartition(7)
+    val got = RankTests.spearmanDF(df, "x", "y")
+      .select(col("rho")).as[Double].head()
+    def ranks(vs: Seq[Double]): Map[Double, Double] =
+      vs.sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.size }
+    val rx = ranks(data.map(_._1)); val ry = ranks(data.map(_._2))
+    val pts = data.map { case (x, y) => (rx(x), ry(y)) }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val ref = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert(math.abs(got - ref) < 5e-7)
+  }
 }

@@ -1,0 +1,61 @@
+package graft.stats
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TTestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // driver-side Welch reference over raw doubles
+  private def welchRef(as: Seq[Double], bs: Seq[Double]): (Double, Double) = {
+    val na = as.size.toDouble; val nb = bs.size.toDouble
+    val ma = as.sum / na; val mb = bs.sum / nb
+    val va = as.map(x => (x - ma) * (x - ma)).sum / (na - 1)
+    val vb = bs.map(x => (x - mb) * (x - mb)).sum / (nb - 1)
+    val sea = va / na; val seb = vb / nb
+    val t = (ma - mb) / math.sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    (t, df)
+  }
+
+  test("Welch: hand-checkable equal-variance case") {
+    // A = {1, 2, 3}, B = {4, 5, 6}: means 2 / 5, both variances 1,
+    // se² = 2/3, t = -3/sqrt(2/3), df = 4
+    val df = Seq((1.0, true), (2.0, true), (3.0, true),
+      (4.0, false), (5.0, false), (6.0, false)).toDF("x", "a")
+    val r = TTest.welchDF(df, "x", col("a"))
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(r._1 == 3L && r._2 == 3L)
+    assert(r._3 == 2.0 && r._4 == 5.0)
+    assert(math.abs(r._5 - (-3.0 / math.sqrt(2.0 / 3.0))) < 5e-7)
+    assert(math.abs(r._6 - 4.0) < 5e-5)
+  }
+
+  test("Welch: distributed equals the driver reference on messy data") {
+    val rng = new scala.util.Random(23)
+    // .5-grid values: exact in DECIMAL(12,2), so the power-sum path is
+    // the production shape (no representation slack in the reference)
+    val as = Seq.fill(400)(math.round(rng.nextGaussian() * 20) / 2.0 + 50)
+    val bs = Seq.fill(300)(math.round(rng.nextGaussian() * 16) / 2.0 + 53)
+    val df = (as.map((_, true)) ++ bs.map((_, false))).toDF("x", "a")
+      .repartition(8)
+    val r = TTest.welchDF(df, "x", col("a"))
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    val (t, wdf) = welchRef(as, bs)
+    assert(r._1 == 400L && r._2 == 300L)
+    assert(math.abs(r._3 - as.sum / 400) < 5e-7)
+    assert(math.abs(r._4 - bs.sum / 300) < 5e-7)
+    assert(math.abs(r._5 - t) < 5e-7)
+    assert(math.abs(r._6 - wdf) < 5e-4)
+  }
+
+  test("Welch: NULL values and NULL flags drop") {
+    val df = Seq((Some(1.0), Some(true)), (Some(2.0), Some(true)),
+      (None, Some(true)), (Some(3.0), None),
+      (Some(4.0), Some(false)), (Some(6.0), Some(false))).toDF("x", "a")
+    val r = TTest.welchDF(df, "x", col("a"))
+      .as[(Long, Long, Double, Double, Double, Double)].head()
+    assert(r._1 == 2L && r._2 == 2L && r._3 == 1.5 && r._4 == 5.0)
+  }
+}
