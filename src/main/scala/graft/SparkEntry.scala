@@ -1079,6 +1079,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- column-mapping RENAME (s31): one metadata commit, zero file
+    // rewrites — writes before and after the rename, a keyed merge under
+    // the new name, head + time-traveled summaries. The oracle replays
+    // the whole lifecycle relationally; the rename itself is invisible to
+    // it, which is exactly the contract (same data, new logical name). --
+    "s31_column_mapping" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-s31-$pid/cust_cm_$sfx"
+      val S = graft.sources.SnapshotTable
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      if (S.latestVersion(root) == 0) {
+        S.write(cust.where(col("c_custkey") <= 300).coalesce(1), root,
+          mode = "overwrite", statsCols = Seq("c_acctbal"))          // v1
+        S.renameColumn(root, "c_acctbal", "balance")                 // v2
+        S.write(cust.where(col("c_custkey").between(301, 500))
+            .withColumnRenamed("c_acctbal", "balance").coalesce(1),
+          root, mode = "append", statsCols = Seq("balance"))         // v3
+        S.merge(cust.where(col("c_custkey").between(250, 350))
+            .select(col("c_custkey"),
+              round(col("c_acctbal") + 1000, 2).as("balance"),
+              col("c_mktsegment")),
+          root, Seq("c_custkey"))                                    // v4
+      }
+      def summary(df: org.apache.spark.sql.DataFrame, bal: String, v: Int) =
+        df.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col(bal).cast("decimal(18,2)"))
+              .cast("double"), 2).as("bal_sum"))
+          .withColumn("version", lit(v))
+      summary(S.read(s, root, Some(1)), "c_acctbal", 1)
+        .unionByName(summary(S.read(s, root), "balance", 4))
+        .orderBy(col("version"), col("c_mktsegment"))
+    }),
+
     // ---- multimodal: binary payload → REAL ImageIO decode → features -----
     // Each document renders to a genuine 16×16 gray PNG (pixel = char code),
     // then the feature pass decodes it with javax.imageio and grid-pools the
@@ -3618,6 +3655,37 @@ object SparkEntry {
          FROM pc, t
          WHERE (cum + w) * 40 // w0 - cum * 40 // w0 > 0
          ORDER BY doc_id""",
+
+    // s31: the rename is metadata-only, so the relational replay never
+    // sees it — base slice, appended slice, keyed merge, two summaries
+    "s31_column_mapping" ->
+      """WITH b AS (
+           SELECT c_custkey, c_acctbal AS balance, c_mktsegment
+           FROM customer WHERE c_custkey <= 300),
+         a AS (
+           SELECT c_custkey, c_acctbal AS balance, c_mktsegment
+           FROM customer WHERE c_custkey BETWEEN 301 AND 500),
+         m AS (
+           SELECT c_custkey, round(c_acctbal + 1000, 2) AS balance,
+                  c_mktsegment
+           FROM customer WHERE c_custkey BETWEEN 250 AND 350),
+         head AS (
+           SELECT * FROM m
+           UNION ALL
+           SELECT * FROM (SELECT * FROM b UNION ALL SELECT * FROM a)
+           WHERE c_custkey NOT IN (SELECT c_custkey FROM m)),
+         s1 AS (
+           SELECT c_mktsegment, count(*) AS n,
+                  round(CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE), 2)
+                    AS bal_sum, 1 AS version
+           FROM b GROUP BY 1),
+         s4 AS (
+           SELECT c_mktsegment, count(*) AS n,
+                  round(CAST(sum(CAST(balance AS DECIMAL(18,2))) AS DOUBLE), 2)
+                    AS bal_sum, 4 AS version
+           FROM head GROUP BY 1)
+         SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s4)
+         ORDER BY version, c_mktsegment""",
 
     // r15: r9's window replay with every window partitioned by family
     "r15_fdr_family" ->

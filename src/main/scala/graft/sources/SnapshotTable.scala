@@ -54,12 +54,21 @@ object SnapshotTable {
 
   final case class Manifest(version: Int, op: String, schema: StructType,
       files: Seq[String],
-      /** per-file numeric column envelopes: file → col → (min, max) */
+      /** per-file numeric column envelopes: file → col → (min, max).
+        * Keyed by PHYSICAL column name (the name in the parquet footers),
+        * so envelopes recorded before a rename stay valid after it. */
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
       /** DELETION VECTORS (merge-on-read): data file → position-sidecar
         * files under `_deletes/` whose (file_name, pos) rows mark logically
         * deleted row indexes. A file without an entry has no deletes. */
-      dvs: Map[String, Seq[String]] = Map.empty)
+      dvs: Map[String, Seq[String]] = Map.empty,
+      /** COLUMN MAPPING (the Delta name-mode column-mapping feature):
+        * logical name → physical parquet name for every column that has
+        * been renamed. Columns never renamed are absent (physical =
+        * logical). Writers stage under physical names; readers scan
+        * physical and alias back — so a RENAME is one metadata commit,
+        * zero file rewrites, and every old file stays readable. */
+      colmap: Map[String, String] = Map.empty)
 
   /** One manifest FILE as written, without chain resolution: a CHECKPOINT
     * lists the full live-file set (`file=` lines, `base` absent); a DELTA
@@ -88,7 +97,11 @@ object SnapshotTable {
         * stamps ATOMICALLY with its change, so "which input version has
         * this derived table folded through" survives any crash — the
         * exactly-once anchor for incremental-view maintenance. */
-      txn: Map[String, String] = Map.empty)
+      txn: Map[String, String] = Map.empty,
+      /** the FULL logical→physical column mapping as of this commit
+        * (every manifest echoes the whole map — it is column-count-sized,
+        * so delta-commit O(changed files) cost is unaffected). */
+      colmap: Map[String, String] = Map.empty)
 
   /** Delta-chain length at which the next commit writes a checkpoint. */
   private[sources] val checkpointEvery = 20
@@ -236,7 +249,10 @@ object SnapshotTable {
         .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).toSeq },
       // txn lines: txn=<key>;<value> — the value may itself contain ';'
       field("txn").toSeq.map(_.split(";", 2))
-        .collect { case Array(k, v) => k -> v }.toMap)
+        .collect { case Array(k, v) => k -> v }.toMap,
+      // colmap lines: colmap=<logical>;<physical>
+      field("colmap").toSeq.map(_.split(";", 2))
+        .collect { case Array(l, p) => l -> p }.toMap)
   }
 
   /** Resolve a version's LIVE STATE: walk back through delta manifests to
@@ -258,7 +274,7 @@ object SnapshotTable {
       // a removed file's vector dies with it; a delta's entries REPLACE
       dvs = (dvs -- d.removes) ++ d.dvSet
     }
-    Manifest(head.version, head.op, head.schema, files, stats, dvs)
+    Manifest(head.version, head.op, head.schema, files, stats, dvs, head.colmap)
   }
 
   /** Write `df` into the table. `mode` ∈ {"overwrite", "append"}. Returns
@@ -283,8 +299,22 @@ object SnapshotTable {
       txn: Map[String, String] = Map.empty): Int = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
     validateChecks(df, root)
-    val staged = stage(df, root)
-    val stagedStats = footerStats(root, staged, statsCols)
+    // an overwrite replaces every file, so it RESETS the column mapping
+    // (new files carry logical names); appends write under the current map
+    val cm = if (mode == "overwrite") Map.empty[String, String]
+      else currentColmap(root)
+    if (mode == "append" && cm.nonEmpty) {
+      // a NEW logical name may not shadow a physical name another column
+      // borrowed through a rename (staging would alias on-file data) —
+      // checked BEFORE staging for a clean refusal
+      val tableNames = readRaw(root, latestVersion(root)).schema.fieldNames.toSet
+      df.schema.fieldNames.filterNot(tableNames)
+        .foreach(f => require(!cm.values.exists(_ == f),
+          s"new column '$f' collides with a renamed column's physical name"))
+    }
+    val staged = if (mode == "overwrite") stageUnmapped(df, root)
+      else stage(df, root)
+    val stagedStats = footerStats(root, staged, statsCols, cm)
     // commit: atomic create-new of the next version; losers re-base. An
     // overwrite loser needs nothing at all; an append loser re-reads only
     // the new HEAD manifest (O(1) raw parse — its own rows are position-
@@ -299,6 +329,11 @@ object SnapshotTable {
         else {
           val head = readRaw(root, base)
           val schemaJson = unionSchema(head.schema, df.schema, mergeSchema).json
+          // a NEW logical name may not shadow a physical name another
+          // column borrowed through a rename (it would alias on-file data)
+          df.schema.fieldNames.filterNot(head.schema.fieldNames.toSet)
+            .foreach(f => require(!head.colmap.values.exists(_ == f),
+              s"new column '$f' collides with a renamed column's physical name"))
           commitChange(root, head, "append", schemaJson,
             adds = staged, removes = Set.empty, addStats = stagedStats,
             txn = txn)
@@ -316,15 +351,20 @@ object SnapshotTable {
       addStats: Map[String, Map[String, (Double, Double)]],
       cdc: Seq[String] = Nil,
       dvSet: Map[String, Seq[String]] = Map.empty,
-      txn: Map[String, String] = Map.empty): Int =
+      txn: Map[String, String] = Map.empty,
+      colmap: Map[String, String] = null): Int = {
+    // null = inherit the base commit's column mapping (every op except a
+    // rename); a rename passes its updated map explicitly
+    val cm = Option(colmap).getOrElse(base.colmap)
     if (base.chain + 1 >= checkpointEvery) {
       val m = readManifest(root, base.version)
       tryCommit(root, base.version, op, schemaJson,
         m.files.filterNot(removes) ++ adds, (m.stats -- removes) ++ addStats,
-        cdc, (m.dvs -- removes) ++ dvSet, txn)
+        cdc, (m.dvs -- removes) ++ dvSet, txn, cm)
     } else
       tryCommitDelta(root, base.version, op, schemaJson, adds, removes,
-        addStats, base.chain + 1, cdc, dvSet, txn)
+        addStats, base.chain + 1, cdc, dvSet, txn, cm)
+  }
 
   /** Evolved schema for an append: table fields first (order-stable),
     * then `df`'s new fields. Same-name fields must agree on type; field
@@ -355,7 +395,12 @@ object SnapshotTable {
     * usable stats are simply absent, which [[readPruned]] treats as
     * "cannot prune" (safe). */
   private def footerStats(root: String, files: Seq[String],
-      statsCols: Seq[String]): Map[String, Map[String, (Double, Double)]] = {
+      statsCols0: Seq[String], colmap: Map[String, String] = Map.empty)
+      : Map[String, Map[String, (Double, Double)]] = {
+    // envelopes live under PHYSICAL names (the names in the footers), so
+    // they survive renames; logical requests translate here once
+    val statsCols = statsCols0.map(c =>
+      if (c == rowsKey) c else physName(colmap, c))
     if (statsCols.isEmpty) Map.empty
     else files.map { name =>
       val path = new org.apache.hadoop.fs.Path(dataDir(root).resolve(name).toUri)
@@ -429,14 +474,14 @@ object SnapshotTable {
     if (m.files.isEmpty) return Some((0L, cols.map(c => c -> (Double.NaN, Double.NaN)).toMap))
     val complete = m.dvs.isEmpty && m.files.forall { f =>
       m.stats.get(f).exists(s =>
-        s.contains(rowsKey) && cols.forall(s.contains))
+        s.contains(rowsKey) && cols.forall(c => s.contains(physName(m.colmap, c))))
     }
     if (!complete) None
     else {
       val perFile = m.files.map(m.stats)
       val n = perFile.map(_(rowsKey)._1).sum.toLong
       val agg = cols.map { c =>
-        val envs = perFile.map(_(c))
+        val envs = perFile.map(_(physName(m.colmap, c)))
         c -> (envs.map(_._1).min, envs.map(_._2).max)
       }.toMap
       Some((n, agg))
@@ -477,7 +522,7 @@ object SnapshotTable {
     require(v > 0, s"snapshot table at $root has no committed version")
     val m = readManifest(root, v)
     val kept = m.files.filter { f =>
-      m.stats.get(f).flatMap(_.get(col)) match {
+      m.stats.get(f).flatMap(_.get(physName(m.colmap, col))) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
       }
@@ -554,8 +599,10 @@ object SnapshotTable {
       val cols = (baseStatsCols ++ statsCols).toSeq.sorted
       val staged = stage(merged, root)
       val cdcStaged = changes.map(stageChanges(_, root)).getOrElse(Nil)
+      val cm = if (base == 0) Map.empty[String, String]
+        else readRaw(root, base).colmap
       committed = tryCommit(root, base, "merge", merged.schema.json, staged,
-        footerStats(root, staged, cols), cdcStaged, txn = txn)
+        footerStats(root, staged, cols, cm), cdcStaged, txn = txn, colmap = cm)
       // lost the race: the staged files stay orphaned in data/ (and
       // _changes/) until [[vacuum]] — no manifest references them, same
       // as any aborted commit in the open formats
@@ -590,7 +637,60 @@ object SnapshotTable {
     var committed = -1
     while (committed < 0)
       committed = tryCommit(root, latestVersion(root), "restore",
-        m.schema.json, m.files, m.stats, dvs = m.dvs)
+        m.schema.json, m.files, m.stats, dvs = m.dvs, colmap = m.colmap)
+    committed
+  }
+
+  /** RENAME a column as ONE metadata commit, ZERO file rewrites — the
+    * Delta name-mode column-mapping feature. The committed schema carries
+    * the new LOGICAL name; the `colmap` line records which PHYSICAL
+    * (on-file) name it reads from, so every existing file — and every
+    * time-traveled version, under its own pinned mapping — stays exactly
+    * readable. Writers after the rename stage under the physical name;
+    * stats envelopes are keyed physical and survive untouched. At 100 TB
+    * the alternative is rewriting the table.
+    *
+    * Guards: the source column must exist; the target name must be free
+    * as BOTH a logical name and a borrowed physical name (aliasing
+    * on-file data is the corruption this prevents); a column referenced
+    * by a CHECK constraint refuses to rename (stored constraint
+    * expressions are logical-name text — drop and re-add the constraint
+    * around the rename). A rename that lands a column back on its own
+    * physical name simply clears its mapping entry.
+    *
+    * Concurrency: the rename itself is an optimistic commit like any
+    * other, but a writer whose stage-to-commit window STRADDLES a rename
+    * may stage files under the pre-rename mapping — schedule renames
+    * like schema changes (no concurrent writers), the Delta operational
+    * guidance. */
+  def renameColumn(root: String, from: String, to: String): Int = {
+    require(from != to, "rename source and target are the same name")
+    checkConstraints(root).foreach { case (name, expr) =>
+      require(!s"\\b${java.util.regex.Pattern.quote(from)}\\b".r
+          .findFirstIn(expr).isDefined,
+        s"column '$from' is referenced by CHECK constraint '$name' ($expr) — " +
+          "drop the constraint, rename, then re-add it under the new name")
+    }
+    var committed = -1
+    while (committed < 0) {
+      val base = latestVersion(root)
+      require(base > 0, s"snapshot table at $root has no committed version")
+      val head = readRaw(root, base)
+      require(head.schema.fieldNames.contains(from),
+        s"no column '$from' in ${head.schema.fieldNames.mkString(",")}")
+      require(!head.schema.fieldNames.contains(to),
+        s"column '$to' already exists")
+      require(!(head.colmap - from).values.exists(_ == to),
+        s"'$to' is the physical name behind another renamed column")
+      val phys = physName(head.colmap, from)
+      val newSchema = StructType(head.schema.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val newMap = (head.colmap - from) ++
+        (if (phys == to) Map.empty else Map(to -> phys))
+      committed = commitChange(root, head, "rename", newSchema.json,
+        adds = Nil, removes = Set.empty, addStats = Map.empty,
+        colmap = newMap)
+    }
     committed
   }
 
@@ -676,8 +776,10 @@ object SnapshotTable {
       val cols = (baseStatsCols ++ statsCols).toSeq.sorted
       val staged = stage(merged, root)
       val cdcStaged = changes.map(stageChanges(_, root)).getOrElse(Nil)
+      val cm = if (base == 0) Map.empty[String, String]
+        else readRaw(root, base).colmap
       committed = tryCommit(root, base, "merge", merged.schema.json, staged,
-        footerStats(root, staged, cols), cdcStaged, txn = txn)
+        footerStats(root, staged, cols, cm), cdcStaged, txn = txn, colmap = cm)
     }
     committed
   }
@@ -818,7 +920,7 @@ object SnapshotTable {
       val m = readManifest(root, base)
       val candidates = pruneHint match {
         case Some((c, lo, hi)) => m.files.filter { f =>
-          m.stats.get(f).flatMap(_.get(c)) match {
+          m.stats.get(f).flatMap(_.get(physName(m.colmap, c))) match {
             case Some((mn, mx)) => mx >= lo && mn <= hi
             case None => true // no envelope: cannot skip
           }
@@ -936,7 +1038,7 @@ object SnapshotTable {
         "replaceWhere data schema must match the table schema")
       val candidates = pruneHint match {
         case Some((c, lo, hi)) => m.files.filter { f =>
-          m.stats.get(f).flatMap(_.get(c)) match {
+          m.stats.get(f).flatMap(_.get(physName(m.colmap, c))) match {
             case Some((mn, mx)) => mx >= lo && mn <= hi
             case None => true // no envelope: cannot skip
           }
@@ -1020,7 +1122,7 @@ object SnapshotTable {
       require(unknown.isEmpty, s"update assigns unknown columns: $unknown")
       val candidates = pruneHint match {
         case Some((c, lo, hi)) => m.files.filter { f =>
-          m.stats.get(f).flatMap(_.get(c)) match {
+          m.stats.get(f).flatMap(_.get(physName(m.colmap, c))) match {
             case Some((mn, mx)) => mx >= lo && mn <= hi
             case None => true
           }
@@ -1141,7 +1243,7 @@ object SnapshotTable {
       val m = readManifest(root, base)
       val candidates = pruneHint match {
         case Some((c, lo, hi)) => m.files.filter { f =>
-          m.stats.get(f).flatMap(_.get(c)) match {
+          m.stats.get(f).flatMap(_.get(physName(m.colmap, c))) match {
             case Some((mn, mx)) => mx >= lo && mn <= hi
             case None => true
           }
@@ -1229,7 +1331,7 @@ object SnapshotTable {
       require(unknown.isEmpty, s"update assigns unknown columns: $unknown")
       val candidates = pruneHint match {
         case Some((c, lo, hi)) => m.files.filter { f =>
-          m.stats.get(f).flatMap(_.get(c)) match {
+          m.stats.get(f).flatMap(_.get(physName(m.colmap, c))) match {
             case Some((mn, mx)) => mx >= lo && mn <= hi
             case None => true
           }
@@ -1341,12 +1443,18 @@ object SnapshotTable {
         if (raw.cdc.nonEmpty) {
           // row-level capture: the change files carry their own
           // _change_type column; schema = version schema + that column
-          val readSchema = StructType(m.schema.fields :+
+          // (scanned under PHYSICAL names, aliased back like readFiles)
+          val readSchema = StructType(physSchema(m.schema, m.colmap).fields :+
             org.apache.spark.sql.types.StructField("_change_type",
               org.apache.spark.sql.types.StringType))
-          frames += spark.read.schema(readSchema)
+          val cdcRaw = spark.read.schema(readSchema)
             .parquet(raw.cdc.map(f => changesDir(root).resolve(f).toString): _*)
-            .withColumn("_change_version", lit(v))
+          val cdcLogical =
+            if (m.colmap.isEmpty) cdcRaw
+            else cdcRaw.select(m.schema.fields.toSeq.map(f =>
+              col(physName(m.colmap, f.name)).as(f.name)) :+
+              col("_change_type"): _*)
+          frames += cdcLogical.withColumn("_change_version", lit(v))
         } else if ((m.op == "delete_mor" || m.op == "update_mor") &&
             raw.dvSet.nonEmpty) {
           // merge-on-read delete/update: exact row-level delete events
@@ -1359,7 +1467,8 @@ object SnapshotTable {
           val diff = dvPositions(spark, root, m, touched)
             .exceptAll(dvPositions(spark, root, prev, touched))
             .select(col("file_name").as("__df"), col("pos").as("__dp"))
-          frames += spark.read.schema(prev.schema)
+          val delRaw = spark.read
+            .schema(physSchema(prev.schema, prev.colmap))
             .parquet(touched.map(f => dataDir(root).resolve(f).toString): _*)
             .withColumn("__file",
               substring_index(col("_metadata.file_path"), "/", -1))
@@ -1368,6 +1477,11 @@ object SnapshotTable {
               col("__file") === col("__df") && col("__pos") === col("__dp"),
               "left_semi")
             .drop("__file", "__pos")
+          val delLogical =
+            if (prev.colmap.isEmpty) delRaw
+            else delRaw.select(prev.schema.fields.toSeq.map(f =>
+              col(physName(prev.colmap, f.name)).as(f.name)): _*)
+          frames += delLogical
             .withColumn("_change_type", lit("delete"))
             .withColumn("_change_version", lit(v))
           val prevLive = prev.files.toSet
@@ -1406,6 +1520,11 @@ object SnapshotTable {
     * rename is guaranteed supported — java.io.tmpdir may live on a
     * different mount). */
   private def stage(df: DataFrame, root: String): Seq[String] =
+    stageInto(toPhysical(df, currentColmap(root)), root, dataDir(root))
+
+  /** Stage WITHOUT applying the column mapping — the overwrite path,
+    * which resets the mapping (all files replaced, physical = logical). */
+  private def stageUnmapped(df: DataFrame, root: String): Seq[String] =
     stageInto(df, root, dataDir(root))
 
   /** Stage a ROW-LEVEL CHANGE frame (table columns + `_change_type`) into
@@ -1414,7 +1533,7 @@ object SnapshotTable {
     * them, and a commit-race loser's change files are vacuum-able orphans
     * exactly like its data files. */
   private def stageChanges(df: DataFrame, root: String): Seq[String] =
-    stageInto(df, root, changesDir(root))
+    stageInto(toPhysical(df, currentColmap(root)), root, changesDir(root))
 
   private def stageInto(df: DataFrame, root: String, target: Path): Seq[String] = {
     Files.createDirectories(manifestDir(root))
@@ -1477,16 +1596,48 @@ object SnapshotTable {
     txn.toSeq.sortBy(_._1).map { case (k, v) => s"txn=$k;$v" }
   }
 
+  private def colmapLines(colmap: Map[String, String]): Seq[String] =
+    colmap.toSeq.sorted.map { case (l, p) => s"colmap=$l;$p" }
+
+  /** Physical (on-file) name of logical column `c` under `colmap`. Safe
+    * to pass an already-physical name: the rename guards keep the logical
+    * and borrowed-physical name sets disjoint, so non-mapped names pass
+    * through unchanged. */
+  private[sources] def physName(colmap: Map[String, String], c: String): String =
+    colmap.getOrElse(c, c)
+
+  private def physSchema(schema: StructType, colmap: Map[String, String]): StructType =
+    if (colmap.isEmpty) schema
+    else StructType(schema.fields.map(f => f.copy(name = physName(colmap, f.name))))
+
+  /** Rename a LOGICAL frame's mapped columns to their physical names
+    * (columns not in the map — including sidecars like `_change_type` —
+    * pass through). */
+  private def toPhysical(df: DataFrame, colmap: Map[String, String]): DataFrame =
+    if (colmap.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.map(c => col(c).as(physName(colmap, c))).toSeq: _*)
+    }
+
+  /** The head commit's column mapping (empty on an empty table). */
+  private def currentColmap(root: String): Map[String, String] = {
+    val v = latestVersion(root)
+    if (v == 0) Map.empty else readRaw(root, v).colmap
+  }
+
   private[sources] def tryCommit(root: String, base: Int, op: String,
       schemaJson: String, files: Seq[String],
       stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
       cdc: Seq[String] = Nil,
       dvs: Map[String, Seq[String]] = Map.empty,
-      txn: Map[String, String] = Map.empty): Int = {
+      txn: Map[String, String] = Map.empty,
+      colmap: Map[String, String] = Map.empty): Int = {
     val v = base + 1
     val body = (Seq(s"version=$v", s"op=$op", s"schema=$schemaJson") ++
       files.map(f => s"file=$f") ++ statLines(stats) ++
-      cdc.map(f => s"cdc=$f") ++ dvLines(dvs) ++ txnLines(txn)).mkString("\n")
+      cdc.map(f => s"cdc=$f") ++ dvLines(dvs) ++ txnLines(txn) ++
+      colmapLines(colmap)).mkString("\n")
     atomicCreate(root, v, body)
   }
 
@@ -1498,13 +1649,14 @@ object SnapshotTable {
       stats: Map[String, Map[String, (Double, Double)]], chain: Int,
       cdc: Seq[String] = Nil,
       dvs: Map[String, Seq[String]] = Map.empty,
-      txn: Map[String, String] = Map.empty): Int = {
+      txn: Map[String, String] = Map.empty,
+      colmap: Map[String, String] = Map.empty): Int = {
     val v = base + 1
     val body = (Seq(s"version=$v", s"op=$op", s"schema=$schemaJson",
       s"base=$base", s"chain=$chain") ++
       adds.map(f => s"add=$f") ++ removes.toSeq.sorted.map(f => s"remove=$f") ++
       statLines(stats) ++ cdc.map(f => s"cdc=$f") ++ dvLines(dvs) ++
-      txnLines(txn)).mkString("\n")
+      txnLines(txn) ++ colmapLines(colmap)).mkString("\n")
     atomicCreate(root, v, body)
   }
 
@@ -1547,7 +1699,10 @@ object SnapshotTable {
       return if (!keepFilePos) emptyDf
         else emptyDf.withColumn("__file", org.apache.spark.sql.functions.lit(""))
           .withColumn("__pos", org.apache.spark.sql.functions.lit(0L))
-    def scan(fs: Seq[String]) = spark.read.schema(m.schema)
+    // files carry PHYSICAL column names; scan physical, alias back at the
+    // end (a no-op select when the table has no renames)
+    val pSchema = physSchema(m.schema, m.colmap)
+    def scan(fs: Seq[String]) = spark.read.schema(pSchema)
       .parquet(fs.map(f => dataDir(root).resolve(f).toString): _*)
       .withColumn("__file", substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn("__pos", col("_metadata.row_index"))
@@ -1565,7 +1720,7 @@ object SnapshotTable {
     val plain =
       if (plainFiles.isEmpty) None
       else if (keepFilePos || masked.nonEmpty) Some(scan(plainFiles))
-      else Some(spark.read.schema(m.schema)
+      else Some(spark.read.schema(pSchema)
         .parquet(plainFiles.map(f => dataDir(root).resolve(f).toString): _*))
     val joined = (plain, masked) match {
       case (Some(p), Some(q)) => p.unionByName(q)
@@ -1573,9 +1728,18 @@ object SnapshotTable {
       case (None, Some(q)) => q
       case (None, None) => emptyDf
     }
-    if (keepFilePos) joined
-    else if (joined.columns.contains("__file")) joined.drop("__file", "__pos")
-    else joined
+    val out =
+      if (keepFilePos) joined
+      else if (joined.columns.contains("__file")) joined.drop("__file", "__pos")
+      else joined
+    if (m.colmap.isEmpty) out
+    else {
+      val dataCols = m.schema.fields.toSeq.map(f =>
+        col(physName(m.colmap, f.name)).as(f.name))
+      val extras = out.columns.toSeq.filter(c => c == "__file" || c == "__pos")
+        .map(col)
+      out.select(dataCols ++ extras: _*)
+    }
   }
 
   /** Read a snapshot: the latest version, or a pinned `version` (time
@@ -1634,7 +1798,7 @@ object SnapshotTable {
     val checks = checkConstraints(sourceRoot)
     if (checks.nonEmpty) writeChecks(targetRoot, checks)
     val committed = tryCommit(targetRoot, 0, "clone", m.schema.json,
-      m.files, m.stats, dvs = m.dvs)
+      m.files, m.stats, dvs = m.dvs, colmap = m.colmap)
     require(committed > 0, s"clone target $targetRoot was committed concurrently")
     committed
   }
