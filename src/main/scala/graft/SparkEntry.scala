@@ -965,6 +965,14 @@ object SparkEntry {
         .orderBy(col("grp"))
     }),
 
+    // ---- column profiling census (q11): the ANALYZE-TABLE surface — one
+    // conditional-agg pass for counts/extrema, one stacked-cell pass for
+    // exact distincts and deterministic modes (ties → smallest value). ---
+    "q11_profile" -> ((s, dir) => {
+      graft.ops.Profile.profile(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus", "l_linenumber"))
+    }),
+
     // ---- §2.8 R4 distributed beta-dispersion twin: the betadisper leg of
     // PERMANOVA over the same pair stream as r13 — per-point mean Jaccard
     // distance to own-group members, per-group mean/max, all-integer sums
@@ -1152,6 +1160,28 @@ object SparkEntry {
             Multimodal.MediaMeta("png", 16, 16, 3, 0L))
         }
       Multimodal.extractImageFeatures(media, dim = 8)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"))
+        .orderBy(col("media_id"))
+    }),
+
+    // ---- multimodal image RESIZE (x4): 16×16 PNGs → deterministic
+    // integer nearest-neighbor downscale to 8×8 → REAL PNG re-encode →
+    // real decode + features. The oracle recomputes the resized bin mean
+    // straight from the char codes (nearest-neighbor at 2:1 keeps the
+    // even-indexed pixels), certifying decode→resize→encode→decode
+    // in-band. Payloads never shuffle (map → map → mapPartitions). -------
+    "x4_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          Multimodal.MediaRow(id, "image", Multimodal.textToPngPayload(text),
+            Multimodal.MediaMeta("png", 16, 16, 3, 0L))
+        }
+      val resized = Multimodal.resizeImages(media, maxDim = 8)
+      Multimodal.extractImageFeatures(resized, dim = 8)
         .select(col("media_id"), col("width"), col("height"),
           round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"))
         .orderBy(col("media_id"))
@@ -5695,6 +5725,38 @@ object SparkEntry {
          GROUP BY c.grp, f2.n, q25_2, q75_2, lo2, hi2
          ORDER BY c.grp""",
 
+    // q11: per-column census — counts/extrema + exact distinct + the
+    // deterministic mode (count desc, value asc), one block per column
+    "q11_profile" ->
+      """WITH s1 AS (SELECT CAST(l_returnflag AS VARCHAR) AS v FROM lineitem),
+         s2 AS (SELECT CAST(l_linestatus AS VARCHAR) AS v FROM lineitem),
+         s3 AS (SELECT CAST(l_linenumber AS VARCHAR) AS v FROM lineitem),
+         a1 AS (SELECT count(*) AS n_rows, count(v) AS n_nonnull,
+                  count(DISTINCT v) AS n_distinct, min(v) AS min_value,
+                  max(v) AS max_value FROM s1),
+         t1 AS (SELECT v AS top_value, count(*) AS top_count FROM s1
+                WHERE v IS NOT NULL GROUP BY 1
+                ORDER BY top_count DESC, top_value LIMIT 1),
+         a2 AS (SELECT count(*) AS n_rows, count(v) AS n_nonnull,
+                  count(DISTINCT v) AS n_distinct, min(v) AS min_value,
+                  max(v) AS max_value FROM s2),
+         t2 AS (SELECT v AS top_value, count(*) AS top_count FROM s2
+                WHERE v IS NOT NULL GROUP BY 1
+                ORDER BY top_count DESC, top_value LIMIT 1),
+         a3 AS (SELECT count(*) AS n_rows, count(v) AS n_nonnull,
+                  count(DISTINCT v) AS n_distinct, min(v) AS min_value,
+                  max(v) AS max_value FROM s3),
+         t3 AS (SELECT v AS top_value, count(*) AS top_count FROM s3
+                WHERE v IS NOT NULL GROUP BY 1
+                ORDER BY top_count DESC, top_value LIMIT 1)
+         SELECT * FROM (
+           SELECT 'l_returnflag' AS "column", a1.*, t1.* FROM a1, t1
+           UNION ALL
+           SELECT 'l_linenumber' AS "column", a3.*, t3.* FROM a3, t3
+           UNION ALL
+           SELECT 'l_linestatus' AS "column", a2.*, t2.* FROM a2, t2)
+         ORDER BY "column"""",
+
     // r16: the distributed dispersion replayed relationally — directed
     // same-group pairs, integer-scaled distances (12·d), one final
     // division per output row (exact-integer discipline, no FP drift)
@@ -5741,6 +5803,18 @@ object SparkEntry {
       """SELECT doc_id AS media_id, 16 AS width, 16 AS height,
            round(list_sum(list_transform(range(1, 33),
              i -> unicode(substr(padded, CAST(i AS INT), 1)))) / 32.0, 4) AS e0
+         FROM (SELECT doc_id,
+                 rpad(regexp_replace(text, '[^ -~]', '', 'g'), 256, ' ') AS padded
+               FROM documents)
+         ORDER BY media_id""",
+
+    // x4: nearest-neighbor 16→8 keeps even-indexed pixels; resized bin 0
+    // is row 0 of the 8×8 image = padded chars at 1-based 2i+1, i<8
+    "x4_image_resize" ->
+      """SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+           round(list_sum(list_transform(range(0, 8),
+             i -> unicode(substr(padded, CAST(2 * i + 1 AS INT), 1)))) / 8.0, 4)
+             AS e0
          FROM (SELECT doc_id,
                  rpad(regexp_replace(text, '[^ -~]', '', 'g'), 256, ' ') AS padded
                FROM documents)
