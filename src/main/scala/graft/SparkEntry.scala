@@ -518,6 +518,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- similarity: MMR diversity re-rank (n10) — distributed top-24
+    // relevance pool, bounded driver greedy (λ·rel − (1−λ)·max-sim,
+    // ties → smallest id); the oracle replays the pool AND all 8 greedy
+    // steps as chained argmax CTEs — no runtime export, the whole
+    // selection is relational. ------------------------------------------
+    "n10_mmr_rerank" -> ((s, dir) => {
+      Embeddings.mmrSelect(Tables.spread(t(s, dir, "embeddings")),
+          "vec_id", "embedding", queryId = 0L, candidates = 24, k = 8,
+          lambda = 0.5)
+        .select(col("pick"), col("corpus_id"), round(col("mmr"), 6).as("mmr"))
+        .orderBy(col("pick"))
+    }),
+
     // ---- similarity: LSH-bucketed approximate pairs ----------------------
     // The synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.55),
     // so near-dups are PLANTED: each vector gets a copy shifted by an
@@ -4554,6 +4567,44 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 5
          ORDER BY query_id, "rank"""",
+
+    // n10: the candidate pool (top-24 by rel, the n1 dot-product doctrine)
+    // and ALL 8 greedy MMR steps as chained argmax CTEs — step t excludes
+    // prior picks and scores 0.5·rel − 0.5·greatest(sims to them); ties
+    // break to the smallest id on both sides
+    "n10_mmr_rerank" -> {
+      val prelude =
+        """WITH uv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM uv),
+         u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uvec
+               FROM nr WHERE nrm > 0),
+         q AS (SELECT uvec AS qu FROM u WHERE vec_id = 0),
+         sc AS (SELECT c.vec_id AS id, c.uvec AS w,
+                  list_dot_product(c.uvec, q.qu) AS rel
+                FROM u c, q WHERE c.vec_id != 0),
+         cand AS (SELECT * FROM sc ORDER BY rel DESC, id LIMIT 24)"""
+      val steps = (1 to 8).map { t =>
+        if (t == 1)
+          "p1 AS (SELECT id, w, rel, 0.5 * rel - 0.5 * 0.0 AS mmr FROM cand " +
+            "ORDER BY mmr DESC, id LIMIT 1)"
+        else {
+          val prev = (1 until t).map(j => s"p$j")
+          val sims = prev.map(p => s"list_dot_product(c.w, $p.w)")
+          val maxSim = if (sims.size == 1) sims.head
+            else s"greatest(${sims.mkString(", ")})"
+          s"p$t AS (SELECT c.id, c.w, c.rel, 0.5 * c.rel - 0.5 * $maxSim AS mmr " +
+            s"FROM cand c, ${prev.mkString(", ")} " +
+            s"WHERE c.id NOT IN (${prev.map(p => s"$p.id").mkString(", ")}) " +
+            "ORDER BY mmr DESC, c.id LIMIT 1)"
+        }
+      }
+      val sel = (1 to 8).map(t =>
+        s"SELECT $t AS pick, id AS corpus_id, round(mmr, 6) AS mmr FROM p$t")
+        .mkString(" UNION ALL ")
+      prelude + ",\n" + steps.mkString(",\n") + "\n" + sel + " ORDER BY pick"
+    },
 
     // n5: IVF probe with literal centroids — assignment (argmax dot with
     // cid tie-break), nProbe=3 probe join, per-query rank. Rank-only output

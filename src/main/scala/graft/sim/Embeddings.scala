@@ -616,4 +616,62 @@ object Embeddings {
       .select(col("query_id"), col("corpus_id"), dot(col("cvec"), col("qvec")).as("cos"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** MMR diversity re-ranking (Carbonell & Goldstein 1998): greedily pick
+    * `k` items maximizing `λ·rel − (1−λ)·max cos to already-picked` —
+    * relevance alone returns near-duplicates; MMR is the standard
+    * diversity-aware selection for retrieval and training-data curation.
+    *
+    * Two-stage shape (the ANN doctrine): the DISTRIBUTED leg scores the
+    * whole corpus against the query (one broadcast pass, unit vectors,
+    * one dot each) and keeps the top-`candidates` pool; the greedy loop —
+    * inherently sequential, O(k·candidates) — runs on the driver over the
+    * BOUNDED pool. Every arithmetic step (unitize, sequential dot, max,
+    * λ-blend) mirrors the relational form exactly, so a SQL replay
+    * reproduces the picks and scores bit-for-bit. Ties break to the
+    * smallest id. Output: `(pick, corpus_id, mmr)` in pick order. */
+  def mmrSelect(corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, candidates: Int, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && candidates >= k, s"need candidates >= k >= 1")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    val spark = corpus.sparkSession
+    val u = withUnit(corpus, vecCol)
+      .select(col(idCol).cast("long").as("id"), col("__vec").as("uvec"))
+      .where(col("uvec").isNotNull)
+    val q = u.where(col("id") === queryId).select(col("uvec").as("qvec"))
+    val pool = u.where(col("id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("id"), col("uvec"), dot(col("uvec"), col("qvec")).as("rel"))
+      .orderBy(col("rel").desc, col("id").asc)
+      .limit(candidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1) // id order: strict `>` then keeps the smallest id on ties
+    def sdot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+    val taken = scala.collection.mutable.Set.empty[Long]
+    while (chosen.size < k && taken.size < pool.length) {
+      var best: (Long, Array[Double], Double) = null
+      var bestScore = Double.NegativeInfinity
+      pool.foreach { case (id, vec, rel) =>
+        if (!taken(id)) {
+          val maxSim = if (chosen.isEmpty) 0.0
+            else chosen.iterator.map(c => sdot(vec, c._2)).max
+          val s = lambda * rel - (1.0 - lambda) * maxSim
+          if (s > bestScore) { bestScore = s; best = (id, vec, s) }
+        }
+      }
+      taken += best._1
+      chosen += best
+    }
+    import spark.implicits._
+    chosen.toSeq.zipWithIndex
+      .map { case ((id, _, s), i) => (i + 1, id, s) }
+      .toDF("pick", "corpus_id", "mmr")
+  }
 }

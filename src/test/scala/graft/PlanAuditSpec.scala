@@ -17,6 +17,8 @@ class PlanAuditSpec extends SparkSpec {
   private val deliberateLoops = Set(
     "j1_cross_agg", "m3_tree_score", "n1_ann_topk", "n4_bm25",
     "n6_pq_probe", "n7_pq_trained", "n9_rp_prefilter",
+    // n10: the 1-row-query broadcast relevance pass (the n1 shape)
+    "n10_mmr_rerank",
     "r13_permanova_stat", "t10_ngram_lm")
 
   // the in-SQL ROC curve over 4 leaf scores (m3 — plan-required: the

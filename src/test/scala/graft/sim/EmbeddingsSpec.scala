@@ -215,4 +215,34 @@ class EmbeddingsSpec extends SparkSpec {
       k = 2, minCosine = 0.99, seed = 3L)
     assert(kept2.select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq == keptIds)
   }
+
+  test("mmrSelect: first pick is the most relevant, near-dup of it is deferred") {
+    // query q = e0. Candidates: a ≈ q (rel .99+), a2 ≈ a (near-dup),
+    // b orthogonal-ish but diverse. Pure relevance would pick (a, a2);
+    // MMR at λ=0.5 must pick a first, then prefer the DIVERSE b over a2.
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),            // query
+      (1L, Array(0.99f, 0.1f, 0f, 0f)),       // a: most relevant
+      (2L, Array(0.98f, 0.12f, 0f, 0f)),      // a2: near-dup of a
+      (3L, Array(0.6f, 0f, 0.8f, 0f)))        // b: diverse, lower rel
+      .toDF("vec_id", "embedding")
+    val picks = Embeddings.mmrSelect(df, "vec_id", "embedding",
+        queryId = 0L, candidates = 3, k = 3, lambda = 0.5)
+      .select($"pick", $"corpus_id").as[(Int, Long)].collect().toSeq
+    assert(picks.map(_._2) == Seq(1L, 3L, 2L), s"got $picks")
+  }
+
+  test("mmrSelect: lambda 1 reduces to pure relevance ranking") {
+    val rng = new scala.util.Random(5)
+    val df = (0L to 30L).map(i =>
+      (i, Array.fill(8)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val mmr = Embeddings.mmrSelect(df, "vec_id", "embedding",
+        queryId = 0L, candidates = 10, k = 5, lambda = 1.0)
+      .select($"pick", $"corpus_id").as[(Int, Long)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    val rel = Embeddings.bruteForceTopK(df, "vec_id", "embedding",
+        df.where($"vec_id" === 0L), "vec_id", "embedding", k = 5)
+      .orderBy($"rank").select($"corpus_id").as[Long].collect().toSeq
+    assert(mmr == rel)
+  }
 }
