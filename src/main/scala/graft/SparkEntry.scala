@@ -969,6 +969,13 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_extendedprice", "l_returnflag")
     }),
 
+    // ---- §2.8 Jarque–Bera normality (r24): the moment sanity check the
+    // parametric tests assume — cent-integer power sums in one pass, the
+    // statistic as one fixed double tree. ---------------------------------
+    "r24_jarque_bera" -> ((s, dir) => {
+      graft.stats.TTest.jarqueBeraDF(t(s, dir, "lineitem"), "l_extendedprice")
+    }),
+
     // ---- data-quality: per-group Tukey-fence outlier census (q10) over
     // EXACT type-1 rank quantiles — half-cent integer scaling makes the
     // quantiles, fences, and outlier comparisons pure LONG arithmetic. ----
@@ -5735,6 +5742,34 @@ object SparkEntry {
                 round(ssw, 4) AS ssw_running, round(ssb, 4) AS ssb_running,
                 round((ssb / (k - 1.0)) / (ssw / (bigN - k)), 6) AS f_running
          FROM r ORDER BY grp""",
+
+    // r24: cent-integer power sums (HUGEINT here, DECIMAL there — same
+    // integers), the identical central-moment → skew/kurt → JB tree
+    "r24_jarque_bera" ->
+      """WITH src AS (
+           SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         p AS (SELECT xc, xc * xc AS x2 FROM src),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(xc) AS DOUBLE) AS s1,
+                  CAST(sum(x2) AS DOUBLE) AS s2,
+                  CAST(sum(CAST(x2 AS HUGEINT) * xc) AS DOUBLE) AS s3,
+                  CAST(sum(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s4
+                FROM p),
+         d AS (SELECT n, CAST(n AS DOUBLE) AS nd, s1, s2, s3, s4,
+                 s1 / CAST(n AS DOUBLE) AS mu FROM ag),
+         m AS (SELECT n, nd, mu,
+                 s2 / nd - mu * mu AS m2,
+                 s3 / nd - 3.0 * mu * (s2 / nd) + 2.0 * mu * mu * mu AS m3,
+                 s4 / nd - 4.0 * mu * (s3 / nd)
+                   + 6.0 * mu * mu * (s2 / nd)
+                   - 3.0 * mu * mu * mu * mu AS m4
+               FROM d),
+         k AS (SELECT n, nd, m3 / sqrt(m2 * m2 * m2) AS skew,
+                 m4 / (m2 * m2) - 3.0 AS kurt FROM m)
+         SELECT n, round(skew, 6) AS skew, round(kurt, 6) AS kurt_excess,
+                round(nd / 6.0 * (skew * skew + kurt * kurt / 4.0), 4) AS jb
+         FROM k""",
 
     // q10: half-cent integer cells, partitioned cumulative ranks, type-1
     // quantiles at ⌈n/4⌉/⌈3n/4⌉, LONG fences, cell-level outlier census

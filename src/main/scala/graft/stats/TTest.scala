@@ -48,4 +48,38 @@ object TTest {
       round(se2 * se2 /
         (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0))), 4).as("df"))
   }
+
+  /** Jarque–Bera normality statistic — the moment-based sanity check the
+    * §2.8 parametric tests ([[welchDF]], ANOVA) implicitly assume.
+    *
+    * Exactness: values scale to CENT integers, the four raw power sums
+    * accumulate as DECIMAL (cent⁴ stays far inside DECIMAL(38,0) for
+    * money-ranged columns; order-independent integer arithmetic), and
+    * the central moments, skewness, excess kurtosis, and JB statistic
+    * are one fixed double tree over them — skew/kurtosis are
+    * scale-invariant, so the cent scaling cancels exactly. One
+    * map-side-combined pass, one row `(n, skew, kurt_excess, jb)`. */
+  def jarqueBeraDF(df: DataFrame, valueCol: String): DataFrame = {
+    val xc = (col(valueCol).cast("decimal(12,2)") * 100).cast("decimal(10,0)")
+    val x2 = (xc * xc).cast("decimal(19,0)")
+    val agg = df.where(col(valueCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(xc).as("s1d"), sum(x2).as("s2d"),
+        sum(x2 * xc).as("s3d"), sum(x2 * x2).as("s4d"))
+    val n = col("n").cast("double")
+    val s1 = col("s1d").cast("double"); val s2 = col("s2d").cast("double")
+    val s3 = col("s3d").cast("double"); val s4 = col("s4d").cast("double")
+    val mu = s1 / n
+    val m2 = s2 / n - mu * mu
+    val m3 = s3 / n - lit(3.0) * mu * (s2 / n) + lit(2.0) * mu * mu * mu
+    val m4 = s4 / n - lit(4.0) * mu * (s3 / n) +
+      lit(6.0) * mu * mu * (s2 / n) - lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val kurtEx = m4 / (m2 * m2) - lit(3.0)
+    agg.select(col("n"),
+      round(skew, 6).as("skew"),
+      round(kurtEx, 6).as("kurt_excess"),
+      round(n / lit(6.0) * (skew * skew + kurtEx * kurtEx / lit(4.0)), 4)
+        .as("jb"))
+  }
 }

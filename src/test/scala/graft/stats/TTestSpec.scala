@@ -50,6 +50,32 @@ class TTestSpec extends SparkSpec {
     assert(math.abs(r._6 - wdf) < 5e-4)
   }
 
+  test("Jarque-Bera: distributed equals the driver moment formula") {
+    val rng = new scala.util.Random(29)
+    val vals = Seq.fill(800)(math.round(rng.nextGaussian() * 800 + 5000) / 100.0)
+    val df = vals.toDF("x").repartition(7)
+    val r = TTest.jarqueBeraDF(df, "x")
+      .as[(Long, Double, Double, Double)].head()
+    val n = vals.size.toDouble
+    val mu = vals.sum / n
+    def cm(p: Int) = vals.map(v => math.pow(v - mu, p)).sum / n
+    val skew = cm(3) / math.pow(cm(2), 1.5)
+    val kurt = cm(4) / (cm(2) * cm(2)) - 3.0
+    val jb = n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+    assert(r._1 == 800L)
+    assert(math.abs(r._2 - skew) < 1e-6)
+    assert(math.abs(r._3 - kurt) < 1e-6)
+    assert(math.abs(r._4 - jb) < 1e-2)
+  }
+
+  test("Jarque-Bera: symmetric two-point data has zero skew, kurtosis -2") {
+    // x ∈ {0, 1} equally: m2 = 1/4, m3 = 0, m4 = 1/16 → kurt_excess = -2
+    val df = (Seq.fill(50)(0.0) ++ Seq.fill(50)(1.0)).toDF("x")
+    val r = TTest.jarqueBeraDF(df, "x")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._2 == 0.0 && r._3 == -2.0)
+  }
+
   test("Welch: NULL values and NULL flags drop") {
     val df = Seq((Some(1.0), Some(true)), (Some(2.0), Some(true)),
       (None, Some(true)), (Some(3.0), None),
