@@ -1144,6 +1144,37 @@ object SparkEntry {
         .orderBy(col("version"), col("c_mktsegment"))
     }),
 
+    // ---- GENERATED columns (s32): price_bucket GENERATED ALWAYS AS an
+    // integer-exact bucket expression — one append omits the column
+    // (auto-materialized), one supplies it (validated). The oracle
+    // replays the expression relationally over the same slices; the
+    // invariant "stored ≡ formula" is what makes them identical. ---------
+    "s32_generated_cols" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-s32-$pid/ord_gen_$sfx"
+      val S = graft.sources.SnapshotTable
+      val bucketExpr =
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) DIV 5000000"
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      if (S.latestVersion(root) == 0) {
+        S.write(ord.where(col("o_orderkey") <= 400)
+            .withColumn("price_bucket", expr(bucketExpr)).coalesce(1), root)  // v1
+        S.addGeneratedColumn(s, root, "price_bucket", bucketExpr)
+        S.write(ord.where(col("o_orderkey").between(401, 800)).coalesce(1),
+          root, mode = "append")                             // v2: materialized
+        S.write(ord.where(col("o_orderkey").between(801, 1200))
+            .withColumn("price_bucket", expr(bucketExpr)).coalesce(1),
+          root, mode = "append")                             // v3: validated
+      }
+      S.read(s, root).groupBy(col("price_bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double"), 2).as("turnover"))
+        .orderBy(col("price_bucket"))
+    }),
+
     // ---- multimodal: binary payload → REAL ImageIO decode → features -----
     // Each document renders to a genuine 16×16 gray PNG (pixel = char code),
     // then the feature pass decodes it with javax.imageio and grid-pools the
@@ -3705,6 +3736,19 @@ object SparkEntry {
          FROM pc, t
          WHERE (cum + w) * 40 // w0 - cum * 40 // w0 > 0
          ORDER BY doc_id""",
+
+    // s32: the generated column is definitionally its expression, so the
+    // replay just computes it over the written slices
+    "s32_generated_cols" ->
+      """WITH rows_in AS (
+           SELECT o_orderkey, o_totalprice,
+                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    // 5000000 AS price_bucket
+           FROM orders WHERE o_orderkey <= 1200)
+         SELECT price_bucket, count(*) AS n,
+                round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                  AS turnover
+         FROM rows_in GROUP BY 1 ORDER BY price_bucket""",
 
     // s31: the rename is metadata-only, so the relational replay never
     // sees it — base slice, appended slice, keyed merge, two summaries

@@ -184,6 +184,74 @@ object SnapshotTable {
   def dropCheckConstraint(root: String, name: String): Unit =
     writeChecks(root, checkConstraints(root) - name)
 
+  private def gencolsPath(root: String): Path =
+    manifestDir(root).resolve("_gencols.txt")
+
+  /** Active GENERATED columns: name → SQL expression (the Delta
+    * `GENERATED ALWAYS AS` surface). A writer that omits the column gets
+    * it materialized from the expression; a writer that supplies it is
+    * validated value-by-value against the expression — the two paths
+    * keep one invariant: the stored column ALWAYS equals its formula. */
+  def generatedColumns(root: String): Map[String, String] = {
+    val p = gencolsPath(root)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      .filter(_.nonEmpty).map(_.split(";", 2))
+      .collect { case Array(n, e) => n -> e }.toMap
+  }
+
+  private def writeGencols(root: String, gens: Map[String, String]): Unit = {
+    Files.createDirectories(manifestDir(root))
+    val tmp = manifestDir(root).resolve(s"_gencols.${UUID.randomUUID()}.tmp")
+    Files.write(tmp, gens.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"$n;$e" }.mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, gencolsPath(root), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Register `name` as GENERATED ALWAYS AS `sqlExpr`. The column must
+    * already exist in the table schema and every current row must equal
+    * the expression (null-safe) — the inductive base that makes the
+    * write-time enforcement an invariant, exactly like
+    * [[addCheckConstraint]]'s contract. */
+  def addGeneratedColumn(spark: SparkSession, root: String, name: String,
+      sqlExpr: String): Unit = {
+    require(!name.contains(";") && !name.contains("\n"), s"bad column name '$name'")
+    require(!sqlExpr.contains("\n"), "generation expression must be one line")
+    require(latestVersion(root) > 0,
+      "register generated columns on a written table (the first write " +
+        "pins the schema the expression is checked against)")
+    import org.apache.spark.sql.functions.{expr, not, col => fcol}
+    val head = readRaw(root, latestVersion(root))
+    require(head.schema.fieldNames.contains(name),
+      s"no column '$name' in ${head.schema.fieldNames.mkString(",")}")
+    val bad = read(spark, root).where(not(fcol(name) <=> expr(sqlExpr))).count()
+    require(bad == 0,
+      s"cannot register generated column $name AS ($sqlExpr): " +
+        s"$bad existing rows differ from the expression")
+    writeGencols(root, generatedColumns(root) + (name -> sqlExpr))
+  }
+
+  /** Drop a generated-column registration (absent names are a no-op). */
+  def dropGeneratedColumn(root: String, name: String): Unit =
+    writeGencols(root, generatedColumns(root) - name)
+
+  /** Materialize omitted generated columns and validate supplied ones —
+    * run on every writer's incoming rows before staging. */
+  private def applyGenerated(df: DataFrame, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, not, col => fcol}
+    generatedColumns(root).foldLeft(df) { case (d, (name, e)) =>
+      if (!d.columns.contains(name)) d.withColumn(name, expr(e))
+      else {
+        val bad = d.where(not(fcol(name) <=> expr(e))).limit(1).count()
+        require(bad == 0,
+          s"generated column $name must equal ($e); incoming data differs")
+        d
+      }
+    }
+  }
+
   /** Validate `df` (a writer's incoming or rewritten rows) against the
     * active constraint set; throws naming the first violated constraint.
     * NULL evaluations violate, matching Delta CHECK semantics. */
@@ -294,10 +362,12 @@ object SnapshotTable {
     * and old manifests still time-travel with their own schema. Without
     * the flag, an append whose fields differ from the table's is refused
     * (silent column loss is the failure mode this guards). */
-  def write(df: DataFrame, root: String, mode: String = "overwrite",
+  def write(df0: DataFrame, root: String, mode: String = "overwrite",
       statsCols: Seq[String] = Nil, mergeSchema: Boolean = false,
       txn: Map[String, String] = Map.empty): Int = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
+    // generated columns: omitted → materialized, supplied → validated
+    val df = applyGenerated(df0, root)
     validateChecks(df, root)
     // an overwrite replaces every file, so it RESETS the column mapping
     // (new files carry logical names); appends write under the current map
@@ -546,15 +616,16 @@ object SnapshotTable {
     * read-merge-stage-commit loop is the serializable-upsert contract the
     * open table formats document; raced merges on disjoint keys both
     * survive (SnapshotTableSpec pins it). */
-  def merge(updates: DataFrame, root: String, keyCols: Seq[String],
+  def merge(updates0: DataFrame, root: String, keyCols: Seq[String],
       mergeSchema: Boolean = false, statsCols: Seq[String] = Nil,
       changeCapture: Boolean = false,
       txn: Map[String, String] = Map.empty): Int = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     import org.apache.spark.sql.functions.{col => fcol, lit}
-    val spark = updates.sparkSession
+    val spark = updates0.sparkSession
     // only update rows can introduce new values; kept rows passed their
-    // own writer's validation (the inductive CHECK invariant)
+    // own writer's validation (the inductive CHECK/generated invariant)
+    val updates = applyGenerated(updates0, root)
     validateChecks(updates, root)
     var committed = -1
     while (committed < 0) {
@@ -671,6 +742,13 @@ object SnapshotTable {
         s"column '$from' is referenced by CHECK constraint '$name' ($expr) — " +
           "drop the constraint, rename, then re-add it under the new name")
     }
+    generatedColumns(root).foreach { case (name, expr) =>
+      require(name != from &&
+        !s"\\b${java.util.regex.Pattern.quote(from)}\\b".r
+          .findFirstIn(expr).isDefined,
+        s"column '$from' is pinned by generated column '$name' ($expr) — " +
+          "drop the registration, rename, then re-register")
+    }
     var committed = -1
     while (committed < 0) {
       val base = latestVersion(root)
@@ -710,14 +788,15 @@ object SnapshotTable {
     * matching one target key is refused (the Delta multiple-match error).
     * Same optimistic read-merge-stage-commit race loop, change capture,
     * stats carry-over, and txn stamping as [[merge]]. */
-  def mergeConditional(updates: DataFrame, root: String, keyCols: Seq[String],
+  def mergeConditional(updates0: DataFrame, root: String, keyCols: Seq[String],
       updateWhen: Column, deleteWhen: Option[Column] = None,
       insertUnmatched: Boolean = true, statsCols: Seq[String] = Nil,
       changeCapture: Boolean = false,
       txn: Map[String, String] = Map.empty): Int = {
     require(keyCols.nonEmpty, "mergeConditional needs at least one key column")
     import org.apache.spark.sql.functions.{coalesce, col => fcol, lit, when}
-    val spark = updates.sparkSession
+    val spark = updates0.sparkSession
+    val updates = applyGenerated(updates0, root)
     val dup = updates.groupBy(keyCols.map(fcol): _*)
       .count().where(fcol("count") > 1).limit(1).count()
     require(dup == 0, "mergeConditional: updates carry duplicate keys " +
@@ -1797,6 +1876,8 @@ object SnapshotTable {
     }
     val checks = checkConstraints(sourceRoot)
     if (checks.nonEmpty) writeChecks(targetRoot, checks)
+    val gens = generatedColumns(sourceRoot)
+    if (gens.nonEmpty) writeGencols(targetRoot, gens)
     val committed = tryCommit(targetRoot, 0, "clone", m.schema.json,
       m.files, m.stats, dvs = m.dvs, colmap = m.colmap)
     require(committed > 0, s"clone target $targetRoot was committed concurrently")

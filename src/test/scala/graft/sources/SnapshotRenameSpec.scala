@@ -141,6 +141,37 @@ class SnapshotRenameSpec extends SparkSpec {
       SnapshotTable.latestVersion(root)).colmap.isEmpty)
   }
 
+  test("generated columns: omitted → materialized, wrong values refused") {
+    val root = freshRoot()
+    SnapshotTable.write(Seq((1L, 12.0, 1L), (2L, 25.0, 2L))
+      .toDF("k", "v", "v_bucket"), root)
+    SnapshotTable.addGeneratedColumn(spark, root, "v_bucket",
+      "CAST(v AS BIGINT) DIV 10")
+    // append WITHOUT the column: materialized from the expression
+    SnapshotTable.write(Seq((3L, 37.0)).toDF("k", "v"), root, mode = "append")
+    val got = SnapshotTable.read(spark, root)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(got == Set((1L, 12.0, 1L), (2L, 25.0, 2L), (3L, 37.0, 3L)))
+    // append WITH a wrong value: refused
+    intercept[IllegalArgumentException](SnapshotTable.write(
+      Seq((4L, 50.0, 99L)).toDF("k", "v", "v_bucket"), root, mode = "append"))
+    // merge materializes too
+    SnapshotTable.merge(Seq((2L, 99.0)).toDF("k", "v"), root, Seq("k"))
+    assert(SnapshotTable.read(spark, root).where($"k" === 2L)
+      .as[(Long, Double, Long)].head() == ((2L, 99.0, 9L)))
+    // registration with a violated base is refused
+    intercept[IllegalArgumentException](SnapshotTable.addGeneratedColumn(
+      spark, root, "k", "CAST(v AS BIGINT)"))
+    // renames of pinned columns are refused until dropped
+    intercept[IllegalArgumentException](
+      SnapshotTable.renameColumn(root, "v", "value"))
+    intercept[IllegalArgumentException](
+      SnapshotTable.renameColumn(root, "v_bucket", "b"))
+    SnapshotTable.dropGeneratedColumn(root, "v_bucket")
+    SnapshotTable.renameColumn(root, "v", "value")
+    assert(SnapshotTable.read(spark, root).columns.contains("value"))
+  }
+
   test("overwrite resets the mapping; old versions keep theirs") {
     val root = freshRoot()
     SnapshotTable.write(Seq((1, 1.0)).toDF("k", "v"), root)
