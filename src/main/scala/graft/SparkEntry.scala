@@ -2657,6 +2657,20 @@ object SparkEntry {
         .orderBy(col("l_event_id"), col("r_event_id"))
     }),
 
+    // ---- streaming LEFT-OUTER attribution (e13): unconverted views emit
+    // with null purchase columns — batch form of the watermarked outer
+    // stream-stream join (the live null-emission path is spec'd with
+    // MemoryStream watermark advancement). -------------------------------
+    "e13_attributed_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.streaming.EventStream.attributedJoinOuter(
+          ev.where(col("event_type") === "view"),
+          ev.where(col("event_type") === "purchase"), "30 minutes")
+        .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+          col("l_value"), col("r_value"))
+        .orderBy(col("l_event_id"), col("r_event_id"))
+    }),
+
     // ---- streaming near-dup batch replay: the StreamingNearDup operator's
     // signature/banding/owning-band contract over a static corpus, so the
     // streaming component gets a hash-verified CORRECTNESS row (the live
@@ -4578,6 +4592,18 @@ object SparkEntry {
          FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
                FROM events WHERE event_type = 'view') l
          JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+               FROM events WHERE event_type = 'purchase') r
+           ON l.user_id = r.user_id
+          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+         ORDER BY l_event_id, r_event_id""",
+
+    // e13: the same join LEFT OUTER — unconverted views keep null r_*
+    "e13_attributed_outer" ->
+      """SELECT l.user_id, l.event_id AS l_event_id, r.event_id AS r_event_id,
+                l.value AS l_value, r.value AS r_value
+         FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
+               FROM events WHERE event_type = 'view') l
+         LEFT JOIN (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value
                FROM events WHERE event_type = 'purchase') r
            ON l.user_id = r.user_id
           AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE

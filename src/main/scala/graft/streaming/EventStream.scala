@@ -115,6 +115,29 @@ object EventStream {
       .drop("r_user_id")
   }
 
+  /** LEFT-OUTER attribution: like [[attributedJoin]], but a `left` row
+    * with NO matching `right` row in its window still emits, with null
+    * `r_*` columns — the "unconverted view" row a funnel analysis needs.
+    * In streaming this is the semantics batch can't fake incrementally:
+    * the null row may only emit once the right-side WATERMARK has passed
+    * the window's end (before that a match could still arrive), which is
+    * exactly what Spark's watermarked outer stream-stream join does —
+    * callers attach watermarks to both inputs; the time-range condition
+    * bounds the buffered state AND decides when "no match" is final. */
+  def attributedJoinOuter(left: DataFrame, right: DataFrame,
+      window: String = "30 minutes"): DataFrame = {
+    val l = left.select(col("event_id").as("l_event_id"), col("ts").as("l_ts"),
+      col("user_id"), col("value").as("l_value"))
+    val r = right.select(col("event_id").as("r_event_id"), col("ts").as("r_ts"),
+      col("user_id").as("r_user_id"), col("value").as("r_value"))
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $window"),
+      "left_outer")
+      .drop("r_user_id")
+  }
+
   /** Streaming exact dedup — the continuous-ingest counterpart of
     * `Dedup.exactDedup` (d1): keep the FIRST document seen per content hash,
     * with dedup state bounded by the event-time watermark

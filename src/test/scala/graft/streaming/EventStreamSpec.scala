@@ -114,6 +114,41 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributedJoinOuter emits unconverted views with null purchase " +
+      "columns only after the watermark passes the window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[EventStream.SessionEvent]
+    val purchases = MemoryStream[EventStream.SessionEvent]
+    def frame(ds: org.apache.spark.sql.Dataset[EventStream.SessionEvent]) =
+      ds.toDF().select($"user_id".as("event_id"), $"ts", $"user_id", $"value")
+        .withWatermark("ts", "1 hour")
+    val joined = EventStream.attributedJoinOuter(
+      frame(views.toDS()), frame(purchases.toDS()), "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_outer_test")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // user 1 converts; user 2 views and never purchases
+      views.addData(EventStream.SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0))
+      views.addData(EventStream.SessionEvent(2L, ts("2024-01-01 10:05:00"), 2.0))
+      purchases.addData(EventStream.SessionEvent(1L, ts("2024-01-01 10:15:00"), 9.0))
+      q.processAllAvailable()
+      // before the watermark closes user 2's window, its null row may NOT
+      // have emitted as final — advance both watermarks far past it
+      views.addData(EventStream.SessionEvent(9L, ts("2024-01-01 14:00:00"), 0.0))
+      purchases.addData(EventStream.SessionEvent(9L, ts("2024-01-01 15:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("attr_outer_test")
+        .select($"user_id", $"l_value", $"r_value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got.contains((1L, 1.0, Some(9.0))), got.mkString(","))
+      assert(got.contains((2L, 2.0, None)),
+        s"unconverted view must emit with null attribution: ${got.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("sessionize maintains per-user state and counts") {
     val updates = EventStream.sessionize(
       Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDS())
