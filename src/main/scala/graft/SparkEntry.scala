@@ -969,6 +969,46 @@ object SparkEntry {
         t(s, dir, "lineitem"), "l_extendedprice", "l_returnflag")
     }),
 
+    // ---- §2.8 Cramér's V (r25): the [0,1] effect size over the r19
+    // chi² chain — max(chi2_running) IS the final link (contributions
+    // are non-negative), V one fixed tree over it. ------------------------
+    "r25_cramers_v" -> ((s, dir) => {
+      graft.stats.ChiSquare.cramersVDF(
+        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+    }),
+
+    // ---- equi-depth histogram (h2): k ≈n/k-row buckets via the sharded
+    // prefix rank — bucket = (cum·k) DIV n, pure integer arithmetic. -----
+    "h2_histogram_depth" -> ((s, dir) => {
+      graft.ops.Histogram.equiDepth(
+        t(s, dir, "lineitem"), "l_extendedprice", k = 16)
+    }),
+
+    // ---- IDENTITY assignment (s33): dense sequential ids over the
+    // doc_id order via the sharded prefix (no global sort); the append's
+    // start comes from fastStats' metadata-only MAX — no high-water scan.
+    "s33_identity" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val pid = ProcessHandle.current().pid()
+      val root = sys.props("java.io.tmpdir") + s"/graft-s33-$pid/doc_ids_$sfx"
+      val S = graft.sources.SnapshotTable
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      if (S.latestVersion(root) == 0) {
+        S.write(graft.ops.Identity.assignIds(
+            docs.where(col("doc_id") < 250), "doc_id", "row_id", start = 1000L)
+            .coalesce(1),
+          root, statsCols = Seq("row_id"))
+        val next = S.fastStats(root, Seq("row_id")).get._2("row_id")._2.toLong + 1
+        S.write(graft.ops.Identity.assignIds(
+            docs.where(col("doc_id") >= 250), "doc_id", "row_id", start = next)
+            .coalesce(1),
+          root, mode = "append", statsCols = Seq("row_id"))
+      }
+      S.read(s, root).select(col("doc_id"), col("row_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- §2.8 Jarque–Bera normality (r24): the moment sanity check the
     // parametric tests assume — cent-integer power sums in one pass, the
     // statistic as one fixed double tree. ---------------------------------
@@ -5812,6 +5852,79 @@ object SparkEntry {
                 round(ssw, 4) AS ssw_running, round(ssb, 4) AS ssb_running,
                 round((ssb / (k - 1.0)) / (ssw / (bigN - k)), 6) AS f_running
          FROM r ORDER BY grp""",
+
+    // r25: the r19 chain reduced — max of the running chi² is its final
+    // link, V is the fixed normalization tree
+    "r25_cramers_v" ->
+      """WITH cells AS (
+           SELECT l_returnflag AS rf, l_linestatus AS ls,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (
+           SELECT rf, ls, o,
+                  sum(o) OVER (PARTITION BY rf) AS rt,
+                  sum(o) OVER (PARTITION BY ls) AS ct,
+                  sum(o) OVER () AS n
+           FROM cells),
+         c AS (
+           SELECT rf, ls, o,
+                  (CAST(o * n - rt * ct AS DOUBLE)
+                    * CAST(o * n - rt * ct AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE)
+                      * CAST(ct AS DOUBLE)) AS contrib
+           FROM m),
+         run AS (
+           SELECT rf, ls, o,
+                  sum(contrib) OVER (ORDER BY rf, ls
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS chi2_running,
+                  sum(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                      / CAST(n AS DOUBLE)) OVER (ORDER BY rf, ls
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS exp_running
+           FROM (SELECT c.*, m.rt, m.ct, m.n FROM c
+                 JOIN m USING (rf, ls))),
+         ag AS (
+           SELECT CAST(sum(o) AS BIGINT) AS n,
+                  CAST(count(DISTINCT rf) AS BIGINT) AS r,
+                  CAST(count(DISTINCT ls) AS BIGINT) AS c,
+                  max(chi2_running) AS chi2o,
+                  max(exp_running) AS expo
+           FROM run)
+         SELECT n, r, c,
+                round(chi2o + (CAST(n AS DOUBLE) - expo), 6) AS chi2,
+                round(sqrt((chi2o + (CAST(n AS DOUBLE) - expo))
+                  / (CAST(n AS DOUBLE)
+                     * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS v
+         FROM ag""",
+
+    // h2: value cells, exclusive cumulative rank, (cum·k) DIV n buckets
+    "h2_histogram_depth" ->
+      """WITH cells AS (
+           SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         pc AS (SELECT v, c,
+                  CAST(coalesce(sum(c) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum
+                FROM cells),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+         SELECT cum * 16 // n AS bucket,
+                CAST(min(v) AS DOUBLE) / 100.0 AS lo,
+                CAST(max(v) AS DOUBLE) / 100.0 AS hi,
+                CAST(sum(c) AS BIGINT) AS cnt
+         FROM pc, t GROUP BY 1 ORDER BY bucket""",
+
+    // s33: dense row ids are exactly row_number over the unique key order
+    // (the two slices are key-contiguous, so one global ranking replays
+    // both writes and the metadata-derived append start)
+    "s33_identity" ->
+      """SELECT doc_id,
+                999 + row_number() OVER (ORDER BY doc_id) AS row_id
+         FROM documents ORDER BY doc_id""",
 
     // r24: cent-integer power sums (HUGEINT here, DECIMAL there — same
     // integers), the identical central-moment → skew/kurt → JB tree

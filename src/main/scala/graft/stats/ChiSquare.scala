@@ -51,4 +51,34 @@ object ChiSquare {
         col("expected"), col("contrib"), col("chi2_running"))
       .orderBy(col(rCol), col(cCol))
   }
+
+  /** Cramér's V effect size — the [0,1]-normalized strength the raw chi²
+    * can't convey (chi² grows with n; V doesn't). One row
+    * `(n, r, c, chi2, v)`.
+    *
+    * [[contingencyDF]] emits OBSERVED cells only; a structurally-missing
+    * cell (O = 0) still owes chi² its expectation `rt·ct/n`. Since
+    * Σ_all-cells E = n exactly, the missing mass is `n − Σ_observed E` —
+    * recovered here as a SECOND running chain over the same cell order
+    * (both chains' last links taken via max over their non-negative
+    * partial sums), so the completed chi² and V replay bit-for-bit.
+    * `V = sqrt(chi2 / (n·min(r−1, c−1)))`. */
+  def cramersVDF(df: DataFrame, rCol: String, cCol: String): DataFrame = {
+    val runW = Window.partitionBy().orderBy(col(rCol).asc, col(cCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = contingencyDF(df, rCol, cCol)
+      .withColumn("__exp_run", sum(col("expected")).over(runW))
+    val nD = col("n").cast("double")
+    val chi2Full = col("chi2o") + (nD - col("expo"))
+    cells.agg(
+        sum(col("o")).as("n"),
+        countDistinct(col(rCol)).as("r"),
+        countDistinct(col(cCol)).as("c"),
+        max(col("chi2_running")).as("chi2o"),
+        max(col("__exp_run")).as("expo"))
+      .select(col("n"), col("r"), col("c"),
+        round(chi2Full, 6).as("chi2"),
+        round(sqrt(chi2Full / (nD *
+          least(col("r") - 1, col("c") - 1).cast("double"))), 6).as("v"))
+  }
 }

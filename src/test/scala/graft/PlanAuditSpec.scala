@@ -37,7 +37,9 @@ class PlanAuditSpec extends SparkSpec {
     "r20_kruskal",
     // r23: grand totals + SS running chains over the same k-row group
     // frame (one corpus-sized groupBy upstream, never data-sized)
-    "r23_anova")
+    "r23_anova",
+    // r25: reduces the r19 cell frame (same deliberate cell windows)
+    "r25_cramers_v")
 
   test("no query grows an undeclared loop join or partition-less window") {
     val loops = scala.collection.mutable.ArrayBuffer[String]()

@@ -30,4 +30,14 @@ class ChiSquareSpec extends SparkSpec {
     assert(ChiSquare.contingencyDF(flat, "r", "c")
       .agg(max(col("chi2_running"))).head.getDouble(0) == 0.0)
   }
+
+  test("Cramér's V: perfect association gives 1, independence gives 0") {
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("r", "c")
+    assert(ChiSquare.cramersVDF(perfect, "r", "c")
+      .select(col("v")).as[Double].head() == 1.0)
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("r", "c")
+    assert(ChiSquare.cramersVDF(indep, "r", "c")
+      .select(col("v")).as[Double].head() == 0.0)
+  }
 }
