@@ -531,6 +531,14 @@ object SparkEntry {
         .orderBy(col("pick"))
     }),
 
+    // ---- similarity: per-dim int8 quantization profile (n11) — the
+    // embedding-storage compression census: two passes over the vectors,
+    // stats broadcast back, codes/error exact (floor-based rounding, no
+    // engine round() convention in the chain). ---------------------------
+    "n11_embed_quantize" -> ((s, dir) => {
+      graft.sim.Quantize.int8ProfileDF(t(s, dir, "embeddings"), "embedding")
+    }),
+
     // ---- similarity: LSH-bucketed approximate pairs ----------------------
     // The synthetic embeddings are near-orthogonal (max pairwise cos ≈ 0.55),
     // so near-dups are PLANTED: each vector gets a copy shifted by an
@@ -974,6 +982,59 @@ object SparkEntry {
     // are non-negative), V one fixed tree over it. ------------------------
     "r25_cramers_v" -> ((s, dir) => {
       graft.stats.ChiSquare.cramersVDF(
+        t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+    }),
+
+    // ---- §2.8 Kaplan–Meier (r26): time-to-ship survival with returns as
+    // right-censoring — value-level (distinct day) frame via the sharded
+    // prefix, survival as the running log-sum product (t13 precedent). ---
+    "r26_kaplan_meier" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val cohort = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .as("ship_days"), (col("l_returnflag") =!= "R").as("kept"))
+      graft.stats.Survival.kaplanMeierDF(cohort, "ship_days", col("kept"))
+    }),
+
+    // ---- §2.8 log-rank test (r27): does order priority shift the
+    // time-to-ship curve? Two sharded prefixes (per-arm risk sets), all
+    // integer until the per-time division, running chains to the stat. ---
+    "r27_logrank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val cohort = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .as("ship_days"), (col("l_returnflag") =!= "R").as("kept"),
+          substring(col("o_orderpriority"), 1, 1).isin("1", "2").as("urgent"))
+      graft.stats.Survival.logRankDF(cohort, "ship_days", col("kept"), col("urgent"))
+    }),
+
+    // ---- §2.8 Wilcoxon signed-rank (r28): PAIRED quantities — line 1 vs
+    // line 2 of the same order; |d| ranks via the sharded prefix, three
+    // exact longs + one closed-form z. ------------------------------------
+    "r28_signed_rank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l1 = li.where(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("x"))
+      val l2 = li.where(col("l_linenumber") === 2)
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("y"))
+      graft.stats.RankTests.signedRankDF(l1.join(l2, "k"), "x", "y")
+    }),
+
+    // ---- §2.8 Mantel–Haenszel (r29): discount→return association
+    // adjusted for ship-year strata — 2×2 cells per stratum in one
+    // groupBy, per-stratum OR/RR + pooled MH/CMH running chains. ----------
+    "r29_mantel_haenszel" -> ((s, dir) => {
+      graft.stats.Epi.mantelHaenszelDF(
+        t(s, dir, "lineitem").withColumn("ship_year",
+          year(col("l_shipdate")).cast("string")),
+        "ship_year", col("l_discount") >= 0.05, col("l_returnflag") === "R")
+    }),
+
+    // ---- §2.8 mutual information / NMI (r30): the feature-relevance
+    // score over the r19 cell frame — one corpus groupBy, running chains
+    // for MI and both marginal entropies, 1-row cross joins to combine. --
+    "r30_mutual_info" -> ((s, dir) => {
+      graft.stats.ChiSquare.mutualInformationDF(
         t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
     }),
 
@@ -5899,6 +5960,275 @@ object SparkEntry {
                   / (CAST(n AS DOUBLE)
                      * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS v
          FROM ag""",
+
+    // r26: distinct-time counts, exclusive leave-prefix → n_risk, the
+    // running ln-sum product with the dead-risk-set pin (t13 precedent)
+    "r26_kaplan_meier" ->
+      """WITH src AS (
+           SELECT CAST(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+                  (l_returnflag <> 'R') AS e
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+             AND l_returnflag IS NOT NULL),
+         tc AS (
+           SELECT t,
+                  CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                  CAST(count(*) - sum(CASE WHEN e THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+           FROM src GROUP BY 1),
+         pc AS (
+           SELECT t, d, c,
+                  (SELECT sum(d + c) FROM tc)
+                    - coalesce(sum(d + c) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n_risk
+           FROM tc),
+         lr AS (
+           SELECT t, n_risk, d, c,
+                  CASE WHEN d < n_risk
+                       THEN ln(CAST(n_risk - d AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE))
+                       ELSE 0.0 END AS lnr,
+                  min(n_risk - d) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+           FROM pc)
+         SELECT t, n_risk, d, c,
+                CASE WHEN dead = 0 THEN 0.0
+                     ELSE round(exp(sum(lnr) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                END AS survival
+         FROM lr ORDER BY t""",
+
+    // r27: per-arm leave counts, two exclusive prefixes → risk sets,
+    // event-time frame, the same fixed division trees + running chains
+    "r27_logrank" ->
+      """WITH src AS (
+           SELECT CAST(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+                  (l_returnflag <> 'R') AS e,
+                  (substring(o_orderpriority, 1, 1) IN ('1', '2')) AS g
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+             AND l_returnflag IS NOT NULL AND o_orderpriority IS NOT NULL),
+         tc AS (
+           SELECT t,
+                  CAST(sum(CASE WHEN e AND g THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                  CAST(sum(CASE WHEN e AND NOT g THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+                  CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS leave1,
+                  CAST(count(*) - sum(CASE WHEN g THEN 1 ELSE 0 END)
+                    AS BIGINT) AS leave2
+           FROM src GROUP BY 1),
+         pc AS (
+           SELECT t, d1, d2,
+                  (SELECT sum(leave1) FROM tc)
+                    - coalesce(sum(leave1) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n1,
+                  (SELECT sum(leave2) FROM tc)
+                    - coalesce(sum(leave2) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n2
+           FROM tc),
+         ev AS (
+           SELECT t, n1, n2, d1, d2,
+                  CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                    / CAST(n1 + n2 AS DOUBLE) AS e1,
+                  CASE WHEN n1 + n2 > 1 THEN
+                    CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                      / CAST(n1 + n2 AS DOUBLE)
+                      * (CAST(n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+                      * ((CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+                         / (CAST(n1 + n2 AS DOUBLE) - 1.0))
+                  ELSE 0.0 END AS var1
+           FROM pc WHERE d1 + d2 > 0),
+         run AS (
+           SELECT t, n1, n2, d1, d2, e1, var1,
+                  sum(d1) OVER w AS o1_run,
+                  sum(e1) OVER w AS e1_run,
+                  sum(var1) OVER w AS v_run
+           FROM ev
+           WINDOW w AS (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT t, n1, n2, d1, d2,
+                round(e1, 6) AS e1, round(var1, 6) AS var1,
+                CAST(o1_run AS BIGINT) AS o1_run,
+                round(e1_run, 6) AS e1_run, round(v_run, 6) AS v_run,
+                CASE WHEN v_run > 0.0
+                     THEN round((CAST(o1_run AS DOUBLE) - e1_run)
+                                * (CAST(o1_run AS DOUBLE) - e1_run) / v_run, 6)
+                     ELSE 0.0 END AS chi2_running
+         FROM run ORDER BY t""",
+
+    // r28: paired diffs, |d| value counts, exclusive prefix ranks, the
+    // three exact longs and the identical closed-form z tree
+    "r28_signed_rank" ->
+      """WITH pairs AS (
+           SELECT a.l_quantity AS x, b.l_quantity AS y
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_linenumber = 1 AND b.l_linenumber = 2
+             AND a.l_quantity IS NOT NULL AND b.l_quantity IS NOT NULL),
+         nz AS (
+           SELECT abs(dd) AS v, CASE WHEN dd > 0 THEN 1 ELSE 0 END AS p
+           FROM (SELECT CAST(x AS DOUBLE) - CAST(y AS DOUBLE) AS dd
+                 FROM pairs) WHERE dd <> 0),
+         vc AS (
+           SELECT v, CAST(count(*) AS BIGINT) AS t,
+                  CAST(sum(p) AS BIGINT) AS pos
+           FROM nz GROUP BY v),
+         pc AS (
+           SELECT v, t, pos,
+                  coalesce(sum(t) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+           FROM vc),
+         ag AS (
+           SELECT CAST(sum(t) AS BIGINT) AS n,
+                  CAST(sum(pos * (2 * cum + t + 1)) AS BIGINT) AS w2plus,
+                  CAST(sum(t * t * t - t) AS BIGINT) AS tie_term
+           FROM pc)
+         SELECT n, w2plus, tie_term,
+                round((CAST(w2plus AS DOUBLE) / 2.0
+                        - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+                      / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                             * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                             - CAST(tie_term AS DOUBLE) / 48.0), 6) AS z
+         FROM ag""",
+
+    // r29: stratum 2×2 cells, fixed OR/RR trees, MH/CMH running chains
+    // in stratum order — the identical left-to-right expression shapes
+    "r29_mantel_haenszel" ->
+      """WITH src AS (
+           SELECT CAST(year(CAST(l_shipdate AS DATE)) AS VARCHAR) AS stratum,
+                  (l_discount >= 0.05) AS x, (l_returnflag = 'R') AS y
+           FROM lineitem
+           WHERE l_shipdate IS NOT NULL AND l_discount IS NOT NULL
+             AND l_returnflag IS NOT NULL),
+         cells AS (
+           SELECT stratum,
+                  CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM src GROUP BY 1),
+         run AS (
+           SELECT stratum, a, b, c, d,
+                  sum(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      / CAST(a + b + c + d AS DOUBLE)) OVER w AS mhn,
+                  sum(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                      / CAST(a + b + c + d AS DOUBLE)) OVER w AS mhd,
+                  sum(a) OVER w AS a_run,
+                  sum(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                      / CAST(a + b + c + d AS DOUBLE)) OVER w AS er,
+                  sum(CASE WHEN a + b + c + d > 1 THEN
+                        CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                          * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+                          / (CAST(a + b + c + d AS DOUBLE)
+                             * CAST(a + b + c + d AS DOUBLE)
+                             * (CAST(a + b + c + d AS DOUBLE) - 1.0))
+                      ELSE 0.0 END) OVER w AS vr
+           FROM cells
+           WINDOW w AS (ORDER BY stratum
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT stratum, a, b, c, d,
+                CASE WHEN b * c > 0
+                     THEN round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                                / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)), 6)
+                END AS odds_ratio,
+                CASE WHEN c > 0
+                     THEN round(CAST(a AS DOUBLE)
+                                * (CAST(c AS DOUBLE) + CAST(d AS DOUBLE))
+                                / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+                                   * CAST(c AS DOUBLE)), 6)
+                END AS risk_ratio,
+                CASE WHEN mhd > 0.0 THEN round(mhn / mhd, 6) END AS or_mh_run,
+                CAST(a_run AS BIGINT) AS a_run,
+                round(er, 6) AS e_run, round(vr, 6) AS v_run,
+                CASE WHEN vr > 0.0
+                     THEN round((CAST(a_run AS DOUBLE) - er)
+                                * (CAST(a_run AS DOUBLE) - er) / vr, 6)
+                     ELSE 0.0 END AS cmh_running
+         FROM run ORDER BY stratum""",
+
+    // n11: per-dim explode via the 64-dim cross join, min/max stats, the
+    // identical floor-based code and reconstruction-error trees
+    "n11_embed_quantize" ->
+      """WITH dims AS (SELECT unnest(range(0, 64)) AS dim),
+         ex AS (
+           SELECT CAST(d.dim AS BIGINT) AS dim,
+                  CAST(embedding[d.dim + 1] AS DOUBLE) AS v
+           FROM embeddings, dims d
+           WHERE embedding IS NOT NULL),
+         st AS (
+           SELECT dim, min(v) AS vmin, max(v) AS vmax,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM ex GROUP BY dim),
+         q AS (
+           SELECT e.dim, s.n, s.vmin, s.vmax, e.v,
+                  CAST(CASE WHEN s.vmax > s.vmin
+                       THEN floor((e.v - s.vmin) * 255.0 / (s.vmax - s.vmin)
+                                  + 0.5)
+                       ELSE 0.0 END AS BIGINT) AS code
+           FROM ex e JOIN st s USING (dim))
+         SELECT dim, n, vmin, vmax,
+                CAST(sum(code) AS BIGINT) AS code_sum,
+                CAST(min(code) AS BIGINT) AS code_min,
+                CAST(max(code) AS BIGINT) AS code_max,
+                round(max(abs(v - (vmin + CAST(code AS DOUBLE)
+                                          * (vmax - vmin) / 255.0))), 6)
+                  AS max_abs_err
+         FROM q GROUP BY dim, n, vmin, vmax ORDER BY dim""",
+
+    // r30: cell frame + margins, MI/entropy running chains (last link via
+    // max_by on the cell rank — MI terms are signed), 1-row combine
+    "r30_mutual_info" ->
+      """WITH cells AS (
+           SELECT l_returnflag AS rf, l_linestatus AS ls,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (
+           SELECT rf, ls, o,
+                  sum(o) OVER (PARTITION BY rf) AS rt,
+                  sum(o) OVER (PARTITION BY ls) AS ct,
+                  sum(o) OVER () AS n
+           FROM cells),
+         run AS (
+           SELECT o, n,
+                  sum(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+                      * ln(CAST(o * n AS DOUBLE) / CAST(rt * ct AS DOUBLE)))
+                    OVER (ORDER BY rf, ls
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS mi_run,
+                  row_number() OVER (ORDER BY rf, ls) AS rn
+           FROM m),
+         mi AS (
+           SELECT CAST(sum(o) AS BIGINT) AS n, max_by(mi_run, rn) AS mi0
+           FROM run),
+         hr AS (
+           SELECT max(h_run) AS hr0 FROM (
+             SELECT sum(0.0 - CAST(mt AS DOUBLE) / CAST(n AS DOUBLE)
+                        * ln(CAST(mt AS DOUBLE) / CAST(n AS DOUBLE)))
+                      OVER (ORDER BY rf
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS h_run
+             FROM (SELECT rf, sum(o) AS mt, sum(sum(o)) OVER () AS n
+                   FROM cells GROUP BY rf))),
+         hc AS (
+           SELECT max(h_run) AS hc0 FROM (
+             SELECT sum(0.0 - CAST(mt AS DOUBLE) / CAST(n AS DOUBLE)
+                        * ln(CAST(mt AS DOUBLE) / CAST(n AS DOUBLE)))
+                      OVER (ORDER BY ls
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS h_run
+             FROM (SELECT ls, sum(o) AS mt, sum(sum(o)) OVER () AS n
+                   FROM cells GROUP BY ls)))
+         SELECT n, round(mi0, 6) AS mi,
+                round(hr0, 6) AS h_r, round(hc0, 6) AS h_c,
+                CASE WHEN hr0 * hc0 > 0.0
+                     THEN round(mi0 / sqrt(hr0 * hc0), 6)
+                     ELSE 0.0 END AS nmi
+         FROM mi, hr, hc""",
 
     // h2: value cells, exclusive cumulative rank, (cum·k) DIV n buckets
     "h2_histogram_depth" ->

@@ -52,6 +52,70 @@ object ChiSquare {
       .orderBy(col(rCol), col(cCol))
   }
 
+  /** Mutual information between two categorical columns (nats), with the
+    * marginal entropies and the sqrt-normalized NMI — the feature-relevance
+    * score a selection pipeline ranks columns by (chi² grows with n and
+    * table size; NMI ∈ [0,1] compares across pairs). One row
+    * `(n, mi, h_r, h_c, nmi)`.
+    *
+    * Exactness: the corpus reduces to the R×C cell counts in one map-side
+    * groupBy; each MI term is `(o/n)·ln(o·n / (rt·ct))` — exact-long
+    * products (< 2^63 for any table under ~3B rows), single divisions, one
+    * `ln` (the t13 round-6 convention) — and MI / both entropies
+    * accumulate as RUNNING chains in cell / margin order (the r19
+    * doctrine), so the result replays bit-for-bit. Observed cells have
+    * o > 0, and structurally-missing cells contribute exactly 0 to MI, so
+    * no completion pass is needed (unlike [[cramersVDF]]). */
+  def mutualInformationDF(df: DataFrame, rCol: String, cCol: String): DataFrame = {
+    val cells = df
+      .where(col(rCol).isNotNull && col(cCol).isNotNull)
+      .groupBy(col(rCol), col(cCol)).agg(count(lit(1)).as("o"))
+    val rw = Window.partitionBy(col(rCol))
+    val cw = Window.partitionBy(col(cCol))
+    val aw = Window.partitionBy()
+    val runW = Window.partitionBy().orderBy(col(rCol).asc, col(cCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cell-level frame: R×C rows (the deliberate dimension-sized windows)
+    val m = cells
+      .withColumn("__rt", sum(col("o")).over(rw))
+      .withColumn("__ct", sum(col("o")).over(cw))
+      .withColumn("__n", sum(col("o")).over(aw))
+    val miTerm = col("o").cast("double") / col("__n").cast("double") *
+      log((col("o") * col("__n")).cast("double") /
+        (col("__rt") * col("__ct")).cast("double"))
+    // MI terms can be NEGATIVE (cells under independence expectation), so
+    // the chain is non-monotone: take the LAST link via max_by on the cell
+    // rank, not max (the r19/r25 shortcut only works for chi²'s ≥0 terms)
+    val withMi = m
+      .withColumn("__mi_run", sum(miTerm).over(runW))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy().orderBy(col(rCol).asc, col(cCol).asc)))
+    val agg = withMi.agg(sum(col("o")).as("n0"),
+      max_by(col("__mi_run"), col("__rn")).as("mi0"))
+    // marginal entropies: each margin is its own dimension-sized frame
+    // with its own running chain in key order
+    def entropy(keyCol: String): DataFrame = {
+      val marg = cells.groupBy(col(keyCol)).agg(sum(col("o")).as("mt"))
+      val mw = Window.partitionBy()
+      val mRun = Window.partitionBy().orderBy(col(keyCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hTerm = lit(0.0) - col("mt").cast("double") / col("__n").cast("double") *
+        log(col("mt").cast("double") / col("__n").cast("double"))
+      marg.withColumn("__n", sum(col("mt")).over(mw))
+        .withColumn("__h_run", sum(hTerm).over(mRun))
+        .agg(max(col("__h_run")).as(s"h_$keyCol"))
+    }
+    val hr = entropy(rCol).withColumnRenamed(s"h_$rCol", "hr0")
+    val hc = entropy(cCol).withColumnRenamed(s"h_$cCol", "hc0")
+    // 1-row × 1-row cross joins (the j1 deliberate family)
+    agg.crossJoin(hr).crossJoin(hc)
+      .select(col("n0").as("n"), round(col("mi0"), 6).as("mi"),
+        round(col("hr0"), 6).as("h_r"), round(col("hc0"), 6).as("h_c"),
+        when(col("hr0") * col("hc0") > 0.0,
+          round(col("mi0") / sqrt(col("hr0") * col("hc0")), 6))
+          .otherwise(lit(0.0)).as("nmi"))
+  }
+
   /** Cramér's V effect size — the [0,1]-normalized strength the raw chi²
     * can't convey (chi² grows with n; V doesn't). One row
     * `(n, r, c, chi2, v)`.

@@ -1,0 +1,80 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stratified 2×2 epidemiology: per-stratum odds ratio / relative risk and
+  * the Mantel–Haenszel pooled estimate + Cochran–Mantel–Haenszel test
+  * (NOT-IN-REFERENCE §2.8 extension — the confounder-adjusted sibling of
+  * the reference's 2×2 Fisher exact test, `Hypothesis testing R.r`'s
+  * epidemiological counterpart).
+  *
+  * The corpus reduces to one map-side-combined groupBy producing the
+  * stratum-level 2×2 cell counts `(a, b, c, d)` — exposed/outcome,
+  * exposed/no-outcome, unexposed/outcome, unexposed/no-outcome — all exact
+  * LONGs. Every per-stratum measure is a fixed expression tree of single
+  * correctly-rounded double operations over those longs, and the pooled
+  * MH/CMH terms accumulate as RUNNING chains in stratum order (the r19
+  * fixed-chain doctrine), so the whole frame replays bit-for-bit: no
+  * transcendentals anywhere. The per-stratum frame is dimension-sized. */
+object Epi {
+
+  /** One row per stratum, ordered by stratum, with the 2×2 cells, the
+    * per-stratum `odds_ratio` (ad/bc, NULL when bc = 0) and `risk_ratio`
+    * (a(c+d) / ((a+b)c), NULL when c = 0), and the running MH/CMH state:
+    * `or_mh_run` (Σad/n / Σbc/n), `a_run`, `e_run` = Σ(a+b)(a+c)/n,
+    * `v_run` = Σ(a+b)(c+d)(a+c)(b+d)/(n²(n−1)), and
+    * `cmh_running = (a_run − e_run)²/v_run` — the LAST row carries the
+    * pooled estimate and test statistic. NULL stratum/flag rows drop. */
+  def mantelHaenszelDF(df: DataFrame, stratumCol: String,
+      exposed: Column, outcome: Column): DataFrame = {
+    val cells = df
+      .where(col(stratumCol).isNotNull && exposed.isNotNull && outcome.isNotNull)
+      .select(col(stratumCol).cast("string").as("stratum"),
+        when(exposed, 1L).otherwise(0L).as("x"),
+        when(outcome, 1L).otherwise(0L).as("y"))
+      .groupBy(col("stratum"))
+      .agg(sum(col("x") * col("y")).as("a"),
+        sum(col("x") * (lit(1L) - col("y"))).as("b"),
+        sum((lit(1L) - col("x")) * col("y")).as("c"),
+        sum((lit(1L) - col("x")) * (lit(1L) - col("y"))).as("d"))
+    val a = col("a").cast("double"); val b = col("b").cast("double")
+    val c = col("c").cast("double"); val d = col("d").cast("double")
+    val n = col("a") + col("b") + col("c") + col("d")
+    val nD = n.cast("double")
+    val orS = when(col("b") * col("c") > 0L, round(a * d / (b * c), 6))
+    val rrS = when(col("c") > 0L, round(a * (c + d) / ((a + b) * c), 6))
+    // MH numerator/denominator and CMH expectation/variance terms: integer
+    // margin products stay exact as doubles (< 2^53), one division each;
+    // the 4-margin variance numerator multiplies as doubles to dodge
+    // long overflow — same left-to-right tree in the SQL replay.
+    val mhNum = a * d / nD
+    val mhDen = b * c / nD
+    val eTerm = (col("a") + col("b")).cast("double") *
+      (col("a") + col("c")).cast("double") / nD
+    val vTerm = when(n > 1L,
+      (col("a") + col("b")).cast("double") * (col("c") + col("d")).cast("double") *
+        (col("a") + col("c")).cast("double") * (col("b") + col("d")).cast("double") /
+        (nD * nD * (nD - lit(1.0)))).otherwise(lit(0.0))
+    val runW = Window.partitionBy().orderBy(col("stratum").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // stratum-level frame: the deliberate dimension-sized global window
+    cells
+      .withColumn("__mhn", sum(mhNum).over(runW))
+      .withColumn("__mhd", sum(mhDen).over(runW))
+      .withColumn("a_run", sum(col("a")).over(runW))
+      .withColumn("__er", sum(eTerm).over(runW))
+      .withColumn("__vr", sum(vTerm).over(runW))
+      .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+        orS.as("odds_ratio"), rrS.as("risk_ratio"),
+        when(col("__mhd") > 0.0, round(col("__mhn") / col("__mhd"), 6)).as("or_mh_run"),
+        col("a_run"), round(col("__er"), 6).as("e_run"),
+        round(col("__vr"), 6).as("v_run"),
+        when(col("__vr") > 0.0,
+          round((col("a_run").cast("double") - col("__er")) *
+            (col("a_run").cast("double") - col("__er")) / col("__vr"), 6))
+          .otherwise(lit(0.0)).as("cmh_running"))
+      .orderBy(col("stratum"))
+  }
+}

@@ -189,6 +189,38 @@ object RankTests {
         sqrt((n * sdx2 - sdx * sdx) * (n * sdy2 - sdy * sdy)), 6).as("rho"))
   }
 
+  /** Wilcoxon signed-rank test for PAIRED samples (the within-subject
+    * sibling of [[mannWhitneyDF]] — R's `wilcox.test(x, y, paired = TRUE,
+    * correct = FALSE)` convention): zero differences drop, |d| ranks with
+    * average ties via the same value-level sharded prefix, and the test
+    * reduces to three exact LONGs — `n` (non-zero pairs), `w2plus`
+    * (= 2·W⁺: the doubled positive-rank sum, integral under average-tie
+    * doubling), `tie_term` (Σ t³−t over tied |d| blocks) — plus the one
+    * closed-form z: `(W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − T/48)`,
+    * a fixed expression tree a replay reproduces bit-for-bit.
+    *
+    * Plan: pair diffs row-level, one map-side-combined groupBy to |d|
+    * value counts, the sharded exclusive prefix, one global aggregate. */
+  def signedRankDF(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val diffs = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((col(xCol).cast("double") - col(yCol).cast("double")).as("dd"))
+      .where(col("dd") =!= 0.0)
+      .select(abs(col("dd")).as("v"), when(col("dd") > 0.0, 1L).otherwise(0L).as("p"))
+    val vc = diffs.groupBy(col("v"))
+      .agg(count(lit(1)).as("t"), sum(col("p")).as("pos"))
+    val pref = withExclusivePrefixCols(vc, Seq("t" -> "cum"))
+    val agg = pref.agg(
+      sum(col("t")).as("n"),
+      sum(col("pos") * (lit(2L) * col("cum") + col("t") + lit(1L))).as("w2plus"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie_term"))
+    val n = col("n").cast("double")
+    val z = (col("w2plus").cast("double") / lit(2.0) -
+        n * (n + lit(1.0)) / lit(4.0)) /
+      sqrt(n * (n + lit(1.0)) * (lit(2.0) * n + lit(1.0)) / lit(24.0) -
+        col("tie_term").cast("double") / lit(48.0))
+    agg.select(col("n"), col("w2plus"), col("tie_term"), round(z, 6).as("z"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov D, EXACT: the max over values of
     * |ECDF_A − ECDF_B| returned as the integer numerator over the common
     * denominator n_a·n_b — `D = d_num / (n_a·n_b)` with no float in the

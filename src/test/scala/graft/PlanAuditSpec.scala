@@ -19,7 +19,9 @@ class PlanAuditSpec extends SparkSpec {
     "n6_pq_probe", "n7_pq_trained", "n9_rp_prefilter",
     // n10: the 1-row-query broadcast relevance pass (the n1 shape)
     "n10_mmr_rerank",
-    "r13_permanova_stat", "t10_ngram_lm")
+    "r13_permanova_stat", "t10_ngram_lm",
+    // r30: the 1-row MI × entropy × entropy combine (the j1 shape)
+    "r30_mutual_info")
 
   // the in-SQL ROC curve over 4 leaf scores (m3 — plan-required: the
   // curve is built inside one query), the DPP dim max (p7 — days-sized,
@@ -39,7 +41,14 @@ class PlanAuditSpec extends SparkSpec {
     // frame (one corpus-sized groupBy upstream, never data-sized)
     "r23_anova",
     // r25: reduces the r19 cell frame (same deliberate cell windows)
-    "r25_cramers_v")
+    "r25_cramers_v",
+    // r26/r27: KM / log-rank running chains over the distinct-TIME frame
+    // (~days-sized; the corpus reduced to time counts in the one groupBy)
+    "r26_kaplan_meier", "r27_logrank",
+    // r29: MH/CMH running chains over the stratum frame (years-sized)
+    "r29_mantel_haenszel",
+    // r30: MI/entropy running chains over the R×C cell / margin frames
+    "r30_mutual_info")
 
   test("no query grows an undeclared loop join or partition-less window") {
     val loops = scala.collection.mutable.ArrayBuffer[String]()

@@ -40,4 +40,40 @@ class ChiSquareSpec extends SparkSpec {
     assert(ChiSquare.cramersVDF(indep, "r", "c")
       .select(col("v")).as[Double].head() == 0.0)
   }
+
+  test("mutual information: independence gives 0, identity gives full entropy") {
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("r", "c")
+    val ri = ChiSquare.mutualInformationDF(indep, "r", "c").head()
+    assert(ri.getDouble(1) == 0.0 && ri.getDouble(4) == 0.0)
+    // identity mapping: MI = H_r = H_c = ln(2), NMI = 1
+    val ident = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y")).toDF("r", "c")
+    val rd = ChiSquare.mutualInformationDF(ident, "r", "c").head()
+    assert(math.abs(rd.getDouble(1) - math.log(2)) < 1e-6)
+    assert(math.abs(rd.getDouble(2) - math.log(2)) < 1e-6)
+    assert(math.abs(rd.getDouble(4) - 1.0) < 1e-6)
+  }
+
+  test("mutual information: distributed equals the driver sweep on skewed data") {
+    val rng = new scala.util.Random(53)
+    val data = Seq.fill(4000) {
+      val r = rng.nextInt(4)
+      val c = if (rng.nextInt(3) == 0) r % 3 else rng.nextInt(3)
+      (s"r$r", s"c$c")
+    }
+    val df = data.toDF("r", "c").repartition(7)
+    val got = ChiSquare.mutualInformationDF(df, "r", "c").head()
+    val n = data.size.toDouble
+    val cellCounts = data.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val rCounts = data.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val cCounts = data.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val mi = cellCounts.map { case ((r, c), o) =>
+      o / n * math.log(o * n / (rCounts(r) * cCounts(c))) }.sum
+    val hr = rCounts.values.map(t => -t / n * math.log(t / n)).sum
+    val hc = cCounts.values.map(t => -t / n * math.log(t / n)).sum
+    assert(got.getLong(0) == 4000L)
+    assert(math.abs(got.getDouble(1) - mi) < 1e-6)
+    assert(math.abs(got.getDouble(2) - hr) < 1e-6)
+    assert(math.abs(got.getDouble(3) - hc) < 1e-6)
+    assert(math.abs(got.getDouble(4) - mi / math.sqrt(hr * hc)) < 1e-6)
+  }
 }

@@ -1,0 +1,183 @@
+package graft.stats
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // classic worked example (Klein & Moeschberger style): 10 subjects,
+  // events at 3, 5, 5, 8; censored at 4, 6, 10; events at 11, 12; censored 12
+  private val cohort = Seq(
+    (3L, true), (4L, false), (5L, true), (5L, true), (6L, false),
+    (8L, true), (10L, false), (11L, true), (12L, true), (12L, false))
+
+  test("Kaplan-Meier: hand-computed risk table and survival") {
+    val df = cohort.toDF("t", "ev").repartition(3)
+    val r = Survival.kaplanMeierDF(df, "t", col("ev"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // (t, n_risk, d, c)
+    val expected = Seq(
+      (3L, 10L, 1L, 0L), (4L, 9L, 0L, 1L), (5L, 8L, 2L, 0L),
+      (6L, 6L, 0L, 1L), (8L, 5L, 1L, 0L), (10L, 4L, 0L, 1L),
+      (11L, 3L, 1L, 0L), (12L, 2L, 1L, 1L))
+    assert(r.map(x => (x._1, x._2, x._3, x._4)).toSeq == expected)
+    // survival: 9/10, 9/10, 9/10*6/8, ... driver product replay
+    var s = 1.0
+    val surv = expected.map { case (_, n, d, _) =>
+      s *= (n - d).toDouble / n; s }
+    r.map(_._5).zip(surv).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-6, s"$got vs $want") }
+  }
+
+  test("Kaplan-Meier: survival pins to exactly 0 when the risk set dies out") {
+    val df = Seq((1L, true), (2L, true), (2L, true)).toDF("t", "ev")
+    val r = Survival.kaplanMeierDF(df, "t", col("ev"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(r.last == ((2L, 2L, 2L, 0L, 0.0)))
+  }
+
+  test("Kaplan-Meier: distributed equals the driver sweep on random data") {
+    val rng = new scala.util.Random(19)
+    val data = Seq.fill(2000)((rng.nextInt(40).toLong + 1L, rng.nextBoolean()))
+    val df = data.toDF("t", "ev").repartition(7)
+    val r = Survival.kaplanMeierDF(df, "t", col("ev"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val byT = data.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = data.size.toLong; var s = 1.0
+    byT.zip(r).foreach { case ((t, rows), got) =>
+      val d = rows.count(_._2).toLong; val c = rows.size - d
+      s *= (atRisk - d).toDouble / atRisk
+      assert(got._1 == t && got._2 == atRisk && got._3 == d && got._4 == c)
+      assert(math.abs(got._5 - s) < 1e-6)
+      atRisk -= rows.size
+    }
+  }
+
+  test("log-rank: hand-computed two-group example") {
+    // G1: events at 1, 2; G2: event at 2, censored at 3
+    val df = Seq((1L, true, true), (2L, true, true), (2L, true, false),
+      (3L, false, false)).toDF("t", "ev", "g")
+    val r = Survival.logRankDF(df, "t", col("ev"), col("g"))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Long, Double, Double, Double)]
+      .collect()
+    // t=1: n1=2 n2=2 d1=1 d2=0 → e1 = 1*2/4 = .5, v = (1*2/4)*(2/4)*(3/3) = .25
+    // t=2: n1=1 n2=2 d1=1 d2=1 → e1 = 2*1/3, v = (2*1/3)*(2/3)*(1/2) = 2/9
+    assert(r.map(x => (x._1, x._2, x._3, x._4, x._5)).toSeq ==
+      Seq((1L, 2L, 2L, 1L, 0L), (2L, 1L, 2L, 1L, 1L)))
+    assert(math.abs(r(0)._6 - 0.5) < 1e-6 && math.abs(r(0)._7 - 0.25) < 1e-6)
+    assert(math.abs(r(1)._6 - 2.0 / 3) < 1e-6 && math.abs(r(1)._7 - 2.0 / 9) < 1e-6)
+    val o1 = 2.0; val e1 = 0.5 + 2.0 / 3; val v = 0.25 + 2.0 / 9
+    assert(math.abs(r.last._11 - (o1 - e1) * (o1 - e1) / v) < 1e-6)
+  }
+
+  test("log-rank: distributed equals the driver sweep on random data") {
+    val rng = new scala.util.Random(23)
+    val data = Seq.fill(3000)(
+      (rng.nextInt(30).toLong + 1L, rng.nextInt(3) > 0, rng.nextBoolean()))
+    val df = data.toDF("t", "ev", "g").repartition(9)
+    val r = Survival.logRankDF(df, "t", col("ev"), col("g"))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Long, Double, Double, Double)]
+      .collect()
+    var n1 = data.count(_._3).toLong; var n2 = data.size - n1
+    var o1 = 0L; var e1 = 0.0; var v = 0.0
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    data.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (t, g) =>
+      val d1 = g.count(x => x._2 && x._3).toLong
+      val d2 = g.count(x => x._2 && !x._3).toLong
+      val d = d1 + d2; val n = n1 + n2
+      if (d > 0) {
+        rows += ((t, n1, n2, d1, d2))
+        o1 += d1
+        e1 += d.toDouble * n1 / n
+        if (n > 1) v += d.toDouble * n1 / n * (n2.toDouble / n) * ((n - d).toDouble / (n - 1))
+      }
+      n1 -= g.count(_._3); n2 -= g.count(!_._3)
+    }
+    assert(r.map(x => (x._1, x._2, x._3, x._4, x._5)).toSeq == rows.toSeq)
+    assert(r.last._8 == o1)
+    assert(math.abs(r.last._9 - e1) < 1e-6)
+    assert(math.abs(r.last._11 - (o1 - e1) * (o1 - e1) / v) < 1e-4)
+  }
+
+  test("signed-rank: hand-computed ties example") {
+    // diffs: +1, -1, +2, +2, 0(drops) → |d| ranks: {1,1}→1.5 avg (doubled 3),
+    // {2,2}→3.5 avg (doubled 7); W2+ = 3 + 7 + 7 = 17, n = 4, T = (2³-2)·2 = 12
+    val df = Seq((2.0, 1.0), (1.0, 2.0), (3.0, 1.0), (5.0, 3.0), (4.0, 4.0))
+      .toDF("x", "y")
+    val r = RankTests.signedRankDF(df, "x", "y")
+      .as[(Long, Long, Long, Double)].head()
+    assert((r._1, r._2, r._3) == ((4L, 17L, 12L)))
+    val z = (17.0 / 2 - 4.0 * 5 / 4) / math.sqrt(4.0 * 5 * 9 / 24 - 12.0 / 48)
+    assert(math.abs(r._4 - z) < 1e-6)
+  }
+
+  test("signed-rank: distributed equals the driver rank sweep") {
+    val rng = new scala.util.Random(31)
+    val data = Seq.fill(800)((rng.nextInt(10).toDouble, rng.nextInt(10).toDouble))
+    val df = data.toDF("x", "y").repartition(5)
+    val r = RankTests.signedRankDF(df, "x", "y")
+      .as[(Long, Long, Long, Double)].head()
+    val diffs = data.map(p => p._1 - p._2).filter(_ != 0.0)
+    val n = diffs.size.toLong
+    val sorted = diffs.map(math.abs).sorted
+    val rankOf = sorted.zipWithIndex.groupBy(_._1)
+      .map { case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.size }
+    val wplus = diffs.filter(_ > 0).map(d => rankOf(math.abs(d))).sum
+    val tie = sorted.groupBy(identity).values
+      .map(_.size.toLong).map(t => t * t * t - t).sum
+    assert(r._1 == n && r._2 == math.round(2 * wplus) && r._3 == tie)
+  }
+
+  test("Mantel-Haenszel: hand-computed stratified example") {
+    // stratum s1: a=2 b=1 c=1 d=2 (n=6); stratum s2: a=1 b=2 c=2 d=1 (n=6)
+    def rows(s: String, x: Boolean, y: Boolean, k: Int) =
+      Seq.fill(k)((s, x, y))
+    val df = (rows("s1", true, true, 2) ++ rows("s1", true, false, 1) ++
+      rows("s1", false, true, 1) ++ rows("s1", false, false, 2) ++
+      rows("s2", true, true, 1) ++ rows("s2", true, false, 2) ++
+      rows("s2", false, true, 2) ++ rows("s2", false, false, 1))
+      .toDF("s", "x", "y").repartition(3)
+    val r = Epi.mantelHaenszelDF(df, "s", col("x"), col("y"))
+      .collect()
+    val r1 = r(0); val r2 = r(1)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getLong(4)) ==
+      ((2L, 1L, 1L, 2L)))
+    assert(math.abs(r1.getDouble(5) - 4.0) < 1e-6)          // OR s1 = 2*2/(1*1)
+    assert(math.abs(r2.getDouble(5) - 0.25) < 1e-6)         // OR s2 = 1*1/(2*2)
+    assert(math.abs(r1.getDouble(6) - 2.0) < 1e-6)          // RR s1 = (2/3)/(1/3)
+    // MH pooled: num = 2*2/6 + 1*1/6 = 5/6; den = 1*1/6 + 2*2/6 = 5/6 → 1.0
+    assert(math.abs(r2.getDouble(7) - 1.0) < 1e-6)
+    // CMH: a_run = 3, e_run = 3/2·3/6·... per stratum e = (a+b)(a+c)/n = 3·3/6 = 1.5
+    assert(r2.getLong(8) == 3L)
+    assert(math.abs(r2.getDouble(9) - 3.0) < 1e-6)
+    // v per stratum = 3·3·3·3/(36·5) = 81/180 = 0.45 → v_run = 0.9
+    assert(math.abs(r2.getDouble(10) - 0.9) < 1e-6)
+    assert(math.abs(r2.getDouble(11) - 0.0) < 1e-6)         // (3-3)²/0.9
+  }
+
+  test("Mantel-Haenszel: distributed equals the driver sweep") {
+    val rng = new scala.util.Random(41)
+    val data = Seq.fill(5000)(
+      (s"st${rng.nextInt(5)}", rng.nextBoolean(), rng.nextInt(4) == 0))
+    val df = data.toDF("s", "x", "y").repartition(8)
+    val r = Epi.mantelHaenszelDF(df, "s", col("x"), col("y")).collect()
+    var (num, den, aRun, eRun, vRun) = (0.0, 0.0, 0L, 0.0, 0.0)
+    data.groupBy(_._1).toSeq.sortBy(_._1).zip(r).foreach { case ((st, g), got) =>
+      val a = g.count(x => x._2 && x._3).toLong
+      val b = g.count(x => x._2 && !x._3).toLong
+      val c = g.count(x => !x._2 && x._3).toLong
+      val d = g.count(x => !x._2 && !x._3).toLong
+      val n = (a + b + c + d).toDouble
+      num += a * d / n; den += b * c / n; aRun += a
+      eRun += (a + b) * (a + c) / n
+      vRun += (a + b).toDouble * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+      assert(got.getString(0) == st)
+      assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4)) ==
+        ((a, b, c, d)))
+      assert(math.abs(got.getDouble(7) - num / den) < 1e-5)
+      assert(math.abs(got.getDouble(11) -
+        (aRun - eRun) * (aRun - eRun) / vRun) < 1e-4)
+    }
+  }
+}
