@@ -500,6 +500,27 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- dedup: incremental cross-corpus dedup (d13) — a delta batch
+    // deduped against the existing base corpus: bloom-prefiltered EXACT
+    // anti-join on the content hash (definitely-new rows skip the shuffle
+    // entirely), then first-id-wins within the delta. Cross-corpus and
+    // within-delta duplicates are PLANTED from the corpus itself so the
+    // whole chain replays relationally. -----------------------------------
+    "d13_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      val base = docs.where(col("doc_id") < 400)
+      val fresh = docs.where(col("doc_id") >= 400)
+      val crossCopies = base.where(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000L)
+      val deltaCopies = fresh.where(col("doc_id") % 17 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000L)
+      val delta = fresh.unionByName(crossCopies).unionByName(deltaCopies)
+      Dedup.incrementalDedup(delta, base, "text", "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup: SimHash md5 twin — cross-engine-verifiable variant of d3's
     // fingerprint (per-token md5 bits vote ±1), hash-matched ---------------
     "d9_simhash_md5" -> ((s, dir) => {
@@ -1036,6 +1057,41 @@ object SparkEntry {
     "r30_mutual_info" -> ((s, dir) => {
       graft.stats.ChiSquare.mutualInformationDF(
         t(s, dir, "lineitem"), "l_returnflag", "l_linestatus")
+    }),
+
+    // ---- §2.8 Cochran–Armitage trend (r31): does the return rate move
+    // with the discount dose? One map-side aggregate to five exact longs,
+    // one closed-form z — no shuffle beyond the 1-row reduction. ----------
+    "r31_trend_test" -> ((s, dir) => {
+      graft.stats.Epi.cochranArmitageDF(
+        t(s, dir, "lineitem").withColumn("dose",
+          floor(col("l_discount") * 100 + lit(0.5))),
+        "dose", col("l_returnflag") === "R")
+    }),
+
+    // ---- §2.8 Friedman test (r32): repeated measures — do the first
+    // three line positions of an order differ in quantity? In-block ranks
+    // via two PARTITIONED windows (no corpus sort), k-row running chain. -
+    "r32_friedman" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").where(col("l_linenumber") <= 3)
+        .select(col("l_orderkey").as("blk"),
+          col("l_linenumber").cast("string").as("trt"),
+          col("l_quantity").cast("long").as("v"))
+        .where(col("v").isNotNull)
+      val complete = li.groupBy(col("blk")).agg(count(lit(1)).as("c"))
+        .where(col("c") === 3).select(col("blk"))
+      graft.stats.RankTests.friedmanDF(li.join(complete, "blk"), "blk", "trt", "v")
+    }),
+
+    // ---- §2.8 Cohen's kappa (r33): chance-corrected agreement between
+    // the return flag and a discount-rule prediction over the same label
+    // space — three exact longs, one division, no chains. -----------------
+    "r33_cohen_kappa" -> ((s, dir) => {
+      graft.stats.ChiSquare.cohenKappaDF(
+        t(s, dir, "lineitem").withColumn("pred",
+          when(col("l_discount") >= 0.06, "R")
+            .when(col("l_discount") >= 0.03, "N").otherwise("A")),
+        "l_returnflag", "pred")
     }),
 
     // ---- equi-depth histogram (h2): k ≈n/k-row buckets via the sharded
@@ -6229,6 +6285,122 @@ object SparkEntry {
                      THEN round(mi0 / sqrt(hr0 * hc0), 6)
                      ELSE 0.0 END AS nmi
          FROM mi, hr, hc""",
+
+    // d13: the same planted delta, md5 anti-join vs base, first-id-wins
+    // within delta via QUALIFY (the bloom prefilter is exact-invisible)
+    "d13_incremental_dedup" ->
+      """WITH docs AS (
+           SELECT doc_id, text, lang, source, n_chars FROM documents),
+         base AS (SELECT * FROM docs WHERE doc_id < 400),
+         fresh AS (SELECT * FROM docs WHERE doc_id >= 400),
+         delta AS (
+           SELECT * FROM fresh
+           UNION ALL
+           SELECT doc_id + 10000, text, lang, source, n_chars
+           FROM base WHERE doc_id % 13 = 0
+           UNION ALL
+           SELECT doc_id + 20000, text, lang, source, n_chars
+           FROM fresh WHERE doc_id % 17 = 0),
+         nodup AS (
+           SELECT d.* FROM delta d
+           ANTI JOIN base b ON md5(d.text) = md5(b.text))
+         SELECT doc_id, lang, source, n_chars FROM nodup
+         QUALIFY row_number() OVER (PARTITION BY md5(text)
+           ORDER BY doc_id) = 1
+         ORDER BY doc_id""",
+
+    // r31: five exact integer sums, the identical closed-form z tree
+    "r31_trend_test" ->
+      """WITH src AS (
+           SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS w,
+                  (l_returnflag = 'R') AS y
+           FROM lineitem
+           WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL),
+         ag AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS r,
+                  CAST(sum(w) AS BIGINT) AS sw_n,
+                  CAST(sum(CASE WHEN y THEN w ELSE 0 END) AS BIGINT) AS sw_r,
+                  CAST(sum(w * w) AS BIGINT) AS sw2_n
+           FROM src)
+         SELECT n, r, sw_n, sw_r, sw2_n,
+                round((CAST(n AS DOUBLE) * CAST(sw_r AS DOUBLE)
+                        - CAST(sw_n AS DOUBLE) * CAST(r AS DOUBLE))
+                      / sqrt(CAST(r AS DOUBLE)
+                             * (CAST(n AS DOUBLE) - CAST(r AS DOUBLE))
+                             * (CAST(n AS DOUBLE) * CAST(sw2_n AS DOUBLE)
+                                - CAST(sw_n AS DOUBLE) * CAST(sw_n AS DOUBLE))
+                             / CAST(n AS DOUBLE)), 6) AS z
+         FROM ag""",
+
+    // r32: in-block doubled ranks via the same two partitioned windows,
+    // treatment frame running chain with the identical χ² trees
+    "r32_friedman" ->
+      """WITH li AS (
+           SELECT l_orderkey AS blk, CAST(l_linenumber AS VARCHAR) AS trt,
+                  CAST(l_quantity AS BIGINT) AS v
+           FROM lineitem
+           WHERE l_linenumber <= 3 AND l_quantity IS NOT NULL),
+         complete AS (
+           SELECT blk FROM li GROUP BY blk HAVING count(*) = 3),
+         base AS (SELECT li.* FROM li JOIN complete USING (blk)),
+         ranked AS (
+           SELECT trt,
+                  2 * count(*) OVER (PARTITION BY blk ORDER BY v
+                    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  + count(*) OVER (PARTITION BY blk, v) + 1 AS r2
+           FROM base),
+         pert AS (
+           SELECT trt, CAST(count(*) AS BIGINT) AS n_blocks,
+                  CAST(sum(r2) AS BIGINT) AS r2sum
+           FROM ranked GROUP BY trt),
+         tots AS (
+           SELECT CAST(count(DISTINCT blk) AS BIGINT) AS n,
+                  (SELECT CAST(sum(t * t * t - t) AS BIGINT) FROM
+                    (SELECT count(*) AS t FROM base GROUP BY blk, v)) AS tie_term,
+                  (SELECT CAST(count(*) AS BIGINT) FROM pert) AS k
+           FROM base),
+         run AS (
+           SELECT trt, n_blocks, r2sum, n, k, tie_term,
+                  12.0 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                          * (CAST(k AS DOUBLE) + 1.0))
+                    * sum((CAST(r2sum AS DOUBLE) / 2.0)
+                          * (CAST(r2sum AS DOUBLE) / 2.0))
+                        OVER (ORDER BY trt
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - 3.0 * CAST(n AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0) AS chi2
+           FROM pert, tots)
+         SELECT trt, n_blocks, r2sum, n, k, tie_term,
+                round(chi2, 6) AS chi2_running,
+                round(chi2 / (1.0 - CAST(tie_term AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                     * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))), 6)
+                  AS chi2_corr_running
+         FROM run ORDER BY trt""",
+
+    // r33: matching count + margin product sum, kappa as ONE integer-ratio
+    // division — (n·agree − pe) / (n² − pe)
+    "r33_cohen_kappa" ->
+      """WITH src AS (
+           SELECT l_returnflag AS a,
+                  CASE WHEN l_discount >= 0.06 THEN 'R'
+                       WHEN l_discount >= 0.03 THEN 'N'
+                       ELSE 'A' END AS b
+           FROM lineitem WHERE l_returnflag IS NOT NULL),
+         ag AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree
+           FROM src),
+         pe AS (
+           SELECT CAST(coalesce(sum(na * nb), 0) AS BIGINT) AS pe_num FROM
+             (SELECT a AS cat, CAST(count(*) AS BIGINT) AS na FROM src GROUP BY a) x
+             JOIN
+             (SELECT b AS cat, CAST(count(*) AS BIGINT) AS nb FROM src GROUP BY b) y
+             USING (cat))
+         SELECT n, agree, pe_num,
+                round(CAST(n * agree - pe_num AS DOUBLE)
+                      / CAST(n * n - pe_num AS DOUBLE), 6) AS kappa
+         FROM ag, pe""",
 
     // h2: value cells, exclusive cumulative rank, (cum·k) DIV n buckets
     "h2_histogram_depth" ->

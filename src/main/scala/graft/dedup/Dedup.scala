@@ -36,6 +36,43 @@ object Dedup {
       .drop("__h")
   }
 
+  /** Cross-corpus incremental dedup — the continuous-ingestion primitive:
+    * rows of `delta` whose content does NOT already exist in `base`,
+    * deduplicated within the delta itself (lowest id wins, the
+    * [[exactDedup]] contract). EXACT result (anti-join on the md5 content
+    * hash), bloom-ACCELERATED: a sketch of the base's xxhash64 content
+    * keys (distributed treeAggregate; only the sketch reaches the driver)
+    * splits the delta row-locally into definitely-new rows — which skip
+    * the anti-join's shuffle entirely (no false negatives possible) — and
+    * might-match rows, of which only ~fpp of the truly-new ones pay the
+    * exchange. At 100 TB the base is the corpus and the delta is a day's
+    * ingest: the base-side distinct + sketch is the once-per-ingest cost,
+    * and the delta-side shuffle is sized by matches, not by the delta. */
+  def incrementalDedup(delta: DataFrame, base: DataFrame, textCol: String,
+      idCol: String, fpp: Double = 0.03,
+      maxSketchBytes: Long = 64L << 20): DataFrame = {
+    val baseKeys = base.select(md5(col(textCol)).as("__h"),
+        xxhash64(col(textCol)).as("__k"))
+      .groupBy(col("__h")).agg(first(col("__k")).as("__k"))
+    val expected = baseKeys.count().max(1L)
+    val bloom = baseKeys.stat.bloomFilter("__k", expected, fpp)
+    require(bloom.bitSize() / 8 <= maxSketchBytes,
+      s"bloom sketch is ${bloom.bitSize() / 8} bytes (> $maxSketchBytes): " +
+        "raise fpp or maxSketchBytes")
+    val tagged = delta
+      .withColumn("__h", md5(col(textCol)))
+      .withColumn("__maybe", graft.expressions.BloomMightContainExpr
+        .mightContain(xxhash64(col(textCol)), bloom))
+    val definiteNew = tagged.where(!col("__maybe"))
+    val maybeDup = tagged.where(col("__maybe"))
+      .join(baseKeys.select(col("__h")), Seq("__h"), "left_anti")
+    val rest = delta.columns.filter(_ != idCol).map(c => col("__keep." + c).as(c))
+    definiteNew.unionByName(maybeDup)
+      .groupBy(col("__h"))
+      .agg(min_by(struct(delta.columns.toSeq.map(col): _*), col(idCol)).as("__keep"))
+      .select(col("__keep." + idCol).as(idCol) +: rest.toSeq: _*)
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Distinct word n-gram shingles of a text column. */

@@ -116,6 +116,31 @@ object ChiSquare {
           .otherwise(lit(0.0)).as("nmi"))
   }
 
+  /** Cohen's kappa — chance-corrected agreement between two raters over
+    * the same category space (the inter-rater reliability measure a
+    * labeling pipeline reports). One row `(n, agree, pe_num, kappa)`.
+    *
+    * FULLY exact: with `agree` = matching-label count and
+    * `pe_num = Σ_cat n_a(cat)·n_b(cat)`, kappa telescopes to the integer
+    * ratio `(n·agree − pe_num) / (n² − pe_num)` — three longs and ONE
+    * double division, no chains, no transcendentals. Margin products stay
+    * exact for tables under ~3B rows; the corpus reduces in one map-side
+    * aggregate plus two margin groupBys over the category frame. */
+  def cohenKappaDF(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val base = df.where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("string").as("a"), col(bCol).cast("string").as("b"))
+    val agg = base.agg(count(lit(1)).as("n"),
+      sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+    val ma = base.groupBy(col("a")).agg(count(lit(1)).as("na"))
+    val mb = base.groupBy(col("b")).agg(count(lit(1)).as("nb"))
+    val pe = ma.join(mb, ma("a") === mb("b"))
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L)).as("pe_num"))
+    // 1-row × 1-row cross join (the j1 deliberate family)
+    agg.crossJoin(pe).select(col("n"), col("agree"), col("pe_num"),
+      round((col("n") * col("agree") - col("pe_num")).cast("double") /
+        (col("n") * col("n") - col("pe_num")).cast("double"), 6).as("kappa"))
+  }
+
   /** Cramér's V effect size — the [0,1]-normalized strength the raw chi²
     * can't convey (chi² grows with n; V doesn't). One row
     * `(n, r, c, chi2, v)`.

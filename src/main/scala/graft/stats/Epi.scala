@@ -20,6 +20,33 @@ import org.apache.spark.sql.functions._
   * transcendentals anywhere. The per-stratum frame is dimension-sized. */
 object Epi {
 
+  /** Cochran–Armitage test for TREND — does a binary outcome rate move
+    * monotonically with an ordered integer dose? (The dose–response
+    * question a 2×2 chain can't answer.) One row
+    * `(n, r, sw_n, sw_r, sw2_n, z)`: total count, outcome count, and the
+    * three dose-weighted sums Σw·n, Σw·r, Σw²·n — all exact LONGs from ONE
+    * map-side-combined aggregate over the corpus (no shuffle beyond the
+    * 1-row reduction, no windows) — plus the closed-form
+    * `z = (N·Σwr − Σwn·R) / sqrt(R(N−R)(N·Σw²n − (Σwn)²)/N)` as a fixed
+    * double tree over them, so a replay is bit-identical. `doseCol` must
+    * be integral scores; NULL dose/outcome rows drop. */
+  def cochranArmitageDF(df: DataFrame, doseCol: String, outcome: Column): DataFrame = {
+    val src = df.where(col(doseCol).isNotNull && outcome.isNotNull)
+      .select(col(doseCol).cast("long").as("w"),
+        when(outcome, 1L).otherwise(0L).as("y"))
+    val agg = src.agg(
+      count(lit(1)).as("n"), sum(col("y")).as("r"),
+      sum(col("w")).as("sw_n"), sum(col("w") * col("y")).as("sw_r"),
+      sum(col("w") * col("w")).as("sw2_n"))
+    val nD = col("n").cast("double"); val rD = col("r").cast("double")
+    val swnD = col("sw_n").cast("double"); val swrD = col("sw_r").cast("double")
+    val sw2D = col("sw2_n").cast("double")
+    val z = (nD * swrD - swnD * rD) /
+      sqrt(rD * (nD - rD) * (nD * sw2D - swnD * swnD) / nD)
+    agg.select(col("n"), col("r"), col("sw_n"), col("sw_r"), col("sw2_n"),
+      round(z, 6).as("z"))
+  }
+
   /** One row per stratum, ordered by stratum, with the 2×2 cells, the
     * per-stratum `odds_ratio` (ad/bc, NULL when bc = 0) and `risk_ratio`
     * (a(c+d) / ((a+b)c), NULL when c = 0), and the running MH/CMH state:

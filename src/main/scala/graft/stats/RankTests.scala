@@ -221,6 +221,56 @@ object RankTests {
     agg.select(col("n"), col("w2plus"), col("tie_term"), round(z, 6).as("z"))
   }
 
+  /** Friedman test for k REPEATED measures over blocks (the within-subject
+    * sibling of [[kruskalWallisDF]]): each block ranks its own k treatment
+    * values (average ties → integer DOUBLED ranks via two PARTITIONED
+    * windows — count-below and count-equal within the block; no global
+    * window, no corpus sort), treatments reduce to their doubled rank sums
+    * `r2sum`, and the statistic rides the k-row treatment frame as a
+    * RUNNING chain (the r20 shape): the LAST row's `chi2_running` /
+    * `chi2_corr_running` are Friedman's χ² and its tie-corrected variant
+    * `χ² / (1 − ΣT/(n·k·(k²−1)))`. Blocks must be complete (exactly the
+    * same k treatments each) — incomplete blocks are the caller's filter.
+    * `valueCol` must be integral (the RANGE frame needs an integer order
+    * key); scale fractional values first. */
+  def friedmanDF(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.where(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(blockCol).as("blk"), col(treatmentCol).cast("string").as("trt"),
+        col(valueCol).cast("long").as("v"))
+    val below = Window.partitionBy(col("blk")).orderBy(col("v").asc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val eq = Window.partitionBy(col("blk"), col("v"))
+    val ranked = base
+      .withColumn("__r2", lit(2L) * count(lit(1)).over(below) +
+        count(lit(1)).over(eq) + lit(1L))
+    // per-block tie term: Σ(t³−t) over tied values, summed over blocks —
+    // value-cell counts then one global integer aggregate
+    val tieTerm = base.groupBy(col("blk"), col("v")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * col("t") * col("t") - col("t"))).head().getLong(0)
+    val perTrt = ranked.groupBy(col("trt"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("__r2")).as("r2sum"))
+    val nBlocks = base.agg(countDistinct(col("blk"))).head().getLong(0)
+    val k = perTrt.count()
+    val nD = lit(nBlocks.toDouble); val kD = lit(k.toDouble)
+    val runW = Window.partitionBy().orderBy(col("trt").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // k-row treatment frame: the deliberate dimension-sized running chain
+    val term = (col("r2sum").cast("double") / lit(2.0)) *
+      (col("r2sum").cast("double") / lit(2.0))
+    val chi2 = lit(12.0) / (nD * kD * (kD + lit(1.0))) * sum(term).over(runW) -
+      lit(3.0) * nD * (kD + lit(1.0))
+    val corr = lit(1.0) -
+      lit(tieTerm.toDouble) / (nD * kD * (kD * kD - lit(1.0)))
+    perTrt
+      .select(col("trt"), col("n_blocks"), col("r2sum"),
+        lit(nBlocks).as("n"), lit(k).as("k"), lit(tieTerm).as("tie_term"),
+        round(chi2, 6).as("chi2_running"),
+        round(chi2 / corr, 6).as("chi2_corr_running"))
+      .orderBy(col("trt"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov D, EXACT: the max over values of
     * |ECDF_A − ECDF_B| returned as the integer numerator over the common
     * denominator n_a·n_b — `D = d_num / (n_a·n_b)` with no float in the

@@ -21,7 +21,9 @@ class PlanAuditSpec extends SparkSpec {
     "n10_mmr_rerank",
     "r13_permanova_stat", "t10_ngram_lm",
     // r30: the 1-row MI × entropy × entropy combine (the j1 shape)
-    "r30_mutual_info")
+    "r30_mutual_info",
+    // r33: the 1-row agree × margin-product combine (the j1 shape)
+    "r33_cohen_kappa")
 
   // the in-SQL ROC curve over 4 leaf scores (m3 — plan-required: the
   // curve is built inside one query), the DPP dim max (p7 — days-sized,
@@ -48,7 +50,9 @@ class PlanAuditSpec extends SparkSpec {
     // r29: MH/CMH running chains over the stratum frame (years-sized)
     "r29_mantel_haenszel",
     // r30: MI/entropy running chains over the R×C cell / margin frames
-    "r30_mutual_info")
+    "r30_mutual_info",
+    // r32: the Friedman χ² running chain over the k-row treatment frame
+    "r32_friedman")
 
   test("no query grows an undeclared loop join or partition-less window") {
     val loops = scala.collection.mutable.ArrayBuffer[String]()

@@ -29,6 +29,40 @@ class DedupSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
   }
 
+  test("incrementalDedup: drops base-known content, keeps first within delta") {
+    val base = docs.where($"doc_id" <= 2)          // content of doc 1/2 known
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"), // in base → drop
+      (11L, "a brand new document that the base corpus has never seen before"),
+      (12L, "a brand new document that the base corpus has never seen before"), // delta-dup → 11 wins
+      (13L, "completely unrelated text about spark query engines and distributed joins here")
+    ).toDF("doc_id", "text").repartition(3)
+    val out = Dedup.incrementalDedup(delta, base, "text", "doc_id")
+    assert(out.columns.toSeq == delta.columns.toSeq)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(11L, 13L))
+  }
+
+  test("incrementalDedup: bloom acceleration is invisible at any fpp") {
+    val rng = new scala.util.Random(61)
+    val texts = Seq.tabulate(300)(i => s"document number $i with filler ${rng.nextInt(50)}")
+    val base = texts.take(200).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // delta: 100 genuinely new + 50 copies of base content + 20 delta-dups
+    val delta = (texts.drop(200).zipWithIndex.map { case (t, i) => (1000L + i, t) } ++
+      texts.take(50).zipWithIndex.map { case (t, i) => (2000L + i, t) } ++
+      texts.drop(200).take(20).zipWithIndex.map { case (t, i) => (3000L + i, t) })
+      .toDF("doc_id", "text").repartition(7)
+    val expected = delta.join(base.select(md5($"text").as("h")).distinct(),
+        md5(delta("text")) === col("h"), "left_anti")
+      .groupBy(md5($"text")).agg(min($"doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    for (fpp <- Seq(0.3, 0.03)) {
+      val got = Dedup.incrementalDedup(delta, base, "text", "doc_id", fpp = fpp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"fpp=$fpp")
+    }
+  }
+
   test("shingles builds distinct word n-grams") {
     val df = Seq("a b c d").toDF("t")
     val got = df.select(Dedup.shingles($"t", 3)).as[Seq[String]].head()

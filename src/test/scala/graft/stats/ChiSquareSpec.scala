@@ -41,6 +41,22 @@ class ChiSquareSpec extends SparkSpec {
       .select(col("v")).as[Double].head() == 0.0)
   }
 
+  test("Cohen's kappa: perfect agreement 1, chance-level 0, textbook value") {
+    val perfect = Seq(("x", "x"), ("y", "y"), ("z", "z")).toDF("a", "b")
+    assert(ChiSquare.cohenKappaDF(perfect, "a", "b").head().getDouble(3) == 1.0)
+    // chance: a and b independent uniform → kappa 0
+    val chance = Seq(("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")).toDF("a", "b")
+    assert(ChiSquare.cohenKappaDF(chance, "a", "b").head().getDouble(3) == 0.0)
+    // textbook 2×2: 20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no
+    val df = (Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))).toDF("a", "b")
+      .repartition(3)
+    val r = ChiSquare.cohenKappaDF(df, "a", "b").head()
+    // n=50 agree=35 pe_num = 25*30 + 25*20 = 1250
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((50L, 35L, 1250L)))
+    assert(math.abs(r.getDouble(3) - (50.0 * 35 - 1250) / (2500.0 - 1250)) < 1e-6)
+  }
+
   test("mutual information: independence gives 0, identity gives full entropy") {
     val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("r", "c")
     val ri = ChiSquare.mutualInformationDF(indep, "r", "c").head()

@@ -156,6 +156,74 @@ class SurvivalSpec extends SparkSpec {
     assert(math.abs(r2.getDouble(11) - 0.0) < 1e-6)         // (3-3)²/0.9
   }
 
+  test("Friedman: hand-computed blocked ranks with ties") {
+    // blocks × treatments (k=3): b1 (1,2,3) → ranks 1,2,3; b2 (2,2,5) →
+    // ranks 1.5,1.5,3 (doubled 3,3,6); b3 (3,1,2) → ranks 3,1,2
+    val df = Seq(
+      ("b1", "t1", 1L), ("b1", "t2", 2L), ("b1", "t3", 3L),
+      ("b2", "t1", 2L), ("b2", "t2", 2L), ("b2", "t3", 5L),
+      ("b3", "t1", 3L), ("b3", "t2", 1L), ("b3", "t3", 2L))
+      .toDF("blk", "trt", "v").repartition(3)
+    val r = RankTests.friedmanDF(df, "blk", "trt", "v").collect()
+    // doubled rank sums: t1 = 2+3+6 = 11, t2 = 4+3+2 = 9, t3 = 6+6+4 = 16
+    assert(r.map(x => (x.getString(0), x.getLong(2))).toSeq ==
+      Seq(("t1", 11L), ("t2", 9L), ("t3", 16L)))
+    assert(r.head.getLong(3) == 3L && r.head.getLong(4) == 3L)
+    assert(r.head.getLong(5) == 6L)                      // one tie pair: 2³-2
+    val sumR2 = Seq(5.5, 4.5, 8.0).map(x => x * x).sum
+    val chi2 = 12.0 / (3.0 * 3 * 4) * sumR2 - 3.0 * 3 * 4
+    assert(math.abs(r.last.getDouble(6) - chi2) < 1e-6)
+    val corr = 1.0 - 6.0 / (3.0 * 3 * (9 - 1))
+    assert(math.abs(r.last.getDouble(7) - chi2 / corr) < 1e-6)
+  }
+
+  test("Friedman: distributed equals the driver rank sweep") {
+    val rng = new scala.util.Random(71)
+    val data = for (b <- 0 until 400; t <- 0 until 4)
+      yield (s"b$b", s"t$t", rng.nextInt(8).toLong)
+    val df = data.toDF("blk", "trt", "v").repartition(9)
+    val r = RankTests.friedmanDF(df, "blk", "trt", "v").collect()
+    val byBlock = data.groupBy(_._1)
+    val rankSums = scala.collection.mutable.Map.empty[String, Double]
+    var tie = 0L
+    byBlock.values.foreach { rows =>
+      val sorted = rows.map(_._3).sorted
+      val rankOf = sorted.zipWithIndex.groupBy(_._1)
+        .map { case (v, xs) => v -> xs.map(_._2 + 1).sum.toDouble / xs.size }
+      rows.foreach { case (_, t, v) =>
+        rankSums(t) = rankSums.getOrElse(t, 0.0) + rankOf(v) }
+      tie += sorted.groupBy(identity).values
+        .map(_.size.toLong).map(t => t * t * t - t).sum
+    }
+    r.foreach { row =>
+      assert(row.getLong(2) == math.round(2 * rankSums(row.getString(0))))
+    }
+    assert(r.head.getLong(3) == 400L && r.head.getLong(5) == tie)
+    val n = 400.0; val k = 4.0
+    val chi2 = 12.0 / (n * k * (k + 1)) * rankSums.values.map(x => x * x).sum -
+      3.0 * n * (k + 1)
+    assert(math.abs(r.last.getDouble(6) - chi2) < 1e-4)
+  }
+
+  test("Cochran-Armitage: hand-computed dose-response trend") {
+    // doses 0,1,2 with n = 4 each; outcomes r = 0, 2, 4 — perfect trend
+    val df = (Seq.fill(4)((0L, false)) ++
+      Seq.fill(2)((1L, true)) ++ Seq.fill(2)((1L, false)) ++
+      Seq.fill(4)((2L, true))).toDF("w", "y").repartition(3)
+    val r = Epi.cochranArmitageDF(df, "w", col("y"))
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    // N=12 R=6 Σwn=12 Σwr=10 Σw²n=20
+    assert((r._1, r._2, r._3, r._4, r._5) == ((12L, 6L, 12L, 10L, 20L)))
+    val z = (12.0 * 10 - 12.0 * 6) /
+      math.sqrt(6.0 * 6 * (12.0 * 20 - 12.0 * 12) / 12.0)
+    assert(math.abs(r._6 - z) < 1e-6)
+    // flat outcome rate across doses scores z = 0
+    val flat = (Seq.fill(2)((0L, true)) ++ Seq.fill(2)((0L, false)) ++
+      Seq.fill(2)((1L, true)) ++ Seq.fill(2)((1L, false))).toDF("w", "y")
+    assert(Epi.cochranArmitageDF(flat, "w", col("y"))
+      .as[(Long, Long, Long, Long, Long, Double)].head()._6 == 0.0)
+  }
+
   test("Mantel-Haenszel: distributed equals the driver sweep") {
     val rng = new scala.util.Random(41)
     val data = Seq.fill(5000)(
