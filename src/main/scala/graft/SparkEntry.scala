@@ -521,6 +521,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- dedup: leakage-free train/eval split (d14) — near-dup clusters
+    // (components of the d8 md5-MinHash pairs) land entirely on one side,
+    // keyed by the cluster representative through the s3 md5 hash rule;
+    // the preventive form of the t9 contamination check. ------------------
+    "d14_leakage_split" -> ((s, dir) => {
+      val docs = Tables.spread(t(s, dir, "documents"))
+      val pairs = Dedup.minHashMd5Pairs(docs, "doc_id", "text",
+        k = 8, n = 3, window = 25, minAgree = 4)
+      Dedup.clusterAwareSplit(docs.select(col("doc_id"), col("n_chars")),
+          "doc_id", pairs, "id_a", "id_b", evalRate = 0.2)
+        .select(col("doc_id"), col("n_chars"), col("split_key"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- dedup: SimHash md5 twin — cross-engine-verifiable variant of d3's
     // fingerprint (per-token md5 bits vote ±1), hash-matched ---------------
     "d9_simhash_md5" -> ((s, dir) => {
@@ -601,6 +615,21 @@ object SparkEntry {
           ivfFixedCentroids, nProbe = 3, k = 5)
         .select(col("query_id"), col("corpus_id"), col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- ANN: recall@k / MRR evaluation harness (n12) — the exact
+    // brute-force ranks as ground truth, the n5 IVF probe as the index
+    // under test, per-query recall and reciprocal-rank-of-true-NN; both
+    // legs and the eval join replay relationally. -------------------------
+    "n12_ann_recall" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 8)
+      val truth = Embeddings.bruteForceTopKAgg(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      val assigned = Embeddings.assignFixedCentroids(emb, "embedding", ivfFixedCentroids)
+      val approx = Embeddings.ivfTopK(assigned, "vec_id", "embedding",
+        queries, "vec_id", "embedding", ivfFixedCentroids, nProbe = 3, k = 5)
+      Embeddings.annEvalDF(truth, approx, k = 5)
     }),
 
     // ---- ANN: product quantization + ADC probe, fully replayed ----------
@@ -1584,6 +1613,48 @@ object SparkEntry {
         round(sum(((col("score") >= 0.5) === (col("label") === 1.0))
           .cast("long")).cast("double") / count(lit(1)), 6).as("accuracy"))
         .withColumn("tree_depth", lit(graft.ml.TreeScorer.depth(spec)))
+    }),
+
+    // ---- ML: lift/gains chart (m7) — the model-evaluation frame a
+    // targeting pipeline reads: the m4 cohort's fitted tree scores the
+    // test split, scores reduce to leaf-level cells, and cumulative
+    // response/lift ride integer running sums in score order. The tree
+    // exports for the replay (the m4 runtime-oracle contract). -----------
+    "m7_lift_chart" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
+          .cast("double").as("label"),
+        col("o_totalprice"),
+        (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
+        year(col("o_orderdate")).cast("double").as("order_year"),
+        col("o_orderkey"))
+      val isTest = substring(md5(col("o_orderkey").cast("string")), 1, 1) < lit("5")
+      val spec = graft.ml.CohortClassifier.fitTreeSpec(
+        o.where(!isTest), Seq("o_totalprice", "is_urgent", "order_year"),
+        "label", maxDepth = 4)
+      m7LiftSpec = Some(spec)
+      val cells = o.where(isTest)
+        .withColumn("score", graft.ml.TreeScorer.compile(spec))
+        .groupBy(col("score"))
+        .agg(count(lit(1)).as("n_k"),
+          sum((col("label") === 1.0).cast("long")).as("pos_k"))
+      val runW = Window.partitionBy().orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val aw = Window.partitionBy()
+      // leaf-level frame (≤ 2^maxDepth rows): the deliberate
+      // dimension-sized windows
+      cells
+        .withColumn("cum_n", sum(col("n_k")).over(runW))
+        .withColumn("cum_pos", sum(col("pos_k")).over(runW))
+        .withColumn("tot_n", sum(col("n_k")).over(aw))
+        .withColumn("tot_pos", sum(col("pos_k")).over(aw))
+        .select(col("score"), col("n_k"), col("pos_k"),
+          col("cum_n"), col("cum_pos"),
+          round((col("cum_pos") * col("tot_n")).cast("double") /
+            (col("cum_n") * col("tot_pos")).cast("double"), 6).as("lift"),
+          round(col("cum_pos").cast("double") / col("tot_pos").cast("double"), 6)
+            .as("gain"))
+        .orderBy(col("score").desc)
     }),
 
     // ---- ML: fit→export→replay for a LINEAR model — logistic regression
@@ -3391,6 +3462,41 @@ object SparkEntry {
          FROM s"""
   }.toMap
 
+  /** The m7 lift-chart's fitted tree, exported in this process — same
+    * runtime-oracle contract as [[m4FittedSpec]]. */
+  @volatile private var m7LiftSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
+
+  private def m7OracleEntry: Map[String, String] = m7LiftSpec.map { spec =>
+    "m7_lift_chart" ->
+      s"""WITH t AS (
+           SELECT CASE WHEN (o_totalprice > 250000) != (o_orderpriority = '1-URGENT')
+                       THEN 1.0 ELSE 0.0 END AS label,
+                  o_totalprice,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS is_urgent,
+                  CAST(year(o_orderdate) AS DOUBLE) AS order_year
+           FROM orders
+           WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '5'),
+         s AS (SELECT *, ${graft.ml.TreeScorer.toSql(spec)} AS score FROM t),
+         cells AS (
+           SELECT score, CAST(count(*) AS BIGINT) AS n_k,
+                  CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS pos_k
+           FROM s GROUP BY score),
+         run AS (
+           SELECT score, n_k, pos_k,
+                  sum(n_k) OVER w AS cum_n, sum(pos_k) OVER w AS cum_pos,
+                  sum(n_k) OVER () AS tot_n, sum(pos_k) OVER () AS tot_pos
+           FROM cells
+           WINDOW w AS (ORDER BY score DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT score, n_k, pos_k,
+                CAST(cum_n AS BIGINT) AS cum_n, CAST(cum_pos AS BIGINT) AS cum_pos,
+                round(CAST(cum_pos * tot_n AS DOUBLE)
+                      / CAST(cum_n * tot_pos AS DOUBLE), 6) AS lift,
+                round(CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE), 6) AS gain
+         FROM run ORDER BY score DESC"""
+  }.toMap
+
   /** The m5 tune's winning tree + params, exported in this process. Same
     * runtime-oracle contract as [[m4FittedSpec]]: the DuckDB replay scores
     * with exactly the tree the tune selected, so within one Verify run the
@@ -3643,7 +3749,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
-    m6OracleEntry ++
+    m6OracleEntry ++ m7OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
       t17OracleEntry ++ Map(
     "q1_agg" ->
@@ -4802,6 +4908,61 @@ object SparkEntry {
          SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 5
          ORDER BY query_id, "rank"""",
 
+    // n12: the n1 truth CTEs + the n5 IVF CTEs + the relational eval join
+    "n12_ann_recall" ->
+      s"""WITH cents AS (
+           SELECT * FROM (VALUES $ivfCentroidValues) t(cid, cvec)),
+         uv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM uv),
+         u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uvec
+               FROM nr WHERE nrm > 0),
+         q AS (SELECT vec_id AS query_id, uvec AS qu FROM u WHERE vec_id < 8),
+         scored_t AS (
+           SELECT q.query_id, c.vec_id AS corpus_id,
+                  list_dot_product(c.uvec, q.qu) AS cos
+           FROM u c CROSS JOIN q WHERE c.vec_id != q.query_id),
+         ranked_t AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, corpus_id) AS rnk
+           FROM scored_t),
+         ca AS (
+           SELECT vec_id, uvec, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY list_dot_product(uvec, cvec) DESC, cid) AS rn
+           FROM u CROSS JOIN cents),
+         assigned AS (SELECT vec_id, uvec, cid AS centroid_id FROM ca WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, uvec AS qu, cid AS centroid_id
+                    FROM ca WHERE vec_id < 8 AND rn <= 3),
+         scored_a AS (
+           SELECT p.query_id, a.vec_id AS corpus_id,
+                  list_dot_product(a.uvec, p.qu) AS cos
+           FROM assigned a JOIN probes p USING (centroid_id)
+           WHERE a.vec_id != p.query_id),
+         ranked_a AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, corpus_id) AS rnk
+           FROM scored_a),
+         tt AS (SELECT query_id AS q, corpus_id AS c, rnk AS tr
+                FROM ranked_t WHERE rnk <= 5),
+         aa AS (SELECT query_id AS q, corpus_id AS c, rnk AS ar
+                FROM ranked_a WHERE rnk <= 5),
+         j AS (SELECT tt.q, tt.tr, aa.ar FROM tt
+               LEFT JOIN aa ON aa.q = tt.q AND aa.c = tt.c),
+         g AS (SELECT q, CAST(count(*) AS BIGINT) AS truth_k,
+                      CAST(sum(CASE WHEN ar IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits,
+                      max(CASE WHEN tr = 1 THEN ar END) AS nn
+               FROM j GROUP BY q)
+         SELECT q AS query_id, truth_k, hits,
+                round(CAST(hits AS DOUBLE) / CAST(truth_k AS DOUBLE), 6)
+                  AS recall,
+                coalesce(round(1.0 / CAST(nn AS DOUBLE), 6), 0.0) AS rr
+         FROM g ORDER BY query_id""",
+
     // n10: the candidate pool (top-24 by rel, the n1 dot-product doctrine)
     // and ALL 8 greedy MMR steps as chained argmax CTEs — step t excludes
     // prior picks and scores 0.5·rel − 0.5·greatest(sims to them); ties
@@ -5543,6 +5704,47 @@ object SparkEntry {
            FROM sig a JOIN sig b
              ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
          WHERE agree >= 4 ORDER BY id_a, id_b""",
+
+    // d14: the d8 candidate chain, the d7 recursive-CTE components, and
+    // the s3 md5-prefix split rule on the component representative
+    "d14_leakage_split" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+                FROM toks),
+         exs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         ex AS (SELECT doc_id, md5(sg) AS h FROM exs),
+         sig AS (SELECT doc_id,
+                   min(substr(h, 1, 4)) AS m0, min(substr(h, 5, 4)) AS m1,
+                   min(substr(h, 9, 4)) AS m2, min(substr(h, 13, 4)) AS m3,
+                   min(substr(h, 17, 4)) AS m4, min(substr(h, 21, 4)) AS m5,
+                   min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
+                 FROM ex GROUP BY doc_id),
+         pairs AS (SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    (a.m0=b.m0)::INT + (a.m1=b.m1)::INT + (a.m2=b.m2)::INT +
+                    (a.m3=b.m3)::INT + (a.m4=b.m4)::INT + (a.m5=b.m5)::INT +
+                    (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree
+             FROM sig a JOIN sig b
+               ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+           WHERE agree >= 4),
+         sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach(id, comp) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id),
+         comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+         SELECT d.doc_id, d.n_chars,
+                coalesce(c.comp, d.doc_id) AS split_key,
+                CASE WHEN substr(md5(CAST(coalesce(c.comp, d.doc_id)
+                                          AS VARCHAR)), 1, 4) < '3333'
+                     THEN 'eval' ELSE 'train' END AS split
+         FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
+         ORDER BY doc_id""",
 
     // d12: the d8 candidate chain verbatim, then the exact edit-distance
     // verification stage — texts re-joined by id, levenshtein ≤ 64 kept

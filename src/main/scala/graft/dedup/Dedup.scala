@@ -73,6 +73,34 @@ object Dedup {
       .select(col("__keep." + idCol).as(idCol) +: rest.toSeq: _*)
   }
 
+  /** Leakage-free train/eval split: assign every row a split side by
+    * content hash — but near-duplicate CLUSTERS (the connected components
+    * of `pairs`) land entirely on ONE side, keyed by the cluster
+    * representative. A plain row-hash split leaks eval content into
+    * training through near-duplicates (the benchmark-contamination
+    * failure `Corpus.contamination` measures after the fact); this is the
+    * preventive form. Singleton rows key by their own id — identical to
+    * [[graft.ops.Sampling.hashSample]]'s md5 rule, so the whole
+    * assignment is layout-independent and engine-reproducible.
+    *
+    * Plan: components over the (bounded) near-dup pair stream, a
+    * row-level left join of the component map (near-dup clusters are a
+    * small fraction of the corpus), one md5 per row — the corpus never
+    * shuffles beyond the component join. */
+  def clusterAwareSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, evalRate: Double = 0.2): DataFrame = {
+    require(evalRate > 0.0 && evalRate < 1.0, s"evalRate must be in (0,1): $evalRate")
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val threshold = f"${(evalRate * 65536).round.min(65535L)}%04x"
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+      .withColumn("split",
+        when(substring(md5(col("split_key").cast("string")), 1, 4) <
+          lit(threshold), "eval").otherwise("train"))
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Distinct word n-gram shingles of a text column. */

@@ -84,6 +84,37 @@ object Embeddings {
         col("r.score").as("cos"), (col("idx") + 1).as("rank"))
   }
 
+  /** IR-style evaluation of an ANN index against exact ground truth — the
+    * harness that turns "we have IVF/PQ/LSH" into a measured recall
+    * number. Inputs are two `(query_id, corpus_id, rank)` frames (e.g.
+    * [[bruteForceTopKAgg]] as `truth`, [[ivfTopK]]/[[pqTopK]] as
+    * `approx`); output is one row per query, ordered:
+    * `(query_id, truth_k, hits, recall, rr)` — `recall` = |approx∩truth|/
+    * truth_k at rank ≤ k, `rr` the reciprocal of the approx rank of the
+    * TRUE nearest neighbor (0.0 when the index misses it; averaging `rr`
+    * downstream gives MRR). Exact: counts are longs, each ratio one
+    * division. Plan: both frames are already (queries×k)-sized — the join
+    * and groupBy never touch the corpus. */
+  def annEvalDF(truth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val t = truth.select(col("query_id").as("q"), col("corpus_id").as("c"),
+        col("rank").cast("long").as("tr"))
+      .where(col("tr") <= k)
+    val a = approx.select(col("query_id").as("q"), col("corpus_id").as("c"),
+        col("rank").cast("long").as("ar"))
+      .where(col("ar") <= k)
+    t.join(a, Seq("q", "c"), "left")
+      .groupBy(col("q"))
+      .agg(count(lit(1)).as("truth_k"),
+        sum(when(col("ar").isNotNull, 1L).otherwise(0L)).as("hits"),
+        max(when(col("tr") === 1L, col("ar"))).as("__nn_rank"))
+      .select(col("q").as("query_id"), col("truth_k"), col("hits"),
+        round(col("hits").cast("double") / col("truth_k").cast("double"), 6)
+          .as("recall"),
+        coalesce(round(lit(1.0) / col("__nn_rank").cast("double"), 6), lit(0.0))
+          .as("rr"))
+      .orderBy(col("query_id"))
+  }
+
   /** Deterministic random hyperplanes: `nBits` × `dim` Gaussian matrix. */
   private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

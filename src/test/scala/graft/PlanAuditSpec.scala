@@ -23,7 +23,9 @@ class PlanAuditSpec extends SparkSpec {
     // r30: the 1-row MI × entropy × entropy combine (the j1 shape)
     "r30_mutual_info",
     // r33: the 1-row agree × margin-product combine (the j1 shape)
-    "r33_cohen_kappa")
+    "r33_cohen_kappa",
+    // n12: the n1 brute-force truth leg (same broadcast-query shape)
+    "n12_ann_recall")
 
   // the in-SQL ROC curve over 4 leaf scores (m3 — plan-required: the
   // curve is built inside one query), the DPP dim max (p7 — days-sized,
@@ -52,7 +54,9 @@ class PlanAuditSpec extends SparkSpec {
     // r30: MI/entropy running chains over the R×C cell / margin frames
     "r30_mutual_info",
     // r32: the Friedman χ² running chain over the k-row treatment frame
-    "r32_friedman")
+    "r32_friedman",
+    // m7: cumulative gains over the leaf-level score frame (≤ 2^depth rows)
+    "m7_lift_chart")
 
   test("no query grows an undeclared loop join or partition-less window") {
     val loops = scala.collection.mutable.ArrayBuffer[String]()

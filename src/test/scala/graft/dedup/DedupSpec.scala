@@ -63,6 +63,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clusterAwareSplit: clusters land whole, singletons hash by own id") {
+    val rows = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterAwareSplit(rows, "doc_id", pairs, "id_a", "id_b",
+      evalRate = 0.5).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("split_key"), r.getAs[String]("split"))).toMap
+    // cluster {1,2,3} keyed by representative 1; {10,11} by 10
+    assert(Seq(1L, 2L, 3L).map(byId(_)).distinct.size == 1)
+    assert(byId(1L)._1 == 1L)
+    assert(Seq(10L, 11L).map(byId(_)).distinct.size == 1)
+    assert(byId(10L)._1 == 10L)
+    // singleton rule is exactly the md5-prefix hash sample on the own id
+    def side(key: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(4)
+      if (hex < "8000") "eval" else "train"
+    }
+    (4L to 9L).foreach(i => assert(byId(i)._2 == side(i), s"id $i"))
+    assert(byId(2L)._2 == side(1L))
+  }
+
+  test("clusterAwareSplit: no near-dup pair ever crosses the split") {
+    val rng = new scala.util.Random(83)
+    val rows = (1L to 500L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .repartition(7)
+    val pairs = Seq.fill(120)((rng.nextInt(500) + 1L, rng.nextInt(500) + 1L))
+      .filter(p => p._1 != p._2).toDF("id_a", "id_b")
+    val out = Dedup.clusterAwareSplit(rows, "doc_id", pairs, "id_a", "id_b")
+    val sideOf = out.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    pairs.collect().foreach { r =>
+      assert(sideOf(r.getLong(0)) == sideOf(r.getLong(1)),
+        s"pair ${r.getLong(0)}-${r.getLong(1)} crosses the split")
+    }
+  }
+
   test("shingles builds distinct word n-grams") {
     val df = Seq("a b c d").toDF("t")
     val got = df.select(Dedup.shingles($"t", 3)).as[Seq[String]].head()

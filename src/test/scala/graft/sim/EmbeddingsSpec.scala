@@ -245,4 +245,28 @@ class EmbeddingsSpec extends SparkSpec {
       .orderBy($"rank").select($"corpus_id").as[Long].collect().toSeq
     assert(mmr == rel)
   }
+
+  test("annEvalDF: recall and reciprocal rank from hand-built rank frames") {
+    val truth = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 3L),
+      (2L, 50L, 1L), (2L, 60L, 2L), (2L, 70L, 3L))
+      .toDF("query_id", "corpus_id", "rank")
+    // q1: index finds 10 (at rank 2) and 30, misses 20 → recall 2/3, rr 1/2
+    // q2: index misses the true NN 50 entirely → recall 1/3, rr 0
+    val approx = Seq((1L, 40L, 1L), (1L, 10L, 2L), (1L, 30L, 3L),
+      (2L, 60L, 1L), (2L, 80L, 2L), (2L, 90L, 3L))
+      .toDF("query_id", "corpus_id", "rank")
+    val r = Embeddings.annEvalDF(truth, approx, k = 3)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r(0)._1 == 1L && r(0)._2 == 3L && r(0)._3 == 2L)
+    assert(math.abs(r(0)._4 - 2.0 / 3) < 1e-6 && r(0)._5 == 0.5)
+    assert(r(1)._1 == 2L && r(1)._3 == 1L && r(1)._5 == 0.0)
+  }
+
+  test("annEvalDF: a perfect index scores recall 1 and rr 1 everywhere") {
+    val frame = Seq((1L, 10L, 1L), (1L, 20L, 2L), (2L, 30L, 1L), (2L, 40L, 2L))
+      .toDF("query_id", "corpus_id", "rank")
+    Embeddings.annEvalDF(frame, frame, k = 2).collect().foreach { row =>
+      assert(row.getDouble(3) == 1.0 && row.getDouble(4) == 1.0)
+    }
+  }
 }
