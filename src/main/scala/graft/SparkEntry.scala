@@ -1123,6 +1123,29 @@ object SparkEntry {
         "l_returnflag", "pred")
     }),
 
+    // ---- §2.8 incidence-rate ratio (r34): returns per shipping-day
+    // across priority arms — person-time = inclusive ship days, one
+    // map-side aggregate to four longs, IRR + conditional score z. -------
+    "r34_rate_ratio" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val cohort = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select((datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          + lit(1)).as("days"), (col("l_returnflag") === "R").as("ret"),
+          substring(col("o_orderpriority"), 1, 1).isin("1", "2").as("urgent"))
+      graft.stats.Epi.rateRatioDF(cohort, col("urgent"), col("ret"), "days")
+    }),
+
+    // ---- events: CUSUM drift detection (e15) — the stateful
+    // max(0, S+(c−k)) recurrence as TWO partitioned running windows via
+    // the reflection identity; doubled-unit integers end to end. ----------
+    "e15_cusum" -> ((s, dir) => {
+      graft.ops.Resample.cusumDetect(Tables.events(s, dir),
+          "event_type", "ts", "hour", target2 = 5L, threshold2 = 40L)
+        .select(col("key"), col("bucket_ts").cast("long").as("bucket_ts"),
+          col("c"), col("cusum2"), col("alarm"))
+        .orderBy(col("key"), col("bucket_ts"))
+    }),
+
     // ---- equi-depth histogram (h2): k ≈n/k-row buckets via the sharded
     // prefix rank — bucket = (cum·k) DIV n, pure integer arithmetic. -----
     "h2_histogram_depth" -> ((s, dir) => {
@@ -3095,6 +3118,18 @@ object SparkEntry {
         .orderBy(col("event_type"), col("grid_ts"))
     }),
 
+    // ---- events: rolling z-score anomaly flags (e14) — hourly counts
+    // per type scored against the 24 prior buckets; integer power sums in
+    // a PARTITIONED sliding frame, one fixed z tree, flag reads the
+    // rounded z. The monitoring twin of q3's global z-score checks. ------
+    "e14_rolling_anomaly" -> ((s, dir) => {
+      graft.ops.Resample.rollingAnomaly(Tables.events(s, dir),
+          "event_type", "ts", "hour", lookback = 24, zThreshold = 3.0)
+        .select(col("key"), col("bucket_ts").cast("long").as("bucket_ts"),
+          col("c"), col("prior_n"), col("z"), col("is_anomaly"))
+        .orderBy(col("key"), col("bucket_ts"))
+    }),
+
     // ---- §2.5 reshaping: pivot (explicit values → static schema) --------
     "p5_pivot" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -4732,6 +4767,37 @@ object SparkEntry {
          FROM grid g
          ASOF LEFT JOIN b ON g.event_type = b.event_type AND g.gts >= b.ts
          ORDER BY g.event_type, grid_ts""",
+
+    // e14: bucket counts, the same 24-prior sliding frame, the identical
+    // sample-variance z tree; the flag reads the ROUNDED z on both sides
+    "e14_rolling_anomaly" ->
+      """WITH counts AS (
+           SELECT event_type AS key, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                    AS bucket_ts,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         w AS (
+           SELECT key, bucket_ts, c,
+                  CAST(count(*) OVER win AS BIGINT) AS n,
+                  CAST(coalesce(sum(c) OVER win, 0) AS BIGINT) AS s1,
+                  CAST(coalesce(sum(c * c) OVER win, 0) AS BIGINT) AS s2
+           FROM counts
+           WINDOW win AS (PARTITION BY key ORDER BY bucket_ts
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         z AS (
+           SELECT key, bucket_ts, c, n AS prior_n,
+                  CASE WHEN n >= 2 AND n * s2 - s1 * s1 > 0
+                       THEN round((CAST(c AS DOUBLE)
+                                   - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                                  / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                                         / CAST(n * (n - 1) AS DOUBLE)), 6)
+                  END AS z
+           FROM w)
+         SELECT key, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts, c, prior_n, z,
+                CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END AS is_anomaly
+         FROM z ORDER BY key, bucket_ts""",
 
     "j4_outer_join" ->
       """SELECT c_custkey, c_mktsegment,
@@ -6603,6 +6669,65 @@ object SparkEntry {
                 round(CAST(n * agree - pe_num AS DOUBLE)
                       / CAST(n * n - pe_num AS DOUBLE), 6) AS kappa
          FROM ag, pe""",
+
+    // r34: four integer sums, the identical IRR and score-z trees
+    "r34_rate_ratio" ->
+      """WITH src AS (
+           SELECT datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) + 1 AS days,
+                  (l_returnflag = 'R') AS ret,
+                  (substring(o_orderpriority, 1, 1) IN ('1', '2')) AS g
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+             AND l_returnflag IS NOT NULL AND o_orderpriority IS NOT NULL),
+         f AS (SELECT CAST(days AS BIGINT) AS t,
+                      CASE WHEN ret THEN 1 ELSE 0 END AS e,
+                      CASE WHEN g THEN 1 ELSE 0 END AS gg
+               FROM src WHERE days > 0),
+         ag AS (
+           SELECT CAST(sum(e * gg) AS BIGINT) AS a,
+                  CAST(sum(e * (1 - gg)) AS BIGINT) AS b,
+                  CAST(sum(t * gg) AS BIGINT) AS t1,
+                  CAST(sum(t * (1 - gg)) AS BIGINT) AS t2
+           FROM f)
+         SELECT a, b, t1, t2,
+                CASE WHEN b * t1 > 0
+                     THEN round(CAST(a AS DOUBLE) * CAST(t2 AS DOUBLE)
+                                / (CAST(b AS DOUBLE) * CAST(t1 AS DOUBLE)), 6)
+                END AS irr,
+                CASE WHEN a + b > 0 AND t1 > 0 AND t2 > 0
+                     THEN round((CAST(a AS DOUBLE) * CAST(t1 + t2 AS DOUBLE)
+                                 - CAST(a + b AS DOUBLE) * CAST(t1 AS DOUBLE))
+                                / sqrt(CAST(a + b AS DOUBLE)
+                                       * CAST(t1 AS DOUBLE)
+                                       * CAST(t2 AS DOUBLE)), 6)
+                END AS z
+         FROM ag""",
+
+    // e15: prefix sum + prefix min — the reflection form of the CUSUM
+    // recurrence, pure doubled-unit integer arithmetic
+    "e15_cusum" ->
+      """WITH counts AS (
+           SELECT event_type AS key, date_trunc('hour', CAST(ts AS TIMESTAMP))
+                    AS bucket_ts,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         pp AS (
+           SELECT key, bucket_ts, c,
+                  sum(2 * c - 5) OVER (PARTITION BY key ORDER BY bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+           FROM counts),
+         p AS (
+           SELECT key, bucket_ts, c, pp,
+                  least(0, min(pp) OVER (PARTITION BY key ORDER BY bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS mm
+           FROM pp)
+         SELECT key, CAST(epoch(bucket_ts) AS BIGINT) AS bucket_ts, c,
+                CAST(pp - mm AS BIGINT) AS cusum2,
+                (pp - mm >= 40) AS alarm
+         FROM p ORDER BY key, bucket_ts""",
 
     // h2: value cells, exclusive cumulative rank, (cum·k) DIV n buckets
     "h2_histogram_depth" ->

@@ -52,10 +52,21 @@ object Layout {
   }
 
   /** Return `df` clustered on the Z-curve of `zCols`: one min/max stats
-    * job, then range-partition on the z-value into `outPartitions` and
-    * sort within partitions — written out, each file covers a tight
+    * job, then partition on the z-value into `outPartitions` and sort
+    * within partitions — written out, each file covers a tight
     * hyper-rectangle of the key space (LayoutSpec measures the pruning).
-    * Content is untouched (the p8 oracle proves it relationally). */
+    * Content is untouched (the p8 oracle proves it relationally).
+    *
+    * With explicit `outPartitions`, slabs are DETERMINISTIC equal-width
+    * z-ranges (`slab = z DIV ceil(2^totalBits / P)`, an identity
+    * partitioner — no sampling): file boundaries align exactly with the
+    * curve's top bits, so the same input always produces the same files
+    * and a k-th-fraction predicate prunes to its exact slab set.
+    * `repartitionByRange`'s sampled boundaries (the 0 default) shift
+    * with the RDD-id seed and can land mid-slab, keeping extra files.
+    * The trade: equal-width slabs assume the bucketed z is roughly
+    * uniform (the equi-width bucketing gives that for non-degenerate
+    * data); a heavily clustered key set should use the sampled path. */
   def zorder(df: DataFrame, zCols: Seq[String], bits: Int = 12,
       outPartitions: Int = 0): DataFrame = {
     val aggs = zCols.flatMap(c => Seq(
@@ -68,9 +79,23 @@ object Layout {
       .map(_.toString.toDouble).getOrElse(0.0))
     val z = zvalue(zCols.map(col), mins, maxs, bits)
     val withZ = df.withColumn("__z", z)
-    val parts =
-      if (outPartitions > 0) withZ.repartitionByRange(outPartitions, col("__z"))
-      else withZ.repartitionByRange(col("__z"))
-    parts.sortWithinPartitions(col("__z")).drop("__z")
+    if (outPartitions > 0) {
+      val span = 1L << (bits * zCols.size)
+      val width = (span + outPartitions - 1) / outPartitions.toLong
+      val keyed = withZ.withColumn("__slab",
+        expr(s"__z DIV $width").cast("int"))
+      val schema = keyed.schema
+      val part = new org.apache.spark.Partitioner {
+        override def numPartitions: Int = outPartitions
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      }
+      val rdd = keyed.rdd.map(r => (r.getAs[Int]("__slab"), r))
+        .partitionBy(part).map(_._2)
+      keyed.sparkSession.createDataFrame(rdd, schema)
+        .sortWithinPartitions(col("__z")).drop("__z", "__slab")
+    } else {
+      withZ.repartitionByRange(col("__z"))
+        .sortWithinPartitions(col("__z")).drop("__z")
+    }
   }
 }

@@ -12,6 +12,77 @@ import org.apache.spark.sql.functions._
   */
 object Resample {
 
+  /** Rolling z-score anomaly flags over a keyed event stream — the
+    * monitoring primitive: bucket events per (key, time bucket), then
+    * score each bucket's count against the mean/stddev of its `lookback`
+    * PRIOR buckets (rows-based frame over buckets present — a silent
+    * hour contributes no row; compose with [[forwardFillGrid]] upstream
+    * when gaps must count as zero).
+    *
+    * Exactness: bucket counts and the window's power sums are LONGs; the
+    * sample-variance z is ONE fixed tree — `(c − s1/n) /
+    * sqrt((n·s2 − s1²)/(n(n−1)))` — rounded to 6, and the flag reads the
+    * ROUNDED z so a relational replay agrees bit-for-bit. z is NULL until
+    * 2 prior buckets exist or when the window is constant.
+    *
+    * Plan: one map-side-combined groupBy to the bucket frame, one
+    * PARTITIONED sliding window — nothing global, corpus shuffles once. */
+  def rollingAnomaly(df: DataFrame, keyCol: String, tsCol: String,
+      truncUnit: String = "hour", lookback: Int = 24,
+      zThreshold: Double = 3.0): DataFrame = {
+    require(lookback >= 2, s"lookback must be ≥2, got $lookback")
+    val counts = df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), date_trunc(truncUnit, col(tsCol)).as("bucket_ts"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket_ts").asc)
+      .rowsBetween(-lookback.toLong, -1L)
+    val n = count(lit(1)).over(w)
+    val s1 = sum(col("c")).over(w)
+    val s2 = sum(col("c") * col("c")).over(w)
+    val z = when(n >= 2L && (n * s2 - s1 * s1) > 0L,
+      round((col("c").cast("double") - s1.cast("double") / n.cast("double")) /
+        sqrt((n * s2 - s1 * s1).cast("double") /
+          (n * (n - 1L)).cast("double")), 6))
+    counts
+      .withColumn("prior_n", n)
+      .withColumn("z", z)
+      .withColumn("is_anomaly",
+        when(col("z").isNotNull, abs(col("z")) > lit(zThreshold)))
+      .orderBy(col("key"), col("bucket_ts"))
+  }
+
+  /** One-sided CUSUM change-point detection over a keyed event stream —
+    * the sequential drift detector ([[rollingAnomaly]] catches spikes;
+    * CUSUM accumulates small sustained shifts). The textbook recurrence
+    * `S_t = max(0, S_{t−1} + (c_t − k))` is stateful, but the reflection
+    * identity `S_t = P_t − min(0, min_{j≤t} P_j)` (with `P` the plain
+    * prefix sum of `c − k`) turns it into two PARTITIONED running windows
+    * — no stateful scan, no recursion, scale-safe.
+    *
+    * Everything is doubled-unit LONG arithmetic (`target2` = 2k,
+    * `threshold2` = 2h) so a half-count reference value stays exact.
+    * Returns `(key, bucket_ts, c, cusum2, alarm)`; the detector does NOT
+    * reset after an alarm (alarms persist while the doubled statistic
+    * stays ≥ `threshold2` — the common monitoring read). */
+  def cusumDetect(df: DataFrame, keyCol: String, tsCol: String,
+      truncUnit: String = "hour", target2: Long, threshold2: Long): DataFrame = {
+    require(threshold2 > 0, s"threshold2 must be positive, got $threshold2")
+    val counts = df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), date_trunc(truncUnit, col(tsCol)).as("bucket_ts"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket_ts").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)
+    counts
+      .withColumn("__p", sum(lit(2L) * col("c") - lit(target2)).over(w))
+      .withColumn("__m", least(lit(0L), min(col("__p")).over(w)))
+      .withColumn("cusum2", col("__p") - col("__m"))
+      .withColumn("alarm", col("cusum2") >= lit(threshold2))
+      .select(col("key"), col("bucket_ts"), col("c"), col("cusum2"), col("alarm"))
+      .orderBy(col("key"), col("bucket_ts"))
+  }
+
   /** One row per (key, grid instant) from floor(min ts) to floor(max ts) in
     * `step` intervals, with the latest `valCol` at-or-before each instant
     * (NULL before the first observation). `truncUnit` must floor-align with

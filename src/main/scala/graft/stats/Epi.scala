@@ -47,6 +47,39 @@ object Epi {
       round(z, 6).as("z"))
   }
 
+  /** Incidence-rate ratio for two exposure arms under person-time —
+    * events per unit follow-up, the epidemiological rate comparison
+    * (returns per shipping-day, infections per patient-year). One row
+    * `(a, b, t1, t2, irr, z)`: arm event counts and person-time totals
+    * (exact LONGs from ONE map-side aggregate), `irr = a·t2 / (b·t1)`
+    * (one division), and the conditional score z — events split
+    * binomially by person-time share under H₀, so
+    * `z = (a·T − n·t1) / sqrt(n·t1·t2)` with `n = a+b`, `T = t1+t2` —
+    * a fixed tree over the four longs (the triple product multiplies as
+    * doubles to dodge long overflow). `timeCol` must be positive
+    * integral person-time units. */
+  def rateRatioDF(df: DataFrame, isG1: Column, event: Column,
+      timeCol: String): DataFrame = {
+    val src = df.where(isG1.isNotNull && event.isNotNull &&
+        col(timeCol).isNotNull && col(timeCol) > 0)
+      .select(when(isG1, 1L).otherwise(0L).as("g"),
+        when(event, 1L).otherwise(0L).as("e"),
+        col(timeCol).cast("long").as("t"))
+    val agg = src.agg(
+      sum(col("e") * col("g")).as("a"),
+      sum(col("e") * (lit(1L) - col("g"))).as("b"),
+      sum(col("t") * col("g")).as("t1"),
+      sum(col("t") * (lit(1L) - col("g"))).as("t2"))
+    val a = col("a").cast("double"); val b = col("b").cast("double")
+    val t1 = col("t1").cast("double"); val t2 = col("t2").cast("double")
+    val n = (col("a") + col("b")).cast("double")
+    val tT = (col("t1") + col("t2")).cast("double")
+    agg.select(col("a"), col("b"), col("t1"), col("t2"),
+      when(col("b") * col("t1") > 0L, round(a * t2 / (b * t1), 6)).as("irr"),
+      when(col("a") + col("b") > 0L && col("t1") > 0L && col("t2") > 0L,
+        round((a * tT - n * t1) / sqrt(n * t1 * t2), 6)).as("z"))
+  }
+
   /** One row per stratum, ordered by stratum, with the 2×2 cells, the
     * per-stratum `odds_ratio` (ad/bc, NULL when bc = 0) and `risk_ratio`
     * (a(c+d) / ((a+b)c), NULL when c = 0), and the running MH/CMH state:

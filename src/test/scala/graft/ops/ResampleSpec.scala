@@ -22,4 +22,58 @@ class ResampleSpec extends SparkSpec {
       // b: single-instant span → one grid row, before its event → null
       ("b", "11:00", None)))
   }
+
+  test("cusumDetect: reflection identity equals the stateful recurrence") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(97)
+    val counts = Seq.fill(80)(rng.nextInt(6))          // per-hour event counts
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)(("k", Timestamp.valueOf(f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:10:00")))
+    } ++ Seq(("k", Timestamp.valueOf("2024-01-04 10:00:00"))) // lone extra hour
+    val df = rows.toDF("etype", "t").repartition(5)
+    // target 2.5 events/hour (doubled 5), threshold 4 (doubled 8)
+    val out = Resample.cusumDetect(df, "etype", "t", "hour",
+      target2 = 5L, threshold2 = 8L).collect()
+    // driver recurrence over the hours that HAVE events (present buckets)
+    val present = counts.zipWithIndex.filter(_._1 > 0).map(_._1) :+ 1
+    var s = 0L
+    present.zip(out).foreach { case (c, row) =>
+      s = math.max(0L, s + 2L * c - 5L)
+      assert(row.getLong(2) == c.toLong)
+      assert(row.getLong(3) == s, s"bucket ${row.get(1)}")
+      assert(row.getBoolean(4) == (s >= 8L))
+    }
+    assert(out.length == present.length)
+  }
+
+  test("rollingAnomaly: hand-computed spike against steady prior hours") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // key k: hours 0-3 have 2 events each, hour 4 has 8 (the spike)
+    val rows = (for (h <- 0 to 3; m <- Seq(5, 35)) yield ("k", ts(h, m))) ++
+      (1 to 8).map(i => ("k", ts(4, i)))
+    val df = rows.toDF("etype", "t").repartition(3)
+    val out = Resample.rollingAnomaly(df, "etype", "t", "hour",
+      lookback = 24, zThreshold = 3.0).collect()
+    assert(out.length == 5)
+    // first two buckets: no/one prior → z null
+    assert(out(0).getLong(3) == 0L && out(1).getLong(3) == 1L)
+    assert(out(0).isNullAt(4) && out(1).isNullAt(4))
+    // constant window: variance 0 → z null
+    assert(out(2).isNullAt(4) && out(3).isNullAt(4))
+    // the spike: prior = {2,2,2,2}, mean 2, sd 0 → still null variance!
+    // (constant priors) — so z stays null but the count is visible
+    assert(out(4).getLong(2) == 8L && out(4).isNullAt(4))
+    // now a noisy prior: counts 1,3,1,3 then 9 → mean 2, var 4/3, sd 1.1547
+    val rows2 = (for (h <- 0 to 3; m <- 0 until (if (h % 2 == 0) 1 else 3))
+      yield ("n", ts(h, m))) ++ (1 to 9).map(i => ("n", ts(4, i)))
+    val out2 = Resample.rollingAnomaly(rows2.toDF("etype", "t"), "etype", "t",
+      "hour", 24, 3.0).collect()
+    val last = out2.last
+    val zRef = (9.0 - 2.0) / math.sqrt((4.0 * 20 - 8 * 8) / (4.0 * 3))
+    assert(math.abs(last.getDouble(4) - zRef) < 1e-6)
+    assert(last.getBoolean(5))
+  }
 }

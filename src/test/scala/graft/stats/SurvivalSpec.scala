@@ -129,6 +129,19 @@ class SurvivalSpec extends SparkSpec {
     assert(r._1 == n && r._2 == math.round(2 * wplus) && r._3 == tie)
   }
 
+  test("rate ratio: hand-computed person-time example") {
+    // arm1: 3 events over 100 days; arm2: 1 event over 200 days → IRR 6
+    val df = (Seq.fill(3)((true, true, 10L)) ++ Seq.fill(7)((true, false, 10L)) ++
+      Seq.fill(1)((false, true, 50L)) ++ Seq.fill(3)((false, false, 50L)))
+      .toDF("g", "e", "t").repartition(3)
+    val r = Epi.rateRatioDF(df, col("g"), col("e"), "t")
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    assert((r._1, r._2, r._3, r._4) == ((3L, 1L, 100L, 200L)))
+    assert(math.abs(r._5 - 6.0) < 1e-6)                 // (3/100)/(1/200)
+    // z = (a·T − n·t1)/sqrt(n·t1·t2) = (3·300 − 4·100)/sqrt(4·100·200)
+    assert(math.abs(r._6 - 500.0 / math.sqrt(80000.0)) < 1e-6)
+  }
+
   test("Mantel-Haenszel: hand-computed stratified example") {
     // stratum s1: a=2 b=1 c=1 d=2 (n=6); stratum s2: a=1 b=2 c=2 d=1 (n=6)
     def rows(s: String, x: Boolean, y: Boolean, k: Int) =
