@@ -535,6 +535,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- dedup: near-dup graph structure census (d15) — per-node degree,
+    // triangle count, clustering coefficient over the d8 pair graph:
+    // clique-like clusters (high cc) are true dup groups, chain-shaped
+    // bridges (low cc) are what connectedComponents would over-glue. -----
+    "d15_graph_stats" -> ((s, dir) => {
+      val pairs = Dedup.minHashMd5Pairs(Tables.spread(t(s, dir, "documents")),
+        "doc_id", "text", k = 8, n = 3, window = 25, minAgree = 4)
+      graft.ops.Graph.triangleStats(pairs, "id_a", "id_b")
+    }),
+
     // ---- dedup: SimHash md5 twin — cross-engine-verifiable variant of d3's
     // fingerprint (per-token md5 bits vote ±1), hash-matched ---------------
     "d9_simhash_md5" -> ((s, dir) => {
@@ -1144,6 +1154,23 @@ object SparkEntry {
         .select(col("key"), col("bucket_ts").cast("long").as("bucket_ts"),
           col("c"), col("cusum2"), col("alarm"))
         .orderBy(col("key"), col("bucket_ts"))
+    }),
+
+    // ---- data quality: Benford first-digit audit (q13) — the fraud /
+    // entry-error screen: decimal-string digit census vs log10(1+1/d),
+    // χ² as the r19 running chain over the 9-digit frame. ----------------
+    "q13_benford" -> ((s, dir) => {
+      graft.ops.Profile.benfordDF(t(s, dir, "lineitem"), "l_extendedprice")
+    }),
+
+    // ---- §2.8 Breslow–Day homogeneity (r35): is r29's pooling valid?
+    // Pooled ψ from the MH chains' last link, per-stratum expected a-cell
+    // from the closed-form OR quadratic, harmonic variance, BD chain. ----
+    "r35_breslow_day" -> ((s, dir) => {
+      graft.stats.Epi.breslowDayDF(
+        t(s, dir, "lineitem").withColumn("ship_year",
+          year(col("l_shipdate")).cast("string")),
+        "ship_year", col("l_discount") >= 0.05, col("l_returnflag") === "R")
     }),
 
     // ---- equi-depth histogram (h2): k ≈n/k-row buckets via the sharded
@@ -5812,6 +5839,52 @@ object SparkEntry {
          FROM documents d LEFT JOIN comps c ON c.id = d.doc_id
          ORDER BY doc_id""",
 
+    // d15: the d8 pair chain, then canonical a<b<c triangle listing,
+    // corner explode, and the 2t/(d(d−1)) coefficient
+    "d15_graph_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+                FROM toks),
+         exs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         ex AS (SELECT doc_id, md5(sg) AS h FROM exs),
+         sig AS (SELECT doc_id,
+                   min(substr(h, 1, 4)) AS m0, min(substr(h, 5, 4)) AS m1,
+                   min(substr(h, 9, 4)) AS m2, min(substr(h, 13, 4)) AS m3,
+                   min(substr(h, 17, 4)) AS m4, min(substr(h, 21, 4)) AS m5,
+                   min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
+                 FROM ex GROUP BY doc_id),
+         e AS (SELECT id_a AS a, id_b AS b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    (a.m0=b.m0)::INT + (a.m1=b.m1)::INT + (a.m2=b.m2)::INT +
+                    (a.m3=b.m3)::INT + (a.m4=b.m4)::INT + (a.m5=b.m5)::INT +
+                    (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree
+             FROM sig a JOIN sig b
+               ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+           WHERE agree >= 4),
+         sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
+                 FROM sym GROUP BY a),
+         tris AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1 JOIN e e2 ON e2.a = e1.b
+                     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         corner AS (
+           SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+             SELECT x AS id FROM tris
+             UNION ALL SELECT y FROM tris
+             UNION ALL SELECT z FROM tris)
+           GROUP BY id)
+         SELECT d.id, d.degree, coalesce(c.triangles, 0) AS triangles,
+                CASE WHEN d.degree >= 2
+                     THEN round(2.0 * CAST(coalesce(c.triangles, 0) AS DOUBLE)
+                                / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+                     ELSE 0.0 END AS clustering
+         FROM deg d LEFT JOIN corner c ON c.id = d.id
+         ORDER BY d.id""",
+
     // d12: the d8 candidate chain verbatim, then the exact edit-distance
     // verification stage — texts re-joined by id, levenshtein ≤ 64 kept
     "d12_edit_verify" ->
@@ -6728,6 +6801,111 @@ object SparkEntry {
                 CAST(pp - mm AS BIGINT) AS cusum2,
                 (pp - mm >= 40) AS alarm
          FROM p ORDER BY key, bucket_ts""",
+
+    // q13: identical digit extraction (decimal-string, no log10), the
+    // SAME JVM probability literals, the same running χ² chain
+    "q13_benford" ->
+      s"""WITH d AS (
+           SELECT substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR),
+                    1, 1) AS digit
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1.0),
+         c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1),
+         e AS (
+           SELECT digit, n,
+                  CAST(sum(n) OVER () AS DOUBLE)
+                    * (CASE digit ${graft.ops.Profile.benfordP.map {
+                        case (dd, p) => s"WHEN '$dd' THEN $p" }.mkString(" ")}
+                       END) AS expected
+           FROM c),
+         x AS (
+           SELECT digit, n, expected,
+                  (CAST(n AS DOUBLE) - expected)
+                    * (CAST(n AS DOUBLE) - expected) / expected AS contrib
+           FROM e)
+         SELECT digit, n, round(expected, 4) AS expected,
+                round(contrib, 6) AS contrib,
+                round(sum(contrib) OVER (ORDER BY digit
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                  AS chi2_running
+         FROM x ORDER BY digit""",
+
+    // r35: the r29 cell/chain machinery, pooled ψ by max_by last-link,
+    // the identical quadratic/harmonic trees, nested CASE so sqrt never
+    // sees a negative discriminant
+    "r35_breslow_day" ->
+      """WITH src AS (
+           SELECT CAST(year(CAST(l_shipdate AS DATE)) AS VARCHAR) AS stratum,
+                  (l_discount >= 0.05) AS x, (l_returnflag = 'R') AS y
+           FROM lineitem
+           WHERE l_shipdate IS NOT NULL AND l_discount IS NOT NULL
+             AND l_returnflag IS NOT NULL),
+         cells AS (
+           SELECT stratum,
+                  CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM src GROUP BY 1),
+         chains AS (
+           SELECT stratum, a, b, c, d,
+                  sum(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                      / CAST(a + b + c + d AS DOUBLE)) OVER w AS mhn,
+                  sum(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                      / CAST(a + b + c + d AS DOUBLE)) OVER w AS mhd,
+                  row_number() OVER (ORDER BY stratum) AS rn
+           FROM cells
+           WINDOW w AS (ORDER BY stratum
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         pooled AS (
+           SELECT max_by(mhn, rn) / max_by(mhd, rn) AS psi FROM chains),
+         ex AS (
+           SELECT stratum, a, b, c, d,
+                  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                    CASE WHEN (psi * CAST(a + b + a + c AS DOUBLE)
+                                 + CAST(c + d - a - c AS DOUBLE))
+                              * (psi * CAST(a + b + a + c AS DOUBLE)
+                                 + CAST(c + d - a - c AS DOUBLE))
+                              - 4.0 * (psi - 1.0) * psi
+                                * CAST((a + b) * (a + c) AS DOUBLE) >= 0 THEN
+                      CASE WHEN psi = 1.0
+                           THEN CAST((a + b) * (a + c) AS DOUBLE)
+                                / CAST(a + b + c + d AS DOUBLE)
+                           ELSE ((psi * CAST(a + b + a + c AS DOUBLE)
+                                   + CAST(c + d - a - c AS DOUBLE))
+                                 - sqrt((psi * CAST(a + b + a + c AS DOUBLE)
+                                          + CAST(c + d - a - c AS DOUBLE))
+                                        * (psi * CAST(a + b + a + c AS DOUBLE)
+                                           + CAST(c + d - a - c AS DOUBLE))
+                                        - 4.0 * (psi - 1.0) * psi
+                                          * CAST((a + b) * (a + c) AS DOUBLE)))
+                                / (2.0 * (psi - 1.0))
+                      END
+                    END
+                  END AS aexp
+           FROM cells, pooled),
+         terms AS (
+           SELECT stratum, a, b, c, d, aexp,
+                  CASE WHEN aexp IS NOT NULL THEN
+                    CASE WHEN aexp > 0.0
+                              AND CAST(a + b AS DOUBLE) - aexp > 0.0
+                              AND CAST(a + c AS DOUBLE) - aexp > 0.0
+                              AND CAST(c + d - a - c AS DOUBLE) + aexp > 0.0
+                         THEN (CAST(a AS DOUBLE) - aexp)
+                              * (CAST(a AS DOUBLE) - aexp)
+                              * (1.0 / aexp
+                                 + 1.0 / (CAST(a + b AS DOUBLE) - aexp)
+                                 + 1.0 / (CAST(a + c AS DOUBLE) - aexp)
+                                 + 1.0 / (CAST(c + d - a - c AS DOUBLE) + aexp))
+                    END
+                  END AS bd_term
+           FROM ex)
+         SELECT stratum, a, b, c, d,
+                round(aexp, 6) AS a_exp, round(bd_term, 6) AS bd_term,
+                round(sum(coalesce(bd_term, 0.0)) OVER (ORDER BY stratum
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                  AS bd_running
+         FROM terms ORDER BY stratum""",
 
     // h2: value cells, exclusive cumulative rank, (cum·k) DIV n buckets
     "h2_histogram_depth" ->

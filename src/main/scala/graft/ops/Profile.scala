@@ -23,6 +23,51 @@ import org.apache.spark.sql.functions._
   * the contract: cross-type min/max and modes need one total order). */
 object Profile {
 
+  /** Benford's-law first-digit probabilities, `log10(1 + 1/d)` — exposed
+    * so the engine side and a SQL replay interpolate the SAME JVM double
+    * literals (DuckDB's libm can differ in the last ulp). */
+  val benfordP: Seq[(String, Double)] =
+    (1 to 9).map(d => (d.toString, math.log10(1.0 + 1.0 / d)))
+
+  /** Benford's-law conformance audit of a positive 2-decimal money
+    * column — the fraud/entry-error screen an auditor runs first: the
+    * observed first-digit census against `log10(1 + 1/d)`, with the
+    * goodness-of-fit χ² as a RUNNING chain in digit order (the r19
+    * doctrine). One row per digit 1–9:
+    * `(digit, n, expected, contrib, chi2_running)`.
+    *
+    * The first digit comes from the DECIMAL(18,2) string rendering (both
+    * engines print the same canonical form) — no `log10`-of-value digit
+    * extraction, whose boundary rounding (10^k) differs across libms.
+    * Rows < 1 drop (their leading "0" isn't a significant digit).
+    * Plan: one map-side groupBy to the 9-digit frame; windows ride it. */
+  def benfordDF(df: DataFrame, valueCol: String): DataFrame = {
+    val digits = df
+      .where(col(valueCol).isNotNull && col(valueCol) >= 1.0)
+      .select(substring(col(valueCol).cast("decimal(18,2)").cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val aw = Window.partitionBy()
+    val runW = Window.partitionBy().orderBy(col("digit").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // 9-row digit frame: the deliberate dimension-sized windows
+    val pCol = element_at(
+      map(benfordP.flatMap { case (d, p) => Seq(lit(d), lit(p)) }: _*),
+      col("digit"))
+    val withE = digits
+      .withColumn("__t", sum(col("n")).over(aw))
+      .withColumn("expected", col("__t").cast("double") * pCol)
+    val contrib = (col("n").cast("double") - col("expected")) *
+      (col("n").cast("double") - col("expected")) / col("expected")
+    withE
+      .withColumn("contrib", contrib)
+      .withColumn("chi2_running", sum(col("contrib")).over(runW))
+      .select(col("digit"), col("n"), round(col("expected"), 4).as("expected"),
+        round(col("contrib"), 6).as("contrib"),
+        round(col("chi2_running"), 6).as("chi2_running"))
+      .orderBy(col("digit"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val spark = df.sparkSession

@@ -20,6 +20,73 @@ import org.apache.spark.sql.functions._
   * transcendentals anywhere. The per-stratum frame is dimension-sized. */
 object Epi {
 
+  /** Breslow–Day test for HOMOGENEITY of odds ratios across strata — the
+    * validity check behind [[mantelHaenszelDF]]'s pooling (a significant
+    * BD says the per-stratum ORs genuinely differ and one pooled number
+    * misleads). One row per stratum, ordered:
+    * `(stratum, a, b, c, d, a_exp, bd_term, bd_running)` — the LAST row's
+    * `bd_running` is the statistic (χ², k−1 df).
+    *
+    * Under the pooled ψ (the MH estimate — its chains replay exactly, the
+    * last link extracted by `max_by` on the stratum rank), each stratum's
+    * expected a-cell solves the OR quadratic in closed form
+    * (`ã = (tt − √(tt² − 4(ψ−1)ψ·n1·m1)) / (2(ψ−1))`, the linear
+    * `n1·m1/T` limit at ψ = 1), the variance is the harmonic form
+    * `1/(1/ã + 1/b̃ + 1/c̃ + 1/d̃)`, and every expression is a fixed
+    * left-to-right tree over exact-long margins, so the whole frame
+    * replays bit-for-bit. Degenerate strata (a zero margin → disc/variance
+    * undefined) emit NULL terms and contribute 0 to the chain. */
+  def breslowDayDF(df: DataFrame, stratumCol: String,
+      exposed: Column, outcome: Column): DataFrame = {
+    val cells = cells2x2(df, stratumCol, exposed, outcome)
+    val nD = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    val mhNum = col("a").cast("double") * col("d").cast("double") / nD
+    val mhDen = col("b").cast("double") * col("c").cast("double") / nD
+    val runW = Window.partitionBy().orderBy(col("stratum").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pooled ψ: the r29 chains' LAST link (max_by on the stratum rank)
+    val chains = cells
+      .withColumn("__mhn", sum(mhNum).over(runW))
+      .withColumn("__mhd", sum(mhDen).over(runW))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy().orderBy(col("stratum").asc)))
+    val pooled = chains.agg(
+      (max_by(col("__mhn"), col("__rn")) / max_by(col("__mhd"), col("__rn")))
+        .as("__psi"))
+    val j = cells.crossJoin(pooled)
+    val n1 = col("a") + col("b"); val n0 = col("c") + col("d")
+    val m1 = col("a") + col("c")
+    val t = n1 + n0
+    val psi = col("__psi")
+    val tt = psi * (n1 + m1).cast("double") + (n0 - m1).cast("double")
+    val disc = tt * tt -
+      lit(4.0) * (psi - lit(1.0)) * psi * (n1 * m1).cast("double")
+    val aExp = when(psi === 1.0,
+        (n1 * m1).cast("double") / t.cast("double"))
+      .otherwise((tt - sqrt(disc)) / (lit(2.0) * (psi - lit(1.0))))
+    val bExp = n1.cast("double") - aExp
+    val cExp = m1.cast("double") - aExp
+    val dExp = (n0 - m1).cast("double") + aExp
+    val inv = lit(1.0) / aExp + lit(1.0) / bExp + lit(1.0) / cExp +
+      lit(1.0) / dExp
+    // nested CASE: sqrt(disc) must never evaluate under disc < 0 (DuckDB
+    // errors on negative sqrt and SQL AND does not short-circuit)
+    val valid = col("a") > 0L && col("b") > 0L && col("c") > 0L &&
+      col("d") > 0L && disc >= 0.0
+    val term = when(valid,
+      when(aExp > 0.0 && bExp > 0.0 && cExp > 0.0 && dExp > 0.0,
+        (col("a").cast("double") - aExp) * (col("a").cast("double") - aExp) * inv))
+    j.withColumn("__aexp", when(valid, aExp))
+      .withColumn("__term", term)
+      .withColumn("bd_running",
+        sum(coalesce(col("__term"), lit(0.0))).over(runW))
+      .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+        round(col("__aexp"), 6).as("a_exp"),
+        round(col("__term"), 6).as("bd_term"),
+        round(col("bd_running"), 6).as("bd_running"))
+      .orderBy(col("stratum"))
+  }
+
   /** Cochran–Armitage test for TREND — does a binary outcome rate move
     * monotonically with an ordered integer dose? (The dose–response
     * question a 2×2 chain can't answer.) One row
@@ -87,10 +154,12 @@ object Epi {
     * `v_run` = Σ(a+b)(c+d)(a+c)(b+d)/(n²(n−1)), and
     * `cmh_running = (a_run − e_run)²/v_run` — the LAST row carries the
     * pooled estimate and test statistic. NULL stratum/flag rows drop. */
-  def mantelHaenszelDF(df: DataFrame, stratumCol: String,
-      exposed: Column, outcome: Column): DataFrame = {
-    val cells = df
-      .where(col(stratumCol).isNotNull && exposed.isNotNull && outcome.isNotNull)
+  /** Stratum-level 2×2 cell counts `(stratum, a, b, c, d)` — the one
+    * corpus-sized (map-side-combined) aggregate both stratified tests
+    * share. */
+  private def cells2x2(df: DataFrame, stratumCol: String,
+      exposed: Column, outcome: Column): DataFrame =
+    df.where(col(stratumCol).isNotNull && exposed.isNotNull && outcome.isNotNull)
       .select(col(stratumCol).cast("string").as("stratum"),
         when(exposed, 1L).otherwise(0L).as("x"),
         when(outcome, 1L).otherwise(0L).as("y"))
@@ -99,6 +168,10 @@ object Epi {
         sum(col("x") * (lit(1L) - col("y"))).as("b"),
         sum((lit(1L) - col("x")) * col("y")).as("c"),
         sum((lit(1L) - col("x")) * (lit(1L) - col("y"))).as("d"))
+
+  def mantelHaenszelDF(df: DataFrame, stratumCol: String,
+      exposed: Column, outcome: Column): DataFrame = {
+    val cells = cells2x2(df, stratumCol, exposed, outcome)
     val a = col("a").cast("double"); val b = col("b").cast("double")
     val c = col("c").cast("double"); val d = col("d").cast("double")
     val n = col("a") + col("b") + col("c") + col("d")

@@ -25,7 +25,9 @@ class PlanAuditSpec extends SparkSpec {
     // r33: the 1-row agree × margin-product combine (the j1 shape)
     "r33_cohen_kappa",
     // n12: the n1 brute-force truth leg (same broadcast-query shape)
-    "n12_ann_recall")
+    "n12_ann_recall",
+    // r35: the 1-row pooled-psi × stratum-frame combine (the j1 shape)
+    "r35_breslow_day")
 
   // the in-SQL ROC curve over 4 leaf scores (m3 — plan-required: the
   // curve is built inside one query), the DPP dim max (p7 — days-sized,
@@ -56,7 +58,11 @@ class PlanAuditSpec extends SparkSpec {
     // r32: the Friedman χ² running chain over the k-row treatment frame
     "r32_friedman",
     // m7: cumulative gains over the leaf-level score frame (≤ 2^depth rows)
-    "m7_lift_chart")
+    "m7_lift_chart",
+    // q13: the Benford χ² running chain over the 9-digit frame
+    "q13_benford",
+    // r35: pooled-ψ + BD running chains over the stratum frame
+    "r35_breslow_day")
 
   test("no query grows an undeclared loop join or partition-less window") {
     val loops = scala.collection.mutable.ArrayBuffer[String]()

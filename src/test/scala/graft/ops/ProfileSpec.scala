@@ -39,4 +39,29 @@ class ProfileSpec extends SparkSpec {
     assert(r._2 == 2L && r._3 == 0L && r._4 == 0L)
     assert(r._5.isEmpty && r._6.isEmpty && r._7.isEmpty && r._8 == 0L)
   }
+
+  test("benford: digit census, expectation, and chi2 match the driver sweep") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(101)
+    // values spanning magnitudes; sub-1 and null rows must drop
+    val vals = Seq.fill(2000)(math.pow(10, rng.nextDouble() * 3) + 1.0) ++
+      Seq(0.5, 0.99) // dropped: leading zero digits
+    val df = (vals.map(Option(_)) :+ None).toDF("x").repartition(5)
+    val r = Profile.benfordDF(df, "x").collect()
+    val digits = vals.filter(_ >= 1.0)
+      .map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        .toString.head.toString)
+    val byD = digits.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = digits.size.toDouble
+    var chi2 = 0.0
+    r.foreach { row =>
+      val d = row.getString(0)
+      assert(row.getLong(1) == byD(d), s"digit $d count")
+      val e = total * math.log10(1.0 + 1.0 / d.toInt)
+      assert(math.abs(row.getDouble(2) - e) < 1e-3)
+      chi2 += (byD(d) - e) * (byD(d) - e) / e
+      assert(math.abs(row.getDouble(4) - chi2) < 1e-4)
+    }
+    assert(r.map(_.getString(0)).toSeq == (1 to 9).map(_.toString))
+  }
 }

@@ -237,6 +237,31 @@ class SurvivalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long, Double)].head()._6 == 0.0)
   }
 
+  test("Breslow-Day: opposite ORs score positive, identical ORs score zero") {
+    def rows(s: String, x: Boolean, y: Boolean, k: Int) =
+      Seq.fill(k)((s, x, y))
+    // the MH hand example: OR 4 vs OR 1/4, pooled psi = 1 exactly →
+    // the linear (psi = 1) branch: a_exp = n1*m1/T = 1.5 per stratum,
+    // term = (a - 1.5)^2 * 4/1.5 → 2/3 each, BD = 4/3
+    val het = (rows("s1", true, true, 2) ++ rows("s1", true, false, 1) ++
+      rows("s1", false, true, 1) ++ rows("s1", false, false, 2) ++
+      rows("s2", true, true, 1) ++ rows("s2", true, false, 2) ++
+      rows("s2", false, true, 2) ++ rows("s2", false, false, 1))
+      .toDF("s", "x", "y").repartition(3)
+    val r = Epi.breslowDayDF(het, "s", col("x"), col("y")).collect()
+    assert(math.abs(r(0).getDouble(5) - 1.5) < 1e-6)
+    assert(math.abs(r(0).getDouble(6) - 2.0 / 3) < 1e-6)
+    assert(math.abs(r(1).getDouble(7) - 4.0 / 3) < 1e-6)
+    // two strata with the SAME OR: every a equals its expectation → BD 0
+    val hom = (rows("s1", true, true, 4) ++ rows("s1", true, false, 2) ++
+      rows("s1", false, true, 2) ++ rows("s1", false, false, 4) ++
+      rows("s2", true, true, 8) ++ rows("s2", true, false, 4) ++
+      rows("s2", false, true, 4) ++ rows("s2", false, false, 8))
+      .toDF("s", "x", "y")
+    val h = Epi.breslowDayDF(hom, "s", col("x"), col("y")).collect()
+    assert(math.abs(h.last.getDouble(7)) < 1e-9)
+  }
+
   test("Mantel-Haenszel: distributed equals the driver sweep") {
     val rng = new scala.util.Random(41)
     val data = Seq.fill(5000)(
