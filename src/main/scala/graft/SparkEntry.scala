@@ -1173,6 +1173,25 @@ object SparkEntry {
         "ship_year", col("l_discount") >= 0.05, col("l_returnflag") === "R")
     }),
 
+    // ---- §2.8 McNemar's paired test (r36): did the return outcome flip
+    // between line 1 and line 2 of the same order? Four cells in one
+    // aggregate, the discordant-cell χ² ± continuity correction. ---------
+    "r36_mcnemar" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l1 = li.where(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("k"), (col("l_returnflag") === "R").as("r1"))
+      val l2 = li.where(col("l_linenumber") === 2)
+        .select(col("l_orderkey").as("k"), (col("l_returnflag") === "R").as("r2"))
+      graft.stats.Epi.mcnemarDF(l1.join(l2, "k"), col("r1"), col("r2"))
+    }),
+
+    // ---- 2-D equi-width heatmap (h3): the joint-density frame — in-query
+    // extrema, one integer bin expression per dim, ≤ nx·ny cells shuffle. -
+    "h3_heatmap" -> ((s, dir) => {
+      graft.ops.Histogram.heatmap2d(
+        t(s, dir, "lineitem"), "l_extendedprice", "l_quantity", nx = 8, ny = 8)
+    }),
+
     // ---- equi-depth histogram (h2): k ≈n/k-row buckets via the sharded
     // prefix rank — bucket = (cum·k) DIV n, pure integer arithmetic. -----
     "h2_histogram_depth" -> ((s, dir) => {
@@ -6906,6 +6925,60 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                   AS bd_running
          FROM terms ORDER BY stratum""",
+
+    // r36: the four concordance cells and the identical discordant trees
+    "r36_mcnemar" ->
+      """WITH pairs AS (
+           SELECT (a.l_returnflag = 'R') AS r1, (b.l_returnflag = 'R') AS r2
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_linenumber = 1 AND b.l_linenumber = 2
+             AND a.l_returnflag IS NOT NULL AND b.l_returnflag IS NOT NULL),
+         ag AS (
+           SELECT CAST(sum(CASE WHEN NOT r1 AND NOT r2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00,
+                  CAST(sum(CASE WHEN NOT r1 AND r2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n01,
+                  CAST(sum(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+                  CAST(sum(CASE WHEN r1 AND r2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n11
+           FROM pairs)
+         SELECT n00, n01, n10, n11,
+                CASE WHEN n01 + n10 > 0
+                     THEN round(CAST(n01 - n10 AS DOUBLE)
+                                * CAST(n01 - n10 AS DOUBLE)
+                                / CAST(n01 + n10 AS DOUBLE), 6)
+                END AS chi2,
+                CASE WHEN n01 + n10 > 0
+                     THEN round(CAST(abs(n01 - n10) - 1 AS DOUBLE)
+                                * CAST(abs(n01 - n10) - 1 AS DOUBLE)
+                                / CAST(n01 + n10 AS DOUBLE), 6)
+                END AS chi2_cc
+         FROM ag""",
+
+    // h3: in-subquery extrema, the identical least/floor bin trees
+    "h3_heatmap" ->
+      """WITH base AS (
+           SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+                  CAST(l_quantity AS DOUBLE) AS y
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+         ext AS (
+           SELECT min(x) AS mnx, max(x) AS mxx, min(y) AS mny, max(y) AS mxy
+           FROM base),
+         bins AS (
+           SELECT CASE WHEN mxx > mnx
+                       THEN least(7, CAST(floor((x - mnx) * 8.0 / (mxx - mnx))
+                                          AS BIGINT))
+                       ELSE 0 END AS xbin,
+                  CASE WHEN mxy > mny
+                       THEN least(7, CAST(floor((y - mny) * 8.0 / (mxy - mny))
+                                          AS BIGINT))
+                       ELSE 0 END AS ybin
+           FROM base, ext)
+         SELECT CAST(xbin AS BIGINT) AS xbin, CAST(ybin AS BIGINT) AS ybin,
+                CAST(count(*) AS BIGINT) AS cnt
+         FROM bins GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // h2: value cells, exclusive cumulative rank, (cum·k) DIV n buckets
     "h2_histogram_depth" ->

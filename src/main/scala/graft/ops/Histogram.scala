@@ -36,4 +36,37 @@ object Histogram {
         sum(col("c")).as("cnt"))
       .orderBy(col("bucket"))
   }
+
+  /** EQUI-WIDTH 2-D histogram (heatmap frame): `nx × ny` cells between
+    * each dimension's own (min, max), counts per occupied cell. The
+    * dashboard/joint-density primitive — and the diagnostic view behind
+    * [[Layout.zvalue]]'s bucketing.
+    *
+    * Exactness: extrema are exact double SELECTIONS (min/max), identical
+    * whether collected to the driver (here — one tiny job, then plan
+    * literals) or recomputed in a replay's subquery, so the single bin
+    * expression `least(n−1, floor((v − mn)·n / (mx − mn)))` evaluates
+    * identically in both engines. The max value folds into the top bin;
+    * a constant dimension collapses to bin 0. One corpus aggregate for
+    * extrema, one map-side-combined groupBy to the cell frame — ≤ nx·ny
+    * rows ever shuffle. */
+  def heatmap2d(df: DataFrame, xCol: String, yCol: String,
+      nx: Int = 8, ny: Int = 8): DataFrame = {
+    require(nx >= 1 && ny >= 1, s"need positive bin counts, got ($nx, $ny)")
+    val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    val ext = base.agg(min(col("x")).as("mnx"), max(col("x")).as("mxx"),
+      min(col("y")).as("mny"), max(col("y")).as("mxy")).head()
+    val (mnx, mxx) = (ext.getDouble(0), ext.getDouble(1))
+    val (mny, mxy) = (ext.getDouble(2), ext.getDouble(3))
+    def bin(c: org.apache.spark.sql.Column, mn: Double, mx: Double, n: Int) =
+      if (mx > mn)
+        least(lit(n - 1L), floor((c - lit(mn)) * lit(n.toDouble) / lit(mx - mn)))
+      else lit(0L)
+    base
+      .select(bin(col("x"), mnx, mxx, nx).as("xbin"),
+        bin(col("y"), mny, mxy, ny).as("ybin"))
+      .groupBy(col("xbin"), col("ybin")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("xbin"), col("ybin"))
+  }
 }

@@ -87,6 +87,35 @@ object Epi {
       .orderBy(col("stratum"))
   }
 
+  /** McNemar's test for PAIRED binary outcomes — did the condition flip
+    * within subjects? (The 2×2 sibling of the signed-rank test; a chi²
+    * on marginal proportions would wrongly treat the pair legs as
+    * independent.) One row
+    * `(n00, n01, n10, n11, chi2, chi2_cc)`: the four concordance cells
+    * as exact LONGs from ONE map-side aggregate, the statistic
+    * `(b−c)²/(b+c)` over the discordant cells and its continuity-
+    * corrected variant `(|b−c|−1)²/(b+c)` as fixed trees (NULL when no
+    * discordant pairs exist — the test is undefined, not zero). */
+  def mcnemarDF(df: DataFrame, first: Column, second: Column): DataFrame = {
+    val src = df.where(first.isNotNull && second.isNotNull)
+      .select(when(first, 1L).otherwise(0L).as("x"),
+        when(second, 1L).otherwise(0L).as("y"))
+    val agg = src.agg(
+      sum((lit(1L) - col("x")) * (lit(1L) - col("y"))).as("n00"),
+      sum((lit(1L) - col("x")) * col("y")).as("n01"),
+      sum(col("x") * (lit(1L) - col("y"))).as("n10"),
+      sum(col("x") * col("y")).as("n11"))
+    val b = col("n01"); val c = col("n10")
+    val disc = (b + c).cast("double")
+    val chi2 = when(b + c > 0L,
+      round((b - c).cast("double") * (b - c).cast("double") / disc, 6))
+    val cc = when(b + c > 0L,
+      round((abs(b - c) - lit(1L)).cast("double") *
+        (abs(b - c) - lit(1L)).cast("double") / disc, 6))
+    agg.select(col("n00"), col("n01"), col("n10"), col("n11"),
+      chi2.as("chi2"), cc.as("chi2_cc"))
+  }
+
   /** Cochran–Armitage test for TREND — does a binary outcome rate move
     * monotonically with an ordered integer dose? (The dose–response
     * question a 2×2 chain can't answer.) One row

@@ -37,4 +37,23 @@ class HistogramSpec extends SparkSpec {
     }
     assert(got.map(_._4).sum == 600L)
   }
+
+  test("heatmap2d: bins cover the range, max folds into the top cell") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (for (x <- 0 to 15; y <- 0 to 15) yield (x.toDouble, y.toDouble))
+      .toDF("x", "y").repartition(5)
+    val r = Histogram.heatmap2d(df, "x", "y", nx = 4, ny = 4).collect()
+    // 16×16 uniform grid into 4×4 bins → every cell holds 16 points
+    assert(r.length == 16)
+    r.foreach(row => assert(row.getLong(2) == 16L))
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSet ==
+      (for (a <- 0L to 3L; b <- 0L to 3L) yield (a, b)).toSet)
+    // constant dimension collapses to bin 0; nulls drop
+    val const = Seq((Some(1.0), Some(5.0)), (Some(2.0), Some(5.0)),
+      (None, Some(5.0))).toDF("x", "y")
+    val c = Histogram.heatmap2d(const, "x", "y", nx = 2, ny = 2).collect()
+    assert(c.forall(_.getLong(1) == 0L))
+    assert(c.map(_.getLong(2)).sum == 2L)
+  }
 }

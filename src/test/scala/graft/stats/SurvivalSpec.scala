@@ -129,6 +129,21 @@ class SurvivalSpec extends SparkSpec {
     assert(r._1 == n && r._2 == math.round(2 * wplus) && r._3 == tie)
   }
 
+  test("McNemar: hand-computed discordant pairs; undefined without any") {
+    // 5 (F,F), 2 (F,T), 6 (T,F), 3 (T,T) → chi2 = (2-6)²/8 = 2, cc = 9/8
+    val df = (Seq.fill(5)((false, false)) ++ Seq.fill(2)((false, true)) ++
+      Seq.fill(6)((true, false)) ++ Seq.fill(3)((true, true)))
+      .toDF("p", "q").repartition(3)
+    val r = Epi.mcnemarDF(df, col("p"), col("q")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 2L, 6L, 3L)))
+    assert(r.getDouble(4) == 2.0 && r.getDouble(5) == 1.125)
+    // all-concordant: the test is undefined, not zero
+    val conc = Seq((true, true), (false, false)).toDF("p", "q")
+    val rc = Epi.mcnemarDF(conc, col("p"), col("q")).head()
+    assert(rc.isNullAt(4) && rc.isNullAt(5))
+  }
+
   test("rate ratio: hand-computed person-time example") {
     // arm1: 3 events over 100 days; arm2: 1 event over 200 days → IRR 6
     val df = (Seq.fill(3)((true, true, 10L)) ++ Seq.fill(7)((true, false, 10L)) ++
