@@ -545,6 +545,16 @@ object SparkEntry {
       graft.ops.Graph.triangleStats(pairs, "id_a", "id_b")
     }),
 
+    // ---- dedup: integer PageRank over the near-dup graph (d16) — hub
+    // census / canonical-representative ranking; every step LONG floor
+    // arithmetic so 3 power iterations replay bit-exactly as chained
+    // CTEs. ---------------------------------------------------------------
+    "d16_pagerank" -> ((s, dir) => {
+      val pairs = Dedup.minHashMd5Pairs(Tables.spread(t(s, dir, "documents")),
+        "doc_id", "text", k = 8, n = 3, window = 25, minAgree = 4)
+      graft.ops.Graph.pageRank(pairs, "id_a", "id_b", iters = 3)
+    }),
+
     // ---- dedup: SimHash md5 twin — cross-engine-verifiable variant of d3's
     // fingerprint (per-token md5 bits vote ±1), hash-matched ---------------
     "d9_simhash_md5" -> ((s, dir) => {
@@ -1156,6 +1166,18 @@ object SparkEntry {
         .orderBy(col("key"), col("bucket_ts"))
     }),
 
+    // ---- events: cohort retention triangle (e16) — users cohorted by
+    // first active day; distinct (user, day) activity, one user-keyed
+    // join, count(*) over unique pairs IS the distinct-user count. -------
+    "e16_retention" -> ((s, dir) => {
+      graft.ops.Resample.retentionCohorts(
+          Tables.events(s, dir), "user_id", "ts", horizon = 14)
+        .select(col("cohort").cast("string").as("cohort"),
+          col("k").cast("long").as("k"), col("n_users"), col("cohort_size"),
+          col("pct"))
+        .orderBy(col("cohort"), col("k"))
+    }),
+
     // ---- data quality: Benford first-digit audit (q13) — the fraud /
     // entry-error screen: decimal-string digit census vs log10(1+1/d),
     // χ² as the r19 running chain over the 9-digit frame. ----------------
@@ -1183,6 +1205,14 @@ object SparkEntry {
       val l2 = li.where(col("l_linenumber") === 2)
         .select(col("l_orderkey").as("k"), (col("l_returnflag") === "R").as("r2"))
       graft.stats.Epi.mcnemarDF(l1.join(l2, "k"), col("r1"), col("r2"))
+    }),
+
+    // ---- §2.8 Brown–Forsythe homogeneity of variance (r38): the robust
+    // Levene test — exact type-1 group medians off the half-cent cell
+    // cumsum, |dev| stays integer, W as the r23 running-chain ANOVA tree. -
+    "r38_levene" -> ((s, dir) => {
+      graft.stats.Anova.brownForsytheDF(
+        t(s, dir, "orders"), "o_totalprice", "o_orderpriority")
     }),
 
     // ---- 2-D equi-width heatmap (h3): the joint-density frame — in-query
@@ -5904,6 +5934,56 @@ object SparkEntry {
          FROM deg d LEFT JOIN corner c ON c.id = d.id
          ORDER BY d.id""",
 
+    // d16: the d15 md5-MinHash chain, then 3 integer power iterations as
+    // chained CTEs — LONG floor arithmetic is order-independent, so the
+    // replay is bit-exact
+    "d16_pagerank" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+                FROM toks),
+         exs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         ex AS (SELECT doc_id, md5(sg) AS h FROM exs),
+         sig AS (SELECT doc_id,
+                   min(substr(h, 1, 4)) AS m0, min(substr(h, 5, 4)) AS m1,
+                   min(substr(h, 9, 4)) AS m2, min(substr(h, 13, 4)) AS m3,
+                   min(substr(h, 17, 4)) AS m4, min(substr(h, 21, 4)) AS m5,
+                   min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
+                 FROM ex GROUP BY doc_id),
+         e AS (SELECT id_a AS a, id_b AS b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    (a.m0=b.m0)::INT + (a.m1=b.m1)::INT + (a.m2=b.m2)::INT +
+                    (a.m3=b.m3)::INT + (a.m4=b.m4)::INT + (a.m5=b.m5)::INT +
+                    (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree
+             FROM sig a JOIN sig b
+               ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+           WHERE agree >= 4),
+         sym AS (SELECT a AS src, b AS dst FROM e
+                 UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT src AS nid, CAST(count(*) AS BIGINT) AS deg
+                 FROM sym GROUP BY src),
+         sd AS (SELECT s.src, s.dst, d.deg FROM sym s
+                JOIN deg d ON d.nid = s.src),
+         r0 AS (SELECT nid AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+         c1 AS (SELECT dst AS id, CAST(sum(r // deg) AS BIGINT) AS cs
+                FROM sd JOIN r0 ON r0.id = sd.src GROUP BY dst),
+         r1 AS (SELECT id, CAST(150000 + (85 * cs) // 100 AS BIGINT) AS r
+                FROM c1),
+         c2 AS (SELECT dst AS id, CAST(sum(r // deg) AS BIGINT) AS cs
+                FROM sd JOIN r1 ON r1.id = sd.src GROUP BY dst),
+         r2 AS (SELECT id, CAST(150000 + (85 * cs) // 100 AS BIGINT) AS r
+                FROM c2),
+         c3 AS (SELECT dst AS id, CAST(sum(r // deg) AS BIGINT) AS cs
+                FROM sd JOIN r2 ON r2.id = sd.src GROUP BY dst),
+         r3 AS (SELECT id, CAST(150000 + (85 * cs) // 100 AS BIGINT) AS r
+                FROM c3)
+         SELECT d.nid AS id, d.deg, r3.r AS rank_micro,
+                CAST(r3.r AS DOUBLE) / 1000000.0 AS rank
+         FROM deg d JOIN r3 ON r3.id = d.nid
+         ORDER BY id""",
+
     // d12: the d8 candidate chain verbatim, then the exact edit-distance
     // verification stage — texts re-joined by id, levenshtein ≤ 64 kept
     "d12_edit_verify" ->
@@ -6326,7 +6406,7 @@ object SparkEntry {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ssb
                FROM st)
          SELECT grp, n_g, round(mean_g, 6) AS mean_g,
-                round(ssw, 4) AS ssw_running, round(ssb, 4) AS ssb_running,
+                ssw AS ssw_running, ssb AS ssb_running,
                 round((ssb / (k - 1.0)) / (ssw / (bigN - k)), 6) AS f_running
          FROM r ORDER BY grp""",
 
@@ -6821,6 +6901,27 @@ object SparkEntry {
                 (pp - mm >= 40) AS alarm
          FROM p ORDER BY key, bucket_ts""",
 
+    // e16: distinct (user, day) activity → per-user first day → k-day
+    // offsets; count(*) over unique pairs IS the distinct-user count
+    "e16_retention" ->
+      """WITH act AS (
+           SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         f AS (SELECT u, min(d) AS cohort FROM act GROUP BY u),
+         j AS (SELECT cohort, datediff('day', cohort, d) AS k
+               FROM act JOIN f USING (u)
+               WHERE datediff('day', cohort, d) <= 14),
+         c AS (SELECT cohort, CAST(k AS BIGINT) AS k,
+                 CAST(count(*) AS BIGINT) AS n_users
+               FROM j GROUP BY 1, 2),
+         sz AS (SELECT cohort, n_users AS cohort_size FROM c WHERE k = 0)
+         SELECT CAST(c.cohort AS VARCHAR) AS cohort, c.k, c.n_users,
+                sz.cohort_size,
+                round(CAST(c.n_users AS DOUBLE)
+                      / CAST(sz.cohort_size AS DOUBLE), 6) AS pct
+         FROM c JOIN sz USING (cohort)
+         ORDER BY cohort, k""",
+
     // q13: identical digit extraction (decimal-string, no log10), the
     // SAME JVM probability literals, the same running χ² chain
     "q13_benford" ->
@@ -6955,6 +7056,59 @@ object SparkEntry {
                                 / CAST(n01 + n10 AS DOUBLE), 6)
                 END AS chi2_cc
          FROM ag""",
+
+    // r38: the q10 half-cent cell/cumsum median, integer |dev| power sums
+    // (HUGEINT ≡ Spark's DECIMAL(38,0)), then the identical r23 chains
+    "r38_levene" ->
+      """WITH cells AS (
+           SELECT CAST(o_orderpriority AS VARCHAR) AS grp,
+                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 200
+                    AS BIGINT) AS v2,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+           GROUP BY 1, 2),
+         cum AS (
+           SELECT grp, v2, c,
+                  CAST(sum(c) OVER (PARTITION BY grp ORDER BY v2
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ci,
+                  CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+           FROM cells),
+         med AS (
+           SELECT grp, min(CASE WHEN ci >= (n + 1) // 2 THEN v2 END) AS med2
+           FROM cum GROUP BY 1),
+         z AS (
+           SELECT c.grp, med2, abs(v2 - med2) AS z2, c.c
+           FROM cells c JOIN med USING (grp)),
+         pg AS (
+           SELECT grp, med2, CAST(sum(c) AS BIGINT) AS n_g,
+                  sum(CAST(c * z2 AS HUGEINT)) AS s0,
+                  sum(CAST(z2 * z2 AS HUGEINT) * c) AS ss0
+           FROM z GROUP BY 1, 2),
+         st AS (
+           SELECT grp, med2, n_g,
+                  CAST(n_g AS DOUBLE) AS ng,
+                  CAST(s0 AS DOUBLE) / 200.0 AS s,
+                  CAST(ss0 AS DOUBLE) / 40000.0 AS ss,
+                  CAST(sum(n_g) OVER () AS DOUBLE) AS bigN,
+                  CAST(count(*) OVER () AS DOUBLE) AS k,
+                  CAST(sum(s0) OVER () AS DOUBLE) / 200.0
+                    / CAST(sum(n_g) OVER () AS DOUBLE) AS m
+           FROM pg),
+         r AS (
+           SELECT grp, n_g, med2, s / ng AS mad_mean, k, bigN,
+                  sum(ss - s * s / ng) OVER (ORDER BY grp
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ssw,
+                  sum(ng * (s / ng - m) * (s / ng - m)) OVER (ORDER BY grp
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ssb
+           FROM st)
+         SELECT grp, n_g, CAST(med2 AS DOUBLE) / 200.0 AS med,
+                round(mad_mean, 6) AS mad_mean,
+                ssw AS ssw_running,
+                ssb AS ssb_running,
+                round((ssb / (k - 1.0)) / (ssw / (bigN - k)), 6) AS w_running
+         FROM r ORDER BY grp""",
 
     // h3: in-subquery extrema, the identical least/floor bin trees
     "h3_heatmap" ->

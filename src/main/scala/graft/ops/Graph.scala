@@ -52,4 +52,58 @@ object Graph {
       .select(col("id"), col("degree"), col("triangles"), col("clustering"))
       .orderBy(col("id"))
   }
+
+  /** Deterministic integer PageRank over the undirected simple graph of
+    * `edges` (duplicates/self-loops drop) — centrality for the near-dup
+    * pair graph: the highest-ranked node of a component is its natural
+    * canonical representative, and rank mass concentrating on one hub
+    * flags a mega-cluster worth auditing before collapsing it.
+    *
+    * Ranks live in MICRO-RANK units (the uniform start mass is 1e6 per
+    * node) and every step is LONG floor arithmetic:
+    * `r' = (den−num)·1e6 DIV den + (num · Σ_in (r DIV deg)) DIV den`
+    * with damping `num/den` (default 85/100). Integer sums are
+    * order-independent, so the result is bit-identical on any engine,
+    * any partitioning, any summation order — the FP-association problem
+    * of floating PageRank never arises, and a relational replay
+    * hash-matches. The floor truncation leaks ≤1 micro-rank per edge per
+    * iteration (documented contract, not an approximation knob).
+    *
+    * Each of the fixed `iters` power iterations is one broadcast-or-
+    * shuffle join (ranks are node-sized, edges are the bounded pair
+    * stream) plus one map-side-combined aggregate; no dangling terms
+    * because every node of an edge list has degree ≥ 1.
+    *
+    * Returns `(id, deg, rank_micro, rank)` ordered by id. */
+  def pageRank(edges: DataFrame, aCol: String, bCol: String, iters: Int = 3,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"iters must be in [1,16], got $iters")
+    require(dampNum > 0 && dampDen > dampNum,
+      s"damping must satisfy 0 < num < den, got $dampNum/$dampDen")
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val deg = sym.groupBy(col("src").as("nid")).agg(count(lit(1)).as("deg"))
+    // (src, dst, deg(src)) computed once; iterations only re-join ranks
+    val edgesDeg = sym.join(deg, sym("src") === deg("nid"))
+      .select(col("src"), col("dst"), col("deg"))
+    val baseMicro = (dampDen - dampNum) * 1000000L / dampDen
+    var ranks = deg.select(col("nid").as("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg.join(ranks, edgesDeg("src") === ranks("id"))
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+      ranks = contrib.select(col("dst").as("id"),
+        (lit(baseMicro) +
+          expr(s"(${dampNum}L * cs) DIV ${dampDen}L")).as("r"))
+    }
+    deg.join(ranks, deg("nid") === ranks("id"))
+      .select(col("id"), col("deg"), col("r").as("rank_micro"),
+        (col("r").cast("double") / lit(1000000.0)).as("rank"))
+      .orderBy(col("id"))
+  }
 }

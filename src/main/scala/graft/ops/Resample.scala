@@ -101,4 +101,42 @@ object Resample {
         Seq(valCol -> "last_value"))
       .withColumnRenamed("__grid_ts", "grid_ts")
   }
+
+  /** Cohort retention triangle — the product-analytics census: users
+    * cohorted by their FIRST active day, then for each (cohort, k =
+    * days-since-first) the count of cohort members active on day k and
+    * its share of the cohort size (`pct = n_users / cohort_size`).
+    *
+    * Exactness: activity collapses to distinct (user, day) rows, the
+    * first-day frame is a per-user `min`, and after the equi-join every
+    * row is a unique (user, day) pair so `count(*)` IS the distinct user
+    * count — no approximate distinct, and the single final division is
+    * the only double op. Horizon bounds the output to cohorts × (h+1)
+    * rows.
+    *
+    * Plan: one shuffle to (user, day) distinct, one map-side-combined
+    * min by user, one equi-join on user (both sides user-keyed — AQE can
+    * plan it shuffle-free off the distinct's partitioning), one
+    * dimension-sized aggregate. Nothing is ever keyed by the full event
+    * stream's cardinality. */
+  def retentionCohorts(df: DataFrame, userCol: String, tsCol: String,
+      horizon: Int = 14): DataFrame = {
+    require(horizon >= 0, s"horizon must be ≥0, got $horizon")
+    val activity = df.where(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val first = activity.groupBy(col("u")).agg(min(col("d")).as("cohort"))
+    val joined = activity.join(first, "u")
+      .select(col("cohort"), datediff(col("d"), col("cohort")).as("k"))
+      .where(col("k") <= horizon)
+    val counts = joined.groupBy(col("cohort"), col("k"))
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = counts.where(col("k") === 0)
+      .select(col("cohort"), col("n_users").as("cohort_size"))
+    counts.join(sizes, "cohort")
+      .select(col("cohort"), col("k"), col("n_users"), col("cohort_size"),
+        round(col("n_users").cast("double") /
+          col("cohort_size").cast("double"), 6).as("pct"))
+      .orderBy(col("cohort"), col("k"))
+  }
 }

@@ -46,10 +46,82 @@ object Anova {
     staged
       .select(col("grp"), col("n_g"),
         round(mg, 6).as("mean_g"),
-        round(ssw, 4).as("ssw_running"),
-        round(ssb, 4).as("ssb_running"),
+        // raw doubles: round(·,4) at SS magnitudes (~1e13) is a lossy
+        // multiply/divide in DuckDB but exact decimal in Spark — the two
+        // agree only when the round-trip is clean, so don't round at all
+        ssw.as("ssw_running"),
+        ssb.as("ssb_running"),
         round((ssb / (col("k") - lit(1.0))) /
           (ssw / (col("bigN") - col("k"))), 6).as("f_running"))
+      .orderBy(col("grp"))
+  }
+
+  /** Brown–Forsythe homogeneity-of-variance test (the robust Levene
+    * variant: deviations from the group MEDIAN, not the mean — the
+    * variance-equality gate [[onewayDF]]/[[TTest.welchDF]] implicitly
+    * assume, made checkable).
+    *
+    * The corpus reduces to value-level cells in HALF-CENT integers (the
+    * q10 quantile doctrine), the group median is the exact type-1 lower
+    * median read off the cell cumsum, and the absolute deviations
+    * `|v − med|` therefore stay integers end to end — the per-group power
+    * sums are exact DECIMAL(38,0) integers, cast to double ONCE, and the
+    * W statistic is the same staged + running-chain tree as [[onewayDF]],
+    * so the whole test replays bit-for-bit relationally.
+    *
+    * One row per group ordered by group key:
+    * `(grp, n_g, med, mad_mean, ssw_running, ssb_running, w_running)` —
+    * the LAST row's `w_running` is Brown–Forsythe's W (the one-way F on
+    * the deviations). NULL values/groups drop. */
+  def brownForsytheDF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val cells = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        (col(valueCol).cast("decimal(12,2)") * 200).cast("long").as("v2"))
+      .groupBy(col("grp"), col("v2")).agg(count(lit(1)).as("c"))
+    val cw = Window.partitionBy(col("grp")).orderBy(col("v2").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nw = Window.partitionBy(col("grp"))
+    val med = cells
+      .withColumn("ci", sum(col("c")).over(cw))
+      .withColumn("n", sum(col("c")).over(nw))
+      .withColumn("medc", when(col("ci") >= expr("(n + 1) DIV 2"), col("v2")))
+      .groupBy(col("grp")).agg(min(col("medc")).as("med2"))
+    // deviations are integer half-cents; z² ≤ ~4e14 fits a long, the
+    // c-weighted sums go through DECIMAL(38,0) so no overflow at any sf
+    val z = cells.join(med, "grp")
+      .select(col("grp"), col("med2"), abs(col("v2") - col("med2")).as("z2"),
+        col("c"))
+    val perGroup = z.groupBy(col("grp"), col("med2")).agg(
+      sum(col("c")).as("n_g"),
+      sum((col("c") * col("z2")).cast("decimal(38,0)")).as("s0"),
+      sum((col("z2") * col("z2")).cast("decimal(38,0)") * col("c")).as("ss0"))
+    val aw = Window.partitionBy()
+    val runW = Window.partitionBy().orderBy(col("grp").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ng = col("n_g").cast("double")
+    // exact integer sums → double once, then half-cent → value units
+    val s = col("s0").cast("double") / lit(200.0)
+    val ss = col("ss0").cast("double") / lit(40000.0)
+    val staged = perGroup.select(col("grp"), col("med2"), col("n_g"),
+      col("s0"), col("ss0"),
+      sum(col("n_g")).over(aw).cast("double").as("bigN"),
+      count(lit(1)).over(aw).cast("double").as("k"),
+      (sum(col("s0")).over(aw).cast("double") / lit(200.0) /
+        sum(col("n_g")).over(aw).cast("double")).as("m"))
+    val mg = s / ng
+    val ssw = sum(ss - s * s / ng).over(runW)
+    val ssb = sum(ng * (mg - col("m")) * (mg - col("m"))).over(runW)
+    staged
+      .select(col("grp"), col("n_g"),
+        (col("med2").cast("double") / lit(200.0)).as("med"),
+        round(mg, 6).as("mad_mean"),
+        // raw doubles: round(·,4) at SS magnitudes (~1e13) is a lossy
+        // multiply/divide in DuckDB but exact decimal in Spark — the two
+        // agree only when the round-trip is clean, so don't round at all
+        ssw.as("ssw_running"),
+        ssb.as("ssb_running"),
+        round((ssb / (col("k") - lit(1.0))) /
+          (ssw / (col("bigN") - col("k"))), 6).as("w_running"))
       .orderBy(col("grp"))
   }
 }

@@ -46,6 +46,9 @@ class PlanAuditSpec extends SparkSpec {
     // r23: grand totals + SS running chains over the same k-row group
     // frame (one corpus-sized groupBy upstream, never data-sized)
     "r23_anova",
+    // r38: the same k-row group-frame chains as r23 (Brown–Forsythe W);
+    // the corpus reduced to half-cent cells then k groups upstream
+    "r38_levene",
     // r25: reduces the r19 cell frame (same deliberate cell windows)
     "r25_cramers_v",
     // r26/r27: KM / log-rank running chains over the distinct-TIME frame

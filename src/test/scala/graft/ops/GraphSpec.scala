@@ -50,4 +50,55 @@ class GraphSpec extends SparkSpec {
     }
     assert(got.length == adj.size)
   }
+
+  test("pageRank: hand-computed path graph, two iterations") {
+    // P3 (1-2-3), damping 85/100, micro-rank units:
+    //   iter1: r1 = 150000 + 85·(1000000 DIV 2)/100       = 575000
+    //          r2 = 150000 + 85·(1000000+1000000)/100     = 1850000
+    //   iter2: r1 = 150000 + 85·(1850000 DIV 2)/100       = 936250
+    //          r2 = 150000 + 85·(575000+575000)/100       = 1127500
+    val p3 = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val r = Graph.pageRank(p3, "u", "v", iters = 2)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq((1L, 1L, 936250L, 0.93625),
+      (2L, 2L, 1127500L, 1.1275), (3L, 1L, 936250L, 0.93625)))
+  }
+
+  test("pageRank: distributed equals the driver power iteration") {
+    val rng = new scala.util.Random(31)
+    val edges = (Seq.tabulate(120)(i => (i.toLong, (i + 1).toLong % 120)) ++
+      Seq.fill(200)((rng.nextInt(120).toLong, rng.nextInt(120).toLong)))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("u", "v").repartition(7)
+    val got = Graph.pageRank(df, "u", "v", iters = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    // driver replay with identical floor arithmetic
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2)).toMap
+    var rank = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 4) {
+      val in = adj.keys.map { n =>
+        n -> adj(n).map(m => rank(m) / adj(m).size).sum
+      }.toMap
+      rank = in.map { case (n, c) => n -> (150000L + 85L * c / 100L) }
+    }
+    assert(got.length == adj.size)
+    got.foreach { case (id, deg, micro, rankd) =>
+      assert(deg == adj(id).size.toLong)
+      assert(micro == rank(id), s"node $id")
+      assert(rankd == micro.toDouble / 1000000.0)
+    }
+  }
+
+  test("pageRank: K3 is symmetric and floor truncation is visible") {
+    // K3: every node's contribution is r DIV 2; iter1:
+    // r = 150000 + 85·(2·(1000000 DIV 2)) DIV 100 = 1000000 (exact here)
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val r = Graph.pageRank(k3, "u", "v", iters = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(r.map(_._3).distinct.length == 1)
+    assert(r.head._3 == 1000000L)
+  }
 }

@@ -76,4 +76,33 @@ class ResampleSpec extends SparkSpec {
     assert(math.abs(last.getDouble(4) - zRef) < 1e-6)
     assert(last.getBoolean(5))
   }
+
+  test("retentionCohorts: hand-computed triangle") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // u1 first on d1, active d1,d2,d4; u2 first on d1, active d1,d2;
+    // u3 first on d2, active d2 only. Duplicate same-day events collapse.
+    val df = Seq(
+      (1L, ts(1, 9)), (1L, ts(1, 12)), (1L, ts(2, 9)), (1L, ts(4, 9)),
+      (2L, ts(1, 9)), (2L, ts(2, 23)),
+      (3L, ts(2, 9)), (3L, ts(2, 10))).toDF("u", "t")
+    val r = Resample.retentionCohorts(df, "u", "t", horizon = 14)
+      .select(col("cohort").cast("string"), col("k"), col("n_users"),
+        col("cohort_size"), col("pct"))
+      .as[(String, Int, Long, Long, Double)].collect()
+    assert(r.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0), ("2024-01-01", 1, 2L, 2L, 1.0),
+      ("2024-01-01", 3, 1L, 2L, 0.5),
+      ("2024-01-02", 0, 1L, 1L, 1.0)))
+  }
+
+  test("retentionCohorts: horizon bounds k and NULLs drop") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")
+    val df = Seq((Some(1L), Some(ts(1))), (Some(1L), Some(ts(9))),
+      (None, Some(ts(1))), (Some(2L), None)).toDF("u", "t")
+    val r = Resample.retentionCohorts(df, "u", "t", horizon = 3)
+      .select(col("k")).as[Int].collect()
+    assert(r.toSeq == Seq(0)) // day 9 (k=8) is past the horizon
+  }
 }

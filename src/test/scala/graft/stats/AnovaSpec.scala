@@ -46,6 +46,62 @@ class AnovaSpec extends SparkSpec {
     }
   }
 
+  test("Brown–Forsythe: hand-computed example with even/odd groups") {
+    // A = {1,2,3}: lower median 2, z = {1,0,1} → n=3, s=2, ss=2
+    // B = {4,5,6,7}: lower median 5, z = {1,0,1,2} → n=4, s=4, ss=6
+    // ssw = (2−4/3) + (6−16/4) = 8/3; m = 6/7
+    // ssb = 3·(2/3−6/7)² + 4·(1−6/7)² = 4/21
+    // W = (4/21)/( (8/3)/5 ) = 5/14
+    val df = Seq((1.0, "A"), (2.0, "A"), (3.0, "A"),
+      (4.0, "B"), (5.0, "B"), (6.0, "B"), (7.0, "B")).toDF("x", "g")
+    val rows = Anova.brownForsytheDF(df, "x", "g")
+      .as[(String, Long, Double, Double, Double, Double, Double)].collect()
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq(("A", 3L, 2.0), ("B", 4L, 5.0)))
+    assert(math.abs(rows.last._5 - 8.0 / 3) < 5e-5)
+    assert(math.abs(rows.last._6 - 4.0 / 21) < 5e-5)
+    assert(math.abs(rows.last._7 - 5.0 / 14) < 5e-7)
+  }
+
+  test("Brown–Forsythe: distributed equals the driver formula on messy data") {
+    val rng = new scala.util.Random(47)
+    val data = Seq.fill(600)(
+      (math.round(rng.nextGaussian() * 40) / 4.0 + rng.nextInt(3) * 3,
+        s"g${rng.nextInt(3)}"))
+    val df = data.toDF("x", "g").repartition(7)
+    val rows = Anova.brownForsytheDF(df, "x", "g")
+      .as[(String, Long, Double, Double, Double, Double, Double)].collect()
+    val groups = data.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    def lowerMedian(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s((s.size + 1) / 2 - 1)
+    }
+    val devs = groups.view.mapValues(xs =>
+      xs.map(x => math.abs(x - lowerMedian(xs)))).toMap
+    val n = data.size.toDouble; val k = groups.size.toDouble
+    val m = devs.values.flatten.sum / n
+    val ssw = devs.values.map { zs =>
+      val mg = zs.sum / zs.size; zs.map(z => (z - mg) * (z - mg)).sum }.sum
+    val ssb = devs.values.map { zs =>
+      val mg = zs.sum / zs.size; zs.size * (mg - m) * (mg - m) }.sum
+    val w = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(math.abs(rows.last._5 - ssw) < 5e-4)
+    assert(math.abs(rows.last._6 - ssb) < 5e-4)
+    assert(math.abs(rows.last._7 - w) < 5e-6)
+    rows.foreach { r =>
+      assert(r._2 == groups(r._1).size.toLong)
+      assert(r._3 == lowerMedian(groups(r._1)))
+    }
+  }
+
+  test("Brown–Forsythe: NULL values and NULL groups drop") {
+    val df = Seq((Some(1.0), Some("A")), (None, Some("A")),
+      (Some(2.0), None), (Some(2.0), Some("A")), (Some(9.0), Some("B")),
+      (Some(7.0), Some("B"))).toDF("x", "g")
+    val rows = Anova.brownForsytheDF(df, "x", "g")
+      .as[(String, Long, Double, Double, Double, Double, Double)].collect()
+    assert(rows.map(r => (r._1, r._2)).toSeq == Seq(("A", 2L), ("B", 2L)))
+  }
+
   test("NULL values and NULL groups drop") {
     val df = Seq((Some(1.0), Some("A")), (None, Some("A")),
       (Some(2.0), None), (Some(2.0), Some("A")), (Some(9.0), Some("B")),
