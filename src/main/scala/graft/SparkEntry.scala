@@ -652,6 +652,19 @@ object SparkEntry {
       Embeddings.annEvalDF(truth, approx, k = 5)
     }),
 
+    // ---- similarity: hard-negative mining (n13) — for each query, the
+    // top-k most-similar vectors with a DIFFERENT label (the closest
+    // wrong answers contrastive training learns from); n1's bounded-heap
+    // plan with the label-mismatch filter pre-aggregate. -----------------
+    "n13_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      Embeddings.hardNegatives(emb, "vec_id", "embedding", "label",
+          emb.where(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("query_label"), col("corpus_id"),
+          col("neg_label"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- ANN: product quantization + ADC probe, fully replayed ----------
     // The remaining classic ANN scale technique after brute force (n1),
     // LSH (n2), IVF (n3/n5): vectors compress to M small codes against
@@ -1183,6 +1196,14 @@ object SparkEntry {
     // χ² as the r19 running chain over the 9-digit frame. ----------------
     "q13_benford" -> ((s, dir) => {
       graft.ops.Profile.benfordDF(t(s, dir, "lineitem"), "l_extendedprice")
+    }),
+
+    // ---- data quality: functional-dependency discovery (q14) — the
+    // key/normalization census over every ordered column pair: one
+    // stacked explode, one dedup shuffle, pure distinct-count integers. --
+    "q14_fd_discovery" -> ((s, dir) => {
+      graft.ops.Profile.fdDiscovery(t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
     }),
 
     // ---- §2.8 Breslow–Day homogeneity (r35): is r29's pooling valid?
@@ -5050,6 +5071,32 @@ object SparkEntry {
          SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 5
          ORDER BY query_id, "rank"""",
 
+    // n13: the n1 CTEs with the label-mismatch filter before ranking
+    "n13_hard_negatives" ->
+      """WITH uv AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE label IS NOT NULL),
+         nr AS (SELECT vec_id, label, v,
+                  sqrt(list_dot_product(v, v)) AS nrm FROM uv),
+         u AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                 list_transform(v, x -> x / nrm) AS uvec
+               FROM nr WHERE nrm > 0),
+         q AS (SELECT vec_id AS query_id, label AS query_label, uvec AS qu
+               FROM u WHERE vec_id < 8),
+         scored AS (
+           SELECT q.query_id, q.query_label, c.vec_id AS corpus_id,
+                  c.label AS neg_label, list_dot_product(c.uvec, q.qu) AS cos
+           FROM u c CROSS JOIN q WHERE c.label != q.query_label),
+         ranked AS (
+           SELECT query_id, query_label, corpus_id, neg_label,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, corpus_id) AS "rank"
+           FROM scored)
+         SELECT query_id, query_label, corpus_id, neg_label, "rank"
+         FROM ranked WHERE "rank" <= 5
+         ORDER BY query_id, "rank"""",
+
     // n12: the n1 truth CTEs + the n5 IVF CTEs + the relational eval join
     "n12_ann_recall" ->
       s"""WITH cents AS (
@@ -6949,6 +6996,31 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                   AS chi2_running
          FROM x ORDER BY digit""",
+
+    // q14: the stacked ordered-pair cells as a UNION ALL chain, then the
+    // identical dedup + distinct-count integers
+    "q14_fd_discovery" -> {
+      val fdCols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus")
+      val cellSql = (for (a <- fdCols; b <- fdCols if a != b) yield
+        s"""SELECT '$a' AS det, '$b' AS dep,
+             CAST($a AS VARCHAR) AS dv, CAST($b AS VARCHAR) AS pv
+           FROM lineitem""").mkString("\n           UNION ALL\n           ")
+      s"""WITH cells AS (
+           $cellSql),
+         d1 AS (
+           SELECT det, dep, dv, pv FROM cells
+           WHERE dv IS NOT NULL AND pv IS NOT NULL
+           GROUP BY 1, 2, 3, 4)
+         SELECT det, dep,
+                CAST(count(DISTINCT dv) AS BIGINT) AS n_det,
+                CAST(count(*) AS BIGINT) AS n_pairs,
+                count(*) = count(DISTINCT dv) AS holds,
+                CAST(count(*) - count(DISTINCT dv) AS BIGINT) AS violations,
+                round(CAST(count(DISTINCT dv) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE), 6) AS strength
+         FROM d1 GROUP BY 1, 2 ORDER BY 1, 2"""
+    },
 
     // r35: the r29 cell/chain machinery, pooled ψ by max_by last-link,
     // the identical quadratic/harmonic trees, nested CASE so sqrt never

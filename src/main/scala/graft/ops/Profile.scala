@@ -105,4 +105,43 @@ object Profile {
         coalesce(col("top_count"), lit(0L)).as("top_count"))
       .orderBy(col("column"))
   }
+
+  /** Functional-dependency discovery over every ordered pair of `cols` —
+    * the schema-inference census behind key detection and normalization
+    * hints: `det → dep` HOLDS iff each determinant value maps to exactly
+    * one dependent value, i.e. `|distinct(det,dep)| = |distinct det|`.
+    * `violations` counts the extra (det,dep) combinations an exact FD
+    * would forbid; `strength = n_det / n_pairs` is 1.0 exactly when the
+    * FD holds (the g3-style error measure, inverted).
+    *
+    * Exactness: everything is distinct counts over string-cast cells —
+    * pure integers, one final division. Rows with a NULL on either side
+    * drop for that pair (the standard FD convention).
+    *
+    * Plan: ONE stacked explode (k·(k−1) cells per row) → one
+    * (det,dep,dv,pv) dedup shuffle → one pair-keyed aggregate; the
+    * k²-sized output frame never re-touches the corpus. Cast columns are
+    * pruned into the scan — only `cols` are read. */
+  def fdDiscovery(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "fdDiscovery needs at least two columns")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+    val cells = df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("det"), lit(b).as("dep"),
+          col(a).cast("string").as("dv"), col(b).cast("string").as("pv"))
+      }: _*)).as("cell"))
+      .select(col("cell.det"), col("cell.dep"), col("cell.dv"), col("cell.pv"))
+      .where(col("dv").isNotNull && col("pv").isNotNull)
+    val d1 = cells.groupBy(col("det"), col("dep"), col("dv"), col("pv"))
+      .agg(count(lit(1)).as("cnt"))
+    d1.groupBy(col("det"), col("dep"))
+      .agg(countDistinct(col("dv")).as("n_det"),
+        count(lit(1)).as("n_pairs"))
+      .select(col("det"), col("dep"), col("n_det"), col("n_pairs"),
+        (col("n_pairs") === col("n_det")).as("holds"),
+        (col("n_pairs") - col("n_det")).as("violations"),
+        round(col("n_det").cast("double") /
+          col("n_pairs").cast("double"), 6).as("strength"))
+      .orderBy(col("det"), col("dep"))
+  }
 }

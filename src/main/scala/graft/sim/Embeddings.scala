@@ -84,6 +84,48 @@ object Embeddings {
         col("r.score").as("cos"), (col("idx") + 1).as("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-cosine-similar corpus vectors whose label
+    * DIFFERS from the query's — the "closest wrong answers" a
+    * representation model learns the most from (the in-batch-negatives
+    * upgrade every large-scale embedding pipeline ships).
+    *
+    * Same plan shape as [[bruteForceTopKAgg]] (the n1 contract): corpus
+    * scan × broadcast query block, the label-mismatch filter applied
+    * BEFORE the bounded-heap aggregate, so only (query × k) rows cross
+    * the shuffle. Ties break by smallest corpus id; zero-norm vectors
+    * and NULL labels drop.
+    *
+    * Returns `(query_id, query_label, corpus_id, neg_label, rank)`. */
+  def hardNegatives(
+      corpus: DataFrame, corpusId: String, corpusVec: String, labelCol: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      k: Int): DataFrame = {
+    val c = withUnit(corpus, corpusVec).select(col(corpusId).as("corpus_id"),
+      col(labelCol).cast("long").as("neg_label"), col("__vec").as("cvec"))
+      .where(col("neg_label").isNotNull)
+    val q = withUnit(queries, queryVec).select(col(queryId).as("query_id"),
+      col(labelCol).cast("long").as("query_label"), col("__vec").as("qvec"))
+      .where(col("query_label").isNotNull)
+    val top = c.crossJoin(broadcast(q))
+      .where(col("neg_label") =!= col("query_label"))
+      .groupBy(col("query_id"), col("query_label"))
+      .agg(graft.expressions.TopKByScore.topKByScore(
+        dot(col("cvec"), col("qvec")), col("corpus_id").cast("long"), k).as("top"))
+      .select(col("query_id"), col("query_label"),
+        posexplode(col("top")).as(Seq("idx", "r")))
+      .select(col("query_id"), col("query_label"),
+        col("r.id").as("corpus_id"), (col("idx") + 1).as("rank"))
+    // re-attach the negative's label: (queries × k) frame joined against
+    // the corpus-id dim — broadcast the tiny frame side
+    val labels = corpus.select(col(corpusId).as("corpus_id"),
+      col(labelCol).cast("long").as("neg_label"))
+    labels.join(broadcast(top), "corpus_id")
+      .select(col("query_id"), col("query_label"), col("corpus_id"),
+        col("neg_label"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IR-style evaluation of an ANN index against exact ground truth — the
     * harness that turns "we have IVF/PQ/LSH" into a measured recall
     * number. Inputs are two `(query_id, corpus_id, rank)` frames (e.g.

@@ -26,6 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     "r33_cohen_kappa",
     // n12: the n1 brute-force truth leg (same broadcast-query shape)
     "n12_ann_recall",
+    // n13: the n1 shape with the label-mismatch filter pre-aggregate
+    "n13_hard_negatives",
     // r35: the 1-row pooled-psi × stratum-frame combine (the j1 shape)
     "r35_breslow_day")
 

@@ -64,4 +64,34 @@ class ProfileSpec extends SparkSpec {
     }
     assert(r.map(_.getString(0)).toSeq == (1 to 9).map(_.toString))
   }
+
+  test("fdDiscovery: holding and violated dependencies, hand-computed") {
+    // id → cat holds (each id has one cat); cat → id violated
+    // (cat "a" maps to ids 1 and 2); id is also a key for val except
+    // id 3 which maps to two vals → id → val violated with 1 extra pair
+    val df = Seq(
+      (1L, "a", "x"), (1L, "a", "x"),
+      (2L, "a", "y"), (3L, "b", "z"), (3L, "b", "w")).toDF("id", "cat", "v")
+    val r = Profile.fdDiscovery(df, Seq("id", "cat", "v"))
+      .as[(String, String, Long, Long, Boolean, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    val idCat = r(("id", "cat"))
+    assert(idCat._3 == 3L && idCat._4 == 3L && idCat._5 && idCat._6 == 0L
+      && idCat._7 == 1.0)
+    val catId = r(("cat", "id"))
+    assert(catId._3 == 2L && catId._4 == 3L && !catId._5 && catId._6 == 1L)
+    val idV = r(("id", "v"))
+    assert(idV._3 == 3L && idV._4 == 4L && !idV._5 && idV._6 == 1L
+      && idV._7 == 0.75)
+    assert(r.size == 6) // all ordered pairs of 3 columns
+  }
+
+  test("fdDiscovery: NULLs drop per-pair and don't break other pairs") {
+    val df = Seq((Some(1L), Some("a")), (Some(2L), None), (None, Some("b")))
+      .toDF("id", "cat")
+    val r = Profile.fdDiscovery(df, Seq("id", "cat"))
+      .as[(String, String, Long, Long, Boolean, Long, Double)].collect()
+    // only the (1,"a") row survives for both directions
+    assert(r.forall(t => t._3 == 1L && t._4 == 1L && t._5))
+  }
 }

@@ -269,4 +269,32 @@ class EmbeddingsSpec extends SparkSpec {
       assert(row.getDouble(3) == 1.0 && row.getDouble(4) == 1.0)
     }
   }
+
+  test("hardNegatives: same-label neighbors are excluded, ranks are by cosine") {
+    // query 0 (label 0) at e1; its nearest SAME-label vector 1 must not
+    // appear; among label-1 vectors, 10 (cos≈1 direction) beats 11 beats 12
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(0.99f, 0.14f, 0f, 0f), 0),   // closest overall, same label
+      (10L, Array(0.9f, 0.43f, 0f, 0f), 1),
+      (11L, Array(0.6f, 0.8f, 0f, 0f), 1),
+      (12L, Array(0f, 1f, 0f, 0f), 1))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val r = Embeddings.hardNegatives(df, "vec_id", "embedding", "label",
+        df.where(col("vec_id") === 0L), "vec_id", "embedding", k = 2)
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(r.toSeq == Seq((0L, 0L, 10L, 1L, 1), (0L, 0L, 11L, 1L, 2)))
+  }
+
+  test("hardNegatives: NULL labels and zero-norm vectors drop") {
+    val df = Seq(
+      (0L, Array(1f, 0f), Some(0)),
+      (1L, Array(0.9f, 0.1f), None),          // null label: never a negative
+      (2L, Array(0f, 0f), Some(1)),           // zero norm: dropped
+      (3L, Array(0.5f, 0.5f), Some(1))).toDF("vec_id", "embedding", "label")
+    val r = Embeddings.hardNegatives(df, "vec_id", "embedding", "label",
+        df.where(col("vec_id") === 0L), "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Long, Int)].collect()
+    assert(r.toSeq == Seq((0L, 0L, 3L, 1L, 1)))
+  }
 }
