@@ -1236,6 +1236,34 @@ object SparkEntry {
         t(s, dir, "orders"), "o_totalprice", "o_orderpriority")
     }),
 
+    // ---- §2.9 logistic regression via IRLS on the cell frame (r37):
+    // binomial cells are sufficient statistics, so ONE groupBy feeds a
+    // bounded deterministic driver Newton loop; β exports as literals and
+    // the per-cell scores replay relationally (the m4/m5 doctrine). ------
+    "r37_logistic" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val feats = Seq[(String, org.apache.spark.sql.Column)](
+        "disc_hi" -> (col("l_discount") >= 0.05),
+        "qty_hi" -> (col("l_quantity") >= 25),
+        "tax_hi" -> (col("l_tax") >= 0.04))
+      val fit = graft.ml.Logistic.irlsFitCells(
+        li, col("l_returnflag") === "R", feats)
+      r37LogisticFit = Some(fit)
+      val cells = li.where(col("l_discount").isNotNull &&
+          col("l_quantity").isNotNull && col("l_tax").isNotNull &&
+          col("l_returnflag").isNotNull)
+        .groupBy((col("l_discount") >= 0.05).cast("int").as("disc_hi"),
+          (col("l_quantity") >= 25).cast("int").as("qty_hi"),
+          (col("l_tax") >= 0.04).cast("int").as("tax_hi"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_returnflag") === "R").cast("int")).as("y"))
+      cells.withColumn("eta", graft.ml.Logistic.margin(fit))
+        .select(col("disc_hi"), col("qty_hi"), col("tax_hi"), col("n"),
+          col("y"), round(col("eta"), 6).as("eta"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("eta"))), 6).as("p_hat"))
+        .orderBy(col("disc_hi"), col("qty_hi"), col("tax_hi"))
+    }),
+
     // ---- 2-D equi-width heatmap (h3): the joint-density frame — in-query
     // extrema, one integer bin expression per dim, ≤ nx·ny cells shuffle. -
     "h3_heatmap" -> ((s, dir) => {
@@ -1371,6 +1399,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_links"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("domain"))
+    }),
+
+    // ---- text: TF-IDF top terms per document (t18) — the keyword-
+    // extraction census: one explode→tf aggregate, broadcast df/N stats,
+    // a partitioned top-k window; score rounds before ranking so the
+    // order is engine-reproducible. --------------------------------------
+    "t18_tfidf" -> ((s, dir) => {
+      graft.text.Search.tfIdfTopTerms(
+        Tables.spread(t(s, dir, "documents")), "doc_id", "text", topK = 3)
     }),
 
     // ---- deterministic content-hash sampling (layout-independent) -------
@@ -3594,6 +3631,33 @@ object SparkEntry {
          FROM s"""
   }.toMap
 
+  /** The r37 IRLS fit, exported in this process — same runtime-oracle
+    * contract as [[m4FittedSpec]]: β as Double.toString literals, the
+    * identical explicit linear chain on both sides. */
+  @volatile private var r37LogisticFit: Option[graft.ml.Logistic.LogisticFit] = None
+
+  private def r37OracleEntry: Map[String, String] = r37LogisticFit.map { fit =>
+    "r37_logistic" ->
+      s"""WITH src AS (
+           SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS disc_hi,
+                  CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS qty_hi,
+                  CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END AS tax_hi,
+                  (l_returnflag = 'R') AS yy
+           FROM lineitem
+           WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL),
+         cells AS (
+           SELECT disc_hi, qty_hi, tax_hi, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN yy THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM src GROUP BY 1, 2, 3),
+         s AS (SELECT *, ${graft.ml.Logistic.marginSql(fit)} AS eta
+               FROM cells)
+         SELECT disc_hi, qty_hi, tax_hi, n, y,
+                round(eta, 6) AS eta,
+                round(1.0 / (1.0 + exp(-eta)), 6) AS p_hat
+         FROM s ORDER BY disc_hi, qty_hi, tax_hi"""
+  }.toMap
+
   /** The m7 lift-chart's fitted tree, exported in this process — same
     * runtime-oracle contract as [[m4FittedSpec]]. */
   @volatile private var m7LiftSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
@@ -3881,7 +3945,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
-    m6OracleEntry ++ m7OracleEntry ++
+    m6OracleEntry ++ m7OracleEntry ++ r37OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
       t17OracleEntry ++ Map(
     "q1_agg" ->
@@ -4436,6 +4500,29 @@ object SparkEntry {
            FROM aug)
          SELECT domain, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
          FROM links GROUP BY 1 ORDER BY 1""",
+
+    // t18: the identical tf/df/N frames and the same rounded-score
+    // ranking; score rounds BEFORE the window on both sides
+    "t18_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '), t -> t != '') AS w
+           FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         tok AS (SELECT doc_id, unnest(w) AS term FROM toks),
+         tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                 FROM tok GROUP BY 1, 2),
+         dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t
+                 FROM tfc GROUP BY 1),
+         corpus AS (SELECT count(*) AS n_docs FROM toks),
+         s AS (SELECT doc_id, term, tf, df_t,
+                 round(CAST(tf AS DOUBLE)
+                   * (ln((CAST(n_docs AS DOUBLE) + 1.0)
+                        / (CAST(df_t AS DOUBLE) + 1.0)) + 1.0), 6) AS score
+               FROM tfc JOIN dfc USING (term) CROSS JOIN corpus),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, term) AS "rank" FROM s)
+         SELECT doc_id, term, tf, df_t, score, CAST("rank" AS BIGINT) AS "rank"
+         FROM r WHERE "rank" <= 3 ORDER BY doc_id, "rank"""",
 
     // s9: the stats-pruned snapshot must answer exactly like the raw table
     "s9_stats_pruned_scan" ->

@@ -55,4 +55,39 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** TF-IDF top terms per document — the keyword-extraction census
+    * (salient-term summaries, topic labels, lexical features for
+    * classifiers). `idf = ln((N+1)/(df+1)) + 1`, the smoothed form that
+    * never zeroes a corpus-wide term; `score = tf · idf` rounded to 6 so
+    * the (score desc, term asc) ordering is engine-reproducible.
+    *
+    * Plan: one corpus-sized explode → (doc, term) tf aggregate, a
+    * term-count-sized df frame broadcast back, the 1-row N broadcast
+    * (the n4 corpus-stats shape), and a PARTITIONED row_number window —
+    * ≤ topK rows per doc survive. Tokenization is lowercase whitespace
+    * ([[TextOps.tokens]]), NULL ids/texts drop. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val toks = TextOps.tokens(lower(col(textCol)))
+    val base = df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+    val tf = base
+      .select(col(idCol).as("doc_id"), explode(toks).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfc), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(col("tf").cast("double") *
+        (log((col("n_docs").cast("double") + 1.0) /
+          (col("df_t").cast("double") + 1.0)) + 1.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_t"),
+        col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
 }

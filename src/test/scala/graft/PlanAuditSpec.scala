@@ -28,6 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "n12_ann_recall",
     // n13: the n1 shape with the label-mismatch filter pre-aggregate
     "n13_hard_negatives",
+    // t18: the n4 broadcast corpus-stats shape (1-row N cross join)
+    "t18_tfidf",
     // r35: the 1-row pooled-psi × stratum-frame combine (the j1 shape)
     "r35_breslow_day")
 

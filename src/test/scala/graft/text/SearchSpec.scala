@@ -52,4 +52,36 @@ class SearchSpec extends SparkSpec {
       .select("doc_id", "score").as[(Long, Double)].collect().toSeq
     assert(a == b)
   }
+
+  test("tfIdfTopTerms: hand-computed scores and ranks") {
+    // 3 docs; "rare" appears only in doc 1 (tf 2), "common" in all three
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common common x"),
+      (3L, "common y")).toDF("doc_id", "text")
+    val r = Search.tfIdfTopTerms(docs, "doc_id", "text", topK = 2)
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+    def score(tf: Long, dft: Long): Double =
+      BigDecimal(tf.toDouble * (math.log(4.0 / (dft + 1.0)) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byDoc = r.groupBy(_._1)
+    // doc 1: rare (tf 2, df 1) beats common (tf 1, df 3)
+    assert(byDoc(1L).map(t => (t._2, t._3, t._4, t._6)).toSeq ==
+      Seq(("rare", 2L, 1L, 1L), ("common", 1L, 3L, 2L)))
+    assert(byDoc(1L).head._5 == score(2, 1))
+    // doc 2: common (tf 2) vs x (tf 1, df 1): 2·idf(3) vs 1·idf(1)
+    val doc2 = byDoc(2L).map(t => (t._2, t._6)).toSeq
+    assert(doc2.toSet == Set(("common", doc2.find(_._1 == "common").get._2),
+      ("x", doc2.find(_._1 == "x").get._2)))
+    r.foreach(t => assert(t._6 <= 2L))
+  }
+
+  test("tfIdfTopTerms: empty tokens and NULL text drop; ties break by term") {
+    val docs = Seq((1L, Some("b  a")), (2L, None)).toDF("doc_id", "text")
+    val r = Search.tfIdfTopTerms(docs, "doc_id", "text", topK = 5)
+      .as[(Long, String, Long, Long, Double, Long)].collect()
+    // doc 2 gone; doc 1 has terms a and b, equal scores, 'a' ranks first
+    assert(r.map(_._1).forall(_ == 1L))
+    assert(r.map(t => (t._2, t._6)).toSeq == Seq(("a", 1L), ("b", 2L)))
+  }
 }
