@@ -1206,6 +1206,34 @@ object SparkEntry {
         Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
     }),
 
+    // ---- feature selection: information-gain census (q15) — r30's MI
+    // swept across many features vs one label in ONE stacked job; every
+    // window PARTITIONED by feature, nothing global. ---------------------
+    "q15_info_gain" -> ((s, dir) => {
+      graft.stats.ChiSquare.featureInfoGainDF(
+        t(s, dir, "lineitem"), col("l_returnflag"),
+        Seq("l_linestatus" -> col("l_linestatus"),
+          "l_linenumber" -> col("l_linenumber"),
+          "ship_year" -> year(col("l_shipdate"))))
+    }),
+
+    // ---- events: per-(type, day) latency bands (e17) — exact type-1
+    // p50/p95/max from the q10 cent-cell cumsum, keyed shuffle only. -----
+    "e17_latency_bands" -> ((s, dir) => {
+      graft.ops.Quality.quantileBands(
+        Tables.events(s, dir)
+          .withColumn("day", to_date(col("ts")).cast("string")),
+        Seq("event_type", "day"), "value")
+    }),
+
+    // ---- events: integer-exact autocorrelation (e18) — the seasonality
+    // detector: r_k scaled through by n² so every sum is integer, one
+    // division per (key, lag). -------------------------------------------
+    "e18_acf" -> ((s, dir) => {
+      graft.ops.Resample.acfCounts(Tables.events(s, dir), "event_type", "ts",
+        "hour", maxLag = 6)
+    }),
+
     // ---- §2.8 Breslow–Day homogeneity (r35): is r29's pooling valid?
     // Pooled ψ from the MH chains' last link, per-stratum expected a-cell
     // from the closed-form OR quadratic, harmonic variance, BD chain. ----
@@ -7056,6 +7084,73 @@ object SparkEntry {
          FROM c JOIN sz USING (cohort)
          ORDER BY cohort, k""",
 
+    // e17: the q10 cent-cell cumsum per (type, day), exact type-1 ranks
+    "e17_latency_bands" ->
+      """WITH cells AS (
+           SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events
+           WHERE value IS NOT NULL AND event_type IS NOT NULL
+             AND ts IS NOT NULL
+           GROUP BY 1, 2, 3),
+         cum AS (
+           SELECT event_type, day, vc, c,
+                  CAST(sum(c) OVER (PARTITION BY event_type, day
+                    ORDER BY vc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ci,
+                  CAST(sum(c) OVER (PARTITION BY event_type, day)
+                    AS BIGINT) AS n
+           FROM cells),
+         f AS (
+           SELECT event_type, day, n,
+                  min(CASE WHEN ci >= (n + 1) // 2 THEN vc END) AS p50c,
+                  min(CASE WHEN ci >= (19 * n + 19) // 20 THEN vc END) AS p95c,
+                  max(vc) AS maxc
+           FROM cum GROUP BY 1, 2, 3)
+         SELECT event_type, day, n,
+                CAST(p50c AS DOUBLE) / 100.0 AS p50,
+                CAST(p95c AS DOUBLE) / 100.0 AS p95,
+                CAST(maxc AS DOUBLE) / 100.0 AS vmax
+         FROM f ORDER BY event_type, day""",
+
+    // e18: the n²-scaled integer ACF — six lead arms, HUGEINT sums,
+    // one division per (key, lag)
+    "e18_acf" -> {
+      val arms = (1 to 6).map(k =>
+        s"""SELECT key, n, $k AS lag, m,
+              lead(m, $k) OVER (PARTITION BY key ORDER BY b) AS ml
+            FROM mm""").mkString("\n           UNION ALL\n           ")
+      s"""WITH counts AS (
+           SELECT event_type AS key,
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         mf AS (
+           SELECT key, b, c,
+                  CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n,
+                  CAST(sum(c) OVER (PARTITION BY key) AS BIGINT) AS s
+           FROM counts),
+         mm AS (SELECT key, b, n, n * c - s AS m FROM mf),
+         lagged AS (
+           $arms),
+         num AS (
+           SELECT key, CAST(lag AS BIGINT) AS lag, n,
+                  sum(CAST(m AS HUGEINT) * ml) AS num
+           FROM lagged WHERE ml IS NOT NULL GROUP BY 1, 2, 3),
+         den AS (
+           SELECT key, sum(CAST(m AS HUGEINT) * m) AS den FROM mm GROUP BY 1)
+         SELECT key, lag, n AS n_buckets,
+                CASE WHEN den > 0
+                     THEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+                     ELSE 0.0 END AS acf
+         FROM num JOIN den USING (key)
+         ORDER BY key, lag"""
+    },
+
     // q13: identical digit extraction (decimal-string, no log10), the
     // SAME JVM probability literals, the same running χ² chain
     "q13_benford" ->
@@ -7108,6 +7203,58 @@ object SparkEntry {
                       / CAST(count(*) AS DOUBLE), 6) AS strength
          FROM d1 GROUP BY 1, 2 ORDER BY 1, 2"""
     },
+
+    // q15: the r30 chains PARTITIONED by feature over stacked cells
+    "q15_info_gain" ->
+      """WITH cells AS (
+           SELECT feat, x, y, CAST(count(*) AS BIGINT) AS o FROM (
+             SELECT 'l_linestatus' AS feat, CAST(l_linestatus AS VARCHAR) AS x,
+                    CAST(l_returnflag AS VARCHAR) AS y FROM lineitem
+             UNION ALL
+             SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR),
+                    CAST(l_returnflag AS VARCHAR) FROM lineitem
+             UNION ALL
+             SELECT 'ship_year',
+                    CAST(year(CAST(l_shipdate AS DATE)) AS VARCHAR),
+                    CAST(l_returnflag AS VARCHAR) FROM lineitem)
+           WHERE x IS NOT NULL AND y IS NOT NULL
+           GROUP BY 1, 2, 3),
+         m AS (
+           SELECT feat, x, y, o,
+                  sum(o) OVER (PARTITION BY feat, x) AS rt,
+                  sum(o) OVER (PARTITION BY feat, y) AS ct,
+                  sum(o) OVER (PARTITION BY feat) AS n
+           FROM cells),
+         run AS (
+           SELECT feat, o, n,
+                  sum(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+                      * ln(CAST(o * n AS DOUBLE) / CAST(rt * ct AS DOUBLE)))
+                    OVER (PARTITION BY feat ORDER BY x, y
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS mi_run,
+                  row_number() OVER (PARTITION BY feat ORDER BY x, y) AS rn
+           FROM m),
+         mi AS (
+           SELECT feat, CAST(sum(o) AS BIGINT) AS n,
+                  max_by(mi_run, rn) AS mi0
+           FROM run GROUP BY 1),
+         hy AS (
+           SELECT feat, max(h_run) AS hy0 FROM (
+             SELECT feat,
+                    sum(0.0 - CAST(mt AS DOUBLE) / CAST(n AS DOUBLE)
+                        * ln(CAST(mt AS DOUBLE) / CAST(n AS DOUBLE)))
+                      OVER (PARTITION BY feat ORDER BY y
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS h_run
+             FROM (SELECT feat, y, sum(o) AS mt,
+                     sum(sum(o)) OVER (PARTITION BY feat) AS n
+                   FROM cells GROUP BY 1, 2))
+           GROUP BY 1)
+         SELECT mi.feat AS feature, mi.n, round(mi0, 6) AS info_gain,
+                round(hy0, 6) AS h_label,
+                CASE WHEN hy0 > 0.0 THEN round(mi0 / hy0, 6)
+                     ELSE 0.0 END AS u_coef
+         FROM mi JOIN hy USING (feat) ORDER BY feature""",
 
     // r35: the r29 cell/chain machinery, pooled ψ by max_by last-link,
     // the identical quadratic/harmonic trees, nested CASE so sqrt never

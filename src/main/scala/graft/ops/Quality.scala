@@ -158,4 +158,41 @@ object Quality {
         (col("hi2").cast("double") / lit(200.0)).as("hi_fence"),
         col("n_below"), col("n_above"))
   }
+
+  /** Per-group p50/p95/max distribution bands — the latency-dashboard
+    * census over any keyed value stream (compose the key from e.g.
+    * (event_type, day) to get a monitoring time series).
+    *
+    * Exactness: the q10/[[iqrOutliers]] machinery — values become CENT
+    * integers, the group reduces to value-level cells, and the
+    * quantiles are exact type-1 ranks read off the cell cumsum
+    * (`p50 = smallest v with cum ≥ ⌈n/2⌉`, `p95 at ⌈0.95·n⌉`) — pure
+    * integer arithmetic until the single final /100. Cells shuffle once,
+    * keyed by group; nothing is row-count-sized downstream. */
+  def quantileBands(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "quantileBands needs at least one key column")
+    val keys = keyCols.map(col)
+    val cells = df.where(col(valueCol).isNotNull &&
+        keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys :+
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("vc"): _*)
+      .groupBy(keys :+ col("vc"): _*).agg(count(lit(1)).as("c"))
+    val cw = Window.partitionBy(keys: _*).orderBy(col("vc").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nw = Window.partitionBy(keys: _*)
+    cells
+      .withColumn("ci", sum(col("c")).over(cw))
+      .withColumn("n", sum(col("c")).over(nw))
+      .withColumn("p50c", when(col("ci") >= expr("(n + 1) DIV 2"), col("vc")))
+      .withColumn("p95c", when(col("ci") >= expr("(19 * n + 19) DIV 20"), col("vc")))
+      .groupBy(keys :+ col("n"): _*)
+      .agg(min(col("p50c")).as("p50c"), min(col("p95c")).as("p95c"),
+        max(col("vc")).as("maxc"))
+      .select(keys ++ Seq(col("n"),
+        (col("p50c").cast("double") / lit(100.0)).as("p50"),
+        (col("p95c").cast("double") / lit(100.0)).as("p95"),
+        (col("maxc").cast("double") / lit(100.0)).as("vmax")): _*)
+      .orderBy(keys: _*)
+  }
 }

@@ -139,4 +139,55 @@ object Resample {
           col("cohort_size").cast("double"), 6).as("pct"))
       .orderBy(col("cohort"), col("k"))
   }
+
+  /** Integer-exact autocorrelation of per-bucket event counts at lags
+    * `1..maxLag` — seasonality/persistence detection for a keyed event
+    * stream (a daily cycle shows as a peak at lag 24 on hourly buckets).
+    *
+    * The standard ACF estimator `r_k = Σ(c_t−c̄)(c_{t+k}−c̄) / Σ(c_t−c̄)²`
+    * is made EXACT by scaling through by n²: with `m_t = n·c_t − S`
+    * (integers; S = Σc), `r_k = Σ m_t·m_{t+k} / Σ m_t²` — every sum is
+    * DECIMAL(38,0) integer arithmetic over PARTITIONED lead windows, and
+    * the single division per (key, lag) is the only double op. Buckets
+    * present only (a silent hour contributes no bucket; compose with
+    * [[forwardFillGrid]] upstream when gaps must count as zero).
+    *
+    * Plan: one map-side-combined groupBy to the bucket frame, one
+    * key-partitioned window pass computing all `maxLag` leads at once,
+    * one explode to (key, lag) products — everything downstream of the
+    * first shuffle is bucket-frame-sized. */
+  def acfCounts(df: DataFrame, keyCol: String, tsCol: String,
+      truncUnit: String = "hour", maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1,64], got $maxLag")
+    val counts = df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        date_trunc(truncUnit, col(tsCol)).as("bucket_ts"))
+      .agg(count(lit(1)).as("c"))
+    val kw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+    val ow = kw.orderBy(col("bucket_ts").asc)
+    val m = counts
+      .withColumn("n", count(lit(1)).over(kw))
+      .withColumn("s", sum(col("c")).over(kw))
+      .withColumn("m", col("n") * col("c") - col("s"))
+    val withLeads = (1 to maxLag).foldLeft(m) { (d, k) =>
+      d.withColumn(s"__l$k", lead(col("m"), k).over(ow))
+    }
+    val prods = withLeads.select(col("key"), col("n"), col("m"),
+      explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), col(s"__l$k").as("ml"))): _*)).as("p"))
+      .select(col("key"), col("n"), col("m"), col("p.lag"), col("p.ml"))
+    val den = m.groupBy(col("key"))
+      .agg(sum(col("m").cast("decimal(19,0)") * col("m")).as("den"))
+    prods.where(col("ml").isNotNull)
+      .groupBy(col("key"), col("lag"), col("n"))
+      .agg(sum(col("m").cast("decimal(19,0)") * col("ml")).as("num"))
+      .join(den, "key")
+      .select(col("key"), col("lag").cast("long").as("lag"),
+        col("n").as("n_buckets"),
+        when(col("den") > 0,
+          round(col("num").cast("double") / col("den").cast("double"), 6))
+          .otherwise(lit(0.0)).as("acf"))
+      .orderBy(col("key"), col("lag"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -114,6 +114,65 @@ object ChiSquare {
         when(col("hr0") * col("hc0") > 0.0,
           round(col("mi0") / sqrt(col("hr0") * col("hc0")), 6))
           .otherwise(lit(0.0)).as("nmi"))
+  }
+
+  /** Information-gain feature ranking — [[mutualInformationDF]] swept
+    * across MANY candidate features against one label in a single job:
+    * the feature-selection census an ML pipeline runs before training
+    * (IG(x) = H(y) − H(y|x) = MI(x,y); `u_coef = MI/H(y)` is Theil's
+    * uncertainty coefficient, the [0,1] normalized form).
+    *
+    * One stacked explode builds (feature, x, y) cells for every feature
+    * at once, and — unlike the single-pair r30 — every window here is
+    * PARTITIONED by feature, so nothing is ever global: the MI running
+    * chain, its max_by last-link, and the label-entropy chain all ride
+    * feature-keyed frames. Rows with a NULL feature value drop for that
+    * feature only. Chains are in (x,y) key order (the r30 doctrine), so
+    * a relational replay is bit-exact. */
+  def featureInfoGainDF(df: DataFrame, labelCol: Column,
+      features: Seq[(String, Column)]): DataFrame = {
+    require(features.nonEmpty, "featureInfoGainDF needs features")
+    val cells = df.select(explode(array(features.map { case (n, c) =>
+        struct(lit(n).as("feat"), c.cast("string").as("x"),
+          labelCol.cast("string").as("y")) }: _*)).as("cell"))
+      .select(col("cell.feat"), col("cell.x"), col("cell.y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("feat"), col("x"), col("y")).agg(count(lit(1)).as("o"))
+    val fw = Window.partitionBy(col("feat"))
+    val xw = Window.partitionBy(col("feat"), col("x"))
+    val yw = Window.partitionBy(col("feat"), col("y"))
+    val runW = Window.partitionBy(col("feat"))
+      .orderBy(col("x").asc, col("y").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rnW = Window.partitionBy(col("feat")).orderBy(col("x").asc, col("y").asc)
+    val m = cells
+      .withColumn("rt", sum(col("o")).over(xw))
+      .withColumn("ct", sum(col("o")).over(yw))
+      .withColumn("n", sum(col("o")).over(fw))
+    val miTerm = col("o").cast("double") / col("n").cast("double") *
+      log((col("o") * col("n")).cast("double") /
+        (col("rt") * col("ct")).cast("double"))
+    val mi = m.withColumn("mi_run", sum(miTerm).over(runW))
+      .withColumn("rn", row_number().over(rnW))
+      .groupBy(col("feat"))
+      .agg(sum(col("o")).as("n"), max_by(col("mi_run"), col("rn")).as("mi0"))
+    // label entropy per feature (n differs per feature when a feature has
+    // NULLs); terms ≥ 0 so max IS the chain's last link
+    val ymarg = cells.groupBy(col("feat"), col("y")).agg(sum(col("o")).as("mt"))
+    val yRun = Window.partitionBy(col("feat")).orderBy(col("y").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hTerm = lit(0.0) - col("mt").cast("double") / col("n").cast("double") *
+      log(col("mt").cast("double") / col("n").cast("double"))
+    val hy = ymarg.withColumn("n", sum(col("mt")).over(fw))
+      .withColumn("h_run", sum(hTerm).over(yRun))
+      .groupBy(col("feat")).agg(max(col("h_run")).as("hy0"))
+    mi.join(hy, "feat")
+      .select(col("feat").as("feature"), col("n"),
+        round(col("mi0"), 6).as("info_gain"),
+        round(col("hy0"), 6).as("h_label"),
+        when(col("hy0") > 0.0, round(col("mi0") / col("hy0"), 6))
+          .otherwise(lit(0.0)).as("u_coef"))
+      .orderBy(col("feature"))
   }
 
   /** Cohen's kappa — chance-corrected agreement between two raters over

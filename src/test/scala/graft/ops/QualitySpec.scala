@@ -75,4 +75,31 @@ class QualitySpec extends SparkSpec {
       assert(r._8 == v2.count(_ > hi).toLong, s"above in $g")
     }
   }
+
+  test("quantileBands: exact type-1 ranks on a hand grid") {
+    // key A: values 1..20 → n=20, p50 at rank 10 → 10.0, p95 at rank 19
+    val rows = (1 to 20).map(v => ("A", v.toDouble)) ++
+      Seq(("B", 5.0), ("B", 5.0), ("B", 7.0))
+    val r = Quality.quantileBands(rows.toDF("k", "v"), Seq("k"), "v")
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(r.toSeq == Seq(
+      ("A", 20L, 10.0, 19.0, 20.0),
+      ("B", 3L, 5.0, 7.0, 7.0)))
+  }
+
+  test("quantileBands: distributed equals driver type-1 quantiles") {
+    val rng = new scala.util.Random(23)
+    val rows = Seq.fill(900)((s"g${rng.nextInt(4)}",
+      math.round(rng.nextDouble() * 10000) / 100.0))
+    val r = Quality.quantileBands(rows.toDF("k", "v").repartition(7),
+      Seq("k"), "v").as[(String, Long, Double, Double, Double)].collect()
+    val byK = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    r.foreach { case (k, n, p50, p95, vmax) =>
+      val vs = byK(k)
+      assert(n == vs.size.toLong)
+      assert(p50 == vs((vs.size + 1) / 2 - 1))
+      assert(p95 == vs((19 * vs.size + 19) / 20 - 1))
+      assert(vmax == vs.last)
+    }
+  }
 }

@@ -96,6 +96,44 @@ class ResampleSpec extends SparkSpec {
       ("2024-01-02", 0, 1L, 1L, 1.0)))
   }
 
+  test("acfCounts: alternating counts give acf(1) < 0 < acf(2)") {
+    import java.sql.Timestamp
+    // hourly buckets with counts 1,3,1,3,... → strong negative lag-1,
+    // strong positive lag-2 autocorrelation
+    val events = (0 until 24).flatMap { h =>
+      val n = if (h % 2 == 0) 1 else 3
+      Seq.fill(n)(("a", Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")))
+    }
+    val r = Resample.acfCounts(events.toDF("k", "t"), "k", "t", "hour",
+        maxLag = 2).as[(String, Long, Long, Double)].collect()
+    assert(r.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq(("a", 1L, 24L), ("a", 2L, 24L)))
+    assert(r(0)._4 < -0.8 && r(1)._4 > 0.8)
+  }
+
+  test("acfCounts: distributed equals the driver estimator; constant series → 0") {
+    import java.sql.Timestamp
+    val rng = new scala.util.Random(13)
+    val counts = Seq.tabulate(50)(h => 1 + rng.nextInt(5))
+    val events = counts.zipWithIndex.flatMap { case (n, h) =>
+      Seq.fill(n)(("x", Timestamp.valueOf(
+        f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:10:00")))
+    } ++ (0 until 10).flatMap(h =>
+      Seq.fill(2)(("const", Timestamp.valueOf(f"2024-01-01 $h%02d:00:00"))))
+    val r = Resample.acfCounts(events.toDF("k", "t").repartition(9),
+        "k", "t", "hour", maxLag = 3)
+      .as[(String, Long, Long, Double)].collect()
+    val cbar = counts.sum.toDouble / counts.size
+    (1 to 3).foreach { k =>
+      val num = (0 until counts.size - k)
+        .map(t => (counts(t) - cbar) * (counts(t + k) - cbar)).sum
+      val den = counts.map(c => (c - cbar) * (c - cbar)).sum
+      val got = r.find(t => t._1 == "x" && t._2 == k.toLong).get._4
+      assert(math.abs(got - num / den) < 1e-6, s"lag $k")
+    }
+    r.filter(_._1 == "const").foreach(t => assert(t._4 == 0.0))
+  }
+
   test("retentionCohorts: horizon bounds k and NULLs drop") {
     import java.sql.Timestamp
     def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")

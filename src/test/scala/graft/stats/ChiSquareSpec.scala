@@ -92,4 +92,43 @@ class ChiSquareSpec extends SparkSpec {
     assert(math.abs(got.getDouble(3) - hc) < 1e-6)
     assert(math.abs(got.getDouble(4) - mi / math.sqrt(hr * hc)) < 1e-6)
   }
+
+  test("featureInfoGainDF: perfect, independent, and per-feature NULLs") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(5)
+    val rows = Seq.fill(400) {
+      val y = rng.nextInt(2)
+      (s"y$y",                              // copy: IG = H(y)
+        s"i${rng.nextInt(3)}",              // independent: IG ≈ 0
+        if (rng.nextInt(10) == 0) None else Some(s"p$y"), // copy w/ nulls
+        s"lab$y")
+    }
+    val df = rows.toDF("copy", "indep", "part", "y")
+    val r = ChiSquare.featureInfoGainDF(df, col("y"),
+        Seq("copy" -> col("copy"), "indep" -> col("indep"),
+          "part" -> col("part")))
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // a feature that copies the label carries the label's full entropy
+    assert(math.abs(r("copy")._3 - r("copy")._4) < 1e-6)
+    assert(r("copy")._5 == 1.0)
+    assert(r("copy")._2 == 400L)
+    // independent feature: tiny IG, u_coef near 0
+    assert(r("indep")._3 < 0.02 && r("indep")._5 < 0.02)
+    // per-feature NULL drop: n reflects only the non-null rows
+    assert(r("part")._2 == rows.count(_._3.isDefined).toLong)
+    assert(r("part")._5 == 1.0)
+  }
+
+  test("featureInfoGainDF single feature equals mutualInformationDF") {
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(9)
+    val df = Seq.fill(300)((s"x${rng.nextInt(4)}", s"y${rng.nextInt(3)}"))
+      .toDF("x", "y").repartition(7)
+    val a = ChiSquare.featureInfoGainDF(df, col("y"), Seq("x" -> col("x")))
+      .select("info_gain").as[Double].head()
+    val b = ChiSquare.mutualInformationDF(df, "x", "y")
+      .select("mi").as[Double].head()
+    assert(a == b)
+  }
 }
