@@ -3501,6 +3501,54 @@ object SparkEntry {
         .select(col("o_orderstatus"), (col("idx") + 1).cast("long").as("rnk"),
           col("r.id").as("o_orderkey"), col("r.score").as("price"))
         .orderBy(col("o_orderstatus"), col("rnk"))
+    }),
+
+    // ---- windows: rank-family coverage (w8) — ntile/percent_rank/
+    // cume_dist on a PARTITIONED unique-ordered window, aggregated to the
+    // quartile frame; the (price, key) order makes ranks tie-free. -------
+    "w8_rank_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .where(col("o_totalprice").isNotNull && col("o_orderpriority").isNotNull)
+        .select(col("o_orderpriority"), ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(count(lit(1)).as("n"), round(min(col("pr")), 6).as("min_pr"),
+          round(max(col("cd")), 6).as("max_cd"))
+        .select(col("o_orderpriority"),
+          col("quartile").cast("long").as("quartile"), col("n"),
+          col("min_pr"), col("max_cd"))
+        .orderBy(col("o_orderpriority"), col("quartile"))
+    }),
+
+    // ---- ML: smoothed target encoding (m8) — the high-cardinality
+    // categorical encoder; multiplied through by N the estimate is ONE
+    // division of exact integers. ----------------------------------------
+    "m8_target_encode" -> ((s, dir) => {
+      graft.ml.Encoders.targetEncode(t(s, dir, "lineitem"), "l_suppkey",
+        col("l_returnflag") === "R", smoothing = 10L)
+    }),
+
+    // ---- ML: deterministic k-fold assignment census (m9) — content-hash
+    // folds (no RNG, row-local), fold sizes + label balance. -------------
+    "m9_kfold" -> ((s, dir) => {
+      graft.ops.Sampling.kfold(t(s, dir, "orders"), col("o_orderkey"), k = 4)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("o_orderstatus") === "F").cast("int")).as("n_f"))
+        .select(col("fold"), col("n"), col("n_f"),
+          round(col("n_f").cast("double") / col("n").cast("double"), 6)
+            .as("f_rate"))
+        .orderBy(col("fold"))
+    }),
+
+    // ---- events: daily time-weighted average (e19) — each observation
+    // holds until the next; cent values × µs gaps in DECIMAL, one
+    // division per (type, day). ------------------------------------------
+    "e19_twap" -> ((s, dir) => {
+      graft.ops.Resample.twapDaily(Tables.events(s, dir),
+        "event_type", "ts", "event_id", "value")
     })
   )
 
@@ -5619,6 +5667,77 @@ object SparkEntry {
          SELECT o_orderstatus, rnk, o_orderkey, o_totalprice AS price
          FROM r WHERE rnk <= 10
          ORDER BY o_orderstatus, rnk""",
+
+    // w8: identical rank-family window functions on the same tie-free
+    // (price, key) order, aggregated to the quartile frame
+    "w8_rank_funcs" ->
+      """WITH r AS (
+           SELECT o_orderpriority,
+                  ntile(4) OVER w AS quartile,
+                  percent_rank() OVER w AS pr,
+                  cume_dist() OVER w AS cd
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+           WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey))
+         SELECT o_orderpriority, CAST(quartile AS BIGINT) AS quartile,
+                CAST(count(*) AS BIGINT) AS n,
+                round(min(pr), 6) AS min_pr,
+                round(max(cd), 6) AS max_cd
+         FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // m8: the identical one-division integer form (y_c·N + m·Y) / (N·(n_c+m))
+    "m8_target_encode" ->
+      """WITH base AS (
+           SELECT CAST(l_suppkey AS VARCHAR) AS cat,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem
+           WHERE l_suppkey IS NOT NULL AND l_returnflag IS NOT NULL),
+         pc AS (SELECT cat, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS y_sum FROM base GROUP BY 1),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS big_n,
+                 CAST(sum(y) AS BIGINT) AS big_y FROM base)
+         SELECT cat, n, y_sum,
+                round(CAST(CAST(y_sum AS HUGEINT) * big_n + 10 * big_y AS DOUBLE)
+                      / CAST(CAST(big_n AS HUGEINT) * (n + 10) AS DOUBLE), 6)
+                  AS enc
+         FROM pc, g ORDER BY cat""",
+
+    // m9: the identical hex-digit fold rule; NULL status stays NULL so
+    // the positive sum skips it on both sides
+    "m9_kfold" ->
+      """WITH f AS (
+           SELECT (instr('0123456789abcdef',
+                     substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) % 4
+                    AS fold,
+                  CASE WHEN o_orderstatus IS NULL THEN NULL
+                       WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS isf
+           FROM orders)
+         SELECT CAST(fold AS BIGINT) AS fold, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(isf) AS BIGINT) AS n_f,
+                round(CAST(sum(isf) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+                  AS f_rate
+         FROM f GROUP BY 1 ORDER BY 1""",
+
+    // e19: the same (ts, id)-ordered lead gaps, HUGEINT weighted sum,
+    // one division per (type, day)
+    "e19_twap" ->
+      """WITH base AS (
+           SELECT event_type AS key, CAST(ts AS DATE) AS day, ts,
+                  event_id AS id,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS vc
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+         g AS (SELECT key, day, vc,
+                 epoch_us(lead(ts, 1) OVER (PARTITION BY key, day
+                   ORDER BY ts, id)) - epoch_us(ts) AS gap
+               FROM base)
+         SELECT key, CAST(day AS VARCHAR) AS day,
+                CAST(count(*) AS BIGINT) AS n_gaps,
+                round(CAST(sum(CAST(vc AS HUGEINT) * gap) AS DOUBLE)
+                      / CAST(sum(gap) AS DOUBLE) / 100.0, 6) AS twap
+         FROM g WHERE gap IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "r5_assoc_rules" ->
       """WITH flags AS (

@@ -190,4 +190,42 @@ object Resample {
           .otherwise(lit(0.0)).as("acf"))
       .orderBy(col("key"), col("lag"))
   }
+
+  /** Time-weighted average value per (key, day) — the TWAP/metrics-
+    * averaging primitive: each observation holds until the NEXT one in
+    * the same day, so its weight is that gap in microseconds; the day's
+    * last observation carries no weight (half-open contract — compose
+    * with a day-boundary sentinel upstream when the tail must count).
+    *
+    * Exactness: values become CENT integers, gaps are exact µs LONGs
+    * from a lead window ordered by (ts, id) — the id tie-break makes the
+    * pairing deterministic under equal timestamps — and the weighted sum
+    * rides DECIMAL(38,0); the single final division (then /100 for
+    * units) is the only double op.
+    *
+    * Plan: one shuffle keyed by (key, day), one partitioned lead window,
+    * one map-side-combined aggregate. */
+  def twapDaily(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valCol: String): DataFrame = {
+    val base = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .select(col(keyCol).as("key"), to_date(col(tsCol)).as("day"),
+        col(tsCol).as("ts"), col(idCol).as("id"),
+        (col(valCol).cast("decimal(12,2)") * 100).cast("long").as("vc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"), col("day"))
+      .orderBy(col("ts").asc, col("id").asc)
+    base
+      .withColumn("gap", unix_micros(lead(col("ts"), 1).over(w)) -
+        unix_micros(col("ts")))
+      .where(col("gap").isNotNull)
+      .groupBy(col("key"), col("day"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("vc").cast("decimal(19,0)") * col("gap")).as("wsum"),
+        sum(col("gap")).as("gsum"))
+      .select(col("key"), col("day").cast("string").as("day"), col("n_gaps"),
+        round(col("wsum").cast("double") / col("gsum").cast("double") /
+          lit(100.0), 6).as("twap"))
+      .orderBy(col("key"), col("day"))
+  }
 }

@@ -122,4 +122,23 @@ object Sampling {
       .select(col("v").as(idCol), col("w"), col("cum"),
         col("bucket"), col("picks"))
   }
+
+  /** Deterministic k-fold assignment for cross-validation — the
+    * content-hash sibling of [[hashSample]]: `fold = hexIndex(md5(key)
+    * [0]) mod k`, a pure row-local function of the key, so folds are
+    * layout-independent, re-run-stable, and engine-reproducible (no RNG,
+    * no shuffle — the fold column rides the scan).
+    *
+    * `k` must divide 16 so the single hex digit partitions uniformly
+    * (2, 4, 8, 16); compose with [[Dedup.clusterAwareSplit]]'s
+    * representative keying upstream when near-dup leakage across folds
+    * matters. */
+  def kfold(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k >= 2 && 16 % k == 0,
+      s"k must be one of 2/4/8/16 (uniform hex-digit folds), got $k")
+    df.withColumn("__h1", substring(md5(key.cast("string")), 1, 1))
+      .withColumn("fold",
+        pmod(expr("instr('0123456789abcdef', __h1) - 1"), lit(k)).cast("long"))
+      .drop("__h1")
+  }
 }

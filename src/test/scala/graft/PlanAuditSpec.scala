@@ -30,6 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "n13_hard_negatives",
     // t18: the n4 broadcast corpus-stats shape (1-row N cross join)
     "t18_tfidf",
+    // m8: the broadcast 1-row global-prior cross join (the j1 shape)
+    "m8_target_encode",
     // r35: the 1-row pooled-psi × stratum-frame combine (the j1 shape)
     "r35_breslow_day")
 

@@ -134,6 +134,35 @@ class ResampleSpec extends SparkSpec {
     r.filter(_._1 == "const").foreach(t => assert(t._4 == 0.0))
   }
 
+  test("twapDaily: hand-computed gaps; the day's last event carries no weight") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // value 10 holds 1h, value 20 holds 30min, value 99 is the tail (dropped)
+    // twap = (10·60 + 20·30) / 90 = 13.333333
+    val df = Seq(
+      ("a", 1L, ts(9, 0), 10.0), ("a", 2L, ts(10, 0), 20.0),
+      ("a", 3L, ts(10, 30), 99.0)).toDF("k", "id", "t", "v")
+    val r = Resample.twapDaily(df, "k", "t", "id", "v")
+      .as[(String, String, Long, Double)].collect()
+    assert(r.toSeq == Seq(("a", "2024-01-01", 2L, 13.333333)))
+  }
+
+  test("twapDaily: equal timestamps break by id; days are independent") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val df = Seq(
+      // day 1: two events at the SAME instant (ids 1,2), then id 3
+      ("a", 1L, ts(1, 9), 10.0), ("a", 2L, ts(1, 9), 50.0),
+      ("a", 3L, ts(1, 10), 0.0),
+      // day 2: single event → no gaps → day absent
+      ("a", 4L, ts(2, 9), 77.0)).toDF("k", "id", "t", "v")
+    val r = Resample.twapDaily(df, "k", "t", "id", "v")
+      .as[(String, String, Long, Double)].collect()
+    // id 1 → id 2 gap 0µs (weight 0); id 2 → id 3 gap 1h
+    // twap = (10·0 + 50·3600e6)/(3600e6) = 50
+    assert(r.toSeq == Seq(("a", "2024-01-01", 2L, 50.0)))
+  }
+
   test("retentionCohorts: horizon bounds k and NULLs drop") {
     import java.sql.Timestamp
     def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 09:00:00")

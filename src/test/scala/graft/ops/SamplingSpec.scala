@@ -116,4 +116,27 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.systematicSample(df, "id", "w", 11).collect())
   }
+
+  test("kfold: deterministic, layout-independent, covers all folds, driver ≡") {
+    val ids = (1L to 400L).toSeq
+    val a = Sampling.kfold(ids.toDF("id"), col("id"), 4)
+      .select("id", "fold").as[(Long, Long)].collect().toMap
+    val b = Sampling.kfold(ids.toDF("id").repartition(13), col("id"), 4)
+      .select("id", "fold").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.toSet == Set(0L, 1L, 2L, 3L))
+    // driver replay of the hex-digit rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    ids.foreach { id =>
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val fold = "0123456789abcdef".indexOf(hex.charAt(0)) % 4
+      assert(a(id) == fold.toLong, s"id $id")
+    }
+    // roughly balanced (hex digit is uniform)
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    sizes.values.foreach(s => assert(s > 60 && s < 140))
+    intercept[IllegalArgumentException](
+      Sampling.kfold(ids.toDF("id"), col("id"), 5))
+  }
 }
