@@ -458,6 +458,15 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- dedup: asymmetric n-gram containment (d17) — the quotation /
+    // subset detector Jaccard misses: inter / min(|A|,|B|), same banded
+    // join, score rounds before the threshold. ---------------------------
+    "d17_containment" -> ((s, dir) => {
+      Dedup.ngramContainmentPairs(Tables.spread(t(s, dir, "documents")),
+          "doc_id", "text", n = 3, window = 25, minContain = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- dedup: embedding-cosine near-dup CLOSURE — LSH pairs → connected
     // components → one component id per vector (planted dups as in n2; the
     // oracle brute-forces exact pairs and closes them with a recursive CTE) --
@@ -663,6 +672,22 @@ object SparkEntry {
         .select(col("query_id"), col("query_label"), col("corpus_id"),
           col("neg_label"), col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- similarity: dimension-truncation retrieval eval (n14) — the
+    // Matryoshka question "how much recall do the first 16 of 64 dims
+    // keep?" answered with the n12 harness: truth = full-dim brute force,
+    // approx = prefix-dim brute force, both legs relational. -------------
+    "n14_trunc_eval" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 8)
+      val truth = Embeddings.bruteForceTopKAgg(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      val half = emb.withColumn("emb16", slice(col("embedding"), 1, 16))
+      val approx = Embeddings.bruteForceTopKAgg(
+        half, "vec_id", "emb16",
+        half.where(col("vec_id") < 8), "vec_id", "emb16", k = 5)
+      Embeddings.annEvalDF(truth, approx, k = 5)
     }),
 
     // ---- ANN: product quantization + ADC probe, fully replayed ----------
@@ -5315,6 +5340,57 @@ object SparkEntry {
                 coalesce(round(1.0 / CAST(nn AS DOUBLE), 6), 0.0) AS rr
          FROM g ORDER BY query_id""",
 
+    // n14: the n1 truth CTEs + the prefix-16-dim twin (normalized ON the
+    // prefix) + the n12 eval join
+    "n14_trunc_eval" ->
+      """WITH uv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM uv),
+         u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uvec
+               FROM nr WHERE nrm > 0),
+         q AS (SELECT vec_id AS query_id, uvec AS qu FROM u WHERE vec_id < 8),
+         scored_t AS (
+           SELECT q.query_id, c.vec_id AS corpus_id,
+                  list_dot_product(c.uvec, q.qu) AS cos
+           FROM u c CROSS JOIN q WHERE c.vec_id != q.query_id),
+         ranked_t AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, corpus_id) AS rnk
+           FROM scored_t),
+         nr16 AS (SELECT vec_id, v[1:16] AS v16,
+                    sqrt(list_dot_product(v[1:16], v[1:16])) AS nrm FROM uv),
+         u16 AS (SELECT vec_id, list_transform(v16, x -> x / nrm) AS uvec
+                 FROM nr16 WHERE nrm > 0),
+         q16 AS (SELECT vec_id AS query_id, uvec AS qu FROM u16
+                 WHERE vec_id < 8),
+         scored_a AS (
+           SELECT q16.query_id, c.vec_id AS corpus_id,
+                  list_dot_product(c.uvec, q16.qu) AS cos
+           FROM u16 c CROSS JOIN q16 WHERE c.vec_id != q16.query_id),
+         ranked_a AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, corpus_id) AS rnk
+           FROM scored_a),
+         tt AS (SELECT query_id AS q, corpus_id AS c, rnk AS tr
+                FROM ranked_t WHERE rnk <= 5),
+         aa AS (SELECT query_id AS q, corpus_id AS c, rnk AS ar
+                FROM ranked_a WHERE rnk <= 5),
+         j AS (SELECT tt.q, tt.tr, aa.ar FROM tt
+               LEFT JOIN aa ON aa.q = tt.q AND aa.c = tt.c),
+         g AS (SELECT q, CAST(count(*) AS BIGINT) AS truth_k,
+                      CAST(sum(CASE WHEN ar IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits,
+                      max(CASE WHEN tr = 1 THEN ar END) AS nn
+               FROM j GROUP BY q)
+         SELECT q AS query_id, truth_k, hits,
+                round(CAST(hits AS DOUBLE) / CAST(truth_k AS DOUBLE), 6)
+                  AS recall,
+                coalesce(round(1.0 / CAST(nn AS DOUBLE), 6), 0.0) AS rr
+         FROM g ORDER BY query_id""",
+
     // n10: the candidate pool (top-24 by rel, the n1 dot-product doctrine)
     // and ALL 8 greedy MMR steps as chained argmax CTEs — step t excludes
     // prior picks and scores 0.5·rel − 0.5·greatest(sims to them); ties
@@ -6041,6 +6117,34 @@ object SparkEntry {
                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jaccard
          FROM sh a JOIN sh b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25
          WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    // d17: the d4 shingle frames, containment = inter / min(|A|,|B|),
+    // rounded before the threshold on both sides
+    "d17_containment" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk
+           FROM documents),
+         sh AS (
+           SELECT doc_id,
+                  CASE WHEN len(tk) < 3 THEN list_distinct([array_to_string(tk, ' ')])
+                       ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+                              i -> array_to_string(tk[i:i+2], ' '))) END AS s
+           FROM toks),
+         p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+                  CAST(len(a.s) AS BIGINT) AS n_a,
+                  CAST(len(b.s) AS BIGINT) AS n_b
+           FROM sh a JOIN sh b
+             ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+         SELECT id_a, id_b, inter, n_a, n_b,
+                round(CAST(inter AS DOUBLE)
+                      / CAST(least(n_a, n_b) AS DOUBLE), 6) AS containment
+         FROM p
+         WHERE round(CAST(inter AS DOUBLE)
+                     / CAST(least(n_a, n_b) AS DOUBLE), 6) >= 0.5
          ORDER BY id_a, id_b""",
 
     // n2: brute-force all-pairs ground truth over base + planted vectors.

@@ -490,6 +490,34 @@ object Dedup {
           (size(col("a.sh")) + size(col("b.sh")) - inter)).as("jaccard"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — the quotation/subset detector
+    * [[ngramJaccardPairs]]' symmetric score misses: a short document
+    * pasted inside a long one has low Jaccard (the union is large) but
+    * containment `inter / min(|A|,|B|)` ≈ 1. Same banded equi-join and
+    * sorted-merge intersection; the score rounds to 6 BEFORE the
+    * threshold so the emitted set replays bit-for-bit relationally. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, window: Long = 25, minContain: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      sort_array(shingles(col(textCol), n)).as("sh"))
+    val a = sh.select(col("id"), col("sh"),
+      explode(array((col("id") / window).cast("long"),
+        (col("id") / window).cast("long") + 1)).as("block")).alias("a")
+    val b = sh.withColumn("block", (col("id") / window).cast("long")).alias("b")
+    val inter = graft.expressions.SortedIntersectCount
+      .sortedIntersectCount(col("a.sh"), col("b.sh"))
+    a.join(b, col("a.block") === col("b.block") &&
+        col("b.id") > col("a.id") && col("b.id") <= col("a.id") + window)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        inter.cast("long").as("inter"),
+        size(col("a.sh")).cast("long").as("n_a"),
+        size(col("b.sh")).cast("long").as("n_b"),
+        round(inter.cast("double") /
+          least(size(col("a.sh")), size(col("b.sh"))).cast("double"), 6)
+          .as("containment"))
+      .where(col("containment") >= minContain)
+  }
+
   // ------------------------------------------- cross-engine md5 twins
 
   /** Cross-engine-verifiable twin of the MinHash near-dup family: ONE md5

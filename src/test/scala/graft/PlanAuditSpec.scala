@@ -32,6 +32,8 @@ class PlanAuditSpec extends SparkSpec {
     "t18_tfidf",
     // m8: the broadcast 1-row global-prior cross join (the j1 shape)
     "m8_target_encode",
+    // n14: both eval legs are the n1 brute-force broadcast-query shape
+    "n14_trunc_eval",
     // r35: the 1-row pooled-psi × stratum-frame combine (the j1 shape)
     "r35_breslow_day")
 

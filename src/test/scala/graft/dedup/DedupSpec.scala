@@ -201,6 +201,28 @@ class DedupSpec extends SparkSpec {
     assert(out((4L, 5L)) == 0.0)
   }
 
+  test("ngramContainmentPairs: a quoted subset scores 1.0 where jaccard is low") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " zeta eta theta iota kappa lambda mu nu xi omicron " +
+      "pi rho sigma tau upsilon phi chi psi omega one two three four five"
+    val pair = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    val c = Dedup.ngramContainmentPairs(pair, "doc_id", "text",
+        n = 3, window = 4, minContain = 0.9)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(c.length == 1)
+    val (ia, ib, inter, na, nb, cont) = c.head
+    assert((ia, ib) == (1L, 2L) && cont == 1.0 && inter == na && nb > na)
+    val j = Dedup.ngramJaccardPairs(pair, "doc_id", "text", n = 3, window = 4)
+      .collect().head.getDouble(2)
+    assert(j < 0.2) // Jaccard misses what containment catches
+    // threshold drops sub-minContain pairs
+    val none = Dedup.ngramContainmentPairs(
+      Seq((1L, "a b c d e"), (2L, "v w x y z")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, window = 4, minContain = 0.5).collect()
+    assert(none.isEmpty)
+  }
+
   test("connectedComponents closes transitive chains to min-id labels") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,
