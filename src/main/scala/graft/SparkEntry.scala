@@ -1242,6 +1242,21 @@ object SparkEntry {
           "ship_year" -> year(col("l_shipdate"))))
     }),
 
+    // ---- monitoring: population stability index (q16) — input-drift
+    // census between two cohorts over row-local fixed-width bins;
+    // Laplace-smoothed shares, the r19/q13 running chain. ----------------
+    "q16_psi" -> ((s, dir) => {
+      graft.ops.Profile.psiDF(t(s, dir, "orders"), "o_totalprice",
+        year(col("o_orderdate")) <= 1995, binWidth = 50000.0)
+    }),
+
+    // ---- §2.8 Wilson 95% CI per group (r39) — the proportion interval
+    // that stays inside [0,1]; one fixed double tree per group row. ------
+    "r39_wilson" -> ((s, dir) => {
+      graft.stats.Proportion.wilsonDF(t(s, dir, "orders"),
+        "o_orderpriority", col("o_orderstatus") === "F")
+    }),
+
     // ---- events: per-(type, day) latency bands (e17) — exact type-1
     // p50/p95/max from the q10 cent-cell cumsum, keyed shuffle only. -----
     "e17_latency_bands" -> ((s, dir) => {
@@ -7479,6 +7494,41 @@ object SparkEntry {
                      ELSE 0.0 END AS u_coef
          FROM mi JOIN hy USING (feat) ORDER BY feature""",
 
+    // q16: identical row-local bins, smoothed shares, the same chain
+    "q16_psi" ->
+      """WITH base AS (
+           SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+                  (year(CAST(o_orderdate AS DATE)) <= 1995) AS ref
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+         cells AS (
+           SELECT bin,
+                  CAST(sum(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+                  CAST(sum(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT)
+                    AS c_cur
+           FROM base GROUP BY 1),
+         st AS (SELECT bin, c_ref, c_cur,
+                  CAST(sum(c_ref) OVER () AS BIGINT) AS n_ref,
+                  CAST(sum(c_cur) OVER () AS BIGINT) AS n_cur,
+                  CAST(count(*) OVER () AS BIGINT) AS k
+                FROM cells),
+         t AS (SELECT bin, c_ref, c_cur,
+                 ((CAST(c_ref AS DOUBLE) + 0.5)
+                    / (CAST(n_ref AS DOUBLE) + CAST(k AS DOUBLE) / 2.0)
+                  - (CAST(c_cur AS DOUBLE) + 0.5)
+                    / (CAST(n_cur AS DOUBLE) + CAST(k AS DOUBLE) / 2.0))
+                 * ln(((CAST(c_ref AS DOUBLE) + 0.5)
+                    / (CAST(n_ref AS DOUBLE) + CAST(k AS DOUBLE) / 2.0))
+                   / ((CAST(c_cur AS DOUBLE) + 0.5)
+                    / (CAST(n_cur AS DOUBLE) + CAST(k AS DOUBLE) / 2.0)))
+                   AS contrib
+               FROM st)
+         SELECT bin, c_ref, c_cur, round(contrib, 6) AS contrib,
+                round(sum(contrib) OVER (ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                  AS psi_running
+         FROM t ORDER BY bin""",
+
     // r35: the r29 cell/chain machinery, pooled ψ by max_by last-link,
     // the identical quadratic/harmonic trees, nested CASE so sqrt never
     // sees a negative discriminant
@@ -7638,6 +7688,34 @@ object SparkEntry {
                 ssb AS ssb_running,
                 round((ssb / (k - 1.0)) / (ssw / (bigN - k)), 6) AS w_running
          FROM r ORDER BY grp""",
+
+    // r39: the identical Wilson tree with the SAME JVM z literal
+    "r39_wilson" -> {
+      val z = graft.stats.Proportion.z95
+      val z2 = z * z
+      s"""WITH base AS (
+           SELECT CAST(o_orderpriority AS VARCHAR) AS grp,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+           GROUP BY 1),
+         c AS (SELECT grp, n, y,
+                 CAST(y AS DOUBLE) / CAST(n AS DOUBLE) AS phat,
+                 1.0 + ($z2) / CAST(n AS DOUBLE) AS d
+               FROM base),
+         f AS (SELECT grp, n, y, phat,
+                 (phat + ($z2) / (2.0 * CAST(n AS DOUBLE))) / d AS center,
+                 (($z) * sqrt(phat * (1.0 - phat) / CAST(n AS DOUBLE)
+                    + ($z2) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                   / d AS half
+               FROM c)
+         SELECT grp, n, y, round(phat, 6) AS p_hat,
+                round(center - half, 6) AS lo,
+                round(center + half, 6) AS hi
+         FROM f ORDER BY grp"""
+    },
 
     // h3: in-subquery extrema, the identical least/floor bin trees
     "h3_heatmap" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,6 +104,52 @@ object Profile {
         col("min_value"), col("max_value"), col("top_value"),
         coalesce(col("top_count"), lit(0L)).as("top_count"))
       .orderBy(col("column"))
+  }
+
+  /** Population stability index — the distribution-drift monitor between
+    * a reference and a current cohort of the SAME column (model-input
+    * drift, ETL regression detection): `PSI = Σ_bins (p−q)·ln(p/q)` with
+    * p/q the Laplace-smoothed bin shares `(c + 0.5)/(n + k/2)` (so an
+    * empty bin on either side never produces ln 0; k = populated bins).
+    * Rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+    *
+    * Fixed-width buckets (`floor(v/binWidth)`, the h1 contract) keep the
+    * binning a pure row-local function — no in-query extrema, so ref and
+    * cur land in IDENTICAL bins on any engine. Counts are integers; the
+    * PSI accumulates as a running chain over the bin frame in bin order
+    * (the r19/q13 doctrine), so the replay is bit-exact.
+    *
+    * One corpus-sized groupBy; everything after lives on the k-row bin
+    * frame (deliberate dimension-sized windows). Rows where `isRef`
+    * evaluates NULL drop. */
+  def psiDF(df: DataFrame, valueCol: String, isRef: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val base = df.where(col(valueCol).isNotNull && isRef.isNotNull)
+      .select(floor(col(valueCol) / binWidth).cast("long").as("bin"),
+        isRef.as("ref"))
+    val cells = base.groupBy(col("bin"))
+      .agg(sum(when(col("ref"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(!col("ref"), 1L).otherwise(0L)).as("c_cur"))
+    val aw = Window.partitionBy()
+    val runW = Window.partitionBy().orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = cells.select(col("bin"), col("c_ref"), col("c_cur"),
+      sum(col("c_ref")).over(aw).as("n_ref"),
+      sum(col("c_cur")).over(aw).as("n_cur"),
+      count(lit(1)).over(aw).as("k"))
+    val p = (col("c_ref").cast("double") + lit(0.5)) /
+      (col("n_ref").cast("double") + col("k").cast("double") / lit(2.0))
+    val q = (col("c_cur").cast("double") + lit(0.5)) /
+      (col("n_cur").cast("double") + col("k").cast("double") / lit(2.0))
+    val term = (p - q) * log(p / q)
+    staged
+      .withColumn("contrib", term)
+      .withColumn("psi_running", sum(col("contrib")).over(runW))
+      .select(col("bin"), col("c_ref"), col("c_cur"),
+        round(col("contrib"), 6).as("contrib"),
+        round(col("psi_running"), 6).as("psi_running"))
+      .orderBy(col("bin"))
   }
 
   /** Functional-dependency discovery over every ordered pair of `cols` —

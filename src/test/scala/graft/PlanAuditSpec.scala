@@ -72,6 +72,8 @@ class PlanAuditSpec extends SparkSpec {
     "m7_lift_chart",
     // q13: the Benford χ² running chain over the 9-digit frame
     "q13_benford",
+    // q16: the PSI running chain over the k-row bin frame (q13's shape)
+    "q16_psi",
     // r35: pooled-ψ + BD running chains over the stratum frame
     "r35_breslow_day")
 

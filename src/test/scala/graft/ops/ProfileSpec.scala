@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions
 
 class ProfileSpec extends SparkSpec {
   import spark.implicits._
@@ -84,6 +85,32 @@ class ProfileSpec extends SparkSpec {
     assert(idV._3 == 3L && idV._4 == 4L && !idV._5 && idV._6 == 1L
       && idV._7 == 0.75)
     assert(r.size == 6) // all ordered pairs of 3 columns
+  }
+
+  test("psiDF: identical cohorts score ~0, a shifted cohort scores high") {
+    // i=2v (ref) and i=2v+1 (cur) land in the same bin → identical shares
+    val same = (1 to 200).map(i => ((i / 2) % 10 * 10.0, i % 2 == 0))
+    val rSame = Profile.psiDF(same.toDF("v", "ref"), "v", functions.col("ref"), 10.0)
+      .collect()
+    assert(math.abs(rSame.last.getDouble(4)) < 1e-9) // psi_running ≈ 0
+    // current cohort shifted two bins up
+    val shifted = (1 to 200).map { i =>
+      if (i % 2 == 0) (i % 10 * 10.0, true) else (i % 10 * 10.0 + 20.0, false)
+    }
+    val rShift = Profile.psiDF(shifted.toDF("v", "ref"), "v", functions.col("ref"), 10.0)
+      .collect()
+    assert(rShift.last.getDouble(4) > 0.25)
+    // driver replay of the smoothed-share formula on the shifted case
+    val bins = shifted.map { case (v, ref) => (math.floor(v / 10.0).toLong, ref) }
+    val ks = bins.map(_._1).distinct.sorted
+    val nRef = bins.count(_._2).toDouble; val nCur = bins.count(!_._2).toDouble
+    val k = ks.size.toDouble
+    val psi = ks.map { b =>
+      val p = (bins.count(x => x._1 == b && x._2) + 0.5) / (nRef + k / 2.0)
+      val q = (bins.count(x => x._1 == b && !x._2) + 0.5) / (nCur + k / 2.0)
+      (p - q) * math.log(p / q)
+    }.sum
+    assert(math.abs(rShift.last.getDouble(4) - psi) < 1e-5)
   }
 
   test("fdDiscovery: NULLs drop per-pair and don't break other pairs") {
