@@ -259,6 +259,16 @@ object SparkEntry {
     // distinct), so eviction actually runs. The in-query require pins the
     // exactness certificate (kth·counters > n); output = exact counts →
     // full hash oracle against DuckDB's plain top-k. ----------------------
+    // ---- sketches: sketch-bracketed EXACT quantiles (a12) — one MRL
+    // sketch pass (bounded state, certified ±err rank envelope), exact
+    // certificate + bracket-cell read in a second pass; output is the
+    // exact type-1 quantile on any partitioning, no global sort, no
+    // corpus-sized value shuffle. ----------------------------------------
+    "a12_sketch_quantiles" -> ((s, dir) => {
+      graft.ops.SketchQuantiles.quantiles(t(s, dir, "lineitem"),
+        "l_extendedprice", Seq((1, 2), (19, 20), (99, 100)), k = 256)
+    }),
+
     "a11_heavy_hitters" -> ((s, dir) => {
       val keyed = t(s, dir, "lineitem").withColumn("hot_key",
         when(col("l_linenumber") <= 2,
@@ -6103,6 +6113,34 @@ object SparkEntry {
 
     // a11: the two-pass heavy-hitter result is EXACT (certified in-query),
     // so the oracle is just the plain top-k over the same engineered key
+    // a12: the sketch result is EXACT under the verified certificate, so
+    // the oracle is the direct cell-cumsum type-1 quantile
+    "a12_sketch_quantiles" ->
+      """WITH cells AS (
+           SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT) AS vc,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+         cum AS (
+           SELECT vc, c,
+                  CAST(sum(c) OVER (ORDER BY vc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ci,
+                  CAST(sum(c) OVER () AS BIGINT) AS n
+           FROM cells),
+         sel AS (
+           SELECT qn, qd, n,
+                  (qn * n + qd - 1) // qd AS target_rank,
+                  min(CASE WHEN ci >= (qn * n + qd - 1) // qd
+                        THEN vc END) AS vcq
+           FROM cum CROSS JOIN (VALUES (1, 2), (19, 20), (99, 100)) t(qn, qd)
+           GROUP BY qn, qd, n)
+         SELECT CAST(qn AS BIGINT) AS q_num, CAST(qd AS BIGINT) AS q_den,
+                n, CAST(target_rank AS BIGINT) AS target_rank,
+                CAST(vcq AS DOUBLE) / 100.0 AS value
+         FROM sel
+         ORDER BY CAST(qn AS DOUBLE) / CAST(qd AS DOUBLE)""",
+
     "a11_heavy_hitters" ->
       """WITH keyed AS (
            SELECT CASE WHEN l_linenumber <= 2
