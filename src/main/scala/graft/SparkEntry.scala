@@ -1267,6 +1267,23 @@ object SparkEntry {
         "o_orderpriority", col("o_orderstatus") === "F")
     }),
 
+    // ---- §2.8 Kendall's τ-b (r40) — concordant/discordant pair census
+    // on the DIMENSION-SIZED cell frame (never an O(n²) row join), tie
+    // corrections from exact margins, one double tree. -------------------
+    "r40_kendall" -> ((s, dir) => {
+      graft.stats.RankTests.kendallTauDF(
+        t(s, dir, "lineitem"), "l_quantity", "l_discount")
+    }),
+
+    // ---- events: gaps-and-islands segmentation (e20) — maximal
+    // consecutive-bucket runs per key via the idx − row_number constant;
+    // sparse high-value events make real gaps. ---------------------------
+    "e20_islands" -> ((s, dir) => {
+      graft.ops.Resample.activityIslands(
+        Tables.events(s, dir).where(col("value") >= 19.0),
+        "event_type", "ts", "hour")
+    }),
+
     // ---- events: per-(type, day) latency bands (e17) — exact type-1
     // p50/p95/max from the q10 cent-cell cumsum, keyed shuffle only. -----
     "e17_latency_bands" -> ((s, dir) => {
@@ -7754,6 +7771,57 @@ object SparkEntry {
                 round(center + half, 6) AS hi
          FROM f ORDER BY grp"""
     },
+
+    // r40: the identical cell self-join census and tie trees
+    "r40_kendall" ->
+      """WITH cells AS (
+           SELECT CAST(l_quantity AS DOUBLE) AS x,
+                  CAST(l_discount AS DOUBLE) AS y,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+           GROUP BY 1, 2),
+         cd AS (
+           SELECT coalesce(sum(CASE WHEN b.y > a.y
+                    THEN CAST(a.o AS HUGEINT) * b.o END), 0) AS conc,
+                  coalesce(sum(CASE WHEN b.y < a.y
+                    THEN CAST(a.o AS HUGEINT) * b.o END), 0) AS disc
+           FROM cells a JOIN cells b ON b.x > a.x),
+         tx AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS s1 FROM
+                  (SELECT x, CAST(sum(o) AS BIGINT) AS t FROM cells
+                   GROUP BY x)),
+         ty AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS s2 FROM
+                  (SELECT y, CAST(sum(o) AS BIGINT) AS t FROM cells
+                   GROUP BY y)),
+         nr AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS n_cells FROM cells)
+         SELECT n, n_cells, CAST(conc AS BIGINT) AS conc,
+                CAST(disc AS BIGINT) AS disc,
+                round((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                            - CAST(s1 AS DOUBLE) / 2.0)
+                         * (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                            - CAST(s2 AS DOUBLE) / 2.0)), 6) AS tau_b
+         FROM nr, cd, tx, ty""",
+
+    // e20: the identical idx − row_number island constant
+    "e20_islands" ->
+      """WITH counts AS (
+           SELECT event_type AS key,
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events
+           WHERE value >= 19.0 AND ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         g AS (SELECT key, b, c,
+                 epoch_us(b) // 3600000000
+                   - row_number() OVER (PARTITION BY key ORDER BY b) AS grp
+               FROM counts)
+         SELECT key, CAST(epoch(min(b)) AS BIGINT) AS start_ts,
+                CAST(epoch(max(b)) AS BIGINT) AS end_ts,
+                CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(sum(c) AS BIGINT) AS n_events
+         FROM g GROUP BY key, grp ORDER BY key, start_ts""",
 
     // h3: in-subquery extrema, the identical least/floor bin trees
     "h3_heatmap" ->

@@ -191,6 +191,43 @@ object Resample {
       .orderBy(col("key"), col("lag"))
   }
 
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE time buckets per key
+    * — uptime/outage segmentation, session-like activity spans on
+    * bucketed data. The classic relational trick: bucket index minus the
+    * per-key row_number is CONSTANT within a consecutive run, so one
+    * partitioned window + one aggregate segments the stream — no
+    * stateful scan, pure integers.
+    *
+    * Returns `(key, start_ts, end_ts, n_buckets, n_events)` per island
+    * (epoch-second bounds), ordered. One shuffle to the bucket frame,
+    * one partitioned window. */
+  def activityIslands(df: DataFrame, keyCol: String, tsCol: String,
+      truncUnit: String = "hour"): DataFrame = {
+    val stepMicros = truncUnit match {
+      case "minute" => 60000000L
+      case "hour" => 3600000000L
+      case "day" => 86400000000L
+      case other => throw new IllegalArgumentException(
+        s"unsupported truncUnit '$other' (minute/hour/day)")
+    }
+    val counts = df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        date_trunc(truncUnit, col(tsCol)).as("bucket_ts"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("bucket_ts").asc)
+    counts
+      .withColumn("idx", expr(s"unix_micros(bucket_ts) DIV ${stepMicros}L"))
+      .withColumn("grp", col("idx") - row_number().over(w))
+      .groupBy(col("key"), col("grp"))
+      .agg(min(col("bucket_ts")).cast("long").as("start_ts"),
+        max(col("bucket_ts")).cast("long").as("end_ts"),
+        count(lit(1)).as("n_buckets"), sum(col("c")).as("n_events"))
+      .select(col("key"), col("start_ts"), col("end_ts"), col("n_buckets"),
+        col("n_events"))
+      .orderBy(col("key"), col("start_ts"))
+  }
+
   /** Time-weighted average value per (key, day) — the TWAP/metrics-
     * averaging primitive: each observation holds until the NEXT one in
     * the same day, so its weight is that gap in microseconds; the day's

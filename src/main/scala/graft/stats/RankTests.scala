@@ -290,4 +290,46 @@ object RankTests {
       .select(lit(nA).as("n_a"), lit(nB).as("n_b"), col("d_num"),
         (col("d_num").cast("double") / lit((nA * nB).toDouble)).as("d"))
   }
+
+  /** Kendall's τ-b — the rank-correlation sibling of [[spearmanDF]] that
+    * counts concordant/discordant PAIRS, with the standard tie
+    * correction. For discrete/binned inputs (the r19 cell-frame
+    * doctrine) the corpus reduces to (x, y) cells in ONE groupBy and the
+    * pair census becomes a DIMENSION-SIZED cell self-join:
+    * `C = Σ o₁·o₂ [x₂>x₁ ∧ y₂>y₁]`, `D = Σ o₁·o₂ [x₂>x₁ ∧ y₂<y₁]` —
+    * never an O(n²) row join. Tie terms come from the margins:
+    * `n1 = Σ_x t_x(t_x−1)/2`, `n2 = Σ_y`, `n0 = n(n−1)/2`, and
+    * `τ_b = (C−D) / √((n0−n1)·(n0−n2))` is ONE double tree over exact
+    * DECIMAL integers. Output: one row
+    * `(n, n_cells, conc, disc, tau_b)`. NULLs drop. */
+  def kendallTauDF(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .agg(count(lit(1)).as("o"))
+    val pairs = cells.alias("a").join(cells.alias("b"),
+      col("b.x") > col("a.x"))
+    val cd = pairs.agg(
+      coalesce(sum(when(col("b.y") > col("a.y"),
+        col("a.o").cast("decimal(19,0)") * col("b.o"))),
+        lit(0).cast("decimal(38,0)")).as("conc"),
+      coalesce(sum(when(col("b.y") < col("a.y"),
+        col("a.o").cast("decimal(19,0)") * col("b.o"))),
+        lit(0).cast("decimal(38,0)")).as("disc"))
+    // tie masses kept UNDIVIDED (t(t−1) sums — exact integers); the /2s
+    // happen once inside the final double tree
+    val tx = cells.groupBy(col("x")).agg(sum(col("o")).as("t"))
+      .agg(sum(col("t").cast("decimal(38,0)") * (col("t") - 1)).as("s1"))
+    val ty = cells.groupBy(col("y")).agg(sum(col("o")).as("t"))
+      .agg(sum(col("t").cast("decimal(38,0)") * (col("t") - 1)).as("s2"))
+    val nRow = cells.agg(sum(col("o")).as("n"), count(lit(1)).as("n_cells"))
+    val nd = col("n").cast("double")
+    val n0 = nd * (nd - lit(1.0)) / lit(2.0)
+    nRow.crossJoin(cd).crossJoin(tx).crossJoin(ty)
+      .select(col("n"), col("n_cells"), col("conc").cast("long").as("conc"),
+        col("disc").cast("long").as("disc"),
+        round((col("conc").cast("double") - col("disc").cast("double")) /
+          sqrt((n0 - col("s1").cast("double") / lit(2.0)) *
+            (n0 - col("s2").cast("double") / lit(2.0))), 6).as("tau_b"))
+  }
 }

@@ -34,6 +34,9 @@ class PlanAuditSpec extends SparkSpec {
     "m8_target_encode",
     // n14: both eval legs are the n1 brute-force broadcast-query shape
     "n14_trunc_eval",
+    // r40: the dimension-sized cell self-join (the r13 triangular shape)
+    // plus the 1-row stat combines
+    "r40_kendall",
     // r35: the 1-row pooled-psi × stratum-frame combine (the j1 shape)
     "r35_breslow_day")
 

@@ -134,6 +134,26 @@ class ResampleSpec extends SparkSpec {
     r.filter(_._1 == "const").foreach(t => assert(t._4 == 0.0))
   }
 
+  test("activityIslands: consecutive runs segment, gaps split, counts sum") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // key a: hours 1,2,3 then a gap then 6; key b: single hour
+    val df = Seq(
+      ("a", ts(1, 5)), ("a", ts(1, 40)), ("a", ts(2, 0)), ("a", ts(3, 59)),
+      ("a", ts(6, 0)),
+      ("b", ts(9, 30))).toDF("k", "t")
+    val r = Resample.activityIslands(df, "k", "t", "hour")
+      .as[(String, Long, Long, Long, Long)].collect()
+    def ep(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      .toInstant.getEpochSecond
+    assert(r.toSeq == Seq(
+      ("a", ep(1), ep(3), 3L, 4L),
+      ("a", ep(6), ep(6), 1L, 1L),
+      ("b", ep(9), ep(9), 1L, 1L)))
+    intercept[IllegalArgumentException](
+      Resample.activityIslands(df, "k", "t", "week"))
+  }
+
   test("twapDaily: hand-computed gaps; the day's last event carries no weight") {
     import java.sql.Timestamp
     def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")

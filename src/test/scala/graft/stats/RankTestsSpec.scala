@@ -150,4 +150,30 @@ class RankTestsSpec extends SparkSpec {
       math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     assert(math.abs(got - ref) < 5e-7)
   }
+
+  test("kendallTauDF: driver all-pairs replay with ties; monotone data → 1") {
+    val rng = new scala.util.Random(29)
+    val data = Seq.fill(300)((rng.nextInt(6).toDouble, rng.nextInt(4).toDouble))
+    val r = RankTests.kendallTauDF(data.toDF("x", "y").repartition(7),
+      "x", "y").as[(Long, Long, Long, Long, Double)].head()
+    // driver O(n²) reference
+    var conc = 0L; var disc = 0L
+    for (i <- data.indices; j <- (i + 1) until data.size) {
+      val s = (data(i)._1 - data(j)._1) * (data(i)._2 - data(j)._2)
+      if (s > 0) conc += 1 else if (s < 0) disc += 1
+    }
+    val n = data.size.toDouble
+    val n0 = n * (n - 1) / 2.0
+    def tieMass(vs: Seq[Double]): Double =
+      vs.groupBy(identity).values.map(g => g.size.toDouble * (g.size - 1)).sum / 2.0
+    val tau = (conc - disc) / math.sqrt(
+      (n0 - tieMass(data.map(_._1))) * (n0 - tieMass(data.map(_._2))))
+    assert(r._1 == 300L && r._3 == conc && r._4 == disc)
+    assert(math.abs(r._5 - tau) < 5e-7)
+    // perfectly monotone, tie-free data → τ = 1
+    val mono = (1 to 50).map(i => (i.toDouble, i * 2.0))
+    val rm = RankTests.kendallTauDF(mono.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(rm._5 == 1.0 && rm._4 == 0L)
+  }
 }
