@@ -1260,6 +1260,79 @@ object SparkEntry {
         year(col("o_orderdate")) <= 1995, binWidth = 50000.0)
     }),
 
+    // ---- profiling: Pearson correlation matrix (q17) — every column
+    // pair's exact decimal power sums in ONE aggregate pass, pairwise-
+    // complete convention, one fixed double tree per pair. ---------------
+    "q17_corr_matrix" -> ((s, dir) => {
+      graft.ops.Profile.corrMatrix(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    }),
+
+    // ---- joins: point-in-interval bracket lookup (j10) — the IP-geo /
+    // rate-card shape: broadcast sorted interval starts, per-row codegen
+    // binary search, index equi-join back to the dim; zero shuffle on
+    // the fact side, no BETWEEN nested loop. -----------------------------
+    "j10_bracket_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(
+        (0L, 9999999L, "lt_100k"),
+        (10000000L, 24999999L, "100k_250k"),
+        (25000000L, 39999999L, "250k_400k")).toDF("lo", "hi", "bracket")
+      val pts = t(s, dir, "orders").select(
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+          .as("cents"))
+      graft.ops.IntervalJoin.pointLookup(pts, "cents", dim, "lo", "hi",
+          Seq("bracket" -> "bracket"))
+        .groupBy(coalesce(col("bracket"), lit("none")).as("bracket"),
+          col("in_range"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"))
+        .orderBy(col("bracket"), col("in_range"))
+    }),
+
+    // ---- ML: confusion-matrix evaluation report (m10) — the fitted m4
+    // tree scored on the held-out half; tp/fp/fn/tn integers, accuracy /
+    // precision / recall / F1 as guarded fixed trees (the exported-
+    // artifact oracle replays the scoring). ------------------------------
+    "m10_confusion" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
+          .cast("double").as("label"),
+        col("o_totalprice"),
+        (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
+        year(col("o_orderdate")).cast("double").as("order_year"),
+        col("o_orderkey"))
+      val isTest = substring(md5(col("o_orderkey").cast("string")), 1, 1) < lit("5")
+      val spec = graft.ml.CohortClassifier.fitTreeSpec(
+        o.where(!isTest), Seq("o_totalprice", "is_urgent", "order_year"),
+        "label", maxDepth = 4)
+      m10ConfusionSpec = Some(spec)
+      val scored = o.where(isTest)
+        .withColumn("pred",
+          (graft.ml.TreeScorer.compile(spec) >= 0.5).cast("int"))
+      val cells = scored.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("label") === 1.0 && col("pred") === 1, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("label") === 0.0 && col("pred") === 1, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("label") === 1.0 && col("pred") === 0, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("label") === 0.0 && col("pred") === 0, 1L)
+          .otherwise(0L)).as("tn"))
+      val tpd = col("tp").cast("double"); val fpd = col("fp").cast("double")
+      val fnd = col("fn").cast("double")
+      cells.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round((col("tp") + col("tn")).cast("double") /
+          col("n").cast("double"), 6).as("accuracy"),
+        when(col("tp") + col("fp") > 0,
+          round(tpd / (col("tp") + col("fp")).cast("double"), 6)).as("prec"),
+        when(col("tp") + col("fn") > 0,
+          round(tpd / (col("tp") + col("fn")).cast("double"), 6)).as("rec"),
+        when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          round(lit(2.0) * tpd / (lit(2.0) * tpd + fpd + fnd), 6)).as("f1"))
+    }),
+
     // ---- §2.8 Wilson 95% CI per group (r39) — the proportion interval
     // that stays inside [0,1]; one fixed double tree per group row. ------
     "r39_wilson" -> ((s, dir) => {
@@ -3801,6 +3874,50 @@ object SparkEntry {
          FROM s ORDER BY disc_hi, qty_hi, tax_hi"""
   }.toMap
 
+  /** The m10 confusion report's fitted tree — same runtime-oracle
+    * contract as [[m4FittedSpec]]. */
+  @volatile private var m10ConfusionSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
+
+  private def m10OracleEntry: Map[String, String] = m10ConfusionSpec.map { spec =>
+    "m10_confusion" ->
+      s"""WITH t AS (
+           SELECT CASE WHEN (o_totalprice > 250000) != (o_orderpriority = '1-URGENT')
+                       THEN 1.0 ELSE 0.0 END AS label,
+                  o_totalprice,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS is_urgent,
+                  CAST(year(o_orderdate) AS DOUBLE) AS order_year
+           FROM orders
+           WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '5'),
+         s AS (SELECT *, ${graft.ml.TreeScorer.toSql(spec)} AS score FROM t),
+         p AS (SELECT label,
+                 CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred FROM s),
+         c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN label = 1.0 AND pred = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tp,
+                 CAST(sum(CASE WHEN label = 0.0 AND pred = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fp,
+                 CAST(sum(CASE WHEN label = 1.0 AND pred = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS fn,
+                 CAST(sum(CASE WHEN label = 0.0 AND pred = 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS tn
+               FROM p)
+         SELECT n, tp, fp, fn, tn,
+                round(CAST(tp + tn AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                  AS accuracy,
+                CASE WHEN tp + fp > 0
+                     THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6)
+                END AS prec,
+                CASE WHEN tp + fn > 0
+                     THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6)
+                END AS rec,
+                CASE WHEN 2 * tp + fp + fn > 0
+                     THEN round(2.0 * CAST(tp AS DOUBLE)
+                          / (2.0 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+                             + CAST(fn AS DOUBLE)), 6)
+                END AS f1
+         FROM c"""
+  }.toMap
+
   /** The m7 lift-chart's fitted tree, exported in this process — same
     * runtime-oracle contract as [[m4FittedSpec]]. */
   @volatile private var m7LiftSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
@@ -4088,7 +4205,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
-    m6OracleEntry ++ m7OracleEntry ++ r37OracleEntry ++
+    m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ r37OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
       t17OracleEntry ++ Map(
     "q1_agg" ->
@@ -7583,6 +7700,56 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                   AS psi_running
          FROM t ORDER BY bin""",
+
+    // j10: the relational BETWEEN left join over the same literal dim —
+    // non-overlap guarantees at most one match per point
+    "j10_bracket_lookup" ->
+      """WITH dim(lo, hi, bracket) AS (VALUES
+             (0, 9999999, 'lt_100k'),
+             (10000000, 24999999, '100k_250k'),
+             (25000000, 39999999, '250k_400k')),
+         pts AS (
+           SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    AS cents
+           FROM orders),
+         j AS (SELECT p.cents, d.bracket FROM pts p
+               LEFT JOIN dim d ON p.cents BETWEEN d.lo AND d.hi)
+         SELECT coalesce(bracket, 'none') AS bracket,
+                bracket IS NOT NULL AS in_range,
+                CAST(count(*) AS BIGINT) AS n,
+                min(cents) AS min_cents, max(cents) AS max_cents
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q17: one conditional-aggregate arm per pair — the identical decimal
+    // power sums and the identical corr double tree
+    "q17_corr_matrix" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val arms = (for (i <- cs.indices; j <- (i + 1) until cs.size) yield {
+        val a = cs(i); val b = cs(j)
+        s"""SELECT '$a' AS col_a, '$b' AS col_b, n,
+              CASE WHEN sqrt((n_d * sxx - sx * sx) * (n_d * syy - sy * sy))
+                     > 0.0
+                   THEN round((n_d * sxy - sx * sy)
+                     / sqrt((n_d * sxx - sx * sx) * (n_d * syy - sy * sy)), 6)
+              END AS corr
+           FROM (
+             SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(count(*) AS DOUBLE) AS n_d,
+                    CAST(sum(CAST($a AS DECIMAL(19,6))) AS DOUBLE) AS sx,
+                    CAST(sum(CAST($b AS DECIMAL(19,6))) AS DOUBLE) AS sy,
+                    CAST(sum(CAST($a AS DECIMAL(19,6))
+                      * CAST($a AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
+                    CAST(sum(CAST($b AS DECIMAL(19,6))
+                      * CAST($b AS DECIMAL(19,6))) AS DOUBLE) AS syy,
+                    CAST(sum(CAST($a AS DECIMAL(19,6))
+                      * CAST($b AS DECIMAL(19,6))) AS DOUBLE) AS sxy
+             FROM lineitem
+             WHERE $a IS NOT NULL AND $b IS NOT NULL)"""
+      }).mkString("\n           UNION ALL\n           ")
+      s"""SELECT * FROM (
+           $arms)
+         ORDER BY col_a, col_b"""
+    },
 
     // r35: the r29 cell/chain machinery, pooled ψ by max_by last-link,
     // the identical quadratic/harmonic trees, nested CASE so sqrt never

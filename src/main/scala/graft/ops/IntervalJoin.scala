@@ -52,4 +52,59 @@ object IntervalJoin {
         col("__bin") === align(greatest(col(startCol), col(rs))))
       .drop("__bin", "__rbin")
   }
+
+  /** Point-in-interval LOOKUP against a dimension of NON-OVERLAPPING
+    * `[lo, hi]` long ranges — the IP-geolocation / tax-bracket /
+    * rate-card join. A BETWEEN join plans as a broadcast nested loop
+    * testing every (point, interval) pair; this is ZERO-shuffle on the
+    * fact side instead: the dim's sorted interval STARTS broadcast as
+    * one long array, each point binary-searches its candidate row-
+    * locally ([[graft.expressions.SortedLowerBound]], whole-stage
+    * codegen), and the index equi-joins back to the broadcast dim for
+    * the carried columns. Non-overlap makes the latest-lo interval THE
+    * unique candidate, so the lookup is exact — `require`-checked on the
+    * collected dim (a bounded protocol: the dim must be
+    * dimension-sized, capped at `maxIntervals`).
+    *
+    * Points outside every interval keep NULL carried columns and
+    * `in_range = false` (left-join semantics). `dimValues` maps dim
+    * column → output name. */
+  def pointLookup(points: DataFrame, pointCol: String,
+      dim: DataFrame, loCol: String, hiCol: String,
+      dimValues: Seq[(String, String)],
+      maxIntervals: Int = 1 << 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = points.sparkSession
+    val bounds = dim.select(col(loCol).cast("long"), col(hiCol).cast("long"))
+      .limit(maxIntervals + 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(bounds.nonEmpty, "pointLookup needs a non-empty interval dim")
+    require(bounds.length <= maxIntervals,
+      s"interval dim exceeds maxIntervals=$maxIntervals")
+    bounds.foreach { case (lo, hi) =>
+      require(lo <= hi, s"interval [$lo, $hi] is inverted") }
+    bounds.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => require(lo2 > hi1,
+        s"pointLookup requires non-overlapping intervals — [.., $hi1] " +
+          s"and [$lo2, ..] overlap; use overlapJoin for overlapping dims")
+      case _ => ()
+    }
+    val bcLos = spark.sparkContext.broadcast(bounds.map(_._1))
+    // the dim re-sorted with its index — dimension-sized global window
+    val dimIdx = dim
+      .withColumn("__idx",
+        row_number().over(Window.orderBy(col(loCol).asc)) - 1)
+      .select(Seq(col("__idx"), col(hiCol).cast("long").as("__hi")) ++
+        dimValues.map { case (c, out) => col(c).as(out) }: _*)
+    val probed = points.withColumn("__idx",
+      graft.expressions.SortedLowerBound.lowerBound(
+        bcLos, col(pointCol).cast("long")))
+    val joined = probed.join(broadcast(dimIdx), Seq("__idx"), "left")
+    val matched = col("__hi").isNotNull &&
+      col(pointCol).cast("long") <= col("__hi")
+    dimValues.foldLeft(joined) { case (d, (_, out)) =>
+      d.withColumn(out, when(matched, col(out)))
+    }.withColumn("in_range", coalesce(matched, lit(false)))
+      .drop("__idx", "__hi")
+  }
 }

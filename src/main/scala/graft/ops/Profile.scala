@@ -152,6 +152,50 @@ object Profile {
       .orderBy(col("bin"))
   }
 
+  /** Pearson correlation matrix over every unordered pair of numeric
+    * `cols` in ONE aggregate pass — the feature-EDA census before model
+    * fitting. Pairwise-complete convention: each pair's sums are over
+    * the rows where BOTH columns are non-null (the per-pair conditional
+    * aggregates make that one scan, not k² scans).
+    *
+    * Exactness: per-pair (n, Σx, Σy, Σx², Σy², Σxy) as DECIMAL(18,6)
+    * power sums (exact while value⁲ · rows fits DECIMAL(38,12) — money ×
+    * trillions of rows holds), then `corr = (n·Sxy − Sx·Sy) /
+    * √((n·Sxx − Sx²)(n·Syy − Sy²))` is ONE fixed double tree per pair.
+    * Returns `(col_a, col_b, n, corr)` ordered; degenerate (constant)
+    * columns yield NULL corr. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size)
+      yield (cols(i), cols(j))
+    def d(c: String): Column = col(c).cast("decimal(18,6)")
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      Seq(
+        sum(when(both, 1L).otherwise(0L)).as(s"n_$i"),
+        sum(when(both, d(a))).as(s"sx_$i"),
+        sum(when(both, d(b))).as(s"sy_$i"),
+        sum(when(both, d(a) * d(a))).as(s"sxx_$i"),
+        sum(when(both, d(b) * d(b))).as(s"syy_$i"),
+        sum(when(both, d(a) * d(b))).as(s"sxy_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val cells = pairs.zipWithIndex.map { case ((a, b), i) =>
+      val nd = col(s"n_$i").cast("double")
+      val sx = col(s"sx_$i").cast("double"); val sy = col(s"sy_$i").cast("double")
+      val sxx = col(s"sxx_$i").cast("double"); val syy = col(s"syy_$i").cast("double")
+      val sxy = col(s"sxy_$i").cast("double")
+      val den = sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"n_$i").as("n"),
+        when(den > 0.0, round((nd * sxy - sx * sy) / den, 6)).as("corr"))
+    }
+    one.select(explode(array(cells: _*)).as("c"))
+      .select(col("c.col_a"), col("c.col_b"), col("c.n"), col("c.corr"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
   /** Functional-dependency discovery over every ordered pair of `cols` —
     * the schema-inference census behind key detection and normalization
     * hints: `det → dep` HOLDS iff each determinant value maps to exactly

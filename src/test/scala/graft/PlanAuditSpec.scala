@@ -77,6 +77,9 @@ class PlanAuditSpec extends SparkSpec {
     "q13_benford",
     // q16: the PSI running chain over the k-row bin frame (q13's shape)
     "q16_psi",
+    // j10: the interval DIM's row_number index (dimension-sized, the w2
+    // shape) — the fact side only binary-searches a broadcast array
+    "j10_bracket_lookup",
     // r35: pooled-ψ + BD running chains over the stratum frame
     "r35_breslow_day")
 

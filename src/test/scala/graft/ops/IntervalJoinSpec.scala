@@ -50,4 +50,52 @@ class IntervalJoinSpec extends SparkSpec {
       .select($"l_id", $"r_id").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
     assert(got == Set((1L, 2L))) // 200 touches; 201 does not
   }
+
+  test("pointLookup: exact containment, boundaries, misses, gaps") {
+    val dim = Seq((0L, 99L, "low"), (100L, 499L, "mid"), (700L, 999L, "high"))
+      .toDF("lo", "hi", "bracket")
+    val pts = Seq(-5L, 0L, 99L, 100L, 499L, 500L, 650L, 700L, 999L, 1000L)
+      .toDF("p")
+    val r = IntervalJoin.pointLookup(pts, "p", dim, "lo", "hi",
+        Seq("bracket" -> "bracket"))
+      .select("p", "bracket", "in_range")
+      .as[(Long, Option[String], Boolean)].collect().map(t => t._1 -> t).toMap
+    assert(r(-5L)._2.isEmpty && !r(-5L)._3)
+    assert(r(0L)._2.contains("low") && r(99L)._2.contains("low"))
+    assert(r(100L)._2.contains("mid") && r(499L)._2.contains("mid"))
+    assert(r(500L)._2.isEmpty && !r(500L)._3)   // gap between mid and high
+    assert(r(650L)._2.isEmpty)
+    assert(r(700L)._2.contains("high") && r(999L)._2.contains("high"))
+    assert(r(1000L)._2.isEmpty && !r(1000L)._3) // past the last interval
+  }
+
+  test("pointLookup: distributed equals a driver BETWEEN scan") {
+    val rng = new scala.util.Random(53)
+    // non-overlapping random brackets with gaps
+    var cur = 0L
+    val dim = Seq.fill(40) {
+      val lo = cur + 1 + rng.nextInt(50)
+      val hi = lo + rng.nextInt(100)
+      cur = hi
+      (lo, hi, s"b${lo}")
+    }
+    val pts = Seq.fill(2000)(rng.nextInt(cur.toInt + 100).toLong)
+    val got = IntervalJoin.pointLookup(pts.toDF("p").repartition(9), "p",
+        dim.toDF("lo", "hi", "name"), "lo", "hi", Seq("name" -> "name"))
+      .select("p", "name").as[(Long, Option[String])].collect()
+    got.foreach { case (p, name) =>
+      val ref = dim.find(d => d._1 <= p && p <= d._2).map(_._3)
+      assert(name == ref, s"point $p")
+    }
+    assert(got.length == pts.length)
+  }
+
+  test("pointLookup: overlapping dim refuses loudly") {
+    val dim = Seq((0L, 100L, "a"), (50L, 150L, "b")).toDF("lo", "hi", "v")
+    val e = intercept[IllegalArgumentException] {
+      IntervalJoin.pointLookup(Seq(1L).toDF("p"), "p", dim, "lo", "hi",
+        Seq("v" -> "v"))
+    }
+    assert(e.getMessage.contains("non-overlapping"))
+  }
 }

@@ -113,6 +113,40 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(rShift.last.getDouble(4) - psi) < 1e-5)
   }
 
+  test("corrMatrix: driver replay, perfect/anti correlation, pairwise NULLs") {
+    val rng = new scala.util.Random(37)
+    val rows = Seq.fill(400) {
+      val x = rng.nextInt(100) / 4.0
+      (x, -2.0 * x + 7.0,                                   // corr = −1
+        if (rng.nextInt(5) == 0) None else Some(rng.nextInt(50) / 2.0))
+    }
+    val df = rows.toDF("x", "y", "z").repartition(6)
+    val r = Profile.corrMatrix(df, Seq("x", "y", "z"))
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    assert(r(("x", "y"))._3 == 400L && r(("x", "y"))._4.get == -1.0)
+    // pairwise-complete: (x,z) counts only rows where z is present
+    val xz = r(("x", "z"))
+    assert(xz._3 == rows.count(_._3.isDefined).toLong)
+    // driver replay of the (x,z) fixed tree
+    val cc = rows.collect { case (x, _, Some(z)) => (x, z) }
+    val n = cc.size.toDouble
+    val sx = cc.map(_._1).sum; val sz = cc.map(_._2).sum
+    val sxx = cc.map(p => p._1 * p._1).sum
+    val szz = cc.map(p => p._2 * p._2).sum
+    val sxz = cc.map(p => p._1 * p._2).sum
+    val ref = (n * sxz - sx * sz) /
+      math.sqrt((n * sxx - sx * sx) * (n * szz - sz * sz))
+    assert(math.abs(xz._4.get - ref) < 1e-6)
+  }
+
+  test("corrMatrix: constant column yields NULL corr") {
+    val df = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("a", "b")
+    val r = Profile.corrMatrix(df, Seq("a", "b"))
+      .as[(String, String, Long, Option[Double])].head()
+    assert(r._3 == 3L && r._4.isEmpty)
+  }
+
   test("fdDiscovery: NULLs drop per-pair and don't break other pairs") {
     val df = Seq((Some(1L), Some("a")), (Some(2L), None), (None, Some("b")))
       .toDF("id", "cat")
