@@ -298,6 +298,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- text analysis: Flesch reading-ease census (t19) — integer
+    // regex-run counts (words / sentence runs / vowel-group syllables),
+    // one fixed double tree per doc; row-local, nothing shuffles. --------
+    "t19_readability" -> ((s, dir) => {
+      TextOps.withReadability(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("words"), col("sentences"),
+          col("syllables"), col("flesch"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- text analysis: token / char counting ---------------------------
     "t3_token_count" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -475,6 +485,20 @@ object SparkEntry {
       Dedup.ngramContainmentPairs(Tables.spread(t(s, dir, "documents")),
           "doc_id", "text", n = 3, window = 25, minContain = 0.5)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: best-of-cluster survivorship (d18) — each near-dup
+    // cluster keeps its highest-QUALITY member (t2's score, rounded
+    // before ranking), not the min id; singletons keep themselves. -------
+    "d18_best_of_cluster" -> ((s, dir) => {
+      val docs = Tables.spread(t(s, dir, "documents"))
+      val scored = TextOps.withQualityScore(docs, "text", "q")
+        .withColumn("quality", round(col("q"), 6))
+        .select(col("doc_id"), col("quality"))
+      val pairs = Dedup.minHashMd5Pairs(docs, "doc_id", "text",
+        k = 8, n = 3, window = 25, minAgree = 4)
+      Dedup.bestOfCluster(scored, "doc_id", pairs, "id_a", "id_b", "quality")
+        .orderBy(col("doc_id"))
     }),
 
     // ---- dedup: embedding-cosine near-dup CLOSURE — LSH pairs → connected
@@ -6101,6 +6125,29 @@ object SparkEntry {
            length(text) AS len_chars
          FROM documents ORDER BY doc_id""",
 
+    // t19: t3's tokenization + regex run counts, the identical fixed tree
+    "t19_readability" ->
+      """WITH c AS (
+           SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x != '')) AS BIGINT) AS words,
+                  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS sentences,
+                  CAST(greatest(len(regexp_extract_all(lower(text),
+                      '[aeiouy]+')),
+                    len(list_filter(string_split_regex(trim(text), '\s+'),
+                      x -> x != ''))) AS BIGINT) AS syllables
+           FROM documents)
+         SELECT doc_id, words, sentences, syllables,
+                CASE WHEN words > 0
+                     THEN round(206.835
+                       - 1.015 * (CAST(words AS DOUBLE)
+                                  / CAST(sentences AS DOUBLE))
+                       - 84.6 * (CAST(syllables AS DOUBLE)
+                                 / CAST(words AS DOUBLE)), 3)
+                END AS flesch
+         FROM c ORDER BY doc_id""",
+
     // the e2e chain reuses the PROVEN per-stage replays: t2's quality
     // formula, d1's min-id-per-md5 dedup, s3's 4-nibble hash threshold
     // (0.5 → '8000'), t3's tokenization; avg rounds at 6 like t11
@@ -6333,6 +6380,70 @@ object SparkEntry {
          WHERE round(CAST(inter AS DOUBLE)
                      / CAST(least(n_a, n_b) AS DOUBLE), 6) >= 0.5
          ORDER BY id_a, id_b""",
+
+    // d18: the d14 component CTEs + the t2 quality formula (rounded
+    // before ranking) + the per-cluster argmax window
+    "d18_best_of_cluster" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+                FROM toks),
+         exs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         ex AS (SELECT doc_id, md5(sg) AS h FROM exs),
+         sig AS (SELECT doc_id,
+                   min(substr(h, 1, 4)) AS m0, min(substr(h, 5, 4)) AS m1,
+                   min(substr(h, 9, 4)) AS m2, min(substr(h, 13, 4)) AS m3,
+                   min(substr(h, 17, 4)) AS m4, min(substr(h, 21, 4)) AS m5,
+                   min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
+                 FROM ex GROUP BY doc_id),
+         pairs AS (SELECT id_a, id_b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    (a.m0=b.m0)::INT + (a.m1=b.m1)::INT + (a.m2=b.m2)::INT +
+                    (a.m3=b.m3)::INT + (a.m4=b.m4)::INT + (a.m5=b.m5)::INT +
+                    (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree
+             FROM sig a JOIN sig b
+               ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+           WHERE agree >= 4),
+         sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                 UNION SELECT id_b, id_a FROM pairs),
+         reach(id, comp) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT s.dst, r.comp FROM reach r JOIN sym s ON s.src = r.id),
+         comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         qbase AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk,
+             length(text) AS lc
+           FROM documents),
+         qparts AS (
+           SELECT doc_id,
+             CAST(len(tk) AS DOUBLE) AS ntok,
+             CASE WHEN lc = 0 THEN 0.0
+                  ELSE CAST(lc - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / lc END AS pr,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(tk, t -> list_contains(
+                    ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be'], t))) AS DOUBLE) / len(tk) END AS sr,
+             CASE WHEN len(tk) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(tk, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(tk) END AS mtl
+           FROM qbase),
+         q AS (SELECT doc_id,
+                 round(least(ntok / 20.0, 1.0) * 0.4 +
+                   greatest(1.0 - pr * 4, 0.0) * 0.3 +
+                   least(sr * 5, 1.0) * 0.2 +
+                   (CASE WHEN mtl >= 2 AND mtl <= 12
+                         THEN 1.0 ELSE 0.5 END) * 0.1, 6) AS quality
+               FROM qparts),
+         cl AS (SELECT q.doc_id, q.quality,
+                  coalesce(c.comp, q.doc_id) AS cluster
+                FROM q LEFT JOIN comps c ON c.id = q.doc_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+                 ORDER BY quality DESC, doc_id) AS rn FROM cl)
+         SELECT doc_id, quality, cluster, (rn = 1) AS keep
+         FROM r ORDER BY doc_id""",
 
     // n2: brute-force all-pairs ground truth over base + planted vectors.
     // The perturbation is integer arithmetic over exact doubles; unit

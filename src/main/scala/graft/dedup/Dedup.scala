@@ -101,6 +101,26 @@ object Dedup {
           lit(threshold), "eval").otherwise("train"))
   }
 
+  /** Best-of-cluster survivorship — the policy layer over near-dup
+    * clustering: instead of `dedupByPairs`' min-id rule, each cluster
+    * keeps its HIGHEST-QUALITY member (score desc, id asc tie-break —
+    * round the score BEFORE calling so the ordering is engine-
+    * reproducible). Singletons outside the pair graph are their own
+    * cluster. One left join to the component labels plus one PARTITIONED
+    * window; returns `df`'s columns + `(cluster, keep)`. */
+  def bestOfCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, scoreCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    val withCluster = df.join(comps, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    withCluster.withColumn("keep", row_number().over(w) === 1)
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Distinct word n-gram shingles of a text column. */

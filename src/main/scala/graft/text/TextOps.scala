@@ -159,6 +159,34 @@ object TextOps {
       .drop("__toks", "__ntok", "__pr", "__sr", "__mtl")
   }
 
+  /** Flesch reading-ease readability census — the classic text-quality
+    * signal (low-ease legalese and fragment spam both fall out of a
+    * training mix's target band). Heuristic counts, all INTEGER and
+    * regex-replayable cross-engine:
+    * `words` = whitespace tokens, `sentences` = max(1, runs of [.!?]),
+    * `syllables` = max(words, vowel-group runs of the lowercased text)
+    * (every word carries ≥1 syllable), then
+    * `flesch = 206.835 − 1.015·(w/s) − 84.6·(syl/w)` — one fixed double
+    * tree, rounded to 3. Empty/token-less docs get NULL flesch.
+    * Row-local; nothing shuffles. */
+  def withReadability(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val c = col(textCol)
+    df.withColumn("words", tokenCount(c).cast("long"))
+      .withColumn("sentences",
+        greatest(regexp_count(c, lit("[.!?]+")), lit(1)).cast("long"))
+      .withColumn("syllables",
+        greatest(regexp_count(lower(c), lit("[aeiouy]+")),
+          tokenCount(c)).cast("long"))
+      .withColumn("flesch",
+        when(col("words") > 0, round(
+          lit(206.835) -
+            lit(1.015) * (col("words").cast("double") /
+              col("sentences").cast("double")) -
+            lit(84.6) * (col("syllables").cast("double") /
+              col("words").cast("double")), 3)))
+  }
+
   /** PII redaction for training corpora: emails, SSN-shaped ids, IPv4
     * addresses, then long phone-like digit runs, each replaced by a typed
     * placeholder. Order matters — the earlier, more specific patterns must

@@ -223,6 +223,23 @@ class DedupSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("bestOfCluster: highest score survives per cluster, singletons keep") {
+    import spark.implicits._
+    // cluster {1,2,3} via chain; 10 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (10L, 0.1))
+      .toDF("doc_id", "quality")
+    val r = Dedup.bestOfCluster(scored, "doc_id", pairs, "id_a", "id_b",
+        "quality")
+      .select("doc_id", "cluster", "keep")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> t).toMap
+    // tie between 2 and 3 at 0.9 → smaller id 2 wins
+    assert(r(1L)._2 == 1L && !r(1L)._3)
+    assert(r(2L)._2 == 1L && r(2L)._3)
+    assert(r(3L)._2 == 1L && !r(3L)._3)
+    assert(r(10L)._2 == 10L && r(10L)._3) // singleton keeps itself
+  }
+
   test("connectedComponents closes transitive chains to min-id labels") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round), pair 10-11,

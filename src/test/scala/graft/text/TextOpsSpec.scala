@@ -110,4 +110,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got(0) == expectLong)
     assert(got(1) == md5hex(short))
   }
+
+  test("withReadability: hand-computed counts and the Flesch tree") {
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),   // 6 words, 2 sentences
+      (2L, "a"),                           // 1 word, no terminator → 1 sent
+      (3L, "")).toDF("doc_id", "text")     // 0 words → NULL flesch
+    val r = TextOps.withReadability(df, "text")
+      .select("doc_id", "words", "sentences", "syllables", "flesch")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t).toMap
+    val d1 = r(1L)
+    assert(d1._2 == 6L && d1._3 == 2L)
+    // vowel groups: e|a|a|e|o|a = 6 → max(6, 6) = 6
+    assert(d1._4 == 6L)
+    val expected = BigDecimal(206.835 - 1.015 * (6.0 / 2.0) - 84.6 * 1.0)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d1._5.contains(expected))
+    assert(r(2L)._2 == 1L && r(2L)._3 == 1L && r(2L)._4 == 1L)
+    assert(r(3L)._2 == 0L && r(3L)._5.isEmpty)
+  }
 }
