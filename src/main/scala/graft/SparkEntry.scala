@@ -1162,6 +1162,26 @@ object SparkEntry {
       graft.stats.RankTests.signedRankDF(l1.join(l2, "k"), "x", "y")
     }),
 
+    // ---- §2.8 paired sign test (r41) — the distribution-free sibling of
+    // r28 that only needs the SIGN of each paired difference: three longs
+    // and one fixed z tree (continuity-corrected normal approximation). --
+    "r41_sign_test" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val l1 = li.where(col("l_linenumber") === 1)
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("x"))
+      val l2 = li.where(col("l_linenumber") === 2)
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("y"))
+      val d = l1.join(l2, "k")
+        .agg(sum(when(col("x") > col("y"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("x") < col("y"), 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("x") === col("y"), 1L).otherwise(0L)).as("n_tie"))
+      val m = (col("n_pos") + col("n_neg")).cast("double")
+      d.select(col("n_pos"), col("n_neg"), col("n_tie"),
+        when(col("n_pos") + col("n_neg") > 0,
+          round((abs(col("n_pos").cast("double") - m / lit(2.0)) - lit(0.5)) /
+            sqrt(m / lit(4.0)), 6)).as("z"))
+    }),
+
     // ---- §2.8 Mantel–Haenszel (r29): discount→return association
     // adjusted for ship-year strata — 2×2 cells per stratum in one
     // groupBy, per-stratum OR/RR + pooled MH/CMH running chains. ----------
@@ -1454,6 +1474,22 @@ object SparkEntry {
           col("y"), round(col("eta"), 6).as("eta"),
           round(lit(1.0) / (lit(1.0) + exp(-col("eta"))), 6).as("p_hat"))
         .orderBy(col("disc_hi"), col("qty_hi"), col("tax_hi"))
+    }),
+
+    // ---- decade (log-scale) histogram (h4) — order-of-magnitude census
+    // without log10 in the chain (the q13 decimal-string doctrine): the
+    // decade IS the integer-digit count of the DECIMAL(18,2) string. -----
+    "h4_log_histogram" -> ((s, dir) => {
+      val sdec = col("l_extendedprice").cast("decimal(18,2)").cast("string")
+      t(s, dir, "lineitem")
+        .where(col("l_extendedprice").isNotNull &&
+          col("l_extendedprice") >= 1.0)
+        .select((instr(sdec, ".") - 2).cast("long").as("decade"),
+          col("l_extendedprice").cast("decimal(18,2)").as("v"))
+        .groupBy(col("decade"))
+        .agg(count(lit(1)).as("n"), min(col("v")).cast("double").as("vmin"),
+          max(col("v")).cast("double").as("vmax"))
+        .orderBy(col("decade"))
     }),
 
     // ---- 2-D equi-width heatmap (h3): the joint-density frame — in-query
@@ -3543,6 +3579,21 @@ object SparkEntry {
       val both = custNations.intersect(suppNations).withColumn("relation", lit("both"))
       val custOnly = custNations.except(suppNations).withColumn("relation", lit("cust_only"))
       both.unionByName(custOnly).orderBy(col("relation"), col("nationkey"))
+    }),
+
+    // ---- set ops: MULTISET intersect/except (u7) — the ALL variants u5's
+    // distinct semantics miss: multiplicities min() under INTERSECT ALL
+    // and subtract under EXCEPT ALL; aggregated per key so the result is
+    // compact and the duplicate accounting is visible. --------------------
+    "u7_multiset_ops" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val supp = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val ia = cust.intersectAll(supp).groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      val ea = cust.exceptAll(supp).groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      ia.unionByName(ea).select(col("op"), col("nationkey"), col("n"))
+        .orderBy(col("op"), col("nationkey"))
     }),
 
     // ---- moving-frame windows: ROWS BETWEEN n PRECEDING -----------------
@@ -8100,6 +8151,59 @@ object SparkEntry {
                 CAST(count(*) AS BIGINT) AS n_buckets,
                 CAST(sum(c) AS BIGINT) AS n_events
          FROM g GROUP BY key, grp ORDER BY key, start_ts""",
+
+    // u7: the identical ALL-variant multiset semantics
+    "u7_multiset_ops" ->
+      """WITH cust AS (SELECT c_nationkey AS nationkey FROM customer),
+         supp AS (SELECT s_nationkey AS nationkey FROM supplier),
+         ia AS (SELECT 'intersect_all' AS op, nationkey,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT nationkey FROM cust
+                      INTERSECT ALL SELECT nationkey FROM supp)
+                GROUP BY 2),
+         ea AS (SELECT 'except_all' AS op, nationkey,
+                  CAST(count(*) AS BIGINT) AS n
+                FROM (SELECT nationkey FROM cust
+                      EXCEPT ALL SELECT nationkey FROM supp)
+                GROUP BY 2)
+         SELECT op, nationkey, n FROM ia
+         UNION ALL SELECT op, nationkey, n FROM ea
+         ORDER BY op, nationkey""",
+
+    // r41: the identical three-long reduction and continuity-corrected z
+    "r41_sign_test" ->
+      """WITH p AS (
+           SELECT a.l_quantity AS x, b.l_quantity AS y
+           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+           WHERE a.l_linenumber = 1 AND b.l_linenumber = 2),
+         c AS (SELECT
+                 CAST(sum(CASE WHEN x > y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+                 CAST(sum(CASE WHEN x < y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_neg,
+                 CAST(sum(CASE WHEN x = y THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_tie
+               FROM p)
+         SELECT n_pos, n_neg, n_tie,
+                CASE WHEN n_pos + n_neg > 0
+                     THEN round((abs(CAST(n_pos AS DOUBLE)
+                            - CAST(n_pos + n_neg AS DOUBLE) / 2.0) - 0.5)
+                          / sqrt(CAST(n_pos + n_neg AS DOUBLE) / 4.0), 6)
+                END AS z
+         FROM c""",
+
+    // h4: the decade from the decimal string's dot position — no log10
+    "h4_log_histogram" ->
+      """WITH d AS (
+           SELECT CAST(instr(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                    AS VARCHAR), '.') - 2 AS BIGINT) AS decade,
+                  CAST(l_extendedprice AS DECIMAL(18,2)) AS v
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_extendedprice >= 1.0)
+         SELECT decade, CAST(count(*) AS BIGINT) AS n,
+                CAST(min(v) AS DOUBLE) AS vmin,
+                CAST(max(v) AS DOUBLE) AS vmax
+         FROM d GROUP BY 1 ORDER BY 1""",
 
     // h3: in-subquery extrema, the identical least/floor bin trees
     "h3_heatmap" ->
