@@ -3764,6 +3764,30 @@ object SparkEntry {
     "e19_twap" -> ((s, dir) => {
       graft.ops.Resample.twapDaily(Tables.events(s, dir),
         "event_type", "ts", "event_id", "value")
+    }),
+
+    // ---- events: first-order Markov transition matrix (e21) — the
+    // sequence-mining census; one lead window keyed by user, pairs
+    // collapse to the kind² frame, probabilities one division each. ------
+    "e21_markov" -> ((s, dir) => {
+      graft.ops.Resample.transitionMatrix(Tables.events(s, dir),
+        "user_id", "ts", "event_id", "event_type")
+    }),
+
+    // ---- events: α=1/2 adjusted EWMA trend per (type, month) (e22) —
+    // the dyadic weight makes the numerator a LONG running sum
+    // (Σ xᵢ·2^(i−1)) and the whole statistic ONE final division. ---------
+    "e22_ewma" -> ((s, dir) => {
+      graft.ops.Resample.ewmaDaily(Tables.events(s, dir),
+        "event_type", "ts", "value")
+    }),
+
+    // ---- quality: MAD robust outlier census (q18) — breakdown point 0.5
+    // vs q10's IQR fences; doubled-cent cells keep both medians and the
+    // 3·MAD rule pure integer arithmetic. --------------------------------
+    "q18_mad_outliers" -> ((s, dir) => {
+      graft.ops.Quality.madOutliers(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_returnflag")
     })
   )
 
@@ -8434,6 +8458,104 @@ object SparkEntry {
          SELECT doc_id * 10 + s AS media_id, 16 AS width, 16 AS height,
                 round(list_sum(list_transform(range(1, 33),
                   i -> unicode(substr(fr, CAST(i AS INT), 1)))) / 32.0, 4) AS e0
-         FROM f ORDER BY media_id"""
+         FROM f ORDER BY media_id""",
+
+    // e21: identical lead pairing (total order via event_id) + one
+    // integer→double division per transition cell
+    "e21_markov" ->
+      """WITH seq AS (
+           SELECT event_type AS src,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS dst
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_type IS NOT NULL),
+         tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+                FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2)
+         SELECT src, dst, n,
+                round(CAST(n AS DOUBLE)
+                  / CAST(CAST(sum(n) OVER (PARTITION BY src) AS BIGINT)
+                         AS DOUBLE), 6) AS p
+         FROM tr ORDER BY src, dst""",
+
+    // e22: the identical Σ xᵢ·2^(i−1) LONG numerator and (2^i − 1)
+    // denominator — one final division
+    "e22_ewma" ->
+      """WITH daily AS (
+           SELECT event_type AS key,
+                  CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE)
+                    AS month,
+                  CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS vc
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1, 2, 3),
+         idx AS (SELECT key, month, day, vc,
+                  CAST(row_number() OVER (PARTITION BY key, month
+                    ORDER BY day) AS BIGINT) AS i
+                 FROM daily),
+         run AS (SELECT key, month, day, i,
+                  CAST(sum(vc * (CAST(1 AS BIGINT) << CAST(i - 1 AS INT)))
+                    OVER (PARTITION BY key, month ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS wsum
+                 FROM idx)
+         SELECT key, CAST(month AS VARCHAR) AS month,
+                CAST(day AS VARCHAR) AS day, i,
+                round(CAST(wsum AS DOUBLE)
+                  / CAST((CAST(1 AS BIGINT) << CAST(i AS INT)) - 1 AS DOUBLE)
+                  / 100.0, 6) AS ewma
+         FROM run ORDER BY key, day""",
+
+    // q18: the identical doubled-cent cell medians and 2d > 3·mad2 rule
+    "q18_mad_outliers" ->
+      """WITH cells AS (
+           SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+                  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 200
+                    AS BIGINT) AS v2,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+           GROUP BY 1, 2),
+         base AS (
+           SELECT grp, v2, c,
+                  CAST(sum(c) OVER (PARTITION BY grp ORDER BY v2
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ci,
+                  CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+           FROM cells),
+         med AS (
+           SELECT grp, n,
+                  (min(CASE WHEN ci >= (n + 1) // 2 THEN v2 END)
+                   + min(CASE WHEN ci >= (n + 2) // 2 THEN v2 END)) // 2
+                    AS med
+           FROM base GROUP BY grp, n),
+         dev AS (
+           SELECT c2.grp AS grp, abs(c2.v2 - m.med) * 2 AS d2,
+                  CAST(sum(c2.c) AS BIGINT) AS c
+           FROM cells c2 JOIN med m ON c2.grp = m.grp
+           GROUP BY 1, 2),
+         devb AS (
+           SELECT grp, d2, c,
+                  CAST(sum(c) OVER (PARTITION BY grp ORDER BY d2
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ci,
+                  CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+           FROM dev),
+         mad AS (
+           SELECT grp,
+                  (min(CASE WHEN ci >= (n + 1) // 2 THEN d2 END)
+                   + min(CASE WHEN ci >= (n + 2) // 2 THEN d2 END)) // 2
+                    AS mad2
+           FROM devb GROUP BY grp, n)
+         SELECT d.grp AS grp, m.n AS n,
+                round(CAST(m.med AS DOUBLE) / 200.0, 3) AS median_v,
+                round(CAST(a.mad2 AS DOUBLE) / 400.0, 4) AS mad_v,
+                CAST(coalesce(sum(CASE WHEN d.d2 * 2 > a.mad2 * 3
+                  THEN d.c END), 0) AS BIGINT) AS n_outliers
+         FROM dev d JOIN mad a ON d.grp = a.grp JOIN med m ON d.grp = m.grp
+         GROUP BY 1, 2, 3, 4 ORDER BY grp"""
   )
 }

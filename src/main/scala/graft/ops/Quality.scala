@@ -195,4 +195,58 @@ object Quality {
         (col("maxc").cast("double") / lit(100.0)).as("vmax")): _*)
       .orderBy(keys: _*)
   }
+
+  /** Per-group MAD (median-absolute-deviation) robust outlier census —
+    * the breakdown-point-0.5 sibling of [[iqrOutliers]] (IQR fences move
+    * with 25% contamination; the MAD rule survives up to half the group
+    * being junk).
+    *
+    * Integer exactness throughout: values land in DOUBLED-cent units
+    * (`v2 = 200·x`, always even), so the interpolating median
+    * `(v@⌈n/2⌉ + v@⌈(n+1)/2⌉) DIV 2` is exact LONG arithmetic; absolute
+    * deviations `d = |v2 − med|` are integers, the deviation median runs
+    * the same cell machinery in re-doubled units (`2d`, even again), and
+    * the outlier rule `|x − med| > 3·MAD` compares as `2d > 3·mad2` —
+    * pure integer. FP appears only in the final display divisions
+    * (one each), which both engines round identically.
+    *
+    * Plan: ONE corpus-sized groupBy to (group, value) cells; medians from
+    * cell cumsums PARTITIONED by group (never global); the deviation pass
+    * REGROUPS THE CELLS (k·|distinct| rows, no second corpus scan) and
+    * the final census joins two k-row frames back to the deviation
+    * cells. */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        (col(valueCol).cast("decimal(12,2)") * 200).cast("long").as("v2"))
+      .groupBy(col("grp"), col("v2")).agg(count(lit(1)).as("c"))
+    def cellMedian(cf: DataFrame, vCol: String): DataFrame = {
+      val cw = Window.partitionBy(col("grp")).orderBy(col(vCol).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nw = Window.partitionBy(col("grp"))
+      cf.withColumn("ci", sum(col("c")).over(cw))
+        .withColumn("n", sum(col("c")).over(nw))
+        .withColumn("m1", when(col("ci") >= expr("(n + 1) DIV 2"), col(vCol)))
+        .withColumn("m2", when(col("ci") >= expr("(n + 2) DIV 2"), col(vCol)))
+        .groupBy(col("grp"), col("n"))
+        .agg(((min(col("m1")) + min(col("m2"))) / lit(2)).cast("long").as("med"))
+    }
+    val med = cellMedian(cells, "v2").select(col("grp"), col("n"), col("med"))
+    val devCells = cells.join(med.select(col("grp"), col("med")), "grp")
+      .withColumn("d2", abs(col("v2") - col("med")) * 2L)
+      .groupBy(col("grp"), col("d2")).agg(sum(col("c")).as("c"))
+    val mad = cellMedian(devCells, "d2")
+      .select(col("grp"), col("med").as("mad2"))
+    devCells.join(mad, "grp")
+      .join(med.select(col("grp"), col("n"), col("med")), "grp")
+      .groupBy(col("grp"), col("n"), col("med"), col("mad2"))
+      .agg(coalesce(sum(when(col("d2") * 2L > col("mad2") * 3L, col("c"))),
+        lit(0L)).as("n_outliers"))
+      .select(col("grp"), col("n"),
+        round(col("med").cast("double") / lit(200.0), 3).as("median_v"),
+        round(col("mad2").cast("double") / lit(400.0), 4).as("mad_v"),
+        col("n_outliers"))
+      .orderBy(col("grp"))
+  }
 }

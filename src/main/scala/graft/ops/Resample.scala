@@ -265,4 +265,76 @@ object Resample {
           lit(100.0), 6).as("twap"))
       .orderBy(col("key"), col("day"))
   }
+
+  /** First-order Markov transition matrix over a keyed event stream —
+    * the sequence-mining census (what follows what, per-step transition
+    * probabilities): successive event kinds within each sequence key
+    * (user/session) pair up via ONE partitioned `lead`, the pairs reduce
+    * to the kind² transition frame, and row-normalized probabilities come
+    * from a window PARTITIONED over that dimension-sized frame.
+    *
+    * Exactness: counts are LONGs; each probability is ONE integer→double
+    * division (correctly rounded in any engine) rounded to 6.
+    *
+    * Plan: corpus shuffles ONCE keyed by the sequence key for the lead
+    * window (high-cardinality key → parallel), then collapses map-side to
+    * at most |kinds|² rows; the normalizing window runs on that frame,
+    * never on data. The `(ts, tieCol)` order is total (tieCol unique), so
+    * the pairing is deterministic on any partitioning. */
+  def transitionMatrix(df: DataFrame, seqCol: String, tsCol: String,
+      tieCol: String, kindCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(seqCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val pairs = df.where(col(seqCol).isNotNull && col(tsCol).isNotNull &&
+        col(kindCol).isNotNull)
+      .select(col(seqCol), col(tsCol), col(tieCol),
+        col(kindCol).cast("string").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .where(col("dst").isNotNull)
+    val tr = pairs.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val nw = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    tr.withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(nw).cast("double"), 6))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  /** Per-key daily EWMA (α = 1/2, adjusted form) — the smoothed trend line
+    * a monitoring dashboard draws over [[rollingAnomaly]]'s raw buckets.
+    *
+    * Exactness without recurrences: with α = 1/2 the adjusted EWMA is
+    * `Σᵢ xᵢ·2^(i−1) / (2^t − 1)` over the t present buckets so far — the
+    * numerator is a LONG running sum of integer terms (order-independent,
+    * partition-proof) and the whole statistic leaves integers in ONE
+    * final double division, rounded to 6. Bucket sums go through DECIMAL
+    * cents first so the xᵢ are exact.
+    *
+    * The weight 2^(i−1) is bounded by partitioning per (key, month):
+    * i ≤ 31 always, structurally. Exact while max-daily-cents·2³¹ < 2⁶³
+    * (≈ sf 1000 on this generator); past that swap the LONG numerator for
+    * DECIMAL(38,0) — the shape is unchanged.
+    *
+    * Plan: one map-side-combined groupBy to the (key, month, day) frame,
+    * then two windows PARTITIONED by (key, month) over that dimension-
+    * sized frame — nothing global, corpus shuffles once. */
+  def ewmaDaily(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        date_trunc("month", col(tsCol)).cast("date").as("month"),
+        to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valCol).cast("decimal(12,2)") * 100).cast("long")).as("vc"))
+    val ow = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"), col("month")).orderBy(col("day").asc)
+    val rw = ow.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0L)
+    daily
+      .withColumn("i", row_number().over(ow).cast("long"))
+      .withColumn("wsum", sum(col("vc") * expr("shiftleft(1L, cast(i - 1 as int))")).over(rw))
+      .select(col("key"), col("month").cast("string").as("month"),
+        col("day").cast("string").as("day"), col("i"),
+        round(col("wsum").cast("double") /
+          (expr("shiftleft(1L, cast(i as int))") - lit(1L)).cast("double") /
+          lit(100.0), 6).as("ewma"))
+      .orderBy(col("key"), col("day"))
+  }
 }
