@@ -3788,6 +3788,22 @@ object SparkEntry {
     "q18_mad_outliers" -> ((s, dir) => {
       graft.ops.Quality.madOutliers(t(s, dir, "lineitem"),
         "l_extendedprice", "l_returnflag")
+    }),
+
+    // ---- §2.8 Theil–Sen robust slope (r44) — weighted median of the
+    // cell-frame pairwise slopes off the sharded prefix cumsum; every
+    // slope is one division of exact cell values. ------------------------
+    "r44_theil_sen" -> ((s, dir) => {
+      graft.stats.RankTests.theilSenDF(
+        t(s, dir, "lineitem"), "l_quantity", "l_discount")
+    }),
+
+    // ---- §2.8 precision–recall curve (r45) — the imbalance-honest twin
+    // of r8's ROC; exact integer TP/FP per cut via the sharded prefix,
+    // one division per reported ratio. -----------------------------------
+    "r45_pr_curve" -> ((s, dir) => {
+      Roc.prCurve(t(s, dir, "customer"),
+        col("c_mktsegment") === "BUILDING", col("c_acctbal"))
     })
   )
 
@@ -8509,7 +8525,7 @@ object SparkEntry {
                   / 100.0, 6) AS ewma
          FROM run ORDER BY key, day""",
 
-    // q18: the identical doubled-cent cell medians and 2d > 3·mad2 rule
+    // q18: the identical doubled-cent cell medians and d2 > 3·mad2 rule
     "q18_mad_outliers" ->
       """WITH cells AS (
            SELECT CAST(l_returnflag AS VARCHAR) AS grp,
@@ -8553,9 +8569,70 @@ object SparkEntry {
          SELECT d.grp AS grp, m.n AS n,
                 round(CAST(m.med AS DOUBLE) / 200.0, 3) AS median_v,
                 round(CAST(a.mad2 AS DOUBLE) / 400.0, 4) AS mad_v,
-                CAST(coalesce(sum(CASE WHEN d.d2 * 2 > a.mad2 * 3
+                CAST(coalesce(sum(CASE WHEN d.d2 > a.mad2 * 3
                   THEN d.c END), 0) AS BIGINT) AS n_outliers
          FROM dev d JOIN mad a ON d.grp = a.grp JOIN med m ON d.grp = m.grp
-         GROUP BY 1, 2, 3, 4 ORDER BY grp"""
+         GROUP BY 1, 2, 3, 4 ORDER BY grp""",
+
+    // r44: identical cell pair census, slope = one division, weighted
+    // interpolating median off the cumsum
+    "r44_theil_sen" ->
+      """WITH cells AS (
+           SELECT CAST(l_quantity AS DOUBLE) AS x,
+                  CAST(l_discount AS DOUBLE) AS y,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+           GROUP BY 1, 2),
+         sl AS (
+           SELECT (b.y - a.y) / (b.x - a.x) AS v,
+                  CAST(sum(a.o * b.o) AS BIGINT) AS w
+           FROM cells a JOIN cells b ON b.x > a.x
+           GROUP BY 1),
+         pr AS (
+           SELECT v, w,
+                  CAST(sum(w) OVER (ORDER BY v ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ci,
+                  CAST(sum(w) OVER () AS BIGINT) AS tw
+           FROM sl),
+         np AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+         SELECT n, tw AS n_pairs,
+                (min(CASE WHEN ci >= (tw + 1) // 2 THEN v END)
+                 + min(CASE WHEN ci >= (tw + 2) // 2 THEN v END)) / 2
+                  AS slope_med
+         FROM pr, np GROUP BY n, tw""",
+
+    // r45: identical exclusive-prefix TP/FP and one division per ratio
+    "r45_pr_curve" ->
+      """WITH byscore AS (
+           SELECT CAST(c_acctbal AS DOUBLE) AS v,
+                  CAST(count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END)
+                    AS BIGINT) AS np,
+                  CAST(count(CASE WHEN NOT (c_mktsegment = 'BUILDING')
+                    THEN 1 END) AS BIGINT) AS nn
+           FROM customer
+           WHERE c_acctbal IS NOT NULL AND c_mktsegment IS NOT NULL
+           GROUP BY 1),
+         pref AS (
+           SELECT v,
+                  CAST(coalesce(sum(np) OVER (ORDER BY v ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cumnp,
+                  CAST(coalesce(sum(nn) OVER (ORDER BY v ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cumnn,
+                  CAST(sum(np) OVER () AS BIGINT) AS p,
+                  CAST(sum(nn) OVER () AS BIGINT) AS nneg
+           FROM byscore)
+         SELECT v AS threshold, p - cumnp AS tp, nneg - cumnn AS fp,
+                round(CAST(p - cumnp AS DOUBLE)
+                  / CAST((p - cumnp) + (nneg - cumnn) AS DOUBLE), 6) AS prec,
+                round(CAST(p - cumnp AS DOUBLE) / CAST(p AS DOUBLE), 6)
+                  AS rec,
+                round(2.0 * CAST(p - cumnp AS DOUBLE)
+                  / CAST((p - cumnp) + (nneg - cumnn) + p AS DOUBLE), 6)
+                  AS f1
+         FROM pref ORDER BY threshold DESC"""
   )
 }

@@ -206,7 +206,8 @@ object Quality {
     * `(v@⌈n/2⌉ + v@⌈(n+1)/2⌉) DIV 2` is exact LONG arithmetic; absolute
     * deviations `d = |v2 − med|` are integers, the deviation median runs
     * the same cell machinery in re-doubled units (`2d`, even again), and
-    * the outlier rule `|x − med| > 3·MAD` compares as `2d > 3·mad2` —
+    * the outlier rule `|x − med| > 3·MAD` compares as `2d > 3·mad2`
+    * (both sides carry the same 400× unit factor) —
     * pure integer. FP appears only in the final display divisions
     * (one each), which both engines round identically.
     *
@@ -241,7 +242,7 @@ object Quality {
     devCells.join(mad, "grp")
       .join(med.select(col("grp"), col("n"), col("med")), "grp")
       .groupBy(col("grp"), col("n"), col("med"), col("mad2"))
-      .agg(coalesce(sum(when(col("d2") * 2L > col("mad2") * 3L, col("c"))),
+      .agg(coalesce(sum(when(col("d2") > col("mad2") * 3L, col("c"))),
         lit(0L)).as("n_outliers"))
       .select(col("grp"), col("n"),
         round(col("med").cast("double") / lit(200.0), 3).as("median_v"),

@@ -332,4 +332,40 @@ object RankTests {
           sqrt((n0 - col("s1").cast("double") / lit(2.0)) *
             (n0 - col("s2").cast("double") / lit(2.0))), 6).as("tau_b"))
   }
+
+  /** Theil–Sen robust slope — the median of all pairwise slopes, the
+    * rank-based sibling of OLS (breakdown point 29%, no moment
+    * assumptions). Same doctrine as [[kendallTauDF]]: the corpus reduces
+    * to the DIMENSION-SIZED (x, y) cell frame in ONE groupBy, the pair
+    * census runs over cells (weight = o_a·o_b — never an O(n²) row join),
+    * and the weighted median of the ≤ |cells|²/2 distinct slopes comes
+    * off the sharded exclusive-prefix cumsum (no global sort).
+    *
+    * Exactness: each slope is ONE double division of exact cell values
+    * (correctly rounded → identical in any engine); pair weights are
+    * LONGs; the interpolating weighted median `(v@⌈W/2⌉ + v@⌈(W+1)/2⌉)/2`
+    * adds two identical doubles and halves exactly. Pairs with equal x
+    * are skipped (vertical slopes), the standard Sen convention. */
+  def theilSenDF(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .agg(count(lit(1)).as("o"))
+    val slopes = cells.alias("a").join(cells.alias("b"),
+        col("b.x") > col("a.x"))
+      .select(((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("v"),
+        (col("a.o") * col("b.o")).as("w"))
+      .groupBy(col("v")).agg(sum(col("w")).as("w"))
+    val pref = withExclusivePrefixCols(slopes, Seq("w" -> "cumw"))
+    val nRow = cells.agg(sum(col("o")).as("n"))
+    pref.crossJoin(pref.agg(sum(col("w")).as("tw")))
+      .withColumn("ci", col("cumw") + col("w"))
+      .groupBy(col("tw"))
+      .agg(
+        min(when(col("ci") >= expr("(tw + 1) DIV 2"), col("v"))).as("m1"),
+        min(when(col("ci") >= expr("(tw + 2) DIV 2"), col("v"))).as("m2"))
+      .crossJoin(nRow)
+      .select(col("n"), col("tw").as("n_pairs"),
+        ((col("m1") + col("m2")) / lit(2.0)).as("slope_med"))
+  }
 }

@@ -293,4 +293,36 @@ object Roc {
   private def mean(a: Array[Double]): Double = a.sum / a.length
   private def sumSq(a: Array[Double], m: Double): Double =
     a.map(v => (v - m) * (v - m)).sum
+
+  /** Precision–recall curve — the class-imbalance-honest companion of
+    * [[empiricalRoc]] (with 1:1000 positives the ROC can look clean while
+    * precision is junk; the PR curve shows it). One row per distinct
+    * score threshold, descending: `(threshold, tp, fp, prec, rec, f1)`.
+    *
+    * Exactness: TP/FP at each cut are exact LONGs from the sharded
+    * exclusive-prefix machinery ([[RankTests.withExclusivePrefixCols]] —
+    * no global sort, no driver collect beyond 32 shard totals);
+    * `prec = tp/(tp+fp)`, `rec = tp/P`, `f1 = 2tp/(tp+fp+P)` are each ONE
+    * integer→double division (f1's denominator folds fn = P − tp away),
+    * rounded to 6.
+    *
+    * Scale: the curve frame is |distinct scores|-sized; quantize a
+    * continuous score first (same note as [[empiricalRoc]]). */
+  def prCurve(df: DataFrame, label: Column, score: Column): DataFrame = {
+    val byScore = df.where(score.isNotNull && label.isNotNull)
+      .groupBy(score.cast("double").as("v"))
+      .agg(count(when(label, 1)).as("np"), count(when(!label, 1)).as("nn"))
+    val pref = RankTests.withExclusivePrefixCols(byScore,
+      Seq("np" -> "cumnp", "nn" -> "cumnn"))
+    pref.crossJoin(pref.agg(sum(col("np")).as("p"), sum(col("nn")).as("nneg")))
+      .withColumn("tp", col("p") - col("cumnp"))
+      .withColumn("fp", col("nneg") - col("cumnn"))
+      .select(col("v").as("threshold"), col("tp"), col("fp"),
+        round(col("tp").cast("double") /
+          (col("tp") + col("fp")).cast("double"), 6).as("prec"),
+        round(col("tp").cast("double") / col("p").cast("double"), 6).as("rec"),
+        round(lit(2.0) * col("tp").cast("double") /
+          (col("tp") + col("fp") + col("p")).cast("double"), 6).as("f1"))
+      .orderBy(col("threshold").desc)
+  }
 }

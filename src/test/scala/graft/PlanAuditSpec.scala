@@ -38,7 +38,12 @@ class PlanAuditSpec extends SparkSpec {
     // plus the 1-row stat combines
     "r40_kendall",
     // r35: the 1-row pooled-psi × stratum-frame combine (the j1 shape)
-    "r35_breslow_day")
+    "r35_breslow_day",
+    // r44: the dimension-sized cell self-join (the r40 shape) plus the
+    // 1-row total-weight and n combines
+    "r44_theil_sen",
+    // r45: the 1-row class-totals cross join over the curve frame
+    "r45_pr_curve")
 
   // the in-SQL ROC curve over 4 leaf scores (m3 — plan-required: the
   // curve is built inside one query), the DPP dim max (p7 — days-sized,

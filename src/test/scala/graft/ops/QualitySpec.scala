@@ -102,4 +102,34 @@ class QualitySpec extends SparkSpec {
       assert(vmax == vs.last)
     }
   }
+
+  test("madOutliers: hand case and driver replay per group") {
+    // group g: {1, 2, 3, 4, 100} → med 3, |d| = {2,1,0,1,97} → MAD 1,
+    // rule |x−3| > 3 → only 100 flags
+    val hand = Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _))
+    val r = Quality.madOutliers(hand.toDF("k", "v"), "v", "k")
+      .as[(String, Long, Double, Double, Long)].head()
+    assert(r == (("g", 5L, 3.0, 1.0, 1L)))
+    // randomized replay: interpolating medians + 3·MAD rule on the driver
+    val rng = new scala.util.Random(19)
+    val rows = (1 to 400).map(i =>
+      ("k" + (i % 3), math.rint(rng.nextDouble() * 5000) / 100.0))
+    val got = Quality.madOutliers(rows.toDF("k", "v").repartition(7), "v", "k")
+      .as[(String, Long, Double, Double, Long)].collect()
+    got.foreach { case (k, n, medv, madv, nout) =>
+      val vs = rows.filter(_._1 == k).map(v => math.rint(v._2 * 200).toLong)
+        .sorted
+      def med(s: Seq[Long]): Double =
+        (s((s.size + 1) / 2 - 1) + s((s.size + 2) / 2 - 1)) / 2.0
+      val m = med(vs)
+      val ds = vs.map(v => math.abs(v - m) * 2).map(_.toLong).sorted
+      val mad2 = med(ds)
+      assert(n == vs.size.toLong)
+      assert(medv == BigDecimal(m / 200.0).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(madv == BigDecimal(mad2 / 400.0).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(nout == vs.count(v => math.abs(v - m) * 2 > 3 * mad2))
+    }
+  }
 }

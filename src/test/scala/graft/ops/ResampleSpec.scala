@@ -192,4 +192,51 @@ class ResampleSpec extends SparkSpec {
       .select(col("k")).as[Int].collect()
     assert(r.toSeq == Seq(0)) // day 9 (k=8) is past the horizon
   }
+
+  test("transitionMatrix: hand-built sequences; rows normalize to 1") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 09:$m%02d:00")
+    // user 1: a→b→a ; user 2: a→b — transitions a→b ×2, b→a ×1
+    val df = Seq((1L, ts(1), 10L, "a"), (1L, ts(2), 11L, "b"),
+      (1L, ts(3), 12L, "a"), (2L, ts(1), 20L, "a"), (2L, ts(2), 21L, "b"))
+      .toDF("u", "t", "id", "kind")
+    val r = Resample.transitionMatrix(df, "u", "t", "id", "kind")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(r == Seq(("a", "b", 2L, 1.0), ("b", "a", 1L, 1.0)))
+    // equal timestamps: the tie column makes pairing deterministic
+    val tie = Seq((1L, ts(1), 2L, "x"), (1L, ts(1), 1L, "y"))
+      .toDF("u", "t", "id", "kind")
+    val rt = Resample.transitionMatrix(tie, "u", "t", "id", "kind")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(rt == Seq(("y", "x", 1L, 1.0)))
+  }
+
+  test("ewmaDaily: LONG numerator equals the α=1/2 adjusted recurrence") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-03-$d%02d $h%02d:00:00")
+    // key a days 1..4, two events on day 2 (sum within day first)
+    val df = Seq(("a", ts(1, 9), 10.0), ("a", ts(2, 9), 5.0),
+      ("a", ts(2, 10), 7.0), ("a", ts(4, 9), 20.0)).toDF("k", "t", "v")
+    val r = Resample.ewmaDaily(df, "k", "t", "v")
+      .as[(String, String, String, Long, Double)].collect().toSeq
+    // adjusted EWMA over present buckets x = (10, 12, 20):
+    // s1=10, s2=(10+2·12)/3, s3=(10+2·12+4·20)/7
+    def rnd(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == Seq(
+      ("a", "2024-03-01", "2024-03-01", 1L, 10.0),
+      ("a", "2024-03-01", "2024-03-02", 2L, rnd(34.0 / 3)),
+      ("a", "2024-03-01", "2024-03-04", 3L, rnd(114.0 / 7))))
+    // layout independence: the numerator is an integer window sum
+    val rng = new scala.util.Random(13)
+    val big = (1 to 300).map { i =>
+      ("k" + (i % 3), ts(1 + rng.nextInt(28), rng.nextInt(24)),
+        rng.nextInt(5000) / 100.0)
+    }
+    val a = Resample.ewmaDaily(big.toDF("k", "t", "v").repartition(1),
+      "k", "t", "v").collect().toSeq
+    val b = Resample.ewmaDaily(big.toDF("k", "t", "v").repartition(11),
+      "k", "t", "v").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -176,4 +176,28 @@ class RankTestsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].head()
     assert(rm._5 == 1.0 && rm._4 == 0L)
   }
+
+  test("theilSenDF: driver all-pairs weighted median; exact line recovers slope") {
+    val rng = new scala.util.Random(31)
+    val data = Seq.fill(250)((rng.nextInt(8).toDouble, rng.nextInt(5).toDouble))
+    val r = RankTests.theilSenDF(data.toDF("x", "y").repartition(7), "x", "y")
+      .as[(Long, Long, Double)].head()
+    // driver O(n²) reference: the same interpolating weighted median
+    val slopes = (for {
+      i <- data.indices; j <- data.indices
+      if data(j)._1 > data(i)._1
+    } yield (data(j)._2 - data(i)._2) / (data(j)._1 - data(i)._1)).sorted
+    val w = slopes.size.toLong
+    val ref = (slopes(((w + 1) / 2).toInt - 1) + slopes(((w + 2) / 2).toInt - 1)) / 2.0
+    assert(r._1 == 250L && r._2 == w)
+    assert(java.lang.Double.doubleToLongBits(r._3) ==
+      java.lang.Double.doubleToLongBits(ref))
+    // exact linear data → exact slope, any layout
+    val line = (1 to 40).map(i => (i.toDouble, 3.0 * i + 7.0))
+    for (p <- Seq(1, 7, 32)) {
+      val rl = RankTests.theilSenDF(line.toDF("x", "y").repartition(p), "x", "y")
+        .as[(Long, Long, Double)].head()
+      assert(rl._3 == 3.0, s"partitions=$p")
+    }
+  }
 }

@@ -601,6 +601,27 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_pos") == 2L && r.getAs[Long]("n_neg") == 2L)
   }
 
+  test("prCurve: hand-computed cuts; counts replay on any layout") {
+    // pos {3,2}, neg {2,1}; cuts desc: t=3 → tp1 fp0; t=2 → tp2 fp1;
+    // t=1 → tp2 fp2
+    val df = Seq((true, 3.0), (true, 2.0), (false, 2.0), (false, 1.0))
+      .toDF("label", "score")
+    val r = Roc.prCurve(df, $"label", $"score")
+      .as[(Double, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(r == Seq(
+      (3.0, 1L, 0L, 1.0, 0.5, 0.666667),
+      (2.0, 2L, 1L, 0.666667, 1.0, 0.8),
+      (1.0, 2L, 2L, 0.5, 1.0, 0.666667)))
+    // layout independence of the sharded prefix counts
+    val rng = new scala.util.Random(17)
+    val big = (1 to 500).map(_ => (rng.nextBoolean(), rng.nextInt(40).toDouble))
+    val a = Roc.prCurve(big.toDF("label", "score").repartition(1),
+      $"label", $"score").collect().toSeq
+    val b = Roc.prCurve(big.toDF("label", "score").repartition(13),
+      $"label", $"score").collect().toSeq
+    assert(a == b)
+  }
+
   test("empiricalRocDriver / empiricalCostThresholdDriver are bit-identical to the windowed twins") {
     // random quantized scores with heavy ties: the driver-side sweeps must
     // reproduce the windowed forms exactly (same LONG numerators, same
