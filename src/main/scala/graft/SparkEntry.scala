@@ -3804,6 +3804,25 @@ object SparkEntry {
     "r45_pr_curve" -> ((s, dir) => {
       Roc.prCurve(t(s, dir, "customer"),
         col("c_mktsegment") === "BUILDING", col("c_acctbal"))
+    }),
+
+    // ---- similarity: reciprocal-rank-fusion hybrid retrieval (n15) —
+    // n4's BM25 list + an n1 dense cosine list over the ALIGNED
+    // embeddings (doc_id ≡ vec_id), fused 1/(60+r)+1/(60+r); bounded
+    // driver fusion (the n10 doctrine). ----------------------------------
+    "n15_rrf_fusion" -> ((s, dir) => {
+      graft.text.Search.hybridRrf(
+        Tables.spread(t(s, dir, "documents")), "doc_id", "text",
+        Tables.spread(t(s, dir, "embeddings")), "vec_id", "embedding",
+        queryTerms = Seq("dup", "spark", "merge"), queryVecId = 0L)
+    }),
+
+    // ---- text: feature hashing (t20) — stateless fixed-width signed
+    // token features (no vocabulary pass); md5-char bucket/sign so the
+    // featurizer replays cross-engine (the d8/d9 doctrine). --------------
+    "t20_hashing_trick" -> ((s, dir) => {
+      graft.text.Vocab.hashedFeatures(
+        Tables.spread(t(s, dir, "documents")), "doc_id", "text", dim = 64)
     })
   )
 
@@ -8633,6 +8652,75 @@ object SparkEntry {
                 round(2.0 * CAST(p - cumnp AS DOUBLE)
                   / CAST((p - cumnp) + (nneg - cumnn) + p AS DOUBLE), 6)
                   AS f1
-         FROM pref ORDER BY threshold DESC"""
+         FROM pref ORDER BY threshold DESC""",
+
+    // n15: the n4 BM25 CTEs (k=50) + the n1 dense CTEs (query vec 0,
+    // k=50), fused by the identical two-term lex + dense chain
+    "n15_rrf_fusion" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                       FROM documents),
+         p AS (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+                 unnest(list_filter(w, t ->
+                   list_contains(['dup','spark','merge'], t))) AS term
+               FROM toks),
+         tf AS (SELECT doc_id, term, any_value(dl) AS dl, count(*) AS tf
+                FROM p GROUP BY 1, 2),
+         dfc AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+         corpus AS (SELECT count(*) AS n_docs,
+                      avg(CAST(len(string_split(lower(text), ' ')) AS DOUBLE))
+                        AS avgdl
+                    FROM documents),
+         s AS (SELECT doc_id,
+                 ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5)) * (tf * 2.2)
+                   / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS s
+               FROM tf JOIN dfc USING (term) CROSS JOIN corpus),
+         lexs AS (SELECT doc_id, round(sum(s), 6) AS score
+                  FROM s GROUP BY doc_id ORDER BY score DESC, doc_id
+                  LIMIT 50),
+         lex AS (SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                 FROM lexs),
+         uv AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings),
+         nr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+                FROM uv),
+         u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uvec
+               FROM nr WHERE nrm > 0),
+         q AS (SELECT uvec AS qu FROM u WHERE vec_id = 0),
+         scored AS (SELECT c.vec_id AS corpus_id,
+                      list_dot_product(c.uvec, q.qu) AS cos
+                    FROM u c CROSS JOIN q WHERE c.vec_id != 0),
+         dense AS (SELECT corpus_id,
+                     row_number() OVER (ORDER BY cos DESC, corpus_id) AS r
+                   FROM scored ORDER BY cos DESC, corpus_id LIMIT 50),
+         fused AS (
+           SELECT coalesce(l.doc_id, d.corpus_id) AS doc_id,
+                  l.r AS rank_lex, d.r AS rank_dense,
+                  (CASE WHEN l.r IS NULL THEN 0.0
+                        ELSE 1.0 / (60 + l.r) END)
+                  + (CASE WHEN d.r IS NULL THEN 0.0
+                          ELSE 1.0 / (60 + d.r) END) AS rrf
+           FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.corpus_id)
+         SELECT doc_id, rank_lex, rank_dense, rrf
+         FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""",
+
+    // t20: the identical md5-char bucket/sign featurizer
+    "t20_hashing_trick" ->
+      """WITH tk AS (
+           SELECT doc_id,
+                  unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                    '\s+'), t -> t != '')) AS t
+           FROM documents),
+         f AS (SELECT doc_id, md5(t) AS h FROM tk),
+         g AS (SELECT doc_id,
+                 CAST((unicode(substr(h, 1, 1)) * 31
+                       + unicode(substr(h, 2, 1))) % 64 AS BIGINT) AS bucket,
+                 CASE WHEN unicode(substr(h, 3, 1)) % 2 = 0
+                      THEN 1 ELSE -1 END AS sgn
+               FROM f)
+         SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v,
+                CAST(count(*) AS BIGINT) AS n_tokens
+         FROM g GROUP BY 1, 2 ORDER BY doc_id, bucket"""
   )
 }

@@ -90,4 +90,45 @@ object Search {
         col("score"), col("rank"))
       .orderBy(col("doc_id"), col("rank"))
   }
+
+  /** Hybrid retrieval via reciprocal-rank fusion — [[bm25TopK]]'s lexical
+    * list and a dense cosine list over an ALIGNED embedding table, fused
+    * as `rrf(d) = 1/(rrfK + rank_lex) + 1/(rrfK + rank_dense)` (absent
+    * from a list → that term is 0 — RRF over retrieved lists, the
+    * production shape).
+    *
+    * Each retriever runs fully distributed and returns only its bounded
+    * top-`kPerList` (BM25 ends in a TakeOrderedAndProject; the dense leg
+    * is the n1 bounded-heap aggregate); the fusion itself is a
+    * 2·kPerList-row driver protocol (the n10 MMR doctrine). Each RRF term
+    * is one division and the sum is the fixed two-term chain lex + dense,
+    * so the fused ordering replays bit-exactly; ties break by id.
+    *
+    * Returns the fused top `topK`: `(doc_id, rank_lex, rank_dense, rrf)`
+    * with NULL rank for a list the doc missed. */
+  def hybridRrf(docs: DataFrame, idCol: String, textCol: String,
+      emb: DataFrame, vecIdCol: String, vecCol: String,
+      queryTerms: Seq[String], queryVecId: Long,
+      kPerList: Int = 50, rrfK: Int = 60, topK: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lexIds = bm25TopK(docs, idCol, textCol, queryTerms, kPerList)
+      .select(col(idCol).cast("long")).as[Long].collect()
+    val denseIds = graft.sim.Embeddings.bruteForceTopKAgg(
+        emb, vecIdCol, vecCol,
+        emb.where(col(vecIdCol) === queryVecId), vecIdCol, vecCol, kPerList)
+      .orderBy(col("rank").asc)
+      .select(col("corpus_id")).as[Long].collect()
+    val lexRank = lexIds.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val denseRank = denseIds.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    val fused = (lexRank.keySet ++ denseRank.keySet).toSeq
+      .map { id =>
+        val lt = lexRank.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0)
+        val dt = denseRank.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0)
+        (id, lexRank.get(id), denseRank.get(id), lt + dt)
+      }
+      .sortBy { case (id, _, _, s) => (-s, id) }
+      .take(topK)
+    fused.toDF("doc_id", "rank_lex", "rank_dense", "rrf")
+  }
 }

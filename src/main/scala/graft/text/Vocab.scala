@@ -45,4 +45,33 @@ object Vocab {
       .select(col(idCol), col("__pos").cast("long").as("pos"),
         lookup.as("token_id"))
   }
+
+  /** Feature hashing (the "hashing trick") — fixed-width signed token
+    * features with NO vocabulary pass: every token maps straight to one of
+    * `dim` buckets with a ±1 sign, so the featurizer is stateless (new
+    * tokens never resize anything) and one groupBy away from a sparse
+    * feature frame `(id, bucket, v, n_tokens)`.
+    *
+    * The bucket/sign derive from md5 hex characters (char-code mix
+    * `(u1·31 + u2) mod dim`, sign from the third nibble's parity) — the
+    * d8/d9 doctrine: an engine-portable hash so the whole featurizer
+    * replays in any SQL engine; a production variant would swap in
+    * xxhash64 % dim (engine-specific, same shape, one expression).
+    *
+    * Plan: one explode → one map-side-combined groupBy keyed (id, bucket)
+    * — ≤ dim rows per doc survive; no joins, no windows, nothing global. */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 64): DataFrame = {
+    require(dim > 1, s"dim must be >1, got $dim")
+    val h = md5(col("__tok"))
+    df.select(col(idCol),
+        explode(TextOps.tokens(lower(col(textCol)))).as("__tok"))
+      .select(col(idCol),
+        ((ascii(substring(h, 1, 1)) * 31 + ascii(substring(h, 2, 1))) % dim)
+          .cast("long").as("bucket"),
+        when(ascii(substring(h, 3, 1)) % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("sgn")).as("v"), count(lit(1)).as("n_tokens"))
+      .orderBy(col(idCol), col("bucket"))
+  }
 }

@@ -42,6 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     // r44: the dimension-sized cell self-join (the r40 shape) plus the
     // 1-row total-weight and n combines
     "r44_theil_sen",
+    // n15: the n1 broadcast-query dense leg inside the hybrid fusion
+    "n15_rrf_fusion",
     // r45: the 1-row class-totals cross join over the curve frame
     "r45_pr_curve")
 

@@ -84,4 +84,26 @@ class SearchSpec extends SparkSpec {
     assert(r.map(_._1).forall(_ == 1L))
     assert(r.map(t => (t._2, t._6)).toSeq == Seq(("a", 1L), ("b", 2L)))
   }
+
+  test("hybridRrf: both-list docs outrank single-list docs; terms replay") {
+    // docs 1..4; lexical query hits 1,2; dense query vec aligns with 2,3
+    val docs = Seq((1L, "cat dog"), (2L, "cat fish"), (3L, "horse cow"),
+      (4L, "pig goat")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),  // query vector
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(1.0f, 0.1f)),
+      (3L, Seq(1.0f, 0.3f)),
+      (4L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Search.hybridRrf(docs, "doc_id", "text", emb, "vec_id",
+        "embedding", Seq("cat"), queryVecId = 0L, kPerList = 3, rrfK = 60,
+        topK = 10)
+      .as[(Long, Option[Long], Option[Long], Double)].collect().toSeq
+    // lex list: docs 1,2 (tie → id asc); dense top-3 vs (1,0): 2, 3, 1
+    val exp = Seq(
+      (2L, Some(2L), Some(1L), 1.0 / 62 + 1.0 / 61),
+      (1L, Some(1L), Some(3L), 1.0 / 61 + 1.0 / 63),
+      (3L, None: Option[Long], Some(2L), 0.0 + 1.0 / 62))
+    assert(r == exp)
+  }
 }

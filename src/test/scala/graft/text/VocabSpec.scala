@@ -34,4 +34,27 @@ class VocabSpec extends SparkSpec {
       .select(countDistinct($"token_id")).collect()(0).getLong(0)
     assert(oov == 1) // only -1
   }
+
+  test("hashedFeatures: driver md5 replay; same token always lands together") {
+    val docs = Seq((1L, "Cat dog cat  bird"), (2L, "cat CAT fish"))
+      .toDF("doc_id", "text")
+    val r = Vocab.hashedFeatures(docs, "doc_id", "text", dim = 16)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def feat(tok: String): (Long, Long) = {
+      val h = md5hex(tok)
+      (((h(0).toInt * 31 + h(1).toInt) % 16).toLong,
+        if (h(2).toInt % 2 == 0) 1L else -1L)
+    }
+    val toks = Map(1L -> Seq("cat", "dog", "cat", "bird"),
+      2L -> Seq("cat", "cat", "fish"))
+    val exp = toks.toSeq.flatMap { case (id, ts) =>
+      ts.map(feat).groupBy(_._1).map { case (b, fs) =>
+        (id, b, fs.map(_._2).sum, fs.size.toLong)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(r == exp)
+  }
 }
