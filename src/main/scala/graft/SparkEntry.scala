@@ -3823,6 +3823,49 @@ object SparkEntry {
     "t20_hashing_trick" -> ((s, dir) => {
       graft.text.Vocab.hashedFeatures(
         Tables.spread(t(s, dir, "documents")), "doc_id", "text", dim = 64)
+    }),
+
+    // ---- dedup: sorted-neighborhood blocking (d19) — the hash-free ER
+    // candidate generator: rank-adjacency within key-prefix blocks, the
+    // d4 sub-banded join, exact shingle-Jaccard verify. ------------------
+    "d19_sorted_neighborhood" -> ((s, dir) => {
+      Dedup.sortedNeighborhoodPairs(
+        Tables.spread(t(s, dir, "documents")), "doc_id", "text",
+        keyLen = 24, blockLen = 2, window = 3, n = 3, minJaccard = 0.5)
+    }),
+
+    // ---- ML: per-leaf calibration table (m11) — a depth-4 tree emits
+    // ≤16 distinct leaf probabilities, so calibration bins ARE the leaf
+    // scores: observed rate vs predicted per score, one division each
+    // (never a mean over double scores). m4's runtime-oracle contract. ----
+    "m11_calibration" -> ((s, dir) => {
+      // ~25% deterministic md5 label flips: leaves stay impure, so the
+      // calibration table carries real (score, observed-rate) spread
+      val o = t(s, dir, "orders").select(
+        (((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT")) =!=
+          (substring(md5(col("o_orderkey").cast("string")), 2, 1) < lit("4")))
+          .cast("double").as("label"),
+        col("o_totalprice"),
+        (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
+        year(col("o_orderdate")).cast("double").as("order_year"),
+        col("o_orderkey"))
+      val isTest = substring(md5(col("o_orderkey").cast("string")), 1, 1) < lit("5")
+      val spec = graft.ml.CohortClassifier.fitTreeProbSpec(
+        o.where(!isTest), Seq("o_totalprice", "is_urgent", "order_year"),
+        "label", maxDepth = 4)
+      m11FittedSpec = Some(spec)
+      val np = sum(col("label").cast("long")).as("n_pos")
+      o.where(isTest)
+        .withColumn("score", graft.ml.TreeScorer.compile(spec))
+        .groupBy(col("score"))
+        .agg(count(lit(1)).as("n"), np)
+        .select(col("score"), col("n"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+            .as("obs_rate"),
+          round(abs(col("score") -
+            col("n_pos").cast("double") / col("n").cast("double")), 6)
+            .as("gap"))
+        .orderBy(col("score"))
     })
   )
 
@@ -3940,6 +3983,32 @@ object SparkEntry {
   }.toMap
 
   @volatile private var m4FittedSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
+
+  /** m11's fitted tree — same runtime-oracle contract as [[m4FittedSpec]]. */
+  @volatile private var m11FittedSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
+
+  private def m11OracleEntry: Map[String, String] = m11FittedSpec.map { spec =>
+    "m11_calibration" ->
+      s"""WITH t AS (
+           SELECT CASE WHEN ((o_totalprice > 250000) != (o_orderpriority = '1-URGENT'))
+                         != (substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1) < '4')
+                       THEN 1.0 ELSE 0.0 END AS label,
+                  o_totalprice,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS is_urgent,
+                  CAST(year(o_orderdate) AS DOUBLE) AS order_year
+           FROM orders
+           WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '5'),
+         s AS (SELECT *, ${graft.ml.TreeScorer.toSql(spec)} AS score FROM t),
+         g AS (SELECT score, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos
+               FROM s GROUP BY score)
+         SELECT score, n, n_pos,
+                round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS obs_rate,
+                round(abs(score - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                  AS gap
+         FROM g ORDER BY score"""
+  }.toMap
 
   @volatile private var m6LinearSpec: Option[graft.ml.LinearScorer.LinearSpec] = None
 
@@ -4339,7 +4408,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
-    m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ r37OracleEntry ++
+    m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
+      r37OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
       t17OracleEntry ++ Map(
     "q1_agg" ->
@@ -8721,6 +8791,39 @@ object SparkEntry {
                FROM f)
          SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS v,
                 CAST(count(*) AS BIGINT) AS n_tokens
-         FROM g GROUP BY 1, 2 ORDER BY doc_id, bucket"""
+         FROM g GROUP BY 1, 2 ORDER BY doc_id, bucket""",
+
+    // d19: identical ASCII-normalized key, per-block ranks, rank-adjacency
+    // join, and the d4 shingle Jaccard (rounded before the threshold)
+    "d19_sorted_neighborhood" ->
+      """WITH keyed AS (
+           SELECT doc_id AS id,
+                  substr(regexp_replace(lower(trim(regexp_replace(text,
+                    '[^ -~]', '', 'g'))), '\s+', ' ', 'g'), 1, 24) AS skey,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x != '') AS tk
+           FROM documents),
+         sh AS (SELECT id, skey, substr(skey, 1, 2) AS block,
+                  CASE WHEN len(tk) < 3
+                       THEN list_distinct([array_to_string(tk, ' ')])
+                       ELSE list_distinct(list_transform(
+                              generate_series(1, len(tk) - 2),
+                              i -> array_to_string(tk[i:i+2], ' '))) END AS s
+                FROM keyed),
+         rk AS (SELECT id, block, s,
+                  CAST(row_number() OVER (PARTITION BY block
+                    ORDER BY skey, id) AS BIGINT) AS rnk
+                FROM sh),
+         cand AS (
+           SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+                  b.rnk - a.rnk AS rank_dist,
+                  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / CAST(len(a.s) + len(b.s)
+                           - len(list_intersect(a.s, b.s)) AS DOUBLE), 6)
+                    AS jaccard
+           FROM rk a JOIN rk b ON a.block = b.block
+             AND b.rnk > a.rnk AND b.rnk <= a.rnk + 3)
+         SELECT id_a, id_b, rank_dist, jaccard
+         FROM cand WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
   )
 }

@@ -538,6 +538,62 @@ object Dedup {
       .where(col("containment") >= minContain)
   }
 
+  /** Sorted-neighborhood blocking — the classic entity-resolution
+    * alternative to LSH ([[minHashNearDups]]): records sort by a
+    * normalized key (here the lowercased whitespace-collapsed text
+    * prefix), and only rank-adjacent records within `window` positions
+    * become candidates. Catches prefix-sharing near-dups with ZERO
+    * hashing and a tunable, tiny candidate budget (≤ window per record);
+    * blind to near-dups whose edit is inside the key prefix — the
+    * complementary failure mode to MinHash band misses, which is why ER
+    * pipelines run both.
+    *
+    * Distributed honestly: ranks are per-BLOCK (`blockLen`-char key
+    * prefix — a partitioned window, nothing global; the multi-pass
+    * sorted-neighborhood literature blocks exactly this way), and the
+    * rank-adjacency join uses the [[ngramJaccardPairs]] sub-banding trick
+    * (left side exploded into its two reachable rank blocks → shuffle
+    * hash join, ~2·window partners per row, never |block|²). Candidates
+    * verify with the exact sorted-merge shingle Jaccard, rounded to 6
+    * BEFORE the threshold (the d17 replay rule). */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+      keyLen: Int = 24, blockLen: Int = 2, window: Int = 3, n: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(blockLen >= 1 && keyLen > blockLen, s"bad key/block: $keyLen/$blockLen")
+    require(window >= 1, s"window must be >=1, got $window")
+    import org.apache.spark.sql.expressions.Window
+    // key normalization keeps printable ASCII only BEFORE lowercasing:
+    // binary string order then agrees across engines/collations, and
+    // lower() has no locale-dependent non-ASCII cases to disagree on
+    val norm = regexp_replace(
+      lower(trim(regexp_replace(col(textCol), "[^ -~]", ""))), "\\s+", " ")
+    val keyed = df.select(col(idCol).as("id"),
+        sort_array(shingles(col(textCol), n)).as("sh"),
+        substring(norm, 1, keyLen).as("skey"))
+      .withColumn("block", substring(col("skey"), 1, blockLen))
+    val w = Window.partitionBy(col("block"))
+      .orderBy(col("skey").asc, col("id").asc)
+    val ranked = keyed.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("id"), col("block"), col("rnk"), col("sh"))
+    val a = ranked.select(col("id"), col("block"), col("rnk"), col("sh"),
+      explode(array((col("rnk") / window).cast("long"),
+        (col("rnk") / window).cast("long") + 1)).as("rblk")).alias("a")
+    val b = ranked.withColumn("rblk", (col("rnk") / window).cast("long")).alias("b")
+    val inter = graft.expressions.SortedIntersectCount
+      .sortedIntersectCount(col("a.sh"), col("b.sh"))
+    a.join(b, col("a.block") === col("b.block") &&
+        col("a.rblk") === col("b.rblk") &&
+        col("b.rnk") > col("a.rnk") && col("b.rnk") <= col("a.rnk") + window)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"),
+        (col("b.rnk") - col("a.rnk")).as("rank_dist"),
+        round(inter.cast("double") /
+          (size(col("a.sh")) + size(col("b.sh")) - inter).cast("double"), 6)
+          .as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // ------------------------------------------- cross-engine md5 twins
 
   /** Cross-engine-verifiable twin of the MinHash near-dup family: ONE md5

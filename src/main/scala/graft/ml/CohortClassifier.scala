@@ -399,6 +399,19 @@ object CohortClassifier {
     TreeScorer.fromModel(model.rootNode, features)
   }
 
+  /** [[fitTreeSpec]] with leaf values = the class-1 POSTERIOR
+    * ([[TreeScorer.fromModelProb]]) — the predicted probability a
+    * calibration table bins on. */
+  def fitTreeProbSpec(train: DataFrame, features: Seq[String], labelCol: String,
+      maxDepth: Int = 4, seed: Long = 0L): TreeScorer.TreeSpec = {
+    val assembler = new VectorAssembler().setInputCols(features.toArray)
+      .setOutputCol("features").setHandleInvalid("keep")
+    val tree = new DecisionTreeClassifier().setLabelCol(labelCol)
+      .setFeaturesCol("features").setMaxDepth(maxDepth).setSeed(seed)
+    val model = tree.fit(assembler.transform(train))
+    TreeScorer.fromModelProb(model, features)
+  }
+
   /** M3-ish input hygiene: cast binaries to double 0/1, label to double. */
   private def prepare(df: DataFrame, cfg: Config): DataFrame = {
     val casts = df.columns.toSeq.map {

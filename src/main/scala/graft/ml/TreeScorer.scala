@@ -64,7 +64,22 @@ object TreeScorer {
     * because every leaf held training rows). */
   def fromModelRawCount(
       model: org.apache.spark.ml.classification.DecisionTreeClassificationModel,
-      features: Seq[String]): TreeSpec = {
+      features: Seq[String]): TreeSpec =
+    fromModelVia(model, features, raw => raw(1))
+
+  /** [[fromModelRawCount]]'s walk with leaf values = the class-1 POSTERIOR
+    * `c1/(c0+c1)` — the tree's predicted probability (one division of the
+    * leaf's training counts, exported as a literal), the score a
+    * calibration table bins on. */
+  def fromModelProb(
+      model: org.apache.spark.ml.classification.DecisionTreeClassificationModel,
+      features: Seq[String]): TreeSpec =
+    fromModelVia(model, features, raw => raw(1) / (raw(0) + raw(1)))
+
+  private def fromModelVia(
+      model: org.apache.spark.ml.classification.DecisionTreeClassificationModel,
+      features: Seq[String],
+      leafValue: org.apache.spark.ml.linalg.Vector => Double): TreeSpec = {
     def walk(node: Node, lo: Map[Int, Double], hi: Map[Int, Double]): TreeSpec =
       node match {
         case _: LeafNode =>
@@ -76,7 +91,7 @@ object TreeScorer {
               else if (l != Double.NegativeInfinity) l + 1.0 // strictly right
               else 0.0
             }.toArray)
-          Leaf(model.predictRaw(v)(1))
+          Leaf(leafValue(model.predictRaw(v)))
         case in: InternalNode => in.split match {
           case cs: ContinuousSplit =>
             val i = cs.featureIndex

@@ -369,4 +369,27 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(tight == Set((1L, 2L)))
   }
+
+  test("sortedNeighborhoodPairs: prefix-sharing near-dups pair, cross-block dups don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"),   // shares prefix w/ 1
+      (3L, "alpha beta gamma delta epsilon zeta"),       // exact dup of 1
+      (4L, "totally different content over here folks"),
+      (5L, "zz unrelated trailing block text")).toDF("doc_id", "text")
+    val r = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text",
+        keyLen = 24, blockLen = 2, window = 3, n = 3, minJaccard = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val pairs = r.map(t => (t._1, t._2)).toSet
+    assert(pairs.contains((1L, 3L)) && pairs.contains((1L, 2L)) &&
+      pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
+    assert(r.find(t => (t._1, t._2) == ((1L, 3L))).get._4 == 1.0)
+    // layout independence: per-block ranks don't depend on partitioning
+    val a = Dedup.sortedNeighborhoodPairs(docs.repartition(7), "doc_id",
+      "text", keyLen = 24, blockLen = 2, window = 3).collect().toSeq
+    assert(a == Dedup.sortedNeighborhoodPairs(docs.repartition(1), "doc_id",
+      "text", keyLen = 24, blockLen = 2, window = 3).collect().toSeq)
+  }
 }
