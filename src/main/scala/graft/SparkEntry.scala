@@ -3866,6 +3866,35 @@ object SparkEntry {
             col("n_pos").cast("double") / col("n").cast("double")), 6)
             .as("gap"))
         .orderBy(col("score"))
+    }),
+
+    // ---- S5 extension: SCD Type-2 dimension history (s34) — the CDC
+    // feed of an overwrite + two captured merges + a captured delete
+    // folds into (key, valid_from, valid_to, is_current) intervals; the
+    // oracle rebuilds every interval relationally from the base table. ---
+    "s34_scd2" -> ((s, dir) => {
+      val sfx = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s34-${ProcessHandle.current().pid()}/cust_scd2_$sfx"
+      val S = graft.sources.SnapshotTable
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      if (S.latestVersion(root) == 0) {
+        S.write(cust.where(col("c_custkey") <= 400).coalesce(1), root,
+          mode = "overwrite")                                          // v1
+        S.merge(cust.where(col("c_custkey").between(350, 420))
+            .withColumn("c_acctbal", round(col("c_acctbal") + 1000, 2)),
+          root, Seq("c_custkey"), changeCapture = true)                // v2
+        S.merge(cust.where(col("c_custkey").between(380, 410))
+            .withColumn("c_acctbal", round(col("c_acctbal") + 500, 2)),
+          root, Seq("c_custkey"), changeCapture = true)                // v3
+        S.deleteWhere(s, root, col("c_custkey").between(390, 395),
+          changeCapture = true)                                        // v4
+      }
+      graft.sources.Scd2.buildFrom(
+        S.read(s, root, version = Some(1)), baseVersion = 1,
+        feed = S.readChanges(s, root, fromVersion = 1), Seq("c_custkey"))
     })
   )
 
@@ -8824,6 +8853,30 @@ object SparkEntry {
            FROM rk a JOIN rk b ON a.block = b.block
              AND b.rnk > a.rnk AND b.rnk <= a.rnk + 3)
          SELECT id_a, id_b, rank_dist, jaccard
-         FROM cand WHERE jaccard >= 0.5 ORDER BY id_a, id_b"""
+         FROM cand WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+    // s34: the interval history rebuilt relationally — arrivals per
+    // version, lead() closes replacements, the delete closes 390..395
+    "s34_scd2" ->
+      """WITH c AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+                      c_acctbal AS bal FROM customer),
+         v1 AS (SELECT k, seg, bal, 1 AS vf FROM c WHERE k <= 400),
+         v2 AS (SELECT k, seg, round(bal + 1000, 2) AS bal, 2 AS vf
+                FROM c WHERE k BETWEEN 350 AND 420),
+         v3 AS (SELECT k, seg, round(bal + 500, 2) AS bal, 3 AS vf
+                FROM c WHERE k BETWEEN 380 AND 410),
+         allv AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2
+                  UNION ALL SELECT * FROM v3),
+         closed AS (SELECT k, seg, bal, vf,
+                      lead(vf) OVER (PARTITION BY k ORDER BY vf) AS vt0
+                    FROM allv),
+         fin AS (SELECT k, seg, bal, vf,
+                   CASE WHEN vt0 IS NOT NULL THEN vt0
+                        WHEN k BETWEEN 390 AND 395 THEN 4 END AS vt
+                 FROM closed)
+         SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_acctbal,
+                CAST(vf AS BIGINT) AS valid_from, CAST(vt AS BIGINT) AS valid_to,
+                (vt IS NULL) AS is_current
+         FROM fin ORDER BY c_custkey, valid_from"""
   )
 }
