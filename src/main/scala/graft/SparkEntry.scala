@@ -3895,6 +3895,22 @@ object SparkEntry {
       graft.sources.Scd2.buildFrom(
         S.read(s, root, version = Some(1)), baseVersion = 1,
         feed = S.readChanges(s, root, fromVersion = 1), Seq("c_custkey"))
+    }),
+
+    // ---- events: day-of-week seasonality census (e23) — STL-lite with
+    // RATIONAL residuals (7x − Σ₇) so the weekday means are integer sums;
+    // interior-day filter keeps one denominator. -------------------------
+    "e23_dow_seasonality" -> ((s, dir) => {
+      graft.ops.Resample.dowSeasonality(Tables.events(s, dir),
+        "event_type", "ts", "value")
+    }),
+
+    // ---- §2.8 Wald–Wolfowitz runs test per event type (r46) — sign runs
+    // around the q18-machinery exact median, integer (n1, n2, R), one
+    // fixed z tree. ------------------------------------------------------
+    "r46_runs_test" -> ((s, dir) => {
+      graft.stats.RankTests.runsTestDF(Tables.events(s, dir),
+        "event_type", "ts", "event_id", "value")
     })
   )
 
@@ -8877,6 +8893,86 @@ object SparkEntry {
          SELECT k AS c_custkey, seg AS c_mktsegment, bal AS c_acctbal,
                 CAST(vf AS BIGINT) AS valid_from, CAST(vt AS BIGINT) AS valid_to,
                 (vt IS NULL) AS is_current
-         FROM fin ORDER BY c_custkey, valid_from"""
+         FROM fin ORDER BY c_custkey, valid_from""",
+
+    // e23: identical rational residual 7x − Σ₇ and epoch-arithmetic dow
+    "e23_dow_seasonality" ->
+      """WITH daily AS (
+           SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                  CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS vc
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL
+           GROUP BY 1, 2),
+         win AS (SELECT key, day, vc,
+                  CAST(sum(vc) OVER (PARTITION BY key ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)
+                    AS w7,
+                  count(*) OVER (PARTITION BY key ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+                 FROM daily),
+         interior AS (
+           SELECT key, (CAST(day - DATE '1970-01-01' AS INT) + 4) % 7 AS dow,
+                  vc * 7 - w7 AS detr7
+           FROM win WHERE n7 = 7)
+         SELECT key, CAST(dow AS BIGINT) AS dow,
+                CAST(count(*) AS BIGINT) AS n_days,
+                round(CAST(sum(detr7) AS DOUBLE)
+                  / CAST(count(*) * 7 AS DOUBLE) / 100.0, 6) AS seasonal
+         FROM interior GROUP BY 1, 2 ORDER BY key, dow""",
+
+    // r46: identical doubled-cent median, tie drop, lag run boundaries,
+    // and the fixed (R − μ)/σ tree
+    "r46_runs_test" ->
+      """WITH base AS (
+           SELECT event_type AS key, ts, event_id AS tie,
+                  CAST(CAST(value AS DECIMAL(12,2)) * 200 AS BIGINT) AS v2
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             AND value IS NOT NULL),
+         cells AS (SELECT key, v2, CAST(count(*) AS BIGINT) AS c
+                   FROM base GROUP BY 1, 2),
+         cum AS (SELECT key, v2, c,
+                  CAST(sum(c) OVER (PARTITION BY key ORDER BY v2
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ci,
+                  CAST(sum(c) OVER (PARTITION BY key) AS BIGINT) AS n
+                 FROM cells),
+         med AS (SELECT key,
+                   (min(CASE WHEN ci >= (n + 1) // 2 THEN v2 END)
+                    + min(CASE WHEN ci >= (n + 2) // 2 THEN v2 END)) // 2
+                     AS med
+                 FROM cum GROUP BY key, n),
+         fl AS (SELECT b.key AS key, b.ts, b.tie,
+                  CASE WHEN b.v2 > m.med THEN 1 ELSE 0 END AS above
+                FROM base b JOIN med m ON b.key = m.key
+                WHERE b.v2 != m.med),
+         br AS (SELECT key, above,
+                  CASE WHEN lag(above) OVER (PARTITION BY key
+                         ORDER BY ts, tie) IS DISTINCT FROM above
+                       THEN 1 ELSE 0 END AS brk
+                FROM fl),
+         agg AS (SELECT key,
+                   CAST(sum(above) AS BIGINT) AS n_above,
+                   CAST(count(*) - sum(above) AS BIGINT) AS n_below,
+                   CAST(sum(brk) AS BIGINT) AS runs
+                 FROM br GROUP BY key)
+         SELECT key, n_above, n_below, runs,
+                CASE WHEN n_above > 0 AND n_below > 0
+                      AND 2.0 * n_above * n_below
+                          * (2.0 * CAST(n_above AS DOUBLE) * n_below
+                             - (CAST(n_above AS DOUBLE) + n_below)) > 0
+                     THEN round((CAST(runs AS DOUBLE)
+                       - (1.0 + 2.0 * CAST(n_above AS DOUBLE) * n_below
+                          / (CAST(n_above AS DOUBLE) + n_below)))
+                       / sqrt(2.0 * CAST(n_above AS DOUBLE) * n_below
+                          * (2.0 * CAST(n_above AS DOUBLE) * n_below
+                             - (CAST(n_above AS DOUBLE) + n_below))
+                          / ((CAST(n_above AS DOUBLE) + n_below)
+                             * (CAST(n_above AS DOUBLE) + n_below)
+                             * ((CAST(n_above AS DOUBLE) + n_below) - 1.0))),
+                       6) END AS z
+         FROM agg ORDER BY key"""
   )
 }

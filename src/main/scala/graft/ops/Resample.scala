@@ -337,4 +337,45 @@ object Resample {
           lit(100.0), 6).as("ewma"))
       .orderBy(col("key"), col("day"))
   }
+
+  /** Day-of-week seasonality census — STL-lite: detrend each daily bucket
+    * against its 7-day CENTERED moving average, then average the
+    * detrended residuals per (key, weekday). The weekly-pattern detector
+    * ([[acfCounts]] says "period 7 exists"; this says what the pattern
+    * IS).
+    *
+    * Exactness: the residual stays RATIONAL — `detr7 = 7·xᵢ − Σ₇ x`
+    * (LONG; the /7 never happens row-wise), so the per-weekday mean is
+    * `Σ detr7 / (7·cnt)` — integer sums, then one fixed two-division
+    * display chain. Only INTERIOR days (full 7-day window over present
+    * buckets) contribute, so every residual has the same denominator.
+    * Weekday index is collation-proof arithmetic: `(days-since-epoch + 4)
+    * mod 7` (0 = Sunday) — no locale, no engine dayofweek convention.
+    *
+    * Plan: one map-side-combined groupBy to the (key, day) frame, one
+    * PARTITIONED ±3-row sliding window, one dimension-sized (key × 7)
+    * regroup. Corpus shuffles once. */
+  def dowSeasonality(df: DataFrame, keyCol: String, tsCol: String,
+      valCol: String): DataFrame = {
+    val daily = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(sum((col(valCol).cast("decimal(12,2)") * 100).cast("long")).as("vc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("day").asc)
+      .rowsBetween(-3L, 3L)
+    daily
+      .withColumn("w7", sum(col("vc")).over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .where(col("n7") === 7L)
+      .withColumn("detr7", col("vc") * 7L - col("w7"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), lit("1970-01-01")) + lit(4), lit(7)).cast("long"))
+      .groupBy(col("key"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("detr7")).as("s"))
+      .select(col("key"), col("dow"), col("n_days"),
+        round(col("s").cast("double") /
+          (col("n_days") * 7L).cast("double") / lit(100.0), 6).as("seasonal"))
+      .orderBy(col("key"), col("dow"))
+  }
 }

@@ -368,4 +368,62 @@ object RankTests {
       .select(col("n"), col("tw").as("n_pairs"),
         ((col("m1") + col("m2")) / lit(2.0)).as("slope_med"))
   }
+
+  /** Wald–Wolfowitz runs test per key — randomness-of-sequence check over
+    * a keyed value stream: flag each observation above/below its key's
+    * interpolating median (median ties DROP, the standard convention),
+    * count sign runs in time order, and z-score the count against the
+    * exact run-count moments.
+    *
+    * Exactness: the median comes off the per-key value-cell cumsum in
+    * DOUBLED-cent units (the q18 machinery — pure LONG); flags, run
+    * boundaries and the (n₁, n₂, R) triple are integers; z is ONE fixed
+    * double tree `(R − μ)/σ` with `μ = 1 + 2n₁n₂/N`,
+    * `σ² = 2n₁n₂(2n₁n₂ − N)/(N²(N−1))`, NULL when degenerate (n₁ or n₂
+    * zero, or σ² ≤ 0).
+    *
+    * Plan: ONE corpus groupBy to cells, PARTITIONED cumsum windows for
+    * the medians, the k-row median frame joined back to the rows, one
+    * PARTITIONED lag window in (ts, tie) order, one keyed aggregate —
+    * nothing global, corpus shuffles twice (cells + sequence). */
+  def runsTestDF(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val base = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"), col(tsCol).as("ts"),
+        col(tieCol).as("tie"),
+        (col(valueCol).cast("decimal(12,2)") * 200).cast("long").as("v2"))
+    val cells = base.groupBy(col("key"), col("v2")).agg(count(lit(1)).as("c"))
+    val cw = Window.partitionBy(col("key")).orderBy(col("v2").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nw = Window.partitionBy(col("key"))
+    val med = cells
+      .withColumn("ci", sum(col("c")).over(cw))
+      .withColumn("n", sum(col("c")).over(nw))
+      .withColumn("m1", when(col("ci") >= expr("(n + 1) DIV 2"), col("v2")))
+      .withColumn("m2", when(col("ci") >= expr("(n + 2) DIV 2"), col("v2")))
+      .groupBy(col("key"))
+      .agg(((min(col("m1")) + min(col("m2"))) / lit(2)).cast("long").as("med"))
+    val sw = Window.partitionBy(col("key"))
+      .orderBy(col("ts").asc, col("tie").asc)
+    val flagged = base.join(med, "key")
+      .where(col("v2") =!= col("med"))
+      .withColumn("above", (col("v2") > col("med")).cast("long"))
+      .withColumn("brk",
+        when(lag(col("above"), 1).over(sw).isNull ||
+          lag(col("above"), 1).over(sw) =!= col("above"), 1L).otherwise(0L))
+    val agg = flagged.groupBy(col("key")).agg(
+      sum(col("above")).as("n_above"),
+      (count(lit(1)) - sum(col("above"))).as("n_below"),
+      sum(col("brk")).as("runs"))
+    val n1 = col("n_above").cast("double"); val n2 = col("n_below").cast("double")
+    val nn = n1 + n2
+    val mu = lit(1.0) + lit(2.0) * n1 * n2 / nn
+    val s2 = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn) /
+      (nn * nn * (nn - lit(1.0)))
+    agg.select(col("key"), col("n_above"), col("n_below"), col("runs"),
+        when(col("n_above") > 0L && col("n_below") > 0L && s2 > lit(0.0),
+          round((col("runs").cast("double") - mu) / sqrt(s2), 6)).as("z"))
+      .orderBy(col("key"))
+  }
 }

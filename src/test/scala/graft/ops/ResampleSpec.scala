@@ -239,4 +239,23 @@ class ResampleSpec extends SparkSpec {
       "k", "t", "v").collect().toSeq
     assert(a == b)
   }
+
+  test("dowSeasonality: weekly square wave recovers its own pattern") {
+    import java.sql.Timestamp
+    def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // 28 days; Mondays (2024-01-01, 08, 15, 22) carry 80, others 10:
+    // each interior 7-day window sums to 140, mean 20 → monday seasonal
+    // = 80-20 = 60, other days = -10
+    val rows = (1 to 28).map(d => ("k", ts(d), if ((d - 1) % 7 == 0) 80.0 else 10.0))
+    val r = Resample.dowSeasonality(rows.toDF("k", "t", "v"), "k", "t", "v")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // 2024-01-01 is a Monday → dow = (19723+4) % 7
+    val mondayDow = (19723 + 4) % 7
+    r.foreach { case (_, dow, nDays, seasonal) =>
+      assert(nDays >= 3L)
+      if (dow == mondayDow) assert(seasonal == 60.0)
+      else assert(seasonal == -10.0, s"dow=$dow")
+    }
+    assert(r.size == 7)
+  }
 }

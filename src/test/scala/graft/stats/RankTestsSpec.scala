@@ -200,4 +200,25 @@ class RankTestsSpec extends SparkSpec {
       assert(rl._3 == 3.0, s"partitions=$p")
     }
   }
+
+  test("runsTestDF: hand-counted runs; alternating sequence z > 0, sorted z < 0") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // key a: values 1,9,1,9,1,9 around median 5 → perfectly alternating:
+    // n1=n2=3, R=6 (max) → z = (6 - 4)/sigma > 0
+    val alt = (1 to 6).map(i => ("a", ts(i), i.toLong, if (i % 2 == 0) 9.0 else 1.0))
+    // key b: 1,1,1,9,9,9 → R=2 (min) → z < 0
+    val sorted = (1 to 6).map(i => ("b", ts(i), i.toLong + 10, if (i <= 3) 1.0 else 9.0))
+    val df = (alt ++ sorted).toDF("k", "t", "id", "v").repartition(5)
+    val r = RankTests.runsTestDF(df, "k", "t", "id", "v")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    val byK = r.map(t => t._1 -> t).toMap
+    assert(byK("a") == (("a", 3L, 3L, 6L, byK("a")._5)) && byK("a")._5.get > 0)
+    assert(byK("b") == (("b", 3L, 3L, 2L, byK("b")._5)) && byK("b")._5.get < 0)
+    // ties with the median drop: add median-valued rows, counts unchanged
+    val withTies = (alt ++ sorted ++ Seq(("a", ts(7), 99L, 5.0))).toDF("k", "t", "id", "v")
+    val rt = RankTests.runsTestDF(withTies, "k", "t", "id", "v")
+      .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(rt.find(_._1 == "a").get._4 == 6L)
+  }
 }
