@@ -3911,6 +3911,42 @@ object SparkEntry {
     "r46_runs_test" -> ((s, dir) => {
       graft.stats.RankTests.runsTestDF(Tables.events(s, dir),
         "event_type", "ts", "event_id", "value")
+    }),
+
+    // ---- text: language-ID confusion census (t21) — t1's classifier
+    // against the corpus truth column, per-cell recall one division. -----
+    "t21_langid_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = TextOps.withLangId(
+        Tables.spread(t(s, dir, "documents")), "text", "lang_pred")
+      d.where(col("lang").isNotNull)
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+        .withColumn("recall_cell", round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("lang"))).cast("double"), 6))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
+    // ---- similarity: k-means cluster purity vs labels (n16) — the
+    // clustering-eval census; trained centers export as literals and the
+    // oracle replays assignment + majority relationally (n3 contract). ---
+    "n16_cluster_purity" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+        .where(col("label").isNotNull)
+      val centers = Embeddings.kmeansTrain(emb, "embedding", k = 8, seed = 42L)
+      n16FittedCenters = Some(centers)
+      val cells = Embeddings.assignEuclidean(emb, "embedding", centers)
+        .groupBy(col("centroid_id").cast("long").as("centroid_id"),
+          col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("c"))
+      cells.groupBy(col("centroid_id"))
+        .agg(sum(col("c")).as("n"),
+          max(struct(col("c"), (-col("label")).as("nl"))).as("mx"))
+        .select(col("centroid_id"), col("n"),
+          (-col("mx.nl")).as("majority_label"),
+          col("mx.c").as("n_majority"),
+          round(col("mx.c").cast("double") / col("n").cast("double"), 6)
+            .as("purity"))
+        .orderBy(col("centroid_id"))
     })
   )
 
@@ -4237,6 +4273,40 @@ object SparkEntry {
     * regardless of fit determinism across environments. */
   @volatile private var n3FittedCenters: Option[Array[(Int, Seq[Double])]] = None
 
+  /** n16's trained centers — the n3 runtime-oracle contract. */
+  @volatile private var n16FittedCenters: Option[Array[(Int, Seq[Double])]] = None
+
+  private def n16OracleEntry: Map[String, String] = n16FittedCenters.map { centers =>
+    val values = centers.map { case (cid, v) =>
+      s"($cid, [${v.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n           ")
+    "n16_cluster_purity" ->
+      s"""WITH cents AS (
+           SELECT * FROM (VALUES $values) t(cid, cvec)),
+         uv AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE label IS NOT NULL),
+         ca AS (
+           SELECT vec_id, label, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY 2.0 * list_dot_product(v, cvec)
+                             - list_dot_product(cvec, cvec) DESC, cid) AS rn
+           FROM uv CROSS JOIN cents),
+         asg AS (SELECT CAST(cid AS BIGINT) AS centroid_id, label
+                 FROM ca WHERE rn = 1),
+         cells AS (SELECT centroid_id, label, CAST(count(*) AS BIGINT) AS c
+                   FROM asg GROUP BY 1, 2),
+         rk AS (SELECT centroid_id, label, c,
+                  row_number() OVER (PARTITION BY centroid_id
+                    ORDER BY c DESC, label) AS rn,
+                  CAST(sum(c) OVER (PARTITION BY centroid_id) AS BIGINT) AS n
+                FROM cells)
+         SELECT centroid_id, n, label AS majority_label, c AS n_majority,
+                round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS purity
+         FROM rk WHERE rn = 1 ORDER BY centroid_id"""
+  }.toMap
+
   private def n3OracleEntry: Map[String, String] = n3FittedCenters.map { centers =>
     val values = centers.map { case (cid, v) =>
       s"($cid, [${v.map(_.toString).mkString(", ")}])"
@@ -4456,6 +4526,7 @@ object SparkEntry {
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
       r37OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
+      n16OracleEntry ++
       t17OracleEntry ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -8973,6 +9044,38 @@ object SparkEntry {
                              * (CAST(n_above AS DOUBLE) + n_below)
                              * ((CAST(n_above AS DOUBLE) + n_below) - 1.0))),
                        6) END AS z
-         FROM agg ORDER BY key"""
+         FROM agg ORDER BY key""",
+
+    // t21: the t1 classifier CTEs with the truth column carried through
+    "t21_langid_confusion" ->
+      """WITH scored AS (
+           SELECT lang,
+                  list_filter(string_split_regex(trim(text), '\s+'),
+                    x -> x != '') AS toks,
+                  text
+           FROM documents WHERE lang IS NOT NULL),
+         s2 AS (
+           SELECT lang, text,
+             len(list_filter(toks, t -> list_contains(['the','and','of','to','in','is','that','with','for','it'], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','von','zu'], t))) AS s_de,
+             len(list_filter(toks, t -> list_contains(['le','la','les','et','est','une','que','pour','dans','des'], t))) AS s_fr,
+             len(list_filter(toks, t -> list_contains(['el','los','las','y','es','una','que','por','con','para'], t))) AS s_es
+           FROM scored),
+         lp AS (
+           SELECT lang,
+                  CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'en'
+                       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'de'
+                       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'fr'
+                       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) AND greatest(s_en, s_de, s_fr, s_es) > 0 THEN 'es'
+                       ELSE 'unknown' END AS lang_pred
+           FROM s2),
+         cf AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+                FROM lp GROUP BY 1, 2)
+         SELECT lang, lang_pred, n,
+                round(CAST(n AS DOUBLE)
+                  / CAST(CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
+                         AS DOUBLE), 6) AS recall_cell
+         FROM cf ORDER BY lang, lang_pred"""
   )
 }
