@@ -3947,6 +3947,35 @@ object SparkEntry {
           round(col("mx.c").cast("double") / col("n").cast("double"), 6)
             .as("purity"))
         .orderBy(col("centroid_id"))
+    }),
+
+    // ---- quality: referential-integrity audit (q19) — orphan/NULL FK
+    // census per relationship, distinct parent keys + one conditional
+    // aggregate per child, unioned into a schema report. -----------------
+    "q19_fk_audit" -> ((s, dir) => {
+      val P = graft.ops.Profile
+      P.fkAudit("lineitem.l_orderkey->orders",
+          t(s, dir, "lineitem"), "l_orderkey", t(s, dir, "orders"), "o_orderkey")
+        .unionByName(P.fkAudit("orders.o_custkey->customer",
+          t(s, dir, "orders"), "o_custkey", t(s, dir, "customer"), "c_custkey"))
+        .unionByName(P.fkAudit("customer.c_nationkey->nation",
+          t(s, dir, "customer"), "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+        .orderBy(col("relationship"))
+    }),
+
+    // ---- multimodal: image near-dup pairs (x5) — decode + grid-embed
+    // in-partition (payloads never shuffle), banded id-block join, dyadic
+    // embeddings make the cosine replay exact. ---------------------------
+    "x5_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          Multimodal.MediaRow(id, "image", Multimodal.textToPngPayload(text),
+            Multimodal.MediaMeta("png", 16, 16, 3, 0L))
+        }
+      Multimodal.imageNearDupPairs(media, dim = 8, idWindow = 25, minCos = 0.9999)
     })
   )
 
@@ -9076,6 +9105,69 @@ object SparkEntry {
                 round(CAST(n AS DOUBLE)
                   / CAST(CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT)
                          AS DOUBLE), 6) AS recall_cell
-         FROM cf ORDER BY lang, lang_pred"""
+         FROM cf ORDER BY lang, lang_pred""",
+
+    // q19: identical distinct-parent left joins and conditional counts
+    "q19_fk_audit" ->
+      """WITH li AS (
+           SELECT 'lineitem.l_orderkey->orders' AS relationship,
+                  CAST(count(*) AS BIGINT) AS n_child,
+                  CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END)
+                    AS BIGINT) AS n_null,
+                  CAST(count(CASE WHEN l_orderkey IS NOT NULL
+                    AND o.k IS NULL THEN 1 END) AS BIGINT) AS n_orphans
+           FROM lineitem l LEFT JOIN
+             (SELECT DISTINCT o_orderkey AS k FROM orders
+              WHERE o_orderkey IS NOT NULL) o ON l.l_orderkey = o.k),
+         oc AS (
+           SELECT 'orders.o_custkey->customer' AS relationship,
+                  CAST(count(*) AS BIGINT) AS n_child,
+                  CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END)
+                    AS BIGINT) AS n_null,
+                  CAST(count(CASE WHEN o_custkey IS NOT NULL
+                    AND c.k IS NULL THEN 1 END) AS BIGINT) AS n_orphans
+           FROM orders ord LEFT JOIN
+             (SELECT DISTINCT c_custkey AS k FROM customer
+              WHERE c_custkey IS NOT NULL) c ON ord.o_custkey = c.k),
+         cn AS (
+           SELECT 'customer.c_nationkey->nation' AS relationship,
+                  CAST(count(*) AS BIGINT) AS n_child,
+                  CAST(count(CASE WHEN c_nationkey IS NULL THEN 1 END)
+                    AS BIGINT) AS n_null,
+                  CAST(count(CASE WHEN c_nationkey IS NOT NULL
+                    AND n.k IS NULL THEN 1 END) AS BIGINT) AS n_orphans
+           FROM customer cu LEFT JOIN
+             (SELECT DISTINCT n_nationkey AS k FROM nation
+              WHERE n_nationkey IS NOT NULL) n ON cu.c_nationkey = n.k),
+         u AS (SELECT * FROM li UNION ALL SELECT * FROM oc
+               UNION ALL SELECT * FROM cn)
+         SELECT relationship, n_child, n_null, n_orphans,
+                round(CAST(n_orphans AS DOUBLE) / CAST(n_child AS DOUBLE), 6)
+                  AS orphan_rate
+         FROM u ORDER BY relationship""",
+
+    // x5: the x1 dyadic grid embedding rebuilt bin-by-bin, cosine via
+    // list_dot_product (sequential double dot), rounded pre-threshold
+    "x5_image_neardup" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  substr(rpad(regexp_replace(text, '[^ -~]', '', 'g'),
+                    256, ' '), 1, 256) AS s
+           FROM documents),
+         v AS (
+           SELECT doc_id AS id,
+                  list_transform(range(0, 8), b ->
+                    list_sum(list_transform(range(1, 33),
+                      i -> CAST(unicode(substr(s, CAST(b * 32 + i AS INT), 1))
+                           AS DOUBLE))) / 32.0) AS v
+           FROM p),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b,
+                  round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+           FROM v a JOIN v b ON b.id > a.id AND b.id <= a.id + 25)
+         SELECT id_a, id_b, cos FROM pairs
+         WHERE cos >= 0.9999 ORDER BY id_a, id_b"""
   )
 }

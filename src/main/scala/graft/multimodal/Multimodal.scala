@@ -340,4 +340,34 @@ object Multimodal {
   def joinFeatures(features: Dataset[ImageFeatures], metaTable: DataFrame,
       idCol: String): DataFrame =
     metaTable.join(features.toDF(), metaTable(idCol) === features("media_id"))
+
+  /** Image near-duplicate pairs — the multimodal dedup pass: decode +
+    * grid-embed in-partition ([[extractImageFeatures]] — payloads never
+    * shuffle), then pair rank-adjacent ids with the banded id-block join
+    * (the d4 trick: left side exploded into its two reachable blocks →
+    * shuffle hash join, ~2·window partners per embedding, never all
+    * pairs) and keep pairs whose embedding cosine clears `minCos`
+    * (rounded to 6 BEFORE the threshold — the d17 replay rule).
+    *
+    * Only the `dim`-float embeddings enter the join; 16×16 gray payloads
+    * with power-of-two bins make every embedding value an exact dyadic
+    * rational, so the cosine tree replays bit-for-bit. */
+  def imageNearDupPairs(media: Dataset[MediaRow], dim: Int = 8,
+      idWindow: Long = 25, minCos: Double = 0.9999): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = extractImageFeatures(media, dim).toDF()
+      .select(col("media_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+    val a = emb.select(col("id"), col("v"),
+      explode(array((col("id") / idWindow).cast("long"),
+        (col("id") / idWindow).cast("long") + 1)).as("block")).alias("a")
+    val b = emb.withColumn("block", (col("id") / idWindow).cast("long")).alias("b")
+    val cos = graft.sim.Embeddings.cosine(col("a.v"), col("b.v"))
+    a.join(b, col("a.block") === col("b.block") &&
+        col("b.id") > col("a.id") && col("b.id") <= col("a.id") + idWindow)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cos, 6).as("cos"))
+      .where(col("cos") >= minCos)
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }

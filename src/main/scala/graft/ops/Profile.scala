@@ -234,4 +234,31 @@ object Profile {
           col("n_pairs").cast("double"), 6).as("strength"))
       .orderBy(col("det"), col("dep"))
   }
+
+  /** Referential-integrity audit for one child→parent relationship — the
+    * constraint check a lakehouse can't enforce at write time: count child
+    * rows whose key has no parent (orphans), NULL keys reported separately
+    * (a NULL FK is absent, not broken — SQL FK semantics).
+    *
+    * Plan: parent keys reduce to DISTINCT map-side, ONE join + ONE
+    * conditional aggregate over the child — no second child scan; counts
+    * are LONGs, the rate is one division. Compose several relationships
+    * with unionByName for a whole-schema report. */
+  def fkAudit(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val p = parent.select(col(parentKey).as("__k"))
+      .where(col("__k").isNotNull).distinct()
+      .withColumn("__hit", lit(1))
+    child.select(col(childKey).as("__k"))
+      .join(p, Seq("__k"), "left")
+      .agg(
+        count(lit(1)).as("n_child"),
+        coalesce(sum(when(col("__k").isNull, 1L)), lit(0L)).as("n_null"),
+        coalesce(sum(when(col("__k").isNotNull && col("__hit").isNull, 1L)),
+          lit(0L)).as("n_orphans"))
+      .select(lit(name).as("relationship"), col("n_child"), col("n_null"),
+        col("n_orphans"),
+        round(col("n_orphans").cast("double") / col("n_child").cast("double"), 6)
+          .as("orphan_rate"))
+  }
 }

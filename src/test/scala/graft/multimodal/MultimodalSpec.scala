@@ -171,4 +171,19 @@ class MultimodalSpec extends SparkSpec {
       val v = (c - 64) * 256L; v * v }).sum
     assert(e(0) == expected0)
   }
+
+  test("imageNearDupPairs: identical payloads hit cos 1.0, disjoint texts don't pair") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup
+      (3L, "%%%%%%%% ######## @@@@@@@@ !!!!!!!! ________"))
+    val media = texts.toDF("doc_id", "text").as[(Long, String)]
+      .map { case (id, t) =>
+        MediaRow(id, "image", textToPngPayload(t), MediaMeta("png", 16, 16, 3, 0L)) }
+    val r = imageNearDupPairs(media, dim = 8, idWindow = 25, minCos = 0.9999)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r.contains((1L, 2L, 1.0)))
+    assert(!r.exists(t => t._2 == 3L))
+  }
 }

@@ -155,4 +155,19 @@ class ProfileSpec extends SparkSpec {
     // only the (1,"a") row survives for both directions
     assert(r.forall(t => t._3 == 1L && t._4 == 1L && t._5))
   }
+
+  test("fkAudit: orphans, NULL keys, and clean relations count right") {
+    val child = Seq(Some(1L), Some(1L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Profile.fkAudit("child.fk->parent", child, "fk", parent, "pk")
+      .as[(String, Long, Long, Long, Double)].head()
+    // 4 child rows: two hit key 1, one orphan (9), one NULL
+    assert(r == (("child.fk->parent", 4L, 1L, 1L, 0.25)))
+    // duplicate parent keys must not multiply child rows
+    val dupParent = Seq(1L, 1L, 2L).toDF("pk")
+    val r2 = Profile.fkAudit("x", child, "fk", dupParent, "pk")
+      .as[(String, Long, Long, Long, Double)].head()
+    assert(r2._2 == 4L && r2._4 == 1L)
+  }
 }
