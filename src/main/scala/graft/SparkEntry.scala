@@ -3976,6 +3976,45 @@ object SparkEntry {
             Multimodal.MediaMeta("png", 16, 16, 3, 0L))
         }
       Multimodal.imageNearDupPairs(media, dim = 8, idWindow = 25, minCos = 0.9999)
+    }),
+
+    // ---- windows: NATIVE session_window aggregation (w9) — Spark's
+    // built-in gap-merging session assignment; the oracle replays it with
+    // the e20 break-cumsum island machinery (half-open [ts, ts+gap)). ----
+    "w9_session_window" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .where(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"), col("n_events"))
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
+    // ---- quality: candidate-key uniqueness audit (q20) — one cell
+    // groupBy + one conditional aggregate per audit; o_custkey shows a
+    // real non-unique key census. ----------------------------------------
+    "q20_pk_audit" -> ((s, dir) => {
+      val P = graft.ops.Profile
+      P.pkAudit("lineitem(l_orderkey,l_linenumber)",
+          t(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))
+        .unionByName(P.pkAudit("orders(o_orderkey)",
+          t(s, dir, "orders"), Seq("o_orderkey")))
+        .unionByName(P.pkAudit("orders(o_custkey)",
+          t(s, dir, "orders"), Seq("o_custkey")))
+        .orderBy(col("key"))
+    }),
+
+    // ---- §2.8 Cochran's Q (r47) — k-related-samples binary test over
+    // the order's first three lines; one aggregate, one fixed tree. ------
+    "r47_cochran_q" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def line(n: Int) = li.where(col("l_linenumber") === n)
+        .select(col("l_orderkey").as("k"),
+          (col("l_returnflag") === "R").as(s"x$n"))
+      graft.stats.Epi.cochranQDF(
+        line(1).join(line(2), "k").join(line(3), "k"),
+        Seq(col("x1"), col("x2"), col("x3")))
     })
   )
 
@@ -9168,6 +9207,107 @@ object SparkEntry {
                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
            FROM v a JOIN v b ON b.id > a.id AND b.id <= a.id + 25)
          SELECT id_a, id_b, cos FROM pairs
-         WHERE cos >= 0.9999 ORDER BY id_a, id_b"""
+         WHERE cos >= 0.9999 ORDER BY id_a, id_b""",
+
+    // w9: session_window replayed as break-cumsum islands; half-open
+    // windows make the break rule gap >= 30min exactly
+    "w9_session_window" ->
+      """WITH e AS (SELECT user_id, ts FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         b AS (SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+                      THEN 1 ELSE 0 END AS brk
+               FROM e),
+         g AS (SELECT user_id, ts,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM b)
+         SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+                CAST(epoch_us(max(ts)) + 1800000000 AS BIGINT) AS end_us,
+                CAST(count(*) AS BIGINT) AS n_events
+         FROM g GROUP BY user_id, sid ORDER BY user_id, start_us""",
+
+    // q20: identical cell census per audited key
+    "q20_pk_audit" ->
+      """WITH la AS (
+           SELECT 'lineitem(l_orderkey,l_linenumber)' AS key,
+                  CAST(sum(c) AS BIGINT) AS n_rows,
+                  CAST(coalesce(sum(CASE WHEN k1 IS NULL OR k2 IS NULL
+                    THEN c END), 0) AS BIGINT) AS n_null,
+                  CAST(count(CASE WHEN k1 IS NOT NULL AND k2 IS NOT NULL
+                    THEN 1 END) AS BIGINT) AS n_keys,
+                  CAST(coalesce(sum(CASE WHEN k1 IS NOT NULL
+                    AND k2 IS NOT NULL AND c > 1 THEN 1 END), 0)
+                    AS BIGINT) AS n_dup_keys,
+                  CAST(coalesce(max(CASE WHEN k1 IS NOT NULL
+                    AND k2 IS NOT NULL THEN c END), 0) AS BIGINT)
+                    AS max_multiplicity
+           FROM (SELECT l_orderkey AS k1, l_linenumber AS k2,
+                   count(*) AS c FROM lineitem GROUP BY 1, 2)),
+         ok AS (
+           SELECT 'orders(o_orderkey)' AS key,
+                  CAST(sum(c) AS BIGINT) AS n_rows,
+                  CAST(coalesce(sum(CASE WHEN k1 IS NULL THEN c END), 0)
+                    AS BIGINT) AS n_null,
+                  CAST(count(CASE WHEN k1 IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_keys,
+                  CAST(coalesce(sum(CASE WHEN k1 IS NOT NULL AND c > 1
+                    THEN 1 END), 0) AS BIGINT) AS n_dup_keys,
+                  CAST(coalesce(max(CASE WHEN k1 IS NOT NULL THEN c END), 0)
+                    AS BIGINT) AS max_multiplicity
+           FROM (SELECT o_orderkey AS k1, count(*) AS c FROM orders
+                 GROUP BY 1)),
+         oc AS (
+           SELECT 'orders(o_custkey)' AS key,
+                  CAST(sum(c) AS BIGINT) AS n_rows,
+                  CAST(coalesce(sum(CASE WHEN k1 IS NULL THEN c END), 0)
+                    AS BIGINT) AS n_null,
+                  CAST(count(CASE WHEN k1 IS NOT NULL THEN 1 END)
+                    AS BIGINT) AS n_keys,
+                  CAST(coalesce(sum(CASE WHEN k1 IS NOT NULL AND c > 1
+                    THEN 1 END), 0) AS BIGINT) AS n_dup_keys,
+                  CAST(coalesce(max(CASE WHEN k1 IS NOT NULL THEN c END), 0)
+                    AS BIGINT) AS max_multiplicity
+           FROM (SELECT o_custkey AS k1, count(*) AS c FROM orders
+                 GROUP BY 1))
+         SELECT * FROM la UNION ALL SELECT * FROM ok
+         UNION ALL SELECT * FROM oc ORDER BY key""",
+
+    // r47: identical one-aggregate sums and the fixed Q tree
+    "r47_cochran_q" ->
+      """WITH l1 AS (SELECT l_orderkey AS k,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS x1
+                FROM lineitem WHERE l_linenumber = 1),
+         l2 AS (SELECT l_orderkey AS k,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS x2
+                FROM lineitem WHERE l_linenumber = 2),
+         l3 AS (SELECT l_orderkey AS k,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS x3
+                FROM lineitem WHERE l_linenumber = 3),
+         b AS (SELECT x1, x2, x3 FROM l1 JOIN l2 USING (k)
+               JOIN l3 USING (k)),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                 CAST(sum(x1) AS BIGINT) AS c1,
+                 CAST(sum(x2) AS BIGINT) AS c2,
+                 CAST(sum(x3) AS BIGINT) AS c3,
+                 CAST(sum(x1 + x2 + x3) AS BIGINT) AS sr,
+                 CAST(sum((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS sr2
+               FROM b)
+         SELECT n_blocks, c1, c2, c3,
+                CASE WHEN 3.0 * CAST(sr AS DOUBLE) - CAST(sr2 AS DOUBLE) > 0.0
+                     THEN round(2.0 *
+                       (3.0 * (CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+                               + CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE)
+                               + CAST(c3 AS DOUBLE) * CAST(c3 AS DOUBLE))
+                        - (CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)
+                           + CAST(c3 AS DOUBLE))
+                          * (CAST(c1 AS DOUBLE) + CAST(c2 AS DOUBLE)
+                             + CAST(c3 AS DOUBLE)))
+                       / (3.0 * CAST(sr AS DOUBLE) - CAST(sr2 AS DOUBLE)), 6)
+                END AS q
+         FROM a"""
   )
 }

@@ -261,4 +261,25 @@ object Profile {
         round(col("n_orphans").cast("double") / col("n_child").cast("double"), 6)
           .as("orphan_rate"))
   }
+
+  /** Candidate-key uniqueness audit — ONE map-side-combined groupBy to the
+    * key-multiplicity cells, then a single conditional aggregate: total
+    * rows, rows in NULL-key groups (excluded from the key census — a NULL
+    * key is absent, not duplicated), distinct keys, duplicated keys, and
+    * the worst multiplicity. Compose audits with unionByName. */
+  def pkAudit(name: String, df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "pkAudit needs at least one key column")
+    val cells = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+    val anyNull = keyCols.map(col(_).isNull).reduce(_ || _)
+    cells.agg(
+        sum(col("c")).as("n_rows"),
+        coalesce(sum(when(anyNull, col("c"))), lit(0L)).as("n_null"),
+        count(when(!anyNull, 1)).as("n_keys"),
+        coalesce(sum(when(!anyNull && col("c") > 1L, 1L)), lit(0L))
+          .as("n_dup_keys"),
+        coalesce(max(when(!anyNull, col("c"))), lit(0L))
+          .as("max_multiplicity"))
+      .select(lit(name).as("key"), col("n_rows"), col("n_null"),
+        col("n_keys"), col("n_dup_keys"), col("max_multiplicity"))
+  }
 }

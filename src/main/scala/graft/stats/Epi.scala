@@ -239,4 +239,32 @@ object Epi {
           .otherwise(lit(0.0)).as("cmh_running"))
       .orderBy(col("stratum"))
   }
+
+  /** Cochran's Q — k-related-samples test for BINARY outcomes (the binary
+    * sibling of [[graft.stats.RankTests.friedmanDF]]): blocks with one 0/1
+    * outcome per treatment, `Q = (k−1)·(k·ΣCⱼ² − N²) / (k·ΣRᵢ − ΣRᵢ²)`
+    * with Cⱼ treatment totals and Rᵢ block row totals — every sum an exact
+    * LONG off ONE aggregate over the block frame, the statistic one fixed
+    * double tree (NULL when the denominator degenerates: all-0/all-1
+    * blocks only). `outcomes` are the per-treatment boolean columns of a
+    * pre-pivoted block frame, in treatment order. */
+  def cochranQDF(blocks: DataFrame, outcomes: Seq[Column]): DataFrame = {
+    val k = outcomes.size
+    require(k >= 2, s"cochranQ needs >=2 treatments, got $k")
+    val xs = outcomes.map(_.cast("long"))
+    val r = xs.reduce(_ + _)
+    val cSums = xs.zipWithIndex.map { case (x, j) => sum(x).as(s"c${j + 1}") }
+    val agg = blocks.agg(count(lit(1)).as("n_blocks"),
+      (cSums :+ sum(r).as("sr") :+ sum(r * r).as("sr2")): _*)
+    val cCols = (1 to k).map(j => col(s"c$j"))
+    val sumC2 = cCols.map(c => c.cast("double") * c.cast("double"))
+      .reduce(_ + _)
+    val nTot = cCols.map(_.cast("double")).reduce(_ + _)
+    val den = lit(k.toDouble) * col("sr").cast("double") -
+      col("sr2").cast("double")
+    agg.select((col("n_blocks") +: cCols) :+
+      when(den > lit(0.0),
+        round(lit((k - 1).toDouble) *
+          (lit(k.toDouble) * sumC2 - nTot * nTot) / den, 6)).as("q"): _*)
+  }
 }

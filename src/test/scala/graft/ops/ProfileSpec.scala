@@ -170,4 +170,13 @@ class ProfileSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double)].head()
     assert(r2._2 == 4L && r2._4 == 1L)
   }
+
+  test("pkAudit: dup keys, NULL keys, and multiplicity census") {
+    val df = Seq(Some(1L), Some(1L), Some(1L), Some(2L), None, None)
+      .toDF("k")
+    val r = Profile.pkAudit("t(k)", df, Seq("k"))
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    // 6 rows, 2 NULL, keys {1×3, 2×1} → 2 keys, 1 dup, max mult 3
+    assert(r == (("t(k)", 6L, 2L, 2L, 1L, 3L)))
+  }
 }

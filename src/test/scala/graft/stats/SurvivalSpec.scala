@@ -301,4 +301,27 @@ class SurvivalSpec extends SparkSpec {
         (aRun - eRun) * (aRun - eRun) / vRun) < 1e-4)
     }
   }
+
+  test("cochranQDF: textbook 3-treatment example") {
+    import spark.implicits._
+    // blocks (x1, x2, x3); hand Q via the closed form
+    val rows = Seq(
+      (true, true, false), (true, false, false), (false, true, true),
+      (true, true, true), (false, false, false), (true, false, true),
+      (false, true, false), (true, true, false))
+    val df = rows.toDF("x1", "x2", "x3")
+    val r = graft.stats.Epi.cochranQDF(df,
+      Seq(org.apache.spark.sql.functions.col("x1"),
+        org.apache.spark.sql.functions.col("x2"),
+        org.apache.spark.sql.functions.col("x3")))
+      .collect()(0)
+    val c = Seq(rows.count(_._1), rows.count(_._2), rows.count(_._3)).map(_.toLong)
+    val rs = rows.map(t => Seq(t._1, t._2, t._3).count(identity).toLong)
+    val qRef = 2.0 * (3.0 * c.map(x => x.toDouble * x).sum -
+      math.pow(c.sum.toDouble, 2)) /
+      (3.0 * rs.sum - rs.map(x => x * x).sum)
+    assert(r.getLong(0) == 8L)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((c(0), c(1), c(2))))
+    assert(math.abs(r.getDouble(4) - qRef) < 1e-6) // engine rounds Q to 6
+  }
 }
