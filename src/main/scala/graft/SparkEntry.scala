@@ -4015,6 +4015,66 @@ object SparkEntry {
       graft.stats.Epi.cochranQDF(
         line(1).join(line(2), "k").join(line(3), "k"),
         Seq(col("x1"), col("x2"), col("x3")))
+    }),
+
+    // ---- §2.8 Hosmer–Lemeshow calibration χ² (r48) — over the r37
+    // covariate-pattern cells with an independent IRLS fit; the chain
+    // rides the 8-row cell frame (r19 doctrine), runtime β oracle. -------
+    "r48_hosmer_lemeshow" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val feats = Seq[(String, org.apache.spark.sql.Column)](
+        "disc_hi" -> (col("l_discount") >= 0.05),
+        "qty_hi" -> (col("l_quantity") >= 25),
+        "tax_hi" -> (col("l_tax") >= 0.04))
+      val fit = graft.ml.Logistic.irlsFitCells(
+        li, col("l_returnflag") === "R", feats)
+      r48LogisticFit = Some(fit)
+      val cells = li.where(col("l_discount").isNotNull &&
+          col("l_quantity").isNotNull && col("l_tax").isNotNull &&
+          col("l_returnflag").isNotNull)
+        .groupBy((col("l_discount") >= 0.05).cast("int").as("disc_hi"),
+          (col("l_quantity") >= 25).cast("int").as("qty_hi"),
+          (col("l_tax") >= 0.04).cast("int").as("tax_hi"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_returnflag") === "R").cast("int")).as("y"))
+      val p = lit(1.0) / (lit(1.0) + exp(-graft.ml.Logistic.margin(fit)))
+      val e = col("n").cast("double") * p
+      val contrib = (col("y").cast("double") - e) *
+        (col("y").cast("double") - e) / (e * (lit(1.0) - p))
+      val runW = Window.partitionBy()
+        .orderBy(col("disc_hi").asc, col("qty_hi").asc, col("tax_hi").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("__c", contrib)
+        .withColumn("hl_running", sum(col("__c")).over(runW))
+        .select(col("disc_hi"), col("qty_hi"), col("tax_hi"), col("n"),
+          col("y"), round(e, 4).as("expected"),
+          round(col("__c"), 6).as("contrib"),
+          round(col("hl_running"), 6).as("hl_running"))
+        .orderBy(col("disc_hi"), col("qty_hi"), col("tax_hi"))
+    }),
+
+    // ---- similarity: IVF probe sweep (n17) — recall@5 / MRR per nProbe
+    // ∈ {1,2,3} against the n1 brute-force truth; the ANN tuning curve. --
+    "n17_probe_sweep" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 8)
+      val truth = Embeddings.bruteForceTopKAgg(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      val assigned = Embeddings.assignFixedCentroids(emb, "embedding",
+        ivfFixedCentroids)
+      Seq(1, 2, 3).map { np =>
+        Embeddings.annEvalDF(truth,
+            Embeddings.ivfTopK(assigned, "vec_id", "embedding",
+              queries, "vec_id", "embedding", ivfFixedCentroids,
+              nProbe = np, k = 5),
+            k = 5)
+          .withColumn("n_probe", lit(np.toLong))
+      }.reduce(_ unionByName _)
+        .select(col("n_probe"), col("query_id"), col("truth_k"),
+          col("hits"), col("recall"), col("rr"))
+        .orderBy(col("n_probe"), col("query_id"))
     })
   )
 
@@ -4203,6 +4263,42 @@ object SparkEntry {
     * contract as [[m4FittedSpec]]: β as Double.toString literals, the
     * identical explicit linear chain on both sides. */
   @volatile private var r37LogisticFit: Option[graft.ml.Logistic.LogisticFit] = None
+
+  /** r48's IRLS fit — the r37 runtime-oracle contract. */
+  @volatile private var r48LogisticFit: Option[graft.ml.Logistic.LogisticFit] = None
+
+  private def r48OracleEntry: Map[String, String] = r48LogisticFit.map { fit =>
+    "r48_hosmer_lemeshow" ->
+      s"""WITH src AS (
+           SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS disc_hi,
+                  CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS qty_hi,
+                  CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END AS tax_hi,
+                  (l_returnflag = 'R') AS yy
+           FROM lineitem
+           WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL),
+         cells AS (
+           SELECT disc_hi, qty_hi, tax_hi, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN yy THEN 1 ELSE 0 END) AS BIGINT) AS y
+           FROM src GROUP BY 1, 2, 3),
+         t AS (SELECT *, ${graft.ml.Logistic.marginSql(fit)} AS eta
+               FROM cells),
+         c AS (SELECT disc_hi, qty_hi, tax_hi, n, y,
+                 CAST(n AS DOUBLE) * (1.0 / (1.0 + exp(-eta))) AS e,
+                 (CAST(y AS DOUBLE)
+                   - CAST(n AS DOUBLE) * (1.0 / (1.0 + exp(-eta))))
+                 * (CAST(y AS DOUBLE)
+                   - CAST(n AS DOUBLE) * (1.0 / (1.0 + exp(-eta))))
+                 / ((CAST(n AS DOUBLE) * (1.0 / (1.0 + exp(-eta))))
+                    * (1.0 - (1.0 / (1.0 + exp(-eta))))) AS contrib
+               FROM t)
+         SELECT disc_hi, qty_hi, tax_hi, n, y, round(e, 4) AS expected,
+                round(contrib, 6) AS contrib,
+                round(sum(contrib) OVER (ORDER BY disc_hi, qty_hi, tax_hi
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                  AS hl_running
+         FROM c ORDER BY disc_hi, qty_hi, tax_hi"""
+  }.toMap
 
   private def r37OracleEntry: Map[String, String] = r37LogisticFit.map { fit =>
     "r37_logistic" ->
@@ -4592,7 +4688,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
-      r37OracleEntry ++
+      r37OracleEntry ++ r48OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
       n16OracleEntry ++
       t17OracleEntry ++ Map(
@@ -5886,6 +5982,66 @@ object SparkEntry {
                   AS recall,
                 coalesce(round(1.0 / CAST(nn AS DOUBLE), 6), 0.0) AS rr
          FROM g ORDER BY query_id""",
+
+    // n17: the n12 CTEs swept over np in {1,2,3} (probes rn <= np)
+    "n17_probe_sweep" ->
+      s"""WITH cents AS (
+           SELECT * FROM (VALUES $ivfCentroidValues) t(cid, cvec)),
+         sweep AS (SELECT unnest([1, 2, 3]) AS np),
+         uv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM uv),
+         u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uvec
+               FROM nr WHERE nrm > 0),
+         q AS (SELECT vec_id AS query_id, uvec AS qu FROM u WHERE vec_id < 8),
+         scored_t AS (
+           SELECT q.query_id, c.vec_id AS corpus_id,
+                  list_dot_product(c.uvec, q.qu) AS cos
+           FROM u c CROSS JOIN q WHERE c.vec_id != q.query_id),
+         ranked_t AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, corpus_id) AS rnk
+           FROM scored_t),
+         ca AS (
+           SELECT vec_id, uvec, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY list_dot_product(uvec, cvec) DESC, cid) AS rn
+           FROM u CROSS JOIN cents),
+         assigned AS (SELECT vec_id, uvec, cid AS centroid_id
+                      FROM ca WHERE rn = 1),
+         probes AS (SELECT s.np, vec_id AS query_id, uvec AS qu,
+                      cid AS centroid_id
+                    FROM ca CROSS JOIN sweep s
+                    WHERE vec_id < 8 AND rn <= s.np),
+         scored_a AS (
+           SELECT p.np, p.query_id, a.vec_id AS corpus_id,
+                  list_dot_product(a.uvec, p.qu) AS cos
+           FROM assigned a JOIN probes p USING (centroid_id)
+           WHERE a.vec_id != p.query_id),
+         ranked_a AS (
+           SELECT np, query_id, corpus_id,
+                  row_number() OVER (PARTITION BY np, query_id
+                    ORDER BY cos DESC, corpus_id) AS rnk
+           FROM scored_a),
+         tt AS (SELECT query_id AS q, corpus_id AS c, rnk AS tr
+                FROM ranked_t WHERE rnk <= 5),
+         aa AS (SELECT np, query_id AS q, corpus_id AS c, rnk AS ar
+                FROM ranked_a WHERE rnk <= 5),
+         j AS (SELECT s.np, tt.q, tt.tr, aa.ar
+               FROM tt CROSS JOIN sweep s
+               LEFT JOIN aa ON aa.np = s.np AND aa.q = tt.q AND aa.c = tt.c),
+         g AS (SELECT np, q, CAST(count(*) AS BIGINT) AS truth_k,
+                      CAST(sum(CASE WHEN ar IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits,
+                      max(CASE WHEN tr = 1 THEN ar END) AS nn
+               FROM j GROUP BY np, q)
+         SELECT CAST(np AS BIGINT) AS n_probe, q AS query_id, truth_k, hits,
+                round(CAST(hits AS DOUBLE) / CAST(truth_k AS DOUBLE), 6)
+                  AS recall,
+                coalesce(round(1.0 / CAST(nn AS DOUBLE), 6), 0.0) AS rr
+         FROM g ORDER BY n_probe, query_id""",
 
     // n14: the n1 truth CTEs + the prefix-16-dim twin (normalized ON the
     // prefix) + the n12 eval join

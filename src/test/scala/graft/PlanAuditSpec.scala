@@ -44,6 +44,8 @@ class PlanAuditSpec extends SparkSpec {
     "r44_theil_sen",
     // n15: the n1 broadcast-query dense leg inside the hybrid fusion
     "n15_rrf_fusion",
+    // n17: three n12-shaped eval legs (brute-force truth + probe sweeps)
+    "n17_probe_sweep",
     // r45: the 1-row class-totals cross join over the curve frame
     "r45_pr_curve")
 
@@ -55,6 +57,8 @@ class PlanAuditSpec extends SparkSpec {
   // empiricalCostThresholdDriver / FDR.tvChainProjectDriver).
   private val deliberateGlobalWindows = Set(
     "m3_tree_score", "p7_partition_prune", "w2_global_window",
+    // r48: the HL running chain over the 8-row covariate-pattern frame
+    "r48_hosmer_lemeshow",
     // r19: margins + running chi2 over the R×C CELL frame (6 rows here;
     // never data-sized — the corpus reduced to cells in the one groupBy)
     "r19_chi2",
