@@ -4055,6 +4055,63 @@ object SparkEntry {
         .orderBy(col("disc_hi"), col("qty_hi"), col("tax_hi"))
     }),
 
+    // ---- §2.8 OLS simple regression (r49): price ~ quantity in ONE
+    // exact-power-sum pass; slope/intercept/R²/residual-SE as a fixed
+    // double tree over six exact decimal sums (the q6/TTest doctrine). --
+    "r49_ols" -> ((s, dir) =>
+      graft.stats.Regression.olsSimpleDF(t(s, dir, "lineitem"),
+        col("l_quantity"), col("l_extendedprice"))),
+
+    // ---- §2.8 Cox proportional hazards (r50): QUANTIFIES what r27
+    // tests — the urgent-priority log hazard ratio for time-to-ship,
+    // Breslow ties; bounded driver Newton on the event-time frame (the
+    // r37 protocol), fitted β exported, per-time score/info/loglik
+    // running chains replayed relationally with β as a literal. ---------
+    "r50_cox" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val cohort = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .as("ship_days"), (col("l_returnflag") =!= "R").as("kept"),
+          substring(col("o_orderpriority"), 1, 1).isin("1", "2").as("urgent"))
+      val frame = graft.stats.Survival.twoGroupTimeFrame(
+        cohort, "ship_days", col("kept"), col("urgent"))
+      val fit = graft.stats.Survival.coxBinaryFit(frame)
+      r50CoxFit = Some(fit)
+      graft.stats.Survival.coxScoreDF(frame, fit.beta)
+    }),
+
+    // ---- §2.8 Nelson–Aalen cumulative hazard (r51): the hazard-scale
+    // twin of r26 with NO transcendentals — exact-long divisions on
+    // running chains over the distinct-time frame. ----------------------
+    "r51_nelson_aalen" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val cohort = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .as("ship_days"), (col("l_returnflag") =!= "R").as("kept"))
+      graft.stats.Survival.nelsonAalenDF(cohort, "ship_days", col("kept"))
+    }),
+
+    // ---- §2.8 Grubbs' extreme-outlier statistic (r52): per-returnflag
+    // single-most-extreme test — one pass of exact per-group power sums
+    // plus max/min, G as one fixed tree (q10/q18's parametric sibling). -
+    "r52_grubbs" -> ((s, dir) =>
+      graft.stats.TTest.grubbsDF(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_returnflag")),
+
+    // ---- §2.8 Durbin–Watson (r53): first-order autocorrelation of the
+    // daily-revenue series — the mean cancels in the lag differences, so
+    // DW = n·Σd²/(n·Σc²−S²) is ONE division of exact cent integers. -----
+    "r53_durbin_watson" -> ((s, dir) =>
+      graft.stats.Regression.durbinWatsonDailyDF(t(s, dir, "lineitem"),
+        col("l_shipdate"), col("l_extendedprice"))),
+
+    // ---- §2.8 Bartlett homogeneity of variance (r54): the parametric
+    // sibling of r38 — per-group exact power sums, the three group
+    // accumulations as running chains, ln on exact-operand doubles. -----
+    "r54_bartlett" -> ((s, dir) =>
+      graft.stats.Anova.bartlettDF(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_returnflag")),
+
     // ---- similarity: IVF probe sweep (n17) — recall@5 / MRR per nProbe
     // ∈ {1,2,3} against the n1 brute-force truth; the ANN tuning curve. --
     "n17_probe_sweep" -> ((s, dir) => {
@@ -4298,6 +4355,69 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                   AS hl_running
          FROM c ORDER BY disc_hi, qty_hi, tax_hi"""
+  }.toMap
+
+  /** r50's fitted Cox model — the r37/r48 runtime-oracle contract: the
+    * replay scores the event-time frame with exactly the β this process
+    * fitted (β and e^β interpolated as Double.toString literals). */
+  @volatile private var r50CoxFit: Option[graft.stats.Survival.CoxFit] = None
+
+  private def r50OracleEntry: Map[String, String] = r50CoxFit.map { fit =>
+    val b = fit.beta.toString; val eb = math.exp(fit.beta).toString
+    "r50_cox" ->
+      s"""WITH src AS (
+           SELECT CAST(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+                  (l_returnflag <> 'R') AS e,
+                  (substring(o_orderpriority, 1, 1) IN ('1', '2')) AS g
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+             AND l_returnflag IS NOT NULL AND o_orderpriority IS NOT NULL),
+         tc AS (
+           SELECT t,
+                  CAST(sum(CASE WHEN e AND g THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                  CAST(sum(CASE WHEN e AND NOT g THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+                  CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS leave1,
+                  CAST(count(*) - sum(CASE WHEN g THEN 1 ELSE 0 END)
+                    AS BIGINT) AS leave2
+           FROM src GROUP BY 1),
+         pc AS (
+           SELECT t, d1, d2,
+                  (SELECT sum(leave1) FROM tc)
+                    - coalesce(sum(leave1) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n1,
+                  (SELECT sum(leave2) FROM tc)
+                    - coalesce(sum(leave2) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n2
+           FROM tc),
+         ev AS (
+           SELECT t, n1, n2, d1, d2,
+                  CAST(d1 + d2 AS DOUBLE) AS dd,
+                  CAST(n1 AS DOUBLE) * CAST('$eb' AS DOUBLE) AS r1,
+                  CAST(n1 AS DOUBLE) * CAST('$eb' AS DOUBLE)
+                    + CAST(n2 AS DOUBLE) AS denom
+           FROM pc WHERE d1 + d2 > 0),
+         c AS (
+           SELECT t, n1, n2, d1, d2,
+                  CAST(d1 AS DOUBLE) - dd * (r1 / denom) AS u,
+                  dd * (r1 / denom) * (CAST(n2 AS DOUBLE) / denom) AS i,
+                  CAST('$b' AS DOUBLE) * CAST(d1 AS DOUBLE)
+                    - dd * ln(denom) AS ll
+           FROM ev)
+         SELECT t, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                d1, d2,
+                round(sum(u) OVER w, 6) AS u_run,
+                round(sum(i) OVER w, 6) AS i_run,
+                round(ll, 6) AS ll_t,
+                round(sum(ll) OVER w, 3) AS ll_run,
+                CAST('$b' AS DOUBLE) AS beta, CAST('$eb' AS DOUBLE) AS hr,
+                round(CAST('$b' AS DOUBLE) * sqrt(sum(i) OVER w), 6)
+                  AS z_running
+         FROM c WINDOW w AS (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY t"""
   }.toMap
 
   private def r37OracleEntry: Map[String, String] = r37LogisticFit.map { fit =>
@@ -4688,7 +4808,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
-      r37OracleEntry ++ r48OracleEntry ++
+      r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
       n16OracleEntry ++
       t17OracleEntry ++ Map(
@@ -7758,6 +7878,157 @@ object SparkEntry {
                                 * (CAST(o1_run AS DOUBLE) - e1_run) / v_run, 6)
                      ELSE 0.0 END AS chi2_running
          FROM run ORDER BY t""",
+
+    // r49: six exact decimal power sums → the identical staged fixed tree
+    // (cxy/cxx/cyy shared subtrees named in both engines)
+    "r49_ols" ->
+      """WITH a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(*) AS DOUBLE) AS nd,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         b AS (
+           SELECT n, nd, sx, sy,
+                  nd * sxy - sx * sy AS cxy,
+                  nd * sxx - sx * sx AS cxx,
+                  nd * syy - sy * sy AS cyy
+           FROM a),
+         c AS (SELECT *, cxy / cxx AS slope FROM b)
+         SELECT n, round(slope, 6) AS slope,
+                round(sy / nd - slope * (sx / nd), 6) AS intercept,
+                round(cxy / cxx * (cxy / cyy), 6) AS r2,
+                round(sqrt((cyy - slope * cxy) / (nd * (nd - 2.0))), 6)
+                  AS se_resid,
+                round(sx / nd, 6) AS mean_x,
+                round(sy / nd, 6) AS mean_y
+         FROM c""",
+
+    // r51: the r26 frame, hazard increments as exact-long divisions on
+    // running chains — no transcendentals at all
+    "r51_nelson_aalen" ->
+      """WITH src AS (
+           SELECT CAST(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+                  (l_returnflag <> 'R') AS e
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+             AND l_returnflag IS NOT NULL),
+         tc AS (
+           SELECT t,
+                  CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                  CAST(count(*) - sum(CASE WHEN e THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+           FROM src GROUP BY 1),
+         pc AS (
+           SELECT t, d, c,
+                  (SELECT sum(d + c) FROM tc)
+                    - coalesce(sum(d + c) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS n_risk
+           FROM tc)
+         SELECT t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+                round(sum(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                  OVER w, 6) AS h_cum,
+                round(sum(CAST(d AS DOUBLE) / (CAST(n_risk AS DOUBLE)
+                  * CAST(n_risk AS DOUBLE))) OVER w, 8) AS var_cum
+         FROM pc WINDOW w AS (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY t""",
+
+    // r52: per-group exact power sums + max/min, G as one fixed tree
+    "r52_grubbs" ->
+      """WITH g AS (
+           SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+                  CAST(count(*) AS BIGINT) AS n_g,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS DOUBLE) AS s,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ss,
+                  CAST(max(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS DOUBLE) AS mx,
+                  CAST(min(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS DOUBLE) AS mn
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+           GROUP BY 1)
+         SELECT grp, n_g,
+                round(s / CAST(n_g AS DOUBLE), 6) AS mean_g,
+                round(sqrt((ss - s * s / CAST(n_g AS DOUBLE))
+                  / (CAST(n_g AS DOUBLE) - 1.0)), 6) AS sd_g,
+                mx AS x_max, mn AS x_min,
+                round(greatest(mx - s / CAST(n_g AS DOUBLE),
+                  s / CAST(n_g AS DOUBLE) - mn)
+                  / sqrt((ss - s * s / CAST(n_g AS DOUBLE))
+                    / (CAST(n_g AS DOUBLE) - 1.0)), 6) AS g_stat
+         FROM g ORDER BY grp""",
+
+    // r53: daily cent totals, lag differences (mean cancels), ONE
+    // division of exact integer sums
+    "r53_durbin_watson" ->
+      """WITH daily AS (
+           SELECT CAST(l_shipdate AS DATE) AS day,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) * 100
+                    AS DECIMAL(19,0)) AS c
+           FROM lineitem
+           WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
+           GROUP BY 1),
+         diffed AS (
+           SELECT c, CAST(c - lag(c, 1) OVER (ORDER BY day)
+             AS DECIMAL(19,0)) AS d
+           FROM daily),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(CAST(sum(c) AS DECIMAL(38,0)) AS DOUBLE) AS s,
+                  CAST(sum(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE) AS ss,
+                  CAST(sum(CAST(d * d AS DECIMAL(38,0))) AS DOUBLE) AS num
+           FROM diffed)
+         SELECT n_days,
+                round(s / (100.0 * CAST(n_days AS DOUBLE)), 2) AS mean_daily,
+                round(CAST(n_days AS DOUBLE) * num
+                  / (CAST(n_days AS DOUBLE) * ss - s * s), 6) AS dw
+         FROM a""",
+
+    // r54: per-group power sums, staged grand totals, the three group
+    // accumulations as running chains, the same fixed T tree
+    "r54_bartlett" ->
+      """WITH g AS (
+           SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+                  CAST(count(*) AS BIGINT) AS n_g,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                    AS DOUBLE) AS s,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS ss
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+           GROUP BY 1),
+         st AS (
+           SELECT grp, n_g, CAST(n_g AS DOUBLE) AS ng, s, ss,
+                  CAST(sum(n_g) OVER () AS DOUBLE) AS bigN,
+                  CAST(count(*) OVER () AS DOUBLE) AS k
+           FROM g),
+         v AS (SELECT *, (ss - s * s / ng) / (ng - 1.0) AS vg FROM st),
+         r AS (
+           SELECT grp, n_g, vg, bigN, k,
+                  sum((ng - 1.0) * vg) OVER w AS sw,
+                  sum((ng - 1.0) * ln(vg)) OVER w AS lnv,
+                  sum(1.0 / (ng - 1.0)) OVER w AS invn
+           FROM v WINDOW w AS (ORDER BY grp
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT grp, n_g, round(vg, 6) AS var_g,
+                sw AS sw_running, lnv AS lnv_running,
+                round(invn, 6) AS invn_running,
+                round(((bigN - k) * ln(sw / (bigN - k)) - lnv)
+                  / (1.0 + (invn - 1.0 / (bigN - k))
+                    / (3.0 * (k - 1.0))), 6) AS t_running
+         FROM r ORDER BY grp""",
 
     // r28: paired diffs, |d| value counts, exclusive prefix ranks, the
     // three exact longs and the identical closed-form z tree

@@ -124,4 +124,45 @@ object Anova {
           (ssw / (col("bigN") - col("k"))), 6).as("w_running"))
       .orderBy(col("grp"))
   }
+
+  /** Bartlett's homogeneity-of-variance test — the parametric (and more
+    * powerful, normality-assuming) sibling of [[brownForsytheDF]]:
+    * `T = [(N−k)·ln(Sp²) − Σ_g (n_g−1)·ln(s_g²)] / C` with
+    * `C = 1 + (Σ_g 1/(n_g−1) − 1/(N−k)) / (3(k−1))`.
+    *
+    * Same shape as [[onewayDF]]: one corpus pass to exact per-group power
+    * sums, then everything on the k-row group frame — grand totals staged
+    * as dimension-sized windows, the three group accumulations (`Σ(n_g−1)
+    * s_g²`, `Σ(n_g−1)ln s_g²`, `Σ 1/(n_g−1)`) as RUNNING chains in group
+    * order so the replay reproduces the FP association; `ln` on exact-
+    * operand doubles follows the r26 round-6 convention. One row per
+    * group; the LAST row's `t_running` is Bartlett's T (χ², k−1 df). */
+  def bartlettDF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(12,2)")
+    val perGroup = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(x).as("s0"), sum(x * x).as("ss0"))
+    val aw = Window.partitionBy()
+    val runW = Window.partitionBy().orderBy(col("grp").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ng = col("n_g").cast("double")
+    val s = col("s0").cast("double"); val ss = col("ss0").cast("double")
+    val vg = (ss - s * s / ng) / (ng - lit(1.0))
+    val staged = perGroup.select(col("grp"), col("n_g"), col("s0"), col("ss0"),
+      sum(col("n_g")).over(aw).cast("double").as("bigN"),
+      count(lit(1)).over(aw).cast("double").as("k"))
+    val sw = sum((ng - lit(1.0)) * vg).over(runW)
+    val lnv = sum((ng - lit(1.0)) * log(vg)).over(runW)
+    val invn = sum(lit(1.0) / (ng - lit(1.0))).over(runW)
+    val dfw = col("bigN") - col("k")
+    staged
+      .select(col("grp"), col("n_g"), round(vg, 6).as("var_g"),
+        // raw running doubles (the r23/r38 no-round rule at SS magnitudes)
+        sw.as("sw_running"), lnv.as("lnv_running"),
+        round(invn, 6).as("invn_running"),
+        round((dfw * log(sw / dfw) - lnv) /
+          (lit(1.0) + (invn - lit(1.0) / dfw) /
+            (lit(3.0) * (col("k") - lit(1.0)))), 6).as("t_running"))
+      .orderBy(col("grp"))
+  }
 }

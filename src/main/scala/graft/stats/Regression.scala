@@ -1,0 +1,87 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Least-squares regression diagnostics at corpus scale
+  * (NOT-IN-REFERENCE §2.8 extension — the continuous-response sibling of
+  * [[graft.ml.Logistic]]'s IRLS fit: the reference's hypothesis battery
+  * (`Hypothesis testing R.r:20-625`) tests group differences; these fit
+  * and diagnose the linear trend itself).
+  *
+  * Exactness discipline (the q6/TTest doctrine): the corpus reduces to a
+  * handful of EXACT power sums in ONE map-side-combined aggregate —
+  * values ride as DECIMAL(12,2) so every sum is order-independent
+  * integer-scaled arithmetic — and each derived number (slope, intercept,
+  * R², residual SE, Durbin–Watson ratio) is a fixed double tree over
+  * those sums, reproducible bit-for-bit by a relational replay. */
+object Regression {
+
+  /** Simple (one-covariate) ordinary least squares `y ~ a + b·x` in ONE
+    * corpus pass: six exact power sums, then the closed-form fit as a
+    * fixed tree. One output row
+    * `(n, slope, intercept, r2, se_resid, mean_x, mean_y)`; rows with a
+    * NULL x or y drop. Scale shape: one aggregate, one row — the 100 TB
+    * cost is the scan. */
+  def olsSimpleDF(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val x = xCol.cast("decimal(12,2)"); val y = yCol.cast("decimal(12,2)")
+    val agg = df.where(xCol.isNotNull && yCol.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx0"), sum(y).as("sy0"),
+        sum(x * x).as("sxx0"), sum(x * y).as("sxy0"), sum(y * y).as("syy0"))
+    val nd = col("n").cast("double")
+    val sx = col("sx0").cast("double"); val sy = col("sy0").cast("double")
+    val sxx = col("sxx0").cast("double"); val sxy = col("sxy0").cast("double")
+    val syy = col("syy0").cast("double")
+    // centered cross-moments as explicit shared subtrees: the SQL replay
+    // names the same stages so the FP association is identical
+    val staged = agg.select(col("n"), nd.as("nd"), sx.as("sx"), sy.as("sy"),
+      (nd * sxy - sx * sy).as("cxy"),
+      (nd * sxx - sx * sx).as("cxx"),
+      (nd * syy - sy * sy).as("cyy"))
+    val slope = col("cxy") / col("cxx")
+    val withSlope = staged.withColumn("slope", slope)
+    withSlope.select(col("n"),
+      round(col("slope"), 6).as("slope"),
+      round(col("sy") / col("nd") - col("slope") * (col("sx") / col("nd")), 6)
+        .as("intercept"),
+      round(col("cxy") / col("cxx") * (col("cxy") / col("cyy")), 6).as("r2"),
+      // residual SS = (cyy − slope·cxy)/n, over n−2 df, all one tree
+      round(sqrt((col("cyy") - col("slope") * col("cxy")) /
+        (col("nd") * (col("nd") - lit(2.0)))), 6).as("se_resid"),
+      round(col("sx") / col("nd"), 6).as("mean_x"),
+      round(col("sy") / col("nd"), 6).as("mean_y"))
+  }
+
+  /** Durbin–Watson first-order autocorrelation statistic of a DAILY total
+    * series: `DW = Σ(c_t − c_{t−1})² / Σ(c_t − mean)²` over the
+    * date-ordered daily totals of `valueCol`. The mean CANCELS in the
+    * numerator differences, so with cent-integer daily totals both sums
+    * are exact integers (`DW = n·Σd² / (n·Σc² − S²)`) and the statistic
+    * is ONE division of exact-integer doubles. Output one row
+    * `(n_days, mean_daily, dw)`.
+    *
+    * Plan: one corpus-sized groupBy(day) → the days-sized frame; the lag
+    * ride is a deliberate dimension-sized global window (the r19/w2
+    * whitelist family — distinct days, never data-sized). */
+  def durbinWatsonDailyDF(df: DataFrame, dateCol: Column, valueCol: Column): DataFrame = {
+    val daily = df.where(dateCol.isNotNull && valueCol.isNotNull)
+      .groupBy(to_date(dateCol).as("day"))
+      .agg((sum(valueCol.cast("decimal(12,2)")) * 100).cast("decimal(19,0)")
+        .as("c"))
+    val lagW = Window.partitionBy().orderBy(col("day").asc)
+    val d = (col("c") - lag(col("c"), 1).over(lagW)).cast("decimal(19,0)")
+    val diffed = daily.select(col("c"), d.as("d"))
+    val agg = diffed.agg(count(lit(1)).as("n_days"),
+      sum(col("c")).cast("decimal(38,0)").as("s0"),
+      sum((col("c") * col("c")).cast("decimal(38,0)")).as("ss0"),
+      sum((col("d") * col("d")).cast("decimal(38,0)")).as("num0"))
+    val nd = col("n_days").cast("double")
+    val s = col("s0").cast("double"); val ss = col("ss0").cast("double")
+    val num = col("num0").cast("double")
+    agg.select(col("n_days"),
+      round(s / (lit(100.0) * nd), 2).as("mean_daily"),
+      round(nd * num / (nd * ss - s * s), 6).as("dw"))
+  }
+}

@@ -76,7 +76,13 @@ object Survival {
     * Plan: corpus → (time, group) leave/death counts in one map-side
     * groupBy, TWO sharded exclusive prefixes (one per group) giving each
     * group's number-at-risk, then the dimension-sized event-time frame. */
-  def logRankDF(df: DataFrame, timeCol: String, eventCol: Column, isG1: Column): DataFrame = {
+  /** Shared two-group distinct-time frame `(v, d1, d2, n1, n2)`: per-time
+    * event counts and exact integer risk sets for the G1 / not-G1 arms —
+    * one corpus-sized map-side groupBy plus TWO sharded exclusive
+    * prefixes; everything downstream ([[logRankDF]], [[coxBinaryFit]],
+    * [[coxScoreDF]]) is dimension-sized. */
+  private[graft] def twoGroupTimeFrame(df: DataFrame, timeCol: String,
+      eventCol: Column, isG1: Column): DataFrame = {
     val tc = df.where(col(timeCol).isNotNull && eventCol.isNotNull && isG1.isNotNull)
       .select(col(timeCol).cast("long").as("v"),
         when(eventCol, 1L).otherwise(0L).as("e"),
@@ -90,8 +96,13 @@ object Survival {
       tc, Seq("leave1" -> "cum1", "leave2" -> "cum2"))
     val totals = pref.agg(sum(col("leave1")), sum(col("leave2"))).head()
     val (t1, t2) = (totals.getLong(0), totals.getLong(1))
-    val n1 = lit(t1) - col("cum1")
-    val n2 = lit(t2) - col("cum2")
+    pref.select(col("v"), col("d1"), col("d2"),
+      (lit(t1) - col("cum1")).as("n1"), (lit(t2) - col("cum2")).as("n2"))
+  }
+
+  def logRankDF(df: DataFrame, timeCol: String, eventCol: Column, isG1: Column): DataFrame = {
+    val pref = twoGroupTimeFrame(df, timeCol, eventCol, isG1)
+    val n1 = col("n1"); val n2 = col("n2")
     val d = col("d1") + col("d2")
     val n = n1 + n2
     val dD = d.cast("double"); val nD = n.cast("double")
@@ -103,7 +114,6 @@ object Survival {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // event-time frame: distinct death times only (dimension-sized)
     pref
-      .withColumn("n1", n1).withColumn("n2", n2)
       .where(d > 0L)
       .withColumn("e1", e1).withColumn("var1", var1)
       .withColumn("o1_run", sum(col("d1")).over(runW))
@@ -117,6 +127,109 @@ object Survival {
           round((col("o1_run").cast("double") - col("e1_run")) *
             (col("o1_run").cast("double") - col("e1_run")) / col("v_run"), 6))
           .otherwise(lit(0.0)).as("chi2_running"))
+      .orderBy(col("t"))
+  }
+
+  /** Nelson–Aalen cumulative-hazard estimator `H(t) = Σ_{t_i ≤ t} d_i/n_i`
+    * with its variance `Σ d_i/n_i²` — the hazard-scale twin of
+    * [[kaplanMeierDF]] that needs NO transcendentals at all: every term is
+    * a single division of exact longs and the accumulations are running
+    * chains in time order (the r27 doctrine), so the replay is bit-exact
+    * before the round-6. One row per distinct time, ordered:
+    * `(t, n_risk, d, c, h_cum, var_cum)`. Same plan shape as KM: one
+    * corpus-sized groupBy, the sharded leave-prefix, a dimension-sized
+    * running window over distinct times. */
+  /** A fitted single-binary-covariate Cox model: log hazard ratio `beta`
+    * with its model-based SE (1/√I at the optimum). */
+  case class CoxFit(beta: Double, se: Double, iters: Int, converged: Boolean)
+
+  /** Cox proportional-hazards fit for ONE binary covariate with Breslow
+    * tie handling — the regression completion of the §2.8 survival triad
+    * (KM estimates, log-rank tests, Cox quantifies).
+    *
+    * With a binary covariate the partial likelihood depends on the data
+    * ONLY through the event-time frame `(d1, d, n1, n2)` — the same
+    * bounded frame [[logRankDF]] builds — so the corpus reduces in one
+    * groupBy + sharded prefixes, and Newton–Raphson runs driver-side on
+    * the canonically time-sorted frame (the r37 IRLS doctrine: a bounded
+    * protocol, `require`-capped, bit-deterministic on any partitioning:
+    * `ll = Σ β·d1 − d·ln(n1·e^β + n2)`). A fixed 1e-9 ridge on the
+    * information keeps separated data finite. */
+  def coxBinaryFit(eventFrame: DataFrame, maxEventTimes: Int = 65536,
+      maxIter: Int = 50, tol: Double = 1e-12): CoxFit = {
+    val raw = eventFrame.where(col("d1") + col("d2") > 0L)
+      .select(col("v"), col("d1"), col("d2"), col("n1"), col("n2"))
+      .limit(maxEventTimes + 1).collect()
+    require(raw.length <= maxEventTimes,
+      s"event-time frame exceeds maxEventTimes=$maxEventTimes — coarsen the time unit")
+    require(raw.nonEmpty, "no event times to fit on")
+    val rows = raw.map(r => (r.getLong(0), r.getLong(1).toDouble,
+      (r.getLong(1) + r.getLong(2)).toDouble,
+      r.getLong(3).toDouble, r.getLong(4).toDouble)).sortBy(_._1)
+    var beta = 0.0; var info = 1e-9; var iters = 0; var converged = false
+    while (iters < maxIter && !converged) {
+      val eb = math.exp(beta)
+      var u = 0.0; var i2 = 1e-9
+      rows.foreach { case (_, d1, d, n1, n2) =>
+        val r1 = n1 * eb; val denom = r1 + n2
+        u += d1 - d * (r1 / denom)
+        i2 += d * (r1 / denom) * (n2 / denom)
+      }
+      val step = u / i2
+      beta += step; info = i2; iters += 1
+      if (math.abs(step) < tol) converged = true
+    }
+    CoxFit(beta, 1.0 / math.sqrt(info), iters, converged)
+  }
+
+  /** Per-event-time Cox diagnostics AT a given β (the fitted β rides in
+    * as a literal — the m4/r48 exported-artifact oracle contract): score
+    * and information contributions plus their RUNNING chains in time
+    * order, the running partial log-likelihood, and the constant
+    * `beta`/`hr`/`z_running` columns. `e^β` is evaluated ONCE in the JVM
+    * and interpolated (`expBeta`) so no engine libm enters the replay
+    * except the per-time `ln(denom)` (the r26 round-6 convention). */
+  def coxScoreDF(eventFrame: DataFrame, beta: Double): DataFrame = {
+    val eb = lit(math.exp(beta))
+    val d = col("d1") + col("d2")
+    val r1 = col("n1").cast("double") * eb
+    val denom = r1 + col("n2").cast("double")
+    val runW = Window.partitionBy().orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventFrame
+      .where(d > 0L)
+      .withColumn("__u", col("d1").cast("double") - d.cast("double") * (r1 / denom))
+      .withColumn("__i", d.cast("double") * (r1 / denom) *
+        (col("n2").cast("double") / denom))
+      .withColumn("__ll", lit(beta) * col("d1").cast("double") -
+        d.cast("double") * log(denom))
+      .select(col("v").as("t"), col("n1"), col("n2"), col("d1"), col("d2"),
+        round(sum(col("__u")).over(runW), 6).as("u_run"),
+        round(sum(col("__i")).over(runW), 6).as("i_run"),
+        // per-row term exact at 6; the running loglik only at 3 — its
+        // ~1e5 magnitude is where engine windowed-sum association shows
+        round(col("__ll"), 6).as("ll_t"),
+        round(sum(col("__ll")).over(runW), 3).as("ll_run"),
+        lit(beta).as("beta"),
+        lit(math.exp(beta)).as("hr"),
+        round(lit(beta) * sqrt(sum(col("__i")).over(runW)), 6).as("z_running"))
+      .orderBy(col("t"))
+  }
+
+  def nelsonAalenDF(df: DataFrame, timeCol: String, eventCol: Column): DataFrame = {
+    val tc = timeCounts(df, timeCol, eventCol)
+    val total = tc.agg(sum(col("leave"))).head().getLong(0)
+    val runW = Window.partitionBy().orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nRisk = lit(total) - col("cum")
+    tc
+      .withColumn("n_risk", nRisk)
+      .withColumn("__h", col("d").cast("double") / col("n_risk").cast("double"))
+      .withColumn("__v", col("d").cast("double") /
+        (col("n_risk").cast("double") * col("n_risk").cast("double")))
+      .select(col("v").as("t"), col("n_risk"), col("d"), col("c"),
+        round(sum(col("__h")).over(runW), 6).as("h_cum"),
+        round(sum(col("__v")).over(runW), 8).as("var_cum"))
       .orderBy(col("t"))
   }
 }

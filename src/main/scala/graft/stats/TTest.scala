@@ -82,4 +82,33 @@ object TTest {
       round(n / lit(6.0) * (skew * skew + kurtEx * kurtEx / lit(4.0)), 4)
         .as("jb"))
   }
+
+  /** Grubbs' extreme-outlier statistic per group:
+    * `G = max(x_max − mean, mean − x_min) / s` — the single-most-extreme
+    * sibling of the census outliers (q10 IQR, q18 MAD) that ties the
+    * flagged point back to a parametric test statistic.
+    *
+    * Exactness: ONE map-side-combined pass collects per-group
+    * `(n, Σx, Σx², max, min)` with DECIMAL(12,2) values (exact,
+    * order-independent), then G is a fixed double tree — `greatest` of
+    * two exact differences over the sample SD. One row per group ordered
+    * by key: `(grp, n_g, mean_g, sd_g, x_max, x_min, g_stat)`. */
+  def grubbsDF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(12,2)")
+    val agg = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(x).as("s0"), sum(x * x).as("ss0"),
+        max(x).as("mx0"), min(x).as("mn0"))
+    val n = col("n_g").cast("double")
+    val s = col("s0").cast("double"); val ss = col("ss0").cast("double")
+    val mx = col("mx0").cast("double"); val mn = col("mn0").cast("double")
+    val mean = s / n
+    val sd = sqrt((ss - s * s / n) / (n - lit(1.0)))
+    agg.select(col("grp"), col("n_g"),
+      round(mean, 6).as("mean_g"), round(sd, 6).as("sd_g"),
+      col("mx0").cast("double").as("x_max"),
+      col("mn0").cast("double").as("x_min"),
+      round(greatest(mx - mean, mean - mn) / sd, 6).as("g_stat"))
+      .orderBy(col("grp"))
+  }
 }

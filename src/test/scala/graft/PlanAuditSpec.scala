@@ -76,6 +76,14 @@ class PlanAuditSpec extends SparkSpec {
     // r26/r27: KM / log-rank running chains over the distinct-TIME frame
     // (~days-sized; the corpus reduced to time counts in the one groupBy)
     "r26_kaplan_meier", "r27_logrank",
+    // r50/r51: Cox score and Nelson–Aalen hazard chains over the same
+    // distinct-time frame (the r26/r27 shape)
+    "r50_cox", "r51_nelson_aalen",
+    // r53: the lag ride over the distinct-DAY totals frame (days-sized)
+    "r53_durbin_watson",
+    // r54: grand totals + running chains over the k-row group frame
+    // (the r23/r38 shape)
+    "r54_bartlett",
     // r29: MH/CMH running chains over the stratum frame (years-sized)
     "r29_mantel_haenszel",
     // r30: MI/entropy running chains over the R×C cell / margin frames

@@ -110,4 +110,33 @@ class AnovaSpec extends SparkSpec {
       .as[(String, Long, Double, Double, Double, Double)].collect()
     assert(rows.map(r => (r._1, r._2)).toSeq == Seq(("A", 2L), ("B", 2L)))
   }
+
+  test("bartlettDF: hand-computed T on three groups") {
+    val data = Map(
+      "A" -> Seq(1.0, 2.0, 3.0, 4.0),
+      "B" -> Seq(2.0, 4.0, 6.0, 8.0, 10.0),
+      "C" -> Seq(5.0, 5.5, 6.0))
+    val df = data.toSeq.flatMap { case (g, xs) => xs.map(x => (x, g)) }
+      .toDF("x", "g").repartition(3)
+    val rows = Anova.bartlettDF(df, "x", "g")
+      .as[(String, Long, Double, Double, Double, Double, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq("A", "B", "C"))
+    // textbook Bartlett from per-group sample variances
+    def v(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val ks = Seq("A", "B", "C")
+    val n = ks.map(data(_).size.toDouble)
+    val vs = ks.map(g => v(data(g)))
+    val bigN = n.sum; val k = 3.0
+    val sp2 = ks.indices.map(i => (n(i) - 1) * vs(i)).sum / (bigN - k)
+    val tNum = (bigN - k) * math.log(sp2) -
+      ks.indices.map(i => (n(i) - 1) * math.log(vs(i))).sum
+    val c = 1.0 + (n.map(x => 1.0 / (x - 1)).sum - 1.0 / (bigN - k)) /
+      (3.0 * (k - 1))
+    assert(math.abs(rows.last._7 - tNum / c) < 1e-5)
+    // per-group sample variances surface exactly
+    ks.indices.foreach(i => assert(math.abs(rows(i)._3 - vs(i)) < 1e-6))
+  }
 }

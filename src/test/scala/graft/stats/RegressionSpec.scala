@@ -1,0 +1,51 @@
+package graft.stats
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("olsSimpleDF: hand-computed fit; NULLs drop; layout-proof") {
+    val pts = Seq((1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 5.0))
+    val df = (pts.map { case (x, y) => (Some(x), Some(y)) } ++
+      Seq((None, Some(9.0)), (Some(9.0), None)))
+      .toDF("x", "y").repartition(3)
+    val r = Regression.olsSimpleDF(df, col("x"), col("y"))
+      .as[(Long, Double, Double, Double, Double, Double, Double)].head()
+    // closed form over the raw points
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val cxy = n * sxy - sx * sy; val cxx = n * sxx - sx * sx
+    val cyy = n * syy - sy * sy
+    val slope = cxy / cxx
+    assert(r._1 == 4L)
+    assert(math.abs(r._2 - slope) < 1e-6)
+    assert(math.abs(r._3 - (sy / n - slope * sx / n)) < 1e-6)
+    assert(math.abs(r._4 - cxy * cxy / (cxx * cyy)) < 1e-6)
+    assert(math.abs(r._5 - math.sqrt((cyy - slope * cxy) / (n * (n - 2)))) < 1e-6)
+    // bit-identical on a different layout (exact sums → same fixed tree)
+    val r1 = Regression.olsSimpleDF(df.repartition(1), col("x"), col("y"))
+      .as[(Long, Double, Double, Double, Double, Double, Double)].head()
+    assert(r1 == r)
+  }
+
+  test("durbinWatsonDailyDF: hand series (mean cancels in the lag diffs)") {
+    val df = Seq(
+      ("2024-01-01", 1.0), ("2024-01-02", 2.0),
+      ("2024-01-03", 3.0), ("2024-01-04", 2.0),
+      // two rows on one day aggregate before differencing
+      ("2024-01-02", 0.0)).toDF("d", "x")
+      .select(to_date(col("d")).as("d"), col("x")).repartition(2)
+    val r = Regression.durbinWatsonDailyDF(df, col("d"), col("x"))
+      .as[(Long, Double, Double)].head()
+    // daily cents: 100, 200, 300, 200 → diffs 100, 100, -100
+    // num = 30000; n·Σc² − S² = 4·180000 − 640000 = 80000 → DW = 1.5
+    assert(r._1 == 4L)
+    assert(r._2 == 2.0)   // mean daily = 800 / (100·4)
+    assert(r._3 == 1.5)
+  }
+}

@@ -324,4 +324,58 @@ class SurvivalSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((c(0), c(1), c(2))))
     assert(math.abs(r.getDouble(4) - qRef) < 1e-6) // engine rounds Q to 6
   }
+
+  test("Nelson-Aalen: hand-computed cumulative hazard and variance") {
+    val df = cohort.toDF("t", "ev").repartition(3)
+    val r = Survival.nelsonAalenDF(df, "t", col("ev"))
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    // H accumulates d/n at event times only; var accumulates d/n²
+    val hAt = r.map(x => x._1 -> x._5).toMap
+    assert(hAt(3L) == 0.1)                    // 1/10
+    assert(hAt(5L) == 0.35)                   // + 2/8
+    assert(hAt(8L) == 0.55)                   // + 1/5
+    assert(hAt(11L) == 0.883333)              // + 1/3
+    assert(hAt(12L) == 1.383333)              // + 1/2
+    val vAt = r.map(x => x._1 -> x._6).toMap
+    assert(vAt(8L) == 0.08125)                // 1/100 + 2/64 + 1/25
+    assert(vAt(12L) == 0.44236111)            // + 1/9 + 1/4
+  }
+
+  // two-arm cohort with real separation of ship-rate between arms
+  private val coxCohort = Seq(
+    // (time, event, g1)
+    (2L, true, true), (3L, true, true), (3L, true, false), (4L, false, true),
+    (5L, true, false), (6L, true, true), (7L, false, false), (8L, true, false),
+    (9L, true, true), (10L, false, false), (11L, true, false), (12L, true, true))
+
+  /** Naive O(n·times) Breslow partial log-likelihood straight from the
+    * definition — an independent code path to pin the fit against. */
+  private def naiveLL(beta: Double): Double = {
+    val eventTimes = coxCohort.filter(_._2).map(_._1).distinct.sorted
+    eventTimes.map { t =>
+      val d1 = coxCohort.count(r => r._1 == t && r._2 && r._3)
+      val d = coxCohort.count(r => r._1 == t && r._2)
+      val riskSum = coxCohort.filter(_._1 >= t)
+        .map(r => if (r._3) math.exp(beta) else 1.0).sum
+      beta * d1 - d * math.log(riskSum)
+    }.sum
+  }
+
+  test("coxBinaryFit: maximizes the Breslow partial likelihood; layout-proof") {
+    val df = coxCohort.toDF("t", "ev", "g").repartition(4)
+    val frame = Survival.twoGroupTimeFrame(df, "t", col("ev"), col("g"))
+    val fit = Survival.coxBinaryFit(frame)
+    assert(fit.converged)
+    // the fitted beta beats its neighbourhood under the independent LL
+    val ll = naiveLL(fit.beta)
+    assert(ll >= naiveLL(fit.beta + 1e-4) && ll >= naiveLL(fit.beta - 1e-4))
+    // bit-deterministic on any layout
+    val fit1 = Survival.coxBinaryFit(Survival.twoGroupTimeFrame(
+      coxCohort.toDF("t", "ev", "g").repartition(1), "t", col("ev"), col("g")))
+    assert(fit1.beta == fit.beta && fit1.se == fit.se)
+    // score diagnostics: u_run's last row ~ 0 at the optimum
+    val score = Survival.coxScoreDF(frame, fit.beta)
+      .select("u_run").as[Double].collect()
+    assert(math.abs(score.last) < 1e-5)
+  }
 }

@@ -84,4 +84,18 @@ class TTestSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Double, Double)].head()
     assert(r._1 == 2L && r._2 == 2L && r._3 == 1.5 && r._4 == 5.0)
   }
+
+  test("grubbsDF: hand-computed single-group G; NULLs drop") {
+    val df = Seq((Some(1.0), Some("A")), (Some(2.0), Some("A")),
+      (Some(3.0), Some("A")), (Some(10.0), Some("A")),
+      (None, Some("A")), (Some(99.0), None)).toDF("x", "g")
+    val r = TTest.grubbsDF(df, "x", "g")
+      .as[(String, Long, Double, Double, Double, Double, Double)].head()
+    // n=4, mean=4, ss=114, var=(114-64)/3, sd=sqrt(50/3)
+    val sd = math.sqrt(50.0 / 3.0)
+    assert(r._1 == "A" && r._2 == 4L && r._3 == 4.0)
+    assert(r._4 == math.rint(sd * 1e6) / 1e6)
+    assert(r._5 == 10.0 && r._6 == 1.0)
+    assert(math.abs(r._7 - (10.0 - 4.0) / sd) < 1e-6)
+  }
 }
