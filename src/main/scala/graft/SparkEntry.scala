@@ -4112,6 +4112,44 @@ object SparkEntry {
       graft.stats.Anova.bartlettDF(t(s, dir, "lineitem"),
         "l_extendedprice", "l_returnflag")),
 
+    // ---- §2.9 exact Naive Bayes (m12): every sufficient statistic is a
+    // COUNT — one GROUPING SETS pass, Laplace-smoothed log-odds as a
+    // fixed ln tree over exact integers, argmax off the round-6 value. --
+    "m12_naive_bayes" -> ((s, dir) => {
+      graft.ml.NaiveBayes.fitScoreCells(t(s, dir, "lineitem"),
+        col("l_returnflag") === "R",
+        Seq("disc_hi" -> (col("l_discount") >= 0.05),
+          "qty_hi" -> (col("l_quantity") >= 25),
+          "tax_hi" -> (col("l_tax") >= 0.04)))
+    }),
+
+    // ---- similarity: kNN majority-vote classification (n18) — the n1
+    // bounded-heap top-7 per query, label votes, argmax with votes-then-
+    // smallest-label tie-break; accuracy column per query. ---------------
+    "n18_knn_classify" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+        .where(col("label").isNotNull)
+      val queries = emb.where(col("vec_id") < 16)
+      val nn = Embeddings.bruteForceTopKAgg(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 7)
+      val votes = nn
+        .join(emb.select(col("vec_id").as("corpus_id"),
+          col("label").cast("long").as("nlabel")), "corpus_id")
+        .groupBy(col("query_id"), col("nlabel"))
+        .agg(count(lit(1)).as("votes"))
+      val pred = votes.groupBy(col("query_id"))
+        .agg(max(struct(col("votes"), (-col("nlabel")).as("negl"))).as("m"))
+        .select(col("query_id"), (-col("m.negl")).as("pred_label"),
+          col("m.votes").as("votes"))
+      pred
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").cast("long").as("true_label")), "query_id")
+        .select(col("query_id"), col("true_label"), col("pred_label"),
+          col("votes"),
+          (col("pred_label") === col("true_label")).cast("long").as("correct"))
+        .orderBy(col("query_id"))
+    }),
+
     // ---- similarity: IVF probe sweep (n17) — recall@5 / MRR per nProbe
     // ∈ {1,2,3} against the n1 brute-force truth; the ANN tuning curve. --
     "n17_probe_sweep" -> ((s, dir) => {
@@ -8029,6 +8067,105 @@ object SparkEntry {
                   / (1.0 + (invn - 1.0 / (bigN - k))
                     / (3.0 * (k - 1.0))), 6) AS t_running
          FROM r ORDER BY grp""",
+
+    // m12: all NB sufficient statistics are counts — cell/feature/class
+    // frames as CTEs, the identical fixed ln chain, argmax off round-6
+    "m12_naive_bayes" ->
+      """WITH base AS (
+           SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS disc_hi,
+                  CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS qty_hi,
+                  CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END AS tax_hi,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+           FROM lineitem
+           WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_tax IS NOT NULL AND l_returnflag IS NOT NULL),
+         cells AS (
+           SELECT disc_hi, qty_hi, tax_hi, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS BIGINT) AS y1
+           FROM base GROUP BY 1, 2, 3),
+         pr AS (
+           SELECT CAST(sum(y) AS BIGINT) AS n1,
+                  CAST(count(*) - sum(y) AS BIGINT) AS n0
+           FROM base),
+         f0 AS (SELECT disc_hi AS v0, CAST(sum(y) AS BIGINT) AS c1_0,
+                  CAST(count(*) - sum(y) AS BIGINT) AS c0_0
+                FROM base GROUP BY 1),
+         f0k AS (SELECT v0, c1_0, c0_0,
+                  CAST(count(*) OVER () AS BIGINT) AS k_0 FROM f0),
+         f1 AS (SELECT qty_hi AS v1, CAST(sum(y) AS BIGINT) AS c1_1,
+                  CAST(count(*) - sum(y) AS BIGINT) AS c0_1
+                FROM base GROUP BY 1),
+         f1k AS (SELECT v1, c1_1, c0_1,
+                  CAST(count(*) OVER () AS BIGINT) AS k_1 FROM f1),
+         f2 AS (SELECT tax_hi AS v2, CAST(sum(y) AS BIGINT) AS c1_2,
+                  CAST(count(*) - sum(y) AS BIGINT) AS c0_2
+                FROM base GROUP BY 1),
+         f2k AS (SELECT v2, c1_2, c0_2,
+                  CAST(count(*) OVER () AS BIGINT) AS k_2 FROM f2),
+         s AS (
+           SELECT cells.*, pr.n1, pr.n0,
+                  f0k.c1_0, f0k.c0_0, f0k.k_0,
+                  f1k.c1_1, f1k.c0_1, f1k.k_1,
+                  f2k.c1_2, f2k.c0_2, f2k.k_2
+           FROM cells CROSS JOIN pr
+             JOIN f0k ON cells.disc_hi = f0k.v0
+             JOIN f1k ON cells.qty_hi = f1k.v1
+             JOIN f2k ON cells.tax_hi = f2k.v2),
+         lo AS (
+           SELECT disc_hi, qty_hi, tax_hi, n, y1,
+                  (((ln(CAST(n1 AS DOUBLE)) - ln(CAST(n0 AS DOUBLE)))
+                    + ((ln(CAST(c1_0 + 1 AS DOUBLE))
+                        - ln(CAST(n1 + k_0 AS DOUBLE)))
+                      - (ln(CAST(c0_0 + 1 AS DOUBLE))
+                        - ln(CAST(n0 + k_0 AS DOUBLE)))))
+                    + ((ln(CAST(c1_1 + 1 AS DOUBLE))
+                        - ln(CAST(n1 + k_1 AS DOUBLE)))
+                      - (ln(CAST(c0_1 + 1 AS DOUBLE))
+                        - ln(CAST(n0 + k_1 AS DOUBLE)))))
+                    + ((ln(CAST(c1_2 + 1 AS DOUBLE))
+                        - ln(CAST(n1 + k_2 AS DOUBLE)))
+                      - (ln(CAST(c0_2 + 1 AS DOUBLE))
+                        - ln(CAST(n0 + k_2 AS DOUBLE)))) AS l
+           FROM s)
+         SELECT disc_hi, qty_hi, tax_hi, n, y1,
+                round(l, 6) AS log_odds,
+                CASE WHEN round(l, 6) > 0.0 THEN CAST(1 AS BIGINT)
+                     ELSE CAST(0 AS BIGINT) END AS pred
+         FROM lo ORDER BY disc_hi, qty_hi, tax_hi""",
+
+    // n18: the n1 replay with a label join, top-7 votes, argmax with the
+    // votes-DESC-then-label-ASC tie-break
+    "n18_knn_classify" ->
+      """WITH uv AS (
+           SELECT vec_id, CAST(label AS BIGINT) AS label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE label IS NOT NULL),
+         nr AS (SELECT vec_id, label, v,
+                  sqrt(list_dot_product(v, v)) AS nrm FROM uv),
+         u AS (SELECT vec_id, label,
+                 list_transform(v, x -> x / nrm) AS uvec
+               FROM nr WHERE nrm > 0),
+         q AS (SELECT vec_id AS query_id, label AS true_label, uvec AS qu
+               FROM u WHERE vec_id < 16),
+         scored AS (
+           SELECT q.query_id, c.vec_id AS corpus_id, c.label AS nlabel,
+                  list_dot_product(c.uvec, q.qu) AS cos
+           FROM u c CROSS JOIN q WHERE c.vec_id != q.query_id),
+         ranked AS (
+           SELECT query_id, nlabel,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, corpus_id) AS rn
+           FROM scored),
+         v2 AS (SELECT query_id, nlabel, CAST(count(*) AS BIGINT) AS votes
+                FROM ranked WHERE rn <= 7 GROUP BY 1, 2),
+         p AS (SELECT query_id, nlabel, votes,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY votes DESC, nlabel ASC) AS pr
+               FROM v2)
+         SELECT p.query_id, q.true_label, p.nlabel AS pred_label, p.votes,
+                CAST(p.nlabel = q.true_label AS BIGINT) AS correct
+         FROM p JOIN q ON p.query_id = q.query_id
+         WHERE p.pr = 1 ORDER BY p.query_id""",
 
     // r28: paired diffs, |d| value counts, exclusive prefix ranks, the
     // three exact longs and the identical closed-form z tree

@@ -47,7 +47,11 @@ class PlanAuditSpec extends SparkSpec {
     // n17: three n12-shaped eval legs (brute-force truth + probe sweeps)
     "n17_probe_sweep",
     // r45: the 1-row class-totals cross join over the curve frame
-    "r45_pr_curve")
+    "r45_pr_curve",
+    // m12: the 1-row class-prior cross join onto the cell frame (j1 shape)
+    "m12_naive_bayes",
+    // n18: the n1 broadcast-query brute-force shape under the vote census
+    "n18_knn_classify")
 
   // the in-SQL ROC curve over 4 leaf scores (m3 — plan-required: the
   // curve is built inside one query), the DPP dim max (p7 — days-sized,
@@ -84,6 +88,8 @@ class PlanAuditSpec extends SparkSpec {
     // r54: grand totals + running chains over the k-row group frame
     // (the r23/r38 shape)
     "r54_bartlett",
+    // m12: the per-feature distinct-value count over value-level frames
+    "m12_naive_bayes",
     // r29: MH/CMH running chains over the stratum frame (years-sized)
     "r29_mantel_haenszel",
     // r30: MI/entropy running chains over the R×C cell / margin frames
