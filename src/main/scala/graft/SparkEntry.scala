@@ -4150,6 +4150,32 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ---- events: interval-concurrency sweep (e24) — how many order
+    // lines are awaiting shipment each day (order date → ship date);
+    // +1/−1 events, one groupBy, the sharded prefix (integer-exact). -----
+    "e24_concurrency" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val iv = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(col("o_orderdate").as("s0"), col("l_shipdate").as("e0"))
+      graft.ops.Sweep.concurrencyDaily(iv, col("s0"), col("e0"))
+    }),
+
+    // ---- events: daily cross-correlation (e25) — does order volume
+    // predict shipped quantity l days later? Two exact day frames, lag
+    // join, one fixed correlation tree per lag. --------------------------
+    "e25_crosscorr" -> ((s, dir) =>
+      graft.stats.Regression.crossCorrDailyDF(
+        t(s, dir, "orders"), col("o_orderdate"), lit(1),
+        t(s, dir, "lineitem"), col("l_shipdate"), col("l_quantity"),
+        maxLag = 6)),
+
+    // ---- text: Dunning G² keyness census (t22) — tokens over/under-
+    // represented in the English slice vs the rest; per-row fixed ln
+    // tree, census ordered by token (integer-exact ranking key). ---------
+    "t22_keyness" -> ((s, dir) =>
+      graft.text.Corpus.keynessCensus(Tables.spread(t(s, dir, "documents")),
+        "text", col("lang") === "en", minTotal = 20)),
+
     // ---- similarity: IVF probe sweep (n17) — recall@5 / MRR per nProbe
     // ∈ {1,2,3} against the n1 brute-force truth; the ANN tuning curve. --
     "n17_probe_sweep" -> ((s, dir) => {
@@ -8166,6 +8192,91 @@ object SparkEntry {
                 CAST(p.nlabel = q.true_label AS BIGINT) AS correct
          FROM p JOIN q ON p.query_id = q.query_id
          WHERE p.pr = 1 ORDER BY p.query_id""",
+
+    // e24: +1/−1 events, day frame, inclusive running sum
+    "e24_concurrency" ->
+      """WITH iv AS (
+           SELECT o_orderdate AS s0, l_shipdate AS e0
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         ev AS (
+           SELECT CAST(s0 AS DATE) AS d, 1 AS s, 0 AS e
+           FROM iv WHERE s0 IS NOT NULL AND e0 IS NOT NULL
+           UNION ALL
+           SELECT CAST(e0 AS DATE) AS d, 0 AS s, 1 AS e
+           FROM iv WHERE s0 IS NOT NULL AND e0 IS NOT NULL),
+         g AS (SELECT d, CAST(sum(s) AS BIGINT) AS n_start,
+                      CAST(sum(e) AS BIGINT) AS n_end
+               FROM ev GROUP BY 1)
+         SELECT d AS day, n_start, n_end,
+                CAST(sum(n_start - n_end) OVER (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS "open"
+         FROM g ORDER BY day""",
+
+    // e25: two exact cent day frames, lag join over range(0,7), the
+    // identical one-tree correlation per lag
+    "e25_crosscorr" ->
+      """WITH dx AS (
+           SELECT CAST(o_orderdate AS DATE) AS d,
+                  CAST(sum(CAST(1 AS DECIMAL(12,2))) * 100
+                    AS DECIMAL(19,0)) AS xv
+           FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+         dyf AS (
+           SELECT CAST(l_shipdate AS DATE) AS dd,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) * 100
+                    AS DECIMAL(19,0)) AS yv
+           FROM lineitem
+           WHERE l_shipdate IS NOT NULL AND l_quantity IS NOT NULL
+           GROUP BY 1),
+         pairs AS (
+           SELECT t.lag, dx.xv, dyf.yv
+           FROM dx CROSS JOIN range(0, 7) t(lag)
+           JOIN dyf ON dyf.dd = dx.d + CAST(t.lag AS INT)),
+         a AS (
+           SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+                  CAST(CAST(sum(xv) AS DECIMAL(38,0)) AS DOUBLE) AS sx,
+                  CAST(CAST(sum(yv) AS DECIMAL(38,0)) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(xv * xv AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+                  CAST(sum(CAST(xv * yv AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(yv * yv AS DECIMAL(38,0))) AS DOUBLE) AS syy
+           FROM pairs GROUP BY 1)
+         SELECT CAST(lag AS BIGINT) AS lag, n_days,
+                round((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+                  / sqrt((CAST(n_days AS DOUBLE) * sxx - sx * sx)
+                       * (CAST(n_days AS DOUBLE) * syy - sy * sy)), 6) AS ccf
+         FROM a ORDER BY lag""",
+
+    // t22: token counts, 1-row totals, the per-row fixed G² tree
+    "t22_keyness" ->
+      """WITH base AS (
+           SELECT unnest(string_split(text, ' ')) AS token,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g
+           FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         tok AS (
+           SELECT token, CAST(sum(g) AS BIGINT) AS a,
+                  CAST(count(*) - sum(g) AS BIGINT) AS b
+           FROM base WHERE token <> '' GROUP BY 1),
+         tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+                        CAST(sum(b) AS BIGINT) AS tb FROM tok),
+         s AS (SELECT token, a, b, ta, tb
+               FROM tok CROSS JOIN tot WHERE a + b >= 20),
+         c AS (SELECT token, a, b,
+                 CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+                 CAST(ta AS DOUBLE) AS tad, CAST(tb AS DOUBLE) AS tbd
+               FROM s),
+         g2t AS (
+           SELECT token, a, b, ad, bd, tad, tbd,
+                  2.0 * ((CASE WHEN a > 0 THEN ad * ln(ad
+                           / (tad * ((ad + bd) / (tad + tbd))))
+                          ELSE 0.0 END)
+                       + (CASE WHEN b > 0 THEN bd * ln(bd
+                           / (tbd * ((ad + bd) / (tad + tbd))))
+                          ELSE 0.0 END)) AS g2
+           FROM c)
+         SELECT token, a, b, round(g2, 4) AS g2,
+                round(CASE WHEN ad / (ad + bd) >= tad / (tad + tbd)
+                      THEN g2 ELSE -g2 END, 4) AS signed_g2
+         FROM g2t ORDER BY token""",
 
     // r28: paired diffs, |d| value counts, exclusive prefix ranks, the
     // three exact longs and the identical closed-form z tree

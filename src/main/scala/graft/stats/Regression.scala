@@ -84,4 +84,40 @@ object Regression {
       round(s / (lit(100.0) * nd), 2).as("mean_daily"),
       round(nd * num / (nd * ss - s * s), 6).as("dw"))
   }
+
+  /** Cross-correlation function between two DAILY total series at lags
+    * `0..maxLag`: `ccf(l) = corr(x_d, y_{d+l})` over the days where both
+    * sides exist. Both series reduce to exact cent-integer day frames in
+    * one groupBy each; the lag alignment is a day-frame join on
+    * `y.day = x.day + l` (lags broadcast), and each correlation is ONE
+    * fixed tree over the lag's six exact sums — nothing data-sized after
+    * the two reductions. One row per lag: `(lag, n_days, ccf)`. */
+  def crossCorrDailyDF(dfx: DataFrame, dateX: Column, valueX: Column,
+      dfy: DataFrame, dateY: Column, valueY: Column, maxLag: Int): DataFrame = {
+    def daily(df: DataFrame, d: Column, v: Column, out: String) =
+      df.where(d.isNotNull && v.isNotNull)
+        .groupBy(to_date(d).as("d"))
+        .agg((sum(v.cast("decimal(12,2)")) * 100).cast("decimal(19,0)").as(out))
+    val dx = daily(dfx, dateX, valueX, "xv")
+    val dy = daily(dfy, dateY, valueY, "yv").withColumnRenamed("d", "dy")
+    val lags = dfx.sparkSession.range(0, maxLag + 1)
+      .select(col("id").as("lag"))
+    val pairs = dx.crossJoin(broadcast(lags))
+      .join(dy, col("dy") === date_add(col("d"), col("lag").cast("int")))
+    val agg = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("xv")).cast("decimal(38,0)").as("sx0"),
+        sum(col("yv")).cast("decimal(38,0)").as("sy0"),
+        sum((col("xv") * col("xv")).cast("decimal(38,0)")).as("sxx0"),
+        sum((col("xv") * col("yv")).cast("decimal(38,0)")).as("sxy0"),
+        sum((col("yv") * col("yv")).cast("decimal(38,0)")).as("syy0"))
+    val nd = col("n_days").cast("double")
+    val sx = col("sx0").cast("double"); val sy = col("sy0").cast("double")
+    val sxx = col("sxx0").cast("double"); val sxy = col("sxy0").cast("double")
+    val syy = col("syy0").cast("double")
+    agg.select(col("lag"), col("n_days"),
+      round((nd * sxy - sx * sy) /
+        sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6).as("ccf"))
+      .orderBy(col("lag"))
+  }
 }

