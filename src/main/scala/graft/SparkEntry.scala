@@ -2556,6 +2556,30 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // ---- snapshot version-diff audit (s35): content-level multiset
+    // reconciliation between two table versions — what changed,
+    // regardless of the commit path (compaction-invariant; the audit
+    // sibling of s11's change feed). ------------------------------------
+    "s35_version_diff" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s35-${ProcessHandle.current().pid()}/cust_diff"
+      graft.sources.SnapshotTable.write(
+        cust.where(col("c_custkey") <= 300), root, mode = "overwrite")
+      val v1 = graft.sources.SnapshotTable.latestVersion(root)
+      graft.sources.SnapshotTable.merge(
+        cust.where(col("c_custkey").between(200, 400))
+          .withColumn("c_acctbal", round(col("c_acctbal") + 1000, 2)),
+        root, Seq("c_custkey"))
+      val v2 = graft.sources.SnapshotTable.latestVersion(root)
+      graft.sources.SnapshotTable.diffVersions(s, root, v1, v2)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).as("acctbal"),
+          col("n_before"), col("n_after"), col("delta"))
+        .orderBy(col("c_custkey"), col("delta"))
+    }),
+
     // ---- stats-pruned snapshot scan (s9): the round-8 composition —
     // Layout.zorder clusters lineitem on (partkey, suppkey), the
     // SnapshotTable write records each file's min/max envelopes FROM THE
@@ -5862,6 +5886,42 @@ object SparkEntry {
                SELECT * FROM b
                WHERE c_custkey NOT IN (SELECT c_custkey FROM u))
          ORDER BY c_custkey""",
+
+    // s35: replay v1 (the filtered load) and v2 (the s8-shape merge)
+    // relationally, then the same NULL-safe multiset diff
+    "s35_version_diff" ->
+      """WITH b AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal
+           FROM customer WHERE c_custkey <= 300),
+         u AS (
+           SELECT c_custkey, c_mktsegment,
+                  round(c_acctbal + 1000, 2) AS c_acctbal
+           FROM customer WHERE c_custkey BETWEEN 200 AND 400),
+         v2 AS (SELECT * FROM u
+                UNION ALL
+                SELECT * FROM b
+                WHERE c_custkey NOT IN (SELECT c_custkey FROM u)),
+         ga AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+                  CAST(count(*) AS BIGINT) AS n_before
+                FROM b GROUP BY 1, 2, 3),
+         gb AS (SELECT c_custkey, c_mktsegment, c_acctbal,
+                  CAST(count(*) AS BIGINT) AS n_after
+                FROM v2 GROUP BY 1, 2, 3),
+         d AS (
+           SELECT coalesce(ga.c_custkey, gb.c_custkey) AS c_custkey,
+                  coalesce(ga.c_mktsegment, gb.c_mktsegment) AS c_mktsegment,
+                  coalesce(ga.c_acctbal, gb.c_acctbal) AS c_acctbal,
+                  CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+                  CAST(coalesce(n_after, 0) AS BIGINT) AS n_after
+           FROM ga FULL OUTER JOIN gb
+             ON ga.c_custkey IS NOT DISTINCT FROM gb.c_custkey
+            AND ga.c_mktsegment IS NOT DISTINCT FROM gb.c_mktsegment
+            AND ga.c_acctbal IS NOT DISTINCT FROM gb.c_acctbal)
+         SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+                n_before, n_after,
+                CAST(n_after - n_before AS BIGINT) AS delta
+         FROM d WHERE n_before <> n_after
+         ORDER BY c_custkey, delta""",
 
     "e6_resample_ffill" ->
       """WITH b AS (

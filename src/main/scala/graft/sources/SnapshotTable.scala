@@ -1593,6 +1593,37 @@ object SnapshotTable {
     frames.foldLeft(empty)((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
 
+  /** Content-level multiset reconciliation between two versions — the
+    * data-audit sibling of [[readChanges]]: where the change feed replays
+    * HOW the table moved (per commit, with CDC granularity), this answers
+    * WHAT differs between two snapshots regardless of the path taken
+    * (merges, compactions, restores — compaction-invariant by
+    * construction since it reads materialized snapshots).
+    *
+    * One row per distinct row-content whose multiplicity changed:
+    * the row's columns plus `(n_before, n_after, delta)`. NULL-safe
+    * grouping (two NULLs are the same content). Plan: two snapshot scans,
+    * each reduced to (content, count) map-side, one content-keyed
+    * full-outer join — the shuffle carries distinct contents, not rows. */
+  def diffVersions(spark: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a = read(spark, root, Some(fromVersion))
+    val cols = a.columns.toSeq
+    val b = read(spark, root, Some(toVersion)).select(cols.map(col): _*)
+    val ga = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n_before"))
+      .as("a")
+    val gb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("n_after"))
+      .as("b")
+    val cond = cols.map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
+    ga.join(gb, cond, "full_outer")
+      .select(cols.map(c => coalesce(col(s"a.$c"), col(s"b.$c")).as(c)) ++ Seq(
+        coalesce(col("a.n_before"), lit(0L)).as("n_before"),
+        coalesce(col("b.n_after"), lit(0L)).as("n_after")): _*)
+      .where(col("n_before") =!= col("n_after"))
+      .withColumn("delta", col("n_after") - col("n_before"))
+  }
+
   /** Stage `df`'s part files into the table's data dir under a
     * commit-unique prefix; returns the staged file names. Staging writes
     * UNDER THE TABLE ROOT (same filesystem as data/, so the ATOMIC_MOVE

@@ -915,4 +915,28 @@ class SnapshotTableSpec extends SparkSpec {
         mode = "append", txn = Map("bad;key" -> "v"))
     }
   }
+
+  test("diffVersions: multiset reconciliation, NULL-safe, compaction-invariant") {
+    val root = freshRoot()
+    // v1: duplicate content (1,"a")×2 and a NULL-content row
+    SnapshotTable.write(Seq((1, Some("a")), (1, Some("a")), (2, None),
+      (3, Some("c"))).toDF("k", "v"), root, mode = "overwrite")       // v1
+    SnapshotTable.write(Seq((1, Some("a")), (4, Some("d")), (2, None))
+      .toDF("k", "v"), root, mode = "overwrite")                      // v2
+    val d = SnapshotTable.diffVersions(spark, root, 1, 2)
+      .orderBy("k").collect()
+    // (1,a): 2→1; (3,c): 1→0; (4,d): 0→1; (2,NULL): 1→1 → absent
+    assert(d.map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq == Seq((1, 2L, 1L, -1L), (3, 1L, 0L, -1L), (4, 0L, 1L, 1L)))
+    // appends + compact between versions don't change the content diff
+    SnapshotTable.write(Seq((5, Some("e"))).toDF("k", "v"), root,
+      mode = "append")                                                // v3
+    SnapshotTable.compact(spark, root)                                // v4
+    val d2 = SnapshotTable.diffVersions(spark, root, 1, 2).orderBy("k").collect()
+    assert(d2.toSeq == d.toSeq)
+    // and v1 → head sees the append too
+    val dHead = SnapshotTable.diffVersions(spark, root, 1,
+      SnapshotTable.latestVersion(root)).orderBy("k").collect()
+    assert(dHead.exists(r => r.getInt(0) == 5 && r.getLong(4) == 1L))
+  }
 }
