@@ -4174,6 +4174,29 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ---- §2.9 multivariate OLS (m13): normal equations from ONE exact
+    // moment aggregate, bounded driver solve, β exported; SSE/R² read
+    // from the SAME moments via the quadratic form — no second pass. ----
+    "m13_ols_multi" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val xs = Seq[(String, org.apache.spark.sql.Column)](
+        "qty" -> col("l_quantity"), "disc" -> col("l_discount"),
+        "tax" -> col("l_tax"))
+      val fit = graft.stats.Regression.olsFitMulti(
+        li, col("l_extendedprice"), xs)
+      m13OlsFit = Some(fit)
+      graft.stats.Regression.olsSummaryDF(
+        graft.stats.Regression.olsMoments(li, col("l_extendedprice"), xs),
+        fit.beta)
+    }),
+
+    // ---- §2.8 partial correlation (r55): price ~ quantity controlling
+    // for discount — three pairwise correlations from one aggregate of
+    // nine exact power sums, the closed form as a fixed tree. -----------
+    "r55_partial_corr" -> ((s, dir) =>
+      graft.stats.Regression.partialCorrDF(t(s, dir, "lineitem"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))),
+
     // ---- events: interval-concurrency sweep (e24) — how many order
     // lines are awaiting shipment each day (order date → ship date);
     // +1/−1 events, one groupBy, the sharded prefix (integer-exact). -----
@@ -4443,6 +4466,67 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                   AS hl_running
          FROM c ORDER BY disc_hi, qty_hi, tax_hi"""
+  }.toMap
+
+  /** m13's fitted OLS β — the exported-artifact oracle contract; the
+    * replay recomputes the exact moments and evaluates the identical
+    * staged quadratic-form trees with β as string-cast literals. */
+  @volatile private var m13OlsFit: Option[graft.stats.Regression.OlsFit] = None
+
+  private def m13OracleEntry: Map[String, String] = m13OlsFit.map { fit =>
+    def b(i: Int) = s"CAST('${fit.beta(i)}' AS DOUBLE)"
+    "m13_ols_multi" ->
+      s"""WITH a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(count(*) AS DOUBLE) AS nd,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s0,
+                  CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+                  CAST(sum(CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s00,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s01,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS s02,
+                  CAST(sum(CAST(l_discount AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS s11,
+                  CAST(sum(CAST(l_discount AS DECIMAL(12,2))
+                    * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS s12,
+                  CAST(sum(CAST(l_tax AS DECIMAL(12,2))
+                    * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE) AS s22,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s0y,
+                  CAST(sum(CAST(l_discount AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s1y,
+                  CAST(sum(CAST(l_tax AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s2y
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+             AND l_tax IS NOT NULL AND l_extendedprice IS NOT NULL),
+         st AS (
+           SELECT n, nd, sy AS syD, syy AS syyD,
+                  (((${b(0)} * sy + ${b(1)} * s0y) + ${b(2)} * s1y)
+                    + ${b(3)} * s2y) AS xty,
+                  (((${b(0)} * (((${b(0)} * nd + ${b(1)} * s0)
+                        + ${b(2)} * s1) + ${b(3)} * s2)
+                     + ${b(1)} * (((${b(0)} * s0 + ${b(1)} * s00)
+                        + ${b(2)} * s01) + ${b(3)} * s02))
+                     + ${b(2)} * (((${b(0)} * s1 + ${b(1)} * s01)
+                        + ${b(2)} * s11) + ${b(3)} * s12))
+                     + ${b(3)} * (((${b(0)} * s2 + ${b(1)} * s02)
+                        + ${b(2)} * s12) + ${b(3)} * s22)) AS qf
+           FROM a)
+         SELECT n, ${b(0)} AS b0, ${b(1)} AS b1, ${b(2)} AS b2,
+                ${b(3)} AS b3,
+                (syyD - 2.0 * xty + qf) AS sse,
+                round(1.0 - (syyD - 2.0 * xty + qf)
+                  / (syyD - syD * syD / nd), 6) AS r2,
+                round(sqrt((syyD - 2.0 * xty + qf) / (nd - 4.0)), 6)
+                  AS se_resid
+         FROM st"""
   }.toMap
 
   /** r50's fitted Cox model — the r37/r48 runtime-oracle contract: the
@@ -4896,6 +4980,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
+    m13OracleEntry ++
       r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
       n16OracleEntry ++
@@ -8337,6 +8422,49 @@ object SparkEntry {
                 round(CASE WHEN ad / (ad + bd) >= tad / (tad + tbd)
                       THEN g2 ELSE -g2 END, 4) AS signed_g2
          FROM g2t ORDER BY token""",
+
+    // r55: nine exact power sums in one aggregate, three identical
+    // correlation trees, the closed partial-correlation form over the
+    // UNROUNDED staged values
+    "r55_partial_corr" ->
+      """WITH a AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx0,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy0,
+                  CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sz0,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx0,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy0,
+                  CAST(sum(CAST(l_discount AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS szz0,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy0,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sxz0,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS syz0
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_discount IS NOT NULL),
+         st AS (
+           SELECT n,
+                  (CAST(n AS DOUBLE) * sxy0 - sx0 * sy0)
+                    / sqrt((CAST(n AS DOUBLE) * sxx0 - sx0 * sx0)
+                         * (CAST(n AS DOUBLE) * syy0 - sy0 * sy0)) AS r_xy,
+                  (CAST(n AS DOUBLE) * sxz0 - sx0 * sz0)
+                    / sqrt((CAST(n AS DOUBLE) * sxx0 - sx0 * sx0)
+                         * (CAST(n AS DOUBLE) * szz0 - sz0 * sz0)) AS r_xz,
+                  (CAST(n AS DOUBLE) * syz0 - sy0 * sz0)
+                    / sqrt((CAST(n AS DOUBLE) * syy0 - sy0 * sy0)
+                         * (CAST(n AS DOUBLE) * szz0 - sz0 * sz0)) AS r_yz
+           FROM a)
+         SELECT n, round(r_xy, 6) AS r_xy, round(r_xz, 6) AS r_xz,
+                round(r_yz, 6) AS r_yz,
+                round((r_xy - r_xz * r_yz)
+                  / sqrt((1.0 - r_xz * r_xz)
+                       * (1.0 - r_yz * r_yz)), 6) AS pcor
+         FROM st""",
 
     // r28: paired diffs, |d| value counts, exclusive prefix ranks, the
     // three exact longs and the identical closed-form z tree

@@ -93,8 +93,9 @@ object Logistic {
   }
 
   /** Gaussian elimination with partial pivoting — deterministic over the
-    * fixed index order; mutates copies only. */
-  private def solve(hIn: Array[Array[Double]], gIn: Array[Double]): Array[Double] = {
+    * fixed index order; mutates copies only. Shared with the OLS normal-
+    * equation solve ([[graft.stats.Regression.olsFitMulti]]). */
+  private[graft] def solve(hIn: Array[Array[Double]], gIn: Array[Double]): Array[Double] = {
     val n = gIn.length
     val a = Array.tabulate(n, n)((i, j) => hIn(i)(j))
     val b = gIn.clone()

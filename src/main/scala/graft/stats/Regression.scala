@@ -120,4 +120,120 @@ object Regression {
         sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6).as("ccf"))
       .orderBy(col("lag"))
   }
+
+  /** A fitted multivariate OLS model: `beta` is (intercept +: names),
+    * solved from the exact moment matrix. */
+  case class OlsFit(names: Seq[String], beta: Array[Double])
+
+  /** The 1-row exact moment frame for `y ~ 1 + xs`: `n`, `s_y`, `s_yy`,
+    * and for every covariate pair the cross sums — ONE map-side-combined
+    * aggregate with DECIMAL(12,2) values, so every entry of the normal
+    * equations is order-independent integer-scaled arithmetic. Column
+    * names: `s_i` (Σxᵢ), `s_i_j` (Σxᵢxⱼ, i ≤ j), `s_i_y` (Σxᵢy). */
+  def olsMoments(df: DataFrame, yCol: Column, xs: Seq[(String, Column)]): DataFrame = {
+    val p = xs.size
+    val notNull = xs.map(_._2.isNotNull).reduce(_ && _) && yCol.isNotNull
+    val xd = xs.map { case (_, c) => c.cast("decimal(12,2)") }
+    val y = yCol.cast("decimal(12,2)")
+    val aggs =
+      Seq(count(lit(1)).as("n"), sum(y).as("s_y"), sum(y * y).as("s_yy")) ++
+        xs.indices.map(i => sum(xd(i)).as(s"s_$i")) ++
+        (for (i <- 0 until p; j <- i until p)
+          yield sum(xd(i) * xd(j)).as(s"s_${i}_$j")) ++
+        xs.indices.map(i => sum(xd(i) * y).as(s"s_${i}_y"))
+    df.where(notNull).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Solve the normal equations from the collected moment row (bounded
+    * driver protocol: ONE row crosses the driver). Deterministic: the
+    * moment sums are exact, the solve is partial-pivot elimination over a
+    * fixed index order — β is a pure function of the data multiset. */
+  def olsFitMulti(df: DataFrame, yCol: Column, xs: Seq[(String, Column)]): OlsFit = {
+    val r = olsMoments(df, yCol, xs).head()
+    def d(name: String): Double =
+      r.getDecimal(r.fieldIndex(name)).doubleValue
+    val p = xs.size; val dim = p + 1
+    val n = r.getLong(r.fieldIndex("n")).toDouble
+    def sx(i: Int) = d(s"s_$i")
+    def sxx(i: Int, j: Int) = if (i <= j) d(s"s_${i}_$j") else d(s"s_${j}_$i")
+    val a = Array.tabulate(dim, dim) { (i, j) =>
+      (i, j) match {
+        case (0, 0) => n
+        case (0, jj) => sx(jj - 1)
+        case (ii, 0) => sx(ii - 1)
+        case (ii, jj) => sxx(ii - 1, jj - 1)
+      }
+    }
+    val b = Array.tabulate(dim)(i => if (i == 0) d("s_y") else d(s"s_${i - 1}_y"))
+    OlsFit(xs.map(_._1), graft.ml.Logistic.solve(a, b))
+  }
+
+  /** One-row fit summary AT a given β (the exported-artifact oracle
+    * contract): `(n, b0..bp, sse, r2, se_resid)` where
+    * `SSE = Syy − 2·β'X'y + β'X'Xβ` is a fixed tree over the SAME moment
+    * sums — exact for ANY β, no second corpus pass. The β ride in as
+    * literals; the staging (`xty`, `qf`) is mirrored in the SQL replay. */
+  def olsSummaryDF(moments: DataFrame, beta: Array[Double]): DataFrame = {
+    val p = beta.length - 1
+    val nd = col("n").cast("double")
+    def s(name: String) = col(name).cast("double")
+    def sx(i: Int) = s(s"s_$i")
+    def sxx(i: Int, j: Int) = if (i <= j) s(s"s_${i}_$j") else s(s"s_${j}_$i")
+    def sxy(i: Int) = s(s"s_${i}_y")
+    // staged shared subtrees, each an explicit left-to-right chain
+    val xty = (0 to p).map { i =>
+      if (i == 0) lit(beta(0)) * s("s_y") else lit(beta(i)) * sxy(i - 1)
+    }.reduceLeft(_ + _)
+    def row(i: Int): Column = (0 to p).map { j =>
+      val sij =
+        if (i == 0 && j == 0) nd
+        else if (i == 0) sx(j - 1)
+        else if (j == 0) sx(i - 1)
+        else sxx(i - 1, j - 1)
+      lit(beta(j)) * sij
+    }.reduceLeft(_ + _)
+    val qf = (0 to p).map(i => lit(beta(i)) * row(i)).reduceLeft(_ + _)
+    val staged = moments.select((Seq(col("n"), nd.as("nd"),
+      s("s_y").as("syD"), s("s_yy").as("syyD"),
+      xty.as("xty"), qf.as("qf")) ++
+      (0 to p).map(i => lit(beta(i)).as(s"b$i"))): _*)
+    val sse = col("syyD") - lit(2.0) * col("xty") + col("qf")
+    val syyC = col("syyD") - col("syD") * col("syD") / col("nd")
+    staged.select((Seq(col("n")) ++ (0 to p).map(i => col(s"b$i")) ++ Seq(
+      sse.as("sse"),
+      round(lit(1.0) - sse / syyC, 6).as("r2"),
+      round(sqrt(sse / (col("nd") - lit((p + 1).toDouble))), 6)
+        .as("se_resid"))): _*)
+  }
+
+  /** Partial correlation `pcor(x, y | z)` — the conditional-dependence
+    * sibling of [[crossCorrDailyDF]]'s marginal correlations: all three
+    * pairwise correlations from ONE aggregate of nine exact power sums,
+    * then the closed form `(r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))` as a
+    * fixed tree. One row: `(n, r_xy, r_xz, r_yz, pcor)`. */
+  def partialCorrDF(df: DataFrame, xCol: Column, yCol: Column, zCol: Column): DataFrame = {
+    val x = xCol.cast("decimal(12,2)"); val y = yCol.cast("decimal(12,2)")
+    val z = zCol.cast("decimal(12,2)")
+    val agg = df.where(xCol.isNotNull && yCol.isNotNull && zCol.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx0"), sum(y).as("sy0"), sum(z).as("sz0"),
+        sum(x * x).as("sxx0"), sum(y * y).as("syy0"), sum(z * z).as("szz0"),
+        sum(x * y).as("sxy0"), sum(x * z).as("sxz0"), sum(y * z).as("syz0"))
+    val nd = col("n").cast("double")
+    def s(c: String) = col(c).cast("double")
+    def r(sab: Column, sa: Column, sb: Column, saa: Column, sbb: Column) =
+      (nd * sab - sa * sb) /
+        sqrt((nd * saa - sa * sa) * (nd * sbb - sb * sb))
+    val staged = agg.select(col("n"),
+      r(s("sxy0"), s("sx0"), s("sy0"), s("sxx0"), s("syy0")).as("r_xy"),
+      r(s("sxz0"), s("sx0"), s("sz0"), s("sxx0"), s("szz0")).as("r_xz"),
+      r(s("syz0"), s("sy0"), s("sz0"), s("syy0"), s("szz0")).as("r_yz"))
+    staged.select(col("n"),
+      round(col("r_xy"), 6).as("r_xy"),
+      round(col("r_xz"), 6).as("r_xz"),
+      round(col("r_yz"), 6).as("r_yz"),
+      round((col("r_xy") - col("r_xz") * col("r_yz")) /
+        sqrt((lit(1.0) - col("r_xz") * col("r_xz")) *
+          (lit(1.0) - col("r_yz") * col("r_yz"))), 6).as("pcor"))
+  }
 }

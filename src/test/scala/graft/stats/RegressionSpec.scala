@@ -49,6 +49,58 @@ class RegressionSpec extends SparkSpec {
     assert(r._3 == 1.5)
   }
 
+  test("olsFitMulti + olsSummaryDF: exact-plane recovery; layout-proof") {
+    // y = 1 + 2·x0 + 3·x1 exactly → β recovered, SSE ~ 0, r2 = 1
+    val pts = Seq((1.0, 1.0, 6.0), (2.0, 1.0, 8.0), (1.0, 2.0, 9.0),
+      (3.0, 2.0, 13.0), (2.0, 3.0, 14.0))
+    val df = (pts.map { case (a, b, y) => (Some(a), Some(b), Some(y)) } ++
+      Seq((None, Some(1.0), Some(2.0)), (Some(1.0), Some(1.0), None)))
+      .toDF("x0", "x1", "y").repartition(3)
+    val xs = Seq[(String, org.apache.spark.sql.Column)](
+      "x0" -> col("x0"), "x1" -> col("x1"))
+    val fit = Regression.olsFitMulti(df, col("y"), xs)
+    assert(math.abs(fit.beta(0) - 1.0) < 1e-9)
+    assert(math.abs(fit.beta(1) - 2.0) < 1e-9)
+    assert(math.abs(fit.beta(2) - 3.0) < 1e-9)
+    val s = Regression.olsSummaryDF(
+      Regression.olsMoments(df, col("y"), xs), fit.beta)
+      .as[(Long, Double, Double, Double, Double, Double, Double)].head()
+    assert(s._1 == 5L)
+    assert(math.abs(s._5) < 1e-9)  // sse
+    assert(s._6 == 1.0)            // r2 rounds to exactly 1
+    // β is a pure function of the data multiset: layout-proof
+    val fit1 = Regression.olsFitMulti(df.repartition(1), col("y"), xs)
+    assert(fit1.beta.toSeq == fit.beta.toSeq)
+  }
+
+  test("partialCorrDF: closed form matches a driver replay; layout-proof") {
+    val pts = Seq((1.0, 2.0, 1.0), (2.0, 1.0, 2.0), (3.0, 4.0, 3.0),
+      (4.0, 3.0, 4.0), (5.0, 6.0, 4.0), (6.0, 5.0, 6.0))
+    val df = pts.toDF("x", "y", "z").repartition(3)
+    val r = Regression.partialCorrDF(df, col("x"), col("y"), col("z"))
+      .as[(Long, Double, Double, Double, Double)].head()
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size.toDouble
+      val sa = a.sum; val sb = b.sum
+      val saa = a.map(v => v * v).sum; val sbb = b.map(v => v * v).sum
+      val sab = a.zip(b).map { case (u, v) => u * v }.sum
+      (n * sab - sa * sb) / math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    }
+    val (xs, ys, zs) = (pts.map(_._1), pts.map(_._2), pts.map(_._3))
+    val (rxy, rxz, ryz) = (corr(xs, ys), corr(xs, zs), corr(ys, zs))
+    val pcor = (rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    assert(r._1 == 6L)
+    assert(math.abs(r._2 - rxy) < 1e-6)
+    assert(math.abs(r._3 - rxz) < 1e-6)
+    assert(math.abs(r._4 - ryz) < 1e-6)
+    assert(math.abs(r._5 - pcor) < 1e-6)
+    val r1 = Regression.partialCorrDF(df.repartition(1),
+      col("x"), col("y"), col("z"))
+      .as[(Long, Double, Double, Double, Double)].head()
+    assert(r1 == r)
+  }
+
   test("crossCorrDailyDF: perfect linear alignment at lag 1") {
     val dx = Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-03", 3.0),
       ("2024-01-04", 4.0), ("2024-01-05", 5.0)).toDF("d", "x")
