@@ -4197,6 +4197,53 @@ object SparkEntry {
       graft.stats.Regression.partialCorrDF(t(s, dir, "lineitem"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"))),
 
+    // ---- §2.9 Poisson log-linear regression (r56): lines-per-order ~
+    // order covariates — the count-response sibling of r37, same
+    // cell-frame sufficient-statistics reduction and bounded driver
+    // Newton; β exports as literals, per-cell rates replay relationally. -
+    "r56_poisson" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("nlines"))
+      val units = o.where(col("o_orderpriority").isNotNull &&
+          col("o_totalprice").isNotNull)
+        .join(counts, col("o_orderkey") === col("ok"))
+      val feats = Seq[(String, org.apache.spark.sql.Column)](
+        "urgent" -> (col("o_orderpriority") === "1-URGENT"),
+        "price_hi" -> (col("o_totalprice") >= 150000.0))
+      val fit = graft.ml.Logistic.poissonFitCells(units, col("nlines"), feats)
+      r56PoissonFit = Some(fit)
+      units.groupBy(
+          (col("o_orderpriority") === "1-URGENT").cast("int").as("urgent"),
+          (col("o_totalprice") >= 150000.0).cast("int").as("price_hi"))
+        .agg(count(lit(1)).as("n"), sum(col("nlines")).as("y"))
+        .withColumn("eta", graft.ml.Logistic.margin(fit))
+        .select(col("urgent"), col("price_hi"), col("n"), col("y"),
+          round(col("eta"), 6).as("eta"),
+          round(exp(col("eta")), 6).as("mu_hat"))
+        .orderBy(col("urgent"), col("price_hi"))
+    }),
+
+    // ---- §2.8 CUPED variance-reduced experiment readout (r57): customer
+    // units, pre-1995 spend as the covariate, post-1995 spend as the
+    // outcome, deterministic md5 arm split; θ/ρ²/adjusted means are fixed
+    // trees over six exact DECIMAL power sums (the TTest doctrine). ------
+    "r57_cuped" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val dec = col("o_totalprice").cast("decimal(12,2)")
+      val units = o.where(col("o_orderdate").isNotNull &&
+          col("o_totalprice").isNotNull && col("o_custkey").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(sum(when(col("o_orderdate") < lit("1995-01-01"), dec)
+            .otherwise(lit(0).cast("decimal(12,2)"))).as("x"),
+          sum(when(col("o_orderdate") >= lit("1995-01-01"), dec)
+            .otherwise(lit(0).cast("decimal(12,2)"))).as("y"))
+        .select((substring(md5(col("o_custkey").cast("string")), 1, 1) <
+            "8").cast("int").as("arm"), col("x"), col("y"))
+      graft.stats.Cuped.cupedDF(units, col("arm"), col("x"), col("y"))
+    }),
+
     // ---- events: interval-concurrency sweep (e24) — how many order
     // lines are awaiting shipment each day (order date → ship date);
     // +1/−1 events, one groupBy, the sharded prefix (integer-exact). -----
@@ -4614,6 +4661,35 @@ object SparkEntry {
          FROM s ORDER BY disc_hi, qty_hi, tax_hi"""
   }.toMap
 
+  /** r56's fitted Poisson rates — the r37 runtime-oracle contract:
+    * β interpolate as Double.toString literals, the replay rebuilds the
+    * identical cell frame and η chain. */
+  @volatile private var r56PoissonFit: Option[graft.ml.Logistic.LogisticFit] = None
+
+  private def r56OracleEntry: Map[String, String] = r56PoissonFit.map { fit =>
+    "r56_poisson" ->
+      s"""WITH cnt AS (
+           SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT) AS nlines
+           FROM lineitem GROUP BY 1),
+         units AS (
+           SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                    AS urgent,
+                  CASE WHEN o_totalprice >= 150000.0 THEN 1 ELSE 0 END
+                    AS price_hi,
+                  nlines
+           FROM orders JOIN cnt ON o_orderkey = ok
+           WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+         cells AS (
+           SELECT urgent, price_hi, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(nlines) AS BIGINT) AS y
+           FROM units GROUP BY 1, 2),
+         s AS (SELECT *, ${graft.ml.Logistic.marginSql(fit)} AS eta
+               FROM cells)
+         SELECT urgent, price_hi, n, y, round(eta, 6) AS eta,
+                round(exp(eta), 6) AS mu_hat
+         FROM s ORDER BY urgent, price_hi"""
+  }.toMap
+
   /** The m10 confusion report's fitted tree — same runtime-oracle
     * contract as [[m4FittedSpec]]. */
   @volatile private var m10ConfusionSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
@@ -4982,6 +5058,7 @@ object SparkEntry {
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
     m13OracleEntry ++
       r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++
+      r56OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
       n16OracleEntry ++
       t17OracleEntry ++ Map(
@@ -8465,6 +8542,56 @@ object SparkEntry {
                   / sqrt((1.0 - r_xz * r_xz)
                        * (1.0 - r_yz * r_yz)), 6) AS pcor
          FROM st""",
+
+    // r57: customer unit frame, six exact DECIMAL power sums, the
+    // identical θ/ρ²/adjusted-mean trees
+    "r57_cuped" ->
+      """WITH units AS (
+           SELECT CASE WHEN substr(md5(CAST(o_custkey AS VARCHAR)), 1, 1)
+                         < '8' THEN 1 ELSE 0 END AS arm,
+                  CAST(sum(CASE WHEN o_orderdate < DATE '1995-01-01'
+                    THEN CAST(o_totalprice AS DECIMAL(12,2))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END)
+                    AS DECIMAL(18,2)) AS x,
+                  CAST(sum(CASE WHEN o_orderdate >= DATE '1995-01-01'
+                    THEN CAST(o_totalprice AS DECIMAL(12,2))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END)
+                    AS DECIMAL(18,2)) AS y
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+             AND o_custkey IS NOT NULL
+           GROUP BY o_custkey),
+         g AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_all,
+                  CAST(sum(x) AS DOUBLE) AS gsx,
+                  CAST(sum(y) AS DOUBLE) AS gsy,
+                  CAST(sum(x * x) AS DOUBLE) AS gsxx,
+                  CAST(sum(x * y) AS DOUBLE) AS gsxy,
+                  CAST(sum(y * y) AS DOUBLE) AS gsyy
+           FROM units),
+         a AS (
+           SELECT arm, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(x) AS DOUBLE) AS asx,
+                  CAST(sum(y) AS DOUBLE) AS asy
+           FROM units GROUP BY 1),
+         s AS (SELECT * FROM a CROSS JOIN g),
+         f AS (
+           SELECT arm, n,
+                  asy / CAST(n AS DOUBLE) AS mean_y,
+                  (CAST(n_all AS DOUBLE) * gsxy - gsx * gsy)
+                    / (CAST(n_all AS DOUBLE) * gsxx - gsx * gsx) AS theta,
+                  ((CAST(n_all AS DOUBLE) * gsxy - gsx * gsy)
+                    * (CAST(n_all AS DOUBLE) * gsxy - gsx * gsy))
+                    / ((CAST(n_all AS DOUBLE) * gsxx - gsx * gsx)
+                     * (CAST(n_all AS DOUBLE) * gsyy - gsy * gsy)) AS rho2,
+                  asx / CAST(n AS DOUBLE) AS mean_x,
+                  gsx / CAST(n_all AS DOUBLE) AS gmean_x
+           FROM s)
+         SELECT arm, n, round(mean_y, 6) AS mean_y,
+                round(mean_y - theta * (mean_x - gmean_x), 6)
+                  AS mean_y_cuped,
+                round(theta, 6) AS theta, round(rho2, 6) AS rho2
+         FROM f ORDER BY arm""",
 
     // r28: paired diffs, |d| value counts, exclusive prefix ranks, the
     // three exact longs and the identical closed-form z tree

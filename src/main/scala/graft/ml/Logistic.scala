@@ -92,6 +92,74 @@ object Logistic {
     LogisticFit(features.map(_._1), beta, iters, converged)
   }
 
+  /** Poisson log-linear regression via Newton on the SAME cell frame
+    * (counts ~ categorical/binned covariates). The Poisson likelihood
+    * also factors over distinct covariate combinations: a cell with n
+    * rows and total count y contributes gradient `(y − n·e^η)·x` and
+    * Hessian `n·e^η·x x'` — so one `groupBy(features).agg(n, Σy)` is the
+    * full sufficient-statistics reduction and the loop never sees rows.
+    * Same determinism contract as [[irlsFitCells]]: canonical cell sort,
+    * partial-pivot solve, fixed 1e-9 ridge; reuses [[LogisticFit]] so
+    * [[margin]]/[[marginSql]] replay η = log μ relationally. */
+  def poissonFitCells(df: DataFrame, countCol: Column,
+      features: Seq[(String, Column)], maxCells: Int = 65536,
+      maxIter: Int = 50, tol: Double = 1e-12): LogisticFit = {
+    require(features.nonEmpty, "poissonFitCells needs at least one feature")
+    val sel = features.map { case (n, c) => c.cast("int").as(n) }
+    val notNull = features.map(_._2.isNotNull).reduce(_ && _) &&
+      countCol.isNotNull
+    val cellsDF = df.where(notNull)
+      .groupBy(sel: _*)
+      .agg(count(lit(1)).as("__n"), sum(countCol.cast("long")).as("__y"))
+    val raw = cellsDF.limit(maxCells + 1).collect()
+    require(raw.length <= maxCells,
+      s"cell frame exceeds maxCells=$maxCells — bin the features coarser")
+    require(raw.nonEmpty, "no non-null rows to fit on")
+    val p = features.size
+    import scala.math.Ordering.Implicits._
+    val cells = raw.map { r =>
+      (Array.tabulate(p)(i => r.getInt(i).toDouble),
+        r.getLong(p).toDouble, r.getLong(p + 1).toDouble)
+    }.sortBy(_._1.toSeq)
+    val dim = p + 1
+    val beta = new Array[Double](dim)
+    // start at the empty-model MLE: β0 = ln(Σy / Σn) — keeps e^η sane
+    val totN = cells.map(_._2).sum; val totY = cells.map(_._3).sum
+    require(totY > 0.0, "Poisson fit needs a positive total count")
+    beta(0) = math.log(totY / totN)
+    var iters = 0; var converged = false
+    while (iters < maxIter && !converged) {
+      val g = new Array[Double](dim)
+      val h = Array.ofDim[Double](dim, dim)
+      cells.foreach { case (x, n, y) =>
+        var eta = beta(0)
+        var i = 0
+        while (i < p) { eta += beta(i + 1) * x(i); i += 1 }
+        val mu = n * math.exp(eta)
+        val r = y - mu
+        def xi(j: Int): Double = if (j == 0) 1.0 else x(j - 1)
+        var a = 0
+        while (a < dim) {
+          g(a) += r * xi(a)
+          var b = 0
+          while (b < dim) { h(a)(b) += mu * xi(a) * xi(b); b += 1 }
+          a += 1
+        }
+      }
+      var d = 0
+      while (d < dim) { h(d)(d) += 1e-9; d += 1 }
+      val delta = solve(h, g)
+      var j = 0; var maxStep = 0.0
+      while (j < dim) {
+        beta(j) += delta(j)
+        maxStep = math.max(maxStep, math.abs(delta(j))); j += 1
+      }
+      iters += 1
+      if (maxStep < tol) converged = true
+    }
+    LogisticFit(features.map(_._1), beta, iters, converged)
+  }
+
   /** Gaussian elimination with partial pivoting — deterministic over the
     * fixed index order; mutates copies only. Shared with the OLS normal-
     * equation solve ([[graft.stats.Regression.olsFitMulti]]). */

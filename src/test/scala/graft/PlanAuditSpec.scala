@@ -55,7 +55,9 @@ class PlanAuditSpec extends SparkSpec {
     // e25: the 7-row lag broadcast onto the day frame (dimension-sized)
     "e25_crosscorr",
     // t22: the 1-row corpus-totals cross join (the t18/n4 shape)
-    "t22_keyness")
+    "t22_keyness",
+    // r57: the 1-row global-power-sums broadcast onto the k-arm frame
+    "r57_cuped")
 
   // the in-SQL ROC curve over 4 leaf scores (m3 — plan-required: the
   // curve is built inside one query), the DPP dim max (p7 — days-sized,

@@ -72,6 +72,28 @@ class LogisticSpec extends SparkSpec {
     assert(viaCol.toSeq == viaSql.toSeq)
   }
 
+  test("poisson: saturated model reproduces the empirical cell means") {
+    // one binary feature + intercept = 2 params = 2 cells: the MLE's
+    // fitted rate must equal y/n per cell
+    val rows = Seq.fill(100)((0, 2)) ++ // x=0: mean count 2
+      Seq.fill(50)((1, 5))              // x=1: mean count 5
+    val df = rows.toDF("x", "c").repartition(5)
+    val fit = Logistic.poissonFitCells(df, col("c"), Seq("x" -> col("x")))
+    assert(fit.converged)
+    assert(math.abs(math.exp(fit.beta(0)) - 2.0) < 1e-7)
+    assert(math.abs(math.exp(fit.beta(0) + fit.beta(1)) - 5.0) < 1e-7)
+  }
+
+  test("poisson: fit is bit-deterministic across partitionings") {
+    val rng = new scala.util.Random(13)
+    val rows = Seq.fill(500)((rng.nextInt(2), rng.nextInt(3), rng.nextInt(9)))
+    val f1 = Logistic.poissonFitCells(rows.toDF("a", "b", "c").repartition(3),
+      col("c"), Seq("a" -> col("a"), "b" -> col("b")))
+    val f2 = Logistic.poissonFitCells(rows.toDF("a", "b", "c").repartition(17),
+      col("c"), Seq("a" -> col("a"), "b" -> col("b")))
+    assert(f1.beta.toSeq == f2.beta.toSeq)
+  }
+
   test("NULL labels and NULL features drop; cell cap trips loudly") {
     val df = Seq((Some(1), Some(1)), (None, Some(1)), (Some(0), None))
       .toDF("x", "y")
