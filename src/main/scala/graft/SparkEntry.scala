@@ -4244,6 +4244,21 @@ object SparkEntry {
       graft.stats.Cuped.cupedDF(units, col("arm"), col("x"), col("y"))
     }),
 
+    // ---- quality: per-group trimmed + winsorized means (q21) — robust
+    // aggregation off the q10 cell machinery: rank decisions and all
+    // three sums are pure LONG arithmetic, FP only in the final display
+    // divisions. ---------------------------------------------------------
+    "q21_trimmed_mean" -> ((s, dir) =>
+      graft.ops.Quality.trimmedMeans(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_returnflag", trimPct = 10)),
+
+    // ---- similarity: item–item basket co-occurrence cosine (n19) — the
+    // set-based recommender primitive; basket-key self-join with an
+    // oversized-basket guard, integer counts, one final divide. ----------
+    "n19_cooccurrence" -> ((s, dir) =>
+      graft.sim.Cooccurrence.itemPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minCount = 2L, maxBasketSize = 100)),
+
     // ---- events: interval-concurrency sweep (e24) — how many order
     // lines are awaiting shipment each day (order date → ship date);
     // +1/−1 events, one groupBy, the sharded prefix (integer-exact). -----
@@ -8592,6 +8607,71 @@ object SparkEntry {
                   AS mean_y_cuped,
                 round(theta, 6) AS theta, round(rho2, 6) AS rho2
          FROM f ORDER BY arm""",
+
+    // q21: cent cells, partitioned cumsum ranks, LONG overlap sums, the
+    // identical display-division trees
+    "q21_trimmed_mean" ->
+      """WITH cells AS (
+           SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+                  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                    AS BIGINT) AS vc,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+           GROUP BY 1, 2),
+         r AS (
+           SELECT grp, vc, c,
+                  CAST(sum(c) OVER (PARTITION BY grp ORDER BY vc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS ci,
+                  CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+           FROM cells),
+         r2 AS (SELECT grp, vc, c, ci, n, n * 10 // 100 AS k FROM r),
+         clamps AS (
+           SELECT grp, n, k,
+                  min(CASE WHEN ci >= k + 1 THEN vc END) AS lo_clamp_c,
+                  min(CASE WHEN ci >= n - k THEN vc END) AS hi_clamp_c
+           FROM r2 GROUP BY 1, 2, 3),
+         sums AS (
+           SELECT grp,
+                  CAST(sum(c * vc) AS BIGINT) AS raw_sum,
+                  CAST(sum(greatest(0, least(ci, n - k)
+                    - greatest(ci - c, k)) * vc) AS BIGINT) AS trim_sum
+           FROM r2 GROUP BY 1)
+         SELECT grp, n, k,
+                round(CAST(raw_sum AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * 100.0), 6) AS mean,
+                round(CAST(trim_sum AS DOUBLE)
+                  / (CAST(n - 2 * k AS DOUBLE) * 100.0), 6) AS trimmed_mean,
+                round(CAST(trim_sum + k * lo_clamp_c + k * hi_clamp_c
+                    AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * 100.0), 6) AS winsor_mean,
+                CAST(lo_clamp_c AS DOUBLE) / 100.0 AS lo_clamp,
+                CAST(hi_clamp_c AS DOUBLE) / 100.0 AS hi_clamp
+         FROM clamps JOIN sums USING (grp) ORDER BY grp""",
+
+    // n19: distinct basket edges, size-capped baskets, basket-key
+    // self-join pair census, integer totals, one final divide
+    "n19_cooccurrence" ->
+      """WITH e0 AS (
+           SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+           FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+         ok AS (SELECT bk FROM e0 GROUP BY bk HAVING count(*) <= 100),
+         e AS (SELECT e0.bk, e0.it FROM e0 JOIN ok USING (bk)),
+         tot AS (SELECT it, CAST(count(*) AS BIGINT) AS n_item
+                 FROM e GROUP BY 1),
+         p AS (SELECT a.it AS item_a, b.it AS item_b
+               FROM e a JOIN e b ON a.bk = b.bk AND a.it < b.it),
+         c AS (SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_ab
+               FROM p GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT item_a, item_b, n_ab, ta.n_item AS n_a, tb.n_item AS n_b,
+                round(CAST(n_ab AS DOUBLE)
+                  / sqrt(CAST(ta.n_item * tb.n_item AS DOUBLE)), 6)
+                  AS cosine
+         FROM c JOIN tot ta ON c.item_a = ta.it
+                JOIN tot tb ON c.item_b = tb.it
+         ORDER BY item_a, item_b""",
 
     // r28: paired diffs, |d| value counts, exclusive prefix ranks, the
     // three exact longs and the identical closed-form z tree

@@ -250,4 +250,64 @@ object Quality {
         col("n_outliers"))
       .orderBy(col("grp"))
   }
+
+  /** Per-group TRIMMED and WINSORIZED means — the robust-aggregation
+    * siblings of [[iqrOutliers]]: trim drops the lowest/highest
+    * `trimPct`% of ROWS (by rank), winsorize clamps them to the boundary
+    * order statistics instead.
+    *
+    * Integer exactness (the q10 doctrine): values become CENT longs, the
+    * corpus reduces to (group, value) cells once, and every rank
+    * decision is pure LONG arithmetic off the cell cumsum —
+    * `k = n·trimPct DIV 100` rows trim from each tail, a cell's kept
+    * multiplicity is its overlap `min(ci, n−k) − max(ci−c, k)` with the
+    * kept rank interval, and the clamp values are the type-1 order
+    * statistics at ranks k+1 / n−k. The three sums (raw / trimmed
+    * interior / winsorized = interior + k·lo_clamp + k·hi_clamp) stay
+    * LONG; FP appears only in the final display divisions.
+    *
+    * Plan: one corpus-sized groupBy to cells; windows PARTITIONED by
+    * group over the value-level frame; one k-row join back to the cells
+    * — no second corpus scan, nothing global. */
+  def trimmedMeans(df: DataFrame, valueCol: String, groupCol: String,
+      trimPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(trimPct >= 0 && trimPct < 50, "trimPct must be in [0, 50)")
+    val cells = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("vc"))
+      .groupBy(col("grp"), col("vc")).agg(count(lit(1)).as("c"))
+    val cw = Window.partitionBy(col("grp")).orderBy(col("vc").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nw = Window.partitionBy(col("grp"))
+    val ranked = cells
+      .withColumn("ci", sum(col("c")).over(cw))
+      .withColumn("n", sum(col("c")).over(nw))
+      .withColumn("k", expr(s"n * $trimPct DIV 100"))
+    val clamps = ranked
+      .withColumn("loc", when(col("ci") >= col("k") + 1L, col("vc")))
+      .withColumn("hic", when(col("ci") >= col("n") - col("k"), col("vc")))
+      .groupBy(col("grp"), col("n"), col("k"))
+      .agg(min(col("loc")).as("lo_clamp_c"), min(col("hic")).as("hi_clamp_c"))
+    val sums = ranked
+      .withColumn("kept", greatest(lit(0L),
+        least(col("ci"), col("n") - col("k")) -
+          greatest(col("ci") - col("c"), col("k"))))
+      .groupBy(col("grp"))
+      .agg(sum(col("c") * col("vc")).as("raw_sum"),
+        sum(col("kept") * col("vc")).as("trim_sum"))
+    clamps.join(sums, "grp")
+      .select(col("grp"), col("n"), col("k"),
+        round(col("raw_sum").cast("double") /
+          (col("n").cast("double") * 100.0), 6).as("mean"),
+        round(col("trim_sum").cast("double") /
+          ((col("n") - col("k") * 2L).cast("double") * 100.0), 6)
+          .as("trimmed_mean"),
+        round((col("trim_sum") + col("k") * col("lo_clamp_c") +
+            col("k") * col("hi_clamp_c")).cast("double") /
+          (col("n").cast("double") * 100.0), 6).as("winsor_mean"),
+        (col("lo_clamp_c").cast("double") / 100.0).as("lo_clamp"),
+        (col("hi_clamp_c").cast("double") / 100.0).as("hi_clamp"))
+      .orderBy(col("grp"))
+  }
 }

@@ -132,4 +132,20 @@ class QualitySpec extends SparkSpec {
       assert(nout == vs.count(v => math.abs(v - m) * 2 > 3 * mad2))
     }
   }
+
+  test("trimmedMeans: hand case with an outlier and a tie across the cut") {
+    import spark.implicits._
+    // grp a: 1..9 + 100 → k=1 trims {1, 100}; winsor clamps to {2, 9}
+    // grp b: two 1s straddle the trim cut — cell overlap arithmetic
+    val rows =
+      (Seq(1, 2, 3, 4, 5, 6, 7, 8, 9, 100).map(v => ("a", v.toDouble)) ++
+        Seq(1, 1, 2, 3, 4, 5, 6, 7, 8, 9).map(v => ("b", v.toDouble)))
+    val r = graft.ops.Quality.trimmedMeans(
+      rows.toDF("g", "v").repartition(3), "v", "g", trimPct = 10)
+      .as[(String, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(r == Seq(
+      ("a", 10L, 1L, 14.5, 5.5, 5.5, 2.0, 9.0),
+      ("b", 10L, 1L, 4.6, 4.5, 4.5, 1.0, 8.0)))
+  }
 }
