@@ -4244,6 +4244,49 @@ object SparkEntry {
       graft.stats.Cuped.cupedDF(units, col("arm"), col("x"), col("y"))
     }),
 
+    // ---- §2.9 gradient-boosted stumps (m14): least-squares boosting on
+    // the cell frame — per-cell (n, Σy) is the complete sufficient
+    // statistic, rounds run driver-side, stumps export as literals and
+    // the score chain replays relationally (the r37 doctrine). ----------
+    "m14_gbt_stumps" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val feats = Seq[(String, org.apache.spark.sql.Column)](
+        "disc_hi" -> (col("l_discount") >= 0.05),
+        "qty_hi" -> (col("l_quantity") >= 25),
+        "tax_hi" -> (col("l_tax") >= 0.04))
+      val fit = graft.ml.GradientBoost.fitCells(li, col("l_extendedprice"),
+        feats, rounds = 4, shrinkage = 0.5)
+      m14GbtFit = Some(fit)
+      li.where(col("l_discount").isNotNull && col("l_quantity").isNotNull &&
+          col("l_tax").isNotNull && col("l_extendedprice").isNotNull)
+        .groupBy((col("l_discount") >= 0.05).cast("int").as("disc_hi"),
+          (col("l_quantity") >= 25).cast("int").as("qty_hi"),
+          (col("l_tax") >= 0.04).cast("int").as("tax_hi"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(12,2)")).as("sy"))
+        .withColumn("score", graft.ml.GradientBoost.scoreColumn(fit))
+        .select(col("disc_hi"), col("qty_hi"), col("tax_hi"), col("n"),
+          round(col("sy").cast("double") / col("n").cast("double"), 6)
+            .as("mean_y"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("disc_hi"), col("qty_hi"), col("tax_hi"))
+    }),
+
+    // ---- §2.8 chi-square goodness-of-fit vs uniform (r58): the
+    // one-aggregate closed form χ² = k·ΣO²/n − n (exact integer sums, a
+    // single fixed tree — no per-category expected-count frame). --------
+    "r58_gof_uniform" -> ((s, dir) => {
+      val cells = t(s, dir, "orders").where(col("o_orderpriority").isNotNull)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("obs"))
+      cells.agg(count(lit(1)).as("k"), sum(col("obs")).as("n"),
+          sum(col("obs").cast("decimal(18,0)") *
+            col("obs").cast("decimal(18,0)")).as("soo"))
+        .select(col("k"), col("n"),
+          round(col("k").cast("double") * col("soo").cast("double") /
+            col("n").cast("double") - col("n").cast("double"), 6).as("chi2"),
+          (col("k") - lit(1L)).as("df"))
+    }),
+
     // ---- quality: per-group trimmed + winsorized means (q21) — robust
     // aggregation off the q10 cell machinery: rank decisions and all
     // three sums are pure LONG arithmetic, FP only in the final display
@@ -4705,6 +4748,34 @@ object SparkEntry {
          FROM s ORDER BY urgent, price_hi"""
   }.toMap
 
+  /** m14's fitted stump ensemble — the r37 runtime-oracle contract:
+    * f0 and every (feature, γ0, γ1) interpolate as Double.toString
+    * literals, the replay rebuilds the identical cell frame and the
+    * identical left-to-right CASE score chain. */
+  @volatile private var m14GbtFit: Option[graft.ml.GradientBoost.GbtFit] = None
+
+  private def m14OracleEntry: Map[String, String] = m14GbtFit.map { fit =>
+    "m14_gbt_stumps" ->
+      s"""WITH src AS (
+           SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS disc_hi,
+                  CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS qty_hi,
+                  CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END AS tax_hi,
+                  CAST(l_extendedprice AS DECIMAL(12,2)) AS y
+           FROM lineitem
+           WHERE l_discount IS NOT NULL AND l_quantity IS NOT NULL
+             AND l_tax IS NOT NULL AND l_extendedprice IS NOT NULL),
+         cells AS (
+           SELECT disc_hi, qty_hi, tax_hi, CAST(count(*) AS BIGINT) AS n,
+                  sum(y) AS sy
+           FROM src GROUP BY 1, 2, 3),
+         s AS (SELECT *, ${graft.ml.GradientBoost.scoreSql(fit)} AS score
+               FROM cells)
+         SELECT disc_hi, qty_hi, tax_hi, n,
+                round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+                round(score, 6) AS score
+         FROM s ORDER BY disc_hi, qty_hi, tax_hi"""
+  }.toMap
+
   /** The m10 confusion report's fitted tree — same runtime-oracle
     * contract as [[m4FittedSpec]]. */
   @volatile private var m10ConfusionSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
@@ -5071,7 +5142,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
-    m13OracleEntry ++
+    m13OracleEntry ++ m14OracleEntry ++
       r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++
       r56OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
@@ -8607,6 +8678,24 @@ object SparkEntry {
                   AS mean_y_cuped,
                 round(theta, 6) AS theta, round(rho2, 6) AS rho2
          FROM f ORDER BY arm""",
+
+    // r58: category counts, exact DECIMAL ΣO², the one-division closed
+    // form k·ΣO²/n − n
+    "r58_gof_uniform" ->
+      """WITH cells AS (
+           SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS obs
+           FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+         a AS (
+           SELECT CAST(count(*) AS BIGINT) AS k,
+                  CAST(sum(obs) AS BIGINT) AS n,
+                  sum(CAST(obs AS DECIMAL(18,0))
+                    * CAST(obs AS DECIMAL(18,0))) AS soo
+           FROM cells)
+         SELECT k, n,
+                round(CAST(k AS DOUBLE) * CAST(soo AS DOUBLE)
+                  / CAST(n AS DOUBLE) - CAST(n AS DOUBLE), 6) AS chi2,
+                k - 1 AS df
+         FROM a""",
 
     // q21: cent cells, partitioned cumsum ranks, LONG overlap sums, the
     // identical display-division trees
