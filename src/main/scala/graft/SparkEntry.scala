@@ -1772,6 +1772,25 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- multimodal AUDIO VAD (x6): real WAV decode → 64-sample frame
+    // energies (pure Long) → threshold at the all-space baseline →
+    // partition-local islands run. The oracle replays frame energies from
+    // the char codes and the islands relationally (the e20 doctrine). ----
+    "x6_voiced_segments" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          Multimodal.MediaRow(id, "audio", Multimodal.textToWavPayload(text),
+            Multimodal.MediaMeta("wav", 0, 0, 1, 64L))
+        }
+      // threshold = a full frame of padding spaces: 64 · (32−64)² · 256²
+      Multimodal.voicedSegments(media, frameSize = 64,
+          threshold = 64L * 1024L * 65536L)
+        .toDF().orderBy(col("media_id"))
+    }),
+
     "x1_multimodal_features" -> ((s, dir) => {
       import s.implicits._
       import graft.multimodal.Multimodal
@@ -9868,6 +9887,51 @@ object SparkEntry {
                  rpad(regexp_replace(text, '[^ -~]', '', 'g'), 512, ' ') AS padded
                FROM documents)
          ORDER BY media_id""",
+
+    // x6: frame dev² sums from char codes (×65536 = energy), threshold
+    // ⟺ Σ(code−64)² > 64·1024, islands via lag-start + run grouping
+    "x6_voiced_segments" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  rpad(regexp_replace(text, '[^ -~]', '', 'g'), 512, ' ')
+                    AS padded
+           FROM documents),
+         fr AS (
+           SELECT doc_id, f,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> CAST(unicode(substr(padded,
+                           CAST(f * 64 + i AS INT), 1)) - 64 AS BIGINT)
+                         * CAST(unicode(substr(padded,
+                           CAST(f * 64 + i AS INT), 1)) - 64 AS BIGINT)))
+                    AS BIGINT) AS dev2
+           FROM p CROSS JOIN range(0, 8) t(f)),
+         v AS (
+           SELECT doc_id, f,
+                  CASE WHEN dev2 > 64 * 1024 THEN 1 ELSE 0 END AS voiced
+           FROM fr),
+         w AS (
+           SELECT doc_id, f, voiced,
+                  CASE WHEN voiced = 1 AND coalesce(lag(voiced)
+                    OVER (PARTITION BY doc_id ORDER BY f), 0) = 0
+                    THEN 1 ELSE 0 END AS seg_start,
+                  CAST(f AS BIGINT) - CAST(row_number()
+                    OVER (PARTITION BY doc_id, voiced ORDER BY f)
+                    AS BIGINT) AS isl
+           FROM v),
+         runs AS (
+           SELECT doc_id, isl, CAST(count(*) AS BIGINT) AS rl
+           FROM w WHERE voiced = 1 GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(voiced) AS BIGINT) AS n_voiced,
+                  CAST(sum(seg_start) AS BIGINT) AS n_segments
+           FROM w GROUP BY 1),
+         lr AS (
+           SELECT doc_id, CAST(max(rl) AS BIGINT) AS longest_run
+           FROM runs GROUP BY 1)
+         SELECT a.doc_id AS media_id, CAST(8 AS BIGINT) AS n_frames,
+                n_voiced, n_segments,
+                coalesce(longest_run, 0) AS longest_run
+         FROM agg a LEFT JOIN lr USING (doc_id) ORDER BY media_id""",
 
     "x1_multimodal_features" ->
       """SELECT doc_id AS media_id, 16 AS width, 16 AS height,

@@ -39,6 +39,8 @@ object Multimodal {
       embedding: Array[Float])
   final case class FrameSample(media_id: Long, frame_index: Int, offsetMs: Long,
       frame: Array[Byte])
+  final case class VoicedSegments(media_id: Long, n_frames: Long,
+      n_voiced: Long, n_segments: Long, longest_run: Long)
 
   /** Real JDK-ImageIO codec layer. Every function is deterministic in the
     * payload bytes: decode is exact for lossless formats (PNG/BMP/GIF),
@@ -239,6 +241,39 @@ object Multimodal {
       AudioCodecs.decodeWav(m.payload).map { case (rate, samples) =>
         AudioFeatures(m.media_id, rate, samples.length,
           AudioCodecs.energyBins(samples, dim))
+      }
+    })
+  }
+
+  /** Voice-activity-style segment census (the audio analogue of e20's
+    * gaps-and-islands): decode → fixed `frameSize`-sample frames (full
+    * frames only) → per-frame ENERGY (Σ sample², pure Long) → frames
+    * above `threshold` are "voiced" → contiguous voiced frames merge
+    * into segments, all inside ONE partition-local pass (the islands
+    * run-length state is three ints; payloads never shuffle).
+    * Undecodable payloads drop — the corrupt-media filter contract. */
+  def voicedSegments(media: Dataset[MediaRow], frameSize: Int,
+      threshold: Long): Dataset[VoicedSegments] = {
+    require(frameSize > 0, "frameSize must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      AudioCodecs.decodeWav(m.payload).map { case (_, samples) =>
+        val nf = samples.length / frameSize
+        var seg = 0L; var voiced = 0L; var longest = 0L; var run = 0L
+        var f = 0
+        while (f < nf) {
+          var e = 0L
+          var i = f * frameSize
+          val end = i + frameSize
+          while (i < end) { e += samples(i).toLong * samples(i); i += 1 }
+          if (e > threshold) {
+            voiced += 1; run += 1
+            if (run == 1L) seg += 1
+            if (run > longest) longest = run
+          } else run = 0L
+          f += 1
+        }
+        VoicedSegments(m.media_id, nf.toLong, voiced, seg, longest)
       }
     })
   }

@@ -172,6 +172,31 @@ class MultimodalSpec extends SparkSpec {
     assert(e(0) == expected0)
   }
 
+  test("voicedSegments: hand-built frame pattern → exact islands census") {
+    import spark.implicits._
+    // 8 frames of 64 samples; frames 1,2 and 5 loud, rest silent →
+    // 2 segments, 3 voiced, longest run 2
+    val loud = Array.fill(64)(10000)
+    val quiet = Array.fill(64)(0)
+    val pattern = Array(quiet, loud, loud, quiet, quiet, loud, quiet, quiet)
+    val samples = pattern.flatten
+    val wav = AudioCodecs.pcm16Wav(samples, 8000)
+    val media = Seq((7L, wav)).toDF("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        MediaRow(id, "audio", p, MediaMeta("wav", 0, 0, 1, 64L)) }
+    val r = Multimodal.voicedSegments(media, frameSize = 64,
+        threshold = 1000000L)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((7L, 8L, 3L, 2L, 2L)))
+    // corrupt payload drops
+    val bad = Seq((8L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        MediaRow(id, "audio", p, MediaMeta("wav", 0, 0, 1, 0L)) }
+    assert(Multimodal.voicedSegments(bad, 64, 0L).count() == 0L)
+  }
+
   test("imageNearDupPairs: identical payloads hit cos 1.0, disjoint texts don't pair") {
     import spark.implicits._
     val texts = Seq(
