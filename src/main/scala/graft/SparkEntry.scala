@@ -2584,11 +2584,14 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
       val root = sys.props("java.io.tmpdir") +
         s"/graft-s35-${ProcessHandle.current().pid()}/cust_diff"
+      // scale-free slices (digit-of-key, not absolute ranges): digits 4–5
+      // update, 6–7 insert, at EVERY scale factor — an absolute key range
+      // merges nothing at sf0.001 and the diff comes back empty
       graft.sources.SnapshotTable.write(
-        cust.where(col("c_custkey") <= 300), root, mode = "overwrite")
+        cust.where(col("c_custkey") % 10 < 6), root, mode = "overwrite")
       val v1 = graft.sources.SnapshotTable.latestVersion(root)
       graft.sources.SnapshotTable.merge(
-        cust.where(col("c_custkey").between(200, 400))
+        cust.where((col("c_custkey") % 10).between(4, 7))
           .withColumn("c_acctbal", round(col("c_acctbal") + 1000, 2)),
         root, Seq("c_custkey"))
       val v2 = graft.sources.SnapshotTable.latestVersion(root)
@@ -4367,7 +4370,35 @@ object SparkEntry {
         .select(col("n_probe"), col("query_id"), col("truth_k"),
           col("hits"), col("recall"), col("rr"))
         .orderBy(col("n_probe"), col("query_id"))
-    })
+    }),
+
+    // ---- text: Gopher document-quality rules census (t23) — the hard
+    // doc-level pretraining gate (Rae et al. 2021 Appendix A); every rule
+    // an integer cross-multiplied comparison, one row-local codegen pass.
+    // minWords=30 binds on this corpus (docs run ~25–80 words) and the
+    // stop list is instantiated from the corpus vocabulary (the paper's
+    // list assumes English prose; presence-of-2-distinct is the rule). ---
+    "t23_gopher_rules" -> ((s, dir) =>
+      graft.text.TextOps.gopherRules(
+          Tables.spread(t(s, dir, "documents")), "text", minWords = 30L,
+          stops = Seq("the", "a", "table", "value", "row", "data"))
+        .select(col("doc_id"), col("n_words"), col("mean_wl"),
+          col("stop_hits"), col("r_words"), col("r_meanlen"),
+          col("r_symbol"), col("r_bullet"), col("r_alpha"), col("r_stops"),
+          col("keep"))
+        .orderBy(col("doc_id"))),
+
+    // ---- text: CCNet perplexity bucketing (t24) — bigram LM trained on
+    // the English slice only (the train/apply split t10 lacks: unseen
+    // bigrams score the smoothed floor), docs bucketed head/middle/tail by
+    // FIXED mean-log-prob thresholds; per-doc ordered ln chain so the
+    // bucket comparisons see bit-identical doubles in both engines. ------
+    "t24_perplexity_buckets" -> ((s, dir) =>
+      graft.text.LanguageModel.perplexityBuckets(
+          Tables.spread(t(s, dir, "documents")), "doc_id", "text",
+          trainFilter = col("lang") === "en", k = 0.5,
+          headLp = -4.11, midLp = -4.19)
+        .orderBy(col("doc_id")))
   )
 
   /** The tree the m4 query fitted+exported in this process, if it ran. The
@@ -6159,11 +6190,11 @@ object SparkEntry {
     "s35_version_diff" ->
       """WITH b AS (
            SELECT c_custkey, c_mktsegment, c_acctbal
-           FROM customer WHERE c_custkey <= 300),
+           FROM customer WHERE c_custkey % 10 < 6),
          u AS (
            SELECT c_custkey, c_mktsegment,
                   round(c_acctbal + 1000, 2) AS c_acctbal
-           FROM customer WHERE c_custkey BETWEEN 200 AND 400),
+           FROM customer WHERE c_custkey % 10 BETWEEN 4 AND 7),
          v2 AS (SELECT * FROM u
                 UNION ALL
                 SELECT * FROM b
@@ -8604,6 +8635,111 @@ object SparkEntry {
                 round(CASE WHEN ad / (ad + bd) >= tad / (tad + tbd)
                       THEN g2 ELSE -g2 END, 4) AS signed_g2
          FROM g2t ORDER BY token""",
+
+    // t23: every rule an integer cross-multiplied comparison; the only
+    // double is the display-only mean_wl (one division + round)
+    "t23_gopher_rules" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x != '') AS toks,
+             string_split(text, chr(10)) AS lns
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(toks,
+               t -> CAST(length(t) AS BIGINT))), 0) AS BIGINT) AS sum_len,
+             CAST(len(list_filter(toks,
+               t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+             CAST(len(list_filter(
+               ['the','a','table','value','row','data'],
+               s -> list_contains(toks, s))) AS BIGINT) AS stop_hits,
+             CAST(length(text) - length(replace(text, '#', ''))
+               AS BIGINT)
+               + (CAST(length(text) - length(replace(text, '...', ''))
+                   AS BIGINT) // 3) AS symbols,
+             CAST(len(lns) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lns,
+               l -> regexp_matches(l, '^\s*[-*\x{2022}]')))
+               AS BIGINT) AS bullet_lines,
+             CAST(len(list_filter(lns,
+               l -> regexp_matches(l, '\.\.\.$')))
+               AS BIGINT) AS ellipsis_lines
+           FROM base),
+         f AS (
+           SELECT doc_id, n_words,
+             CASE WHEN n_words > 0
+                  THEN round(CAST(sum_len AS DOUBLE) / n_words, 6)
+             END AS mean_wl,
+             stop_hits,
+             (n_words >= 30 AND n_words <= 100000) AS r_words,
+             (n_words > 0 AND sum_len >= n_words * 3
+               AND sum_len <= n_words * 10) AS r_meanlen,
+             (symbols * 10 <= n_words) AS r_symbol,
+             (bullet_lines * 10 <= n_lines * 9
+               AND ellipsis_lines * 10 <= n_lines * 3) AS r_bullet,
+             (alpha_words * 5 >= n_words * 4) AS r_alpha,
+             (stop_hits >= 2) AS r_stops
+           FROM c)
+         SELECT doc_id, n_words, mean_wl, stop_hits, r_words, r_meanlen,
+                r_symbol, r_bullet, r_alpha, r_stops,
+                (r_words AND r_meanlen AND r_symbol AND r_bullet
+                  AND r_alpha AND r_stops) AS keep
+         FROM f ORDER BY doc_id""",
+
+    // t24: bigram LM trained on the en slice, LEFT-join smoothed floor for
+    // unseen bigrams, per-doc ORDERED ln chain (both engines add the same
+    // doubles in the same order), fixed-threshold buckets
+    "t24_perplexity_buckets" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> x != '') AS tk
+           FROM documents),
+         bg AS (
+           SELECT doc_id, lang,
+             list_transform(tk[1:len(tk)-1],
+               (x,i) -> x || ' ' || tk[i+1]) AS bgs
+           FROM toks),
+         train AS (
+           SELECT unnest(bgs) AS bigram FROM bg WHERE lang = 'en'),
+         bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_bigram
+                FROM train GROUP BY 1),
+         cc AS (SELECT string_split(bigram, ' ')[1] AS w1,
+                       CAST(count(*) AS BIGINT) AS c_context
+                FROM train GROUP BY 1),
+         v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM bc),
+         stream AS (
+           SELECT doc_id, u.b AS bigram, u.p AS pos
+           FROM (SELECT doc_id,
+                   unnest(list_transform(bgs,
+                     (x,i) -> {'b': x, 'p': i})) AS u
+                 FROM bg)),
+         lp AS (
+           SELECT s.doc_id, s.pos,
+             ln((coalesce(bc.c_bigram, 0) + 0.5)
+                / (coalesce(cc.c_context, 0)
+                   + CAST(v.v AS DOUBLE) * 0.5)) AS lp
+           FROM stream s
+           LEFT JOIN bc ON s.bigram = bc.bigram
+           LEFT JOIN cc ON string_split(s.bigram, ' ')[1] = cc.w1
+           CROSS JOIN v),
+         chain AS (
+           SELECT doc_id, pos,
+             sum(lp) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM lp),
+         agg AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                  max_by(cum, pos) AS sum_lp
+           FROM chain GROUP BY 1)
+         SELECT doc_id, n_bigrams,
+                round(sum_lp / n_bigrams, 6) AS avg_logprob,
+                CASE WHEN sum_lp >= n_bigrams * (-4.11) THEN 'head'
+                     WHEN sum_lp >= n_bigrams * (-4.19) THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM agg ORDER BY doc_id""",
 
     // r55: nine exact power sums in one aggregate, three identical
     // correlation trees, the closed partial-correlation form over the

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Count-based n-gram language-model scoring (NOT-IN-REFERENCE extension):
@@ -58,5 +58,69 @@ object LanguageModel {
       .select(col("__id").as(idCol), col("n_bigrams"),
         round(col("sum_lp") / col("n_bigrams"), 6).as("avg_logprob"),
         round(exp(-col("sum_lp") / col("n_bigrams")), 6).as("ppl"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): train the add-k
+    * bigram model on a REFERENCE slice (`trainFilter`, CCNet's "Wikipedia"),
+    * score EVERY document under it, and bucket by FIXED mean-log-prob
+    * thresholds — head / middle / tail. Fixed thresholds are the paper's
+    * actual design (precomputed per-language cutoffs), and they keep the
+    * plan free of any global sort or quantile pass: bucketing is a row-local
+    * comparison after the per-doc score.
+    *
+    * Unlike [[scoreBigram]], the count joins are LEFT joins: bigrams unseen
+    * in training score the smoothed floor k/(c_ctx + kV) (unseen context →
+    * 1/V), which is the whole point of a train/apply split.
+    *
+    * Cross-engine exactness: the per-doc log-prob sum is an ORDERED running
+    * chain over bigram position (window partitioned by doc — row-group
+    * local, never a global sort), so both engines add the same doubles in
+    * the same order and the bucket comparisons see bit-identical values
+    * (the r26 ln-chain doctrine; a bare `sum()` would be partition-order
+    * dependent exactly at the bucket boundaries).
+    *
+    * Returns `(id, n_bigrams, avg_logprob, bucket)`; docs with <2 tokens
+    * carry no evidence and drop. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      trainFilter: Column, k: Double = 0.5,
+      headLp: Double, midLp: Double): DataFrame = {
+    require(k > 0, s"smoothing k must be positive, got $k")
+    require(headLp > midLp, s"head threshold must exceed middle: $headLp <= $midLp")
+    def bigramsOf(d: DataFrame): DataFrame = {
+      val toks = TextOps.tokens(lower(col(textCol)))
+      d.select(col(idCol).as("__id"),
+        posexplode(zip_with(
+          slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+          slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as(Seq("pos", "bigram")))
+    }
+    val trainBigrams = bigramsOf(df.filter(trainFilter))
+    val bigramCounts = trainBigrams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("c_bigram"))
+    val contextCounts = trainBigrams
+      .groupBy(split(col("bigram"), " ").getItem(0).as("w1"))
+      .agg(count(lit(1)).as("c_context"))
+    val vocab = bigramCounts.agg(count(lit(1)).as("v"))
+    val scored = bigramsOf(df)
+      .join(bigramCounts, Seq("bigram"), "left")
+      .join(contextCounts.withColumnRenamed("w1", "__w1"),
+        split(col("bigram"), " ").getItem(0) === col("__w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("__id"), col("pos"),
+        log((coalesce(col("c_bigram"), lit(0L)) + k) /
+          (coalesce(col("c_context"), lit(0L)) + col("v") * k)).as("lp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored
+      .withColumn("cum_lp", sum(col("lp")).over(w))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        max_by(col("cum_lp"), col("pos")).as("sum_lp"))
+      .select(col("__id").as(idCol), col("n_bigrams"),
+        round(col("sum_lp") / col("n_bigrams"), 6).as("avg_logprob"),
+        when(col("sum_lp") >= col("n_bigrams") * headLp, lit("head"))
+          .when(col("sum_lp") >= col("n_bigrams") * midLp, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
   }
 }

@@ -223,4 +223,71 @@ object TextOps {
       array_min(transform(sequence(lit(1), n - lit(w - 1)),
         i => md5(c.substr(i, lit(w))))))
   }
+
+  /** The Gopher quality-filter stop words (Rae et al. 2021 Appendix A):
+    * a doc must contain at least 2 DISTINCT members to pass the stop-word
+    * rule (presence, not frequency — unlike [[stopwordRatio]]). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality rules census (Rae et al. 2021 Appendix A) —
+    * the doc-level pretraining filter battery, each rule a named boolean
+    * plus the `keep` conjunction. NOT-IN-REFERENCE extension; kinship:
+    * [[qualityScore]] is the soft score, this is the hard gate; the
+    * repetition rules of the same paper live in `Corpus` (t6 doctrine).
+    *
+    * Every rule comparison is INTEGER arithmetic (cross-multiplied
+    * ratios), so the flags replay bit-exactly on any SQL engine; the only
+    * doubles are the reported `mean_wl` (one division + round, display
+    * only). Row-local — one codegen corpus pass, nothing shuffles.
+    *
+    * Rules (thresholds parameterized; paper defaults in parens):
+    *  - `r_words`: word count in [minWords, maxWords] (50, 100 000)
+    *  - `r_meanlen`: mean word chars in [3, 10] — as 3n ≤ Σlen ≤ 10n
+    *  - `r_symbol`: ('#' + '…'-as-"...") symbols ≤ 0.1 per word
+    *  - `r_bullet`: ≤ 90% of lines start with a bullet, AND ≤ 30% end
+    *    with an ellipsis
+    *  - `r_alpha`: ≥ 80% of words contain an alphabetic character
+    *  - `r_stops`: ≥ 2 distinct [[GopherStops]] present
+    */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      stops: Seq[String] = GopherStops)
+      : org.apache.spark.sql.DataFrame = {
+    require(stops.nonEmpty, "stop-word rule needs a non-empty list")
+    val text = col(textCol)
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val alphaWords =
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val stopsArr = array(stops.map(lit): _*)
+    val stopHits =
+      size(filter(stopsArr, s => array_contains(toks, s))).cast("long")
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)).cast("long")
+    val symbols = hashes.cast("long") + ellipses
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines,
+      l => l.rlike("^\\s*[-*\\u2022]"))).cast("long")
+    val ellipsisLines = size(filter(lines,
+      l => l.rlike("\\.\\.\\.$"))).cast("long")
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_wl",
+        when(nWords > 0, round(sumLen.cast("double") / nWords, 6)))
+      .withColumn("stop_hits", stopHits)
+      .withColumn("r_words", nWords >= minWords && nWords <= maxWords)
+      .withColumn("r_meanlen",
+        nWords > 0 && sumLen >= nWords * 3 && sumLen <= nWords * 10)
+      .withColumn("r_symbol", symbols * 10 <= nWords)
+      .withColumn("r_bullet",
+        bulletLines * 10 <= nLines * 9 && ellipsisLines * 10 <= nLines * 3)
+      .withColumn("r_alpha", alphaWords * 5 >= nWords * 4)
+      .withColumn("r_stops", stopHits >= 2)
+      .withColumn("keep",
+        col("r_words") && col("r_meanlen") && col("r_symbol") &&
+          col("r_bullet") && col("r_alpha") && col("r_stops"))
+  }
 }

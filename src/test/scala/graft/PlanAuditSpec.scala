@@ -20,6 +20,8 @@ class PlanAuditSpec extends SparkSpec {
     // n10: the 1-row-query broadcast relevance pass (the n1 shape)
     "n10_mmr_rerank",
     "r13_permanova_stat", "t10_ngram_lm",
+    // t24: the t10 1-row vocab-count broadcast (CCNet train/apply split)
+    "t24_perplexity_buckets",
     // r30: the 1-row MI × entropy × entropy combine (the j1 shape)
     "r30_mutual_info",
     // r33: the 1-row agree × margin-product combine (the j1 shape)

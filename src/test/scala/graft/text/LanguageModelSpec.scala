@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class LanguageModelSpec extends SparkSpec {
   import spark.implicits._
@@ -41,5 +42,30 @@ class LanguageModelSpec extends SparkSpec {
     val m = LanguageModel.scoreBigram(docs, "doc_id", "text")
       .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
     assert(m(1L) < m(2L), m.toString) // frequent bigrams → low perplexity
+  }
+
+  test("perplexityBuckets: train/apply split with hand-computed scores") {
+    val docs = Seq(
+      (1L, "a b a b a b", "en"), // train: bigrams (a b)x3? no: a b,b a,a b,b a,a b
+      (2L, "a b a c", "en"),     // train: a b, b a, a c
+      (3L, "z z z", "xx"),       // apply only: unseen bigram AND context
+      (4L, "a b a b", "xx"))     // apply only: seen bigrams
+      .toDF("doc_id", "text", "lang")
+    // train counts: "a b"->4, "b a"->3, "a c"->1; V=3; ctx a->5, b->3
+    val got = LanguageModel.perplexityBuckets(docs, "doc_id", "text",
+        trainFilter = col("lang") === "en", k = 0.5,
+        headLp = -0.5, midLp = -1.0)
+      .select("doc_id", "n_bigrams", "avg_logprob", "bucket")
+      .as[(Long, Long, Double, String)].collect().map(t => t._1 -> t).toMap
+    // doc3: two "z z" bigrams, unseen: lp = ln(0.5 / (0 + 1.5)) each
+    val lpUnseen = math.log(0.5 / 1.5)
+    assert(got(3L)._2 == 2L && got(3L)._4 == "tail")
+    assert(math.abs(got(3L)._3 - lpUnseen) < 1e-6, got(3L).toString)
+    // doc4: (a b), (b a), (a b): 2*ln(4.5/6.5) + ln(3.5/4.5), avg / 3
+    val avg4 = (2 * math.log(4.5 / 6.5) + math.log(3.5 / 4.5)) / 3
+    assert(got(4L)._2 == 3L && got(4L)._4 == "head")
+    assert(math.abs(got(4L)._3 - avg4) < 1e-6, got(4L).toString)
+    // training docs score too (they're part of the apply set)
+    assert(got.contains(1L) && got.contains(2L))
   }
 }

@@ -130,4 +130,34 @@ class TextOpsSpec extends SparkSpec {
     assert(r(2L)._2 == 1L && r(2L)._3 == 1L && r(2L)._4 == 1L)
     assert(r(3L)._2 == 0L && r(3L)._5.isEmpty)
   }
+
+  test("gopherRules: each rule binds on its own hand case") {
+    val df = Seq(
+      (1L, "the cat sat be on that mat with and toys of dogs"), // all pass
+      (2L, "- the cat\n- be that\n- with dog"), // every line a bullet
+      (3L, "# # # word the be"),                // symbols + non-alpha words
+      (4L, "aa aa"),                            // too short, no stops
+      (5L, "a b c d e f the be of and with that")) // mean word len < 3
+      .toDF("doc_id", "text")
+    val r = TextOps.gopherRules(df, "text", minWords = 3L)
+      .select("doc_id", "n_words", "stop_hits", "r_words", "r_meanlen",
+        "r_symbol", "r_bullet", "r_alpha", "r_stops", "keep")
+      .as[(Long, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean,
+        Boolean, Boolean)]
+      .collect().map(t => t._1 -> t).toMap
+    val d1 = r(1L)
+    assert(d1._2 == 12L && d1._3 == 6L && d1._10, d1.toString) // keep
+    assert(!r(2L)._7 && r(2L)._4, r(2L).toString)     // r_bullet fails alone
+    assert(!r(3L)._6 && !r(3L)._8, r(3L).toString)    // r_symbol + r_alpha
+    assert(!r(4L)._4 && !r(4L)._9, r(4L).toString)    // r_words + r_stops
+    assert(!r(5L)._5 && r(5L)._9, r(5L).toString)     // r_meanlen fails alone
+    assert(Seq(2L, 3L, 4L, 5L).forall(id => !r(id)._10))
+  }
+
+  test("gopherRules mean_wl is the exact rounded token-length mean") {
+    val df = Seq((1L, "ab abcd")).toDF("doc_id", "text")
+    val mwl = TextOps.gopherRules(df, "text", minWords = 1L)
+      .select("mean_wl").as[Option[Double]].head()
+    assert(mwl.contains(3.0)) // (2 + 4) / 2
+  }
 }
