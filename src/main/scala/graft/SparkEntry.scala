@@ -4212,6 +4212,35 @@ object SparkEntry {
         fit.beta)
     }),
 
+    // ---- §2.9 ridge regression (m15): m13's covariates with an L2
+    // penalty on the slopes — same exact moment frame, same bounded
+    // driver solve with λ on the slope diagonal, same summary trees at
+    // the (different) β; the m13 exported-artifact oracle shape. --------
+    "m15_ridge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val xs = Seq[(String, org.apache.spark.sql.Column)](
+        "qty" -> col("l_quantity"), "disc" -> col("l_discount"),
+        "tax" -> col("l_tax"))
+      val fit = graft.stats.Regression.ridgeFitMulti(
+        li, col("l_extendedprice"), xs, lambda = 1e6)
+      m15RidgeFit = Some(fit)
+      graft.stats.Regression.olsSummaryDF(
+        graft.stats.Regression.olsMoments(li, col("l_extendedprice"), xs),
+        fit.beta)
+    }),
+
+    // ---- §2.9 isotonic calibration (m16): P(returned) calibrated
+    // monotone in the price bin via the PAVA minimax identity, computed
+    // RELATIONALLY over the bounded cell frame — one corpus groupBy, then
+    // k²/k³ cell-level arithmetic; no driver loop, no exported artifact,
+    // fully static oracle (every mean is one long/long division). -------
+    "m16_isotonic" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.ml.Isotonic.fitCells(graft.ml.Isotonic.cells(li,
+        floor(col("l_extendedprice") / 5000).cast("long"),
+        col("l_returnflag") === "R"))
+    }),
+
     // ---- §2.8 partial correlation (r55): price ~ quantity controlling
     // for discount — three pairwise correlations from one aggregate of
     // nine exact power sums, the closed form as a fixed tree. -----------
@@ -4628,9 +4657,20 @@ object SparkEntry {
     * staged quadratic-form trees with β as string-cast literals. */
   @volatile private var m13OlsFit: Option[graft.stats.Regression.OlsFit] = None
 
-  private def m13OracleEntry: Map[String, String] = m13OlsFit.map { fit =>
+  /** m15's ridge β — same moments, same summary trees, penalized solve. */
+  @volatile private var m15RidgeFit: Option[graft.stats.Regression.OlsFit] = None
+
+  private def m13OracleEntry: Map[String, String] =
+    m13OlsFit.map("m13_ols_multi" -> olsLineitemSummarySql(_)).toMap
+
+  private def m15OracleEntry: Map[String, String] =
+    m15RidgeFit.map("m15_ridge" -> olsLineitemSummarySql(_)).toMap
+
+  /** The m13/m15 shared replay: exact lineitem moments + the staged
+    * quadratic-form summary trees, β interpolated as string-cast literals
+    * (olsSummaryDF is exact at ANY β, so OLS and ridge share it). */
+  private def olsLineitemSummarySql(fit: graft.stats.Regression.OlsFit): String = {
     def b(i: Int) = s"CAST('${fit.beta(i)}' AS DOUBLE)"
-    "m13_ols_multi" ->
       s"""WITH a AS (
            SELECT CAST(count(*) AS BIGINT) AS n,
                   CAST(count(*) AS DOUBLE) AS nd,
@@ -4682,7 +4722,7 @@ object SparkEntry {
                 round(sqrt((syyD - 2.0 * xty + qf) / (nd - 4.0)), 6)
                   AS se_resid
          FROM st"""
-  }.toMap
+  }
 
   /** r50's fitted Cox model — the r37/r48 runtime-oracle contract: the
     * replay scores the event-time frame with exactly the β this process
@@ -5192,7 +5232,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
-    m13OracleEntry ++ m14OracleEntry ++
+    m13OracleEntry ++ m14OracleEntry ++ m15OracleEntry ++
       r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++
       r56OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
@@ -8740,6 +8780,39 @@ object SparkEntry {
                      WHEN sum_lp >= n_bigrams * (-4.19) THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM agg ORDER BY doc_id""",
+
+    // m16: the PAVA minimax identity replayed relationally — cell frame,
+    // k² cumulative self-join, range means, min-over-j then max-over-i;
+    // every mean ONE long/long division, min/max order-independent
+    "m16_isotonic" ->
+      """WITH c AS (
+           SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS cell,
+                  CAST(count(*) AS BIGINT) AS w,
+                  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS sy
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+           GROUP BY 1),
+         cum AS (
+           SELECT a.cell, a.w, a.sy,
+                  CAST(sum(b.w) AS BIGINT) AS cw,
+                  CAST(sum(b.sy) AS BIGINT) AS cy
+           FROM c a JOIN c b ON b.cell <= a.cell GROUP BY 1, 2, 3),
+         means AS (
+           SELECT lo.cell AS i, hi.cell AS j,
+                  CAST(hi.cy - (lo.cy - lo.sy) AS DOUBLE)
+                    / CAST(hi.cw - (lo.cw - lo.w) AS DOUBLE) AS m
+           FROM cum lo JOIN cum hi ON hi.cell >= lo.cell),
+         inn AS (
+           SELECT m.i, g.cell AS t, min(m.m) AS inner_min
+           FROM means m JOIN c g ON g.cell >= m.i AND g.cell <= m.j
+           GROUP BY 1, 2),
+         iso AS (SELECT t AS cell, max(inner_min) AS iso0 FROM inn GROUP BY 1)
+         SELECT c.cell, c.w,
+                round(CAST(c.sy AS DOUBLE) / CAST(c.w AS DOUBLE), 6) AS rate,
+                round(iso.iso0, 6) AS iso
+         FROM c JOIN iso ON c.cell = iso.cell
+         ORDER BY c.cell""",
 
     // r55: nine exact power sums in one aggregate, three identical
     // correlation trees, the closed partial-correlation form over the

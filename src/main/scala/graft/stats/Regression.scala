@@ -168,6 +168,36 @@ object Regression {
     OlsFit(xs.map(_._1), graft.ml.Logistic.solve(a, b))
   }
 
+  /** Ridge (L2-penalized) OLS: identical exact moment frame and bounded
+    * driver solve as [[olsFitMulti]], with `lambda` added to the slope
+    * diagonal of the normal equations (the intercept is unpenalized —
+    * standard ridge). β is again a pure function of the data multiset and
+    * λ; at λ = 0 this IS [[olsFitMulti]] (spec-pinned). The fit summary
+    * ([[olsSummaryDF]]) is valid at ANY β, so the ridge β rides the same
+    * exported-artifact oracle contract as m13's. */
+  def ridgeFitMulti(df: DataFrame, yCol: Column, xs: Seq[(String, Column)],
+      lambda: Double): OlsFit = {
+    require(lambda >= 0, s"ridge penalty must be non-negative, got $lambda")
+    val r = olsMoments(df, yCol, xs).head()
+    def d(name: String): Double =
+      r.getDecimal(r.fieldIndex(name)).doubleValue
+    val p = xs.size; val dim = p + 1
+    val n = r.getLong(r.fieldIndex("n")).toDouble
+    def sx(i: Int) = d(s"s_$i")
+    def sxx(i: Int, j: Int) = if (i <= j) d(s"s_${i}_$j") else d(s"s_${j}_$i")
+    val a = Array.tabulate(dim, dim) { (i, j) =>
+      val base = (i, j) match {
+        case (0, 0) => n
+        case (0, jj) => sx(jj - 1)
+        case (ii, 0) => sx(ii - 1)
+        case (ii, jj) => sxx(ii - 1, jj - 1)
+      }
+      if (i == j && i > 0) base + lambda else base
+    }
+    val b = Array.tabulate(dim)(i => if (i == 0) d("s_y") else d(s"s_${i - 1}_y"))
+    OlsFit(xs.map(_._1), graft.ml.Logistic.solve(a, b))
+  }
+
   /** One-row fit summary AT a given β (the exported-artifact oracle
     * contract): `(n, b0..bp, sse, r2, se_resid)` where
     * `SSE = Syy − 2·β'X'y + β'X'Xβ` is a fixed tree over the SAME moment

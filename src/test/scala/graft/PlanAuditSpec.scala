@@ -22,6 +22,9 @@ class PlanAuditSpec extends SparkSpec {
     "r13_permanova_stat", "t10_ngram_lm",
     // t24: the t10 1-row vocab-count broadcast (CCNet train/apply split)
     "t24_perplexity_buckets",
+    // m16: the PAVA minimax runs entirely on the bounded CELL frame —
+    // k²/k³ range joins over ≲ dozens of calibration cells (r40 shape)
+    "m16_isotonic",
     // r30: the 1-row MI × entropy × entropy combine (the j1 shape)
     "r30_mutual_info",
     // r33: the 1-row agree × margin-product combine (the j1 shape)

@@ -73,6 +73,39 @@ class RegressionSpec extends SparkSpec {
     assert(fit1.beta.toSeq == fit.beta.toSeq)
   }
 
+  test("ridgeFitMulti: λ=0 is OLS; λ>0 shrinks slopes, not the intercept") {
+    val pts = Seq((1.0, 1.0, 6.0), (2.0, 1.0, 8.0), (1.0, 2.0, 9.0),
+      (3.0, 2.0, 13.0), (2.0, 3.0, 14.0))
+    val df = pts.toDF("x0", "x1", "y").repartition(2)
+    val xs = Seq[(String, org.apache.spark.sql.Column)](
+      "x0" -> col("x0"), "x1" -> col("x1"))
+    val ols = Regression.olsFitMulti(df, col("y"), xs)
+    val r0 = Regression.ridgeFitMulti(df, col("y"), xs, lambda = 0.0)
+    assert(r0.beta.toSeq == ols.beta.toSeq)
+    val r = Regression.ridgeFitMulti(df, col("y"), xs, lambda = 5.0)
+    // slopes shrink toward zero relative to OLS (both positive here)
+    assert(r.beta(1) < ols.beta(1) && r.beta(1) > 0)
+    assert(r.beta(2) < ols.beta(2) && r.beta(2) > 0)
+    // hand-check against a direct penalized normal-equations solve
+    val n = pts.size.toDouble
+    val s0 = pts.map(_._1).sum; val s1 = pts.map(_._2).sum
+    val s00 = pts.map(p => p._1 * p._1).sum
+    val s01 = pts.map(p => p._1 * p._2).sum
+    val s11 = pts.map(p => p._2 * p._2).sum
+    val sy = pts.map(_._3).sum
+    val s0y = pts.map(p => p._1 * p._3).sum
+    val s1y = pts.map(p => p._2 * p._3).sum
+    val a = Array(
+      Array(n, s0, s1),
+      Array(s0, s00 + 5.0, s01),
+      Array(s1, s01, s11 + 5.0))
+    val expect = graft.ml.Logistic.solve(a, Array(sy, s0y, s1y))
+    assert(r.beta.zip(expect).forall { case (u, v) => math.abs(u - v) < 1e-9 })
+    // layout-proof
+    val r1 = Regression.ridgeFitMulti(df.repartition(1), col("y"), xs, 5.0)
+    assert(r1.beta.toSeq == r.beta.toSeq)
+  }
+
   test("partialCorrDF: closed form matches a driver replay; layout-proof") {
     val pts = Seq((1.0, 2.0, 1.0), (2.0, 1.0, 2.0), (3.0, 4.0, 3.0),
       (4.0, 3.0, 4.0), (5.0, 6.0, 4.0), (6.0, 5.0, 6.0))
