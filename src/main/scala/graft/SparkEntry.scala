@@ -4241,6 +4241,26 @@ object SparkEntry {
         col("l_returnflag") === "R"))
     }),
 
+    // ---- similarity: binary sign-quantization + Hamming top-k with
+    // exact cosine rerank (n20) — 32× smaller codes, integer Hamming
+    // candidates, full vectors touched only for the k·|Q| survivors;
+    // the memory-bound ANN shape (Charikar 2002 sign sketches). ---------
+    "n20_binary_hamming" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      graft.sim.Quantize.binaryTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") < 8), "vec_id", "embedding",
+        dim = 64, k = 5)
+    }),
+
+    // ---- events: offline mean-shift changepoint (e26) — max-|CUSUM|
+    // split of the daily count series as a pure INTEGER argmax
+    // (D_t = n·cum_t − t·total); e15's online CUSUM answers "is it
+    // drifting", this answers "when did the level change". --------------
+    "e26_changepoint" -> ((s, dir) =>
+      graft.stats.Changepoint.meanShiftDailyDF(
+          t(s, dir, "events"), col("ts"))
+        .withColumn("split_day", col("split_day").cast("string"))),
+
     // ---- §2.8 partial correlation (r55): price ~ quantity controlling
     // for discount — three pairwise correlations from one aggregate of
     // nine exact power sums, the closed form as a fixed tree. -----------
@@ -8813,6 +8833,70 @@ object SparkEntry {
                 round(iso.iso0, 6) AS iso
          FROM c JOIN iso ON c.cell = iso.cell
          ORDER BY c.cell""",
+
+    // n20: MSB-first sign words (acc·2+bit ≡ 1<<(31−i)), integer Hamming,
+    // exact-cosine rerank over the survivors (the n1 dot-product idiom)
+    "n20_binary_hamming" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(range(0, 2), w ->
+               list_sum(list_transform(range(0, 32), i ->
+                 CASE WHEN embedding[w*32 + i + 1] > 0
+                      THEN (CAST(1 AS BIGINT) << (31 - i))
+                      ELSE CAST(0 AS BIGINT) END))) AS wds,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         q AS (SELECT vec_id AS query_id, wds AS qw, v AS qv
+               FROM e WHERE vec_id < 8),
+         pairs AS (
+           SELECT q.query_id, c.vec_id AS corpus_id,
+             CAST(bit_count(xor(c.wds[1], q.qw[1]))
+               + bit_count(xor(c.wds[2], q.qw[2])) AS BIGINT) AS hamming,
+             c.v AS cv, q.qv AS qv
+           FROM e c CROSS JOIN q WHERE c.vec_id != q.query_id),
+         rh AS (
+           SELECT query_id, corpus_id, hamming, cv, qv,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming, corpus_id) AS rank_h
+           FROM pairs),
+         topk AS (SELECT * FROM rh WHERE rank_h <= 5),
+         rc AS (
+           SELECT query_id, corpus_id, hamming,
+             CAST(rank_h AS BIGINT) AS rank_h,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY list_dot_product(cv, qv)
+                 / (sqrt(list_dot_product(cv, cv))
+                    * sqrt(list_dot_product(qv, qv))) DESC,
+               corpus_id) AS BIGINT) AS rank_c
+           FROM topk)
+         SELECT query_id, corpus_id, hamming, rank_h, rank_c FROM rc
+         ORDER BY query_id, rank_h""",
+
+    // e26: day frame, windowed cum ≡ the engine's sharded prefix, the
+    // integer D_t score, argmax by (|D| desc, t asc)
+    "e26_changepoint" ->
+      """WITH d AS (
+           SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         idx AS (
+           SELECT day, c,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(c) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM d),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                        CAST(sum(c) AS BIGINT) AS total FROM d),
+         s AS (
+           SELECT i.day, i.t, i.cum, n_days, total,
+                  n_days * i.cum - i.t * total AS dd
+           FROM idx i CROSS JOIN tot WHERE i.t < n_days)
+         SELECT CAST(day AS VARCHAR) AS split_day, t, n_days, total,
+                cum AS cum_left, dd AS d,
+                round(CAST(cum AS DOUBLE) / t, 6) AS mean_before,
+                round(CAST(total - cum AS DOUBLE) / (n_days - t), 6)
+                  AS mean_after
+         FROM s ORDER BY abs(dd) DESC, t LIMIT 1""",
 
     // r55: nine exact power sums in one aggregate, three identical
     // correlation trees, the closed partial-correlation form over the

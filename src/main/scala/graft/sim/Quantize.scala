@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-dimension affine int8 quantization of an embedding column — the
@@ -48,5 +48,64 @@ object Quantize {
       .select(col("dim"), col("n"), col("vmin"), col("vmax"),
         col("code_sum"), col("code_min"), col("code_max"), col("max_abs_err"))
       .orderBy(col("dim"))
+  }
+
+  /** Sign (1-bit) quantization: pack the vector's sign bits into
+    * `ceil(dim/wordBits)` longs, MSB-first within each word via the pure
+    * `acc·2 + bit` chain (no shift builtins needed, and 32-bit words keep
+    * every intermediate far below 2^63 — engines that ERROR on BIGINT
+    * overflow replay it safely). Bit = 1 iff the coordinate is > 0.
+    * 32× smaller than float32 — the memory-bound ANN trick: Hamming
+    * distance over words approximates angular distance (Charikar 2002). */
+  def signWords(vec: Column, dim: Int, wordBits: Int = 32): Column = {
+    require(dim > 0 && wordBits > 0 && wordBits <= 32)
+    val nWords = (dim + wordBits - 1) / wordBits
+    array((0 until nWords).map { w =>
+      val hi = math.min((w + 1) * wordBits, dim)
+      (w * wordBits until hi).foldLeft(lit(0L)) { (acc, i) =>
+        acc * 2 + when(element_at(vec, i + 1) > 0.0, lit(1L)).otherwise(lit(0L))
+      }
+    }: _*)
+  }
+
+  /** Hamming distance between two sign-word arrays: Σ popcount(xor). */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary-quantized top-k with exact rerank: for each query row, the k
+    * Hamming-nearest corpus rows (rank_h; ties → smaller corpus id), each
+    * then re-ranked by EXACT cosine within the candidate set (rank_c).
+    * The scan side carries only `ceil(dim/32)` longs per row — the
+    * 100 TB shape: full-precision vectors are touched only for the k·|Q|
+    * survivors. Broadcast the (small) query side; the corpus never
+    * shuffles. Hamming is integer-exact; the cosine rerank replays via
+    * the same sequential dot-product arithmetic both engines share. */
+  def binaryTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      dim: Int, k: Int): DataFrame = {
+    val c = corpus.where(col(corpusVec).isNotNull)
+      .select(col(corpusId).as("corpus_id"), col(corpusVec).as("__cv"),
+        signWords(col(corpusVec), dim).as("__cw"))
+    val q = queries.where(col(queryVec).isNotNull)
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
+        signWords(col(queryVec), dim).as("__qw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+    val pairs = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("hamming", hamming(col("__cw"), col("__qw")))
+      .withColumn("rank_h", row_number().over(
+        w.orderBy(col("hamming").asc, col("corpus_id").asc)))
+      .where(col("rank_h") <= k)
+    pairs
+      .withColumn("cos", graft.sim.Embeddings.cosine(
+        graft.sim.Embeddings.asDouble(col("__cv")),
+        graft.sim.Embeddings.asDouble(col("__qv"))))
+      .withColumn("rank_c", row_number().over(
+        w.orderBy(col("cos").desc, col("corpus_id").asc)))
+      .select(col("query_id"), col("corpus_id"), col("hamming"),
+        col("rank_h").cast("long").as("rank_h"),
+        col("rank_c").cast("long").as("rank_c"))
+      .orderBy(col("query_id"), col("rank_h"))
   }
 }

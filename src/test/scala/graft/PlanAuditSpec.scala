@@ -25,6 +25,10 @@ class PlanAuditSpec extends SparkSpec {
     // m16: the PAVA minimax runs entirely on the bounded CELL frame —
     // k²/k³ range joins over ≲ dozens of calibration cells (r40 shape)
     "m16_isotonic",
+    // n20: the n1 broadcast-query scan shape (sign words ride the scan)
+    "n20_binary_hamming",
+    // e26: the 1-row (n_days, total) broadcast over the day frame
+    "e26_changepoint",
     // r30: the 1-row MI × entropy × entropy combine (the j1 shape)
     "r30_mutual_info",
     // r33: the 1-row agree × margin-product combine (the j1 shape)

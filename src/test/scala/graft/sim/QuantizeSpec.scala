@@ -43,4 +43,47 @@ class QuantizeSpec extends SparkSpec {
       assert(row.getDouble(7) <= step / 2 + 1e-9)
     }
   }
+
+  test("signWords packs MSB-first; hamming counts differing sign bits") {
+    import org.apache.spark.sql.functions._
+    // dim 8, 4-bit words: v1 = + - + - | + + - - → words 1010=10, 1100=12
+    val v1 = Seq(1f, -1f, 2f, -3f, 4f, 5f, -1f, -2f)
+    // v2 flips bits 0 and 5 (0-based): 0010=2, 1000=8
+    val v2 = Seq(-1f, -1f, 2f, -3f, 4f, -5f, -1f, -2f)
+    val df = Seq((1L, v1), (2L, v2)).toDF("id", "v")
+    val w = df.select(col("id"), Quantize.signWords(col("v"), 8, 4).as("w"))
+    val got = w.as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) == Seq(10L, 12L), got.toString)
+    assert(got(2L) == Seq(2L, 8L), got.toString)
+    // zero coordinates are NOT positive: all-zero vector packs to 0
+    val z = Seq((3L, Seq.fill(8)(0f))).toDF("id", "v")
+      .select(Quantize.signWords(col("v"), 8, 4).as("w"))
+      .as[Seq[Long]].head()
+    assert(z == Seq(0L, 0L))
+    val h = w.as("a").join(w.as("b"), col("a.id") < col("b.id"))
+      .select(Quantize.hamming(col("a.w"), col("b.w"))).as[Long].head()
+    assert(h == 2L)
+  }
+
+  test("binaryTopK: identical vector is hamming-0 rank 1; rerank is exact cosine") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    val base = vec()
+    val corpus = (10L until 40L).map(i => (i, vec())) :+
+      (99L, base) // exact twin of the query
+    val df = corpus.toDF("vec_id", "embedding")
+    val q = Seq((1L, base)).toDF("vec_id", "embedding")
+    val got = Quantize.binaryTopK(df, "vec_id", "embedding",
+        q, "vec_id", "embedding", dim = 64, k = 5)
+      .select("query_id", "corpus_id", "hamming", "rank_h", "rank_c")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == 5)
+    val first = got.find(_._4 == 1L).get
+    assert(first._2 == 99L && first._3 == 0L) // the twin: hamming 0
+    assert(first._5 == 1L)                    // and exact-cosine rank 1
+    // ranks are a permutation of 1..5
+    assert(got.map(_._4).sorted.toSeq == (1L to 5L))
+    assert(got.map(_._5).sorted.toSeq == (1L to 5L))
+  }
 }
