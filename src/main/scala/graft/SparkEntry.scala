@@ -4261,6 +4261,29 @@ object SparkEntry {
           t(s, dir, "events"), col("ts"))
         .withColumn("split_day", col("split_day").cast("string"))),
 
+    // ---- §2.8 Breusch–Pagan heteroskedasticity test (r59): is
+    // var(quantity) constant across the covariate cells? Integer y keeps
+    // power sums to the 4th moment LONG-exact on the 2^p cell frame; two
+    // shared-design driver solves export β/γ as literals; the LM chain
+    // runs over 4 cells. ------------------------------------------------
+    "r59_breusch_pagan" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val xs = Seq[(String, org.apache.spark.sql.Column)](
+        "disc_hi" -> (col("l_discount") >= 0.05),
+        "tax_hi" -> (col("l_tax") >= 0.04))
+      val cells = graft.stats.Regression.bpCellsDF(li, col("l_quantity"), xs)
+      val fit = graft.stats.Regression.bpFit(cells, 2)
+      r59BpFit = Some(fit)
+      graft.stats.Regression.bpSummaryDF(cells, xs.map(_._1), fit)
+    }),
+
+    // ---- §2.8 Fleiss' kappa (r60): multi-rater chance-corrected
+    // agreement — do an order's 4 lines "agree" on the return flag?
+    // Two longs (ssq, c2) + a fixed tree; the m-rater sibling of r33. ---
+    "r60_fleiss_kappa" -> ((s, dir) =>
+      graft.stats.ChiSquare.fleissKappaDF(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_returnflag"), m = 4)),
+
     // ---- §2.8 partial correlation (r55): price ~ quantity controlling
     // for discount — three pairwise correlations from one aggregate of
     // nine exact power sums, the closed form as a fixed tree. -----------
@@ -4679,6 +4702,66 @@ object SparkEntry {
 
   /** m15's ridge β — same moments, same summary trees, penalized solve. */
   @volatile private var m15RidgeFit: Option[graft.stats.Regression.OlsFit] = None
+
+  /** r59's fitted Breusch–Pagan pair (main β, auxiliary γ) — the replay
+    * rebuilds the integer cell frame and evaluates the identical fixed
+    * trees and running chains with both coefficient sets as literals. */
+  @volatile private var r59BpFit: Option[graft.stats.Regression.BpFit] = None
+
+  private def r59OracleEntry: Map[String, String] = r59BpFit.map { fit =>
+    def l(x: Double) = s"CAST('$x' AS DOUBLE)"
+    val b = fit.beta.map(l); val g = fit.gamma.map(l)
+    "r59_breusch_pagan" ->
+      s"""WITH c AS (
+           SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS disc_hi,
+                  CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END AS tax_hi,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+                  CAST(sum(CAST(l_quantity AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syy,
+                  CAST(sum(CAST(l_quantity AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syyy,
+                  CAST(sum(CAST(l_quantity AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syyyy
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+             AND l_tax IS NOT NULL
+           GROUP BY 1, 2),
+         s1 AS (
+           SELECT disc_hi, tax_hi, n, sy, syy, syyy, syyyy,
+                  ((${b(0)} + ${b(1)} * disc_hi) + ${b(2)} * tax_hi) AS yhat,
+                  ((${g(0)} + ${g(1)} * disc_hi) + ${g(2)} * tax_hi) AS g
+           FROM c),
+         s2 AS (SELECT *, yhat * yhat AS yh2 FROM s1),
+         s3 AS (SELECT *, yh2 * yhat AS yh3 FROM s2),
+         s4 AS (SELECT *, yh3 * yhat AS yh4 FROM s3),
+         s5 AS (SELECT disc_hi, tax_hi, n, yhat, g,
+                  CAST(syy AS DOUBLE) - 2.0 * yhat * CAST(sy AS DOUBLE)
+                    + CAST(n AS DOUBLE) * yh2 AS u2,
+                  CAST(syyyy AS DOUBLE) - 4.0 * yhat * CAST(syyy AS DOUBLE)
+                    + 6.0 * yh2 * CAST(syy AS DOUBLE)
+                    - 4.0 * yh3 * CAST(sy AS DOUBLE)
+                    + CAST(n AS DOUBLE) * yh4 AS u4
+                FROM s4),
+         s6 AS (SELECT *,
+                  u4 - 2.0 * g * u2 + CAST(n AS DOUBLE) * g * g AS sse_c
+                FROM s5),
+         ch AS (SELECT disc_hi, tax_hi, n, yhat, u2, g, sse_c,
+                  CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+                  sum(u2) OVER w AS cum_u2,
+                  sum(u4) OVER w AS cum_u4,
+                  sum(sse_c) OVER w AS cum_sse
+                FROM s6 WINDOW w AS (ORDER BY disc_hi, tax_hi
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT disc_hi, tax_hi, n, yhat, u2, g, sse_c,
+                CAST(cum_n AS DOUBLE) * (1.0 - cum_sse
+                  / (cum_u4 - cum_u2 * cum_u2 / CAST(cum_n AS DOUBLE)))
+                  AS bp_running
+         FROM ch ORDER BY disc_hi, tax_hi"""
+  }.toMap
 
   private def m13OracleEntry: Map[String, String] =
     m13OlsFit.map("m13_ols_multi" -> olsLineitemSummarySql(_)).toMap
@@ -5254,7 +5337,7 @@ object SparkEntry {
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
     m13OracleEntry ++ m14OracleEntry ++ m15OracleEntry ++
       r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++
-      r56OracleEntry ++
+      r56OracleEntry ++ r59OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
       n16OracleEntry ++
       t17OracleEntry ++ Map(
@@ -8897,6 +8980,35 @@ object SparkEntry {
                 round(CAST(total - cum AS DOUBLE) / (n_days - t), 6)
                   AS mean_after
          FROM s ORDER BY abs(dd) DESC, t LIMIT 1""",
+
+    // r60: two longs (ssq, c2) over eligible subjects, one fixed tree
+    "r60_fleiss_kappa" ->
+      """WITH base AS (
+           SELECT l_orderkey AS subj, l_returnflag AS cat FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_returnflag IS NOT NULL),
+         nij AS (SELECT subj, cat, CAST(count(*) AS BIGINT) AS nij
+                 FROM base GROUP BY 1, 2),
+         ps AS (SELECT subj, CAST(sum(nij) AS BIGINT) AS mi,
+                       CAST(sum(nij * nij) AS BIGINT) AS sq
+                FROM nij GROUP BY 1),
+         el AS (SELECT subj, sq FROM ps WHERE mi = 4),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+                      CAST(sum(sq) AS BIGINT) AS ssq FROM el),
+         cj AS (SELECT n.cat, CAST(sum(n.nij) AS BIGINT) AS cj
+                FROM nij n JOIN el e ON n.subj = e.subj GROUP BY 1),
+         c2 AS (SELECT CAST(coalesce(sum(cj * cj), 0) AS BIGINT) AS c2
+                FROM cj),
+         st AS (SELECT n_subjects, ssq, c2.c2,
+                  CAST(ssq - n_subjects * 4 AS DOUBLE)
+                    / (CAST(n_subjects AS DOUBLE) * 4.0 * 3.0) AS pbar0,
+                  CAST(c2.c2 AS DOUBLE)
+                    / ((CAST(n_subjects AS DOUBLE) * 4.0)
+                       * (CAST(n_subjects AS DOUBLE) * 4.0)) AS pe0
+                FROM a CROSS JOIN c2)
+         SELECT n_subjects, CAST(4 AS BIGINT) AS m, ssq, c2,
+                round(pbar0, 6) AS pbar, round(pe0, 6) AS pe,
+                round((pbar0 - pe0) / (1.0 - pe0), 6) AS kappa
+         FROM st""",
 
     // r55: nine exact power sums in one aggregate, three identical
     // correlation trees, the closed partial-correlation form over the

@@ -200,6 +200,45 @@ object ChiSquare {
         (col("n") * col("n") - col("pe_num")).cast("double"), 6).as("kappa"))
   }
 
+  /** Fleiss' kappa — chance-corrected agreement among a FIXED number `m`
+    * of raters per subject (Fleiss 1971); the multi-rater generalization
+    * of [[cohenKappaDF]] for labeling-pipeline consensus audits. Subjects
+    * with a rating count ≠ m are excluded (the statistic assumes constant
+    * m). One row `(n_subjects, m, ssq, c2, pbar, pe, kappa)`.
+    *
+    * FULLY exact: with `ssq = Σ_i Σ_j n_ij²` and `c2 = Σ_j (Σ_i n_ij)²`,
+    * `P̄ = (ssq − N·m)/(N·m·(m−1))` and `P̄e = c2/(N·m)²` — two longs and
+    * a fixed double tree; no chains, no transcendentals. Plan: one
+    * (subject, cat) groupBy, a subject-level reduce to (m_i, Σn_ij²), the
+    * eligible filter, category margins over eligible subjects, 1-row
+    * combine. */
+  def fleissKappaDF(df: DataFrame, subjectCol: Column, catCol: Column,
+      m: Int): DataFrame = {
+    require(m >= 2, s"Fleiss' kappa needs >= 2 raters per subject, got $m")
+    val base = df.where(subjectCol.isNotNull && catCol.isNotNull)
+      .select(subjectCol.as("subj"), catCol.cast("string").as("cat"))
+    val nij = base.groupBy(col("subj"), col("cat"))
+      .agg(count(lit(1)).as("nij"))
+    val perSubj = nij.groupBy(col("subj"))
+      .agg(sum(col("nij")).as("mi"), sum(col("nij") * col("nij")).as("sq"))
+      .where(col("mi") === m.toLong)
+    val agg = perSubj.agg(count(lit(1)).as("n_subjects"),
+      sum(col("sq")).as("ssq"))
+    val c2 = nij.join(perSubj.select(col("subj")), Seq("subj"))
+      .groupBy(col("cat")).agg(sum(col("nij")).as("cj"))
+      .agg(coalesce(sum(col("cj") * col("cj")), lit(0L)).as("c2"))
+    // 1-row × 1-row cross join (the j1 deliberate family)
+    val nD = col("n_subjects").cast("double")
+    val pbar = (col("ssq") - col("n_subjects") * m).cast("double") /
+      (nD * lit(m.toDouble) * lit((m - 1).toDouble))
+    val pe = col("c2").cast("double") /
+      ((nD * lit(m.toDouble)) * (nD * lit(m.toDouble)))
+    agg.crossJoin(c2)
+      .select(col("n_subjects"), lit(m.toLong).as("m"), col("ssq"),
+        col("c2"), round(pbar, 6).as("pbar"), round(pe, 6).as("pe"),
+        round((pbar - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
   /** Cramér's V effect size — the [0,1]-normalized strength the raw chi²
     * can't convey (chi² grows with n; V doesn't). One row
     * `(n, r, c, chi2, v)`.

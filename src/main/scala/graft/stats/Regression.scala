@@ -198,6 +198,99 @@ object Regression {
     OlsFit(xs.map(_._1), graft.ml.Logistic.solve(a, b))
   }
 
+  /** A fitted Breusch–Pagan pair: `beta` the main OLS coefficients,
+    * `gamma` the auxiliary (squared-residual) regression coefficients —
+    * both pure functions of the canonically-sorted integer cell frame. */
+  case class BpFit(beta: Array[Double], gamma: Array[Double])
+
+  /** Breusch–Pagan cell frame for an INTEGER response over binary
+    * covariates: `(x1..xp as 0/1, n, sy, syy, syyy, syyyy)` — the 4th
+    * power sums a squared-residual regression needs, all LONG-exact
+    * because the covariates collapse rows into ≤ 2^p cells and integer
+    * y keeps every power sum integral (the r37 sufficient-statistics
+    * doctrine extended to 4th moments). One map-side-combined groupBy. */
+  def bpCellsDF(df: DataFrame, yCol: Column, xs: Seq[(String, Column)]): DataFrame = {
+    require(xs.nonEmpty)
+    val notNull = (yCol +: xs.map(_._2)).map(_.isNotNull).reduce(_ && _)
+    val y = yCol.cast("long")
+    val keys = xs.map { case (n, c) => c.cast("int").as(n) }
+    df.where(notNull).groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(y).as("sy"), sum(y * y).as("syy"),
+        sum(y * y * y).as("syyy"), sum(y * y * y * y).as("syyyy"))
+  }
+
+  /** Bounded driver fit from the collected cell frame (≤ 2^p rows,
+    * canonically sorted): main weighted OLS β, then the auxiliary OLS γ
+    * of the per-cell squared-residual mass on the same design. Both
+    * solves share the design matrix (X is the cell covariates). */
+  def bpFit(cellsDF: DataFrame, p: Int): BpFit = {
+    val rows = cellsDF.collect().map { r =>
+      (Array.tabulate(p)(i => r.getInt(i).toDouble),
+        r.getLong(p).toDouble, r.getLong(p + 1).toDouble,
+        r.getLong(p + 2).toDouble, r.getLong(p + 4).toDouble)
+    }.sortBy(_._1.toSeq.mkString(","))
+    val dim = p + 1
+    def x(c: (Array[Double], Double, Double, Double, Double), i: Int) =
+      if (i == 0) 1.0 else c._1(i - 1)
+    val a = Array.tabulate(dim, dim) { (i, j) =>
+      rows.map(c => c._2 * x(c, i) * x(c, j)).sum
+    }
+    val bMain = Array.tabulate(dim)(i => rows.map(c => c._3 * x(c, i)).sum)
+    val beta = graft.ml.Logistic.solve(a.map(_.clone()), bMain)
+    // per-cell squared-residual mass at the fitted β
+    val u2 = rows.map { c =>
+      val yh = (1 until dim).foldLeft(beta(0))((acc, i) => acc + beta(i) * c._1(i - 1))
+      c._4 - 2.0 * yh * c._3 + c._2 * yh * yh
+    }
+    val bAux = Array.tabulate(dim)(i =>
+      rows.zip(u2).map { case (c, u) => u * x(c, i) }.sum)
+    BpFit(beta, graft.ml.Logistic.solve(a.map(_.clone()), bAux))
+  }
+
+  /** The engine-side Breusch–Pagan readout over the cell frame with the
+    * fitted β/γ as literals: per-cell `(x.., n, yhat, u2, g, sse_c)` plus
+    * the running chains; the LAST row's `bp_running` is the LM statistic
+    * `n·R²_aux` (χ² with p df under homoskedasticity). Every value is a
+    * fixed double tree over LONG cell sums — raw doubles, no rounding
+    * (the r23 large-magnitude round() lesson). */
+  def bpSummaryDF(cellsDF: DataFrame, xsNames: Seq[String], fit: BpFit): DataFrame = {
+    val p = xsNames.length
+    def affine(b: Array[Double]): Column =
+      (1 to p).foldLeft(lit(b(0)): Column)((acc, i) =>
+        acc + lit(b(i)) * col(xsNames(i - 1)).cast("double"))
+    val nD = col("n").cast("double")
+    def s(c: String) = col(c).cast("double")
+    val staged = cellsDF
+      .withColumn("yhat", affine(fit.beta))
+      .withColumn("g", affine(fit.gamma))
+      .withColumn("yh2", col("yhat") * col("yhat"))
+      .withColumn("yh3", col("yh2") * col("yhat"))
+      .withColumn("yh4", col("yh3") * col("yhat"))
+      .withColumn("u2",
+        s("syy") - lit(2.0) * col("yhat") * s("sy") + nD * col("yh2"))
+      .withColumn("u4",
+        s("syyyy") - lit(4.0) * col("yhat") * s("syyy") +
+          lit(6.0) * col("yh2") * s("syy") -
+          lit(4.0) * col("yh3") * s("sy") + nD * col("yh4"))
+      .withColumn("sse_c",
+        col("u4") - lit(2.0) * col("g") * col("u2") + nD * col("g") * col("g"))
+    val w = Window.partitionBy()
+      .orderBy(xsNames.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_u2", sum(col("u2")).over(w))
+      .withColumn("cum_u4", sum(col("u4")).over(w))
+      .withColumn("cum_sse", sum(col("sse_c")).over(w))
+      .withColumn("bp_running",
+        col("cum_n").cast("double") * (lit(1.0) - col("cum_sse") /
+          (col("cum_u4") - col("cum_u2") * col("cum_u2") /
+            col("cum_n").cast("double"))))
+      .select((xsNames.map(col) ++ Seq(col("n"), col("yhat"), col("u2"),
+        col("g"), col("sse_c"), col("bp_running"))): _*)
+      .orderBy(xsNames.map(col(_).asc): _*)
+  }
+
   /** One-row fit summary AT a given β (the exported-artifact oracle
     * contract): `(n, b0..bp, sse, r2, se_resid)` where
     * `SSE = Syy − 2·β'X'y + β'X'Xβ` is a fixed tree over the SAME moment

@@ -29,6 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     "n20_binary_hamming",
     // e26: the 1-row (n_days, total) broadcast over the day frame
     "e26_changepoint",
+    // r60: the 1-row (n, ssq) × (c2) combine (the r33/j1 shape)
+    "r60_fleiss_kappa",
     // r30: the 1-row MI × entropy × entropy combine (the j1 shape)
     "r30_mutual_info",
     // r33: the 1-row agree × margin-product combine (the j1 shape)
@@ -90,6 +92,8 @@ class PlanAuditSpec extends SparkSpec {
     // r38: the same k-row group-frame chains as r23 (Brown–Forsythe W);
     // the corpus reduced to half-cent cells then k groups upstream
     "r38_levene",
+    // r59: the LM running chain over the 2^p (=4) covariate-cell frame
+    "r59_breusch_pagan",
     // r25: reduces the r19 cell frame (same deliberate cell windows)
     "r25_cramers_v",
     // r26/r27: KM / log-rank running chains over the distinct-TIME frame

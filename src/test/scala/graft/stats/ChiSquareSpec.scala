@@ -131,4 +131,30 @@ class ChiSquareSpec extends SparkSpec {
       .select("mi").as[Double].head()
     assert(a == b)
   }
+
+  test("fleissKappaDF: Fleiss hand case; wrong-m subjects excluded") {
+    // m=3: s1 AAA (sq 9), s2 AAB (5), s3 BBB (9), s4 ABC (3); s5 has only
+    // 2 ratings → excluded. ssq = 26, cat totals A=6 B=5 C=1 → c2 = 62.
+    val df = Seq(
+      (1L, "A"), (1L, "A"), (1L, "A"),
+      (2L, "A"), (2L, "A"), (2L, "B"),
+      (3L, "B"), (3L, "B"), (3L, "B"),
+      (4L, "A"), (4L, "B"), (4L, "C"),
+      (5L, "A"), (5L, "A"))
+      .toDF("subj", "cat").repartition(5)
+    val r = ChiSquare.fleissKappaDF(df, col("subj"), col("cat"), m = 3)
+      .as[(Long, Long, Long, Long, Double, Double, Double)].head()
+    assert(r._1 == 4L && r._2 == 3L && r._3 == 26L && r._4 == 62L)
+    // P̄ = 14/24, Pe = 62/144, κ = (P̄−Pe)/(1−Pe) ≈ 0.268293
+    assert(r._5 == 0.583333 && r._6 == 0.430556)
+    assert(math.abs(r._7 - 0.268293) < 1e-6, r.toString)
+  }
+
+  test("fleissKappaDF: perfect agreement gives kappa 1") {
+    val df = Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B"))
+      .toDF("subj", "cat")
+    val r = ChiSquare.fleissKappaDF(df, col("subj"), col("cat"), m = 2)
+      .select("kappa").as[Double].head()
+    assert(r == 1.0)
+  }
 }

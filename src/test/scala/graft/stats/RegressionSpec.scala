@@ -106,6 +106,58 @@ class RegressionSpec extends SparkSpec {
     assert(r1.beta.toSeq == r.beta.toSeq)
   }
 
+  test("Breusch–Pagan: saturated hand case has R²=1, LM = n") {
+    // x=0: y ∈ {1,3} → mean 2, e² = 1,1; x=1: y ∈ {0,8} → mean 4, e² = 16,16
+    // e² constant within cells → aux SSE = 0 → R² = 1 → LM = n = 4
+    val df = Seq((0, 1L), (0, 3L), (1, 0L), (1, 8L)).toDF("x", "y")
+      .repartition(3)
+    val xs = Seq[(String, org.apache.spark.sql.Column)]("x" -> (col("x") === 1))
+    val cells = Regression.bpCellsDF(df, col("y"), xs)
+    val fit = Regression.bpFit(cells, 1)
+    assert(math.abs(fit.beta(0) - 2.0) < 1e-9)
+    assert(math.abs(fit.beta(1) - 2.0) < 1e-9) // mean diff 4 − 2
+    assert(math.abs(fit.gamma(0) - 1.0) < 1e-9)  // mean e² | x=0
+    assert(math.abs(fit.gamma(1) - 15.0) < 1e-9) // 16 − 1
+    val rows = Regression.bpSummaryDF(cells, Seq("x"), fit)
+      .select("x", "n", "u2", "bp_running")
+      .as[(Int, Long, Double, Option[Double])].collect().sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((0, 2L, 2.0), (1, 2L, 32.0)))
+    // first chain row: single-cell TSS = 0 → NULL (both engines' ÷0)
+    assert(rows.head._4.isEmpty)
+    assert(math.abs(rows.last._4.get - 4.0) < 1e-9) // LM = n·R² = 4·1
+  }
+
+  test("Breusch–Pagan matches a row-level driver replay on random cells") {
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(120)((rnd.nextInt(2), rnd.nextInt(2),
+      (1 + rnd.nextInt(9)).toLong))
+    val df = rows.toDF("a", "b", "y").repartition(4)
+    val xs = Seq[(String, org.apache.spark.sql.Column)](
+      "a" -> (col("a") === 1), "b" -> (col("b") === 1))
+    val cells = Regression.bpCellsDF(df, col("y"), xs)
+    val fit = Regression.bpFit(cells, 2)
+    val lm = Regression.bpSummaryDF(cells, Seq("a", "b"), fit)
+      .select("bp_running").as[Double].collect().last
+    // driver replay over RAW rows
+    def x(r: (Int, Int, Long), i: Int) =
+      if (i == 0) 1.0 else if (i == 1) r._1.toDouble else r._2.toDouble
+    val a = Array.tabulate(3, 3)((i, j) => rows.map(r => x(r, i) * x(r, j)).sum)
+    val bv = Array.tabulate(3)(i => rows.map(r => r._3 * x(r, i)).sum)
+    val beta = graft.ml.Logistic.solve(a.map(_.clone()), bv)
+    val e2 = rows.map(r => {
+      val e = r._3 - (beta(0) + beta(1) * r._1 + beta(2) * r._2); e * e
+    })
+    val gv = Array.tabulate(3)(i => rows.zip(e2).map { case (r, u) => u * x(r, i) }.sum)
+    val gamma = graft.ml.Logistic.solve(a.map(_.clone()), gv)
+    val ghat = rows.map(r => gamma(0) + gamma(1) * r._1 + gamma(2) * r._2)
+    val sse = e2.zip(ghat).map { case (u, g) => (u - g) * (u - g) }.sum
+    val mean = e2.sum / e2.size
+    val tss = e2.map(u => (u - mean) * (u - mean)).sum
+    val expect = e2.size * (1.0 - sse / tss)
+    assert(math.abs(lm - expect) < 1e-6, s"lm $lm vs driver $expect")
+  }
+
   test("partialCorrDF: closed form matches a driver replay; layout-proof") {
     val pts = Seq((1.0, 2.0, 1.0), (2.0, 1.0, 2.0), (3.0, 4.0, 3.0),
       (4.0, 3.0, 4.0), (5.0, 6.0, 4.0), (6.0, 5.0, 6.0))
