@@ -4284,6 +4284,64 @@ object SparkEntry {
       graft.stats.ChiSquare.fleissKappaDF(t(s, dir, "lineitem"),
         col("l_orderkey"), col("l_returnflag"), m = 4)),
 
+    // ---- multimodal: video shot-boundary census (x7) — the x3 4-frame
+    // containers decoded in-partition, per-frame INTEGER grid sums, L1
+    // frame distance, boundary where > 5000 (the observed text→padding
+    // gap; same-content transitions sit near 0). Pure LONG after decode;
+    // the oracle replays bins from char codes (the x1/x6 doctrine). ------
+    "x7_shot_boundaries" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val padded = text.replaceAll("[^ -~]", "").padTo(1024, ' ').mkString
+          val frames = (0 until 4).map(j =>
+            Multimodal.textToPngPayload(padded.substring(256 * j, 256 * j + 256)))
+          Multimodal.MediaRow(id, "video", frames.reduce(_ ++ _),
+            Multimodal.MediaMeta("png", 16, 16, 3, 4000L))
+        }
+      Multimodal.shotCensus(media, dim = 8, threshold = 5000L)
+        .toDF().orderBy(col("media_id"))
+    }),
+
+    // ---- storage: CHECK constraint enforcement (s36) — the Delta ADD
+    // CONSTRAINT contract exercised end to end IN-QUERY: register on a
+    // compliant table, a violating append is refused WITHOUT committing
+    // (require pins both), the repaired rows land, and the final census
+    // is oracled (base nonnegatives + |negatives| ≡ abs over everyone). -
+    "s36_check_enforced" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val root = sys.props("java.io.tmpdir") +
+        s"/graft-s36-${ProcessHandle.current().pid()}/cust_checks"
+      graft.sources.SnapshotTable.write(
+        cust.where(col("c_acctbal") >= 0), root, mode = "overwrite")
+      graft.sources.SnapshotTable.addCheckConstraint(
+        s, root, "nonneg_bal", "c_acctbal >= 0")
+      val v0 = graft.sources.SnapshotTable.latestVersion(root)
+      val refused =
+        try {
+          graft.sources.SnapshotTable.write(
+            cust.where(col("c_acctbal") < 0), root, mode = "append")
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(refused, "violating append must be refused")
+      require(graft.sources.SnapshotTable.latestVersion(root) == v0,
+        "a refused write must not commit a version")
+      graft.sources.SnapshotTable.write(
+        cust.where(col("c_acctbal") < 0)
+          .withColumn("c_acctbal", abs(col("c_acctbal"))),
+        root, mode = "append")
+      graft.sources.SnapshotTable.read(s, root)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("c_acctbal")), 2).as("min_bal"),
+          round(sum(col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2)
+            .as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---- §2.8 partial correlation (r55): price ~ quantity controlling
     // for discount — three pairwise correlations from one aggregate of
     // nine exact power sums, the closed form as a fixed tree. -----------
@@ -9009,6 +9067,47 @@ object SparkEntry {
                 round(pbar0, 6) AS pbar, round(pe0, 6) AS pe,
                 round((pbar0 - pe0) / (1.0 - pe0), 6) AS kappa
          FROM st""",
+
+    // x7: per-frame 8-bin integer grid sums replayed from char codes
+    // (3× the bin's 32 char codes — gray PNG r=g=b), L1 frame distances,
+    // the islands census; all integer
+    "x7_shot_boundaries" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  rpad(regexp_replace(text, '[^ -~]', '', 'g'), 1024, ' ')
+                    AS padded
+           FROM documents),
+         d AS (
+           SELECT doc_id, f,
+             list_transform(range(0, 8), b ->
+               3 * list_sum(list_transform(range(1, 33), i ->
+                 unicode(substr(padded,
+                   CAST(256 * f + 32 * b + i AS INT), 1))))) AS bins
+           FROM p CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(f)),
+         dist AS (
+           SELECT a.doc_id, a.f,
+             CAST(list_sum(list_transform(range(1, 9),
+               b -> abs(a.bins[b] - pr.bins[b]))) AS BIGINT) AS dist
+           FROM d a JOIN d pr
+             ON a.doc_id = pr.doc_id AND pr.f = a.f - 1)
+         SELECT doc_id AS media_id, CAST(4 AS BIGINT) AS n_frames,
+                CAST(sum(CASE WHEN dist > 5000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_boundaries,
+                CAST(1 + sum(CASE WHEN dist > 5000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_shots,
+                CAST(max(dist) AS BIGINT) AS max_dist,
+                CAST(sum(dist) AS BIGINT) AS total_dist
+         FROM dist GROUP BY 1 ORDER BY 1""",
+
+    // s36: base nonnegatives + repaired |negatives| ≡ abs over everyone
+    "s36_check_enforced" ->
+      """SELECT c_mktsegment,
+                CAST(count(*) AS BIGINT) AS n,
+                round(min(abs(c_acctbal)), 2) AS min_bal,
+                round(CAST(sum(CAST(abs(c_acctbal) AS DECIMAL(18,2)))
+                  AS DOUBLE), 2) AS sum_bal
+         FROM customer
+         GROUP BY 1 ORDER BY 1""",
 
     // r55: nine exact power sums in one aggregate, three identical
     // correlation trees, the closed partial-correlation form over the

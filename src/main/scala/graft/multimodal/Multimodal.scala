@@ -41,6 +41,8 @@ object Multimodal {
       frame: Array[Byte])
   final case class VoicedSegments(media_id: Long, n_frames: Long,
       n_voiced: Long, n_segments: Long, longest_run: Long)
+  final case class ShotCensus(media_id: Long, n_frames: Long,
+      n_boundaries: Long, n_shots: Long, max_dist: Long, total_dist: Long)
 
   /** Real JDK-ImageIO codec layer. Every function is deterministic in the
     * payload bytes: decode is exact for lossless formats (PNG/BMP/GIF),
@@ -77,6 +79,28 @@ object Multimodal {
         y += 1
       }
       Array.tabulate(dim)(b => if (counts(b) == 0) 0f else (sums(b) / counts(b)).toFloat)
+    }
+
+    /** Grid-pooled INTEGER luminance sums: bin pixel i (row-major) into
+      * `floor(i*dim/n)`, per-bin Σ(r+g+b) — the all-integer sibling of
+      * [[gridEmbedding]] (no division at all), so frame-difference
+      * arithmetic downstream is pure LONG and replays exactly. */
+    def gridSums(img: BufferedImage, dim: Int): Array[Long] = {
+      val w = img.getWidth; val h = img.getHeight
+      val n = w.toLong * h
+      val sums = new Array[Long](dim)
+      var i = 0L; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val b = (i * dim / n).toInt
+          sums(b) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      sums
     }
 
     /** Encode as PNG (lossless; the only JDK writer that round-trips RGB
@@ -274,6 +298,37 @@ object Multimodal {
           f += 1
         }
         VoicedSegments(m.media_id, nf.toLong, voiced, seg, longest)
+      }
+    })
+  }
+
+  /** Shot-boundary detection over concatenated-PNG frame containers (the
+    * x3 video convention): decode every frame IN-PARTITION (payloads never
+    * shuffle), per-frame integer grid sums ([[Codecs.gridSums]]), L1
+    * distance between consecutive frames, a boundary wherever the distance
+    * exceeds `threshold` — shots = boundaries + 1 (the e20 islands shape
+    * applied in-codec, like x6 did for audio). Everything after decode is
+    * pure LONG arithmetic. Videos with < 2 decodable frames carry no
+    * transition evidence and drop. */
+  def shotCensus(media: Dataset[MediaRow], dim: Int,
+      threshold: Long): Dataset[ShotCensus] = {
+    require(dim > 0, "dim must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val frames = Codecs.splitPngFrames(m.payload)
+        .flatMap(f => Codecs.decodeImage(f))
+      if (frames.length < 2) None
+      else {
+        val sums = frames.map(f => Codecs.gridSums(f, dim))
+        val dists = sums.sliding(2).map { pair =>
+          val a = pair(0); val b = pair(1)
+          var d = 0L; var i = 0
+          while (i < dim) { d += math.abs(a(i) - b(i)); i += 1 }
+          d
+        }.toIndexedSeq
+        val nb = dists.count(_ > threshold).toLong
+        Some(ShotCensus(m.media_id, frames.length.toLong, nb, nb + 1,
+          dists.max, dists.sum))
       }
     })
   }

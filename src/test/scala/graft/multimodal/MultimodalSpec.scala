@@ -211,4 +211,33 @@ class MultimodalSpec extends SparkSpec {
     assert(r.contains((1L, 2L, 1.0)))
     assert(!r.exists(t => t._2 == 3L))
   }
+
+  test("gridSums: integer bin sums from known gray pixels") {
+    import Multimodal.Codecs
+    // 16×16 all-'a' (97): 256 px, bin = 32 px, sum = 3·97·32 = 9312
+    val png = Multimodal.textToPngPayload("a" * 256)
+    val img = Codecs.decodeImage(png).get
+    assert(Codecs.gridSums(img, 8).toSeq == Seq.fill(8)(9312L))
+  }
+
+  test("shotCensus: hand-computed L1 distances, threshold, islands") {
+    import Multimodal.{Codecs, MediaMeta, MediaRow}
+    // frames: 'a'*256, 'a'*256 (dist 0), 'b'*256 (per-bin |3·32·1| = 96,
+    // L1 over 8 bins = 768), 'b'*256 (dist 0)
+    val fa = Multimodal.textToPngPayload("a" * 256)
+    val fb = Multimodal.textToPngPayload("b" * 256)
+    val video = Seq(fa, fa, fb, fb).reduce(_ ++ _)
+    val media = Seq(MediaRow(1L, "video", video,
+      MediaMeta("png", 16, 16, 3, 0L))).toDS()
+    val low = Multimodal.shotCensus(media, dim = 8, threshold = 700L)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(low == ((1L, 4L, 1L, 2L, 768L, 768L)), low.toString)
+    val high = Multimodal.shotCensus(media, dim = 8, threshold = 800L)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(high == ((1L, 4L, 0L, 1L, 768L, 768L)), high.toString)
+    // single-frame container: no transition evidence → dropped
+    val one = Seq(MediaRow(2L, "video", fa,
+      MediaMeta("png", 16, 16, 3, 0L))).toDS()
+    assert(Multimodal.shotCensus(one, 8, 0L).count() == 0L)
+  }
 }
