@@ -4305,6 +4305,30 @@ object SparkEntry {
         .toDF().orderBy(col("media_id"))
     }),
 
+    // ---- §2.8 intraclass correlation ICC(1,1) (r61): how much quantity
+    // variance lives BETWEEN orders? Fixed-size-4 groups (the r60
+    // eligibility), three LONGs (A, T, Q) carry everything — exact
+    // integer identities to MSB/MSW, fixed trees to ICC. ----------------
+    "r61_icc" -> ((s, dir) =>
+      graft.stats.Anova.iccOneWayDF(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_quantity"), k = 4)),
+
+    // ---- §2.8 G-test (r62): the likelihood-ratio twin of r19's Pearson
+    // χ² on the same (returnflag × linestatus) cells — SIGNED ln
+    // contributions, so the chain's last link rides max_by (r30 lesson). -
+    "r62_gtest" -> ((s, dir) =>
+      graft.stats.ChiSquare.gTestDF(t(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus")),
+
+    // ---- text: per-doc lexical diversity census (t25) — type-token
+    // ratio + Shannon entropy of each doc's token distribution; low
+    // entropy flags repetitive docs the length filters miss. Ordered
+    // m·ln m chain per doc (the t24 doctrine), nothing global. ----------
+    "t25_token_entropy" -> ((s, dir) =>
+      graft.text.Corpus.tokenEntropyDF(
+          Tables.spread(t(s, dir, "documents")), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ---- storage: CHECK constraint enforcement (s36) — the Delta ADD
     // CONSTRAINT contract exercised end to end IN-QUERY: register on a
     // compliant table, a violating append is refused WITHOUT committing
@@ -9098,6 +9122,87 @@ object SparkEntry {
                 CAST(max(dist) AS BIGINT) AS max_dist,
                 CAST(sum(dist) AS BIGINT) AS total_dist
          FROM dist GROUP BY 1 ORDER BY 1""",
+
+    // r61: three longs, exact integer identities to MSB/MSW, fixed trees
+    "r61_icc" ->
+      """WITH pg AS (
+           SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_g,
+                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+                  CAST(sum(CAST(l_quantity AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syy
+           FROM lineitem
+           WHERE l_orderkey IS NOT NULL AND l_quantity IS NOT NULL
+           GROUP BY 1),
+         el AS (SELECT * FROM pg WHERE n_g = 4),
+         ag AS (SELECT CAST(count(*) AS BIGINT) AS n_groups,
+                       CAST(sum(sy * sy) AS BIGINT) AS a,
+                       CAST(sum(sy) AS BIGINT) AS t,
+                       CAST(sum(syy) AS BIGINT) AS q FROM el),
+         st AS (SELECT n_groups, a, t, q,
+                  CAST(n_groups * a - t * t AS DOUBLE)
+                    / (CAST(n_groups AS DOUBLE) * 4.0
+                       * (CAST(n_groups AS DOUBLE) - 1.0)) AS msb0,
+                  CAST(q * 4 - a AS DOUBLE)
+                    / (4.0 * CAST(n_groups AS DOUBLE) * (4.0 - 1.0)) AS msw0
+                FROM ag)
+         SELECT n_groups, CAST(4 AS BIGINT) AS k, a, t, q,
+                round(msb0, 6) AS msb, round(msw0, 6) AS msw,
+                round((msb0 - msw0) / (msb0 + (4.0 - 1.0) * msw0), 6) AS icc
+         FROM st""",
+
+    // r62: observed cells, margin windows, SIGNED ln chain, last by rank
+    "r62_gtest" ->
+      """WITH cells AS (
+           SELECT l_returnflag AS r, l_linestatus AS c,
+                  CAST(count(*) AS BIGINT) AS o
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+           GROUP BY 1, 2),
+         m AS (SELECT r, c, o,
+                 CAST(sum(o) OVER (PARTITION BY r) AS BIGINT) AS rt,
+                 CAST(sum(o) OVER (PARTITION BY c) AS BIGINT) AS ct,
+                 CAST(sum(o) OVER () AS BIGINT) AS n FROM cells),
+         ch AS (SELECT r, c,
+                  sum(2.0 * CAST(o AS DOUBLE)
+                    * ln(CAST(o * n AS DOUBLE) / CAST(rt * ct AS DOUBLE)))
+                    OVER (ORDER BY r, c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS g_run
+                FROM m),
+         lastg AS (SELECT g_run FROM ch ORDER BY r DESC, c DESC LIMIT 1),
+         meta AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                         CAST(count(DISTINCT r) AS BIGINT) AS r,
+                         CAST(count(DISTINCT c) AS BIGINT) AS c
+                  FROM cells)
+         SELECT meta.n, meta.r, meta.c, round(lastg.g_run, 6) AS g
+         FROM meta CROSS JOIN lastg""",
+
+    // t25: per-(doc, token) multiplicities, the ordered m·ln m chain,
+    // H = ln n − Σ/n
+    "t25_token_entropy" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> x != '')) AS token
+           FROM documents),
+         cnt AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS m
+                 FROM tok GROUP BY 1, 2),
+         ch AS (SELECT doc_id, token, m,
+                  sum(CAST(m AS DOUBLE) * ln(CAST(m AS DOUBLE)))
+                    OVER (PARTITION BY doc_id ORDER BY token
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS mlm
+                FROM cnt),
+         agg AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_tokens,
+                        CAST(count(*) AS BIGINT) AS n_types,
+                        max_by(mlm, token) AS mlm
+                 FROM ch GROUP BY 1)
+         SELECT doc_id, n_tokens, n_types,
+                round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+                  AS ttr,
+                round(ln(CAST(n_tokens AS DOUBLE))
+                  - mlm / CAST(n_tokens AS DOUBLE), 6) AS entropy
+         FROM agg ORDER BY doc_id""",
 
     // s36: base nonnegatives + repaired |negatives| ≡ abs over everyone
     "s36_check_enforced" ->

@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -54,6 +54,41 @@ object Anova {
         round((ssb / (col("k") - lit(1.0))) /
           (ssw / (col("bigN") - col("k"))), 6).as("f_running"))
       .orderBy(col("grp"))
+  }
+
+  /** One-way random-effects intraclass correlation ICC(1,1) (Shrout &
+    * Fleiss 1979) over groups of a FIXED size `k` with an INTEGER
+    * response — how much of the variance lives BETWEEN groups (order
+    * effects, rater effects, cluster effects). Groups whose size ≠ k are
+    * excluded (the balanced-design statistic). One row
+    * `(n_groups, k, a, t, q, msb, msw, icc)`.
+    *
+    * FULLY exact: with per-group integer sums sy, the three LONGs
+    * `A = Σ sy²`, `T = Σ y`, `Q = Σ y²` carry everything —
+    * `N·k·(N−1)·MSB = N·A − T²` and `k·N·(k−1)·MSW = k·Q − A` are exact
+    * integer identities, so MSB/MSW/ICC are fixed double trees over three
+    * longs. One corpus groupBy + a 1-row reduce; no windows. */
+  def iccOneWayDF(df: DataFrame, groupCol: Column, yCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"ICC needs groups of size >= 2, got $k")
+    val y = yCol.cast("long")
+    val perGroup = df.where(groupCol.isNotNull && yCol.isNotNull)
+      .groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).as("n_g"), sum(y).as("sy"), sum(y * y).as("syy"))
+      .where(col("n_g") === k.toLong)
+    val agg = perGroup.agg(count(lit(1)).as("n_groups"),
+      sum(col("sy") * col("sy")).as("a"),
+      sum(col("sy")).as("t"), sum(col("syy")).as("q"))
+    val nD = col("n_groups").cast("double")
+    val kD = lit(k.toDouble)
+    val msb = (col("n_groups") * col("a") - col("t") * col("t")).cast("double") /
+      (nD * kD * (nD - lit(1.0)))
+    val msw = (col("q") * k - col("a")).cast("double") /
+      (kD * nD * (kD - lit(1.0)))
+    agg.select(col("n_groups"), lit(k.toLong).as("k"),
+      col("a"), col("t"), col("q"),
+      round(msb, 6).as("msb"), round(msw, 6).as("msw"),
+      round((msb - msw) / (msb + (kD - lit(1.0)) * msw), 6).as("icc"))
   }
 
   /** Brown–Forsythe homogeneity-of-variance test (the robust Levene

@@ -200,6 +200,44 @@ object ChiSquare {
         (col("n") * col("n") - col("pe_num")).cast("double"), 6).as("kappa"))
   }
 
+  /** G-test (likelihood-ratio χ², Sokal & Rohlf): `G = 2·Σ O·ln(O/E)`
+    * over the OBSERVED cells of the R×C contingency frame — the
+    * information-theoretic twin of [[contingencyDF]]'s Pearson χ²
+    * (G = 2n·MI in nats, which is why it's the natural test for the
+    * r30 MI machinery). Zero-observed cells contribute exactly 0, so
+    * unlike Pearson no missing-mass completion is needed. One row
+    * `(n, r, c, g)`.
+    *
+    * Per-cell contribution is `2·O·ln((O·n)/(rt·ct))` with the argument
+    * staged as one LONG/LONG division (both products exact); the G chain
+    * runs over the cell order and its LAST link is taken by `max_by` on
+    * the cell rank — contributions are SIGNED (O < E gives negatives), so
+    * the r19 max shortcut would be wrong (the r30 lesson). */
+  def gTestDF(df: DataFrame, rCol: String, cCol: String): DataFrame = {
+    val cells = df
+      .where(col(rCol).isNotNull && col(cCol).isNotNull)
+      .groupBy(col(rCol), col(cCol)).agg(count(lit(1)).as("o"))
+    val rw = Window.partitionBy(col(rCol))
+    val cw = Window.partitionBy(col(cCol))
+    val aw = Window.partitionBy()
+    val runW = Window.partitionBy().orderBy(col(rCol).asc, col(cCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("__rt", sum(col("o")).over(rw))
+      .withColumn("__ct", sum(col("o")).over(cw))
+      .withColumn("__n", sum(col("o")).over(aw))
+      .withColumn("contrib",
+        lit(2.0) * col("o").cast("double") *
+          log((col("o") * col("__n")).cast("double") /
+            (col("__rt") * col("__ct")).cast("double")))
+      .withColumn("__g_run", sum(col("contrib")).over(runW))
+      .agg(sum(col("o")).as("n"),
+        countDistinct(col(rCol)).as("r"),
+        countDistinct(col(cCol)).as("c"),
+        max_by(col("__g_run"), struct(col(rCol), col(cCol))).as("__g"))
+      .select(col("n"), col("r"), col("c"), round(col("__g"), 6).as("g"))
+  }
+
   /** Fleiss' kappa — chance-corrected agreement among a FIXED number `m`
     * of raters per subject (Fleiss 1971); the multi-rater generalization
     * of [[cohenKappaDF]] for labeling-pipeline consensus audits. Subjects

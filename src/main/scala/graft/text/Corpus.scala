@@ -261,4 +261,34 @@ object Corpus {
           .as("signed_g2"))
       .orderBy(col("token"))
   }
+
+  /** Per-document lexical-diversity census: token count, type count,
+    * type-token ratio, and the Shannon entropy (nats) of the doc's own
+    * token distribution — low entropy flags repetitive/boilerplate docs
+    * the length-based filters miss (kinship: t6 measures REPEATED
+    * n-grams; this measures distributional concentration).
+    *
+    * `H = ln n − (Σ m·ln m)/n` over the doc's per-token multiplicities m.
+    * The `m·ln m` sum is an ORDERED chain per doc (window partitioned by
+    * doc, ordered by token — row-group local, never a global sort), so
+    * both engines add the same doubles in the same order (the t24
+    * doctrine). Docs with zero tokens drop. */
+  def tokenEntropyDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df.select(col(idCol).as("__id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("__id"), col("token")).agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("token"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("__mlm_run",
+        sum(col("m").cast("double") * log(col("m").cast("double"))).over(w))
+      .groupBy(col("__id"))
+      .agg(sum(col("m")).as("n_tokens"), count(lit(1)).as("n_types"),
+        max_by(col("__mlm_run"), col("token")).as("__mlm"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(log(col("n_tokens").cast("double")) -
+          col("__mlm") / col("n_tokens").cast("double"), 6).as("entropy"))
+  }
 }

@@ -94,6 +94,8 @@ class PlanAuditSpec extends SparkSpec {
     "r38_levene",
     // r59: the LM running chain over the 2^p (=4) covariate-cell frame
     "r59_breusch_pagan",
+    // r62: margins + the signed G chain over the R×C cell frame (r19 shape)
+    "r62_gtest",
     // r25: reduces the r19 cell frame (same deliberate cell windows)
     "r25_cramers_v",
     // r26/r27: KM / log-rank running chains over the distinct-TIME frame

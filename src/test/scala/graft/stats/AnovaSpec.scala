@@ -139,4 +139,22 @@ class AnovaSpec extends SparkSpec {
     // per-group sample variances surface exactly
     ks.indices.foreach(i => assert(math.abs(rows(i)._3 - vs(i)) < 1e-6))
   }
+
+  test("iccOneWayDF: exact hand cases (perfect, negative, exclusion)") {
+    import org.apache.spark.sql.functions._
+    // perfect between-group separation: MSW = 0, ICC = 1
+    val perfect = Seq((1L, 2L), (1L, 2L), (2L, 6L), (2L, 6L))
+      .toDF("g", "y").repartition(3)
+    val r1 = Anova.iccOneWayDF(perfect, col("g"), col("y"), k = 2)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].head()
+    // A = 16 + 144 = 160, T = 16, Q = 80; MSB = 16, MSW = 0
+    assert(r1 == ((2L, 2L, 160L, 16L, 80L, 16.0, 0.0, 1.0)), r1.toString)
+    // all-within variance: MSB = 0 -> ICC negative; size-3 group excluded
+    val within = Seq((1L, 1L), (1L, 3L), (2L, 2L), (2L, 2L),
+      (3L, 9L), (3L, 9L), (3L, 9L)).toDF("g", "y")
+    val r2 = Anova.iccOneWayDF(within, col("g"), col("y"), k = 2)
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].head()
+    // groups 1,2 only: A = 32, T = 8, Q = 18; MSB = 0, MSW = 1 -> ICC = -1
+    assert(r2 == ((2L, 2L, 32L, 8L, 18L, 0.0, 1.0, -1.0)), r2.toString)
+  }
 }

@@ -150,6 +150,23 @@ class ChiSquareSpec extends SparkSpec {
     assert(math.abs(r._7 - 0.268293) < 1e-6, r.toString)
   }
 
+  test("gTestDF: hand-computed 2x2 G; consistent with 2n·MI") {
+    val df = (Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(30)(("b", "x")) ++ Seq.fill(40)(("b", "y")))
+      .toDF("r", "c").repartition(6)
+    val got = ChiSquare.gTestDF(df, "r", "c")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got._1 == 100L && got._2 == 2L && got._3 == 2L)
+    val expect = 2.0 * (10 * math.log(1000.0 / 1200) +
+      20 * math.log(2000.0 / 1800) + 30 * math.log(3000.0 / 2800) +
+      40 * math.log(4000.0 / 4200))
+    assert(math.abs(got._4 - expect) < 1e-5, s"${got._4} vs $expect")
+    // identity: G = 2n·MI (nats) on the same cells
+    val mi = ChiSquare.mutualInformationDF(df, "r", "c")
+      .select("mi").as[Double].head()
+    assert(math.abs(got._4 - 2 * 100 * mi) < 1e-4)
+  }
+
   test("fleissKappaDF: perfect agreement gives kappa 1") {
     val df = Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B"))
       .toDF("subj", "cat")

@@ -198,4 +198,22 @@ class CorpusSpec extends SparkSpec {
     // rat: 2 vs 4 → negative direction
     assert(r("rat")._2 == 2L && r("rat")._3 == 4L && r("rat")._5 < 0)
   }
+
+  test("tokenEntropyDF: hand-computed entropy, ttr, degenerate docs") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "a a b"), (2L, "x y z"), (3L, "q q q"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = Corpus.tokenEntropyDF(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: m = {a:2, b:1}; H = ln 3 - (2 ln 2)/3
+    assert(r(1L)._2 == 3L && r(1L)._3 == 2L)
+    assert(r(1L)._5 == rd(math.log(3) - 2 * math.log(2) / 3), r(1L).toString)
+    // uniform doc: H = ln 3; repeated doc: H = 0; empty doc drops
+    assert(r(2L)._5 == rd(math.log(3)))
+    assert(r(3L)._5 == 0.0 && r(3L)._4 == rd(1.0 / 3))
+    assert(!r.contains(4L))
+  }
 }
