@@ -4329,6 +4329,40 @@ object SparkEntry {
           Tables.spread(t(s, dir, "documents")), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- joins: FORWARD as-of (j9) — for each view, the next purchase
+    // by the same user at-or-after it (pandas merge_asof forward); the
+    // e3 union+window shape iterated in descending time, one key shuffle,
+    // no range join. Right side pre-deduped per (user, ts) so the match
+    // is unique and the DuckDB negated-ASOF replay is deterministic. ----
+    "j9_asof_forward" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(min(col("event_id")).as("pid"), max(col("value")).as("pv"))
+      graft.ops.AsOfJoin.asofForward(views, purch, Seq("user_id"),
+          "ts", "ts", Seq("pid" -> "next_purchase_id", "pv" -> "next_value"))
+        .select(col("user_id"), col("event_id"), col("next_purchase_id"),
+          col("next_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- §2.8 Mood's median test (r63): do the return-flag groups share
+    // a common price median? Global exact median in doubled cents off the
+    // sharded prefix (q18 doctrine), integer above/below split, the r19
+    // Pearson machinery on the 2×k table. -------------------------------
+    "r63_mood_median" -> ((s, dir) =>
+      graft.stats.RankTests.moodMedianDF(t(s, dir, "lineitem"),
+        "l_extendedprice", "l_returnflag")),
+
+    // ---- §2.8 Cohen's d / Hedges' g (r64): the standardized effect size
+    // r22's t can't convey — same exact DECIMAL power sums, pooled SD,
+    // small-sample correction; one fixed tree. --------------------------
+    "r64_cohens_d" -> ((s, dir) =>
+      graft.stats.TTest.cohensDDF(t(s, dir, "lineitem"),
+        "l_extendedprice", col("l_returnflag") === "R")),
+
     // ---- storage: CHECK constraint enforcement (s36) — the Delta ADD
     // CONSTRAINT contract exercised end to end IN-QUERY: register on a
     // compliant table, a violating append is refused WITHOUT committing
@@ -9122,6 +9156,116 @@ object SparkEntry {
                 CAST(max(dist) AS BIGINT) AS max_dist,
                 CAST(sum(dist) AS BIGINT) AS total_dist
          FROM dist GROUP BY 1 ORDER BY 1""",
+
+    // j9: forward as-of ≡ DuckDB backward ASOF on NEGATED epoch
+    "j9_asof_forward" ->
+      """SELECT v.user_id, v.event_id, p.pid AS next_purchase_id,
+                p.pv AS next_value
+         FROM (SELECT user_id, ts, event_id FROM events
+               WHERE event_type = 'view') v
+         ASOF LEFT JOIN
+              (SELECT user_id, ts, CAST(min(event_id) AS BIGINT) AS pid,
+                      max(value) AS pv
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY 1, 2) p
+           ON v.user_id = p.user_id AND -epoch_us(v.ts) >= -epoch_us(p.ts)
+         ORDER BY v.event_id""",
+
+    // r63: doubled-cent global median off the value-cell cumsum, integer
+    // split, then the r25 chi² completion template on the 2×k cells
+    "r63_mood_median" ->
+      """WITH base AS (
+           SELECT CAST(l_returnflag AS VARCHAR) AS grp,
+                  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 200
+                    AS BIGINT) AS v2
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+         vc AS (SELECT v2 AS v, CAST(count(*) AS BIGINT) AS c
+                FROM base GROUP BY 1),
+         cum AS (SELECT v, c,
+                   CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS BIGINT) AS ci,
+                   CAST(sum(c) OVER () AS BIGINT) AS n FROM vc),
+         med AS (SELECT CAST((min(CASE WHEN ci >= (n + 1) // 2 THEN v END)
+                            + min(CASE WHEN ci >= (n + 2) // 2 THEN v END))
+                         // 2 AS BIGINT) AS med2 FROM cum),
+         cl AS (SELECT grp,
+                  CASE WHEN v2 > med2 THEN 1 ELSE 0 END AS above
+                FROM base CROSS JOIN med),
+         cells AS (SELECT grp, above, CAST(count(*) AS BIGINT) AS o
+                   FROM cl GROUP BY 1, 2),
+         m AS (SELECT grp, above, o,
+                 sum(o) OVER (PARTITION BY grp) AS rt,
+                 sum(o) OVER (PARTITION BY above) AS ct,
+                 sum(o) OVER () AS n
+               FROM cells),
+         cc AS (SELECT grp, above, o,
+                  (CAST(o * n - rt * ct AS DOUBLE)
+                    * CAST(o * n - rt * ct AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(rt AS DOUBLE)
+                      * CAST(ct AS DOUBLE)) AS contrib,
+                  rt, ct, n
+                FROM m),
+         run AS (SELECT grp, above, o,
+                   sum(contrib) OVER (ORDER BY grp, above
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS chi2_running,
+                   sum(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+                       / CAST(n AS DOUBLE)) OVER (ORDER BY grp, above
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS exp_running
+                 FROM cc),
+         ag AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                       CAST(count(DISTINCT grp) AS BIGINT) AS r,
+                       CAST(count(DISTINCT above) AS BIGINT) AS c,
+                       max(chi2_running) AS chi2o,
+                       max(exp_running) AS expo
+                FROM run)
+         SELECT round(CAST(med.med2 AS DOUBLE) / 200.0, 3) AS median_v,
+                n, r, c,
+                round(chi2o + (CAST(n AS DOUBLE) - expo), 6) AS chi2,
+                round(sqrt((chi2o + (CAST(n AS DOUBLE) - expo))
+                  / (CAST(n AS DOUBLE)
+                     * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS v
+         FROM ag CROSS JOIN med""",
+
+    // r64: exact per-group DECIMAL power sums, the identical staged trees
+    "r64_cohens_d" ->
+      """WITH a AS (
+           SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b,
+                  CAST(sum(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) END)
+                    AS DOUBLE) AS sa,
+                  CAST(sum(CASE WHEN l_returnflag <> 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2)) END)
+                    AS DOUBLE) AS sb,
+                  CAST(sum(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(12,2)) END)
+                    AS DOUBLE) AS ssa,
+                  CAST(sum(CASE WHEN l_returnflag <> 'R'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l_extendedprice AS DECIMAL(12,2)) END)
+                    AS DOUBLE) AS ssb
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+         st AS (SELECT n_a, n_b,
+                  sa / CAST(n_a AS DOUBLE) AS ma,
+                  sb / CAST(n_b AS DOUBLE) AS mb,
+                  sqrt(((ssa - sa * sa / CAST(n_a AS DOUBLE))
+                        + (ssb - sb * sb / CAST(n_b AS DOUBLE)))
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))
+                    AS sp
+                FROM a),
+         st2 AS (SELECT n_a, n_b, ma, mb, sp, (ma - mb) / sp AS d FROM st)
+         SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                round(sp, 6) AS sd_pooled, round(d, 6) AS d,
+                round(d * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)
+                  + CAST(n_b AS DOUBLE)) - 9.0)), 6) AS g
+         FROM st2""",
 
     // r61: three longs, exact integer identities to MSB/MSW, fixed trees
     "r61_icc" ->

@@ -71,4 +71,49 @@ object AsOfJoin {
           .map(c => col(s"__l_$c").as(c)) ++
         rightValues.map { case (_, out) => col(s"__c.$out").as(out) }: _*)
   }
+
+  /** FORWARD as-of join: for each left row, the EARLIEST right row
+    * at-or-after its timestamp (`>=` semantics — a same-instant right row
+    * matches), per key. pandas `merge_asof(direction='forward')`;
+    * the mirror of [[asofBackward]] — same union + one partitioned
+    * running window, just iterated in DESCENDING time order, so the plan
+    * shape (one shuffle on the key, no range join) is identical.
+    *
+    * Right-right timestamp ties resolve by the carried struct's field
+    * order (lexicographically largest wins) — callers needing a
+    * deterministic oracle should pre-dedup the right side to one row per
+    * (key, time). */
+  def asofForward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightValues: Seq[(String, String)]): DataFrame = {
+    require(rightValues.nonEmpty, "asofForward needs at least one right column to carry")
+    val leftCols = left.columns.toSeq
+    val keyCols = keys.map(col)
+    val rStruct = struct(rightValues.map { case (in, out) => col(in).as(out) }: _*)
+    val l = left.select(
+      keyCols ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) :+
+        lit(null).as("__r"): _*)
+    val r = right.select(
+      keyCols ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(
+          left.schema(c).dataType).as(s"__l_$c")) :+
+        rStruct.as("__r"): _*)
+    // DESC time: right rows at the same instant iterate BEFORE left rows
+    // (side asc), so a same-time right row is visible (>= semantics)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__t").desc, col("__side").asc, col("__r").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r, allowMissingColumns = false)
+      .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
+    carried.where(col("__side") === 1).select(
+      keyCols ++
+        Seq(col("__t").as(leftTime)) ++
+        leftCols.filterNot(k => keys.contains(k) || k == leftTime)
+          .map(c => col(s"__l_$c").as(c)) ++
+        rightValues.map { case (_, out) => col(s"__c.$out").as(out) }: _*)
+  }
 }

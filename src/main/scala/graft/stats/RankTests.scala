@@ -426,4 +426,37 @@ object RankTests {
           round((col("runs").cast("double") - mu) / sqrt(s2), 6)).as("z"))
       .orderBy(col("key"))
   }
+
+  /** Mood's median test — do the k groups share a common median? The
+    * rank-free, outlier-immune sibling of Kruskal–Wallis: each row is
+    * classified above / at-or-below the GLOBAL exact median and the 2×k
+    * table goes through Pearson χ² (here via [[ChiSquare.cramersVDF]],
+    * which also yields the effect size). One row
+    * `(median_v, n, r, c, chi2, v)`.
+    *
+    * Exactness: values land in DOUBLED-cent longs (the q18 doctrine) so
+    * the global interpolating median is exact LONG arithmetic off the
+    * value-cell cumsum — computed with the SHARDED exclusive prefix (no
+    * global window, no corpus sort) — and the above/below split is an
+    * integer comparison against the 1-row broadcast median. */
+  def moodMedianDF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        (col(valueCol).cast("decimal(12,2)") * 200).cast("long").as("v2"))
+    val cells = base.groupBy(col("v2").as("v")).agg(count(lit(1)).as("c"))
+    val pref = withExclusivePrefixCols(cells, Seq("c" -> "cumex"))
+    val tot = cells.agg(sum(col("c")).as("n"))
+    val med = pref.crossJoin(broadcast(tot))
+      .withColumn("ci", col("cumex") + col("c"))
+      .withColumn("m1", when(col("ci") >= expr("(n + 1) DIV 2"), col("v")))
+      .withColumn("m2", when(col("ci") >= expr("(n + 2) DIV 2"), col("v")))
+      .agg(((min(col("m1")) + min(col("m2"))) / lit(2)).cast("long").as("med2"))
+    val classified = base.crossJoin(broadcast(med))
+      .select(col("grp"), (col("v2") > col("med2")).cast("int").as("above"),
+        col("med2"))
+    ChiSquare.cramersVDF(classified, "grp", "above")
+      .crossJoin(broadcast(med))
+      .select(round(col("med2").cast("double") / lit(200.0), 3).as("median_v"),
+        col("n"), col("r"), col("c"), col("chi2"), col("v"))
+  }
 }

@@ -49,6 +49,38 @@ object TTest {
         (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0))), 4).as("df"))
   }
 
+  /** Cohen's d and Hedges' g — the standardized effect sizes a bare
+    * [[welchDF]] t can't convey (t grows with n; d doesn't). Same exact
+    * DECIMAL power-sum aggregate, pooled-SD d, small-sample-corrected
+    * g = d·(1 − 3/(4N − 9)). One row
+    * `(n_a, n_b, mean_a, mean_b, sd_pooled, d, g)`. */
+  def cohensDDF(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+    val x = col(valueCol).cast("decimal(12,2)")
+    val a = isA === lit(true)
+    val agg = df.where(col(valueCol).isNotNull && isA.isNotNull)
+      .agg(
+        sum(when(a, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!a, 1L).otherwise(0L)).as("n_b"),
+        sum(when(a, x).otherwise(lit(null))).as("sa0"),
+        sum(when(!a, x).otherwise(lit(null))).as("sb0"),
+        sum(when(a, x * x).otherwise(lit(null))).as("ssa0"),
+        sum(when(!a, x * x).otherwise(lit(null))).as("ssb0"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val sa = col("sa0").cast("double"); val sb = col("sb0").cast("double")
+    val ssa = col("ssa0").cast("double"); val ssb = col("ssb0").cast("double")
+    val ma = sa / na; val mb = sb / nb
+    val ssqa = ssa - sa * sa / na // (n−1)·s² exactly
+    val ssqb = ssb - sb * sb / nb
+    val sp = sqrt((ssqa + ssqb) / (na + nb - lit(2.0)))
+    val d = (ma - mb) / sp
+    val g = d * (lit(1.0) - lit(3.0) /
+      (lit(4.0) * (na + nb) - lit(9.0)))
+    agg.select(col("n_a"), col("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round(sp, 6).as("sd_pooled"), round(d, 6).as("d"),
+      round(g, 6).as("g"))
+  }
+
   /** Jarque–Bera normality statistic — the moment-based sanity check the
     * §2.8 parametric tests ([[welchDF]], ANOVA) implicitly assume.
     *

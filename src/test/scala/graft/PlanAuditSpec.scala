@@ -31,6 +31,9 @@ class PlanAuditSpec extends SparkSpec {
     "e26_changepoint",
     // r60: the 1-row (n, ssq) × (c2) combine (the r33/j1 shape)
     "r60_fleiss_kappa",
+    // r63: two 1-row broadcasts (total count, global median) onto the
+    // value/classified frames (the j1 shape)
+    "r63_mood_median",
     // r30: the 1-row MI × entropy × entropy combine (the j1 shape)
     "r30_mutual_info",
     // r33: the 1-row agree × margin-product combine (the j1 shape)
@@ -96,6 +99,8 @@ class PlanAuditSpec extends SparkSpec {
     "r59_breusch_pagan",
     // r62: margins + the signed G chain over the R×C cell frame (r19 shape)
     "r62_gtest",
+    // r63: the r25 chi² completion windows over the 2×k median table
+    "r63_mood_median",
     // r25: reduces the r19 cell frame (same deliberate cell windows)
     "r25_cramers_v",
     // r26/r27: KM / log-rank running chains over the distinct-TIME frame

@@ -58,4 +58,41 @@ class AsOfJoinSpec extends SparkSpec {
     }.toSet
     assert(asof == brute)
   }
+
+  test("asofForward attaches the earliest right row at-or-after each left row") {
+    val views = Seq(
+      ("A", 10L, 1), ("A", 25L, 2), ("A", 40L, 3), ("B", 50L, 4)
+    ).toDF("sym", "t", "vid")
+    val buys = Seq(
+      ("A", 12L, 100.0), ("A", 25L, 101.0), ("A", 30L, 102.0), ("B", 40L, 200.0)
+    ).toDF("sym", "t", "price")
+    val out = AsOfJoin.asofForward(views, buys, Seq("sym"), "t", "t",
+      Seq("price" -> "price"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(out == Set(
+      ("A", 10L, Some(100.0)), // next at 12
+      ("A", 25L, Some(101.0)), // same-instant match (>= semantics)
+      ("A", 40L, None),        // nothing after
+      ("B", 50L, None)))       // B's only buy is earlier
+  }
+
+  test("asofForward matches a brute-force per-row minimum formulation") {
+    val rng = new scala.util.Random(29)
+    val left = Seq.fill(120)((s"k${rng.nextInt(4)}", rng.nextInt(100).toLong))
+      .toDF("k", "t")
+    val rightRows = Seq.fill(60)((s"k${rng.nextInt(4)}", rng.nextInt(100).toLong))
+      .distinct // unique (key, time) so the match is well-defined
+    val right = rightRows.map { case (k, t) => (k, t, t * 10.0) }
+      .toDF("k", "t", "v")
+    val got = AsOfJoin.asofForward(left.repartition(5), right.repartition(3),
+        Seq("k"), "t", "t", Seq("v" -> "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val brute = left.as[(String, Long)].collect().map { case (k, t) =>
+      val cand = rightRows.filter(r => r._1 == k && r._2 >= t)
+      (k, t, if (cand.isEmpty) None else Some(cand.map(_._2).min * 10.0))
+    }.toSet
+    assert(got == brute)
+  }
 }

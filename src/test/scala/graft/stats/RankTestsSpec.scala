@@ -221,4 +221,17 @@ class RankTestsSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Option[Double])].collect().toSeq
     assert(rt.find(_._1 == "a").get._4 == 6L)
   }
+
+  test("moodMedianDF: hand case — global median, 2xk chi-square") {
+    import org.apache.spark.sql.functions._
+    // values 1..8 (cents): global interpolating median = 4.5; groups:
+    // g1 = {1,2,3,4} all at-or-below, g2 = {5,6,7,8} all above -> chi2 = n
+    val df = (1 to 4).map(v => ("g1", v.toDouble)) ++
+      (5 to 8).map(v => ("g2", v.toDouble))
+    val r = RankTests.moodMedianDF(df.toDF("g", "x").repartition(3), "x", "g")
+      .as[(Double, Long, Long, Long, Double, Double)].head()
+    assert(r._1 == 4.5 && r._2 == 8L && r._3 == 2L && r._4 == 2L)
+    assert(r._5 == 8.0, r.toString) // perfect separation: chi2 = n
+    assert(r._6 == 1.0)             // Cramer's V = 1
+  }
 }

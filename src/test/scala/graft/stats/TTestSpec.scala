@@ -98,4 +98,20 @@ class TTestSpec extends SparkSpec {
     assert(r._5 == 10.0 && r._6 == 1.0)
     assert(math.abs(r._7 - (10.0 - 4.0) / sd) < 1e-6)
   }
+
+  test("cohensDDF: hand-computed pooled effect size") {
+    import org.apache.spark.sql.functions._
+    // A: 1,3 (mean 2, ssq 2); B: 5,9 (mean 7, ssq 8); sp = sqrt(10/2)
+    val df = Seq((1.0, true), (3.0, true), (5.0, false), (9.0, false))
+      .toDF("x", "a").repartition(3)
+    val r = TTest.cohensDDF(df, "x", col("a"))
+      .as[(Long, Long, Double, Double, Double, Double, Double)].head()
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sp = math.sqrt(10.0 / 2.0)
+    val d = (2.0 - 7.0) / sp
+    assert(r._1 == 2L && r._2 == 2L && r._3 == 2.0 && r._4 == 7.0)
+    assert(r._5 == rd(sp) && r._6 == rd(d))
+    assert(r._7 == rd(d * (1.0 - 3.0 / (4.0 * 4 - 9.0))))
+  }
 }
