@@ -4363,6 +4363,22 @@ object SparkEntry {
       graft.stats.TTest.cohensDDF(t(s, dir, "lineitem"),
         "l_extendedprice", col("l_returnflag") === "R")),
 
+    // ---- text: Zipf-law fit (t26) — ln freq ~ ln rank OLS over the
+    // top-100 vocabulary; TakeOrdered(k), then ordered chains over the
+    // k-row rank frame. The corpus power-law audit. ---------------------
+    "t26_zipf_fit" -> ((s, dir) =>
+      graft.text.Corpus.zipfFitDF(
+        Tables.spread(t(s, dir, "documents")), "text", k = 100)),
+
+    // ---- quality: Simpson's-paradox audit (q22) — per-year OR direction
+    // of (urgent → delivered) vs the pooled direction; every direction an
+    // integer cross-product sign, no division anywhere. -----------------
+    "q22_simpson_audit" -> ((s, dir) =>
+      graft.stats.Epi.simpsonAuditDF(t(s, dir, "orders"),
+        year(to_date(col("o_orderdate"))).cast("long"),
+        col("o_orderpriority") === "1-URGENT",
+        col("o_orderstatus") === "F")),
+
     // ---- storage: CHECK constraint enforcement (s36) — the Delta ADD
     // CONSTRAINT contract exercised end to end IN-QUERY: register on a
     // compliant table, a violating append is refused WITHOUT committing
@@ -9347,6 +9363,88 @@ object SparkEntry {
                 round(ln(CAST(n_tokens AS DOUBLE))
                   - mlm / CAST(n_tokens AS DOUBLE), 6) AS entropy
          FROM agg ORDER BY doc_id""",
+
+    // t26: vocab top-k by (freq desc, token), ordered ln chains, the
+    // closed-form OLS over the chains' last links
+    "t26_zipf_fit" ->
+      """WITH vocab AS (
+           SELECT token, CAST(count(*) AS BIGINT) AS freq
+           FROM (SELECT unnest(list_filter(
+                   string_split_regex(trim(text), '\s+'), x -> x != ''))
+                   AS token
+                 FROM documents WHERE text IS NOT NULL)
+           GROUP BY 1),
+         top AS (
+           SELECT token, freq,
+                  CAST(row_number() OVER (ORDER BY freq DESC, token)
+                    AS BIGINT) AS rnk
+           FROM vocab ORDER BY freq DESC, token LIMIT 100),
+         ch AS (
+           SELECT rnk, freq,
+             CAST(count(*) OVER w AS DOUBLE) AS cn,
+             sum(ln(CAST(rnk AS DOUBLE))) OVER w AS cx,
+             sum(ln(CAST(freq AS DOUBLE))) OVER w AS cy,
+             sum(ln(CAST(rnk AS DOUBLE)) * ln(CAST(freq AS DOUBLE)))
+               OVER w AS cxy,
+             sum(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)))
+               OVER w AS cxx,
+             sum(ln(CAST(freq AS DOUBLE)) * ln(CAST(freq AS DOUBLE)))
+               OVER w AS cyy,
+             max(CASE WHEN rnk = 1 THEN freq END) OVER w AS tf
+           FROM top
+           WINDOW w AS (ORDER BY rnk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         lastc AS (SELECT * FROM ch ORDER BY rnk DESC LIMIT 1),
+         st AS (SELECT cn AS nd, cx AS sx, cy AS sy, cxy AS sxy,
+                       cxx AS sxx, cyy AS syy, tf AS top_freq
+                FROM lastc),
+         st2 AS (SELECT nd, top_freq,
+                   nd * sxy - sx * sy AS num,
+                   nd * sxx - sx * sx AS den,
+                   sx, sy, syy
+                 FROM st)
+         SELECT CAST(nd AS BIGINT) AS n_ranks, CAST(top_freq AS BIGINT)
+                  AS top_freq,
+                round(num / den, 6) AS slope,
+                round((sy - (num / den) * sx) / nd, 6) AS intercept,
+                round(num * num / (den * (nd * syy - sy * sy)), 6) AS r2
+         FROM st2""",
+
+    // q22: stratum 2×2 longs, cross-product signs, 1-row pooled combine
+    "q22_simpson_audit" ->
+      """WITH base AS (
+           SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)
+                    AS stratum,
+                  (o_orderpriority = '1-URGENT') AS e,
+                  (o_orderstatus = 'F') AS o
+           FROM orders
+           WHERE o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL
+             AND o_orderstatus IS NOT NULL),
+         cells AS (
+           SELECT stratum,
+             CAST(sum(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+           FROM base GROUP BY 1),
+         pooled AS (
+           SELECT CASE WHEN sum(a) * sum(d) > sum(b) * sum(c) THEN 1
+                       WHEN sum(a) * sum(d) < sum(b) * sum(c) THEN -1
+                       ELSE 0 END AS pooled_dir
+           FROM cells)
+         SELECT stratum, a, b, c, d,
+                CASE WHEN a * d > b * c THEN 1
+                     WHEN a * d < b * c THEN -1 ELSE 0 END AS dir,
+                pooled_dir,
+                (CASE WHEN a * d > b * c THEN 1
+                      WHEN a * d < b * c THEN -1 ELSE 0 END) != 0
+                  AND pooled_dir != 0
+                  AND (CASE WHEN a * d > b * c THEN 1
+                            WHEN a * d < b * c THEN -1 ELSE 0 END)
+                    != pooled_dir AS flipped
+         FROM cells CROSS JOIN pooled
+         ORDER BY stratum""",
 
     // s36: base nonnegatives + repaired |negatives| ≡ abs over everyone
     "s36_check_enforced" ->

@@ -267,4 +267,41 @@ object Epi {
         round(lit((k - 1).toDouble) *
           (lit(k.toDouble) * sumC2 - nTot * nTot) / den, 6)).as("q"): _*)
   }
+
+  /** Simpson's-paradox audit: per-stratum odds-ratio DIRECTION vs the
+    * pooled (stratum-collapsed) direction — the aggregation trap
+    * [[mantelHaenszelDF]] exists to avoid, made visible. A stratum is
+    * `flipped` when its association points the OPPOSITE way from the
+    * pooled table. FULLY integer: OR > 1 ⟺ a·d > b·c, so every
+    * direction is a cross-product sign and no division ever happens.
+    * One corpus groupBy to the stratum frame, a 1-row pooled broadcast.
+    *
+    * Per stratum ordered by key: `(stratum, a, b, c, d, dir, pooled_dir,
+    * flipped)` with dir ∈ {-1, 0, 1}. */
+  def simpsonAuditDF(df: DataFrame, stratumCol: Column,
+      exposure: Column, outcome: Column): DataFrame = {
+    val base = df.where(stratumCol.isNotNull && exposure.isNotNull &&
+        outcome.isNotNull)
+      .select(stratumCol.as("stratum"),
+        exposure.cast("boolean").as("e"), outcome.cast("boolean").as("o"))
+    val cells = base.groupBy(col("stratum")).agg(
+      sum(when(col("e") && col("o"), 1L).otherwise(0L)).as("a"),
+      sum(when(col("e") && !col("o"), 1L).otherwise(0L)).as("b"),
+      sum(when(!col("e") && col("o"), 1L).otherwise(0L)).as("c"),
+      sum(when(!col("e") && !col("o"), 1L).otherwise(0L)).as("d"))
+    def dir(a: Column, b: Column, c: Column, d: Column): Column =
+      when(a * d > b * c, 1).when(a * d < b * c, -1).otherwise(0)
+    val pooled = cells.agg(sum(col("a")).as("pa"), sum(col("b")).as("pb"),
+        sum(col("c")).as("pc"), sum(col("d")).as("pd"))
+      .select(dir(col("pa"), col("pb"), col("pc"), col("pd"))
+        .as("pooled_dir"))
+    cells.crossJoin(broadcast(pooled))
+      .withColumn("dir", dir(col("a"), col("b"), col("c"), col("d")))
+      .withColumn("flipped",
+        col("dir") =!= 0 && col("pooled_dir") =!= 0 &&
+          col("dir") =!= col("pooled_dir"))
+      .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+        col("dir"), col("pooled_dir"), col("flipped"))
+      .orderBy(col("stratum"))
+  }
 }

@@ -273,6 +273,52 @@ object Corpus {
     * doc, ordered by token — row-group local, never a global sort), so
     * both engines add the same doubles in the same order (the t24
     * doctrine). Docs with zero tokens drop. */
+  /** Zipf-law fit over the top-k vocabulary: OLS of ln(freq) on ln(rank)
+    * — the corpus power-law audit (natural text slopes ≈ −1; a synthetic
+    * or templated corpus shows up as a flat or kinked curve). One row
+    * `(n_ranks, top_freq, slope, intercept, r2)`.
+    *
+    * Plan: one corpus-sized vocab groupBy, TakeOrdered(k) (never a full
+    * sort), then every sum the closed form needs is an ORDERED chain over
+    * the k-row rank frame (deliberate dimension-sized window, the w2
+    * family) — both engines add the same doubles in the same order. */
+  def zipfFitDF(df: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    require(k >= 3, s"need at least 3 ranks to fit, got $k")
+    val vocab = df.where(col(textCol).isNotNull)
+      .select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val rankW = Window.orderBy(col("freq").desc, col("token").asc)
+    val top = vocab.orderBy(col("freq").desc, col("token").asc).limit(k)
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+    val runW = Window.orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = log(col("rank").cast("double"))
+    val y = log(col("freq").cast("double"))
+    val chained = top
+      .withColumn("cn", count(lit(1)).over(runW).cast("double"))
+      .withColumn("cx", sum(x).over(runW))
+      .withColumn("cy", sum(y).over(runW))
+      .withColumn("cxy", sum(x * y).over(runW))
+      .withColumn("cxx", sum(x * x).over(runW))
+      .withColumn("cyy", sum(y * y).over(runW))
+      .withColumn("tf", max(when(col("rank") === 1L, col("freq"))).over(runW))
+    val agg = chained.agg(
+      max_by(struct(col("cn"), col("cx"), col("cy"), col("cxy"),
+        col("cxx"), col("cyy"), col("tf")), col("rank")).as("s"))
+      .select(col("s.cn").as("nd"), col("s.cx").as("sx"),
+        col("s.cy").as("sy"), col("s.cxy").as("sxy"),
+        col("s.cxx").as("sxx"), col("s.cyy").as("syy"),
+        col("s.tf").as("top_freq"))
+    val num = col("nd") * col("sxy") - col("sx") * col("sy")
+    val den = col("nd") * col("sxx") - col("sx") * col("sx")
+    val slope = num / den
+    agg.select(col("nd").cast("long").as("n_ranks"), col("top_freq"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("nd"), 6).as("intercept"),
+      round(num * num / (den *
+        (col("nd") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
   def tokenEntropyDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = df.select(col(idCol).as("__id"),
         explode(TextOps.tokens(col(textCol))).as("token"))

@@ -34,6 +34,8 @@ class PlanAuditSpec extends SparkSpec {
     // r63: two 1-row broadcasts (total count, global median) onto the
     // value/classified frames (the j1 shape)
     "r63_mood_median",
+    // q22: the 1-row pooled-direction broadcast onto the stratum frame
+    "q22_simpson_audit",
     // r30: the 1-row MI × entropy × entropy combine (the j1 shape)
     "r30_mutual_info",
     // r33: the 1-row agree × margin-product combine (the j1 shape)
@@ -101,6 +103,8 @@ class PlanAuditSpec extends SparkSpec {
     "r62_gtest",
     // r63: the r25 chi² completion windows over the 2×k median table
     "r63_mood_median",
+    // t26: the rank + OLS chains over the top-k (=100) vocab frame
+    "t26_zipf_fit",
     // r25: reduces the r19 cell frame (same deliberate cell windows)
     "r25_cramers_v",
     // r26/r27: KM / log-rank running chains over the distinct-TIME frame

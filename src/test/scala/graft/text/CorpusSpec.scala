@@ -216,4 +216,18 @@ class CorpusSpec extends SparkSpec {
     assert(r(3L)._5 == 0.0 && r(3L)._4 == rd(1.0 / 3))
     assert(!r.contains(4L))
   }
+
+  test("zipfFitDF: an exact power law fits with slope -1, r2 = 1") {
+    import org.apache.spark.sql.functions._
+    // freqs 12, 6, 4, 3 = 12/rank -> ln freq = ln 12 - 1*ln rank exactly
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")).mkString(" ")
+    val r = Corpus.zipfFitDF(Seq((1L, text)).toDF("doc_id", "text"),
+        "text", k = 4)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(r._1 == 4L && r._2 == 12L)
+    assert(math.abs(r._3 - (-1.0)) < 1e-9, r.toString)
+    assert(math.abs(r._4 - math.log(12.0)) < 1e-6)
+    assert(r._5 == 1.0)
+  }
 }
