@@ -72,11 +72,24 @@ object Bench {
   // bounded-frame stats chains that keep sequential windows for oracle
   // bit-compat (FDR tv/sabha chains, empirical ROC curve twins — all
   // distinct-score / strata-sized frames, never data-sized)
-  private val windowWarnWhitelist = Set(
+  // package-visible so PlanAuditSpec can assert its declared set is a
+  // SUBSET of this one — the two lists drifted once (j10's dim-index
+  // window was plan-audited but not bench-whitelisted, and the artifact
+  // shipped window_warnings_attributed:false)
+  private[graft] val windowWarnWhitelist = Set(
     "m3_tree_score", "p7_partition_prune", "w2_global_window",
     "r8_roc_empirical", "r9_fdr_distributed", "r11_sabha_distributed",
     "r14_tv_projection", "r15_fdr_family", "m1_decision_tree",
-    "m2_bayes_tune", "m4_fit_score", "m5_tune_score", "r19_chi2")
+    "m2_bayes_tune", "m4_fit_score", "m5_tune_score", "r19_chi2",
+    // dimension/cell-frame chains declared in PlanAuditSpec that ALSO
+    // emit runtime WindowExec warnings when their frame lands in one task
+    "j10_bracket_lookup", "r20_kruskal", "r23_anova", "r25_cramers_v",
+    "r26_kaplan_meier", "r27_logrank", "r29_mantel_haenszel",
+    "r30_mutual_info", "r32_friedman", "r38_levene", "r48_hosmer_lemeshow",
+    "r50_cox", "r51_nelson_aalen", "r53_durbin_watson", "r54_bartlett",
+    "r59_breusch_pagan", "r62_gtest", "r63_mood_median", "t26_zipf_fit",
+    "m7_lift_chart", "m12_naive_bayes", "q13_benford", "q16_psi",
+    "r35_breslow_day", "m16_isotonic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -138,6 +138,15 @@ class PlanAuditSpec extends SparkSpec {
     // r35: pooled-ψ + BD running chains over the stratum frame
     "r35_breslow_day")
 
+  test("every declared global window is also bench-attribution-whitelisted") {
+    // the j10 incident: a plan-audited window that ISN'T in Bench's
+    // runtime whitelist ships an artifact with
+    // window_warnings_attributed:false — pin the subset relation
+    val missing = deliberateGlobalWindows -- Bench.windowWarnWhitelist
+    assert(missing.isEmpty,
+      s"plan-audited global windows missing from Bench.windowWarnWhitelist: $missing")
+  }
+
   test("no query grows an undeclared loop join or partition-less window") {
     val loops = scala.collection.mutable.ArrayBuffer[String]()
     val globals = scala.collection.mutable.ArrayBuffer[String]()
