@@ -4363,6 +4363,13 @@ object SparkEntry {
       graft.stats.TTest.cohensDDF(t(s, dir, "lineitem"),
         "l_extendedprice", col("l_returnflag") === "R")),
 
+    // ---- §2.8 one-sample KS vs uniform (r65): is order value evenly
+    // spread over its observed range? Pure INTEGER supremum (both jump
+    // limits cross-multiplied), one division on the winning row. --------
+    "r65_ks_uniform" -> ((s, dir) =>
+      graft.stats.RankTests.ksUniformDF(t(s, dir, "orders"),
+        "o_totalprice")),
+
     // ---- text: Zipf-law fit (t26) — ln freq ~ ln rank OLS over the
     // top-100 vocabulary; TakeOrdered(k), then ordered chains over the
     // k-row rank frame. The corpus power-law audit. ---------------------
@@ -9282,6 +9289,38 @@ object SparkEntry {
                 round(d * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)
                   + CAST(n_b AS DOUBLE)) - 9.0)), 6) AS g
          FROM st2""",
+
+    // r65: cent cells, windowed cum ≡ the sharded prefix, integer
+    // two-limit supremum, argmax by (d desc, v asc), one division
+    "r65_ks_uniform" ->
+      """WITH base AS (
+           SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+             AS BIGINT) AS vc
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         cells AS (SELECT vc AS v, CAST(count(*) AS BIGINT) AS c
+                   FROM base GROUP BY 1),
+         cum AS (SELECT v, c,
+                   CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS BIGINT) AS ci,
+                   CAST(sum(c) OVER () AS BIGINT) AS n,
+                   CAST(min(v) OVER () AS BIGINT) AS lo,
+                   CAST(max(v) OVER () AS BIGINT) AS hi
+                 FROM cells),
+         s AS (SELECT v, n, lo, hi, hi - lo AS span,
+                 abs(ci * (hi - lo) - n * (v - lo)) AS d1,
+                 abs((ci - c) * (hi - lo) - n * (v - lo)) AS d2
+               FROM cum),
+         s2 AS (SELECT v, n, lo, hi, span,
+                  greatest(d1, d2) AS dmax FROM s)
+         SELECT n,
+                round(CAST(lo AS DOUBLE) / 100.0, 2) AS lo,
+                round(CAST(hi AS DOUBLE) / 100.0, 2) AS hi,
+                dmax AS d_num,
+                CASE WHEN span > 0 THEN
+                  round(CAST(dmax AS DOUBLE)
+                    / CAST(n * span AS DOUBLE), 6) END AS d,
+                round(CAST(v AS DOUBLE) / 100.0, 2) AS at_v
+         FROM s2 ORDER BY dmax DESC, v LIMIT 1""",
 
     // r61: three longs, exact integer identities to MSB/MSW, fixed trees
     "r61_icc" ->

@@ -427,6 +427,44 @@ object RankTests {
       .orderBy(col("key"))
   }
 
+  /** One-sample Kolmogorov–Smirnov against the UNIFORM law on the
+    * observed [lo, hi] — is the column's mass evenly spread over its own
+    * range? (The one-sample sibling of [[ksDF]]; a generator/price-grid
+    * audit.) One row `(n, lo, hi, d_num, d, at_v)`; degenerate
+    * single-value columns yield a NULL `d`.
+    *
+    * FULLY integer supremum: at each distinct cent value v the two
+    * one-sided gaps are `|cum·span − n·(v−lo)|` and
+    * `|cumex·span − n·(v−lo)|` (the jump's right and left limits), so the
+    * argmax (ties → smallest v) is exact LONG arithmetic and the ONE
+    * division `D = d_num/(n·span)` happens on the winning row. Sharded
+    * exclusive prefix for cum, 1-row (n, lo, hi) broadcast,
+    * TakeOrdered(1). */
+  def ksUniformDF(df: DataFrame, valueCol: String): DataFrame = {
+    val base = df.where(col(valueCol).isNotNull)
+      .select((col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("vc"))
+    val cells = base.groupBy(col("vc").as("v")).agg(count(lit(1)).as("c"))
+    val pref = withExclusivePrefixCols(cells, Seq("c" -> "cumex"))
+    val tot = cells.agg(sum(col("c")).as("n"), min(col("v")).as("lo"),
+      max(col("v")).as("hi"))
+    val scored = pref.crossJoin(broadcast(tot))
+      .withColumn("ci", col("cumex") + col("c"))
+      .withColumn("span", col("hi") - col("lo"))
+      .withColumn("f0num", col("v") - col("lo"))
+      .withColumn("d1", abs(col("ci") * col("span") - col("n") * col("f0num")))
+      .withColumn("d2", abs(col("cumex") * col("span") - col("n") * col("f0num")))
+      .withColumn("dmax", greatest(col("d1"), col("d2")))
+    scored.orderBy(col("dmax").desc, col("v").asc).limit(1)
+      .select(col("n"),
+        round(col("lo").cast("double") / lit(100.0), 2).as("lo"),
+        round(col("hi").cast("double") / lit(100.0), 2).as("hi"),
+        col("dmax").as("d_num"),
+        when(col("span") > 0L,
+          round(col("dmax").cast("double") /
+            (col("n") * col("span")).cast("double"), 6)).as("d"),
+        round(col("v").cast("double") / lit(100.0), 2).as("at_v"))
+  }
+
   /** Mood's median test — do the k groups share a common median? The
     * rank-free, outlier-immune sibling of Kruskal–Wallis: each row is
     * classified above / at-or-below the GLOBAL exact median and the 2×k

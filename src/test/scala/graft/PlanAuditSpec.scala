@@ -36,6 +36,8 @@ class PlanAuditSpec extends SparkSpec {
     "r63_mood_median",
     // q22: the 1-row pooled-direction broadcast onto the stratum frame
     "q22_simpson_audit",
+    // r65: the 1-row (n, lo, hi) broadcast onto the value-cell frame
+    "r65_ks_uniform",
     // r30: the 1-row MI × entropy × entropy combine (the j1 shape)
     "r30_mutual_info",
     // r33: the 1-row agree × margin-product combine (the j1 shape)

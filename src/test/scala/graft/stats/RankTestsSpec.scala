@@ -234,4 +234,21 @@ class RankTestsSpec extends SparkSpec {
     assert(r._5 == 8.0, r.toString) // perfect separation: chi2 = n
     assert(r._6 == 1.0)             // Cramer's V = 1
   }
+
+  test("ksUniformDF: hand-computed two-limit supremum; degenerate NULL") {
+    import org.apache.spark.sql.functions._
+    // cents 0, 25, 100: sup gap at v=25 (F_n = 2/3 vs F0 = 1/4),
+    // d_num = |2*100 - 3*25| = 125, D = 125/300
+    val df = Seq(0.00, 0.25, 1.00).toDF("x").repartition(2)
+    val r = RankTests.ksUniformDF(df, "x")
+      .as[(Long, Double, Double, Long, Option[Double], Double)].head()
+    assert(r._1 == 3L && r._2 == 0.0 && r._3 == 1.0)
+    assert(r._4 == 125L && r._6 == 0.25, r.toString)
+    assert(r._5.contains(0.416667))
+    // constant column: span 0 -> NULL d
+    val c = Seq(5.0, 5.0).toDF("x")
+    val rc = RankTests.ksUniformDF(c, "x")
+      .select("d").as[Option[Double]].head()
+    assert(rc.isEmpty)
+  }
 }
