@@ -49,6 +49,13 @@ object Multimodal {
     * resize uses integer nearest-neighbor (no AA/interpolation jitter), and
     * embeddings are integer-sum bin means. */
   object Codecs {
+    // ImageIO defaults to a FILE-backed stream cache: every decode/encode
+    // creates (and deletes) a temp file, which turns a 200k-frame codec
+    // pass into an IO-bound super-linear crawl (measured: x7 16.8× for
+    // 10× data isolated). Byte-array payloads gain nothing from disk
+    // caching — keep the streams in memory.
+    ImageIO.setUseCache(false)
+
     /** Decode any ImageIO-supported payload (PNG, JPEG, GIF, BMP).
       * None for bytes that are not a supported image. */
     def decodeImage(payload: Array[Byte]): Option[BufferedImage] =
