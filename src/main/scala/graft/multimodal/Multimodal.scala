@@ -202,7 +202,38 @@ object Multimodal {
       * (sampleRate, samples) for PCM-signed 16-bit mono payloads, None
       * for bytes that are not decodable audio (corrupt media filters,
       * not fails — same contract as [[Codecs.decodeImage]]). */
-    def decodeWav(payload: Array[Byte]): Option[(Int, Array[Int])] =
+    /** Fast path for OUR canonical PCM16 layout ([[pcm16Wav]]'s exact
+      * 44-byte header: fmt chunk of 16, PCM, mono, 16-bit, data chunk
+      * immediately after). `AudioSystem.getAudioInputStream` walks the
+      * provider registry per call (~140 µs for a 1 KB payload — measured
+      * as the whole x2/x6 sf1 tail); a strict header check + direct
+      * little-endian sample read is ~100× cheaper and byte-identical on
+      * this layout. ANY deviation falls through to javax.sound, so
+      * foreign-but-valid WAVs still decode and corrupt payloads still
+      * drop through the same guarded path. */
+    private def decodeCanonicalPcm16(payload: Array[Byte]): Option[(Int, Array[Int])] = {
+      if (payload.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(off: Int, s: String): Boolean =
+        s.indices.forall(i => payload(off + i) == s.charAt(i).toByte)
+      if (!tag(0, "RIFF") || !tag(8, "WAVE") || !tag(12, "fmt ") ||
+        !tag(36, "data")) return None
+      if (bb.getInt(16) != 16 || bb.getShort(20) != 1 /* PCM */ ||
+        bb.getShort(22) != 1 /* mono */ || bb.getShort(34) != 16) return None
+      val rate = bb.getInt(24)
+      val dataLen = bb.getInt(40)
+      if (rate <= 0 || dataLen < 0 || 44 + dataLen > payload.length ||
+        (dataLen & 1) == 1) return None
+      val out = new Array[Int](dataLen / 2)
+      var i = 0
+      while (i < out.length) { out(i) = bb.getShort(44 + i * 2).toInt; i += 1 }
+      Some((rate, out))
+    }
+
+    def decodeWav(payload: Array[Byte]): Option[(Int, Array[Int])] = {
+      val fast = decodeCanonicalPcm16(payload)
+      if (fast.isDefined) return fast
       try {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new ByteArrayInputStream(payload))
@@ -225,6 +256,7 @@ object Multimodal {
         case _: javax.sound.sampled.UnsupportedAudioFileException => None
         case _: java.io.IOException => None
       }
+    }
 
     /** Per-bin ENERGY (sum of squared samples) with the same
       * `floor(i*dim/n)` binning as [[Codecs.gridEmbedding]] — pure Long

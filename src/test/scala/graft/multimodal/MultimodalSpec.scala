@@ -136,6 +136,32 @@ class MultimodalSpec extends SparkSpec {
     assert(AudioCodecs.decodeWav(gradientPng).isEmpty)
   }
 
+  test("non-canonical but valid WAV falls back to javax.sound (fast path declines)") {
+    val samples = Array(7, -7, 300, -300)
+    val wav = AudioCodecs.pcm16Wav(samples, 8000)
+    // insert a LIST chunk (8-byte header + 4 bytes) between fmt and data:
+    // the canonical-layout fast path must decline, javax.sound must parse
+    val list = Array[Byte]('L', 'I', 'S', 'T', 4, 0, 0, 0, 'I', 'N', 'F', 'O')
+    val shifted = java.nio.ByteBuffer
+      .allocate(wav.length + list.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    shifted.put(wav, 0, 4)
+    shifted.putInt(java.nio.ByteBuffer.wrap(wav, 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt + list.length)
+    shifted.put(wav, 8, 28) // WAVE + fmt chunk
+    shifted.put(list)
+    shifted.put(wav, 36, wav.length - 36) // data chunk
+    val (rate, back) = AudioCodecs.decodeWav(shifted.array()).get
+    assert(rate == 8000)
+    assert(back.toSeq == samples.toSeq)
+    // truncated data chunk: header claims more than the payload carries —
+    // the fast path must decline rather than read garbage
+    val truncated = wav.dropRight(2)
+    // (javax.sound may still decode the shortened stream; the contract
+    // here is only "no crash, no out-of-bounds read")
+    AudioCodecs.decodeWav(truncated)
+  }
+
   test("audio features: integer energy bins from the decoded samples, " +
       "payload-free downstream") {
     val m = Seq(
