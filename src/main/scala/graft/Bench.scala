@@ -67,29 +67,13 @@ object Bench {
     armed
   }
 
-  // queries whose RUNTIME global-window warnings are deliberate: the three
-  // plan-audited ones (PlanAuditSpec.deliberateGlobalWindows) plus the
-  // bounded-frame stats chains that keep sequential windows for oracle
-  // bit-compat (FDR tv/sabha chains, empirical ROC curve twins — all
-  // distinct-score / strata-sized frames, never data-sized)
-  // package-visible so PlanAuditSpec can assert its declared set is a
-  // SUBSET of this one — the two lists drifted once (j10's dim-index
-  // window was plan-audited but not bench-whitelisted, and the artifact
-  // shipped window_warnings_attributed:false)
-  private[graft] val windowWarnWhitelist = Set(
-    "m3_tree_score", "p7_partition_prune", "w2_global_window",
-    "r8_roc_empirical", "r9_fdr_distributed", "r11_sabha_distributed",
-    "r14_tv_projection", "r15_fdr_family", "m1_decision_tree",
-    "m2_bayes_tune", "m4_fit_score", "m5_tune_score", "r19_chi2",
-    // dimension/cell-frame chains declared in PlanAuditSpec that ALSO
-    // emit runtime WindowExec warnings when their frame lands in one task
-    "j10_bracket_lookup", "r20_kruskal", "r23_anova", "r25_cramers_v",
-    "r26_kaplan_meier", "r27_logrank", "r29_mantel_haenszel",
-    "r30_mutual_info", "r32_friedman", "r38_levene", "r48_hosmer_lemeshow",
-    "r50_cox", "r51_nelson_aalen", "r53_durbin_watson", "r54_bartlett",
-    "r59_breusch_pagan", "r62_gtest", "r63_mood_median", "t26_zipf_fit",
-    "m7_lift_chart", "m12_naive_bayes", "q13_benford", "q16_psi",
-    "r35_breslow_day", "m16_isotonic")
+  // queries whose RUNTIME global-window warnings are deliberate — derived
+  // from the single registry in PlanAudit (plan-audited global windows +
+  // the runtime-only chains), so the plan gate and the bench attribution
+  // can't drift apart
+  private[graft] val windowWarnWhitelist: Set[String] =
+    graft.tools.PlanAudit.deliberateGlobalWindows ++
+      graft.tools.PlanAudit.runtimeOnlyWindowWarns
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -250,10 +234,16 @@ object Bench {
     // "protocol" flags that value = sum of per-query BEST-of-N times in one
     // warm JVM after $warmups untimed warmup pass(es) — a composite no
     // single pass achieved. Cross-round consumers must compare like
-    // protocols (or use run_totals[0]). The per-query best map rides ON the
-    // metric line (round-9 verdict: per-query regressions were invisible at
-    // sf0.1 because the map lived only in the side file) — ~2.5 KB for 112
-    // queries; the side file stays as the redundancy copy.
-    println(s"""{"metric":"total","value":$value,"unit":"sec","protocol":"best-of-$runs-warm","failed":$nFailed,"sf":"$sfDir","runs":$runs,"warmups":$warmups,"queries":$qs,"run_totals":[${runTotals.mkString(",")}],"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"load_contaminated":$contaminated,"warn_counter_armed":$warnArmed,"window_warnings":$warnJson,"window_warnings_per_pass":$warnPerPassJson,"window_warnings_stable":${warnUnstable.isEmpty},"window_warnings_attributed":${unattributed.isEmpty},"queries_file":"$queriesFile"}""")
+    // protocols (or use run_totals[0]).
+    //
+    // Two stdout lines, full-then-compact: at 273 queries the per-query map
+    // (~8 KB) pushed the metric JSON out of the consumer's fixed-size tail
+    // capture (BENCH_r10 `parsed: null`), so the FINAL line is a compact
+    // summary without the map; the preceding line carries the full map for
+    // humans, and the side file (committed per round) is the durable
+    // per-query record the round-9 verdict asked for.
+    val common = s""""unit":"sec","protocol":"best-of-$runs-warm","failed":$nFailed,"sf":"$sfDir","runs":$runs,"warmups":$warmups,"run_totals":[${runTotals.mkString(",")}],"loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadEnd)},"load_contaminated":$contaminated,"warn_counter_armed":$warnArmed,"window_warnings":$warnJson,"window_warnings_per_pass":$warnPerPassJson,"window_warnings_stable":${warnUnstable.isEmpty},"window_warnings_attributed":${unattributed.isEmpty},"queries_file":"$queriesFile""""
+    println(s"""{"metric":"total_with_queries","value":$value,$common,"queries":$qs}""")
+    println(s"""{"metric":"total","value":$value,$common,"n_queries":${results.length}}""")
   }
 }

@@ -1138,6 +1138,58 @@ object SparkEntry {
       graft.stats.Survival.kaplanMeierDF(cohort, "ship_days", col("kept"))
     }),
 
+    // ---- §2.8 KM Greenwood bands (r66): r26's curve with the Greenwood
+    // variance chain — one more running sum of exact-long divisions over
+    // the same distinct-time frame; 95% linear band clamped to [0,1]. ----
+    "r66_km_greenwood" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val cohort = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .as("ship_days"), (col("l_returnflag") =!= "R").as("kept"))
+      graft.stats.Survival.kaplanMeierGreenwoodDF(cohort, "ship_days", col("kept"))
+    }),
+
+    // ---- §2.8 stratified KM (r67): one curve per priority class with
+    // every window PARTITIONED by stratum — no global window, no sharded
+    // prefix; one groupBy + one shuffle by group (the preferred 100 TB
+    // survival shape when a stratification key exists). -----------------
+    "r67_km_stratified" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val cohort = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .where(col("o_orderpriority").isNotNull)
+        .select(substring(col("o_orderpriority"), 1, 1).as("prio"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .as("ship_days"), (col("l_returnflag") =!= "R").as("kept"))
+      graft.stats.Survival.kaplanMeierByGroupDF(
+        cohort, "prio", "ship_days", col("kept"))
+    }),
+
+    // ---- §2.8 restricted mean survival time (r68): area under the KM
+    // step curve to a 60-day horizon — lag/lead rides on r26's
+    // distinct-time frame, exact integer day spans × previous raw
+    // survival, running chain whose last row is the estimate. ------------
+    "r68_rmst" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val cohort = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .as("ship_days"), (col("l_returnflag") =!= "R").as("kept"))
+      graft.stats.Survival.rmstDF(cohort, "ship_days", col("kept"), tau = 60L)
+    }),
+
+    // ---- §2.8 competing risks CIF (r69): Aalen–Johansen cumulative
+    // incidence for returnflag A vs N with R as censoring — the all-cause
+    // ln-chain, its lag, one running chain per cause;
+    // cif1 + cif2 + survival = 1 row-wise. -------------------------------
+    "r69_competing_risks" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val cohort = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .as("ship_days"), col("l_returnflag"))
+        .where(col("l_returnflag").isNotNull)
+      graft.stats.Survival.cumulativeIncidenceDF(cohort, "ship_days",
+        col("l_returnflag") === "A", col("l_returnflag") === "N")
+    }),
+
     // ---- §2.8 log-rank test (r27): does order priority shift the
     // time-to-ship curve? Two sharded prefixes (per-arm risk sets), all
     // integer until the per-time division, running chains to the stat. ---
@@ -4110,9 +4162,11 @@ object SparkEntry {
 
     // ---- §2.8 Cox proportional hazards (r50): QUANTIFIES what r27
     // tests — the urgent-priority log hazard ratio for time-to-ship,
-    // Breslow ties; bounded driver Newton on the event-time frame (the
-    // r37 protocol), fitted β exported, per-time score/info/loglik
-    // running chains replayed relationally with β as a literal. ---------
+    // Breslow ties; Newton–Raphson with the score/information folded as
+    // ONE distributed decimal-exact aggregate per iteration (only β
+    // crosses the driver — no event-frame cap), fitted β exported,
+    // per-time score/info/loglik running chains replayed relationally
+    // with β as a literal. ----------------------------------------------
     "r50_cox" -> ((s, dir) => {
       val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
       val cohort = li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -4121,7 +4175,7 @@ object SparkEntry {
           substring(col("o_orderpriority"), 1, 1).isin("1", "2").as("urgent"))
       val frame = graft.stats.Survival.twoGroupTimeFrame(
         cohort, "ship_days", col("kept"), col("urgent"))
-      val fit = graft.stats.Survival.coxBinaryFit(frame)
+      val fit = graft.stats.Survival.coxBinaryFitDistributed(frame)
       r50CoxFit = Some(fit)
       graft.stats.Survival.coxScoreDF(frame, fit.beta)
     }),
@@ -8502,10 +8556,10 @@ object SparkEntry {
            FROM src GROUP BY 1),
          pc AS (
            SELECT t, d, c,
-                  (SELECT sum(d + c) FROM tc)
+                  CAST((SELECT sum(d + c) FROM tc)
                     - coalesce(sum(d + c) OVER (ORDER BY t
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    AS n_risk
+                    AS BIGINT) AS n_risk
            FROM tc),
          lr AS (
            SELECT t, n_risk, d, c,
@@ -8522,6 +8576,219 @@ object SparkEntry {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
                 END AS survival
          FROM lr ORDER BY t""",
+
+    // r66: r26's frame + the Greenwood variance chain (exact-long division
+    // terms, one more running sum), linear 95% band clamped to [0,1]
+    "r66_km_greenwood" ->
+      """WITH src AS (
+           SELECT CAST(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+                  (l_returnflag <> 'R') AS e
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+             AND l_returnflag IS NOT NULL),
+         tc AS (
+           SELECT t,
+                  CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                  CAST(count(*) - sum(CASE WHEN e THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+           FROM src GROUP BY 1),
+         pc AS (
+           SELECT t, d, c,
+                  CAST((SELECT sum(d + c) FROM tc)
+                    - coalesce(sum(d + c) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+           FROM tc),
+         lr AS (
+           SELECT t, n_risk, d, c,
+                  CASE WHEN d < n_risk
+                       THEN ln(CAST(n_risk - d AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE))
+                       ELSE 0.0 END AS lnr,
+                  CASE WHEN d < n_risk
+                       THEN CAST(d AS DOUBLE)
+                            / (CAST(n_risk AS DOUBLE)
+                               * CAST(n_risk - d AS DOUBLE))
+                       ELSE 0.0 END AS gterm,
+                  min(n_risk - d) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+           FROM pc),
+         ch AS (
+           SELECT t, n_risk, d, c, dead,
+                  exp(sum(lnr) OVER w) AS sraw,
+                  exp(sum(lnr) OVER w) * sqrt(sum(gterm) OVER w) AS seraw
+           FROM lr WINDOW w AS (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT t, n_risk, d, c,
+                CASE WHEN dead = 0 THEN 0.0 ELSE round(sraw, 6) END
+                  AS survival,
+                CASE WHEN dead = 0 THEN 0.0 ELSE round(seraw, 6) END AS se,
+                CASE WHEN dead = 0 THEN 0.0
+                     ELSE round(greatest(0.0, sraw - 1.96 * seraw), 6) END
+                  AS lo,
+                CASE WHEN dead = 0 THEN 0.0
+                     ELSE round(least(1.0, sraw + 1.96 * seraw), 6) END
+                  AS hi
+         FROM ch ORDER BY t""",
+
+    // r67: the r26 chains with every window PARTITION BY grp
+    "r67_km_stratified" ->
+      """WITH src AS (
+           SELECT substring(o_orderpriority, 1, 1) AS grp,
+                  CAST(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+                  (l_returnflag <> 'R') AS e
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+             AND l_returnflag IS NOT NULL AND o_orderpriority IS NOT NULL),
+         tc AS (
+           SELECT grp, t,
+                  CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                  CAST(count(*) - sum(CASE WHEN e THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+           FROM src GROUP BY 1, 2),
+         pc AS (
+           SELECT grp, t, d, c,
+                  CAST(sum(d + c) OVER (PARTITION BY grp)
+                    - coalesce(sum(d + c) OVER (PARTITION BY grp ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+           FROM tc),
+         lr AS (
+           SELECT grp, t, n_risk, d, c,
+                  CASE WHEN d < n_risk
+                       THEN ln(CAST(n_risk - d AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE))
+                       ELSE 0.0 END AS lnr,
+                  min(n_risk - d) OVER (PARTITION BY grp ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+           FROM pc)
+         SELECT grp, t, n_risk, d, c,
+                CASE WHEN dead = 0 THEN 0.0
+                     ELSE round(exp(sum(lnr) OVER (PARTITION BY grp ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                END AS survival
+         FROM lr ORDER BY grp, t""",
+
+    // r68: r26's frame + the lag/lead RMST increment chain, horizon 60
+    "r68_rmst" ->
+      """WITH src AS (
+           SELECT CAST(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+                  (l_returnflag <> 'R') AS e
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+             AND l_returnflag IS NOT NULL),
+         tc AS (
+           SELECT t,
+                  CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                  CAST(count(*) - sum(CASE WHEN e THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+           FROM src GROUP BY 1),
+         pc AS (
+           SELECT t, d, c,
+                  CAST((SELECT sum(d + c) FROM tc)
+                    - coalesce(sum(d + c) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+           FROM tc),
+         lr AS (
+           SELECT t, n_risk, d, c,
+                  CASE WHEN d < n_risk
+                       THEN ln(CAST(n_risk - d AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE))
+                       ELSE 0.0 END AS lnr,
+                  min(n_risk - d) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+           FROM pc),
+         ch AS (
+           SELECT t, n_risk, d, c, dead,
+                  CASE WHEN dead = 0 THEN 0.0
+                       ELSE exp(sum(lnr) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  END AS sraw
+           FROM lr),
+         pr AS (
+           SELECT t, n_risk, d, c, dead, sraw,
+                  coalesce(lag(sraw) OVER (ORDER BY t), 1.0) AS sprev,
+                  coalesce(lag(t) OVER (ORDER BY t), 0) AS tprev,
+                  lead(t) OVER (ORDER BY t) AS tnext
+           FROM ch),
+         inc AS (
+           SELECT t, n_risk, d, c, dead, sraw,
+                  sprev * CAST(least(t, 60) - least(tprev, 60) AS DOUBLE)
+                  + CASE WHEN tnext IS NULL
+                         THEN sraw * CAST(greatest(0, 60 - t) AS DOUBLE)
+                         ELSE 0.0 END AS incv
+           FROM pr)
+         SELECT t, n_risk, d, c,
+                CASE WHEN dead = 0 THEN 0.0 ELSE round(sraw, 6) END
+                  AS survival,
+                round(sum(incv) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                  AS rmst_running
+         FROM inc ORDER BY t""",
+
+    // r69: all-cause ln-chain + lag, one running CIF chain per cause
+    "r69_competing_risks" ->
+      """WITH src AS (
+           SELECT CAST(datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+                  (l_returnflag = 'A') AS e1r,
+                  (l_returnflag = 'N') AS e2r
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+             AND l_returnflag IS NOT NULL),
+         tc AS (
+           SELECT t,
+                  CAST(sum(CASE WHEN e1r THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+                  CAST(sum(CASE WHEN e2r AND NOT e1r THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d2,
+                  CAST(count(*) - sum(CASE WHEN e1r THEN 1 ELSE 0 END)
+                    - sum(CASE WHEN e2r AND NOT e1r THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+           FROM src GROUP BY 1),
+         pc AS (
+           SELECT t, d1, d2, c,
+                  CAST((SELECT sum(d1 + d2 + c) FROM tc)
+                    - coalesce(sum(d1 + d2 + c) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_risk
+           FROM tc),
+         lr AS (
+           SELECT t, n_risk, d1, d2, c,
+                  CASE WHEN d1 + d2 < n_risk
+                       THEN ln(CAST(n_risk - d1 - d2 AS DOUBLE)
+                               / CAST(n_risk AS DOUBLE))
+                       ELSE 0.0 END AS lnr,
+                  min(n_risk - d1 - d2) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+           FROM pc),
+         ch AS (
+           SELECT t, n_risk, d1, d2, c, dead,
+                  CASE WHEN dead = 0 THEN 0.0
+                       ELSE exp(sum(lnr) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                  END AS sraw
+           FROM lr),
+         pr AS (
+           SELECT t, n_risk, d1, d2, c, dead, sraw,
+                  coalesce(lag(sraw) OVER (ORDER BY t), 1.0) AS sprev
+           FROM ch),
+         i AS (
+           SELECT t, n_risk, d1, d2, c, dead, sraw,
+                  sprev * (CAST(d1 AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS i1,
+                  sprev * (CAST(d2 AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS i2
+           FROM pr)
+         SELECT t, n_risk, d1, d2, c,
+                CASE WHEN dead = 0 THEN 0.0 ELSE round(sraw, 6) END
+                  AS survival,
+                round(sum(i1) OVER w, 6) AS cif1,
+                round(sum(i2) OVER w, 6) AS cif2
+         FROM i WINDOW w AS (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY t""",
 
     // r27: per-arm leave counts, two exclusive prefixes → risk sets,
     // event-time frame, the same fixed division trees + running chains
@@ -8573,7 +8840,8 @@ object SparkEntry {
            FROM ev
            WINDOW w AS (ORDER BY t
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         SELECT t, n1, n2, d1, d2,
+         SELECT t, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                d1, d2,
                 round(e1, 6) AS e1, round(var1, 6) AS var1,
                 CAST(o1_run AS BIGINT) AS o1_run,
                 round(e1_run, 6) AS e1_run, round(v_run, 6) AS v_run,

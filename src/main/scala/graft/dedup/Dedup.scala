@@ -238,6 +238,10 @@ object Dedup {
       // standard LSH scale practice
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("band"), col("bucket"))))
+      // materialize after the bucket-count window (the d3 rationale): the
+      // frame feeds the capped collect + both self-join sides, and the
+      // preserved (band, bucket) hashpartitioning is the self-join key
+      .localCheckpoint()
     val banded = bandedAll.where(col("__bn") <= maxBucketSize).drop("__bn")
     // CAP RECOVERY: the owning-band rule below would drop a pair whose
     // first agreeing band was capped even when a LATER uncapped band still
@@ -411,12 +415,20 @@ object Dedup {
     val sigs = df.select(col(idCol).as("id"),
       graft.expressions.SimHash64Expr.simhash64(col(textCol)).as("sig"))
       .localCheckpoint()
+    // MATERIALIZE after the bucket-count window: the frame is consumed
+    // three times (the capped-bucket collect below + both self-join
+    // sides), and without this each consumer re-runs the (chunk,
+    // chunk_val) count shuffle (the r10→r8 d3 sf1 drift was exactly one
+    // extra such pass). Bonus: the checkpointed rows keep the window's
+    // hashpartitioning, which IS the self-join key — both exchanges
+    // under the join collapse.
     val chunksAll = sigs
       .select(col("id"), col("sig"), posexplode(array(
         (0 until 4).map(i => expr(s"shiftright(sig, ${i * 16}) & 65535")): _*))
         .as(Seq("chunk", "chunk_val")))
       .withColumn("__bn", count(lit(1)).over(
         Window.partitionBy(col("chunk"), col("chunk_val"))))
+      .localCheckpoint()
     val chunks = chunksAll.where(col("__bn") <= maxBucketSize).drop("__bn")
     // CAP RECOVERY (same contract as minHashCandidates): the owning-chunk
     // rule below would drop a pair whose first agreeing chunk fell to the

@@ -85,19 +85,33 @@ object Quantize {
       queries: DataFrame, queryId: String, queryVec: String,
       dim: Int, k: Int): DataFrame = {
     val c = corpus.where(col(corpusVec).isNotNull)
-      .select(col(corpusId).as("corpus_id"), col(corpusVec).as("__cv"),
+      .select(col(corpusId).as("corpus_id"),
         signWords(col(corpusVec), dim).as("__cw"))
     val q = queries.where(col(queryVec).isNotNull)
-      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
+      .select(col(queryId).as("query_id"),
         signWords(col(queryVec), dim).as("__qw"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-    val pairs = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .withColumn("hamming", hamming(col("__cw"), col("__qw")))
+    // Hamming pass over sign words ONLY: the pair frame entering the
+    // per-query rank shuffle carries (corpus_id, query_id, hamming) — the
+    // full-precision vectors stay on the scan side and are fetched below
+    // for just the k·|Q| survivors (the doc'd 100 TB shape; previously
+    // __cv rode the corpus×|Q| frame through this shuffle).
+    val survivors = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .select(col("corpus_id"), col("query_id"),
+        hamming(col("__cw"), col("__qw")).as("hamming"))
       .withColumn("rank_h", row_number().over(
         w.orderBy(col("hamming").asc, col("corpus_id").asc)))
       .where(col("rank_h") <= k)
-    pairs
+    // rerank join-back: survivors (k·|Q| rows) broadcast onto the corpus
+    // scan — an equi-join, no corpus shuffle; query vectors re-attach from
+    // the already-small broadcast query side
+    val cv = corpus.where(col(corpusVec).isNotNull)
+      .select(col(corpusId).as("corpus_id"), col(corpusVec).as("__cv"))
+    val qv = queries.where(col(queryVec).isNotNull)
+      .select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
+    cv.join(broadcast(survivors), "corpus_id")
+      .join(broadcast(qv), "query_id")
       .withColumn("cos", graft.sim.Embeddings.cosine(
         graft.sim.Embeddings.asDouble(col("__cv")),
         graft.sim.Embeddings.asDouble(col("__qv"))))

@@ -65,6 +65,182 @@ object Survival {
       .orderBy(col("t"))
   }
 
+  /** Kaplan–Meier with Greenwood 95% confidence bands: [[kaplanMeierDF]]
+    * plus the variance chain `Var[S(t)] = S(t)²·Σ_{t_i≤t} d_i/(n_i(n_i−d_i))`
+    * (Greenwood 1926) — one more running sum over the same distinct-time
+    * frame, each term a single division of exact longs. The plain (linear)
+    * band `S ± 1.96·SE` clamps to [0, 1]; rows after the risk set dies
+    * (`d = n_risk` at some earlier time) pin survival/se/lo/hi to exact
+    * 0.0 — the variance term at the death row itself would divide by zero
+    * and is pinned to 0.0 too. Output `(t, n_risk, d, c, survival, se,
+    * lo, hi)` ordered by `t`, round-6 (ln/exp per the t13 convention;
+    * sqrt is IEEE-exact so the chain replays relationally). */
+  def kaplanMeierGreenwoodDF(df: DataFrame, timeCol: String, eventCol: Column): DataFrame = {
+    val tc = timeCounts(df, timeCol, eventCol)
+    val total = tc.agg(sum(col("leave"))).head().getLong(0)
+    val runW = Window.partitionBy().orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // distinct-time frame — the deliberate dimension-sized global window
+    val nRisk = lit(total) - col("cum")
+    val ratio = (nRisk - col("d")).cast("double") / nRisk.cast("double")
+    val alive = col("d") < col("n_risk")
+    val sRaw = exp(sum(col("__lnr")).over(runW))
+    val seRaw = col("__sraw") * sqrt(sum(col("__gterm")).over(runW))
+    tc
+      .withColumn("n_risk", nRisk)
+      .withColumn("__lnr", when(alive, log(ratio)).otherwise(lit(0.0)))
+      .withColumn("__gterm", when(alive,
+          col("d").cast("double") /
+            (col("n_risk").cast("double") *
+              (col("n_risk") - col("d")).cast("double")))
+        .otherwise(lit(0.0)))
+      .withColumn("__dead", min(col("n_risk") - col("d")).over(runW))
+      .withColumn("__sraw", sRaw)
+      .withColumn("__se", seRaw)
+      .select(col("v").as("t"), col("n_risk"), col("d"), col("c"),
+        when(col("__dead") === 0L, lit(0.0))
+          .otherwise(round(col("__sraw"), 6)).as("survival"),
+        when(col("__dead") === 0L, lit(0.0))
+          .otherwise(round(col("__se"), 6)).as("se"),
+        when(col("__dead") === 0L, lit(0.0))
+          .otherwise(round(greatest(lit(0.0),
+            col("__sraw") - lit(1.96) * col("__se")), 6)).as("lo"),
+        when(col("__dead") === 0L, lit(0.0))
+          .otherwise(round(least(lit(1.0),
+            col("__sraw") + lit(1.96) * col("__se")), 6)).as("hi"))
+      .orderBy(col("t"))
+  }
+
+  /** Per-stratum Kaplan–Meier: one row per (group, distinct time), the
+    * [[kaplanMeierDF]] columns keyed by `grp`. Unlike the pooled curve,
+    * every window here is PARTITIONED by group — the number-at-risk
+    * prefix, the dead-pin min, and the survival ln-chain all run inside
+    * their stratum's partition, so the plan has NO global window and no
+    * sharded prefix at all: one corpus-sized groupBy, one shuffle by
+    * group, arbitrarily many strata in parallel (the preferred 100 TB
+    * shape when a stratification key exists). */
+  def kaplanMeierByGroupDF(df: DataFrame, groupCol: String, timeCol: String,
+      eventCol: Column): DataFrame = {
+    val tc = df.where(col(timeCol).isNotNull && eventCol.isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).cast("string").as("grp"),
+        col(timeCol).cast("long").as("v"),
+        when(eventCol, 1L).otherwise(0L).as("e"))
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(col("e")).as("d"), (count(lit(1)) - sum(col("e"))).as("c"))
+      .withColumn("leave", col("d") + col("c"))
+    val excl = Window.partitionBy(col("grp")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy(col("grp"))
+    val runW = Window.partitionBy(col("grp")).orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nRisk = sum(col("leave")).over(tot) -
+      coalesce(sum(col("leave")).over(excl), lit(0L))
+    val ratio = (col("n_risk") - col("d")).cast("double") /
+      col("n_risk").cast("double")
+    tc
+      .withColumn("n_risk", nRisk)
+      .withColumn("__lnr",
+        when(col("d") < col("n_risk"), log(ratio)).otherwise(lit(0.0)))
+      .withColumn("__dead", min(col("n_risk") - col("d")).over(runW))
+      .select(col("grp"), col("v").as("t"), col("n_risk"), col("d"), col("c"),
+        when(col("__dead") === 0L, lit(0.0))
+          .otherwise(round(exp(sum(col("__lnr")).over(runW)), 6)).as("survival"))
+      .orderBy(col("grp"), col("t"))
+  }
+
+  /** Restricted mean survival time: the area under the KM step curve up
+    * to the horizon `tau` — `RMST(τ) = Σ S(t_{i−1})·(min(t_i,τ) −
+    * min(t_{i−1},τ))` plus the tail `S(t_last)·(τ − t_last)` when the
+    * curve outlives the horizon; emitted as the RUNNING column
+    * `rmst_running` whose LAST row is the estimate (the r27 running-stat
+    * convention). Each increment multiplies the PREVIOUS row's raw
+    * survival (`lag` over the same distinct-time window) by an exact
+    * integer day span — one more fixed chain on [[kaplanMeierDF]]'s
+    * frame, replayed relationally. Output `(t, n_risk, d, c, survival,
+    * rmst_running)` ordered by `t`, times clamped at `tau`. */
+  def rmstDF(df: DataFrame, timeCol: String, eventCol: Column,
+      tau: Long): DataFrame = {
+    require(tau > 0L, "tau must be positive")
+    val tc = timeCounts(df, timeCol, eventCol)
+    val total = tc.agg(sum(col("leave"))).head().getLong(0)
+    val ord = Window.partitionBy().orderBy(col("v").asc)
+    val runW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nRisk = lit(total) - col("cum")
+    val ratio = (nRisk - col("d")).cast("double") / nRisk.cast("double")
+    // distinct-time frame — the deliberate dimension-sized global window
+    tc
+      .withColumn("n_risk", nRisk)
+      .withColumn("__lnr",
+        when(col("d") < col("n_risk"), log(ratio)).otherwise(lit(0.0)))
+      .withColumn("__dead", min(col("n_risk") - col("d")).over(runW))
+      .withColumn("__sraw",
+        when(col("__dead") === 0L, lit(0.0))
+          .otherwise(exp(sum(col("__lnr")).over(runW))))
+      // survival BEFORE t_i: 1 before the first time, else the lag
+      .withColumn("__sprev", coalesce(lag(col("__sraw"), 1).over(ord), lit(1.0)))
+      .withColumn("__tprev", coalesce(lag(col("v"), 1).over(ord), lit(0L)))
+      .withColumn("__inc", col("__sprev") *
+        (least(col("v"), lit(tau)) - least(col("__tprev"), lit(tau))).cast("double")
+        // the tail S(t_last)·(τ − t_last) rides the LAST row (lead = null)
+        + when(lead(col("v"), 1).over(ord).isNull,
+            col("__sraw") * greatest(lit(0L), lit(tau) - col("v")).cast("double"))
+          .otherwise(lit(0.0)))
+      .select(col("v").as("t"), col("n_risk"), col("d"), col("c"),
+        when(col("__dead") === 0L, lit(0.0))
+          .otherwise(round(col("__sraw"), 6)).as("survival"),
+        round(sum(col("__inc")).over(runW), 6).as("rmst_running"))
+      .orderBy(col("t"))
+  }
+
+  /** Competing-risks cumulative incidence (Aalen–Johansen, two causes):
+    * with events of cause 1 / cause 2 and censoring, the naive
+    * 1−KM-per-cause overstates risk; the CIF is `F_k(t) = Σ_{t_i≤t}
+    * S(t_{i−1})·d_{k,i}/n_i` where `S` is the ALL-CAUSE survival. One
+    * corpus-sized groupBy to the distinct-time (d1, d2, c) frame, the
+    * sharded leave-prefix for `n_risk`, then the all-cause ln-chain, its
+    * lag, and one running chain per cause — `cif1 + cif2 + survival = 1`
+    * row-wise (the in-band sanity the spec pins). Output `(t, n_risk,
+    * d1, d2, c, survival, cif1, cif2)` ordered by `t`, round-6. */
+  def cumulativeIncidenceDF(df: DataFrame, timeCol: String,
+      cause1: Column, cause2: Column): DataFrame = {
+    val tc = df.where(col(timeCol).isNotNull &&
+        cause1.isNotNull && cause2.isNotNull)
+      .select(col(timeCol).cast("long").as("v"),
+        when(cause1, 1L).otherwise(0L).as("e1"),
+        when(cause2 && !cause1, 1L).otherwise(0L).as("e2"))
+      .groupBy(col("v"))
+      .agg(sum(col("e1")).as("d1"), sum(col("e2")).as("d2"),
+        (count(lit(1)) - sum(col("e1")) - sum(col("e2"))).as("c"))
+      .withColumn("leave", col("d1") + col("d2") + col("c"))
+    val pref = RankTests.withExclusivePrefixCols(tc, Seq("leave" -> "cum"))
+    val total = pref.agg(sum(col("leave"))).head().getLong(0)
+    val ord = Window.partitionBy().orderBy(col("v").asc)
+    val runW = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nRisk = lit(total) - col("cum")
+    val d = col("d1") + col("d2")
+    val ratio = (col("n_risk") - d).cast("double") / col("n_risk").cast("double")
+    // distinct-time frame — the deliberate dimension-sized global window
+    pref
+      .withColumn("n_risk", nRisk)
+      .withColumn("__lnr", when(d < col("n_risk"), log(ratio)).otherwise(lit(0.0)))
+      .withColumn("__dead", min(col("n_risk") - d).over(runW))
+      .withColumn("__sraw",
+        when(col("__dead") === 0L, lit(0.0))
+          .otherwise(exp(sum(col("__lnr")).over(runW))))
+      .withColumn("__sprev", coalesce(lag(col("__sraw"), 1).over(ord), lit(1.0)))
+      .withColumn("__i1", col("__sprev") *
+        (col("d1").cast("double") / col("n_risk").cast("double")))
+      .withColumn("__i2", col("__sprev") *
+        (col("d2").cast("double") / col("n_risk").cast("double")))
+      .select(col("v").as("t"), col("n_risk"), col("d1"), col("d2"), col("c"),
+        when(col("__dead") === 0L, lit(0.0))
+          .otherwise(round(col("__sraw"), 6)).as("survival"),
+        round(sum(col("__i1")).over(runW), 6).as("cif1"),
+        round(sum(col("__i2")).over(runW), 6).as("cif2"))
+      .orderBy(col("t"))
+  }
+
   /** Two-group log-rank (Mantel–Cox) test: one row per EVENT time (d > 0),
     * ordered by `t`, carrying the exact integer risk sets and event counts
     * `(t, n1, n2, d1, d2)`, the per-time expectation `e1` and hypergeometric
@@ -180,6 +356,46 @@ object Survival {
       if (math.abs(step) < tol) converged = true
     }
     CoxFit(beta, 1.0 / math.sqrt(info), iters, converged)
+  }
+
+  /** [[coxBinaryFit]] with the event-frame collect REMOVED: each
+    * Newton–Raphson iteration folds the score `U(β)` and information
+    * `I(β)` as ONE distributed aggregate over the event-time frame —
+    * only β crosses the driver boundary, so the frame can be billions of
+    * distinct event times (no `maxEventTimes` cap). The per-row terms are
+    * the same bit-exact double trees as the driver loop; the SUMS ride
+    * DECIMAL(38,18) so addition is exact and associative — the fold is
+    * bit-identical on ANY partitioning (a double sum would drift with
+    * partition order), at the cost of a deterministic 1e-18 truncation
+    * per term, far below the 1e-12 Newton tolerance (CoxFitSpec pins
+    * both properties: partitioning-independence and ≡ the driver fit). */
+  def coxBinaryFitDistributed(eventFrame: DataFrame, maxIter: Int = 50,
+      tol: Double = 1e-12): CoxFit = {
+    val ev = eventFrame.where(col("d1") + col("d2") > 0L)
+      .select(col("d1").cast("double").as("d1d"),
+        (col("d1") + col("d2")).cast("double").as("dd"),
+        col("n1").cast("double").as("n1d"),
+        col("n2").cast("double").as("n2d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(!ev.isEmpty, "no event times to fit on")
+      var beta = 0.0; var info = 1e-9; var iters = 0; var converged = false
+      while (iters < maxIter && !converged) {
+        val r1 = col("n1d") * lit(math.exp(beta))
+        val denom = r1 + col("n2d")
+        val agg = ev.agg(
+          sum((col("d1d") - col("dd") * (r1 / denom))
+            .cast("decimal(38,18)")).as("u"),
+          sum((col("dd") * (r1 / denom) * (col("n2d") / denom))
+            .cast("decimal(38,18)")).as("i")).head()
+        val u = agg.getDecimal(0).doubleValue()
+        val i2 = agg.getDecimal(1).doubleValue() + 1e-9
+        val step = u / i2
+        beta += step; info = i2; iters += 1
+        if (math.abs(step) < tol) converged = true
+      }
+      CoxFit(beta, 1.0 / math.sqrt(info), iters, converged)
+    } finally ev.unpersist(blocking = false)
   }
 
   /** Per-event-time Cox diagnostics AT a given β (the fitted β rides in

@@ -77,77 +77,12 @@ class PlanAuditSpec extends SparkSpec {
     // r57: the 1-row global-power-sums broadcast onto the k-arm frame
     "r57_cuped")
 
-  // the in-SQL ROC curve over 4 leaf scores (m3 — plan-required: the
-  // curve is built inside one query), the DPP dim max (p7 — days-sized,
-  // and crossJoin+filter would break DPP's Filter requirement), and the A7
-  // reference semantics (w2 — dimension-sized table). r4/r8/r14 moved
-  // their bounded sweeps driver-side in round 8 (Roc.empiricalRocDriver /
-  // empiricalCostThresholdDriver / FDR.tvChainProjectDriver).
-  private val deliberateGlobalWindows = Set(
-    "m3_tree_score", "p7_partition_prune", "w2_global_window",
-    // r48: the HL running chain over the 8-row covariate-pattern frame
-    "r48_hosmer_lemeshow",
-    // r19: margins + running chi2 over the R×C CELL frame (6 rows here;
-    // never data-sized — the corpus reduced to cells in the one groupBy)
-    "r19_chi2",
-    // r20: the H running chain over the k-row GROUP frame (3 rows here;
-    // the corpus reduced to (value,group) cells then k groups upstream)
-    "r20_kruskal",
-    // r23: grand totals + SS running chains over the same k-row group
-    // frame (one corpus-sized groupBy upstream, never data-sized)
-    "r23_anova",
-    // r38: the same k-row group-frame chains as r23 (Brown–Forsythe W);
-    // the corpus reduced to half-cent cells then k groups upstream
-    "r38_levene",
-    // r59: the LM running chain over the 2^p (=4) covariate-cell frame
-    "r59_breusch_pagan",
-    // r62: margins + the signed G chain over the R×C cell frame (r19 shape)
-    "r62_gtest",
-    // r63: the r25 chi² completion windows over the 2×k median table
-    "r63_mood_median",
-    // t26: the rank + OLS chains over the top-k (=100) vocab frame
-    "t26_zipf_fit",
-    // r25: reduces the r19 cell frame (same deliberate cell windows)
-    "r25_cramers_v",
-    // r26/r27: KM / log-rank running chains over the distinct-TIME frame
-    // (~days-sized; the corpus reduced to time counts in the one groupBy)
-    "r26_kaplan_meier", "r27_logrank",
-    // r50/r51: Cox score and Nelson–Aalen hazard chains over the same
-    // distinct-time frame (the r26/r27 shape)
-    "r50_cox", "r51_nelson_aalen",
-    // r53: the lag ride over the distinct-DAY totals frame (days-sized)
-    "r53_durbin_watson",
-    // r54: grand totals + running chains over the k-row group frame
-    // (the r23/r38 shape)
-    "r54_bartlett",
-    // m12: the per-feature distinct-value count over value-level frames
-    "m12_naive_bayes",
-    // r29: MH/CMH running chains over the stratum frame (years-sized)
-    "r29_mantel_haenszel",
-    // r30: MI/entropy running chains over the R×C cell / margin frames
-    "r30_mutual_info",
-    // r32: the Friedman χ² running chain over the k-row treatment frame
-    "r32_friedman",
-    // m7: cumulative gains over the leaf-level score frame (≤ 2^depth rows)
-    "m7_lift_chart",
-    // q13: the Benford χ² running chain over the 9-digit frame
-    "q13_benford",
-    // q16: the PSI running chain over the k-row bin frame (q13's shape)
-    "q16_psi",
-    // j10: the interval DIM's row_number index (dimension-sized, the w2
-    // shape) — the fact side only binary-searches a broadcast array
-    "j10_bracket_lookup",
-    // r35: pooled-ψ + BD running chains over the stratum frame
-    "r35_breslow_day")
-
-  test("every declared global window is also bench-attribution-whitelisted") {
-    // the j10 incident: a plan-audited window that ISN'T in Bench's
-    // runtime whitelist ships an artifact with
-    // window_warnings_attributed:false — pin the subset relation
-    val missing = deliberateGlobalWindows -- Bench.windowWarnWhitelist
-    assert(missing.isEmpty,
-      s"plan-audited global windows missing from Bench.windowWarnWhitelist: $missing")
-  }
+  // single source of truth: graft.tools.PlanAudit.deliberateGlobalWindows
+  // (Bench.windowWarnWhitelist derives from the SAME registry, so the
+  // subset relation that once drifted — the j10 incident — holds by
+  // construction and needs no assertion)
+  private val deliberateGlobalWindows =
+    graft.tools.PlanAudit.deliberateGlobalWindows
 
   test("no query grows an undeclared loop join or partition-less window") {
     val loops = scala.collection.mutable.ArrayBuffer[String]()
@@ -168,5 +103,7 @@ class PlanAuditSpec extends SparkSpec {
     // and the lists don't go stale: everything declared still exists
     assert((deliberateLoops -- SparkEntry.queries.keySet).isEmpty)
     assert((deliberateGlobalWindows -- SparkEntry.queries.keySet).isEmpty)
+    assert((graft.tools.PlanAudit.runtimeOnlyWindowWarns --
+      SparkEntry.queries.keySet).isEmpty)
   }
 }

@@ -361,6 +361,132 @@ class SurvivalSpec extends SparkSpec {
     }.sum
   }
 
+  test("Greenwood bands: hand-computed variance chain on the classic cohort") {
+    val df = cohort.toDF("t", "ev").repartition(3)
+    val r = Survival.kaplanMeierGreenwoodDF(df, "t", col("ev"))
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)].collect()
+    // matches kaplanMeierDF on the shared columns
+    val km = Survival.kaplanMeierDF(df, "t", col("ev"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(r.map(x => (x._1, x._2, x._3, x._4, x._5)).toSeq == km.toSeq)
+    // driver replay: g = Σ d/(n(n−d)), se = S·√g, band clamps to [0,1]
+    var s = 1.0; var g = 0.0
+    r.foreach { case (_, n, d, _, surv, se, lo, hi) =>
+      s *= (n - d).toDouble / n
+      if (d < n) g += d.toDouble / (n.toDouble * (n - d))
+      val sew = s * math.sqrt(g)
+      assert(math.abs(se - sew) < 1e-6, s"se $se vs $sew")
+      assert(math.abs(lo - math.max(0.0, s - 1.96 * sew)) < 1e-6)
+      assert(math.abs(hi - math.min(1.0, s + 1.96 * sew)) < 1e-6)
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= surv + 1e-9 && surv <= hi + 1e-9)
+    }
+  }
+
+  test("Greenwood bands: se/lo/hi pin to exactly 0 after the risk set dies") {
+    val df = Seq((1L, true), (2L, true), (2L, true)).toDF("t", "ev")
+    val r = Survival.kaplanMeierGreenwoodDF(df, "t", col("ev"))
+      .as[(Long, Long, Long, Long, Double, Double, Double, Double)].collect()
+    assert(r.last == ((2L, 2L, 2L, 0L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("stratified KM: each stratum's curve equals its own pooled KM; no global window") {
+    val rng = new scala.util.Random(47)
+    val data = Seq.fill(1500)(
+      (s"g${rng.nextInt(3)}", rng.nextInt(30).toLong + 1L, rng.nextBoolean()))
+    val df = data.toDF("g", "t", "ev").repartition(7)
+    val strat = Survival.kaplanMeierByGroupDF(df, "g", "t", col("ev"))
+    // per-stratum slices match running kaplanMeierDF on that stratum alone
+    Seq("g0", "g1", "g2").foreach { g =>
+      val slice = strat.where(col("grp") === g).drop("grp")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      val solo = Survival.kaplanMeierDF(
+        df.where(col("g") === g), "t", col("ev"))
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      assert(slice == solo, s"stratum $g diverges")
+    }
+    // the scale property: NO partition-less window anywhere in the plan
+    val globals = strat.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty, "stratified KM must not use a global window")
+  }
+
+  test("RMST: hand-computed step-curve area with tail and horizon clamp") {
+    val df = cohort.toDF("t", "ev").repartition(3)
+    // survival steps on the classic cohort (from the KM test): S changes
+    // only at event times 3, 5, 8, 11, 12
+    val s = Map(3L -> 0.9, 4L -> 0.9, 5L -> 0.675, 6L -> 0.675, 8L -> 0.54,
+      10L -> 0.54, 11L -> 0.36, 12L -> 0.18)
+    // tau beyond the last time: area = Σ S(prev)·Δt + S(12)·(20−12)
+    val r20 = Survival.rmstDF(df, "t", col("ev"), tau = 20L)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    val times = Seq(3L, 4L, 5L, 6L, 8L, 10L, 11L, 12L)
+    var area = 0.0; var prevS = 1.0; var prevT = 0L
+    times.foreach { tt => area += prevS * (tt - prevT); prevS = s(tt); prevT = tt }
+    area += s(12L) * (20L - 12L)
+    assert(math.abs(r20.last._6 - area) < 1e-5, s"${r20.last._6} vs $area")
+    // tau INSIDE the curve: increments clamp, later rows add nothing
+    val r7 = Survival.rmstDF(df, "t", col("ev"), tau = 7L)
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    // spans (0,3] (3,4] (4,5] (5,6] and the clamped (6,7] slice of (6,8]
+    val want7 = 1.0 * 3 + 0.9 * 1 + 0.9 * 1 + 0.675 * 1 + 0.675 * 1
+    assert(math.abs(r7.last._6 - want7) < 1e-5, s"${r7.last._6} vs $want7")
+  }
+
+  test("competing risks CIF: cif1 + cif2 + survival = 1; matches driver replay") {
+    val rng = new scala.util.Random(53)
+    // three outcomes: cause1, cause2, censored
+    val data = Seq.fill(2000) {
+      val k = rng.nextInt(3)
+      (rng.nextInt(25).toLong + 1L, k == 0, k == 1)
+    }
+    val df = data.toDF("t", "c1", "c2").repartition(6)
+    val r = Survival.cumulativeIncidenceDF(df, "t", col("c1"), col("c2"))
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)].collect()
+    // driver replay of the Aalen–Johansen recursion
+    var atRisk = data.size.toLong; var sPrev = 1.0; var f1 = 0.0; var f2 = 0.0
+    data.groupBy(_._1).toSeq.sortBy(_._1).zip(r).foreach { case ((tt, g), got) =>
+      val d1 = g.count(_._2).toLong
+      val d2 = g.count(x => x._3 && !x._2).toLong
+      val c = g.size - d1 - d2
+      f1 += sPrev * d1.toDouble / atRisk
+      f2 += sPrev * d2.toDouble / atRisk
+      val sNow = sPrev * (atRisk - d1 - d2).toDouble / atRisk
+      assert(got._1 == tt && got._2 == atRisk && got._3 == d1 &&
+        got._4 == d2 && got._5 == c)
+      assert(math.abs(got._6 - sNow) < 1e-6)
+      assert(math.abs(got._7 - f1) < 1e-6)
+      assert(math.abs(got._8 - f2) < 1e-6)
+      // the AJ identity, exact up to rounding
+      assert(math.abs(got._6 + got._7 + got._8 - 1.0) < 3e-6)
+      sPrev = sNow; atRisk -= g.size
+    }
+  }
+
+  test("coxBinaryFitDistributed: equals the driver fit; layout-proof") {
+    val df = coxCohort.toDF("t", "ev", "g").repartition(4)
+    val frame = Survival.twoGroupTimeFrame(df, "t", col("ev"), col("g"))
+    val driver = Survival.coxBinaryFit(frame)
+    val dist = Survival.coxBinaryFitDistributed(frame)
+    assert(dist.converged)
+    // the decimal fold truncates each term at 1e-18 — β agrees with the
+    // driver's sequential-double loop far below the Newton tolerance
+    assert(math.abs(dist.beta - driver.beta) < 1e-9,
+      s"${dist.beta} vs ${driver.beta}")
+    assert(math.abs(dist.se - driver.se) < 1e-9)
+    // decimal addition is associative: bit-identical on ANY partitioning
+    val fits = Seq(1, 7, 32).map { p =>
+      Survival.coxBinaryFitDistributed(Survival.twoGroupTimeFrame(
+        coxCohort.toDF("t", "ev", "g").repartition(p), "t", col("ev"), col("g")))
+    }
+    assert(fits.forall(f => f.beta == fits.head.beta && f.se == fits.head.se
+      && f.iters == fits.head.iters))
+    // and it maximizes the independent naive likelihood
+    val ll = naiveLL(dist.beta)
+    assert(ll >= naiveLL(dist.beta + 1e-4) && ll >= naiveLL(dist.beta - 1e-4))
+  }
+
   test("coxBinaryFit: maximizes the Breslow partial likelihood; layout-proof") {
     val df = coxCohort.toDF("t", "ev", "g").repartition(4)
     val frame = Survival.twoGroupTimeFrame(df, "t", col("ev"), col("g"))
