@@ -532,6 +532,38 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- dedup: Fellegi–Sunter probabilistic record linkage (d20) —
+    // the PROBABILISTIC verify stage: the d8 md5-LSH candidate stream at
+    // minAgree=1 (true near-dups + chance collisions = a real mixture),
+    // five field comparators, ONE groupBy to the ≤2^5-row agreement-
+    // pattern frame, EM driver-side on the bounded cells (r37 doctrine),
+    // per-pattern weight/posterior as literal trees (no in-engine ln). --
+    "d20_record_linkage" -> ((s, dir) => {
+      val docs = Tables.spread(t(s, dir, "documents"))
+      val cand = Dedup.minHashMd5Pairs(docs, "doc_id", "text",
+        k = 8, n = 3, window = 25, minAgree = 1)
+      val meta = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"), substring(col("text"), 1, 16).as("pfx"))
+      val pairs = cand
+        .join(meta.select(col("doc_id").as("id_a"), col("lang").as("lang_a"),
+          col("source").as("src_a"), col("n_chars").as("nc_a"),
+          col("pfx").as("pfx_a")), "id_a")
+        .join(meta.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+          col("source").as("src_b"), col("n_chars").as("nc_b"),
+          col("pfx").as("pfx_b")), "id_b")
+      val comparators = Seq(
+        "g_sig" -> (col("agree") >= 4),
+        "g_lang" -> (col("lang_a") === col("lang_b")),
+        "g_src" -> (col("src_a") === col("src_b")),
+        "g_len" -> (abs(col("nc_a") - col("nc_b")) * 10 <=
+          greatest(col("nc_a"), col("nc_b"))),
+        "g_pfx" -> (col("pfx_a") === col("pfx_b")))
+      val pat = graft.dedup.Linkage.agreementPatternDF(pairs, comparators)
+      val fit = graft.dedup.Linkage.emFit(pat, comparators.map(_._1))
+      d20FsFit = Some(fit)
+      graft.dedup.Linkage.scoreDF(pat, comparators.map(_._1), fit)
+    }),
+
     // ---- dedup: edit-distance VERIFICATION of the d8 LSH candidates —
     // the propose/dispose two-stage a near-dup pipeline actually ships.
     // Spark's thresholded levenshtein caps the DP band (O(t·len), not
@@ -5025,6 +5057,76 @@ object SparkEntry {
     * fitted (β and e^β interpolated as Double.toString literals). */
   @volatile private var r50CoxFit: Option[graft.stats.Survival.CoxFit] = None
 
+  /** d20's EM-fitted FS parameters — the r37 exported-artifact oracle
+    * contract: p/m/u interpolate as Double.toString literals, the replay
+    * rebuilds the identical candidate chain, pattern frame, and literal
+    * weight/posterior trees (no in-engine transcendentals). */
+  @volatile private var d20FsFit: Option[graft.dedup.Linkage.FsFit] = None
+
+  private def d20OracleEntry: Map[String, String] = d20FsFit.map { fit =>
+    val fields = Seq("g_sig", "g_lang", "g_src", "g_len", "g_pfx")
+    val weight = fields.zipWithIndex.map { case (f, i) =>
+      s"(CASE WHEN $f = 1 THEN ${math.log(fit.m(i) / fit.u(i))} " +
+        s"ELSE ${math.log((1.0 - fit.m(i)) / (1.0 - fit.u(i)))} END)"
+    }.mkString(" + ")
+    val pm = fields.zipWithIndex.foldLeft(fit.p.toString) { case (acc, (f, i)) =>
+      s"($acc * CASE WHEN $f = 1 THEN ${fit.m(i)} ELSE ${1.0 - fit.m(i)} END)"
+    }
+    val pu = fields.zipWithIndex.foldLeft((1.0 - fit.p).toString) { case (acc, (f, i)) =>
+      s"($acc * CASE WHEN $f = 1 THEN ${fit.u(i)} ELSE ${1.0 - fit.u(i)} END)"
+    }
+    "d20_record_linkage" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+                FROM toks),
+         exs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         ex AS (SELECT doc_id, md5(sg) AS h FROM exs),
+         sig AS (SELECT doc_id,
+                   min(substr(h, 1, 4)) AS m0, min(substr(h, 5, 4)) AS m1,
+                   min(substr(h, 9, 4)) AS m2, min(substr(h, 13, 4)) AS m3,
+                   min(substr(h, 17, 4)) AS m4, min(substr(h, 21, 4)) AS m5,
+                   min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
+                 FROM ex GROUP BY doc_id),
+         cand AS (SELECT * FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    (a.m0=b.m0)::INT + (a.m1=b.m1)::INT + (a.m2=b.m2)::INT +
+                    (a.m3=b.m3)::INT + (a.m4=b.m4)::INT + (a.m5=b.m5)::INT +
+                    (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree
+             FROM sig a JOIN sig b
+               ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+           WHERE agree >= 1),
+         pr AS (SELECT c.agree,
+                  da.lang AS lang_a, db.lang AS lang_b,
+                  da.source AS src_a, db.source AS src_b,
+                  da.n_chars AS nc_a, db.n_chars AS nc_b,
+                  substr(da.text, 1, 16) AS pfx_a,
+                  substr(db.text, 1, 16) AS pfx_b
+                FROM cand c
+                JOIN documents da ON c.id_a = da.doc_id
+                JOIN documents db ON c.id_b = db.doc_id),
+         g AS (SELECT
+                 CAST(CASE WHEN agree >= 4 THEN 1 ELSE 0 END AS BIGINT) AS g_sig,
+                 CAST(CASE WHEN lang_a = lang_b THEN 1 ELSE 0 END AS BIGINT) AS g_lang,
+                 CAST(CASE WHEN src_a = src_b THEN 1 ELSE 0 END AS BIGINT) AS g_src,
+                 CAST(CASE WHEN abs(nc_a - nc_b) * 10 <= greatest(nc_a, nc_b)
+                      THEN 1 ELSE 0 END AS BIGINT) AS g_len,
+                 CAST(CASE WHEN pfx_a = pfx_b THEN 1 ELSE 0 END AS BIGINT) AS g_pfx
+               FROM pr),
+         pat AS (SELECT g_sig, g_lang, g_src, g_len, g_pfx,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM g GROUP BY 1, 2, 3, 4, 5)
+         SELECT g_sig, g_lang, g_src, g_len, g_pfx, n,
+                round($weight, 6) AS weight,
+                round($pm / ($pm + $pu), 6) AS posterior,
+                CASE WHEN $pm / ($pm + $pu) >= 0.9 THEN 'match'
+                     WHEN $pm / ($pm + $pu) >= 0.1 THEN 'possible'
+                     ELSE 'non_match' END AS decision
+         FROM pat ORDER BY g_sig, g_lang, g_src, g_len, g_pfx"""
+  }.toMap
+
   private def r50OracleEntry: Map[String, String] = r50CoxFit.map { fit =>
     val b = fit.beta.toString; val eb = math.exp(fit.beta).toString
     "r50_cox" ->
@@ -5530,7 +5632,7 @@ object SparkEntry {
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
     m13OracleEntry ++ m14OracleEntry ++ m15OracleEntry ++
       r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++
-      r56OracleEntry ++ r59OracleEntry ++
+      r56OracleEntry ++ r59OracleEntry ++ d20OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
       n16OracleEntry ++
       t17OracleEntry ++ Map(
