@@ -4043,6 +4043,16 @@ object SparkEntry {
         "event_type", "ts", "event_id", "value")
     }),
 
+    // ---- §2.8 Wald SPRT (r70): anytime-valid sequential monitoring of
+    // the odd-arm purchase rate, H0 p=0.18 vs H1 p=0.22 — one groupBy to
+    // the day frame, JVM-interpolated LLR constants, running chain +
+    // latched crossing flags (the fixed-n battery's streaming sibling). --
+    "r70_sprt" -> ((s, dir) => {
+      graft.stats.Sequential.sprtDF(Tables.events(s, dir), "ts",
+        col("user_id") % 2 === 1, col("event_type") === "purchase",
+        p0 = 0.18, p1 = 0.22)
+    }),
+
     // ---- text: language-ID confusion census (t21) — t1's classifier
     // against the corpus truth column, per-cell recall one division. -----
     "t21_langid_confusion" -> ((s, dir) => {
@@ -11543,6 +11553,44 @@ object SparkEntry {
                 round(CAST(sum(detr7) AS DOUBLE)
                   / CAST(count(*) * 7 AS DOUBLE) / 100.0, 6) AS seasonal
          FROM interior GROUP BY 1, 2 ORDER BY key, dow""",
+
+    // r70: day-frame LLR chain, JVM-interpolated Wald constants
+    "r70_sprt" -> {
+      val c1 = math.log(0.22 / 0.18)
+      val c0 = math.log((1.0 - 0.22) / (1.0 - 0.18))
+      val up = math.log((1.0 - 0.05) / 0.05)
+      val dn = math.log(0.05 / (1.0 - 0.05))
+      s"""WITH day AS (
+           SELECT CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+           FROM events
+           WHERE ts IS NOT NULL AND user_id % 2 = 1
+             AND event_type IS NOT NULL
+           GROUP BY 1),
+         ll AS (SELECT day, n, x,
+                  x * $c1 + (n - x) * $c0 AS llr
+                FROM day),
+         run AS (SELECT day, n, x, llr,
+                  sum(llr) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lr
+                 FROM ll),
+         fl AS (SELECT day, n, x, llr, lr,
+                  max(CASE WHEN lr >= $up THEN 1 ELSE 0 END)
+                    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) = 1 AS crossed_up,
+                  max(CASE WHEN lr <= $dn THEN 1 ELSE 0 END)
+                    OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) = 1 AS crossed_dn
+                FROM run)
+         SELECT day, n, x,
+                round(llr, 6) AS llr_day, round(lr, 6) AS llr_run,
+                crossed_up, crossed_dn,
+                CASE WHEN lr >= $up THEN 'accept_h1'
+                     WHEN lr <= $dn THEN 'accept_h0'
+                     ELSE 'continue' END AS decision
+         FROM fl ORDER BY day""" },
 
     // r46: identical doubled-cent median, tie drop, lag run boundaries,
     // and the fixed (R − μ)/σ tree

@@ -51,6 +51,9 @@ object PlanAudit {
     "r38_levene", "r59_breusch_pagan", "r62_gtest", "r63_mood_median",
     "t26_zipf_fit", "r25_cramers_v", "r26_kaplan_meier", "r27_logrank",
     "r66_km_greenwood", "r68_rmst", "r69_competing_risks",
+    // r70: SPRT running LLR + latched crossing flags over the ~30-row
+    // day frame (the e23 shape)
+    "r70_sprt",
     "r50_cox", "r51_nelson_aalen", "r53_durbin_watson", "r54_bartlett",
     "m12_naive_bayes", "r29_mantel_haenszel", "r30_mutual_info",
     "r32_friedman", "m7_lift_chart", "q13_benford", "q16_psi",
