@@ -4337,6 +4337,19 @@ object SparkEntry {
         col("l_returnflag") === "R"))
     }),
 
+    // ---- §2.6 split-conformal prediction intervals (m17): md5 3-way
+    // split, r49 power-sum OLS, calibration |residual| floor-cents →
+    // EXACT ⌈(n+1)(1−α)⌉-th order statistic via the q10 cell machinery,
+    // held-out coverage at α = .05/.1/.2 — distribution-free guarantee,
+    // zero driver-side fitting, fully static oracle. ---------------------
+    "m17_conformal" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.ml.Conformal.splitConformalDF(li,
+        concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string")),
+        col("l_quantity"), col("l_extendedprice"))
+    }),
+
     // ---- similarity: binary sign-quantization + Hamming top-k with
     // exact cosine rerank (n20) — 32× smaller codes, integer Hamming
     // candidates, full vectors touched only for the k·|Q| survivors;
@@ -9402,6 +9415,86 @@ object SparkEntry {
                      WHEN sum_lp >= n_bigrams * (-4.19) THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM agg ORDER BY doc_id""",
+
+    // m17: md5 split, r49 OLS tree, floor-cent residual cells, the
+    // integer conformal rank pick, held-out coverage counts
+    "m17_conformal" ->
+      """WITH base AS (
+           SELECT substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 1) AS h,
+                  CAST(l_quantity AS DECIMAL(12,2)) AS xd,
+                  CAST(l_extendedprice AS DECIMAL(12,2)) AS yd
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         fitagg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_train,
+                  CAST(count(*) AS DOUBLE) AS nd,
+                  CAST(sum(xd) AS DOUBLE) AS sx,
+                  CAST(sum(yd) AS DOUBLE) AS sy,
+                  CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+                  CAST(sum(xd * yd) AS DOUBLE) AS sxy
+           FROM base WHERE h <= '9'),
+         fit AS (
+           SELECT n_train,
+                  round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6)
+                    AS slope,
+                  round(sy / nd - ((nd * sxy - sx * sy)
+                    / (nd * sxx - sx * sx)) * (sx / nd), 6) AS intercept
+           FROM fitagg),
+         cal AS (
+           SELECT CAST(floor(abs(CAST(yd AS DOUBLE)
+                    - (f.slope * CAST(xd AS DOUBLE) + f.intercept)) * 100.0)
+                    AS BIGINT) AS v
+           FROM base, fit f WHERE h >= 'a' AND h <= 'c'),
+         cells AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY 1),
+         ranked AS (
+           SELECT v, c, CAST(sum(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum
+           FROM cells),
+         ks AS (
+           SELECT CAST(sum(c) AS BIGINT) AS n_cal,
+                  CAST(((sum(c) + 1) * 19 + 19) // 20 AS BIGINT) AS k05,
+                  CAST(((sum(c) + 1) * 9 + 9) // 10 AS BIGINT) AS k10,
+                  CAST(((sum(c) + 1) * 4 + 4) // 5 AS BIGINT) AS k20
+           FROM cells),
+         q AS (
+           SELECT min(k.n_cal) AS n_cal, min(k.k05) AS k05,
+                  min(k.k10) AS k10, min(k.k20) AS k20,
+                  min(CASE WHEN r.cum >= k.k05 THEN r.v END) AS q05_cents,
+                  min(CASE WHEN r.cum >= k.k10 THEN r.v END) AS q10_cents,
+                  min(CASE WHEN r.cum >= k.k20 THEN r.v END) AS q20_cents
+           FROM ranked r, ks k),
+         tst AS (
+           SELECT CAST(floor(abs(CAST(yd AS DOUBLE)
+                    - (f.slope * CAST(xd AS DOUBLE) + f.intercept)) * 100.0)
+                    AS BIGINT) AS v
+           FROM base, fit f WHERE h >= 'd'),
+         cov AS (
+           SELECT q.n_cal AS n_cal, CAST(count(*) AS BIGINT) AS n_test,
+                  q.k05 AS k05, q.q05_cents AS q05_cents,
+                  CAST(sum(CASE WHEN t.v <= q.q05_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS covered05,
+                  q.k10 AS k10, q.q10_cents AS q10_cents,
+                  CAST(sum(CASE WHEN t.v <= q.q10_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS covered10,
+                  q.k20 AS k20, q.q20_cents AS q20_cents,
+                  CAST(sum(CASE WHEN t.v <= q.q20_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS covered20
+           FROM tst t, q
+           GROUP BY q.n_cal, q.k05, q.q05_cents, q.k10, q.q10_cents,
+                    q.k20, q.q20_cents)
+         SELECT f.n_train, c.n_cal, c.n_test, f.slope, f.intercept,
+                c.k05, c.q05_cents, c.covered05,
+                round(CAST(c.covered05 AS DOUBLE)
+                  / CAST(c.n_test AS DOUBLE), 6) AS coverage05,
+                c.k10, c.q10_cents, c.covered10,
+                round(CAST(c.covered10 AS DOUBLE)
+                  / CAST(c.n_test AS DOUBLE), 6) AS coverage10,
+                c.k20, c.q20_cents, c.covered20,
+                round(CAST(c.covered20 AS DOUBLE)
+                  / CAST(c.n_test AS DOUBLE), 6) AS coverage20
+         FROM cov c, fit f""",
 
     // m16: the PAVA minimax identity replayed relationally — cell frame,
     // k² cumulative self-join, range means, min-over-j then max-over-i;

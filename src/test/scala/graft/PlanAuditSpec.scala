@@ -75,7 +75,10 @@ class PlanAuditSpec extends SparkSpec {
     // t22: the 1-row corpus-totals cross join (the t18/n4 shape)
     "t22_keyness",
     // r57: the 1-row global-power-sums broadcast onto the k-arm frame
-    "r57_cuped")
+    "r57_cuped",
+    // m17: three 1-row broadcasts (OLS fit → residuals, ranks → quantile
+    // pick, quantiles → coverage) — each the j1 shape
+    "m17_conformal")
 
   // single source of truth: graft.tools.PlanAudit.deliberateGlobalWindows
   // (Bench.windowWarnWhitelist derives from the SAME registry, so the
