@@ -793,6 +793,21 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- ANN: IVF-PQ composed probe (n21) — the production IVFADC
+    // shape: the index is (centroid_id, corpus_id, pq_code) only, so a
+    // query reads nProbe/N of the CODES (partition pruning × 32×
+    // compression in one scan); coarse cells from n5's unit argmax, ADC
+    // from n6's codebooks, both fixed → fully static oracle. -------------
+    "n21_ivfpq" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      Embeddings.ivfPqTopK(emb, "vec_id", "embedding",
+          emb.where(col("vec_id") < 8), "vec_id", "embedding",
+          ivfFixedCentroids, pqFixedCodebooks, nProbe = 3, k = 5)
+        .select(col("query_id"), col("centroid_id").cast("long").as("centroid_id"),
+          col("corpus_id"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- curation: SemDeDup — k-means cluster blocking, within-cluster
     // cosine dominance (drop a row when a LOWER-id same-cluster row is
     // >= minCosine similar). Same planted near-dups as d7/n2; the fitted
@@ -7206,6 +7221,67 @@ object SparkEntry {
                     ORDER BY score DESC, corpus_id) AS "rank"
            FROM adc)
          SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 5
+         ORDER BY query_id, "rank"""",
+
+    // n21: n5's unit coarse-assign chain composed with n6's code/LUT
+    // chain — candidates come from the probe⋈cell equi-join, ADC is the
+    // same explicit 4-term sum
+    "n21_ivfpq" ->
+      s"""WITH cents AS (
+           SELECT * FROM (VALUES $ivfCentroidValues) t(cid, cvec)),
+         pq AS (
+           SELECT * FROM (VALUES $pqCodebookValues) t(m, pcid, pcvec)),
+         uv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM uv),
+         u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uvec
+               FROM nr WHERE nrm > 0),
+         ca AS (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY list_dot_product(uvec, cvec) DESC, cid) AS rn
+           FROM u CROSS JOIN cents),
+         assigned AS (SELECT vec_id, cid AS centroid_id FROM ca WHERE rn = 1),
+         scored_cents AS (
+           SELECT w.vec_id, p.m, p.pcid,
+                  2.0 * list_dot_product(
+                    list_slice(w.v, p.m * 16 + 1, p.m * 16 + 16), p.pcvec)
+                    - list_dot_product(p.pcvec, p.pcvec) AS s
+           FROM uv w CROSS JOIN pq p),
+         codes AS (
+           SELECT vec_id, m, pcid AS code
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY s DESC, pcid) AS rn FROM scored_cents)
+           WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cid AS centroid_id
+                    FROM ca WHERE vec_id < 8 AND rn <= 3),
+         qlut AS (
+           SELECT vec_id AS query_id, m, pcid, s
+           FROM scored_cents WHERE vec_id < 8),
+         cand AS (
+           SELECT p.query_id, a.vec_id AS corpus_id, a.centroid_id
+           FROM assigned a JOIN probes p USING (centroid_id)
+           WHERE a.vec_id != p.query_id),
+         pair_scores AS (
+           SELECT cd.query_id, cd.corpus_id, cd.centroid_id, c.m, q.s
+           FROM cand cd
+           JOIN codes c ON c.vec_id = cd.corpus_id
+           JOIN qlut q ON q.query_id = cd.query_id AND q.m = c.m
+             AND q.pcid = c.code),
+         adc AS (
+           SELECT query_id, corpus_id, centroid_id,
+                  max(s) FILTER (WHERE m = 0) + max(s) FILTER (WHERE m = 1)
+                + max(s) FILTER (WHERE m = 2) + max(s) FILTER (WHERE m = 3)
+                  AS score
+           FROM pair_scores GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT query_id, corpus_id, CAST(centroid_id AS BIGINT) AS centroid_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, corpus_id) AS "rank"
+           FROM adc)
+         SELECT query_id, centroid_id, corpus_id, "rank"
+         FROM ranked WHERE "rank" <= 5
          ORDER BY query_id, "rank"""",
 
     "r8_roc_empirical" ->

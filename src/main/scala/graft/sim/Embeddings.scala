@@ -657,6 +657,60 @@ object Embeddings {
       .select(col("query_id"), col("corpus_id"), col("adc"), col("rank"))
   }
 
+  /** IVF-PQ composed ANN probe — the production IVFADC shape (Jégou et
+    * al. 2011): the corpus index carries ONLY `(centroid_id, corpus_id,
+    * pq_code)` — coarse cell from the unit-vector argmax ([[ivfTopK]]'s
+    * convention), codes from the raw-vector codebooks ([[pqTopK]]'s) —
+    * so at 100 TB the table is bucketed by centroid_id and a query reads
+    * `nProbe/N` of the CODES, never a full-precision vector: partition
+    * pruning × 32× compression in one scan. Queries probe their `nProbe`
+    * nearest coarse centroids, build the per-query ADC lookup table once,
+    * equi-join the pruned cells, and rank by the explicit M-term ADC sum
+    * (left-to-right, the n6 FP-association contract). Output
+    * `(query_id, centroid_id, corpus_id, adc, rank)`. */
+  def ivfPqTopK(corpus: DataFrame, corpusId: String, vecCol: String,
+      queries: DataFrame, queryId: String, queryVec: String,
+      centroids: Array[(Int, Seq[Double])],
+      codebooks: Array[Array[(Int, Seq[Double])]],
+      nProbe: Int, k: Int): DataFrame = {
+    val index = pqAssign(assignFixedCentroids(corpus, vecCol, centroids),
+        vecCol, codebooks)
+      .select(col("centroid_id"), col(corpusId).as("corpus_id"), col("pq_code"))
+    val subdim = codebooks(0)(0)._2.length
+    val qvRaw = checkedVec(asDouble(col(queryVec)),
+      codebooks.length * subdim, "ivfPqTopK")
+    val lut = array(codebooks.zipWithIndex.map { case (cents, m) =>
+      val sub = slice(qvRaw, m * subdim + 1, subdim)
+      array(cents.sortBy(_._1).map { case (_, c) =>
+        lit(2.0) * dot(sub, array(c.map(lit): _*)) - lit(c.map(x => x * x).sum)
+      }: _*)
+    }: _*)
+    val centroidArr = array(centroids.toSeq.map { case (id, c) =>
+      struct(lit(id).as("cid"), array(c.map(lit): _*).as("cvec"))
+    }: _*)
+    val q = withUnit(queries, queryVec)
+      .select(col(queryId).as("query_id"), col("__vec").as("qu"), lut.as("__lut"))
+      .where(col("qu").isNotNull)
+      .withColumn("centroid_id",
+        explode(transform(slice(array_sort(centroidArr, (l, r) =>
+          when(dot(col("qu"), l("cvec")) > dot(col("qu"), r("cvec")), -1)
+            .when(dot(col("qu"), l("cvec")) < dot(col("qu"), r("cvec")), 1)
+            .otherwise(0)), 1, nProbe), p => p("cid"))))
+      .select(col("query_id"), col("centroid_id"), col("__lut"))
+    val score = codebooks.indices.map { m =>
+      element_at(element_at(col("__lut"), m + 1),
+        element_at(col("pq_code"), m + 1) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("corpus_id").asc)
+    index.join(broadcast(q), Seq("centroid_id"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .withColumn("adc", score)
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("query_id"), col("centroid_id"), col("corpus_id"),
+        col("adc"), col("rank"))
+  }
+
   /** IVF ANN top-k: assign queries to their nearest `nProbe` centroids, join
     * with the pre-assigned corpus on centroid_id, rank within query. At 100 TB
     * the corpus stays partitioned by centroid_id (bucketed table), so the
