@@ -808,6 +808,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- ANN: IVF-PQ recall/MRR eval (n22) — the n12 harness pointed at
+    // the composed index with TRAINED codebooks (n7's fit, exported for
+    // the runtime oracle): exact brute-force truth vs the pruned+coded
+    // path, per-query recall@5 and reciprocal rank IN-BAND — the
+    // compression/pruning quality is measured, never assumed. ------------
+    "n22_ivfpq_recall" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      val queries = emb.where(col("vec_id") < 8)
+      val truth = Embeddings.bruteForceTopKAgg(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding", k = 5)
+      val books = Embeddings.pqTrain(emb, "embedding",
+        numSubspaces = 4, k = 16, dim = 64, seed = 42L)
+      n22TrainedCodebooks = Some(books)
+      val approx = Embeddings.ivfPqTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding",
+        ivfFixedCentroids, books, nProbe = 4, k = 5)
+      Embeddings.annEvalDF(truth, approx, k = 5)
+    }),
+
     // ---- curation: SemDeDup — k-means cluster blocking, within-cluster
     // cosine dominance (drop a row when a LOWER-id same-cluster row is
     // >= minCosine similar). Same planted near-dups as d7/n2; the fitted
@@ -5498,6 +5517,99 @@ object SparkEntry {
   @volatile private var n7TrainedCodebooks:
       Option[Array[Array[(Int, Seq[Double])]]] = None
 
+  /** n22's trained PQ codebooks (same fit parameters as n7, trained
+    * independently inside the query so a subset run stays self-contained). */
+  @volatile private var n22TrainedCodebooks:
+    Option[Array[Array[(Int, Seq[Double])]]] = None
+
+  private def n22OracleEntry: Map[String, String] = n22TrainedCodebooks.map { books =>
+    val pqValues = (for { m <- books.indices; (cid, v) <- books(m) }
+      yield s"($m, $cid, [${v.map(_.toString).mkString(", ")}])")
+      .mkString(",\n           ")
+    // n12's brute-force truth CTEs + n21's IVF-PQ approx CTEs (trained
+    // codebooks as literals) + the same left-join eval reduction
+    "n22_ivfpq_recall" ->
+      s"""WITH cents AS (
+           SELECT * FROM (VALUES $ivfCentroidValues) t(cid, cvec)),
+         pq AS (
+           SELECT * FROM (VALUES $pqValues) t(m, pcid, pcvec)),
+         uv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM uv),
+         u AS (SELECT vec_id, v, list_transform(v, x -> x / nrm) AS uvec
+               FROM nr WHERE nrm > 0),
+         qy AS (SELECT vec_id AS query_id, uvec AS qu FROM u WHERE vec_id < 8),
+         scored_t AS (
+           SELECT qy.query_id, c.vec_id AS corpus_id,
+                  list_dot_product(c.uvec, qy.qu) AS cos
+           FROM u c CROSS JOIN qy WHERE c.vec_id != qy.query_id),
+         ranked_t AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, corpus_id) AS rnk
+           FROM scored_t),
+         ca AS (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY list_dot_product(uvec, cvec) DESC, cid) AS rn
+           FROM u CROSS JOIN cents),
+         assigned AS (SELECT vec_id, cid AS centroid_id FROM ca WHERE rn = 1),
+         scored_cents AS (
+           SELECT w.vec_id, p.m, p.pcid,
+                  2.0 * list_dot_product(
+                    list_slice(w.v, p.m * 16 + 1, p.m * 16 + 16), p.pcvec)
+                    - list_dot_product(p.pcvec, p.pcvec) AS s
+           FROM uv w CROSS JOIN pq p),
+         codes AS (
+           SELECT vec_id, m, pcid AS code
+           FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY s DESC, pcid) AS rn FROM scored_cents)
+           WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, cid AS centroid_id
+                    FROM ca WHERE vec_id < 8 AND rn <= 4),
+         qlut AS (
+           SELECT vec_id AS query_id, m, pcid, s
+           FROM scored_cents WHERE vec_id < 8),
+         cand AS (
+           SELECT p.query_id, a.vec_id AS corpus_id
+           FROM assigned a JOIN probes p USING (centroid_id)
+           WHERE a.vec_id != p.query_id),
+         pair_scores AS (
+           SELECT cd.query_id, cd.corpus_id, c.m, q.s
+           FROM cand cd
+           JOIN codes c ON c.vec_id = cd.corpus_id
+           JOIN qlut q ON q.query_id = cd.query_id AND q.m = c.m
+             AND q.pcid = c.code),
+         adc AS (
+           SELECT query_id, corpus_id,
+                  max(s) FILTER (WHERE m = 0) + max(s) FILTER (WHERE m = 1)
+                + max(s) FILTER (WHERE m = 2) + max(s) FILTER (WHERE m = 3)
+                  AS score
+           FROM pair_scores GROUP BY 1, 2),
+         ranked_a AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, corpus_id) AS rnk
+           FROM adc),
+         tt AS (SELECT query_id AS q, corpus_id AS c, rnk AS tr
+                FROM ranked_t WHERE rnk <= 5),
+         aa AS (SELECT query_id AS q, corpus_id AS c, rnk AS ar
+                FROM ranked_a WHERE rnk <= 5),
+         j AS (SELECT tt.q, tt.tr, aa.ar FROM tt
+               LEFT JOIN aa ON aa.q = tt.q AND aa.c = tt.c),
+         g AS (SELECT q, CAST(count(*) AS BIGINT) AS truth_k,
+                      CAST(sum(CASE WHEN ar IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hits,
+                      max(CASE WHEN tr = 1 THEN ar END) AS nn
+               FROM j GROUP BY q)
+         SELECT q AS query_id, truth_k, hits,
+                round(CAST(hits AS DOUBLE) / CAST(truth_k AS DOUBLE), 6)
+                  AS recall,
+                coalesce(round(1.0 / CAST(nn AS DOUBLE), 6), 0.0) AS rr
+         FROM g ORDER BY query_id"""
+  }.toMap
+
   private def n7OracleEntry: Map[String, String] = n7TrainedCodebooks.map { books =>
     // same replay as n6's fixed-codebook SQL, over the TRAINED centers —
     // raw Double.toString literals parse to identical doubles in DuckDB
@@ -5672,6 +5784,7 @@ object SparkEntry {
       r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++
       r56OracleEntry ++ r59OracleEntry ++ d20OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
+      n22OracleEntry ++
       n16OracleEntry ++
       t17OracleEntry ++ Map(
     "q1_agg" ->
@@ -7222,6 +7335,7 @@ object SparkEntry {
            FROM adc)
          SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 5
          ORDER BY query_id, "rank"""",
+
 
     // n21: n5's unit coarse-assign chain composed with n6's code/LUT
     // chain — candidates come from the probe⋈cell equi-join, ADC is the

@@ -44,6 +44,8 @@ class PlanAuditSpec extends SparkSpec {
     "r33_cohen_kappa",
     // n12: the n1 brute-force truth leg (same broadcast-query shape)
     "n12_ann_recall",
+    // n22: the same brute-force truth leg under the IVF-PQ eval
+    "n22_ivfpq_recall",
     // n13: the n1 shape with the label-mismatch filter pre-aggregate
     "n13_hard_negatives",
     // t18: the n4 broadcast corpus-stats shape (1-row N cross join)
