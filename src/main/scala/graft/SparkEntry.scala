@@ -808,6 +808,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- §2.6 Mondrian group-conditional conformal (m18): ONE global
+    // model, PER-GROUP calibration quantile — coverage holds within every
+    // returnflag class (a marginal interval over-covers easy groups and
+    // under-covers hard ones); rank windows partitioned by group, no
+    // global window, fully static oracle. --------------------------------
+    "m18_mondrian_conformal" -> ((s, dir) =>
+      graft.ml.Conformal.mondrianConformalDF(t(s, dir, "lineitem"),
+        concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string")),
+        col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))),
+
     // ---- ANN: IVF-PQ recall/MRR eval (n22) — the n12 harness pointed at
     // the composed index with TRAINED codebooks (n7's fit, exported for
     // the runtime oracle): exact brute-force truth vs the pruned+coded
@@ -9605,6 +9616,71 @@ object SparkEntry {
                      WHEN sum_lp >= n_bigrams * (-4.19) THEN 'middle'
                      ELSE 'tail' END AS bucket
          FROM agg ORDER BY doc_id""",
+
+    // m18: m17's split/fit/residual chain with the quantile pick and
+    // coverage PER GROUP (all windows PARTITION BY grp)
+    "m18_mondrian_conformal" ->
+      """WITH base AS (
+           SELECT substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                    || CAST(l_linenumber AS VARCHAR)), 1, 1) AS h,
+                  CAST(l_returnflag AS VARCHAR) AS grp,
+                  CAST(l_quantity AS DECIMAL(12,2)) AS xd,
+                  CAST(l_extendedprice AS DECIMAL(12,2)) AS yd
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+             AND l_returnflag IS NOT NULL),
+         fitagg AS (
+           SELECT CAST(count(*) AS DOUBLE) AS nd,
+                  CAST(sum(xd) AS DOUBLE) AS sx,
+                  CAST(sum(yd) AS DOUBLE) AS sy,
+                  CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+                  CAST(sum(xd * yd) AS DOUBLE) AS sxy
+           FROM base WHERE h <= '9'),
+         fit AS (
+           SELECT round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6)
+                    AS slope,
+                  round(sy / nd - ((nd * sxy - sx * sy)
+                    / (nd * sxx - sx * sx)) * (sx / nd), 6) AS intercept
+           FROM fitagg),
+         cal AS (
+           SELECT grp,
+                  CAST(floor(abs(CAST(yd AS DOUBLE)
+                    - (f.slope * CAST(xd AS DOUBLE) + f.intercept)) * 100.0)
+                    AS BIGINT) AS v
+           FROM base, fit f WHERE h >= 'a' AND h <= 'c'),
+         cells AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+                   FROM cal GROUP BY 1, 2),
+         ranked AS (
+           SELECT grp, v, c,
+                  CAST(sum(c) OVER (PARTITION BY grp ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+                  CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n_cal
+           FROM cells),
+         ks AS (SELECT grp, v, cum, n_cal,
+                  CAST(((n_cal + 1) * 9 + 9) // 10 AS BIGINT) AS k10
+                FROM ranked),
+         q AS (SELECT grp, min(n_cal) AS n_cal, min(k10) AS k10,
+                  min(CASE WHEN cum >= k10 THEN v END) AS q10_cents
+               FROM ks GROUP BY grp),
+         tst AS (
+           SELECT grp,
+                  CAST(floor(abs(CAST(yd AS DOUBLE)
+                    - (f.slope * CAST(xd AS DOUBLE) + f.intercept)) * 100.0)
+                    AS BIGINT) AS v
+           FROM base, fit f WHERE h >= 'd'),
+         cov AS (
+           SELECT t.grp AS grp, q.n_cal AS n_cal, q.k10 AS k10,
+                  q.q10_cents AS q10_cents,
+                  CAST(count(*) AS BIGINT) AS n_test,
+                  CAST(sum(CASE WHEN t.v <= q.q10_cents THEN 1 ELSE 0 END)
+                    AS BIGINT) AS covered10
+           FROM tst t JOIN q ON q.grp = t.grp
+           GROUP BY 1, 2, 3, 4)
+         SELECT grp, n_cal, k10, q10_cents, n_test, covered10,
+                round(CAST(covered10 AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+                  AS coverage10
+         FROM cov ORDER BY grp""",
 
     // m17: md5 split, r49 OLS tree, floor-cent residual cells, the
     // integer conformal rank pick, held-out coverage counts

@@ -36,6 +36,74 @@ import org.apache.spark.sql.functions._
   * certify the guarantee arithmetic itself). */
 object Conformal {
 
+  /** Mondrian (group-conditional) split conformal at α = 0.1: ONE global
+    * model, but the calibration quantile is taken PER GROUP, so the
+    * coverage guarantee holds within every group — the fairness-flavored
+    * upgrade over [[splitConformalDF]]'s marginal guarantee (a marginal
+    * interval can over-cover easy groups and under-cover hard ones).
+    *
+    * Scale shape: identical to the marginal version except the
+    * calibration cell frame is (group, residual-cent) and BOTH the rank
+    * window and the quantile pick partition by group — no global window,
+    * no sharded prefix, groups process in parallel; the per-group
+    * quantile table (groups-sized) broadcasts onto the test scan.
+    * Output one row per group, ordered:
+    * `(grp, n_cal, k10, q10_cents, n_test, covered10, coverage10)`. */
+  def mondrianConformalDF(df: DataFrame, keyCol: Column, groupCol: Column,
+      xCol: Column, yCol: Column): DataFrame = {
+    val x = xCol.cast("decimal(12,2)"); val y = yCol.cast("decimal(12,2)")
+    val base = df.where(xCol.isNotNull && yCol.isNotNull && groupCol.isNotNull)
+      .select(substring(md5(keyCol.cast("string")), 1, 1).as("h"),
+        groupCol.cast("string").as("grp"), x.as("xd"), y.as("yd"))
+    val train = base.where(col("h") <= "9")
+    val agg = train.agg(count(lit(1)).as("n_train"),
+      sum(col("xd")).as("sx0"), sum(col("yd")).as("sy0"),
+      sum(col("xd") * col("xd")).as("sxx0"),
+      sum(col("xd") * col("yd")).as("sxy0"))
+    val nd = col("n_train").cast("double")
+    val fit = agg.select(
+        (nd * col("sxy0").cast("double") -
+          col("sx0").cast("double") * col("sy0").cast("double")).as("cxy"),
+        (nd * col("sxx0").cast("double") -
+          col("sx0").cast("double") * col("sx0").cast("double")).as("cxx"),
+        col("sx0").cast("double").as("sx"), col("sy0").cast("double").as("sy"),
+        nd.as("nd"))
+      .select(round(col("cxy") / col("cxx"), 6).as("slope"),
+        round(col("sy") / col("nd") -
+          (col("cxy") / col("cxx")) * (col("sx") / col("nd")), 6).as("intercept"))
+    def residCents(d: DataFrame): DataFrame = d.crossJoin(broadcast(fit))
+      .withColumn("v", floor(abs(col("yd").cast("double") -
+        (col("slope") * col("xd").cast("double") + col("intercept"))) *
+        lit(100.0)).cast("long"))
+    // per-group cells; rank window PARTITIONED by group (no global window)
+    val cells = residCents(base.where(col("h") >= "a" && col("h") <= "c"))
+      .groupBy(col("grp"), col("v")).agg(count(lit(1)).as("c"))
+    val gw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+    val ranked = cells
+      .withColumn("cum", sum(col("c")).over(gw))
+      .withColumn("n_cal", sum(col("c")).over(tot))
+      .withColumn("k10", expr("((n_cal + 1) * 9 + 9) DIV 10"))
+    val q = ranked.groupBy(col("grp"))
+      .agg(first(col("n_cal")).as("n_cal"), first(col("k10")).as("k10"),
+        min(when(col("cum") >= col("k10"), col("v"))).as("q10_cents"))
+    residCents(base.where(col("h") >= "d"))
+      .join(broadcast(q), "grp")
+      .groupBy(col("grp"))
+      .agg(first(col("n_cal")).as("n_cal"), first(col("k10")).as("k10"),
+        first(col("q10_cents")).as("q10_cents"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("v") <= col("q10_cents"), 1L).otherwise(0L)).as("covered10"))
+      .select(col("grp"), col("n_cal"), col("k10"), col("q10_cents"),
+        col("n_test"), col("covered10"),
+        round(col("covered10").cast("double") / col("n_test").cast("double"), 6)
+          .as("coverage10"))
+      .orderBy(col("grp"))
+  }
+
   def splitConformalDF(df: DataFrame, keyCol: Column, xCol: Column,
       yCol: Column): DataFrame = {
     val x = xCol.cast("decimal(12,2)"); val y = yCol.cast("decimal(12,2)")

@@ -39,6 +39,36 @@ class ConformalSpec extends SparkSpec {
     assert(r.getAs[Long]("q10_cents") >= r.getAs[Long]("q20_cents"))
   }
 
+  test("Mondrian conformal: per-group coverage holds even with unequal noise") {
+    // group B is 5x noisier — a marginal quantile would under-cover it
+    val rng = new scala.util.Random(21)
+    val df = Seq.tabulate(40000) { i =>
+      val g = if (i % 2 == 0) "A" else "B"
+      val x = (rng.nextInt(5000) + 1) / 100.0
+      val sd = if (g == "A") 2.0 else 10.0
+      (i.toLong, g, x, 3.0 * x + rng.nextGaussian() * sd)
+    }.toDF("id", "g", "x", "y").repartition(8)
+    val r = Conformal.mondrianConformalDF(df, col("id").cast("string"),
+      col("g"), col("x"), col("y")).collect()
+    assert(r.length == 2)
+    r.foreach { row =>
+      assert(row.getAs[Double]("coverage10") >= 0.88,
+        s"${row.getString(0)}: ${row.getAs[Double]("coverage10")}")
+      // group-conditional: the noisy group's interval must be wider
+    }
+    val byG = r.map(row => row.getString(0) -> row.getAs[Long]("q10_cents")).toMap
+    assert(byG("B") > byG("A") * 2,
+      s"noisy group must get the wider interval: $byG")
+    // no global window in the plan (the scale property)
+    val plan = Conformal.mondrianConformalDF(df, col("id").cast("string"),
+      col("g"), col("x"), col("y")).queryExecution.sparkPlan
+    val globals = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globals.isEmpty)
+  }
+
   test("split conformal: q is the exact k-th smallest calibration residual; layout-proof") {
     val df = synth(6000, seed = 9)
     val a = Conformal.splitConformalDF(df.repartition(1),
