@@ -4540,6 +4540,14 @@ object SparkEntry {
         col("o_orderpriority") === "1-URGENT",
         col("o_orderstatus") === "F")),
 
+    // ---- quality: join-key skew report (q23) — the salting/AQE decision
+    // diagnostic: Gini, max/p99 count, top-10 mass over the key frequency
+    // distribution, all exact integers via the value-level cell frame +
+    // sharded prefix (no global sort, no global window). -----------------
+    "q23_key_skew" -> ((s, dir) =>
+      graft.ops.Partitioning.keySkewReportDF(t(s, dir, "lineitem"),
+        "l_partkey")),
+
     // ---- storage: CHECK constraint enforcement (s36) — the Delta ADD
     // CONSTRAINT contract exercised end to end IN-QUERY: register on a
     // compliant table, a violating append is refused WITHOUT committing
@@ -10189,6 +10197,46 @@ object SparkEntry {
          FROM st2""",
 
     // q22: stratum 2×2 longs, cross-product signs, 1-row pooled combine
+    // q23: per-key counts → value-level frequency cells → prefix; Gini
+    // via the per-cell Σi·x closed form, p99 the integer rank pick,
+    // top-10 mass down the descending prefix — all exact longs
+    "q23_key_skew" ->
+      """WITH counts AS (
+           SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
+           FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+         vc AS (SELECT cnt AS v, CAST(count(*) AS BIGINT) AS k
+                FROM counts GROUP BY 1),
+         pref AS (
+           SELECT v, k,
+                  CAST(coalesce(sum(k) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum
+           FROM vc),
+         tot AS (SELECT CAST(sum(k) AS BIGINT) AS n_keys,
+                        CAST(sum(v * k) AS BIGINT) AS n_rows,
+                        CAST(max(v) AS BIGINT) AS max_count
+                 FROM vc),
+         tw AS (SELECT p.v, p.k, p.cum, t.n_keys, t.n_rows, t.max_count,
+                       CAST((t.n_keys * 99 + 99) // 100 AS BIGINT) AS k99,
+                       t.n_keys - p.cum - p.k AS keys_above
+                FROM pref p, tot t),
+         agg AS (
+           SELECT min(n_rows) AS n_rows, min(n_keys) AS n_keys,
+                  min(max_count) AS max_count,
+                  min(CASE WHEN cum + k >= k99 THEN v END) AS p99_count,
+                  CAST(sum(v * greatest(0, least(k, 10 - keys_above)))
+                    AS BIGINT) AS top10_count,
+                  CAST(sum(v * (k * cum + (k * (k + 1)) // 2)) AS BIGINT) AS s
+           FROM tw)
+         SELECT n_rows, n_keys, max_count, p99_count, top10_count,
+                round(CAST(top10_count AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+                  AS top10_share,
+                round(2.0 * CAST(s AS DOUBLE)
+                  / (CAST(n_keys AS DOUBLE) * CAST(n_rows AS DOUBLE))
+                  - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE), 6)
+                  AS gini
+         FROM agg""",
+
     "q22_simpson_audit" ->
       """WITH base AS (
            SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT)

@@ -20,6 +20,55 @@ object Partitioning {
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 
+  /** Join-key skew report — the diagnostic that DECIDES between a plain
+    * shuffle join, AQE skew-split, and [[saltedJoin]]: one row
+    * `(n_rows, n_keys, max_count, p99_count, top10_count, top10_share,
+    * gini)` over the key's frequency distribution, every number an EXACT
+    * integer until the two final divisions.
+    *
+    * Plan: one map-side-combined groupBy(key) → per-key counts, a second
+    * groupBy to the VALUE-LEVEL frame (distinct frequency, #keys at it —
+    * bounded by distinct frequencies, never key count), then the sharded
+    * exclusive prefix (no global sort, no global window). Gini folds per
+    * CELL: keys at frequency v occupy ranks (cum, cum+k], so
+    * `Σᵢ i·xᵢ = Σ_cells v·(k·cum + k(k+1)/2)` — exact longs; the p99
+    * count is the m17 integer rank pick; the top-10 mass takes
+    * `v·min(k, keys_remaining)` down the descending prefix. */
+  def keySkewReportDF(df: DataFrame, key: String): DataFrame = {
+    val counts = df.where(col(key).isNotNull)
+      .groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+    val vc = counts.groupBy(col("cnt").as("v")).agg(count(lit(1)).as("k"))
+    val pref = graft.stats.RankTests.withExclusivePrefixCols(vc, Seq("k" -> "cum"))
+    val tw = pref
+      // totals ride a 1-row cross join (value-frame-sized inputs)
+      .crossJoin(broadcast(pref.agg(
+        sum(col("k")).as("n_keys"),
+        sum(col("v") * col("k")).as("n_rows"),
+        max(col("v")).as("max_count"))))
+      .withColumn("k99", expr("((n_keys) * 99 + 99) DIV 100"))
+      // keys ABOVE this cell in the descending order = n_keys − cum − k
+      .withColumn("keys_above", col("n_keys") - col("cum") - col("k"))
+      .withColumn("top_take",
+        greatest(lit(0L), least(col("k"), lit(10L) - col("keys_above"))))
+    tw.agg(
+        first(col("n_rows")).as("n_rows"),
+        first(col("n_keys")).as("n_keys"),
+        first(col("max_count")).as("max_count"),
+        min(when(col("cum") + col("k") >= col("k99"), col("v"))).as("p99_count"),
+        sum(col("v") * col("top_take")).as("top10_count"),
+        // Σ i·x_i via the per-cell closed form, exact longs
+        sum(col("v") * (col("k") * col("cum") +
+          expr("(k * (k + 1)) DIV 2"))).as("__s"))
+      .select(col("n_rows"), col("n_keys"), col("max_count"), col("p99_count"),
+        col("top10_count"),
+        round(col("top10_count").cast("double") / col("n_rows").cast("double"), 6)
+          .as("top10_share"),
+        round(lit(2.0) * col("__s").cast("double") /
+          (col("n_keys").cast("double") * col("n_rows").cast("double")) -
+          (col("n_keys") + 1L).cast("double") / col("n_keys").cast("double"), 6)
+          .as("gini"))
+  }
+
   /** Salted equi-join for skewed keys: the skewed (large) side gets a
     * deterministic salt in [0, salts); the small side is replicated `salts`
     * times so every (key, salt) partition finds its match. Replication

@@ -80,7 +80,9 @@ class PlanAuditSpec extends SparkSpec {
     "r57_cuped",
     // m17: three 1-row broadcasts (OLS fit → residuals, ranks → quantile
     // pick, quantiles → coverage) — each the j1 shape
-    "m17_conformal")
+    "m17_conformal",
+    // q23: the 1-row totals broadcast onto the frequency-cell frame
+    "q23_key_skew")
 
   // single source of truth: graft.tools.PlanAudit.deliberateGlobalWindows
   // (Bench.windowWarnWhitelist derives from the SAME registry, so the
