@@ -81,6 +81,8 @@ class PlanAuditSpec extends SparkSpec {
     // m17: three 1-row broadcasts (OLS fit → residuals, ranks → quantile
     // pick, quantiles → coverage) — each the j1 shape
     "m17_conformal",
+    // m18: the same 1-row OLS-fit broadcast onto the cal/test scans
+    "m18_mondrian_conformal",
     // q23: the 1-row totals broadcast onto the frequency-cell frame
     "q23_key_skew")
 
