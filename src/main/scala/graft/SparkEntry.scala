@@ -1557,6 +1557,26 @@ object SparkEntry {
         "ship_year", col("l_discount") >= 0.05, col("l_returnflag") === "R")
     }),
 
+    // ---- §2.8 DerSimonian–Laird random-effects meta-analysis (r71): the
+    // per-site pooling MH can't license under heterogeneity — per-nation
+    // log-OR of high-priority vs returned, Haldane-corrected, Q/τ², fixed
+    // AND random-effects running chains over the 25-study frame. ----------
+    "r71_meta_dl" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val src = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .where(col("l_returnflag").isNotNull && col("o_orderpriority").isNotNull)
+      graft.stats.Epi.dersimonianLairdDF(src, "n_name",
+        substring(col("o_orderpriority"), 1, 1).isin("1", "2"),
+        col("l_returnflag") === "R")
+    }),
+
     // ---- §2.8 McNemar's paired test (r36): did the return outcome flip
     // between line 1 and line 2 of the same order? Four cells in one
     // aggregate, the discordant-cell χ² ± continuity correction. ---------
@@ -11157,6 +11177,66 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                   AS bd_running
          FROM terms ORDER BY stratum""",
+
+    // r71: per-nation 2×2 cells, Haldane log-OR/variance trees, running
+    // fixed-effect chains, max_by last-link Q/τ², random-effects rechain
+    "r71_meta_dl" ->
+      """WITH src AS (
+           SELECT n_name AS stratum,
+                  (substring(o_orderpriority, 1, 1) IN ('1', '2')) AS x,
+                  (l_returnflag = 'R') AS y
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE l_returnflag IS NOT NULL AND o_orderpriority IS NOT NULL),
+         cells AS (
+           SELECT stratum,
+                  CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM src GROUP BY 1),
+         base AS (
+           SELECT stratum, a, b, c, d,
+                  ln((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5)
+                     / ((CAST(b AS DOUBLE) + 0.5) * (CAST(c AS DOUBLE) + 0.5)))
+                    AS y,
+                  1.0 / (CAST(a AS DOUBLE) + 0.5) + 1.0 / (CAST(b AS DOUBLE) + 0.5)
+                    + 1.0 / (CAST(c AS DOUBLE) + 0.5)
+                    + 1.0 / (CAST(d AS DOUBLE) + 0.5) AS v
+           FROM cells),
+         chains AS (
+           SELECT stratum, a, b, c, d, y, v,
+                  sum(1.0 / v) OVER w AS sw,
+                  sum(1.0 / v * y) OVER w AS swy,
+                  sum(1.0 / v * y * y) OVER w AS swy2,
+                  sum(1.0 / v * (1.0 / v)) OVER w AS sw2,
+                  row_number() OVER (ORDER BY stratum) AS rn
+           FROM base
+           WINDOW w AS (ORDER BY stratum
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         pooled AS (
+           SELECT max_by(swy2, rn)
+                    - max_by(swy, rn) * max_by(swy, rn) / max_by(sw, rn) AS q,
+                  greatest(0.0,
+                    (max_by(swy2, rn)
+                       - max_by(swy, rn) * max_by(swy, rn) / max_by(sw, rn)
+                       - CAST(count(*) - 1 AS DOUBLE))
+                    / (max_by(sw, rn) - max_by(sw2, rn) / max_by(sw, rn)))
+                    AS tau2
+           FROM chains)
+         SELECT stratum, a, b, c, d,
+                round(y, 6) AS y, round(v, 6) AS v,
+                round(q, 6) AS q, round(tau2, 6) AS tau2,
+                round(swy / sw, 6) AS fe_run,
+                round(sum(1.0 / (v + tau2) * y) OVER w
+                      / sum(1.0 / (v + tau2)) OVER w, 6) AS re_run,
+                round(1.0 / sqrt(sum(1.0 / (v + tau2)) OVER w), 6) AS re_se_run
+         FROM chains, pooled
+         WINDOW w AS (ORDER BY stratum
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY stratum""",
 
     // r36: the four concordance cells and the identical discordant trees
     "r36_mcnemar" ->

@@ -268,6 +268,72 @@ object Epi {
           (lit(k.toDouble) * sumC2 - nTot * nTot) / den, 6)).as("q"): _*)
   }
 
+  /** DerSimonian–Laird random-effects META-ANALYSIS of per-study odds
+    * ratios (NOT-IN-REFERENCE §2.8 extension — the multi-site pooling
+    * [[mantelHaenszelDF]] is NOT licensed to do when [[breslowDayDF]]
+    * rejects homogeneity: MH assumes one common OR; DL estimates the
+    * between-study variance τ² and widens the pooled interval by it).
+    *
+    * One corpus-sized groupBy to the study-level 2×2 frame, then fixed
+    * expression trees over the exact-long cells: Haldane–Anscombe +0.5 on
+    * every cell, `y = ln(a⁺d⁺/(b⁺c⁺))`, `v = 1/a⁺+1/b⁺+1/c⁺+1/d⁺`. The
+    * fixed-effect sums Σw, Σwy, Σwy², Σw² accumulate as RUNNING chains in
+    * study order (the r19 doctrine — double addition is order-dependent,
+    * so the chain pins the order both engines use), the last link is
+    * extracted by `max_by` on the study rank and broadcast back, Cochran's
+    * `Q = Σwy² − (Σwy)²/Σw`, `τ² = max(0, (Q − (k−1))/(Σw − Σw²/Σw))`,
+    * and a SECOND chain folds the random-effects weights `w* = 1/(v+τ²)`.
+    *
+    * One row per study ordered by key: `(study, a, b, c, d, y, v, q,
+    * tau2, fe_run, re_run, re_se_run)` — `fe_run`/`re_run` are the
+    * running pooled log-ORs (fixed / random effects), `re_se_run` the
+    * running RE standard error; the LAST row carries the final pooled
+    * estimates. The study frame is dimension-sized (its global windows
+    * are the deliberate w2 shape). */
+  def dersimonianLairdDF(df: DataFrame, stratumCol: String,
+      exposed: Column, outcome: Column): DataFrame = {
+    val cells = cells2x2(df, stratumCol, exposed, outcome)
+    val ah = col("a").cast("double") + lit(0.5)
+    val bh = col("b").cast("double") + lit(0.5)
+    val ch = col("c").cast("double") + lit(0.5)
+    val dh = col("d").cast("double") + lit(0.5)
+    val base = cells
+      .withColumn("y", log(ah * dh / (bh * ch)))
+      .withColumn("v",
+        lit(1.0) / ah + lit(1.0) / bh + lit(1.0) / ch + lit(1.0) / dh)
+    val runW = Window.partitionBy().orderBy(col("stratum").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rnW = Window.partitionBy().orderBy(col("stratum").asc)
+    val chains = base
+      .withColumn("__w", lit(1.0) / col("v"))
+      .withColumn("__sw", sum(col("__w")).over(runW))
+      .withColumn("__swy", sum(col("__w") * col("y")).over(runW))
+      .withColumn("__swy2", sum(col("__w") * col("y") * col("y")).over(runW))
+      .withColumn("__sw2", sum(col("__w") * col("__w")).over(runW))
+      .withColumn("__rn", row_number().over(rnW))
+    val q = max_by(col("__swy2"), col("__rn")) -
+      max_by(col("__swy"), col("__rn")) * max_by(col("__swy"), col("__rn")) /
+        max_by(col("__sw"), col("__rn"))
+    val pooled = chains.agg(
+      q.as("__q"),
+      greatest(lit(0.0),
+        (q - (count(lit(1)) - lit(1L)).cast("double")) /
+          (max_by(col("__sw"), col("__rn")) -
+            max_by(col("__sw2"), col("__rn")) / max_by(col("__sw"), col("__rn"))))
+        .as("__tau2"))
+    chains.crossJoin(broadcast(pooled))
+      .withColumn("__wr", lit(1.0) / (col("v") + col("__tau2")))
+      .withColumn("__swr", sum(col("__wr")).over(runW))
+      .withColumn("__swyr", sum(col("__wr") * col("y")).over(runW))
+      .select(col("stratum"), col("a"), col("b"), col("c"), col("d"),
+        round(col("y"), 6).as("y"), round(col("v"), 6).as("v"),
+        round(col("__q"), 6).as("q"), round(col("__tau2"), 6).as("tau2"),
+        round(col("__swy") / col("__sw"), 6).as("fe_run"),
+        round(col("__swyr") / col("__swr"), 6).as("re_run"),
+        round(lit(1.0) / sqrt(col("__swr")), 6).as("re_se_run"))
+      .orderBy(col("stratum"))
+  }
+
   /** Simpson's-paradox audit: per-stratum odds-ratio DIRECTION vs the
     * pooled (stratum-collapsed) direction — the aggregation trap
     * [[mantelHaenszelDF]] exists to avoid, made visible. A stratum is

@@ -55,6 +55,9 @@ object PlanAudit {
     // day frame (the e23 shape)
     "r70_sprt",
     "r50_cox", "r51_nelson_aalen", "r53_durbin_watson", "r54_bartlett",
+    // r71: DL meta-analysis fixed/random-effects chains over the
+    // 25-row per-nation study frame (the r29 shape)
+    "r71_meta_dl",
     "m12_naive_bayes", "r29_mantel_haenszel", "r30_mutual_info",
     "r32_friedman", "m7_lift_chart", "q13_benford", "q16_psi",
     "j10_bracket_lookup", "r35_breslow_day")
