@@ -1577,6 +1577,55 @@ object SparkEntry {
         col("l_returnflag") === "R")
     }),
 
+    // ---- §2.8 IPW average treatment effect (r72): the causal-inference
+    // readout — logistic propensity e(x) on the covariate CELL frame
+    // (exported-β oracle), Hájek-normalized inverse-propensity sums vs
+    // the confounded naive difference, running chains over the 4-cell
+    // frame so the last row carries both estimates. ----------------------
+    "r72_ipw_ate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem").where(col("l_discount").isNotNull &&
+        col("l_tax").isNotNull && col("l_shipdate").isNotNull &&
+        col("l_quantity").isNotNull)
+      val treat = col("l_discount") >= 0.05
+      val feats = Seq[(String, org.apache.spark.sql.Column)](
+        "tax_hi" -> (col("l_tax") >= 0.04),
+        "month_hi" -> (month(to_date(col("l_shipdate"))) >= 7))
+      val fit = graft.ml.Logistic.irlsFitCells(li, treat, feats)
+      r72PsFit = Some(fit)
+      val cells = li
+        .groupBy((col("l_tax") >= 0.04).cast("int").as("tax_hi"),
+          (month(to_date(col("l_shipdate"))) >= 7).cast("int").as("month_hi"))
+        .agg(count(lit(1)).as("n"),
+          sum(treat.cast("long")).as("nt"),
+          sum(when(treat, col("l_quantity").cast("long")).otherwise(0L)).as("sy_t"),
+          sum(when(!treat, col("l_quantity").cast("long")).otherwise(0L)).as("sy_c"))
+      val e = lit(1.0) / (lit(1.0) + exp(-graft.ml.Logistic.margin(fit)))
+      val runW = Window.partitionBy()
+        .orderBy(col("tax_hi").asc, col("month_hi").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells
+        .withColumn("__e", e)
+        .withColumn("__swt", sum(col("nt").cast("double") / col("__e")).over(runW))
+        .withColumn("__swy", sum(col("sy_t").cast("double") / col("__e")).over(runW))
+        .withColumn("__sct", sum((col("n") - col("nt")).cast("double") /
+          (lit(1.0) - col("__e"))).over(runW))
+        .withColumn("__scy", sum(col("sy_c").cast("double") /
+          (lit(1.0) - col("__e"))).over(runW))
+        .withColumn("__ntr", sum(col("nt")).over(runW))
+        .withColumn("__nr", sum(col("n")).over(runW))
+        .withColumn("__sytr", sum(col("sy_t")).over(runW))
+        .withColumn("__sycr", sum(col("sy_c")).over(runW))
+        .select(col("tax_hi"), col("month_hi"), col("n"), col("nt"),
+          col("sy_t"), col("sy_c"), round(col("__e"), 6).as("e_hat"),
+          round(col("__swy") / col("__swt") - col("__scy") / col("__sct"), 6)
+            .as("ate_run"),
+          round(col("__sytr").cast("double") / col("__ntr").cast("double") -
+            col("__sycr").cast("double") /
+              (col("__nr") - col("__ntr")).cast("double"), 6).as("naive_run"))
+        .orderBy(col("tax_hi"), col("month_hi"))
+    }),
+
     // ---- §2.8 McNemar's paired test (r36): did the return outcome flip
     // between line 1 and line 2 of the same order? Four cells in one
     // aggregate, the discordant-cell χ² ± continuity correction. ---------
@@ -5016,6 +5065,52 @@ object SparkEntry {
          FROM c ORDER BY disc_hi, qty_hi, tax_hi"""
   }.toMap
 
+  /** r72's propensity-score logistic β — exported-artifact oracle: the
+    * replay rebuilds the covariate cell frame, scores e(x) with β as
+    * literals, and folds the identical IPW/naive running chains. */
+  @volatile private var r72PsFit: Option[graft.ml.Logistic.LogisticFit] = None
+
+  private def r72OracleEntry: Map[String, String] = r72PsFit.map { fit =>
+    "r72_ipw_ate" ->
+      s"""WITH src AS (
+           SELECT CASE WHEN l_tax >= 0.04 THEN 1 ELSE 0 END AS tax_hi,
+                  CASE WHEN month(CAST(l_shipdate AS DATE)) >= 7
+                       THEN 1 ELSE 0 END AS month_hi,
+                  (l_discount >= 0.05) AS tr,
+                  CAST(l_quantity AS BIGINT) AS yq
+           FROM lineitem
+           WHERE l_discount IS NOT NULL AND l_tax IS NOT NULL
+             AND l_shipdate IS NOT NULL AND l_quantity IS NOT NULL),
+         cells AS (
+           SELECT tax_hi, month_hi, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                  CAST(sum(CASE WHEN tr THEN yq ELSE 0 END) AS BIGINT) AS sy_t,
+                  CAST(sum(CASE WHEN NOT tr THEN yq ELSE 0 END) AS BIGINT) AS sy_c
+           FROM src GROUP BY 1, 2),
+         sc AS (SELECT *, 1.0 / (1.0 + exp(-(${graft.ml.Logistic.marginSql(fit)})))
+                  AS e FROM cells),
+         ch AS (
+           SELECT tax_hi, month_hi, n, nt, sy_t, sy_c, e,
+                  sum(CAST(nt AS DOUBLE) / e) OVER w AS swt,
+                  sum(CAST(sy_t AS DOUBLE) / e) OVER w AS swy,
+                  sum(CAST(n - nt AS DOUBLE) / (1.0 - e)) OVER w AS sct,
+                  sum(CAST(sy_c AS DOUBLE) / (1.0 - e)) OVER w AS scy,
+                  CAST(sum(nt) OVER w AS BIGINT) AS ntr,
+                  CAST(sum(n) OVER w AS BIGINT) AS nr,
+                  CAST(sum(sy_t) OVER w AS BIGINT) AS sytr,
+                  CAST(sum(sy_c) OVER w AS BIGINT) AS sycr
+           FROM sc
+           WINDOW w AS (ORDER BY tax_hi, month_hi
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT tax_hi, month_hi, n, nt, sy_t, sy_c,
+                round(e, 6) AS e_hat,
+                round(swy / swt - scy / sct, 6) AS ate_run,
+                round(CAST(sytr AS DOUBLE) / CAST(ntr AS DOUBLE)
+                      - CAST(sycr AS DOUBLE) / CAST(nr - ntr AS DOUBLE), 6)
+                  AS naive_run
+         FROM ch ORDER BY tax_hi, month_hi"""
+  }.toMap
+
   /** m13's fitted OLS β — the exported-artifact oracle contract; the
     * replay recomputes the exact moments and evaluates the identical
     * staged quadratic-form trees with β as string-cast literals. */
@@ -5820,7 +5915,7 @@ object SparkEntry {
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
     m13OracleEntry ++ m14OracleEntry ++ m15OracleEntry ++
-      r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++
+      r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++ r72OracleEntry ++
       r56OracleEntry ++ r59OracleEntry ++ d20OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
       n22OracleEntry ++

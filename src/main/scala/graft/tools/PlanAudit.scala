@@ -58,6 +58,9 @@ object PlanAudit {
     // r71: DL meta-analysis fixed/random-effects chains over the
     // 25-row per-nation study frame (the r29 shape)
     "r71_meta_dl",
+    // r72: IPW/naive ATE chains over the 4-row covariate-cell frame
+    // (the r48 shape)
+    "r72_ipw_ate",
     "m12_naive_bayes", "r29_mantel_haenszel", "r30_mutual_info",
     "r32_friedman", "m7_lift_chart", "q13_benford", "q16_psi",
     "j10_bracket_lookup", "r35_breslow_day")
