@@ -819,6 +819,40 @@ object SparkEntry {
           col("l_linenumber").cast("string")),
         col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))),
 
+    // ---- §2.9 PCA over embeddings (m19): ONE exact-integer moment pass
+    // (floor-quantized coordinates, decimal second moments), driver-side
+    // Jacobi eigen on the bounded 16×16 covariance, exported loadings;
+    // the per-component eigenvalue replays as the quadratic form over the
+    // relational moment row and projections fold as exact floor-long sums
+    // per (component, label). ---------------------------------------------
+    "m19_pca" -> ((s, dir) => {
+      val dim = 16; val k = 4
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      val qdf = emb.select((col("label") +:
+        graft.ml.Pca.quantCols("embedding", dim)): _*)
+      val moments = graft.ml.Pca.momentAgg(qdf, dim)
+      val fit = graft.ml.Pca.fitFromMoments(moments, dim, k)
+      m19PcaFit = Some(fit)
+      val mo2 = moments.select(
+        (0 until k).map(c => graft.ml.Pca.quadformExpr(fit, c).as(s"qf$c")) :+
+          graft.ml.Pca.traceExpr(dim, fit.n).as("tr"): _*)
+      val lam = mo2.selectExpr(
+        "stack(4, " + (0 until k).map(c =>
+          s"$c, round(qf$c / 1000000000000.0, 6), round(qf$c / tr, 6)")
+          .mkString(", ") + ") AS (comp, lambda, evr)")
+      val proj = qdf.select(col("label") +: (0 until k).map(c =>
+        floor(graft.ml.Pca.projExpr(fit, c) / lit(1000.0)).as(s"z$c")): _*)
+      val stacked = proj.selectExpr("label",
+        "stack(4, " + (0 until k).map(c => s"$c, z$c").mkString(", ") +
+          ") AS (comp, zq)")
+      stacked.groupBy(col("comp"), col("label"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("zq")).as("szq"))
+        .join(broadcast(lam), Seq("comp"))
+        .select(col("comp"), col("label"), col("n_vecs"), col("szq"),
+          col("lambda"), col("evr"))
+        .orderBy(col("comp"), col("label"))
+    }),
+
     // ---- ANN: IVF-PQ recall/MRR eval (n22) — the n12 harness pointed at
     // the composed index with TRAINED codebooks (n7's fit, exported for
     // the runtime oracle): exact brute-force truth vs the pruned+coded
@@ -5065,6 +5099,48 @@ object SparkEntry {
          FROM c ORDER BY disc_hi, qty_hi, tax_hi"""
   }.toMap
 
+  /** m19's fitted PCA (exact moment sums + top-4 unit loadings) — the
+    * replay rebuilds the quantized moment row, evaluates the identical
+    * quadratic-form/trace/projection chains with the loadings as
+    * literals, and folds the exact floor-long projection sums. */
+  @volatile private var m19PcaFit: Option[graft.ml.Pca.PcaFit] = None
+
+  private def m19OracleEntry: Map[String, String] = m19PcaFit.map { fit =>
+    val dim = fit.dim; val k = fit.w.length
+    val lamRows = (0 until k).map(c =>
+      s"""SELECT $c AS comp, round(qf$c / 1000000000000.0, 6) AS lambda,
+                round(qf$c / tr, 6) AS evr FROM mo2""").mkString("\n           UNION ALL\n           ")
+    val stRows = (0 until k).map(c =>
+      s"SELECT label, $c AS comp, z$c AS zq FROM pr").mkString("\n           UNION ALL\n           ")
+    "m19_pca" ->
+      s"""WITH q AS (
+           SELECT label,
+                  ${graft.ml.Pca.quantColsSql("embedding", dim)}
+           FROM embeddings),
+         mo AS (
+           SELECT ${graft.ml.Pca.momentAggSql(dim)}
+           FROM q),
+         mo2 AS (
+           SELECT ${(0 until k).map(c => s"${graft.ml.Pca.quadformSql(fit, c)} AS qf$c").mkString(",\n                  ")},
+                  ${graft.ml.Pca.traceSql(dim, fit.n)} AS tr
+           FROM mo),
+         lam AS (
+           $lamRows),
+         pr AS (
+           SELECT label,
+                  ${(0 until k).map(c => s"CAST(floor(${graft.ml.Pca.projSql(fit, c)} / 1000.0) AS BIGINT) AS z$c").mkString(",\n                  ")}
+           FROM q),
+         st AS (
+           $stRows),
+         g AS (
+           SELECT comp, label, CAST(count(*) AS BIGINT) AS n_vecs,
+                  CAST(sum(zq) AS BIGINT) AS szq
+           FROM st GROUP BY 1, 2)
+         SELECT g.comp, g.label, g.n_vecs, g.szq, lam.lambda, lam.evr
+         FROM g JOIN lam ON g.comp = lam.comp
+         ORDER BY g.comp, g.label"""
+  }.toMap
+
   /** r72's propensity-score logistic β — exported-artifact oracle: the
     * replay rebuilds the covariate cell frame, scores e(x) with β as
     * literals, and folds the identical IPW/naive running chains. */
@@ -5914,7 +5990,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
-    m13OracleEntry ++ m14OracleEntry ++ m15OracleEntry ++
+    m13OracleEntry ++ m14OracleEntry ++ m15OracleEntry ++ m19OracleEntry ++
       r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++ r72OracleEntry ++
       r56OracleEntry ++ r59OracleEntry ++ d20OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
