@@ -4023,6 +4023,14 @@ object SparkEntry {
         col("l_returnflag") === "R", smoothing = 10L)
     }),
 
+    // ---- ML: weight-of-evidence + information value (m20) — the
+    // credit-scoring feature screen: per-priority Haldane-smoothed WoE and
+    // the IV running chain over the 5-row category frame. ----------------
+    "m20_woe_iv" -> ((s, dir) => {
+      graft.ml.Encoders.woeIvDF(t(s, dir, "orders"), "o_orderpriority",
+        col("o_orderstatus") === "F")
+    }),
+
     // ---- ML: deterministic k-fold assignment census (m9) — content-hash
     // folds (no RNG, row-local), fold sizes + label balance. -------------
     "m9_kfold" -> ((s, dir) => {
@@ -7884,6 +7892,36 @@ object SparkEntry {
                       / CAST(CAST(big_n AS HUGEINT) * (n + 10) AS DOUBLE), 6)
                   AS enc
          FROM pc, g ORDER BY cat""",
+
+    // m20: per-category good/bad counts, Haldane WoE/contrib trees, IV
+    // running chain over the 5-row priority frame
+    "m20_woe_iv" ->
+      """WITH base AS (
+           SELECT CAST(o_orderpriority AS VARCHAR) AS cat,
+                  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+           FROM orders
+           WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL),
+         pc AS (SELECT cat, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(1 - y) AS BIGINT) AS n_good,
+                  CAST(sum(y) AS BIGINT) AS n_bad FROM base GROUP BY 1),
+         g AS (SELECT CAST(sum(1 - y) AS BIGINT) AS big_g,
+                 CAST(sum(y) AS BIGINT) AS big_b FROM base),
+         c AS (SELECT cat, n, n_good, n_bad,
+                 ln(((CAST(n_good AS DOUBLE) + 0.5) / CAST(big_g AS DOUBLE))
+                    / ((CAST(n_bad AS DOUBLE) + 0.5) / CAST(big_b AS DOUBLE)))
+                   AS woe,
+                 ((CAST(n_good AS DOUBLE) + 0.5) / CAST(big_g AS DOUBLE)
+                   - (CAST(n_bad AS DOUBLE) + 0.5) / CAST(big_b AS DOUBLE))
+                 * ln(((CAST(n_good AS DOUBLE) + 0.5) / CAST(big_g AS DOUBLE))
+                      / ((CAST(n_bad AS DOUBLE) + 0.5) / CAST(big_b AS DOUBLE)))
+                   AS contrib
+               FROM pc, g)
+         SELECT cat, n, n_good, n_bad, round(woe, 6) AS woe,
+                round(contrib, 6) AS contrib,
+                round(sum(contrib) OVER (ORDER BY cat
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                  AS iv_run
+         FROM c ORDER BY cat""",
 
     // m9: the identical hex-digit fold rule; NULL status stays NULL so
     // the positive sum skips it on both sides

@@ -33,6 +33,27 @@ class EncodersSpec extends SparkSpec {
     assert(sm("rare") < raw("rare") && sm("big") > raw("big"))
   }
 
+  test("woeIvDF: hand case — two categories, smoothed WoE and IV chain") {
+    // cat a: 8 good / 2 bad; cat b: 2 good / 8 bad → G = B = 10
+    val rows = Seq.fill(8)(("a", 0)) ++ Seq.fill(2)(("a", 1)) ++
+      Seq.fill(2)(("b", 0)) ++ Seq.fill(8)(("b", 1))
+    val r = Encoders.woeIvDF(rows.toDF("c", "y").repartition(3), "c",
+      col("y") === 1).collect()
+    assert(r.length == 2)
+    val wa = math.log((8.5 / 10.0) / (2.5 / 10.0))
+    val wb = math.log((2.5 / 10.0) / (8.5 / 10.0))
+    val ca = (8.5 / 10.0 - 2.5 / 10.0) * wa
+    val cb = (2.5 / 10.0 - 8.5 / 10.0) * wb
+    assert(r(0).getString(0) == "a" && r(0).getLong(1) == 10L &&
+      r(0).getLong(2) == 8L && r(0).getLong(3) == 2L)
+    assert(math.abs(r(0).getDouble(4) - wa) < 1e-6)
+    assert(math.abs(r(1).getDouble(4) - wb) < 1e-6)
+    assert(math.abs(r(0).getDouble(5) - ca) < 1e-6)
+    // symmetric cats contribute equally; last row's iv_run is the total IV
+    assert(math.abs(r(1).getDouble(6) - (ca + cb)) < 1e-6)
+    assert(r(1).getDouble(6) > 0.3, "a flip this strong is a 'strong' feature")
+  }
+
   test("targetEncode: NULL categories and NULL labels drop") {
     val rows = Seq((Some("a"), Some(1)), (None, Some(1)), (Some("a"), None))
     val r = Encoders.targetEncode(rows.toDF("c", "y"), "c", col("y") === 1)
