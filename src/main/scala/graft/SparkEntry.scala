@@ -1910,6 +1910,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- Efraimidis–Spirakis weighted reservoir (s37): top-k sampling
+    // without replacement, inclusion ∝ o_totalprice; u from the content
+    // hash (52 md5 bits), rank key ln(u)/w, TakeOrdered plan (no global
+    // sort, no RNG). -----------------------------------------------------
+    "s37_weighted_sample" -> ((s, dir) => {
+      graft.ops.Sampling.weightedReservoir(
+        t(s, dir, "orders"), "o_orderkey", "o_totalprice", k = 100)
+    }),
+
     // ---- column-mapping RENAME (s31): one metadata commit, zero file
     // rewrites — writes before and after the rename, a keyed merge under
     // the new name, head + time-traveled summaries. The oracle replays
@@ -6266,6 +6275,23 @@ object SparkEntry {
          FROM pc, t
          WHERE (cum + w) * 40 // w0 - cum * 40 // w0 > 0
          ORDER BY doc_id""",
+
+    // s37: same 52-bit hash uniform ('0x' cast ≡ Spark conv), same
+    // ln(u)/w rank key, ORDER BY the raw key + LIMIT both sides
+    "s37_weighted_sample" ->
+      """WITH base AS (
+           SELECT o_orderkey AS id, CAST(o_totalprice AS DOUBLE) AS w
+           FROM orders WHERE o_orderkey IS NOT NULL AND o_totalprice > 0),
+         kd AS (
+           SELECT id, w,
+                  (CAST(CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 13)
+                     AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+           FROM base)
+         SELECT id AS o_orderkey, w, round(u, 6) AS u,
+                round(ln(u) / w, 9) + 0.0 AS es_key
+         FROM kd
+         ORDER BY ln(u) / w DESC, id ASC
+         LIMIT 100""",
 
     // s32: the generated column is definitionally its expression, so the
     // replay just computes it over the written slices

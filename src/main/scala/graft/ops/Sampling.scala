@@ -123,6 +123,41 @@ object Sampling {
         col("bucket"), col("picks"))
   }
 
+  /** Efraimidis–Spirakis weighted reservoir — top-k sampling WITHOUT
+    * replacement with per-row inclusion proportional to weight, the
+    * one-pass design streaming samplers use. The classic algorithm draws
+    * `u ~ U(0,1)` per row and keeps the k largest `u^(1/w)`; here `u`
+    * derives from the row's CONTENT HASH (first 52 md5 bits → uniform in
+    * (0,1)), so the sample is layout-independent, re-run-stable, and
+    * engine-reproducible — same doctrine as [[hashSample]]. Ranking uses
+    * the monotone-equivalent key `ln(u)/w` (ln u < 0: heavier rows pull
+    * the key toward 0) — no pow, one ln, one division.
+    *
+    * Scale: the sort-limit compiles to TakeOrdered (per-partition top-k +
+    * driver merge of k·P candidates) — no global sort, no RNG state.
+    * Rows with NULL id or non-positive weight drop.
+    *
+    * Returns the k selected rows `(idCol, w, u, es_key)` ordered by key
+    * descending (selection order), id tiebreak. */
+  def weightedReservoir(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need a positive sample size, got $k")
+    val base = df.where(col(idCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol).as("id"), col(weightCol).cast("double").as("w"))
+    val hexv = conv(substring(md5(col("id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (hexv.cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    base.withColumn("u", u)
+      .withColumn("es_key", log(col("u")) / col("w"))
+      .orderBy(col("es_key").desc, col("id").asc)
+      .limit(k)
+      .select(col("id").as(idCol), col("w"),
+        round(col("u"), 6).as("u"),
+        // + 0.0 normalizes IEEE −0.0 (a near-zero key rounds to it) so
+        // both engines render plain 0.0
+        (round(col("es_key"), 9) + lit(0.0)).as("es_key"))
+  }
+
   /** Deterministic k-fold assignment for cross-validation — the
     * content-hash sibling of [[hashSample]]: `fold = hexIndex(md5(key)
     * [0]) mod k`, a pure row-local function of the key, so folds are

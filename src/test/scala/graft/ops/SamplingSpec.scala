@@ -139,4 +139,39 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.kfold(ids.toDF("id"), col("id"), 5))
   }
+
+  test("weightedReservoir: matches a direct ES top-k, layout-independent") {
+    val rows = (1 to 300).map(i => (i.toLong, (i % 7 + 1).toDouble * 10.0))
+    // independent computation: same hash-uniform, same key, plain Scala
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = rows.map { case (id, w) =>
+      val u = (java.lang.Long.parseLong(md5hex(id.toString).take(13), 16)
+        .toDouble + 0.5) / 4503599627370496.0
+      (id, w, math.log(u) / w)
+    }.sortBy(t => (-t._3, t._1)).take(25).map(_._1)
+    Seq(1, 7, 32).foreach { p =>
+      val got = Sampling.weightedReservoir(
+          rows.toDF("id", "w").repartition(p), "id", "w", k = 25)
+        .select("id").as[Long].collect().toSeq
+      assert(got == expect, s"partitions=$p")
+    }
+  }
+
+  test("weightedReservoir: heavier weight can only improve a row's rank") {
+    val base = (1 to 100).map(i => (i.toLong, 10.0))
+    val keyOf = Sampling.weightedReservoir(base.toDF("id", "w"), "id", "w", 100)
+      .select("id", "es_key").as[(Long, Double)].collect().toMap
+    // bump one row's weight 100x: its es_key must strictly rise (ln u < 0)
+    val bumped = base.map { case (id, w) => (id, if (id == 42L) w * 100 else w) }
+    val keyOf2 = Sampling.weightedReservoir(bumped.toDF("id", "w"), "id", "w", 100)
+      .select("id", "es_key").as[(Long, Double)].collect().toMap
+    assert(keyOf2(42L) > keyOf(42L))
+    assert(keyOf2(7L) == keyOf(7L)) // untouched rows keep their keys
+    // non-positive weights and null ids drop
+    val r = Sampling.weightedReservoir(
+      Seq((1L, 0.0), (2L, -3.0), (3L, 5.0)).toDF("id", "w"), "id", "w", 10)
+    assert(r.count() == 1L)
+  }
 }
