@@ -84,7 +84,11 @@ class PlanAuditSpec extends SparkSpec {
     // m18: the same 1-row OLS-fit broadcast onto the cal/test scans
     "m18_mondrian_conformal",
     // q23: the 1-row totals broadcast onto the frequency-cell frame
-    "q23_key_skew")
+    "q23_key_skew",
+    // r71: the 1-row Q/tau2 broadcast onto the 25-study frame (j1 shape)
+    "r71_meta_dl",
+    // m20: the 1-row good/bad-totals broadcast onto the category frame
+    "m20_woe_iv")
 
   // single source of truth: graft.tools.PlanAudit.deliberateGlobalWindows
   // (Bench.windowWarnWhitelist derives from the SAME registry, so the
