@@ -31,6 +31,11 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** r73's Bonferroni-adjusted two-sided critical value for m = 10 pairs
+    * at α = 0.05: z_{α/(2m)} = Φ⁻¹(1 − 0.0025) — one deterministic JVM
+    * constant, identical in the plan and the SQL replay. */
+  private val r73CritZ: Double = graft.stats.Normal.quantile(1.0 - 0.05 / 20.0)
+
   /** Fixed IVF probe centroids (n5): 8 centroids × dim 64, values
     * (((c·13 + j·5) mod 11) − 5)/8 — dyadic rationals whose 3-decimal
     * literals parse to identical doubles in Spark and DuckDB. */
@@ -1658,6 +1663,14 @@ object SparkEntry {
             col("__sycr").cast("double") /
               (col("__nr") - col("__ntr")).cast("double"), 6).as("naive_run"))
         .orderBy(col("tax_hi"), col("month_hi"))
+    }),
+
+    // ---- §2.8 pairwise Welch post-hoc (r73): WHERE the r23 ANOVA's
+    // difference lives — all 10 priority pairs, exact power-sum cells,
+    // Bonferroni z_{α/(2m)} as a JVM literal both sides. -----------------
+    "r73_pairwise_welch" -> ((s, dir) => {
+      graft.stats.TTest.pairwiseWelchDF(t(s, dir, "orders"),
+        "o_totalprice", "o_orderpriority", r73CritZ)
     }),
 
     // ---- §2.8 McNemar's paired test (r36): did the return outcome flip
@@ -9049,6 +9062,40 @@ object SparkEntry {
                       / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 4)
                   AS df
          FROM d3""",
+
+    // r73: the same six-sum Welch trees per pair off the 5-row priority
+    // cell frame; the Bonferroni critical value is the interpolated JVM
+    // literal (Normal.quantile is deterministic, so this stays static)
+    "r73_pairwise_welch" ->
+      s"""WITH src AS (
+           SELECT CAST(o_orderpriority AS VARCHAR) AS g,
+                  CAST(o_totalprice AS DECIMAL(12,2)) AS x
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL),
+         cells AS (
+           SELECT g, CAST(count(*) AS BIGINT) AS n0,
+                  sum(x) AS s0, sum(x * x) AS ss0
+           FROM src GROUP BY 1),
+         p AS (
+           SELECT a.g AS g_a, b.g AS g_b, a.n0 AS na0, b.n0 AS nb0,
+                  CAST(a.n0 AS DOUBLE) AS na, CAST(b.n0 AS DOUBLE) AS nb,
+                  CAST(a.s0 AS DOUBLE) AS sa, CAST(b.s0 AS DOUBLE) AS sb,
+                  CAST(a.ss0 AS DOUBLE) AS ssa, CAST(b.ss0 AS DOUBLE) AS ssb
+           FROM cells a JOIN cells b ON a.g < b.g),
+         d2 AS (SELECT *,
+                  (ssa - sa * sa / na) / (na - 1.0) AS va,
+                  (ssb - sb * sb / nb) / (nb - 1.0) AS vb
+                FROM p),
+         d3 AS (SELECT *, va / na AS sea, vb / nb AS seb FROM d2)
+         SELECT g_a, g_b, na0 AS n_a, nb0 AS n_b,
+                round(sa / na, 6) AS mean_a, round(sb / nb, 6) AS mean_b,
+                round((sa / na - sb / nb) / sqrt(sea + seb), 6) AS t,
+                round((sea + seb) * (sea + seb)
+                      / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 4)
+                  AS df,
+                (abs((sa / na - sb / nb) / sqrt(sea + seb)) > $r73CritZ)
+                  AS sig_bonf
+         FROM d3 ORDER BY g_a, g_b""",
 
     // r23: per-group exact power sums, staged grand totals, the same
     // running SS chains in group order, F from the chained totals

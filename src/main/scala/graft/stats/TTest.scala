@@ -49,6 +49,48 @@ object TTest {
         (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0))), 4).as("df"))
   }
 
+  /** Pairwise Welch post-hoc with Bonferroni control — the step AFTER a
+    * significant ANOVA (r23 says "the k means differ somewhere"; this
+    * says WHERE). One corpus-sized groupBy to the per-group exact
+    * DECIMAL power-sum frame, then a k(k−1)/2 inequality self-join on
+    * that dimension-sized frame (deliberate loop-join shape) and the
+    * [[welchDF]] trees per pair. `critZ` is the Bonferroni-adjusted
+    * two-sided normal critical value z_{α/(2m)} — a JVM literal from
+    * [[Normal.quantile]] identical in the SQL replay (with per-group n
+    * in the thousands, t ≈ z to far beyond the decision margin).
+    *
+    * One row per pair `(g_a, g_b, n_a, n_b, mean_a, mean_b, t, df,
+    * sig_bonf)` ordered by the pair key. */
+  def pairwiseWelchDF(df: DataFrame, valueCol: String, groupCol: String,
+      critZ: Double): DataFrame = {
+    val x = col(valueCol).cast("decimal(12,2)")
+    val cells = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("n0"), sum(x).as("s0"), sum(x * x).as("ss0"))
+    val a = cells.select(col("g").as("g_a"), col("n0").as("na0"),
+      col("s0").as("sa0"), col("ss0").as("ssa0"))
+    val b = cells.select(col("g").as("g_b"), col("n0").as("nb0"),
+      col("s0").as("sb0"), col("ss0").as("ssb0"))
+    val j = a.join(b, col("g_a") < col("g_b"))
+    val na = col("na0").cast("double"); val nb = col("nb0").cast("double")
+    val sa = col("sa0").cast("double"); val sb = col("sb0").cast("double")
+    val ssa = col("ssa0").cast("double"); val ssb = col("ssb0").cast("double")
+    val ma = sa / na; val mb = sb / nb
+    val va = (ssa - sa * sa / na) / (na - lit(1.0))
+    val vb = (ssb - sb * sb / nb) / (nb - lit(1.0))
+    val sea = va / na; val seb = vb / nb
+    val se2 = sea + seb
+    val tStat = (ma - mb) / sqrt(se2)
+    j.select(col("g_a"), col("g_b"),
+      col("na0").as("n_a"), col("nb0").as("n_b"),
+      round(ma, 6).as("mean_a"), round(mb, 6).as("mean_b"),
+      round(tStat, 6).as("t"),
+      round(se2 * se2 /
+        (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0))), 4).as("df"),
+      (abs(tStat) > lit(critZ)).as("sig_bonf"))
+      .orderBy(col("g_a"), col("g_b"))
+  }
+
   /** Cohen's d and Hedges' g — the standardized effect sizes a bare
     * [[welchDF]] t can't convey (t grows with n; d doesn't). Same exact
     * DECIMAL power-sum aggregate, pooled-SD d, small-sample-corrected

@@ -88,7 +88,10 @@ class PlanAuditSpec extends SparkSpec {
     // r71: the 1-row Q/tau2 broadcast onto the 25-study frame (j1 shape)
     "r71_meta_dl",
     // m20: the 1-row good/bad-totals broadcast onto the category frame
-    "m20_woe_iv")
+    "m20_woe_iv",
+    // r73: the k(k-1)/2 inequality self-join on the 5-row priority cell
+    // frame (the r40 triangular shape)
+    "r73_pairwise_welch")
 
   // single source of truth: graft.tools.PlanAudit.deliberateGlobalWindows
   // (Bench.windowWarnWhitelist derives from the SAME registry, so the

@@ -114,4 +114,39 @@ class TTestSpec extends SparkSpec {
     assert(r._5 == rd(sp) && r._6 == rd(d))
     assert(r._7 == rd(d * (1.0 - 3.0 / (4.0 * 4 - 9.0))))
   }
+
+  test("Normal.quantile: known values, symmetry, monotonicity") {
+    assert(math.abs(Normal.quantile(0.975) - 1.959963985) < 1e-7)
+    assert(math.abs(Normal.quantile(0.9975) - 2.807033768) < 1e-7)
+    assert(math.abs(Normal.quantile(0.01) + 2.326347874) < 1e-7)
+    assert(math.abs(Normal.quantile(0.5)) < 1e-12)
+    // tails (the Acklam tail branch) and symmetry
+    assert(math.abs(Normal.quantile(0.001) + Normal.quantile(0.999)) < 1e-7)
+    assert(Normal.quantile(1e-6) < Normal.quantile(1e-3))
+    intercept[IllegalArgumentException](Normal.quantile(0.0))
+  }
+
+  test("pairwiseWelchDF: each pair matches welchDF on the same two groups") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 60).map { i =>
+      val g = Seq("g1", "g2", "g3")(i % 3)
+      val x = (i % 11).toDouble + (if (g == "g2") 5.0 else 0.0) +
+        (if (g == "g3") 2.5 else 0.0)
+      (g, x)
+    }
+    val df = rows.toDF("g", "x").repartition(4)
+    val pw = TTest.pairwiseWelchDF(df, "x", "g", critZ = 2.807033768343804)
+      .collect()
+    assert(pw.length == 3) // 3 choose 2
+    for (row <- pw) {
+      val (ga, gb) = (row.getString(0), row.getString(1))
+      val solo = TTest.welchDF(df.where(col("g").isin(ga, gb)), "x",
+        col("g") === ga).head()
+      assert(row.getLong(2) == solo.getLong(0), s"$ga/$gb n_a")
+      assert(row.getDouble(4) == solo.getDouble(2), s"$ga/$gb mean_a")
+      assert(row.getDouble(6) == solo.getDouble(4), s"$ga/$gb t")
+      assert(row.getDouble(7) == solo.getDouble(5), s"$ga/$gb df")
+      assert(row.getBoolean(8) == (math.abs(solo.getDouble(4)) > 2.807033768343804))
+    }
+  }
 }
