@@ -4213,6 +4213,14 @@ object SparkEntry {
         "event_type", "ts", "value")
     }),
 
+    // ---- events: seasonal-naive forecast backtest (e27) — lag-7 vs
+    // lag-1 calendar self-joins on the day frame, integer error sums,
+    // MASE < 1 ⟺ the weekly pattern carries signal. -----------------------
+    "e27_forecast_backtest" -> ((s, dir) => {
+      graft.ops.Resample.seasonalNaiveBacktest(Tables.events(s, dir),
+        "event_type", "ts", season = 7)
+    }),
+
     // ---- §2.8 Wald–Wolfowitz runs test per event type (r46) — sign runs
     // around the q18-machinery exact median, integer (n1, n2, R), one
     // fixed z tree. ------------------------------------------------------
@@ -9096,6 +9104,33 @@ object SparkEntry {
                 (abs((sa / na - sb / nb) / sqrt(sea + seb)) > $r73CritZ)
                   AS sig_bonf
          FROM d3 ORDER BY g_a, g_b""",
+
+    // e27: the same day frame, calendar self-joins at +7/+1, integer
+    // error sums, one division each
+    "e27_forecast_backtest" ->
+      """WITH c AS (
+           SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events
+           WHERE event_type IS NOT NULL AND ts IS NOT NULL
+           GROUP BY 1, 2),
+         j AS (
+           SELECT c.key, c.day, c.cnt, p7.cnt AS pred_s, p1.cnt AS pred_n
+           FROM c
+           JOIN c p7 ON c.key = p7.key AND c.day = p7.day + 7
+           JOIN c p1 ON c.key = p1.key AND c.day = p1.day + 1),
+         g AS (
+           SELECT key, CAST(count(*) AS BIGINT) AS n_scored,
+                  CAST(sum(abs(cnt - pred_s)) AS BIGINT) AS sae_seasonal,
+                  CAST(sum(abs(cnt - pred_n)) AS BIGINT) AS sae_naive
+           FROM j GROUP BY 1)
+         SELECT key, n_scored, sae_seasonal, sae_naive,
+                round(CAST(sae_seasonal AS DOUBLE)
+                      / CAST(n_scored AS DOUBLE), 6) AS mae_seasonal,
+                CASE WHEN sae_naive > 0 THEN
+                  round(CAST(sae_seasonal AS DOUBLE)
+                        / CAST(sae_naive AS DOUBLE), 6) END AS mase
+         FROM g ORDER BY key""",
 
     // r23: per-group exact power sums, staged grand totals, the same
     // running SS chains in group order, F from the chained totals

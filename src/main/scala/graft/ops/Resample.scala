@@ -378,4 +378,47 @@ object Resample {
           (col("n_days") * 7L).cast("double") / lit(100.0), 6).as("seasonal"))
       .orderBy(col("key"), col("dow"))
   }
+
+  /** Seasonal-naive forecast BACKTEST — the pipeline health-check before
+    * any fancier forecaster ships: predict each day's event count with
+    * the count from `season` days earlier, score against the 1-day naive
+    * baseline. `mase` here is the relative MAE vs that lag-1 naive on the
+    * same scored days (< 1 ⟺ the weekly pattern carries real signal).
+    *
+    * Exactness: day counts are LONGs, absolute errors are LONGs, the two
+    * error sums are order-free integer aggregates, and each output is one
+    * integer→double division — bit-replayable anywhere.
+    *
+    * Plan: one map-side-combined groupBy to the (key, day) frame, then
+    * two CALENDAR self-joins on (key, day−lag) — gap-aware, unlike a row
+    * lag: a missing day yields no (wrong) pairing — and one regroup to
+    * key-level. All three frames are day-frame-sized; the corpus shuffles
+    * once. Days lacking either prior observation drop (inner joins).
+    *
+    * One row per key: `(key, n_scored, sae_seasonal, sae_naive,
+    * mae_seasonal, mase)` ordered; `mase` NULL when the naive is perfect. */
+  def seasonalNaiveBacktest(df: DataFrame, keyCol: String, tsCol: String,
+      season: Int = 7): DataFrame = {
+    require(season >= 2, s"season must be >= 2 (lag 1 is the baseline), got $season")
+    val c = df.where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val ps = c.select(col("key"), date_add(col("day"), season).as("day"),
+      col("cnt").as("pred_s"))
+    val pn = c.select(col("key"), date_add(col("day"), 1).as("day"),
+      col("cnt").as("pred_n"))
+    c.join(ps, Seq("key", "day")).join(pn, Seq("key", "day"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(abs(col("cnt") - col("pred_s"))).as("sae_seasonal"),
+        sum(abs(col("cnt") - col("pred_n"))).as("sae_naive"))
+      .select(col("key"), col("n_scored"), col("sae_seasonal"),
+        col("sae_naive"),
+        round(col("sae_seasonal").cast("double") /
+          col("n_scored").cast("double"), 6).as("mae_seasonal"),
+        when(col("sae_naive") > 0L,
+          round(col("sae_seasonal").cast("double") /
+            col("sae_naive").cast("double"), 6)).as("mase"))
+      .orderBy(col("key"))
+  }
 }

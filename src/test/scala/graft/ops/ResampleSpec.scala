@@ -258,4 +258,26 @@ class ResampleSpec extends SparkSpec {
     }
     assert(r.size == 7)
   }
+
+  test("seasonalNaiveBacktest: hand case — linear ramp scores 7 vs 1") {
+    import java.sql.Timestamp
+    // day d (1..10) carries d events: lag-7 error is 7/day, lag-1 is 1/day
+    val rows = for {
+      d <- 1 to 10; i <- 1 to d
+    } yield ("k", Timestamp.valueOf(f"2024-01-$d%02d 0${i % 10}:00:00"))
+    val r = Resample.seasonalNaiveBacktest(
+      rows.toDF("k", "t").repartition(5), "k", "t", season = 7)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    // scored days: 8, 9, 10 (need both day-7 and day-1)
+    assert(r.toSeq == Seq(("k", 3L, 21L, 3L, 7.0, 7.0)))
+    // a missing day breaks pairings instead of silently mis-lagging
+    val gappy = rows.filter { case (_, ts) => !ts.toString.startsWith("2024-01-09") }
+    val r2 = Resample.seasonalNaiveBacktest(
+      gappy.toDF("k", "t"), "k", "t", season = 7)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    // day 9 gone: day 9 unscored AND day 10 loses its lag-1 → only day 8
+    assert(r2.head._2 == 1L, r2.mkString(","))
+    intercept[IllegalArgumentException](
+      Resample.seasonalNaiveBacktest(rows.toDF("k", "t"), "k", "t", season = 1))
+  }
 }
