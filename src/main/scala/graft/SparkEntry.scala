@@ -1197,6 +1197,14 @@ object SparkEntry {
           round(col("z"), 6).as("z"))
     }),
 
+    // ---- §2.8 Brunner–Munzel (r74): the variance-robust replacement for
+    // r17 — P(A<B)+½P(A=B) with studentized statistic and Satterthwaite
+    // df; doubled-midrank integer moments off the same sharded prefix. ---
+    "r74_brunner_munzel" -> ((s, dir) => {
+      graft.stats.RankTests.brunnerMunzelDF(
+        t(s, dir, "lineitem"), "l_quantity", col("l_discount") >= 0.05)
+    }),
+
     "r18_ks_test" -> ((s, dir) => {
       graft.stats.RankTests.ksDF(
         t(s, dir, "lineitem"), "l_extendedprice", col("l_returnflag") === "R")
@@ -8934,6 +8942,70 @@ object SparkEntry {
                                      * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
                              / 12.0), 6) AS z
          FROM ag""",
+
+    // r74: same value-level prefix frame; doubled global midrank and
+    // doubled placements are per-cell integer constants, squares ride
+    // HUGEINT ≡ Spark decimal, the five trees replay fixed
+    "r74_brunner_munzel" ->
+      """WITH src AS (
+           SELECT CAST(l_quantity AS DOUBLE) AS v,
+                  (l_discount >= 0.05) AS a
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+         vc AS (
+           SELECT v,
+                  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                  CAST(count(*) - sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS nb
+           FROM src GROUP BY v),
+         pc AS (
+           SELECT v, na, nb,
+                  CAST(coalesce(sum(na) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cuma,
+                  CAST(coalesce(sum(nb) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cumb
+           FROM vc),
+         ag AS (
+           SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                  CAST(sum(nb) AS BIGINT) AS n_b,
+                  CAST(sum(na * (2 * (cuma + cumb) + (na + nb) + 1))
+                    AS BIGINT) AS sr2a,
+                  CAST(sum(nb * (2 * (cuma + cumb) + (na + nb) + 1))
+                    AS BIGINT) AS sr2b,
+                  CAST(sum(na * (2 * cumb + nb)) AS BIGINT) AS s2a,
+                  CAST(sum(nb * (2 * cuma + na)) AS BIGINT) AS s2b,
+                  sum(CAST(na AS HUGEINT) * (2 * cumb + nb) * (2 * cumb + nb))
+                    AS q4a0,
+                  sum(CAST(nb AS HUGEINT) * (2 * cuma + na) * (2 * cuma + na))
+                    AS q4b0
+           FROM pc),
+         d1 AS (
+           SELECT n_a, n_b,
+                  CAST(n_a AS DOUBLE) AS n1, CAST(n_b AS DOUBLE) AS n2,
+                  CAST(sr2a AS DOUBLE) / CAST(n_a AS DOUBLE) AS m2a,
+                  CAST(sr2b AS DOUBLE) / CAST(n_b AS DOUBLE) AS m2b,
+                  CAST(s2a AS DOUBLE) AS s2ad, CAST(s2b AS DOUBLE) AS s2bd,
+                  CAST(q4a0 AS DOUBLE) AS q4ad, CAST(q4b0 AS DOUBLE) AS q4bd
+           FROM ag),
+         d2 AS (
+           SELECT *,
+                  (m2a - (n1 + 1.0)) / 2.0 AS c1,
+                  (m2b - (n2 + 1.0)) / 2.0 AS c2
+           FROM d1),
+         d3 AS (
+           SELECT *,
+                  (q4ad / 4.0 - c1 * s2ad + n1 * c1 * c1) / (n1 - 1.0) AS v1,
+                  (q4bd / 4.0 - c2 * s2bd + n2 * c2 * c2) / (n2 - 1.0) AS v2
+           FROM d2)
+         SELECT n_a, n_b,
+                round(((m2b - (n2 + 1.0)) / 2.0) / n1, 6) AS p_hat,
+                round(n1 * n2 * ((m2b - m2a) / 2.0) / (n1 + n2)
+                      / sqrt(n1 * v1 + n2 * v2), 6) AS w_bm,
+                round((n1 * v1 + n2 * v2) * (n1 * v1 + n2 * v2)
+                      / ((n1 * v1) * (n1 * v1) / (n1 - 1.0)
+                         + (n2 * v2) * (n2 * v2) / (n2 - 1.0)), 4) AS df
+         FROM d3""",
 
     // r18: inclusive ECDF cross-difference, integer numerator extremum
     "r18_ks_test" ->

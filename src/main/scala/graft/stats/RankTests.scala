@@ -102,6 +102,59 @@ object RankTests {
         ((n + lit(1.0)) - t.cast("double") / (n * (n - lit(1.0)))) / lit(12.0))
   }
 
+  /** Brunner–Munzel test — the two-sample rank test that stays valid when
+    * the groups have DIFFERENT variances/shapes (where [[mannWhitneyDF]]'s
+    * null requires equal distributions beyond location; BM is the
+    * recommended replacement in the biostat literature). Estimates
+    * `p̂ = P(A < B) + ½P(A = B)` with a studentized statistic and
+    * Satterthwaite df.
+    *
+    * Exactness: the corpus reduces to the same value-level count frame +
+    * sharded exclusive prefixes as MW, and every rank moment is INTEGER:
+    * with DOUBLED midranks, a group-A row at value v has doubled global
+    * midrank `2(cuma+cumb) + (na+nb) + 1` and doubled placement
+    * (global − within-group) `2·cumb + nb` — constants per cell, so the
+    * group sums Σr, Σd, Σd² fold in ONE aggregate (squares ride
+    * DECIMAL(38,0): Σd² ≤ 4N³ overflows LONG at ~10⁶ rows). The
+    * statistic/df/p̂ are fixed double trees over eight exact sums —
+    * bit-replayable.
+    *
+    * One row `(n_a, n_b, p_hat, w_bm, df)`: `w_bm` positive when B is
+    * stochastically LARGER; `df` is the Satterthwaite approximation
+    * (compare |w_bm| to a t critical at that df). Degenerate one-group
+    * input yields NULLs (division by zero group size). */
+  def brunnerMunzelDF(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+    val pref = withExclusivePrefix(valueCounts(df, valueCol, isA))
+    val d2a = lit(2L) * col("cumb") + col("nb")
+    val d2b = lit(2L) * col("cuma") + col("na")
+    val r2 = lit(2L) * (col("cuma") + col("cumb")) +
+      (col("na") + col("nb")) + lit(1L)
+    val agg = pref.agg(
+      sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+      sum(col("na") * r2).as("sr2a"), sum(col("nb") * r2).as("sr2b"),
+      sum(col("na") * d2a).as("s2a"), sum(col("nb") * d2b).as("s2b"),
+      sum(col("na").cast("decimal(38,0)") * d2a * d2a).as("q4a0"),
+      sum(col("nb").cast("decimal(38,0)") * d2b * d2b).as("q4b0"))
+    val n1 = col("n_a").cast("double"); val n2 = col("n_b").cast("double")
+    val m2a = col("sr2a").cast("double") / n1
+    val m2b = col("sr2b").cast("double") / n2
+    val c1 = (m2a - (n1 + lit(1.0))) / lit(2.0)
+    val c2 = (m2b - (n2 + lit(1.0))) / lit(2.0)
+    val v1 = (col("q4a0").cast("double") / lit(4.0) -
+      c1 * col("s2a").cast("double") + n1 * c1 * c1) / (n1 - lit(1.0))
+    val v2 = (col("q4b0").cast("double") / lit(4.0) -
+      c2 * col("s2b").cast("double") + n2 * c2 * c2) / (n2 - lit(1.0))
+    val pooled = n1 * v1 + n2 * v2
+    val w = n1 * n2 * ((m2b - m2a) / lit(2.0)) / (n1 + n2) / sqrt(pooled)
+    val dfree = pooled * pooled /
+      ((n1 * v1) * (n1 * v1) / (n1 - lit(1.0)) +
+        (n2 * v2) * (n2 * v2) / (n2 - lit(1.0)))
+    val phat = ((m2b - (n2 + lit(1.0))) / lit(2.0)) / n1
+    agg.select(col("n_a"), col("n_b"),
+      round(phat, 6).as("p_hat"), round(w, 6).as("w_bm"),
+      round(dfree, 4).as("df"))
+  }
+
   /** Kruskal–Wallis H (the k-group generalization of [[mannWhitneyDF]]):
     * one row per group, ordered by group key, carrying the group's size
     * `n_g` and DOUBLED rank sum `r2sum` (ties at average rank make every

@@ -222,6 +222,57 @@ class RankTestsSpec extends SparkSpec {
     assert(rt.find(_._1 == "a").get._4 == 6L)
   }
 
+  test("brunnerMunzelDF: the published lawstat pain-score example") {
+    // Brunner & Munzel (2000) example as shipped in R's
+    // lawstat::brunner.munzel.test docs: statistic 3.1375, df 17.683,
+    // estimate P(X<Y)+.5P(X=Y) = 0.788961
+    val x = Seq(1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 2, 4, 1, 1).map(_.toDouble)
+    val y = Seq(3, 3, 4, 3, 1, 2, 3, 1, 1, 5, 4).map(_.toDouble)
+    val df = (x.map((_, true)) ++ y.map((_, false)))
+      .toDF("v", "a").repartition(5)
+    val r = RankTests.brunnerMunzelDF(df, "v", col("a")).head()
+    assert(r.getLong(0) == 14L && r.getLong(1) == 11L)
+    assert(math.abs(r.getDouble(2) - 0.788961) < 1e-5, s"p_hat=${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 3.1375) < 1e-3, s"w_bm=${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4) - 17.683) < 1e-2, s"df=${r.getDouble(4)}")
+  }
+
+  test("brunnerMunzelDF: matches a direct rank fold on tied data, any layout") {
+    val data = (1 to 200).map { i =>
+      val a = i % 3 != 0
+      val v = (if (a) i % 7 else i % 9).toDouble
+      (v, a)
+    }
+    // independent direct implementation: explicit midranks over all rows
+    val all = data.map(_._1).sorted
+    def midrank(v: Double): Double = {
+      val below = all.count(_ < v); val eq = all.count(_ == v)
+      below + (eq + 1) / 2.0
+    }
+    def within(vs: Seq[Double])(v: Double): Double = {
+      val below = vs.count(_ < v); val eq = vs.count(_ == v)
+      below + (eq + 1) / 2.0
+    }
+    val xs = data.filter(_._2).map(_._1); val ys = data.filterNot(_._2).map(_._1)
+    val (n1, n2) = (xs.size.toDouble, ys.size.toDouble)
+    val r1 = xs.map(midrank); val r2 = ys.map(midrank)
+    val (m1, m2) = (r1.sum / n1, r2.sum / n2)
+    val d1 = xs.zip(r1).map { case (v, r) => r - within(xs)(v) }
+    val d2v = ys.zip(r2).map { case (v, r) => r - within(ys)(v) }
+    val v1 = d1.map(d => math.pow(d - (m1 - (n1 + 1) / 2), 2)).sum / (n1 - 1)
+    val v2 = d2v.map(d => math.pow(d - (m2 - (n2 + 1) / 2), 2)).sum / (n2 - 1)
+    val wExp = n1 * n2 * (m2 - m1) / (n1 + n2) / math.sqrt(n1 * v1 + n2 * v2)
+    val pExp = (m2 - (n2 + 1) / 2.0) / n1
+    def rd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(1, 8, 32).foreach { p =>
+      val r = RankTests.brunnerMunzelDF(
+        data.toDF("v", "a").repartition(p), "v", col("a")).head()
+      assert(math.abs(r.getDouble(2) - rd(pExp)) < 1e-9, s"p=$p p_hat")
+      assert(math.abs(r.getDouble(3) - rd(wExp)) < 1e-8, s"p=$p w_bm")
+    }
+  }
+
   test("moodMedianDF: hand case — global median, 2xk chi-square") {
     import org.apache.spark.sql.functions._
     // values 1..8 (cents): global interpolating median = 4.5; groups:
