@@ -635,6 +635,15 @@ object SparkEntry {
       graft.ops.Graph.pageRank(pairs, "id_a", "id_b", iters = 3)
     }),
 
+    // ---- dedup: per-edge neighborhood Jaccard over the near-dup graph
+    // (d21) — the bridge detector: Jaccard-0 edges chain unrelated
+    // clusters, high-Jaccard edges sit inside true dup cliques. ----------
+    "d21_node_jaccard" -> ((s, dir) => {
+      val pairs = Dedup.minHashMd5Pairs(Tables.spread(t(s, dir, "documents")),
+        "doc_id", "text", k = 8, n = 3, window = 25, minAgree = 4)
+      graft.ops.Graph.edgeJaccard(pairs, "id_a", "id_b")
+    }),
+
     // ---- dedup: SimHash md5 twin — cross-engine-verifiable variant of d3's
     // fingerprint (per-token md5 bits vote ±1), hash-matched ---------------
     "d9_simhash_md5" -> ((s, dir) => {
@@ -8632,6 +8641,54 @@ object SparkEntry {
                      ELSE 0.0 END AS clustering
          FROM deg d LEFT JOIN corner c ON c.id = d.id
          ORDER BY d.id""",
+
+    // d21: the d15 chain through e, then wedge-join common neighbors and
+    // the single Jaccard division per edge
+    "d21_node_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+                FROM toks),
+         exs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         ex AS (SELECT doc_id, md5(sg) AS h FROM exs),
+         sig AS (SELECT doc_id,
+                   min(substr(h, 1, 4)) AS m0, min(substr(h, 5, 4)) AS m1,
+                   min(substr(h, 9, 4)) AS m2, min(substr(h, 13, 4)) AS m3,
+                   min(substr(h, 17, 4)) AS m4, min(substr(h, 21, 4)) AS m5,
+                   min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
+                 FROM ex GROUP BY doc_id),
+         e AS (SELECT id_a AS a, id_b AS b FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    (a.m0=b.m0)::INT + (a.m1=b.m1)::INT + (a.m2=b.m2)::INT +
+                    (a.m3=b.m3)::INT + (a.m4=b.m4)::INT + (a.m5=b.m5)::INT +
+                    (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree
+             FROM sig a JOIN sig b
+               ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+           WHERE agree >= 4),
+         sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
+                 FROM sym GROUP BY a),
+         cmn AS (
+           SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS common
+           FROM e
+           JOIN sym n1 ON n1.a = e.a
+           JOIN sym n2 ON n2.a = e.b AND n2.b = n1.b
+           GROUP BY e.a, e.b)
+         SELECT e.a, e.b, da.degree AS deg_a, db.degree AS deg_b,
+                coalesce(c.common, 0) AS common,
+                CASE WHEN (da.degree - 1) + (db.degree - 1)
+                            - coalesce(c.common, 0) > 0
+                     THEN round(CAST(coalesce(c.common, 0) AS DOUBLE)
+                                / CAST((da.degree - 1) + (db.degree - 1)
+                                       - coalesce(c.common, 0) AS DOUBLE), 6)
+                END AS jaccard
+         FROM e
+         JOIN deg da ON da.id = e.a
+         JOIN deg db ON db.id = e.b
+         LEFT JOIN cmn c ON c.a = e.a AND c.b = e.b
+         ORDER BY e.a, e.b""",
 
     // d16: the d15 md5-MinHash chain, then 3 integer power iterations as
     // chained CTEs — LONG floor arithmetic is order-independent, so the

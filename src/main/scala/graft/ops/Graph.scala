@@ -53,6 +53,50 @@ object Graph {
       .orderBy(col("id"))
   }
 
+  /** Per-EDGE neighborhood Jaccard — the link-strength census of a
+    * similarity graph (the edge-level sibling of [[triangleStats]]'s
+    * node-level clustering): for each edge (a, b), how much of their
+    * neighborhoods overlap, `|N(a)∩N(b)| / |N(a)∪N(b)|` with the
+    * endpoints themselves excluded. High Jaccard edges sit inside
+    * cliques (true duplicate groups); Jaccard-0 edges are the
+    * false-positive BRIDGES that chain unrelated clusters together —
+    * the exact edges to cut before collapsing components.
+    *
+    * Exact integer arithmetic over joins: common neighbors enumerate as
+    * wedges (one adjacency join per endpoint, Σdeg² bounded — the
+    * standard triangle-listing cost), and the Jaccard is the single
+    * division `c / ((da−1) + (db−1) − c)`. The edge list is the bounded
+    * near-dup pair stream, never corpus-sized.
+    *
+    * Returns `(a, b, deg_a, deg_b, common, jaccard)` ordered by (a, b);
+    * NULL jaccard only when both endpoints are degree-1 (empty union). */
+  def edgeJaccard(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
+    val n1 = sym.select(col("a").as("ea"), col("b").as("n"))
+    val n2 = sym.select(col("a").as("eb"), col("b").as("n"))
+    val common = e
+      .join(n1, col("a") === col("ea"))
+      .join(n2, col("b") === col("eb") && n1("n") === n2("n"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    val denom = (col("deg_a") - lit(1L)) + (col("deg_b") - lit(1L)) -
+      col("common")
+    e.join(deg.select(col("id").as("a"), col("degree").as("deg_a")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("degree").as("deg_b")), Seq("b"))
+      .join(common, Seq("a", "b"), "left")
+      .withColumn("common", coalesce(col("common"), lit(0L)))
+      .select(col("a"), col("b"), col("deg_a"), col("deg_b"), col("common"),
+        when(denom > 0L,
+          round(col("common").cast("double") / denom.cast("double"), 6))
+          .as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Deterministic integer PageRank over the undirected simple graph of
     * `edges` (duplicates/self-loops drop) — centrality for the near-dup
     * pair graph: the highest-ranked node of a component is its natural

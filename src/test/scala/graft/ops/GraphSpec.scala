@@ -92,6 +92,25 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("edgeJaccard: clique edges score 1, bridges score 0, mixed is exact") {
+    // triangle {1,2,3} + pendant 4 on 1 + isolated edge {8,9}
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (8L, 9L))
+      .toDF("u", "v").repartition(3)
+    val r = Graph.edgeJaccard(edges, "u", "v").collect()
+      .map(row => ((row.getLong(0), row.getLong(1)),
+        (row.getLong(2), row.getLong(3), row.getLong(4),
+          Option(row.get(5)).map(_.asInstanceOf[Double])))).toMap
+    // (2,3): common {1}, union (2-1)+(2-1)-1 = 1 → inside the clique
+    assert(r((2L, 3L)) == ((2L, 2L, 1L, Some(1.0))))
+    // (1,2): N(1)\{2}={3,4}, N(2)\{1}={3} → 1 / 2
+    assert(r((1L, 2L)) == ((3L, 2L, 1L, Some(0.5))))
+    // (1,4): pendant — no shared neighborhood
+    assert(r((1L, 4L)) == ((3L, 1L, 0L, Some(0.0))))
+    // (8,9): both degree-1 → empty union, NULL by contract
+    assert(r((8L, 9L)) == ((1L, 1L, 0L, None)))
+    assert(r.size == 5)
+  }
+
   test("pageRank: K3 is symmetric and floor truncation is visible") {
     // K3: every node's contribution is r DIV 2; iter1:
     // r = 150000 + 85·(2·(1000000 DIV 2)) DIV 100 = 1000000 (exact here)
