@@ -1489,6 +1489,14 @@ object SparkEntry {
         year(col("o_orderdate")) <= 1995, binWidth = 50000.0)
     }),
 
+    // ---- monitoring: PSI drift matrix (q24) — q16 swept across order
+    // years vs the first year; period×bin grid, Laplace shares, every
+    // window PARTITIONED by period. ---------------------------------------
+    "q24_psi_drift" -> ((s, dir) => {
+      graft.ops.Profile.psiByPeriodDF(t(s, dir, "orders"), "o_totalprice",
+        year(to_date(col("o_orderdate"))), binWidth = 50000.0)
+    }),
+
     // ---- profiling: Pearson correlation matrix (q17) — every column
     // pair's exact decimal power sums in ONE aggregate pass, pairwise-
     // complete convention, one fixed double tree per pair. ---------------
@@ -11496,6 +11504,53 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
                   AS psi_running
          FROM t ORDER BY bin""",
+
+    // q24: the q16 Laplace trees swept per year against the min-year ref
+    // over the complete period×bin grid; chains partitioned by period
+    "q24_psi_drift" ->
+      """WITH base AS (
+           SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS period,
+                  CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL),
+         cells AS (
+           SELECT period, bin, CAST(count(*) AS BIGINT) AS c
+           FROM base GROUP BY 1, 2),
+         grid AS (
+           SELECT p.period, b.bin
+           FROM (SELECT DISTINCT period FROM cells) p,
+                (SELECT DISTINCT bin FROM cells) b),
+         f AS (
+           SELECT g.period, g.bin, coalesce(c.c, 0) AS c
+           FROM grid g LEFT JOIN cells c
+             ON c.period = g.period AND c.bin = g.bin),
+         rp AS (SELECT min(period) AS ref_period FROM cells),
+         rf AS (SELECT f.bin, f.c AS c_ref FROM f, rp
+                WHERE f.period = rp.ref_period),
+         st AS (
+           SELECT f.period, f.bin, f.c AS c_cur, r.c_ref,
+                  CAST(sum(f.c) OVER (PARTITION BY f.period) AS BIGINT)
+                    AS n_cur,
+                  CAST(sum(r.c_ref) OVER (PARTITION BY f.period) AS BIGINT)
+                    AS n_ref,
+                  CAST(count(*) OVER (PARTITION BY f.period) AS BIGINT) AS k
+           FROM f JOIN rf r ON r.bin = f.bin),
+         t AS (SELECT period, bin, c_ref, c_cur,
+                 ((CAST(c_ref AS DOUBLE) + 0.5)
+                    / (CAST(n_ref AS DOUBLE) + CAST(k AS DOUBLE) / 2.0)
+                  - (CAST(c_cur AS DOUBLE) + 0.5)
+                    / (CAST(n_cur AS DOUBLE) + CAST(k AS DOUBLE) / 2.0))
+                 * ln(((CAST(c_ref AS DOUBLE) + 0.5)
+                    / (CAST(n_ref AS DOUBLE) + CAST(k AS DOUBLE) / 2.0))
+                   / ((CAST(c_cur AS DOUBLE) + 0.5)
+                    / (CAST(n_cur AS DOUBLE) + CAST(k AS DOUBLE) / 2.0)))
+                   AS contrib
+               FROM st)
+         SELECT period, bin, c_ref, c_cur, round(contrib, 6) AS contrib,
+                round(sum(contrib) OVER (PARTITION BY period ORDER BY bin
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                  AS psi_running
+         FROM t ORDER BY period, bin""",
 
     // j10: the relational BETWEEN left join over the same literal dim —
     // non-overlap guarantees at most one match per point

@@ -152,6 +152,56 @@ object Profile {
       .orderBy(col("bin"))
   }
 
+  /** PSI drift MATRIX — [[psiDF]] swept across time: every period's
+    * distribution scored against the FIRST period's, the monitoring
+    * dashboard behind "did the input shift and when". The ref period's
+    * own row chain is the 0-PSI sanity anchor.
+    *
+    * Plan: one corpus groupBy to the (period, bin) cell frame, a
+    * dimension-sized period×bin GRID (deliberate broadcast cross of two
+    * tiny distinct frames — zero-cells must exist for bins one side
+    * lacks), the 1-row ref-period broadcast, then Laplace-smoothed
+    * shares and running chains with EVERY window partitioned by period —
+    * nothing global, the q15 stacked shape.
+    *
+    * Returns `(period, bin, c_ref, c_cur, contrib, psi_running)` ordered;
+    * the last bin's `psi_running` per period is that period's PSI. */
+  def psiByPeriodDF(df: DataFrame, valueCol: String, periodCol: Column,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val base = df.where(col(valueCol).isNotNull && periodCol.isNotNull)
+      .select(periodCol.cast("long").as("period"),
+        floor(col(valueCol) / binWidth).cast("long").as("bin"))
+    val cells = base.groupBy(col("period"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val grid = cells.select(col("period")).distinct()
+      .crossJoin(broadcast(cells.select(col("bin")).distinct()))
+    val full = grid.join(cells, Seq("period", "bin"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val refP = cells.agg(min(col("period")).as("ref_period"))
+    val rf = full.crossJoin(broadcast(refP))
+      .where(col("period") === col("ref_period"))
+      .select(col("bin"), col("c").as("c_ref"))
+    val perW = Window.partitionBy(col("period"))
+    val runW = Window.partitionBy(col("period")).orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val st = full.join(broadcast(rf), Seq("bin"))
+      .select(col("period"), col("bin"), col("c").as("c_cur"), col("c_ref"),
+        sum(col("c")).over(perW).as("n_cur"),
+        sum(col("c_ref")).over(perW).as("n_ref"),
+        count(lit(1)).over(perW).as("k"))
+    val p = (col("c_ref").cast("double") + lit(0.5)) /
+      (col("n_ref").cast("double") + col("k").cast("double") / lit(2.0))
+    val q = (col("c_cur").cast("double") + lit(0.5)) /
+      (col("n_cur").cast("double") + col("k").cast("double") / lit(2.0))
+    st.withColumn("contrib", (p - q) * log(p / q))
+      .withColumn("psi_running", sum(col("contrib")).over(runW))
+      .select(col("period"), col("bin"), col("c_ref"), col("c_cur"),
+        round(col("contrib"), 6).as("contrib"),
+        round(col("psi_running"), 6).as("psi_running"))
+      .orderBy(col("period"), col("bin"))
+  }
+
   /** Pearson correlation matrix over every unordered pair of numeric
     * `cols` in ONE aggregate pass — the feature-EDA census before model
     * fitting. Pairwise-complete convention: each pair's sums are over

@@ -91,7 +91,10 @@ class PlanAuditSpec extends SparkSpec {
     "m20_woe_iv",
     // r73: the k(k-1)/2 inequality self-join on the 5-row priority cell
     // frame (the r40 triangular shape)
-    "r73_pairwise_welch")
+    "r73_pairwise_welch",
+    // q24: the dimension-sized period×bin grid cross + the 1-row
+    // ref-period broadcast
+    "q24_psi_drift")
 
   // single source of truth: graft.tools.PlanAudit.deliberateGlobalWindows
   // (Bench.windowWarnWhitelist derives from the SAME registry, so the

@@ -113,6 +113,24 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(rShift.last.getDouble(4) - psi) < 1e-5)
   }
 
+  test("psiByPeriodDF: ref period chains to exactly 0, drifted periods rise") {
+    // period 1 = ref; period 2 identical distribution; period 3 shifted
+    val rows = (1 to 300).flatMap { i =>
+      val v = (i % 10) * 10.0
+      Seq((1L, v), (2L, v), (3L, v + 30.0))
+    }
+    val r = Profile.psiByPeriodDF(rows.toDF("p", "v").repartition(7), "v",
+      functions.col("p"), 10.0).collect()
+    val lastPer = r.groupBy(_.getLong(0)).view
+      .mapValues(_.maxBy(_.getLong(1)).getDouble(5)).toMap
+    assert(lastPer(1L) == 0.0, "self-drift must chain to exact 0")
+    assert(math.abs(lastPer(2L)) < 1e-9, "identical period ≈ 0")
+    assert(lastPer(3L) > 0.5, s"shifted period must score, got ${lastPer(3L)}")
+    // the grid is complete: every period carries every bin
+    val binsPerPeriod = r.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(binsPerPeriod.values.toSet.size == 1)
+  }
+
   test("corrMatrix: driver replay, perfect/anti correlation, pairwise NULLs") {
     val rng = new scala.util.Random(37)
     val rows = Seq.fill(400) {
