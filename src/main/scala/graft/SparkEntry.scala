@@ -2298,6 +2298,45 @@ object SparkEntry {
         .withColumn("tree_depth", lit(graft.ml.TreeScorer.depth(spec)))
     }),
 
+    // ---- ML: learning curve (m21) — the "is more data still helping?"
+    // readout: the m4 tree refit on md5-gated 25/50/100% slices of the
+    // train fold, each scored on the SAME held-out fold; three exported
+    // trees replay relationally per fraction. -----------------------------
+    "m21_learning_curve" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
+          .cast("double").as("label"),
+        col("o_totalprice"),
+        (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
+        year(col("o_orderdate")).cast("double").as("order_year"),
+        col("o_orderkey"))
+      val h1 = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+      val h2 = substring(md5(col("o_orderkey").cast("string")), 2, 1)
+      val isTest = h1 < lit("5")
+      val fractions = Seq((25, h2 < lit("4")), (50, h2 < lit("8")),
+        (100, lit(true)))
+      val fits = fractions.map { case (pct, gate) =>
+        (pct, gate, graft.ml.CohortClassifier.fitTreeSpec(
+          o.where(!isTest && gate),
+          Seq("o_totalprice", "is_urgent", "order_year"), "label",
+          maxDepth = 4))
+      }
+      m21CurveSpecs = Some(fits.map { case (pct, _, spec) => (pct, spec) })
+      fits.map { case (pct, gate, spec) =>
+        val nTrain = o.where(!isTest && gate)
+          .agg(count(lit(1)).as("n_train"))
+        o.where(isTest)
+          .withColumn("score", graft.ml.TreeScorer.compile(spec))
+          .agg(count(lit(1)).as("n_test"),
+            round(sum(((col("score") >= 0.5) === (col("label") === 1.0))
+              .cast("long")).cast("double") / count(lit(1)), 6).as("accuracy"))
+          .withColumn("tree_depth", lit(graft.ml.TreeScorer.depth(spec)))
+          .crossJoin(broadcast(nTrain))
+          .select(lit(pct).as("pct"), col("n_train"), col("n_test"),
+            col("accuracy"), col("tree_depth"))
+      }.reduce(_ unionAll _).orderBy(col("pct"))
+    }),
+
     // ---- ML: lift/gains chart (m7) — the model-evaluation frame a
     // targeting pipeline reads: the m4 cohort's fitted tree scores the
     // test split, scores reduce to leaf-level cells, and cumulative
@@ -5121,6 +5160,46 @@ object SparkEntry {
          FROM s"""
   }.toMap
 
+  /** m21's per-fraction fitted trees — the m4 runtime-oracle contract,
+    * once per learning-curve slice. */
+  @volatile private var m21CurveSpecs:
+    Option[Seq[(Int, graft.ml.TreeScorer.TreeSpec)]] = None
+
+  private def m21OracleEntry: Map[String, String] = m21CurveSpecs.map { specs =>
+    val rows = specs.map { case (pct, spec) =>
+      val gate = pct match {
+        case 25 => "AND substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1) < '4'"
+        case 50 => "AND substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1) < '8'"
+        case _ => ""
+      }
+      s"""SELECT $pct AS pct,
+                (SELECT CAST(count(*) AS BIGINT) FROM base
+                 WHERE NOT (substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '5')
+                   $gate) AS n_train,
+                CAST(count(*) AS BIGINT) AS n_test,
+                round(CAST(sum(CASE WHEN (CASE WHEN ${graft.ml.TreeScorer.toSql(spec)} >= 0.5
+                                          THEN 1.0 ELSE 0.0 END) = label
+                                    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+                  AS accuracy,
+                ${graft.ml.TreeScorer.depth(spec)} AS tree_depth
+         FROM base
+         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '5'"""
+    }.mkString("\n           UNION ALL\n           ")
+    "m21_learning_curve" ->
+      s"""WITH base AS (
+           SELECT CASE WHEN (o_totalprice > 250000) != (o_orderpriority = '1-URGENT')
+                       THEN 1.0 ELSE 0.0 END AS label,
+                  o_totalprice,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END
+                    AS is_urgent,
+                  CAST(year(o_orderdate) AS DOUBLE) AS order_year,
+                  o_orderkey
+           FROM orders)
+         SELECT * FROM (
+           $rows)
+         ORDER BY pct"""
+  }.toMap
+
   /** The r37 IRLS fit, exported in this process — same runtime-oracle
     * contract as [[m4FittedSpec]]: β as Double.toString literals, the
     * identical explicit linear chain on both sides. */
@@ -6052,6 +6131,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
+    m21OracleEntry ++
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
     m13OracleEntry ++ m14OracleEntry ++ m15OracleEntry ++ m19OracleEntry ++
       r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++ r72OracleEntry ++

@@ -76,7 +76,9 @@ object PlanAudit {
   val runtimeOnlyWindowWarns: Set[String] = Set(
     "r8_roc_empirical", "r9_fdr_distributed", "r11_sabha_distributed",
     "r14_tv_projection", "r15_fdr_family", "m1_decision_tree",
-    "m2_bayes_tune", "m4_fit_score", "m5_tune_score", "m16_isotonic")
+    "m2_bayes_tune", "m4_fit_score", "m5_tune_score", "m16_isotonic",
+    // m21: three m4-shaped tree-fit sub-jobs (one per curve slice)
+    "m21_learning_curve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

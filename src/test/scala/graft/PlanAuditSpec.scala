@@ -94,7 +94,9 @@ class PlanAuditSpec extends SparkSpec {
     "r73_pairwise_welch",
     // q24: the dimension-sized period×bin grid cross + the 1-row
     // ref-period broadcast
-    "q24_psi_drift")
+    "q24_psi_drift",
+    // m21: three 1-row n_train broadcasts (the j1 shape, one per slice)
+    "m21_learning_curve")
 
   // single source of truth: graft.tools.PlanAudit.deliberateGlobalWindows
   // (Bench.windowWarnWhitelist derives from the SAME registry, so the
