@@ -726,6 +726,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- ANN: FILTERED vector search (n23) — the production "where
+    // label = X" ANN query: the metadata predicate applies BEFORE the
+    // probe ranks (exact filtered semantics, no post-filter recall hole),
+    // pushed to the corpus scan; same partition-pruned IVF chain as n5. --
+    "n23_filtered_ann" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+      val corpus = emb.where(col("label") % 2 === 0)
+      val assigned = Embeddings.assignFixedCentroids(corpus, "embedding",
+        ivfFixedCentroids)
+      Embeddings.ivfTopK(assigned, "vec_id", "embedding",
+          emb.where(col("vec_id") < 8), "vec_id", "embedding",
+          ivfFixedCentroids, nProbe = 3, k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- ANN: recall@k / MRR evaluation harness (n12) — the exact
     // brute-force ranks as ground truth, the n5 IVF probe as the index
     // under test, per-query recall and reciprocal-rank-of-true-NN; both
@@ -7651,6 +7668,40 @@ object SparkEntry {
                     ORDER BY list_dot_product(uvec, cvec) DESC, cid) AS rn
            FROM u CROSS JOIN cents),
          assigned AS (SELECT vec_id, uvec, cid AS centroid_id FROM ca WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, uvec AS qu, cid AS centroid_id
+                    FROM ca WHERE vec_id < 8 AND rn <= 3),
+         scored AS (
+           SELECT p.query_id, a.vec_id AS corpus_id,
+                  list_dot_product(a.uvec, p.qu) AS cos
+           FROM assigned a JOIN probes p USING (centroid_id)
+           WHERE a.vec_id != p.query_id),
+         ranked AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS "rank"
+           FROM scored)
+         SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 5
+         ORDER BY query_id, "rank"""",
+
+    // n23: the n5 chain with the label predicate on the CORPUS side of
+    // the probe join (queries stay unfiltered)
+    "n23_filtered_ann" ->
+      s"""WITH cents AS (
+           SELECT * FROM (VALUES $ivfCentroidValues) t(cid, cvec)),
+         uv AS (
+           SELECT vec_id, label,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nr AS (SELECT vec_id, label, v,
+                  sqrt(list_dot_product(v, v)) AS nrm FROM uv),
+         u AS (SELECT vec_id, label, list_transform(v, x -> x / nrm) AS uvec
+               FROM nr WHERE nrm > 0),
+         ca AS (
+           SELECT vec_id, label, uvec, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY list_dot_product(uvec, cvec) DESC, cid) AS rn
+           FROM u CROSS JOIN cents),
+         assigned AS (SELECT vec_id, uvec, cid AS centroid_id FROM ca
+                      WHERE rn = 1 AND label % 2 = 0),
          probes AS (SELECT vec_id AS query_id, uvec AS qu, cid AS centroid_id
                     FROM ca WHERE vec_id < 8 AND rn <= 3),
          scored AS (
