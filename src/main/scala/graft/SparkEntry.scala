@@ -2124,6 +2124,26 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // ---- multimodal ViT patchify (x8): 16×16 PNGs → 4×4 grid of 4×4
+    // tiles, each re-encoded as its own PNG token and RE-DECODED through
+    // the real codec for its mean — decode→patchify→encode→decode
+    // certified in-band; payloads stay partition-local. -------------------
+    "x8_patch_grid" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = Tables.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          Multimodal.MediaRow(id, "image", Multimodal.textToPngPayload(text),
+            Multimodal.MediaMeta("png", 16, 16, 3, 0L))
+        }
+      val patches = Multimodal.patchGrid(media, patch = 4)
+      Multimodal.extractImageFeatures(patches, dim = 1)
+        .select(col("media_id"), col("width"), col("height"),
+          round(element_at(col("embedding"), 1).cast("double"), 4).as("e0"))
+        .orderBy(col("media_id"))
+    }),
+
     // ---- multimodal video (x3): deterministic 4-frame PNG containers
     // built from document text chunks, stride-sampled at 2 of 4 frames
     // (duration 4000 ms, every 2000 ms → frames 0 and 2), each sampled
@@ -12342,6 +12362,26 @@ object SparkEntry {
                  rpad(regexp_replace(text, '[^ -~]', '', 'g'), 256, ' ') AS padded
                FROM documents)
          ORDER BY media_id""",
+
+    // x8: each 4×4 tile's mean replayed straight from the padded char
+    // codes — pixel (4pr + k/4, 4pc + k%4) is 1-based char 64pr +
+    // 16(k/4) + 4pc + k%4 + 1
+    "x8_patch_grid" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  rpad(regexp_replace(text, '[^ -~]', '', 'g'), 256, ' ')
+                    AS padded
+           FROM documents),
+         g AS (
+           SELECT doc_id, padded, pr.i AS patch_row, pc.i AS patch_col
+           FROM p, range(0, 4) pr(i), range(0, 4) pc(i))
+         SELECT doc_id * 100 + patch_row * 10 + patch_col AS media_id,
+                4 AS width, 4 AS height,
+                round(list_sum(list_transform(range(0, 16),
+                  k -> unicode(substr(padded,
+                    CAST(patch_row * 64 + (k // 4) * 16 + patch_col * 4
+                         + (k % 4) + 1 AS INT), 1)))) / 16.0, 4) AS e0
+         FROM g ORDER BY media_id""",
 
     // x3: the stride-sampled frames replayed — sample 0 reads chunk 0
     // (chars 1-256), sample 1 reads chunk 2 (chars 513-768) of the padded

@@ -425,6 +425,39 @@ object Multimodal {
     }
   }
 
+  /** ViT-style PATCHIFY: decode → split into p×p-pixel tiles in row-major
+    * grid order → re-encode every tile as its own lossless PNG MediaRow
+    * (composite id `parent·100 + row·10 + col` — grids up to 10×10). The
+    * downstream contract is the ViT ingestion shape: a patch-token stream
+    * whose payloads are independently decodable, so embedding/masking
+    * stages shard over patches, not images. Tiles are drawn into fresh
+    * buffers (a subimage VIEW shares the parent raster — encoding views
+    * drags the whole image through every tile). Partition-local map, no
+    * shuffle; undecodable parents drop (corrupt media is filtered, not
+    * fatal); edge remainders smaller than p are cropped away (the ViT
+    * convention). */
+  def patchGrid(media: Dataset[MediaRow], patch: Int): Dataset[MediaRow] = {
+    require(patch >= 1, s"patch must be positive, got $patch")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      Codecs.decodeImage(m.payload).iterator.flatMap { img =>
+        val rows = img.getHeight / patch; val cols = img.getWidth / patch
+        require(rows <= 10 && cols <= 10,
+          s"composite patch ids support grids up to 10x10, got ${rows}x$cols")
+        for (pr <- 0 until rows; pc <- 0 until cols) yield {
+          val tile = new BufferedImage(patch, patch, BufferedImage.TYPE_INT_RGB)
+          val g = tile.createGraphics()
+          try g.drawImage(img.getSubimage(pc * patch, pr * patch, patch, patch),
+            0, 0, null)
+          finally g.dispose()
+          MediaRow(m.media_id * 100L + pr * 10L + pc, "image",
+            Codecs.encodePng(tile),
+            MediaMeta("png", patch, patch, m.meta.channels, 0L))
+        }
+      }
+    })
+  }
+
   /** Resize pass: decode → nearest-neighbor downscale so the longest edge is
     * ≤ maxDim → re-encode PNG. Payload-in payload-out, partition-local, no
     * shuffle. Rows that don't decode, or already fit, pass through
