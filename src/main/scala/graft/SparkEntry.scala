@@ -4322,6 +4322,14 @@ object SparkEntry {
         "event_type", "ts", season = 7)
     }),
 
+    // ---- §2.8 Ljung–Box whiteness test (r75) — joint autocorrelation
+    // over e18's first 6 hourly lags, full-precision ρ, Q chain
+    // PARTITIONED by event type. ------------------------------------------
+    "r75_ljung_box" -> ((s, dir) => {
+      graft.ops.Resample.ljungBoxDF(Tables.events(s, dir),
+        "event_type", "ts", "hour", maxLag = 6)
+    }),
+
     // ---- §2.8 Wald–Wolfowitz runs test per event type (r46) — sign runs
     // around the q18-machinery exact median, integer (n1, n2, R), one
     // fixed z tree. ------------------------------------------------------
@@ -11514,6 +11522,49 @@ object SparkEntry {
                      ELSE 0.0 END AS acf
          FROM num JOIN den USING (key)
          ORDER BY key, lag"""
+    },
+
+    // r75: the e18 moment chain kept at FULL precision, then the
+    // ρ²/(n−k) chain per key
+    "r75_ljung_box" -> {
+      val arms = (1 to 6).map(k =>
+        s"""SELECT key, n, $k AS lag, m,
+              lead(m, $k) OVER (PARTITION BY key ORDER BY b) AS ml
+            FROM mm""").mkString("\n           UNION ALL\n           ")
+      s"""WITH counts AS (
+           SELECT event_type AS key,
+                  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS b,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         mf AS (
+           SELECT key, b, c,
+                  CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS n,
+                  CAST(sum(c) OVER (PARTITION BY key) AS BIGINT) AS s
+           FROM counts),
+         mm AS (SELECT key, b, n, n * c - s AS m FROM mf),
+         lagged AS (
+           $arms),
+         num AS (
+           SELECT key, CAST(lag AS BIGINT) AS lag, n,
+                  sum(CAST(m AS HUGEINT) * ml) AS num
+           FROM lagged WHERE ml IS NOT NULL GROUP BY 1, 2, 3),
+         den AS (
+           SELECT key, sum(CAST(m AS HUGEINT) * m) AS den FROM mm GROUP BY 1),
+         r AS (
+           SELECT key, lag, n,
+                  CASE WHEN den > 0
+                       THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                       ELSE 0.0 END AS rho
+           FROM num JOIN den USING (key))
+         SELECT key, lag, n AS n_buckets, round(rho, 6) AS acf,
+                round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+                      * sum(rho * rho / CAST(n - lag AS DOUBLE))
+                        OVER (PARTITION BY key ORDER BY lag
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  6) AS q_run
+         FROM r ORDER BY key, lag"""
     },
 
     // q13: identical digit extraction (decimal-string, no log10), the

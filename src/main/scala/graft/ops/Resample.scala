@@ -191,6 +191,63 @@ object Resample {
       .orderBy(col("key"), col("lag"))
   }
 
+  /** Ljung–Box portmanteau test — "is there ANY autocorrelation in the
+    * first K lags?", the whiteness check run before trusting [[acfCounts]]
+    * lags individually (K near-zero lags can still jointly reject).
+    * `Q_K = n(n+2)·Σ_{k≤K} ρ_k²/(n−k)`, χ²(K) under the null.
+    *
+    * Exactness: the centered products ride the same integer-scaled
+    * moments as [[acfCounts]] (m = n·c − S per bucket, HUGEINT/decimal
+    * sums), each ρ_k is ONE integer→double division at FULL precision
+    * (the rounded acf is re-derived for display only), and the Q chain
+    * runs in lag order PARTITIONED by key — the q15 stacked shape, no
+    * global window.
+    *
+    * One row per (key, lag) ordered: `(key, lag, n_buckets, acf, q_run)`
+    * — the lag-K row's `q_run` is Q_K. */
+  def ljungBoxDF(df: DataFrame, keyCol: String, tsCol: String,
+      truncUnit: String = "hour", maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"maxLag must be in [1,64], got $maxLag")
+    val counts = df.where(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol).as("key"),
+        date_trunc(truncUnit, col(tsCol)).as("bucket_ts"))
+      .agg(count(lit(1)).as("c"))
+    val kw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+    val ow = kw.orderBy(col("bucket_ts").asc)
+    val m = counts
+      .withColumn("n", count(lit(1)).over(kw))
+      .withColumn("s", sum(col("c")).over(kw))
+      .withColumn("m", col("n") * col("c") - col("s"))
+    val withLeads = (1 to maxLag).foldLeft(m) { (d, k) =>
+      d.withColumn(s"__l$k", lead(col("m"), k).over(ow))
+    }
+    val prods = withLeads.select(col("key"), col("n"), col("m"),
+      explode(array((1 to maxLag).map(k =>
+        struct(lit(k).as("lag"), col(s"__l$k").as("ml"))): _*)).as("p"))
+      .select(col("key"), col("n"), col("m"), col("p.lag"), col("p.ml"))
+    val den = m.groupBy(col("key"))
+      .agg(sum(col("m").cast("decimal(19,0)") * col("m")).as("den"))
+    val j = prods.where(col("ml").isNotNull)
+      .groupBy(col("key"), col("lag"), col("n"))
+      .agg(sum(col("m").cast("decimal(19,0)") * col("ml")).as("num"))
+      .join(den, "key")
+    val rho = when(col("den") > 0,
+      col("num").cast("double") / col("den").cast("double")).otherwise(lit(0.0))
+    val nD = col("n").cast("double")
+    val term = rho * rho / (col("n") - col("lag")).cast("double")
+    val runW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("lag").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    j.withColumn("__term", term)
+      .withColumn("q_run", nD * (nD + lit(2.0)) * sum(col("__term")).over(runW))
+      .select(col("key"), col("lag").cast("long").as("lag"),
+        col("n").as("n_buckets"), round(rho, 6).as("acf"),
+        round(col("q_run"), 6).as("q_run"))
+      .orderBy(col("key"), col("lag"))
+  }
+
   /** Gaps-and-islands: maximal runs of CONSECUTIVE time buckets per key
     * — uptime/outage segmentation, session-like activity spans on
     * bucketed data. The classic relational trick: bucket index minus the

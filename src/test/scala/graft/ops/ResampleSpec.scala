@@ -259,6 +259,29 @@ class ResampleSpec extends SparkSpec {
     assert(r.size == 7)
   }
 
+  test("ljungBoxDF: matches a direct ACF fold; alternating series rejects") {
+    import java.sql.Timestamp
+    // hourly counts [5,1,5,1,...] for 12 hours — strong lag-1 structure
+    val cs = Seq(5, 1, 5, 1, 5, 1, 5, 1, 5, 1, 5, 1)
+    val rows = cs.zipWithIndex.flatMap { case (c, h) =>
+      Seq.fill(c)(("p", Timestamp.valueOf(f"2024-03-01 $h%02d:30:00")))
+    }
+    val r = Resample.ljungBoxDF(rows.toDF("k", "t").repartition(4),
+      "k", "t", "hour", maxLag = 3).collect()
+    assert(r.length == 3)
+    // direct fold over the same counts
+    val n = cs.length; val s = cs.sum
+    val m = cs.map(c => n.toLong * c - s)
+    val den = m.map(x => x.toDouble * x).sum
+    def rho(k: Int) =
+      m.dropRight(k).zip(m.drop(k)).map { case (a, b) => a.toDouble * b }.sum / den
+    val q3 = n * (n + 2.0) *
+      (1 to 3).map(k => rho(k) * rho(k) / (n - k)).sum
+    assert(math.abs(r.last.getDouble(4) - q3) < 1e-4, s"q_run=${r.last.getDouble(4)} vs $q3")
+    assert(math.abs(r.head.getDouble(3) - rho(1)) < 1e-5, "acf lag 1")
+    assert(r.last.getDouble(4) > 7.81, "alternating series must reject χ²(3)")
+  }
+
   test("seasonalNaiveBacktest: hand case — linear ramp scores 7 vs 1") {
     import java.sql.Timestamp
     // day d (1..10) carries d events: lag-7 error is 7/day, lag-1 is 1/day
