@@ -2374,6 +2374,54 @@ object SparkEntry {
       }.reduce(_ unionAll _).orderBy(col("pct"))
     }),
 
+    // ---- ML: permutation feature importance (m22) — accuracy drop when
+    // one feature's values are deterministically PERMUTED among test rows
+    // (cyclic shift within md5 buckets: a real permutation, no RNG, all
+    // windows partitioned); the m4 tree scores original vs broken. -------
+    "m22_perm_importance" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").select(
+        ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
+          .cast("double").as("label"),
+        col("o_totalprice"),
+        (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
+        year(col("o_orderdate")).cast("double").as("order_year"),
+        col("o_orderkey"))
+      val h1 = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+      val isTest = h1 < lit("5")
+      val feats = Seq("o_totalprice", "is_urgent", "order_year")
+      val spec = graft.ml.CohortClassifier.fitTreeSpec(
+        o.where(!isTest), feats, "label", maxDepth = 4)
+      m22PermSpec = Some(spec)
+      val test = o.where(isTest)
+        .withColumn("__h", md5(col("o_orderkey").cast("string")))
+        .withColumn("__bkt", substring(col("__h"), 2, 1))
+      val wOrd = Window.partitionBy(col("__bkt"))
+        .orderBy(col("__h").asc, col("o_orderkey").asc)
+      val wAll = Window.partitionBy(col("__bkt"))
+        .orderBy(col("__h").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      def acc(df: DataFrame): Column =
+        round(sum(((col("score") >= 0.5) === (col("label") === 1.0))
+          .cast("long")).cast("double") / count(lit(1)), 6)
+      val base = test.withColumn("score", graft.ml.TreeScorer.compile(spec))
+        .agg(count(lit(1)).as("n_test"),
+          acc(test).as("accuracy_base"))
+      val arms = feats.map { f =>
+        val shifted = coalesce(lead(col(f), 1).over(wOrd),
+          first(col(f)).over(wAll))
+        test.withColumn(f, shifted)
+          .withColumn("score", graft.ml.TreeScorer.compile(spec))
+          .agg(acc(test).as("accuracy_perm"))
+          .select(lit(f).as("feature"), col("accuracy_perm"))
+      }.reduce(_ unionAll _)
+      arms.crossJoin(broadcast(base))
+        .select(col("feature"), col("n_test"), col("accuracy_base"),
+          col("accuracy_perm"),
+          round(col("accuracy_base") - col("accuracy_perm"), 6).as("importance"))
+        .orderBy(col("feature"))
+    }),
+
     // ---- ML: lift/gains chart (m7) — the model-evaluation frame a
     // targeting pipeline reads: the m4 cohort's fitted tree scores the
     // test split, scores reduce to leaf-level cells, and cumulative
@@ -5245,6 +5293,54 @@ object SparkEntry {
          ORDER BY pct"""
   }.toMap
 
+  /** m22's fitted tree — the m4 contract; the replay re-runs the same
+    * md5-bucket cyclic shifts and scores with the tree as literals. */
+  @volatile private var m22PermSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
+
+  private def m22OracleEntry: Map[String, String] = m22PermSpec.map { spec =>
+    val feats = Seq("o_totalprice", "is_urgent", "order_year")
+    val accSql = s"""round(CAST(sum(CASE WHEN (CASE WHEN ${graft.ml.TreeScorer.toSql(spec)} >= 0.5
+                                    THEN 1.0 ELSE 0.0 END) = label
+                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)"""
+    val arms = feats.map { f =>
+      val cols = feats.map { g =>
+        if (g == f)
+          s"""coalesce(lead($g, 1) OVER (PARTITION BY bkt ORDER BY h, o_orderkey),
+                first_value($g) OVER (PARTITION BY bkt ORDER BY h, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+              AS $g"""
+        else g
+      }.mkString(",\n                  ")
+      s"""SELECT '$f' AS feature, accuracy_perm FROM (
+            SELECT $accSql AS accuracy_perm FROM (
+              SELECT label,
+                  $cols
+              FROM base))"""
+    }.mkString("\n           UNION ALL\n           ")
+    "m22_perm_importance" ->
+      s"""WITH base AS (
+           SELECT CASE WHEN (o_totalprice > 250000) != (o_orderpriority = '1-URGENT')
+                       THEN 1.0 ELSE 0.0 END AS label,
+                  o_totalprice,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END
+                    AS is_urgent,
+                  CAST(year(o_orderdate) AS DOUBLE) AS order_year,
+                  o_orderkey,
+                  md5(CAST(o_orderkey AS VARCHAR)) AS h,
+                  substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1) AS bkt
+           FROM orders
+           WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '5'),
+         b0 AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_test,
+                  $accSql AS accuracy_base
+           FROM base),
+         arms AS (
+           $arms)
+         SELECT feature, n_test, accuracy_base, accuracy_perm,
+                round(accuracy_base - accuracy_perm, 6) AS importance
+         FROM arms, b0 ORDER BY feature"""
+  }.toMap
+
   /** The r37 IRLS fit, exported in this process — same runtime-oracle
     * contract as [[m4FittedSpec]]: β as Double.toString literals, the
     * identical explicit linear chain on both sides. */
@@ -6176,7 +6272,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
-    m21OracleEntry ++
+    m21OracleEntry ++ m22OracleEntry ++
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
     m13OracleEntry ++ m14OracleEntry ++ m15OracleEntry ++ m19OracleEntry ++
       r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++ r72OracleEntry ++

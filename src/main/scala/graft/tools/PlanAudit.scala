@@ -78,7 +78,9 @@ object PlanAudit {
     "r14_tv_projection", "r15_fdr_family", "m1_decision_tree",
     "m2_bayes_tune", "m4_fit_score", "m5_tune_score", "m16_isotonic",
     // m21: three m4-shaped tree-fit sub-jobs (one per curve slice)
-    "m21_learning_curve")
+    "m21_learning_curve",
+    // m22: one m4-shaped tree-fit sub-job behind the permutation arms
+    "m22_perm_importance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
