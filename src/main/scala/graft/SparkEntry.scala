@@ -635,6 +635,34 @@ object SparkEntry {
       graft.ops.Graph.pageRank(pairs, "id_a", "id_b", iters = 3)
     }),
 
+    // ---- dedup: LSH threshold calibration sweep (d22) — candidate count
+    // and edit-verified precision at every agreement cutoff (the tuning
+    // table behind "why minAgree=4"): one candidate pass at minAgree=1,
+    // one bounded verify, reverse cumulative chain over the ≤8-row agree
+    // frame. ---------------------------------------------------------------
+    "d22_lsh_threshold_sweep" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.spread(t(s, dir, "documents"))
+      val cand = Dedup.minHashMd5Pairs(docs, "doc_id", "text",
+        k = 8, n = 3, window = 25, minAgree = 1)
+      val txt = docs.select(col("doc_id"), col("text"))
+      val verified = cand
+        .join(txt.select(col("doc_id").as("id_a"), col("text").as("__ta")), "id_a")
+        .join(txt.select(col("doc_id").as("id_b"), col("text").as("__tb")), "id_b")
+        .withColumn("ok", levenshtein(col("__ta"), col("__tb"), 64) >= 0)
+      val runW = Window.partitionBy().orderBy(col("agree").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      verified.groupBy(col("agree"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("ok").cast("long")).as("n_true"))
+        .withColumn("n_ge", sum(col("n_pairs")).over(runW))
+        .withColumn("v_ge", sum(col("n_true")).over(runW))
+        .select(col("agree").cast("long").as("agree"), col("n_pairs"),
+          col("n_true"), col("n_ge"), col("v_ge"),
+          round(col("v_ge").cast("double") / col("n_ge").cast("double"), 6)
+            .as("precision_ge"))
+        .orderBy(col("agree"))
+    }),
+
     // ---- dedup: per-edge neighborhood Jaccard over the near-dup graph
     // (d21) — the bridge detector: Jaccard-0 edges chain unrelated
     // clusters, high-Jaccard edges sit inside true dup cliques. ----------
@@ -9035,6 +9063,54 @@ object SparkEntry {
            JOIN documents tb ON tb.doc_id = p.id_b
          WHERE levenshtein(ta.text, tb.text) <= 64
          ORDER BY id_a, id_b""",
+
+    // d22: the d12 chain at minAgree=1, grouped by agree, the reverse
+    // cumulative chain and one division per cutoff
+    "d22_lsh_threshold_sweep" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+                FROM toks),
+         exs AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         ex AS (SELECT doc_id, md5(sg) AS h FROM exs),
+         sig AS (SELECT doc_id,
+                   min(substr(h, 1, 4)) AS m0, min(substr(h, 5, 4)) AS m1,
+                   min(substr(h, 9, 4)) AS m2, min(substr(h, 13, 4)) AS m3,
+                   min(substr(h, 17, 4)) AS m4, min(substr(h, 21, 4)) AS m5,
+                   min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
+                 FROM ex GROUP BY doc_id),
+         pairs AS (SELECT * FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    (a.m0=b.m0)::INT + (a.m1=b.m1)::INT + (a.m2=b.m2)::INT +
+                    (a.m3=b.m3)::INT + (a.m4=b.m4)::INT + (a.m5=b.m5)::INT +
+                    (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree
+             FROM sig a JOIN sig b
+               ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+           WHERE agree >= 1),
+         v AS (
+           SELECT p.agree,
+                  (levenshtein(ta.text, tb.text) <= 64) AS ok
+           FROM pairs p
+             JOIN documents ta ON ta.doc_id = p.id_a
+             JOIN documents tb ON tb.doc_id = p.id_b),
+         g AS (
+           SELECT CAST(agree AS BIGINT) AS agree,
+                  CAST(count(*) AS BIGINT) AS n_pairs,
+                  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+           FROM v GROUP BY 1),
+         c AS (
+           SELECT agree, n_pairs, n_true,
+                  CAST(sum(n_pairs) OVER w AS BIGINT) AS n_ge,
+                  CAST(sum(n_true) OVER w AS BIGINT) AS v_ge
+           FROM g
+           WINDOW w AS (ORDER BY agree DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT agree, n_pairs, n_true, n_ge, v_ge,
+                round(CAST(v_ge AS DOUBLE) / CAST(n_ge AS DOUBLE), 6)
+                  AS precision_ge
+         FROM c ORDER BY agree""",
 
     // d9: full SQL replay of md5 SimHash — 32-bit per-token hash from the
     // first 8 md5 hex chars, bits vote ±1 with term multiplicity

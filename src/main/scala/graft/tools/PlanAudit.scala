@@ -54,6 +54,8 @@ object PlanAudit {
     // r70: SPRT running LLR + latched crossing flags over the ~30-row
     // day frame (the e23 shape)
     "r70_sprt",
+    // d22: reverse cumulative chain over the ≤8-row agree frame
+    "d22_lsh_threshold_sweep",
     "r50_cox", "r51_nelson_aalen", "r53_durbin_watson", "r54_bartlett",
     // r71: DL meta-analysis fixed/random-effects chains over the
     // 25-row per-nation study frame (the r29 shape)
