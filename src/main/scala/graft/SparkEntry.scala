@@ -663,6 +663,26 @@ object SparkEntry {
         .orderBy(col("agree"))
     }),
 
+    // ---- dedup: normalization-robust near-dup (d23) — the d8 MinHash
+    // chain over STOPWORD-STRIPPED text (token filter, both engines),
+    // with a flag for whether raw-text dedup already caught the pair:
+    // false rows are the recall the normalization buys. -------------------
+    "d23_normalized_dedup" -> ((s, dir) => {
+      val docs = Tables.spread(t(s, dir, "documents"))
+      val norm = docs.select(col("doc_id"),
+        array_join(filter(split(col("text"), " "),
+          tk => !tk.isin("a", "the")), " ").as("text"))
+      val pairsN = Dedup.minHashMd5Pairs(norm, "doc_id", "text",
+        k = 8, n = 3, window = 25, minAgree = 4)
+      val pairsR = Dedup.minHashMd5Pairs(docs, "doc_id", "text",
+          k = 8, n = 3, window = 25, minAgree = 4)
+        .select(col("id_a"), col("id_b"), lit(true).as("found_raw"))
+      pairsN.join(pairsR, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("agree"),
+          coalesce(col("found_raw"), lit(false)).as("found_raw"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- dedup: per-edge neighborhood Jaccard over the near-dup graph
     // (d21) — the bridge detector: Jaccard-0 edges chain unrelated
     // clusters, high-Jaccard edges sit inside true dup cliques. ----------
@@ -9063,6 +9083,63 @@ object SparkEntry {
            JOIN documents tb ON tb.doc_id = p.id_b
          WHERE levenshtein(ta.text, tb.text) <= 64
          ORDER BY id_a, id_b""",
+
+    // d23: the d8 chain twice — once over list_filter-stripped tokens,
+    // once raw — left-joined on the pair key
+    "d23_normalized_dedup" ->
+      """WITH nd AS (
+           SELECT doc_id,
+                  array_to_string(list_filter(string_split(text, ' '),
+                    tk -> tk NOT IN ('a', 'the')), ' ') AS text
+           FROM documents),
+         tn AS (SELECT doc_id, string_split(text, ' ') AS w FROM nd),
+         shn AS (SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+                FROM tn),
+         exn0 AS (SELECT doc_id, unnest(s) AS sg FROM shn),
+         exn AS (SELECT doc_id, md5(sg) AS h FROM exn0),
+         sgn AS (SELECT doc_id,
+                   min(substr(h, 1, 4)) AS m0, min(substr(h, 5, 4)) AS m1,
+                   min(substr(h, 9, 4)) AS m2, min(substr(h, 13, 4)) AS m3,
+                   min(substr(h, 17, 4)) AS m4, min(substr(h, 21, 4)) AS m5,
+                   min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
+                 FROM exn GROUP BY doc_id),
+         pn AS (SELECT * FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    (a.m0=b.m0)::INT + (a.m1=b.m1)::INT + (a.m2=b.m2)::INT +
+                    (a.m3=b.m3)::INT + (a.m4=b.m4)::INT + (a.m5=b.m5)::INT +
+                    (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree
+             FROM sgn a JOIN sgn b
+               ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+           WHERE agree >= 4),
+         tr AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         shr AS (SELECT doc_id,
+                  CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END AS s
+                FROM tr),
+         exr0 AS (SELECT doc_id, unnest(s) AS sg FROM shr),
+         exr AS (SELECT doc_id, md5(sg) AS h FROM exr0),
+         sgr AS (SELECT doc_id,
+                   min(substr(h, 1, 4)) AS m0, min(substr(h, 5, 4)) AS m1,
+                   min(substr(h, 9, 4)) AS m2, min(substr(h, 13, 4)) AS m3,
+                   min(substr(h, 17, 4)) AS m4, min(substr(h, 21, 4)) AS m5,
+                   min(substr(h, 25, 4)) AS m6, min(substr(h, 29, 4)) AS m7
+                 FROM exr GROUP BY doc_id),
+         pr AS (SELECT * FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    (a.m0=b.m0)::INT + (a.m1=b.m1)::INT + (a.m2=b.m2)::INT +
+                    (a.m3=b.m3)::INT + (a.m4=b.m4)::INT + (a.m5=b.m5)::INT +
+                    (a.m6=b.m6)::INT + (a.m7=b.m7)::INT AS agree
+             FROM sgr a JOIN sgr b
+               ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 25)
+           WHERE agree >= 4)
+         SELECT pn.id_a, pn.id_b, pn.agree,
+                (pr.id_a IS NOT NULL) AS found_raw
+         FROM pn LEFT JOIN pr ON pr.id_a = pn.id_a AND pr.id_b = pn.id_b
+         ORDER BY pn.id_a, pn.id_b""",
 
     // d22: the d12 chain at minAgree=1, grouped by agree, the reverse
     // cumulative chain and one division per cutoff
