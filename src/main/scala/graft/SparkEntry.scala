@@ -1755,6 +1755,43 @@ object SparkEntry {
         .orderBy(col("tax_hi"), col("month_hi"))
     }),
 
+    // ---- §2.8 two-way ANOVA (r76): Type-I sequential decomposition of
+    // o_totalprice over priority × status with interaction — four nested
+    // exact-moment OLS fits off ONE moment pass, SS/F per term; raw-double
+    // SS (the r23 large-magnitude rule), exported βs replay the trees. ---
+    "r76_two_way_anova" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_totalprice").isNotNull &&
+        col("o_orderpriority").isNotNull && col("o_orderstatus").isNotNull)
+      val y = col("o_totalprice")
+      val xsA = Seq("1", "2", "3", "4").map(l => (s"a_$l",
+        (substring(col("o_orderpriority"), 1, 1) === l).cast("int")))
+      val xsB = Seq("F", "O").map(l => (s"b_$l",
+        (col("o_orderstatus") === l).cast("int")))
+      val xsAB = for { (an, ac) <- xsA; (bn, bc) <- xsB }
+        yield (s"${an}_$bn", (ac * bc))
+      val xsFull = xsA ++ xsB ++ xsAB
+      val R = graft.stats.Regression
+      val fitA = R.olsFitMulti(o, y, xsA)
+      val fitAB = R.olsFitMulti(o, y, xsA ++ xsB)
+      val fitF = R.olsFitMulti(o, y, xsFull)
+      r76AnovaFits = Some((fitA.beta, fitAB.beta, fitF.beta))
+      val mo = R.olsMoments(o, y, xsFull)
+      val nd = col("n").cast("double")
+      val sse0 = col("s_yy").cast("double") -
+        col("s_y").cast("double") * col("s_y").cast("double") / nd
+      val st = mo.select(col("n"), sse0.as("sse0"),
+        R.nestedSseExpr(fitA.beta, 0 until 4).as("sse_a"),
+        R.nestedSseExpr(fitAB.beta, 0 until 6).as("sse_ab"),
+        R.nestedSseExpr(fitF.beta, 0 until 14).as("sse_f"))
+      val rows = st.selectExpr("n", "sse_f",
+        "stack(3, 'A', 4L, sse0 - sse_a, 'B', 2L, sse_a - sse_ab, " +
+          "'AxB', 8L, sse_ab - sse_f) AS (term, df1, ss)")
+      rows.select(col("term"), col("df1"), col("n"), col("ss"),
+          round((col("ss") / col("df1").cast("double")) /
+            (col("sse_f") / (col("n").cast("double") - lit(15.0))), 4).as("f"))
+        .orderBy(col("term"))
+    }),
+
     // ---- §2.8 pairwise Welch post-hoc (r73): WHERE the r23 ANOVA's
     // difference lives — all 10 priority pairs, exact power-sum cells,
     // Bonferroni z_{α/(2m)} as a JVM literal both sides. -----------------
@@ -5341,6 +5378,64 @@ object SparkEntry {
          ORDER BY pct"""
   }.toMap
 
+  /** r76's three nested OLS βs (A, A+B, full) — the m13 exported-β
+    * contract; the replay rebuilds the 14-covariate moment row and
+    * evaluates the identical nested-SSE trees. */
+  @volatile private var r76AnovaFits:
+    Option[(Array[Double], Array[Double], Array[Double])] = None
+
+  private def r76OracleEntry: Map[String, String] = r76AnovaFits.map {
+    case (ba, bab, bf) =>
+      val R = graft.stats.Regression
+      val dums = Seq("1", "2", "3", "4").map(l =>
+        s"CASE WHEN substr(o_orderpriority, 1, 1) = '$l' THEN 1 ELSE 0 END") ++
+        Seq("F", "O").map(l =>
+          s"CASE WHEN o_orderstatus = '$l' THEN 1 ELSE 0 END")
+      val xDefs = dums ++
+        (for { i <- 0 until 4; j <- 0 until 2 }
+          yield s"(${dums(i)}) * (${dums(4 + j)})")
+      val xCols = xDefs.zipWithIndex
+        .map { case (d, i) => s"$d AS x$i" }.mkString(",\n                  ")
+      val moCols = (Seq(
+        "CAST(count(*) AS BIGINT) AS n",
+        "sum(y) AS s_y", "sum(y * y) AS s_yy") ++
+        (0 until 14).map(i => s"CAST(sum(x$i) AS BIGINT) AS s_$i") ++
+        (for { i <- 0 until 14; j <- i until 14 }
+          yield s"CAST(sum(x$i * x$j) AS BIGINT) AS s_${i}_$j") ++
+        (0 until 14).map(i => s"sum(x$i * y) AS s_${i}_y"))
+        .mkString(",\n                  ")
+      val arms = Seq(
+        ("A", 4, "sse0 - sse_a"), ("B", 2, "sse_a - sse_ab"),
+        ("AxB", 8, "sse_ab - sse_f")).map { case (t, d, ss) =>
+        s"SELECT '$t' AS term, CAST($d AS BIGINT) AS df1, $ss AS ss FROM st"
+      }.mkString("\n           UNION ALL\n           ")
+      "r76_two_way_anova" ->
+        s"""WITH src AS (
+           SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS y,
+                  $xCols
+           FROM orders
+           WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+             AND o_orderstatus IS NOT NULL),
+         mo AS (
+           SELECT $moCols
+           FROM src),
+         st AS (
+           SELECT n,
+                  CAST(s_yy AS DOUBLE)
+                    - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE)
+                      / CAST(n AS DOUBLE) AS sse0,
+                  ${R.nestedSseSql(ba, 0 until 4)} AS sse_a,
+                  ${R.nestedSseSql(bab, 0 until 6)} AS sse_ab,
+                  ${R.nestedSseSql(bf, 0 until 14)} AS sse_f
+           FROM mo),
+         arms AS (
+           $arms)
+         SELECT term, df1, n, ss,
+                round((ss / CAST(df1 AS DOUBLE))
+                      / (sse_f / (CAST(n AS DOUBLE) - 15.0)), 4) AS f
+         FROM arms, st ORDER BY term"""
+  }.toMap
+
   /** m22's fitted tree — the m4 contract; the replay re-runs the same
     * md5-bucket cyclic shifts and scores with the tree as literals. */
   @volatile private var m22PermSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
@@ -6324,6 +6419,7 @@ object SparkEntry {
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
     m13OracleEntry ++ m14OracleEntry ++ m15OracleEntry ++ m19OracleEntry ++
       r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++ r72OracleEntry ++
+      r76OracleEntry ++
       r56OracleEntry ++ r59OracleEntry ++ d20OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
       n22OracleEntry ++

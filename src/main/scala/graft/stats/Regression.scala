@@ -329,6 +329,62 @@ object Regression {
         .as("se_resid"))): _*)
   }
 
+  /** SSE at β over a SUBSET `idx` of the full moment frame's covariates —
+    * the Type-I nested-model engine: sequential ANOVA compares SSEs of
+    * nested OLS fits, and every nested model's normal-equation entries
+    * are a sub-block of the FULL model's moment row, so ONE moment pass
+    * serves every model. `beta(0)` is the intercept; `beta(k)` pairs with
+    * full-frame covariate `idx(k−1)`. Same staged xty/qf chains as
+    * [[olsSummaryDF]] (exact at ANY β); [[nestedSseSql]] is the
+    * tree-identical SQL twin. */
+  def nestedSseExpr(beta: Array[Double], idx: Seq[Int]): Column = {
+    require(beta.length == idx.length + 1,
+      s"beta has ${beta.length} entries for ${idx.length} covariates")
+    val nd = col("n").cast("double")
+    def s(name: String) = col(name).cast("double")
+    def sx(i: Int) = s(s"s_$i")
+    def sxx(i: Int, j: Int) = if (i <= j) s(s"s_${i}_$j") else s(s"s_${j}_$i")
+    val p = idx.length
+    val xty = (0 to p).map { k =>
+      if (k == 0) lit(beta(0)) * s("s_y")
+      else lit(beta(k)) * s(s"s_${idx(k - 1)}_y")
+    }.reduceLeft(_ + _)
+    def row(i: Int): Column = (0 to p).map { j =>
+      val sij =
+        if (i == 0 && j == 0) nd
+        else if (i == 0) sx(idx(j - 1))
+        else if (j == 0) sx(idx(i - 1))
+        else sxx(idx(i - 1), idx(j - 1))
+      lit(beta(j)) * sij
+    }.reduceLeft(_ + _)
+    val qf = (0 to p).map(i => lit(beta(i)) * row(i)).reduceLeft(_ + _)
+    s("s_yy") - lit(2.0) * xty + qf
+  }
+
+  def nestedSseSql(beta: Array[Double], idx: Seq[Int]): String = {
+    require(beta.length == idx.length + 1)
+    def b(k: Int) = s"CAST('${beta(k)}' AS DOUBLE)"
+    def s(name: String) = s"CAST($name AS DOUBLE)"
+    def sx(i: Int) = s(s"s_$i")
+    def sxx(i: Int, j: Int) = if (i <= j) s(s"s_${i}_$j") else s(s"s_${j}_$i")
+    val p = idx.length
+    val xty = (0 to p).map { k =>
+      if (k == 0) s"${b(0)} * ${s("s_y")}"
+      else s"${b(k)} * ${s(s"s_${idx(k - 1)}_y")}"
+    }.reduceLeft((a, t) => s"($a + $t)")
+    def row(i: Int): String = (0 to p).map { j =>
+      val sij =
+        if (i == 0 && j == 0) s("n")
+        else if (i == 0) sx(idx(j - 1))
+        else if (j == 0) sx(idx(i - 1))
+        else sxx(idx(i - 1), idx(j - 1))
+      s"${b(j)} * $sij"
+    }.reduceLeft((a, t) => s"($a + $t)")
+    val qf = (0 to p).map(i => s"${b(i)} * (${row(i)})")
+      .reduceLeft((a, t) => s"($a + $t)")
+    s"(${s("s_yy")} - 2.0 * ($xty) + ($qf))"
+  }
+
   /** Partial correlation `pcor(x, y | z)` — the conditional-dependence
     * sibling of [[crossCorrDailyDF]]'s marginal correlations: all three
     * pairwise correlations from ONE aggregate of nine exact power sums,

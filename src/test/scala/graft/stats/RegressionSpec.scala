@@ -73,6 +73,40 @@ class RegressionSpec extends SparkSpec {
     assert(fit1.beta.toSeq == fit.beta.toSeq)
   }
 
+  test("nestedSseExpr: sub-model SSE off the FULL moment frame matches its own fit") {
+    import org.apache.spark.sql.functions._
+    val rows = (1 to 240).map { i =>
+      val a = i % 3; val b = i % 2
+      val y = 10.0 + 3.0 * a + 5.0 * b + (if (a == 1 && b == 1) 4.0 else 0.0) +
+        ((i % 7) - 3) * 0.25
+      (y, a, b)
+    }
+    val df = rows.toDF("y", "a", "b").repartition(5)
+    val xsA = Seq("a1" -> (col("a") === 1).cast("int"),
+      "a2" -> (col("a") === 2).cast("int"))
+    val xsB = Seq("b1" -> (col("b") === 1).cast("int"))
+    val xsAB = Seq("a1b1" -> ((col("a") === 1).cast("int") * (col("b") === 1).cast("int")),
+      "a2b1" -> ((col("a") === 2).cast("int") * (col("b") === 1).cast("int")))
+    val full = xsA ++ xsB ++ xsAB
+    val fitA = Regression.olsFitMulti(df, col("y"), xsA)
+    val fitF = Regression.olsFitMulti(df, col("y"), full)
+    val moFull = Regression.olsMoments(df, col("y"), full)
+    // sub-model SSE via the full frame == the same β's SSE via its OWN frame
+    val sseSub = moFull.select(
+      Regression.nestedSseExpr(fitA.beta, 0 until 2).as("s")).head().getDouble(0)
+    val moA = Regression.olsMoments(df, col("y"), xsA)
+    val sseOwn = Regression.olsSummaryDF(moA, fitA.beta)
+      .select(col("sse")).head().getDouble(0)
+    assert(math.abs(sseSub - sseOwn) < 1e-6 * math.max(1.0, sseOwn), s"$sseSub vs $sseOwn")
+    // nesting: more covariates never fit worse; the full model nails the
+    // structure up to the periodic noise term
+    val sseF = moFull.select(
+      Regression.nestedSseExpr(fitF.beta, 0 until 5).as("s")).head().getDouble(0)
+    assert(sseF <= sseSub + 1e-9)
+    intercept[IllegalArgumentException](
+      Regression.nestedSseExpr(fitA.beta, 0 until 3))
+  }
+
   test("ridgeFitMulti: λ=0 is OLS; λ>0 shrinks slopes, not the intercept") {
     val pts = Seq((1.0, 1.0, 6.0), (2.0, 1.0, 8.0), (1.0, 2.0, 9.0),
       (3.0, 2.0, 13.0), (2.0, 3.0, 14.0))
