@@ -1771,11 +1771,17 @@ object SparkEntry {
         yield (s"${an}_$bn", (ac * bc))
       val xsFull = xsA ++ xsB ++ xsAB
       val R = graft.stats.Regression
-      val fitA = R.olsFitMulti(o, y, xsA)
-      val fitAB = R.olsFitMulti(o, y, xsA ++ xsB)
-      val fitF = R.olsFitMulti(o, y, xsFull)
+      // ONE moment pass serves all three nested fits AND the output trees
+      // (bit-identical to per-model passes: subset sums are the same
+      // exact aggregates); the 1-row localCheckpoint stops the output
+      // select from re-running the corpus aggregate
+      val mo = R.olsMoments(o, y, xsFull).localCheckpoint()
+      val moRow = mo.head()
+      val fitA = R.olsFitFromMomentsRow(moRow, xsA.map(_._1), 0 until 4)
+      val fitAB = R.olsFitFromMomentsRow(moRow,
+        (xsA ++ xsB).map(_._1), 0 until 6)
+      val fitF = R.olsFitFromMomentsRow(moRow, xsFull.map(_._1), 0 until 14)
       r76AnovaFits = Some((fitA.beta, fitAB.beta, fitF.beta))
-      val mo = R.olsMoments(o, y, xsFull)
       val nd = col("n").cast("double")
       val sse0 = col("s_yy").cast("double") -
         col("s_y").cast("double") * col("s_y").cast("double") / nd

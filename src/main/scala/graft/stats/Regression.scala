@@ -329,6 +329,34 @@ object Regression {
         .as("se_resid"))): _*)
   }
 
+  /** Solve a NESTED model's normal equations from an already-collected
+    * FULL moment row — the sums of any covariate subset are literally the
+    * same exact decimal aggregates a dedicated sub-model pass would
+    * compute, so β is bit-identical to [[olsFitMulti]] on that subset
+    * while the corpus is scanned ONCE for all nested models (the r76
+    * Type-I ANOVA runs 3 fits off one pass). `idx` maps the sub-model's
+    * covariates to full-frame positions. */
+  def olsFitFromMomentsRow(r: org.apache.spark.sql.Row, names: Seq[String],
+      idx: Seq[Int]): OlsFit = {
+    require(names.length == idx.length)
+    def d(name: String): Double = r.getDecimal(r.fieldIndex(name)).doubleValue
+    val n = r.getLong(r.fieldIndex("n")).toDouble
+    def sx(i: Int) = d(s"s_$i")
+    def sxx(i: Int, j: Int) = if (i <= j) d(s"s_${i}_$j") else d(s"s_${j}_$i")
+    val p = idx.length; val dim = p + 1
+    val a = Array.tabulate(dim, dim) { (i, j) =>
+      (i, j) match {
+        case (0, 0) => n
+        case (0, jj) => sx(idx(jj - 1))
+        case (ii, 0) => sx(idx(ii - 1))
+        case (ii, jj) => sxx(idx(ii - 1), idx(jj - 1))
+      }
+    }
+    val b = Array.tabulate(dim)(i =>
+      if (i == 0) d("s_y") else d(s"s_${idx(i - 1)}_y"))
+    OlsFit(names, graft.ml.Logistic.solve(a, b))
+  }
+
   /** SSE at β over a SUBSET `idx` of the full moment frame's covariates —
     * the Type-I nested-model engine: sequential ANOVA compares SSEs of
     * nested OLS fits, and every nested model's normal-equation entries

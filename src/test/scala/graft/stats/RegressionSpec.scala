@@ -103,6 +103,13 @@ class RegressionSpec extends SparkSpec {
     val sseF = moFull.select(
       Regression.nestedSseExpr(fitF.beta, 0 until 5).as("s")).head().getDouble(0)
     assert(sseF <= sseSub + 1e-9)
+    // fit-from-full-row is BIT-identical to a dedicated sub-model pass
+    val fitA2 = Regression.olsFitFromMomentsRow(moFull.head(),
+      xsA.map(_._1), 0 until 2)
+    assert(fitA2.beta.toSeq == fitA.beta.toSeq)
+    val fitF2 = Regression.olsFitFromMomentsRow(moFull.head(),
+      full.map(_._1), 0 until 5)
+    assert(fitF2.beta.toSeq == fitF.beta.toSeq)
     intercept[IllegalArgumentException](
       Regression.nestedSseExpr(fitA.beta, 0 until 3))
   }
