@@ -2450,19 +2450,31 @@ object SparkEntry {
           maxDepth = 4))
       }
       m21CurveSpecs = Some(fits.map { case (pct, _, spec) => (pct, spec) })
-      fits.map { case (pct, gate, spec) =>
-        val nTrain = o.where(!isTest && gate)
-          .agg(count(lit(1)).as("n_train"))
-        o.where(isTest)
-          .withColumn("score", graft.ml.TreeScorer.compile(spec))
-          .agg(count(lit(1)).as("n_test"),
-            round(sum(((col("score") >= 0.5) === (col("label") === 1.0))
-              .cast("long")).cast("double") / count(lit(1)), 6).as("accuracy"))
-          .withColumn("tree_depth", lit(graft.ml.TreeScorer.depth(spec)))
-          .crossJoin(broadcast(nTrain))
-          .select(lit(pct).as("pct"), col("n_train"), col("n_test"),
-            col("accuracy"), col("tree_depth"))
-      }.reduce(_ unionAll _).orderBy(col("pct"))
+      // one train scan (conditional counts) + one test scan (all three
+      // trees score side by side) — values identical to per-slice passes
+      val trains = o.where(!isTest).agg(
+        sum((h2 < lit("4")).cast("long")).as("nt25"),
+        sum((h2 < lit("8")).cast("long")).as("nt50"),
+        count(lit(1)).as("nt100"))
+      val scored = o.where(isTest).select(col("label") +:
+        fits.map { case (pct, _, spec) =>
+          graft.ml.TreeScorer.compile(spec).as(s"sc$pct") }: _*)
+      val accs = scored.agg(count(lit(1)).as("n_test"),
+        fits.map { case (pct, _, _) =>
+          round(sum(((col(s"sc$pct") >= 0.5) === (col("label") === 1.0))
+            .cast("long")).cast("double") / count(lit(1)), 6).as(s"acc$pct")
+        }: _*)
+      val depths = fits.map { case (_, _, spec) =>
+        graft.ml.TreeScorer.depth(spec) }
+      accs.crossJoin(broadcast(trains))
+        .selectExpr("n_test",
+          s"stack(3, 25, nt25, acc25, ${depths(0)}, " +
+            s"50, nt50, acc50, ${depths(1)}, " +
+            s"100, nt100, acc100, ${depths(2)}) " +
+            "AS (pct, n_train, accuracy, tree_depth)")
+        .select(col("pct"), col("n_train"), col("n_test"), col("accuracy"),
+          col("tree_depth"))
+        .orderBy(col("pct"))
     }),
 
     // ---- ML: permutation feature importance (m22) — accuracy drop when
@@ -2492,21 +2504,31 @@ object SparkEntry {
       val wAll = Window.partitionBy(col("__bkt"))
         .orderBy(col("__h").asc, col("o_orderkey").asc)
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      def acc(df: DataFrame): Column =
-        round(sum(((col("score") >= 0.5) === (col("label") === 1.0))
+      // ONE test scan: the baseline score and all three permuted scores
+      // ride side by side (compile-with-resolver swaps just the broken
+      // feature per arm); values identical to per-arm scans
+      def accOf(scoreCol: String): Column =
+        round(sum(((col(scoreCol) >= 0.5) === (col("label") === 1.0))
           .cast("long")).cast("double") / count(lit(1)), 6)
-      val base = test.withColumn("score", graft.ml.TreeScorer.compile(spec))
-        .agg(count(lit(1)).as("n_test"),
-          acc(test).as("accuracy_base"))
-      val arms = feats.map { f =>
-        val shifted = coalesce(lead(col(f), 1).over(wOrd),
-          first(col(f)).over(wAll))
-        test.withColumn(f, shifted)
-          .withColumn("score", graft.ml.TreeScorer.compile(spec))
-          .agg(acc(test).as("accuracy_perm"))
-          .select(lit(f).as("feature"), col("accuracy_perm"))
-      }.reduce(_ unionAll _)
-      arms.crossJoin(broadcast(base))
+      val shiftedCols = feats.map { f =>
+        coalesce(lead(col(f), 1).over(wOrd), first(col(f)).over(wAll))
+          .as(s"__p_$f")
+      }
+      val scored = test.select(Seq(col("label")) ++ feats.map(col) ++
+          shiftedCols: _*)
+        .select(col("label") +:
+          graft.ml.TreeScorer.compile(spec).as("sc_base") +:
+          feats.map { f =>
+            graft.ml.TreeScorer.compile(spec,
+              name => if (name == f) col(s"__p_$f") else col(name))
+              .as(s"sc_$f")
+          }: _*)
+      val one = scored.agg(count(lit(1)).as("n_test"),
+        (accOf("sc_base").as("accuracy_base") +:
+          feats.map(f => accOf(s"sc_$f").as(s"ap_$f"))): _*)
+      one.selectExpr("n_test", "accuracy_base",
+          "stack(3, " + feats.map(f => s"'$f', ap_$f").mkString(", ") +
+            ") AS (feature, accuracy_perm)")
         .select(col("feature"), col("n_test"), col("accuracy_base"),
           col("accuracy_perm"),
           round(col("accuracy_base") - col("accuracy_perm"), 6).as("importance"))

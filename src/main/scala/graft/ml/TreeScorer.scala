@@ -30,10 +30,16 @@ object TreeScorer {
       left: TreeSpec, right: TreeSpec) extends TreeSpec
 
   /** Compile to a nested `when` chain (one Column, codegen-friendly). */
-  def compile(t: TreeSpec): Column = t match {
+  def compile(t: TreeSpec): Column = compile(t, col(_))
+
+  /** Compile against an explicit feature resolver — lets several scoring
+    * variants share ONE scan (e.g. m22 scores the same tree on original
+    * and permuted columns side by side without re-reading the corpus). */
+  def compile(t: TreeSpec, resolve: String => Column): Column = t match {
     case Leaf(v) => lit(v)
     case SplitLE(f, thr, l, r) =>
-      when(col(f) <= lit(thr), compile(l)).otherwise(compile(r))
+      when(resolve(f) <= lit(thr), compile(l, resolve))
+        .otherwise(compile(r, resolve))
   }
 
   /** The same tree as an ANSI SQL CASE chain, for cross-engine replay of a

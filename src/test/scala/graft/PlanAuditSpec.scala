@@ -95,10 +95,8 @@ class PlanAuditSpec extends SparkSpec {
     // q24: the dimension-sized period×bin grid cross + the 1-row
     // ref-period broadcast
     "q24_psi_drift",
-    // m21: three 1-row n_train broadcasts (the j1 shape, one per slice)
-    "m21_learning_curve",
-    // m22: the 1-row base-accuracy broadcast onto the 3 feature arms
-    "m22_perm_importance")
+    // m21: the 1-row train-counts broadcast onto the accuracy row
+    "m21_learning_curve")
 
   // single source of truth: graft.tools.PlanAudit.deliberateGlobalWindows
   // (Bench.windowWarnWhitelist derives from the SAME registry, so the
