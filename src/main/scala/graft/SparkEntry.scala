@@ -5031,6 +5031,63 @@ object SparkEntry {
         .orderBy(col("urgent"), col("price_hi"))
     }),
 
+    // ---- §2.8 Cameron–Trivedi overdispersion test (r77): is r56's
+    // Poisson variance assumption valid? Auxiliary no-intercept regression
+    // of (y−μ̂)²−y on μ̂² — α̂ > 0 says negative-binomial, not Poisson.
+    // Exact 1..4th moment LONGs per covariate cell, μ̂ from the exported
+    // β, α̂/t as running chains over the 4-cell frame. --------------------
+    "r77_overdispersion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("nlines"))
+      val units = o.where(col("o_orderpriority").isNotNull &&
+          col("o_totalprice").isNotNull)
+        .join(counts, col("o_orderkey") === col("ok"))
+      val feats = Seq[(String, org.apache.spark.sql.Column)](
+        "urgent" -> (col("o_orderpriority") === "1-URGENT"),
+        "price_hi" -> (col("o_totalprice") >= 150000.0))
+      val fit = graft.ml.Logistic.poissonFitCells(units, col("nlines"), feats)
+      r77PoissonFit = Some(fit)
+      val y = col("nlines").cast("long")
+      val cells = units.groupBy(
+          (col("o_orderpriority") === "1-URGENT").cast("int").as("urgent"),
+          (col("o_totalprice") >= 150000.0).cast("int").as("price_hi"))
+        .agg(count(lit(1)).as("n"), sum(y).as("sy"),
+          sum(y * y).as("syy"), sum(y * y * y).as("sy3"),
+          sum(y * y * y * y).as("sy4"))
+      val mu = exp(graft.ml.Logistic.margin(fit))
+      val nD = col("n").cast("double")
+      val syD = col("sy").cast("double"); val syyD = col("syy").cast("double")
+      val sy3D = col("sy3").cast("double"); val sy4D = col("sy4").cast("double")
+      // Σz, Σz·w, Σw², Σz² per cell (w = μ² constant within the cell)
+      val zSum = syyD - lit(2.0) * mu * syD + nD * mu * mu - syD
+      val zw = mu * mu * zSum
+      val w2 = nD * (mu * mu) * (mu * mu)
+      val twoMu1 = lit(2.0) * mu + lit(1.0)
+      val z2 = sy4D - lit(2.0) * twoMu1 * sy3D +
+        (twoMu1 * twoMu1 + lit(2.0) * mu * mu) * syyD -
+        lit(2.0) * mu * mu * twoMu1 * syD + nD * (mu * mu) * (mu * mu)
+      val runW = Window.partitionBy()
+        .orderBy(col("urgent").asc, col("price_hi").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val st = cells
+        .withColumn("__zw", zw).withColumn("__w2", w2).withColumn("__z2", z2)
+        .withColumn("__szw", sum(col("__zw")).over(runW))
+        .withColumn("__sw2", sum(col("__w2")).over(runW))
+        .withColumn("__sz2", sum(col("__z2")).over(runW))
+        .withColumn("__nr", sum(col("n")).over(runW))
+      val alpha = col("__szw") / col("__sw2")
+      val sse = col("__sz2") - alpha * col("__szw")
+      val tStat = alpha /
+        (sqrt(sse / (col("__nr").cast("double") - lit(1.0))) / sqrt(col("__sw2")))
+      st.select(col("urgent"), col("price_hi"), col("n"), col("sy"),
+          round(mu, 6).as("mu_hat"), round(zSum, 4).as("z_sum"),
+          round(alpha, 6).as("alpha_run"), round(tStat, 4).as("t_run"))
+        .orderBy(col("urgent"), col("price_hi"))
+    }),
+
     // ---- §2.8 CUPED variance-reduced experiment readout (r57): customer
     // units, pre-1995 spend as the covariate, post-1995 spend as the
     // outcome, deterministic md5 arm split; θ/ρ²/adjusted means are fixed
@@ -5933,6 +5990,67 @@ object SparkEntry {
     * identical cell frame and η chain. */
   @volatile private var r56PoissonFit: Option[graft.ml.Logistic.LogisticFit] = None
 
+  /** r77's Poisson β (the r56 cohort refit in-query) — exported for the
+    * Cameron–Trivedi replay: μ̂, the exact-moment z/w cells, and the
+    * α̂/t chains all rebuild relationally with β as literals. */
+  @volatile private var r77PoissonFit: Option[graft.ml.Logistic.LogisticFit] = None
+
+  private def r77OracleEntry: Map[String, String] = r77PoissonFit.map { fit =>
+    "r77_overdispersion" ->
+      s"""WITH counts AS (
+           SELECT l_orderkey AS ok, CAST(count(*) AS BIGINT) AS nlines
+           FROM lineitem GROUP BY 1),
+         units AS (
+           SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                    AS urgent,
+                  CASE WHEN o_totalprice >= 150000.0 THEN 1 ELSE 0 END
+                    AS price_hi,
+                  nlines
+           FROM orders JOIN counts ON o_orderkey = ok
+           WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+         cells AS (
+           SELECT urgent, price_hi, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(nlines) AS BIGINT) AS sy,
+                  CAST(sum(nlines * nlines) AS BIGINT) AS syy,
+                  CAST(sum(nlines * nlines * nlines) AS BIGINT) AS sy3,
+                  CAST(sum(nlines * nlines * nlines * nlines) AS BIGINT) AS sy4
+           FROM units GROUP BY 1, 2),
+         m1 AS (
+           SELECT *, exp(${graft.ml.Logistic.marginSql(fit)}) AS mu FROM cells),
+         m2 AS (
+           SELECT *,
+                  CAST(syy AS DOUBLE) - 2.0 * mu * CAST(sy AS DOUBLE)
+                    + CAST(n AS DOUBLE) * mu * mu - CAST(sy AS DOUBLE) AS zs
+           FROM m1),
+         m3 AS (
+           SELECT *,
+                  mu * mu * zs AS zw,
+                  CAST(n AS DOUBLE) * (mu * mu) * (mu * mu) AS w2,
+                  CAST(sy4 AS DOUBLE)
+                    - 2.0 * (2.0 * mu + 1.0) * CAST(sy3 AS DOUBLE)
+                    + ((2.0 * mu + 1.0) * (2.0 * mu + 1.0) + 2.0 * mu * mu)
+                      * CAST(syy AS DOUBLE)
+                    - 2.0 * mu * mu * (2.0 * mu + 1.0) * CAST(sy AS DOUBLE)
+                    + CAST(n AS DOUBLE) * (mu * mu) * (mu * mu) AS z2
+           FROM m2),
+         ch AS (
+           SELECT *,
+                  sum(zw) OVER w AS szw, sum(w2) OVER w AS sw2,
+                  sum(z2) OVER w AS sz2,
+                  CAST(sum(n) OVER w AS BIGINT) AS nr
+           FROM m3
+           WINDOW w AS (ORDER BY urgent, price_hi
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT urgent, price_hi, n, sy, round(mu, 6) AS mu_hat,
+                round(zs, 4) AS z_sum,
+                round(szw / sw2, 6) AS alpha_run,
+                round((szw / sw2)
+                      / (sqrt((sz2 - szw / sw2 * szw)
+                              / (CAST(nr AS DOUBLE) - 1.0)) / sqrt(sw2)), 4)
+                  AS t_run
+         FROM ch ORDER BY urgent, price_hi"""
+  }.toMap
+
   private def r56OracleEntry: Map[String, String] = r56PoissonFit.map { fit =>
     "r56_poisson" ->
       s"""WITH cnt AS (
@@ -6448,7 +6566,7 @@ object SparkEntry {
     m13OracleEntry ++ m14OracleEntry ++ m15OracleEntry ++ m19OracleEntry ++
       r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++ r72OracleEntry ++
       r76OracleEntry ++
-      r56OracleEntry ++ r59OracleEntry ++ d20OracleEntry ++
+      r56OracleEntry ++ r59OracleEntry ++ r77OracleEntry ++ d20OracleEntry ++
       n3OracleEntry ++ n7OracleEntry ++ n8OracleEntry ++ n9OracleEntry ++
       n22OracleEntry ++
       n16OracleEntry ++

@@ -65,6 +65,9 @@ object PlanAudit {
     "r72_ipw_ate",
     // m20: IV running chain over the 5-row priority category frame
     "m20_woe_iv",
+    // r77: Cameron–Trivedi α̂/t chains over the 4-row covariate-cell
+    // frame (the r48 shape)
+    "r77_overdispersion",
     "m12_naive_bayes", "r29_mantel_haenszel", "r30_mutual_info",
     "r32_friedman", "m7_lift_chart", "q13_benford", "q16_psi",
     "j10_bracket_lookup", "r35_breslow_day")
