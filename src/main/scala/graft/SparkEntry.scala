@@ -2535,6 +2535,48 @@ object SparkEntry {
         .orderBy(col("feature"))
     }),
 
+    // ---- ML: two-model ensemble (m23) — the m4 tree and an interaction
+    // logistic score the SAME held-out scan side by side; the averaged
+    // score's accuracy lands next to each base model's (stacking's
+    // sanity row). Both artifacts export; one test scan. -----------------
+    "m23_ensemble" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
+          .cast("double").as("label"),
+        col("o_totalprice"),
+        (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
+        year(col("o_orderdate")).cast("double").as("order_year"),
+        (col("o_totalprice") > 250000).cast("int").as("price_hi"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("urgent_i"),
+        ((col("o_totalprice") > 250000) &&
+          (col("o_orderpriority") === "1-URGENT")).cast("int").as("pxu"),
+        col("o_orderkey"))
+      val isTest = substring(md5(col("o_orderkey").cast("string")), 1, 1) < lit("5")
+      val train = o.where(!isTest)
+      val tree = graft.ml.CohortClassifier.fitTreeSpec(train,
+        Seq("o_totalprice", "is_urgent", "order_year"), "label", maxDepth = 4)
+      val logit = graft.ml.Logistic.irlsFitCells(train, col("label") === 1.0,
+        Seq[(String, org.apache.spark.sql.Column)](
+          "price_hi" -> col("price_hi"), "urgent_i" -> col("urgent_i"),
+          "pxu" -> col("pxu")))
+      m23Ensemble = Some((tree, logit))
+      val pLog = lit(1.0) / (lit(1.0) + exp(-graft.ml.Logistic.margin(logit)))
+      val scored = o.where(isTest).select(col("label"),
+        graft.ml.TreeScorer.compile(tree).as("sc_tree"), pLog.as("sc_logit"))
+        .withColumn("sc_ens", (col("sc_tree") + col("sc_logit")) / lit(2.0))
+      def accOf(c: String): Column =
+        round(sum(((col(c) >= 0.5) === (col("label") === 1.0))
+          .cast("long")).cast("double") / count(lit(1)), 6)
+      scored.agg(count(lit(1)).as("n_test"),
+          accOf("sc_tree").as("a_tree"), accOf("sc_logit").as("a_logit"),
+          accOf("sc_ens").as("a_ens"))
+        .selectExpr("n_test",
+          "stack(3, 'ensemble', a_ens, 'logit', a_logit, 'tree', a_tree) " +
+            "AS (model, accuracy)")
+        .select(col("model"), col("n_test"), col("accuracy"))
+        .orderBy(col("model"))
+    }),
+
     // ---- ML: lift/gains chart (m7) — the model-evaluation frame a
     // targeting pipeline reads: the m4 cohort's fitted tree scores the
     // test split, scores reduce to leaf-level cells, and cumulative
@@ -5521,6 +5563,53 @@ object SparkEntry {
          FROM arms, st ORDER BY term"""
   }.toMap
 
+  /** m23's exported pair (tree + interaction logistic) — both replay as
+    * literals over one base CTE; the ensemble is their plain average. */
+  @volatile private var m23Ensemble: Option[(graft.ml.TreeScorer.TreeSpec,
+    graft.ml.Logistic.LogisticFit)] = None
+
+  private def m23OracleEntry: Map[String, String] = m23Ensemble.map {
+    case (tree, logit) =>
+      def accSql(c: String) =
+        s"""round(CAST(sum(CASE WHEN (CASE WHEN $c >= 0.5 THEN 1.0 ELSE 0.0 END)
+                                    = label THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*), 6)"""
+      "m23_ensemble" ->
+        s"""WITH base AS (
+           SELECT CASE WHEN (o_totalprice > 250000) != (o_orderpriority = '1-URGENT')
+                       THEN 1.0 ELSE 0.0 END AS label,
+                  o_totalprice,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END
+                    AS is_urgent,
+                  CAST(year(o_orderdate) AS DOUBLE) AS order_year,
+                  CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END AS price_hi,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                    AS urgent_i,
+                  CASE WHEN o_totalprice > 250000
+                            AND o_orderpriority = '1-URGENT'
+                       THEN 1 ELSE 0 END AS pxu
+           FROM orders
+           WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) < '5'),
+         sc AS (
+           SELECT label,
+                  ${graft.ml.TreeScorer.toSql(tree)} AS sc_tree,
+                  1.0 / (1.0 + exp(-(${graft.ml.Logistic.marginSql(logit)})))
+                    AS sc_logit
+           FROM base),
+         s2 AS (SELECT *, (sc_tree + sc_logit) / 2.0 AS sc_ens FROM sc),
+         ag AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_test,
+                  ${accSql("sc_tree")} AS a_tree,
+                  ${accSql("sc_logit")} AS a_logit,
+                  ${accSql("sc_ens")} AS a_ens
+           FROM s2)
+         SELECT model, n_test, accuracy FROM (
+           SELECT 'ensemble' AS model, n_test, a_ens AS accuracy FROM ag
+           UNION ALL SELECT 'logit', n_test, a_logit FROM ag
+           UNION ALL SELECT 'tree', n_test, a_tree FROM ag)
+         ORDER BY model"""
+  }.toMap
+
   /** m22's fitted tree — the m4 contract; the replay re-runs the same
     * md5-bucket cyclic shifts and scores with the tree as literals. */
   @volatile private var m22PermSpec: Option[graft.ml.TreeScorer.TreeSpec] = None
@@ -6561,7 +6650,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
-    m21OracleEntry ++ m22OracleEntry ++
+    m21OracleEntry ++ m22OracleEntry ++ m23OracleEntry ++
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
     m13OracleEntry ++ m14OracleEntry ++ m15OracleEntry ++ m19OracleEntry ++
       r37OracleEntry ++ r48OracleEntry ++ r50OracleEntry ++ r72OracleEntry ++

@@ -85,7 +85,9 @@ object PlanAudit {
     // m21: three m4-shaped tree-fit sub-jobs (one per curve slice)
     "m21_learning_curve",
     // m22: one m4-shaped tree-fit sub-job behind the permutation arms
-    "m22_perm_importance")
+    "m22_perm_importance",
+    // m23: one m4-shaped tree-fit sub-job behind the ensemble scan
+    "m23_ensemble")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
