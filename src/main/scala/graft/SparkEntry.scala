@@ -47,6 +47,15 @@ object SparkEntry {
     case (cid, v) => s"($cid, [${v.map(x => f"$x%.3f").mkString(", ")}])"
   }.mkString(",\n           ")
 
+  /** Fixed MIPS centroids (n24): 8 centroids × dim 65 (the augmented
+    * space), same dyadic formula as [[ivfFixedCentroids]]. */
+  private lazy val mipsFixedCentroids: Array[(Int, Seq[Double])] =
+    Array.tabulate(8)(c => (c, Seq.tabulate(65)(j => (((c * 13 + j * 5) % 11) - 5) / 8.0)))
+
+  private lazy val mipsCentroidValues: String = mipsFixedCentroids.map {
+    case (cid, v) => s"($cid, [${v.map(x => f"$x%.3f").mkString(", ")}])"
+  }.mkString(",\n           ")
+
   /** Fixed PQ codebooks (n6): 4 subspaces × 8 centroids × subdim 16,
     * dyadic values (((c·7 + m·3 + j·5) mod 9) − 4)/8 whose 3-decimal
     * literals parse to identical doubles in Spark and DuckDB. */
@@ -786,6 +795,32 @@ object SparkEntry {
       Embeddings.ivfTopK(assigned, "vec_id", "embedding",
           emb.where(col("vec_id") < 8), "vec_id", "embedding",
           ivfFixedCentroids, nProbe = 3, k = 5)
+        .select(col("query_id"), col("corpus_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- ANN: max-inner-product search (n24) — the recommender
+    // retrieval shape: the classic augmented-vector reduction
+    // x → [x; √(M²−|x|²)], q → [q; 0] turns MIPS into cosine search, so
+    // the SAME IVF machinery serves it (per-query cosine order in the
+    // augmented space ≡ inner-product order). ----------------------------
+    "n24_mips" -> ((s, dir) => {
+      val emb = Tables.spread(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val nn = emb.select(col("vec_id"), col("v"),
+        Embeddings.dot(col("v"), col("v")).as("nsq"))
+      val mrow = nn.agg(max(sqrt(col("nsq"))).as("__m"))
+      val aug = nn.crossJoin(broadcast(mrow))
+        .select(col("vec_id"), concat(col("v"),
+          array(sqrt(greatest(lit(0.0),
+            col("__m") * col("__m") - col("nsq"))))).as("va"))
+      val assigned = Embeddings.assignFixedCentroids(aug, "va",
+        mipsFixedCentroids)
+      val qaug = nn.where(col("vec_id") < 8)
+        .select(col("vec_id"), concat(col("v"), array(lit(0.0))).as("va"))
+      Embeddings.ivfTopK(assigned, "vec_id", "va", qaug, "vec_id", "va",
+          mipsFixedCentroids, nProbe = 3, k = 5)
         .select(col("query_id"), col("corpus_id"),
           col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -8173,6 +8208,56 @@ object SparkEntry {
          assigned AS (SELECT vec_id, uvec, cid AS centroid_id FROM ca WHERE rn = 1),
          probes AS (SELECT vec_id AS query_id, uvec AS qu, cid AS centroid_id
                     FROM ca WHERE vec_id < 8 AND rn <= 3),
+         scored AS (
+           SELECT p.query_id, a.vec_id AS corpus_id,
+                  list_dot_product(a.uvec, p.qu) AS cos
+           FROM assigned a JOIN probes p USING (centroid_id)
+           WHERE a.vec_id != p.query_id),
+         ranked AS (
+           SELECT query_id, corpus_id,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id) AS "rank"
+           FROM scored)
+         SELECT query_id, corpus_id, "rank" FROM ranked WHERE "rank" <= 5
+         ORDER BY query_id, "rank"""",
+
+    // n24: the augmented-space replay — M from the norm max, corpus
+    // augmented with √(M²−|x|²), queries with 0, then the n5 chain over
+    // the 65-dim fixed centroids
+    "n24_mips" ->
+      s"""WITH cents AS (
+           SELECT * FROM (VALUES $mipsCentroidValues) t(cid, cvec)),
+         uv AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         nn AS (SELECT vec_id, v, list_dot_product(v, v) AS nsq FROM uv),
+         mrow AS (SELECT max(sqrt(nsq)) AS mm FROM nn),
+         aug AS (
+           SELECT vec_id,
+                  list_concat(v, [sqrt(greatest(0.0, mm * mm - nsq))]) AS va
+           FROM nn, mrow),
+         nr AS (SELECT vec_id, va, sqrt(list_dot_product(va, va)) AS nrm
+                FROM aug),
+         u AS (SELECT vec_id, list_transform(va, x -> x / nrm) AS uvec
+               FROM nr WHERE nrm > 0),
+         ca AS (
+           SELECT vec_id, uvec, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY list_dot_product(uvec, cvec) DESC, cid) AS rn
+           FROM u CROSS JOIN cents),
+         assigned AS (SELECT vec_id, uvec, cid AS centroid_id FROM ca WHERE rn = 1),
+         qa AS (SELECT vec_id, list_concat(v, [0.0]) AS va FROM nn
+                WHERE vec_id < 8),
+         qr AS (SELECT vec_id, va, sqrt(list_dot_product(va, va)) AS nrm
+                FROM qa),
+         qu AS (SELECT vec_id, list_transform(va, x -> x / nrm) AS uvec
+                FROM qr WHERE nrm > 0),
+         qc AS (
+           SELECT vec_id, uvec, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY list_dot_product(uvec, cvec) DESC, cid) AS rn
+           FROM qu CROSS JOIN cents),
+         probes AS (SELECT vec_id AS query_id, uvec AS qu, cid AS centroid_id
+                    FROM qc WHERE rn <= 3),
          scored AS (
            SELECT p.query_id, a.vec_id AS corpus_id,
                   list_dot_product(a.uvec, p.qu) AS cos

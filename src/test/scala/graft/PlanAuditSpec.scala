@@ -96,7 +96,9 @@ class PlanAuditSpec extends SparkSpec {
     // ref-period broadcast
     "q24_psi_drift",
     // m21: the 1-row train-counts broadcast onto the accuracy row
-    "m21_learning_curve")
+    "m21_learning_curve",
+    // n24: the 1-row max-norm broadcast onto the augmentation scan
+    "n24_mips")
 
   // single source of truth: graft.tools.PlanAudit.deliberateGlobalWindows
   // (Bench.windowWarnWhitelist derives from the SAME registry, so the
