@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** State of one monitored key: the doubled-unit prefix sum `p` of
+  * Σ(2c − 2k), its running floor `pmin = min(0, min_j P_j)`, the bucket
+  * count, and the latched alarm. PUBLIC — the state encoder's generated
+  * Java cannot call accessors of Scala-private classes. */
+case class CusumState(p: Long, pmin: Long, nBuckets: Long, alarmed: Boolean)
+
+/** One per-batch update: `cusum2` is the doubled one-sided CUSUM
+  * statistic after folding the batch's buckets; `alarm_now` reads the
+  * CURRENT statistic against the threshold, `alarmed_ever` latches. */
+case class CusumUpdate(key: String, n_buckets: Long, cusum2: Long,
+    alarm_now: Boolean, alarmed_ever: Boolean)
+
+/** Streaming one-sided CUSUM drift monitor — the live twin of
+  * `ops.Resample.cusumDetect` (e16): accumulate small sustained upward
+  * shifts of a keyed count stream, alarm when the statistic crosses 2h.
+  *
+  * Design for exactness: the batch twin computes
+  * `S_t = max(0, S_{t−1} + (c_t − k))` via the reflection identity
+  * `S_t = P_t − min(0, min_j P_j)` over PARTITIONED windows; here the
+  * SAME doubled-unit LONG recurrence folds incrementally — `p`, `pmin`
+  * are two longs per key, so the streaming statistic is bit-identical
+  * to the batch replay on the same bucket sequence (integers: no FP
+  * drift, no association sensitivity). Buckets fold in timestamp order
+  * within each batch (pre-sorted), and the detector does NOT reset
+  * after an alarm — `alarm_now` mirrors the batch column; the latched
+  * `alarmed_ever` is what a pager reads.
+  *
+  * Scale: state is three longs + a bool per key; input should be the
+  * per-batch (key, bucket_ts, count) pre-aggregation, so the stateful
+  * operator sees bucket-count-sized traffic. */
+object StreamingCusum {
+
+  /** Fold `(key, bucketTsMicros, count)` micro-batch rows into per-key
+    * CUSUM updates (OutputMode.Update). `target2` = 2k, `threshold2` =
+    * 2h — the e16 doubled-unit contract. */
+  def cusumUpdates(counts: Dataset[(String, Long, Long)],
+      target2: Long, threshold2: Long): Dataset[CusumUpdate] = {
+    require(threshold2 > 0, s"threshold2 must be positive, got $threshold2")
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Long, Long)],
+         state: GroupState[CusumState]) =>
+          val prev = state.getOption.getOrElse(
+            CusumState(0L, 0L, 0L, alarmed = false))
+          var p = prev.p; var pmin = prev.pmin; var n = prev.nBuckets
+          var alarmed = prev.alarmed
+          rows.toSeq.sortBy(_._2).foreach { case (_, _, c) =>
+            p += 2L * c - target2
+            if (p < pmin) pmin = p
+            n += 1
+            if (p - pmin >= threshold2) alarmed = true
+          }
+          state.update(CusumState(p, pmin, n, alarmed))
+          Iterator.single(CusumUpdate(key, n, p - pmin,
+            p - pmin >= threshold2, alarmed))
+      }
+  }
+}
