@@ -1598,7 +1598,7 @@ object SparkEntry {
     }),
 
     // ---- profiling: Pearson correlation matrix (q17) — every column
-    // pair's exact decimal power sums in ONE aggregate pass, pairwise-
+    // pair's exact CENT-long power sums in ONE aggregate pass, pairwise-
     // complete convention, one fixed double tree per pair. ---------------
     "q17_corr_matrix" -> ((s, dir) => {
       graft.ops.Profile.corrMatrix(t(s, dir, "lineitem"),
@@ -12438,8 +12438,9 @@ object SparkEntry {
                 min(cents) AS min_cents, max(cents) AS max_cents
          FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
 
-    // q17: one conditional-aggregate arm per pair — the identical decimal
-    // power sums and the identical corr double tree
+    // q17: one conditional-aggregate arm per pair — the identical CENT-long
+    // power sums (BIGINT products, HUGEINT totals — exact like Spark's
+    // decimal(30,0)) and the identical corr double tree
     "q17_corr_matrix" -> {
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val arms = (for (i <- cs.indices; j <- (i + 1) until cs.size) yield {
@@ -12453,16 +12454,16 @@ object SparkEntry {
            FROM (
              SELECT CAST(count(*) AS BIGINT) AS n,
                     CAST(count(*) AS DOUBLE) AS n_d,
-                    CAST(sum(CAST($a AS DECIMAL(19,6))) AS DOUBLE) AS sx,
-                    CAST(sum(CAST($b AS DECIMAL(19,6))) AS DOUBLE) AS sy,
-                    CAST(sum(CAST($a AS DECIMAL(19,6))
-                      * CAST($a AS DECIMAL(19,6))) AS DOUBLE) AS sxx,
-                    CAST(sum(CAST($b AS DECIMAL(19,6))
-                      * CAST($b AS DECIMAL(19,6))) AS DOUBLE) AS syy,
-                    CAST(sum(CAST($a AS DECIMAL(19,6))
-                      * CAST($b AS DECIMAL(19,6))) AS DOUBLE) AS sxy
-             FROM lineitem
-             WHERE $a IS NOT NULL AND $b IS NOT NULL)"""
+                    CAST(sum(xa) AS DOUBLE) AS sx,
+                    CAST(sum(xb) AS DOUBLE) AS sy,
+                    CAST(sum(xa * xa) AS DOUBLE) AS sxx,
+                    CAST(sum(xb * xb) AS DOUBLE) AS syy,
+                    CAST(sum(xa * xb) AS DOUBLE) AS sxy
+             FROM (
+               SELECT CAST(CAST($a AS DECIMAL(12,2)) * 100 AS BIGINT) AS xa,
+                      CAST(CAST($b AS DECIMAL(12,2)) * 100 AS BIGINT) AS xb
+               FROM lineitem
+               WHERE $a IS NOT NULL AND $b IS NOT NULL))"""
       }).mkString("\n           UNION ALL\n           ")
       s"""SELECT * FROM (
            $arms)

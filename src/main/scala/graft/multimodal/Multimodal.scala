@@ -435,24 +435,27 @@ object Multimodal {
     * drags the whole image through every tile). Partition-local map, no
     * shuffle; undecodable parents drop (corrupt media is filtered, not
     * fatal); edge remainders smaller than p are cropped away (the ViT
-    * convention). */
+    * convention). Parents whose grid exceeds the 10×10 the composite id
+    * can address DROP like corrupt media does (filtered, not fatal —
+    * a distributed map must never fail the whole job over one row). */
   def patchGrid(media: Dataset[MediaRow], patch: Int): Dataset[MediaRow] = {
     require(patch >= 1, s"patch must be positive, got $patch")
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
       Codecs.decodeImage(m.payload).iterator.flatMap { img =>
         val rows = img.getHeight / patch; val cols = img.getWidth / patch
-        require(rows <= 10 && cols <= 10,
-          s"composite patch ids support grids up to 10x10, got ${rows}x$cols")
-        for (pr <- 0 until rows; pc <- 0 until cols) yield {
+        if (rows > 10 || cols > 10) Iterator.empty
+        else for (pr <- 0 until rows; pc <- 0 until cols) yield {
           val tile = new BufferedImage(patch, patch, BufferedImage.TYPE_INT_RGB)
           val g = tile.createGraphics()
           try g.drawImage(img.getSubimage(pc * patch, pr * patch, patch, patch),
             0, 0, null)
           finally g.dispose()
+          // channels = 3 always: the tile buffer is forced TYPE_INT_RGB and
+          // re-encoded as RGB PNG regardless of the parent's channel count.
           MediaRow(m.media_id * 100L + pr * 10L + pc, "image",
             Codecs.encodePng(tile),
-            MediaMeta("png", patch, patch, m.meta.channels, 0L))
+            MediaMeta("png", patch, patch, 3, 0L))
         }
       }
     })

@@ -208,10 +208,17 @@ object Profile {
     * the rows where BOTH columns are non-null (the per-pair conditional
     * aggregates make that one scan, not k² scans).
     *
-    * Exactness: per-pair (n, Σx, Σy, Σx², Σy², Σxy) as DECIMAL(18,6)
-    * power sums (exact while value⁲ · rows fits DECIMAL(38,12) — money ×
-    * trillions of rows holds), then `corr = (n·Sxy − Sx·Sy) /
-    * √((n·Sxx − Sx²)(n·Syy − Sy²))` is ONE fixed double tree per pair.
+    * Exactness (the q10 cent doctrine): values scale ONCE per row to
+    * CENT integers (2-decimal money contract, `(v·100)` exact), so the
+    * per-pair power sums are pure LONG multiplies per row — a product of
+    * two cent longs ≤ ~10¹⁴ fits LONG with 5 decades to spare — summed
+    * into DECIMAL(30,0) (exact to ~10³⁰ cent², i.e. money² × 10¹⁶ rows).
+    * The old DECIMAL(18,6)×DECIMAL(18,6) arms paid a non-compact
+    * BigDecimal multiply + rescale per row per pair; the cent path is a
+    * codegen'd long multiply. `corr = (n·Sxy − Sx·Sy) /
+    * √((n·Sxx − Sx²)(n·Syy − Sy²))` stays ONE fixed double tree per pair
+    * (corr is scale-invariant, and both engines round the same exact
+    * integers to double, so the tree is bit-replayable).
     * Returns `(col_a, col_b, n, corr)` ordered; degenerate (constant)
     * columns yield NULL corr. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
@@ -219,18 +226,20 @@ object Profile {
     require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
     val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size)
       yield (cols(i), cols(j))
-    def d(c: String): Column = col(c).cast("decimal(18,6)")
+    // one cent cast per column per row, shared by every pair arm
+    val cents = df.select(cols.map(c =>
+      (col(c).cast("decimal(12,2)") * 100).cast("long").as(c)): _*)
     val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       val both = col(a).isNotNull && col(b).isNotNull
       Seq(
         sum(when(both, 1L).otherwise(0L)).as(s"n_$i"),
-        sum(when(both, d(a))).as(s"sx_$i"),
-        sum(when(both, d(b))).as(s"sy_$i"),
-        sum(when(both, d(a) * d(a))).as(s"sxx_$i"),
-        sum(when(both, d(b) * d(b))).as(s"syy_$i"),
-        sum(when(both, d(a) * d(b))).as(s"sxy_$i"))
+        sum(when(both, col(a)).cast("decimal(18,0)")).as(s"sx_$i"),
+        sum(when(both, col(b)).cast("decimal(18,0)")).as(s"sy_$i"),
+        sum(when(both, col(a) * col(a)).cast("decimal(20,0)")).as(s"sxx_$i"),
+        sum(when(both, col(b) * col(b)).cast("decimal(20,0)")).as(s"syy_$i"),
+        sum(when(both, col(a) * col(b)).cast("decimal(20,0)")).as(s"sxy_$i"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = cents.agg(aggs.head, aggs.tail: _*)
     val cells = pairs.zipWithIndex.map { case ((a, b), i) =>
       val nd = col(s"n_$i").cast("double")
       val sx = col(s"sx_$i").cast("double"); val sy = col(s"sy_$i").cast("double")

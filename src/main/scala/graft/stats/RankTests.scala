@@ -114,8 +114,9 @@ object RankTests {
     * with DOUBLED midranks, a group-A row at value v has doubled global
     * midrank `2(cuma+cumb) + (na+nb) + 1` and doubled placement
     * (global − within-group) `2·cumb + nb` — constants per cell, so the
-    * group sums Σr, Σd, Σd² fold in ONE aggregate (squares ride
-    * DECIMAL(38,0): Σd² ≤ 4N³ overflows LONG at ~10⁶ rows). The
+    * group sums Σr, Σd, Σd² fold in ONE aggregate (ALL of them ride
+    * DECIMAL(38,0): Σd² ≤ 4N³ overflows LONG at ~10⁶ rows and the
+    * linear Σr/Σd sums ≤ 2N² wrap silently past ~2·10⁹ rows). The
     * statistic/df/p̂ are fixed double trees over eight exact sums —
     * bit-replayable.
     *
@@ -131,8 +132,10 @@ object RankTests {
       (col("na") + col("nb")) + lit(1L)
     val agg = pref.agg(
       sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
-      sum(col("na") * r2).as("sr2a"), sum(col("nb") * r2).as("sr2b"),
-      sum(col("na") * d2a).as("s2a"), sum(col("nb") * d2b).as("s2b"),
+      sum(col("na").cast("decimal(38,0)") * r2).as("sr2a"),
+      sum(col("nb").cast("decimal(38,0)") * r2).as("sr2b"),
+      sum(col("na").cast("decimal(38,0)") * d2a).as("s2a"),
+      sum(col("nb").cast("decimal(38,0)") * d2b).as("s2b"),
       sum(col("na").cast("decimal(38,0)") * d2a * d2a).as("q4a0"),
       sum(col("nb").cast("decimal(38,0)") * d2b * d2b).as("q4b0"))
     val n1 = col("n_a").cast("double"); val n2 = col("n_b").cast("double")

@@ -25,10 +25,16 @@ case class CusumUpdate(key: String, n_buckets: Long, cusum2: Long,
   * SAME doubled-unit LONG recurrence folds incrementally — `p`, `pmin`
   * are two longs per key, so the streaming statistic is bit-identical
   * to the batch replay on the same bucket sequence (integers: no FP
-  * drift, no association sensitivity). Buckets fold in timestamp order
-  * within each batch (pre-sorted), and the detector does NOT reset
-  * after an alarm — `alarm_now` mirrors the batch column; the latched
-  * `alarmed_ever` is what a pager reads.
+  * drift, no association sensitivity). Within a batch, rows PRE-SUM per
+  * bucket_ts and then fold in timestamp order — duplicate (key,
+  * bucket_ts) rows (an un-pre-aggregated feed) collapse into ONE bucket
+  * exactly as the batch twin's groupBy(bucket) does, so the fold is
+  * deterministic regardless of arrival order. A bucket_ts must NOT
+  * recur across batches (late data for an already-folded bucket would
+  * fold as a new bucket — upstream watermark + pre-aggregation is the
+  * contract, same as StreamingHeavyHitters). The detector does NOT
+  * reset after an alarm — `alarm_now` mirrors the batch column; the
+  * latched `alarmed_ever` is what a pager reads.
   *
   * Scale: state is three longs + a bool per key; input should be the
   * per-batch (key, bucket_ts, count) pre-aggregation, so the stateful
@@ -51,7 +57,11 @@ object StreamingCusum {
             CusumState(0L, 0L, 0L, alarmed = false))
           var p = prev.p; var pmin = prev.pmin; var n = prev.nBuckets
           var alarmed = prev.alarmed
-          rows.toSeq.sortBy(_._2).foreach { case (_, _, c) =>
+          // pre-sum per bucket_ts (collapses duplicate-ts rows like the
+          // batch groupBy does), then fold in deterministic ts order
+          val buckets = rows.toSeq.groupBy(_._2).view
+            .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+          buckets.foreach { case (_, c) =>
             p += 2L * c - target2
             if (p < pmin) pmin = p
             n += 1
