@@ -113,7 +113,14 @@ object FDR {
     // actions from re-running the whole upstream pipeline. Storage is one
     // row per hypothesis; callers running many adjusts in one session can
     // free it with [[graft.dedup.Dedup.releaseCheckpoints]].
-    val sharded = df.repartitionByRange(col(pCol).asc, tieBreak.asc)
+    //
+    // The INPUT is pinned first: RangePartitioning samples its child in a
+    // separate job before the shuffle, so an unpinned upstream (often an
+    // expensive aggregation — r9 pays a full orders groupBy) would execute
+    // TWICE, once for the bounds sketch and once for the real exchange.
+    // Both pins are one row per hypothesis — same storage class.
+    val pinned = df.localCheckpoint()
+    val sharded = pinned.repartitionByRange(col(pCol).asc, tieBreak.asc)
       .withColumn("__shard", spark_partition_id())
       .localCheckpoint()
     val stats = sharded.groupBy(col("__shard")).agg(
@@ -201,8 +208,11 @@ object FDR {
     // aggregates of row-local values, folded shard-wise then on the driver
     // (one row per shard crosses). The final rejection test is row-local.
     // pinned for the same cross-job shard-stability reason as
-    // [[adjustShardedGlobal]] (see comment there)
-    val sharded = withQ.repartitionByRange(col("qp").asc, tieBreak.asc)
+    // [[adjustShardedGlobal]], and the input pins FIRST so the range
+    // partitioner's bounds-sampling job reads the pinned rows instead of
+    // re-running the upstream (see comment there)
+    val pinnedQ = withQ.localCheckpoint()
+    val sharded = pinnedQ.repartitionByRange(col("qp").asc, tieBreak.asc)
       .withColumn("__shard", spark_partition_id())
       .localCheckpoint()
     val counts = sharded.groupBy(col("__shard")).agg(count(lit(1)).as("__cnt"))

@@ -47,7 +47,11 @@ object RankTests {
     * single final pass; everything LONG so shard decomposition is exact. */
   private[graft] def withExclusivePrefixCols(
       vc: DataFrame, cols: Seq[(String, String)]): DataFrame = {
-    val sharded = vc.repartitionByRange(col("v").asc)
+    // pin the value cells FIRST: RangePartitioning samples its child in a
+    // separate job before the shuffle, so the corpus-sized groupBy feeding
+    // this frame would otherwise execute twice (the FDR doctrine)
+    val pinnedVc = vc.localCheckpoint()
+    val sharded = pinnedVc.repartitionByRange(col("v").asc)
       .withColumn("__shard", spark_partition_id())
       .localCheckpoint()
     val aggs = cols.map { case (c, _) => sum(col(c)).as(s"__s_$c") }

@@ -48,7 +48,11 @@ object Corpus {
     // reuse the tokenized rows instead of recomputing the scan. One row
     // per document of (id, ord, n_tokens); release via
     // [[graft.dedup.Dedup.releaseCheckpoints]] in long-lived sessions.
-    val sharded = base.repartitionByRange(col("__ord"), col(idCol))
+    // The input pins FIRST: RangePartitioning samples its child in a
+    // separate job before the shuffle, so an unpinned upstream (the
+    // tokenize scan here) would execute twice (the FDR doctrine).
+    val pinned = base.localCheckpoint()
+    val sharded = pinned.repartitionByRange(col("__ord"), col(idCol))
       .withColumn("__shard", spark_partition_id())
       .localCheckpoint()
     // ROWS frame + idCol tie-break: the default RANGE frame sums ALL rows
