@@ -78,28 +78,47 @@ object Quantize {
     * then re-ranked by EXACT cosine within the candidate set (rank_c).
     * The scan side carries only `ceil(dim/32)` longs per row — the
     * 100 TB shape: full-precision vectors are touched only for the k·|Q|
-    * survivors. Broadcast the (small) query side; the corpus never
-    * shuffles. Hamming is integer-exact; the cosine rerank replays via
-    * the same sequential dot-product arithmetic both engines share. */
+    * survivors. Hamming is integer-exact; the cosine rerank replays via
+    * the same sequential dot-product arithmetic both engines share.
+    *
+    * The Hamming pass runs over DISTINCT sign-word CELLS, not corpus
+    * rows: duplicate bit patterns (near-dup cliques quantize identically)
+    * collapse in one map-side-combined groupBy, the per-query rank
+    * shuffle carries cells×|Q| rows instead of |C|×|Q|, and only the
+    * cells whose strictly-closer mass is ≤ k (self-exclusion removes at
+    * most one preceding row) fan back out to rows for the exact
+    * (hamming, id) rank — a per-query frame bounded by k + the boundary
+    * cell, never the corpus. */
   def binaryTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       dim: Int, k: Int): DataFrame = {
-    val c = corpus.where(col(corpusVec).isNotNull)
+    val cw = corpus.where(col(corpusVec).isNotNull)
       .select(col(corpusId).as("corpus_id"),
         signWords(col(corpusVec), dim).as("__cw"))
+    val cells = cw.groupBy(col("__cw"))
+      .agg(count(lit(1)).as("__cn"), min(col("corpus_id")).as("__cmin"))
     val q = queries.where(col(queryVec).isNotNull)
       .select(col(queryId).as("query_id"),
         signWords(col(queryVec), dim).as("__qw"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-    // Hamming pass over sign words ONLY: the pair frame entering the
-    // per-query rank shuffle carries (corpus_id, query_id, hamming) — the
-    // full-precision vectors stay on the scan side and are fetched below
-    // for just the k·|Q| survivors (the doc'd 100 TB shape; previously
-    // __cv rode the corpus×|Q| frame through this shuffle).
-    val survivors = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
-      .select(col("corpus_id"), col("query_id"),
+    // cumulative mass of strictly-closer cells ((hamming, min-id) is a
+    // total order on cells); a cell can still contribute to the row-level
+    // top-k iff < k+1 rows precede it
+    val beforeW = w.orderBy(col("hamming").asc, col("__cmin").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val keptCells = cells.join(broadcast(q), lit(true))
+      .select(col("__cw"), col("query_id"), col("__cn"), col("__cmin"),
         hamming(col("__cw"), col("__qw")).as("hamming"))
+      .withColumn("__before", coalesce(sum(col("__cn")).over(beforeW), lit(0L)))
+      .where(col("__before") <= k)
+      .select(col("query_id"), col("__cw"), col("hamming"))
+    // fan the kept cells back out to rows (broadcast equi-join on the
+    // sign words — the corpus never shuffles), apply the self-exclusion,
+    // and rank the ≤ (k + boundary-cell)-row per-query frame exactly
+    val survivors = cw.join(broadcast(keptCells), Seq("__cw"))
+      .where(col("corpus_id") =!= col("query_id"))
+      .select(col("corpus_id"), col("query_id"), col("hamming"))
       .withColumn("rank_h", row_number().over(
         w.orderBy(col("hamming").asc, col("corpus_id").asc)))
       .where(col("rank_h") <= k)
