@@ -98,7 +98,10 @@ class PlanAuditSpec extends SparkSpec {
     // m21: the 1-row train-counts broadcast onto the accuracy row
     "m21_learning_curve",
     // n24: the 1-row max-norm broadcast onto the augmentation scan
-    "n24_mips")
+    "n24_mips",
+    // g16/g18: the reference's cross-joined-cohort summary tables — the
+    // j1 per-side-aggregate rewrite (1-row × 1-row cross join)
+    "g16_suv_study_vs_control", "g18_technical_cross")
 
   // single source of truth: graft.tools.PlanAudit.deliberateGlobalWindows
   // (Bench.windowWarnWhitelist derives from the SAME registry, so the
