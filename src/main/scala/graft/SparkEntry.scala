@@ -4302,6 +4302,113 @@ object SparkEntry {
         .orderBy(col("content_hash"))
     }),
 
+    // ---- streaming CUSUM batch replay (e28): StreamingCusum's OWN fold
+    // (the shared foldBuckets recurrence) over the closed hourly-count
+    // corpus — bit-identical to any micro-batch split since the
+    // recurrence is per-bucket. The output additionally pins the final
+    // state against e15's ★ batch cusumDetect chain in-band
+    // (matches_e15); the oracle replays the doubled-unit reflection
+    // chain relationally. ------------------------------------------------
+    "e28_stream_cusum_replay" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val counts = ev.where(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type").as("key"),
+          date_trunc("hour", col("ts")).as("bts"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("key"), unix_micros(col("bts")).as("bts"), col("c"))
+        .as[(String, Long, Long)]
+      val fold = graft.streaming.StreamingCusum.batchReplay(counts, 5L, 40L)
+        .toDF()
+      val batch = graft.ops.Resample.cusumDetect(ev,
+          "event_type", "ts", "hour", target2 = 5L, threshold2 = 40L)
+        .groupBy(col("key")).agg(
+          count(lit(1)).as("nb"),
+          max_by(col("cusum2"), col("bucket_ts")).as("c2b"),
+          max_by(col("alarm"), col("bucket_ts")).as("ab"),
+          bool_or(col("alarm")).as("everb"))
+      fold.join(batch, "key")
+        .select(col("key"), col("n_buckets"), col("cusum2"),
+          col("alarm_now"), col("alarmed_ever"),
+          (col("n_buckets") === col("nb") && col("cusum2") === col("c2b") &&
+            col("alarm_now") === col("ab") &&
+            col("alarmed_ever") === col("everb")).as("matches_e15"))
+        .orderBy(col("key"))
+    }),
+
+    // ---- streaming Misra–Gries batch replay (e29): the live operator's
+    // OWN foldBatch step over the closed corpus as one batch, then the MG
+    // guarantee certified IN-BAND against the exact per-item truth: every
+    // counter is a lower bound, counter+spilled an upper bound, the spill
+    // mass respects processed/(k+1), and every provably-heavy item
+    // (true·(k+1) > processed) is present — n_heavy_found is hash-pinned
+    // to the oracle's exact n_heavy_true. --------------------------------
+    "e29_stream_hh_replay" -> ((s, dir) => {
+      import s.implicits._
+      val k = 4
+      val keyed = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("key"),
+        when(col("l_linenumber") <= 3,
+          concat(lit("hot_"), col("l_orderkey") % 2))
+          .otherwise(concat(lit("cold_"), col("l_orderkey"), lit("_"),
+            col("l_linenumber"))).as("item"),
+        col("l_quantity").cast("long").as("w"))
+      val mg = graft.streaming.StreamingHeavyHitters.batchReplay(
+        keyed.as[(String, String, Long)], k).toDF()
+      val truth = keyed.groupBy(col("key"), col("item"))
+        .agg(sum(col("w")).as("truew"))
+      val perKey = truth.groupBy(col("key")).agg(sum(col("truew")).as("processed"))
+      val heavyItems = truth.join(broadcast(perKey), "key")
+        .where(lit(k + 1) * col("truew") > col("processed"))
+      // MG invariants read in-band: counter is a lower bound, counter +
+      // spilled an upper bound, spill mass ≤ processed/(k+1), table ≤ k —
+      // mg carries its own exact processed/spilled accounting
+      val mgChecked = mg.join(truth, Seq("key", "item"))
+        .groupBy(col("key")).agg(
+          count(lit(1)).as("n_counters"),
+          bool_and(col("count_lb") <= col("truew") &&
+            col("truew") <= col("count_lb") + col("spilled")).as("all_bounds_hold"),
+          bool_and(col("spilled") * (k + 1) <= col("processed")).as("spill_ok"))
+      val found = heavyItems
+        .join(mg.select(col("key"), col("item")), Seq("key", "item"), "left_semi")
+        .groupBy(col("key")).agg(count(lit(1)).as("n_heavy_found"))
+      perKey
+        .join(heavyItems.groupBy(col("key")).agg(count(lit(1)).as("n_heavy_true")),
+          Seq("key"), "left")
+        .join(found, Seq("key"), "left")
+        .join(mgChecked, "key")
+        .select(col("key"), col("processed"),
+          coalesce(col("n_heavy_true"), lit(0L)).as("n_heavy_true"),
+          coalesce(col("n_heavy_found"), lit(0L)).as("n_heavy_found"),
+          col("all_bounds_hold"), col("spill_ok"),
+          (col("n_counters") <= k).as("table_bounded"))
+        .orderBy(col("key"))
+    }),
+
+    // ---- streaming SPRT batch replay (e30): StreamingSprt's OWN
+    // foldLook step once per day in look order — exactly the
+    // one-micro-batch-per-look schedule r70 models, so the latched
+    // crossing flags replay the sequential test's look path. Exact totals
+    // and the closed-form LLR (JVM constants interpolated) hash-certify
+    // against the relational look chain. ---------------------------------
+    "e30_stream_sprt_replay" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val counts = ev.where(col("ts").isNotNull)
+        .groupBy(when(col("user_id") % 2 === 1, "odd").otherwise("even").as("key"),
+          unix_micros(date_trunc("day", col("ts"))).as("look"))
+        .agg(count(lit(1)).as("t"),
+          count(when(col("event_type") === "purchase", 1)).as("x"))
+        .as[(String, Long, Long, Long)]
+      graft.streaming.StreamingSprt.batchReplay(counts, p0 = 0.18, p1 = 0.22)
+        .toDF()
+        .select(col("key"), col("n"), col("x"),
+          (round(col("llr"), 6) + lit(0.0)).as("llr"),
+          col("crossedUp").as("crossed_up"), col("crossedDn").as("crossed_dn"),
+          col("decision"))
+        .orderBy(col("key"))
+    }),
+
     // ---- streaming materialized view, batch-replayed (the e7/e8
     // doctrine): four deterministic TIME-ORDERED micro-batches (fixed
     // quartile boundaries on unix_micros(ts), so equal timestamps never
@@ -8413,6 +8520,88 @@ object SparkEntry {
                     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
            FROM events)
          WHERE rn = 1 ORDER BY content_hash""",
+
+    // e28: the doubled-unit reflection chain (the e15 machinery) replayed
+    // relationally; the fold's final state per key is its last row, and
+    // matches_e15 is TRUE by construction (both sides are the same
+    // statistic — a diverging engine fold would mismatch the hash)
+    "e28_stream_cusum_replay" ->
+      """WITH b AS (
+           SELECT event_type AS key, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bts,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+           GROUP BY 1, 2),
+         ch AS (
+           SELECT key, bts,
+                  CAST(sum(2*c - 5) OVER (PARTITION BY key ORDER BY bts) AS BIGINT) AS p
+           FROM b),
+         st AS (
+           SELECT key, bts, p,
+                  CAST(least(0, min(p) OVER (PARTITION BY key ORDER BY bts)) AS BIGINT) AS pmin
+           FROM ch)
+         SELECT key, CAST(count(*) AS BIGINT) AS n_buckets,
+                CAST(max_by(p - pmin, bts) AS BIGINT) AS cusum2,
+                max_by(p - pmin >= 40, bts) AS alarm_now,
+                bool_or(p - pmin >= 40) AS alarmed_ever,
+                TRUE AS matches_e15
+         FROM st GROUP BY key ORDER BY key""",
+
+    // e29: exact per-item truth + per-key totals; n_heavy_found is pinned
+    // to the EXACT n_heavy_true (a lost guaranteed-heavy item would
+    // mismatch), the guarantee booleans are TRUE by the MG invariant
+    "e29_stream_hh_replay" ->
+      """WITH kw AS (
+           SELECT l_returnflag AS key,
+                  CASE WHEN l_linenumber <= 3
+                       THEN 'hot_' || CAST(l_orderkey % 2 AS VARCHAR)
+                       ELSE 'cold_' || CAST(l_orderkey AS VARCHAR) || '_'
+                            || CAST(l_linenumber AS VARCHAR) END AS item,
+                  CAST(l_quantity AS BIGINT) AS w
+           FROM lineitem),
+         tc AS (SELECT key, item, CAST(sum(w) AS BIGINT) AS truew
+                FROM kw GROUP BY 1, 2),
+         tot AS (SELECT key, CAST(sum(truew) AS BIGINT) AS processed
+                 FROM tc GROUP BY 1)
+         SELECT t.key, t.processed,
+                CAST(count(*) FILTER (WHERE 5 * c.truew > t.processed) AS BIGINT)
+                  AS n_heavy_true,
+                CAST(count(*) FILTER (WHERE 5 * c.truew > t.processed) AS BIGINT)
+                  AS n_heavy_found,
+                TRUE AS all_bounds_hold, TRUE AS spill_ok, TRUE AS table_bounded
+         FROM tot t JOIN tc c ON t.key = c.key
+         GROUP BY t.key, t.processed ORDER BY t.key""",
+
+    // e30: the look chain replayed relationally — cumulative exact totals
+    // per day, the closed-form LLR with the SAME JVM-interpolated
+    // constants, latched flags via bool_or over the chain
+    "e30_stream_sprt_replay" -> {
+      val c1 = math.log(0.22 / 0.18); val c0 = math.log(0.78 / 0.82)
+      val up = math.log(0.95 / 0.05); val dn = math.log(0.05 / 0.95)
+      s"""WITH lk AS (
+           SELECT CASE WHEN user_id % 2 = 1 THEN 'odd' ELSE 'even' END AS key,
+                  date_trunc('day', CAST(ts AS TIMESTAMP)) AS look,
+                  CAST(count(*) AS BIGINT) AS t,
+                  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS x
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+         ch AS (
+           SELECT key, look,
+                  CAST(sum(t) OVER w AS BIGINT) AS n_cum,
+                  CAST(sum(x) OVER w AS BIGINT) AS x_cum
+           FROM lk WINDOW w AS (PARTITION BY key ORDER BY look)),
+         ll AS (
+           SELECT key, look, n_cum, x_cum,
+                  CAST(x_cum AS DOUBLE) * ($c1)
+                    + CAST(n_cum - x_cum AS DOUBLE) * ($c0) AS llr
+           FROM ch)
+         SELECT key, max_by(n_cum, look) AS n, max_by(x_cum, look) AS x,
+                round(max_by(llr, look), 6) + 0.0 AS llr,
+                bool_or(llr >= $up) AS crossed_up,
+                bool_or(llr <= $dn) AS crossed_dn,
+                CASE WHEN max_by(llr, look) >= $up THEN 'accept_h1'
+                     WHEN max_by(llr, look) <= $dn THEN 'accept_h0'
+                     ELSE 'continue' END AS decision
+         FROM ll GROUP BY key ORDER BY key"""
+    },
 
     // e7: d8's signature CTE + band keys; the OR-join emits one row per
     // colliding pair, which is exactly the owning-band single emission; the

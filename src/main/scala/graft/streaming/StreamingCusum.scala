@@ -41,6 +41,23 @@ case class CusumUpdate(key: String, n_buckets: Long, cusum2: Long,
   * operator sees bucket-count-sized traffic. */
 object StreamingCusum {
 
+  /** The per-bucket recurrence both the live operator and [[batchReplay]]
+    * share: pre-summed `(bucket_ts, count)` pairs fold in ts order into
+    * the doubled-unit (p, pmin, n, alarmed) state. Pure — the streaming
+    * twin IS this function applied per micro-batch. */
+  def foldBuckets(prev: CusumState, buckets: Seq[(Long, Long)],
+      target2: Long, threshold2: Long): CusumState = {
+    var p = prev.p; var pmin = prev.pmin; var n = prev.nBuckets
+    var alarmed = prev.alarmed
+    buckets.sortBy(_._1).foreach { case (_, c) =>
+      p += 2L * c - target2
+      if (p < pmin) pmin = p
+      n += 1
+      if (p - pmin >= threshold2) alarmed = true
+    }
+    CusumState(p, pmin, n, alarmed)
+  }
+
   /** Fold `(key, bucketTsMicros, count)` micro-batch rows into per-key
     * CUSUM updates (OutputMode.Update). `target2` = 2k, `threshold2` =
     * 2h — the e16 doubled-unit contract. */
@@ -55,21 +72,35 @@ object StreamingCusum {
          state: GroupState[CusumState]) =>
           val prev = state.getOption.getOrElse(
             CusumState(0L, 0L, 0L, alarmed = false))
-          var p = prev.p; var pmin = prev.pmin; var n = prev.nBuckets
-          var alarmed = prev.alarmed
           // pre-sum per bucket_ts (collapses duplicate-ts rows like the
           // batch groupBy does), then fold in deterministic ts order
           val buckets = rows.toSeq.groupBy(_._2).view
-            .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
-          buckets.foreach { case (_, c) =>
-            p += 2L * c - target2
-            if (p < pmin) pmin = p
-            n += 1
-            if (p - pmin >= threshold2) alarmed = true
-          }
-          state.update(CusumState(p, pmin, n, alarmed))
-          Iterator.single(CusumUpdate(key, n, p - pmin,
-            p - pmin >= threshold2, alarmed))
+            .mapValues(_.map(_._3).sum).toSeq
+          val next = foldBuckets(prev, buckets, target2, threshold2)
+          state.update(next)
+          Iterator.single(CusumUpdate(key, next.nBuckets,
+            next.p - next.pmin, next.p - next.pmin >= threshold2,
+            next.alarmed))
       }
+  }
+
+  /** Batch replay of the live fold (the e7/e8 doctrine): the SAME
+    * [[foldBuckets]] recurrence over the closed corpus's per-key bucket
+    * sequence — because the recurrence is per-bucket, one whole-history
+    * fold is bit-identical to any micro-batch split of it. One row per
+    * key: the final streaming state `(key, n_buckets, cusum2, alarm_now,
+    * alarmed_ever)`. Input: pre-aggregated `(key, bucket_ts, count)`. */
+  def batchReplay(counts: Dataset[(String, Long, Long)],
+      target2: Long, threshold2: Long): Dataset[CusumUpdate] = {
+    require(threshold2 > 0, s"threshold2 must be positive, got $threshold2")
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_._1).mapGroups { (key, rows) =>
+      val buckets = rows.map(r => (r._2, r._3)).toSeq.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq
+      val st = foldBuckets(CusumState(0L, 0L, 0L, alarmed = false),
+        buckets, target2, threshold2)
+      CusumUpdate(key, st.nBuckets, st.p - st.pmin,
+        st.p - st.pmin >= threshold2, st.alarmed)
+    }
   }
 }

@@ -41,6 +41,31 @@ case class MgUpdate(key: String, item: String, count_lb: Long,
   * key. */
 object StreamingHeavyHitters {
 
+  /** The weighted Misra–Gries step both the live operator and
+    * [[batchReplay]] share: a pre-summed batch multiset folds in sorted
+    * item order into the ≤ k counter table with exact spill accounting.
+    * Pure — the streaming twin IS this function applied per micro-batch. */
+  def foldBatch(prev: MgState, batch: Seq[(String, Long)], k: Int): MgState = {
+    val m = scala.collection.mutable.HashMap[String, Long](
+      prev.counters.toSeq: _*)
+    var processed = prev.processed
+    var spilled = prev.spilled
+    batch.sortBy(_._1).foreach { case (item, w) =>
+      if (w > 0L) {
+        processed += w
+        m(item) = m.getOrElse(item, 0L) + w
+        if (m.size > k) {
+          val d = m.valuesIterator.min
+          spilled += d
+          val dead = m.collect { case (i, c) if c <= d => i }.toList
+          dead.foreach(m.remove)
+          m.keysIterator.toList.foreach(i => m(i) = m(i) - d)
+        }
+      }
+    }
+    MgState(m.toMap, processed, spilled)
+  }
+
   def mgUpdates(counts: Dataset[(String, String, Long)], k: Int): Dataset[MgUpdate] = {
     require(k >= 1, s"need a positive counter budget, got $k")
     import counts.sparkSession.implicits._
@@ -50,31 +75,33 @@ object StreamingHeavyHitters {
         (key: String, rows: Iterator[(String, String, Long)],
          state: GroupState[MgState]) =>
           val prev = state.getOption.getOrElse(MgState(Map.empty, 0L, 0L))
-          val m = scala.collection.mutable.HashMap[String, Long](
-            prev.counters.toSeq: _*)
-          var processed = prev.processed
-          var spilled = prev.spilled
-          // batch-local pre-sum, then a SORTED fold: the update is a pure
-          // function of the batch multiset, replay-stable
+          // batch-local pre-sum, then the SORTED shared fold: the update
+          // is a pure function of the batch multiset, replay-stable
           val batch = rows.toSeq.groupBy(_._2).view
-            .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
-          batch.foreach { case (item, w) =>
-            if (w > 0L) {
-              processed += w
-              m(item) = m.getOrElse(item, 0L) + w
-              if (m.size > k) {
-                val d = m.valuesIterator.min
-                spilled += d
-                val dead = m.collect { case (i, c) if c <= d => i }.toList
-                dead.foreach(m.remove)
-                m.keysIterator.toList.foreach(i => m(i) = m(i) - d)
-              }
-            }
-          }
-          val next = MgState(m.toMap, processed, spilled)
+            .mapValues(_.map(_._3).sum).toSeq
+          val next = foldBatch(prev, batch, k)
           state.update(next)
-          m.toSeq.sortBy { case (i, c) => (-c, i) }.iterator
-            .map { case (i, c) => MgUpdate(key, i, c, processed, spilled) }
+          next.counters.toSeq.sortBy { case (i, c) => (-c, i) }.iterator
+            .map { case (i, c) => MgUpdate(key, i, c,
+              next.processed, next.spilled) }
       }
+  }
+
+  /** Batch replay of the live fold (the e7/e8 doctrine): the SAME
+    * [[foldBatch]] step over the closed corpus's per-key item multiset
+    * as ONE batch — the final counter table for that batching, with the
+    * exact `processed`/`spilled` accounting the MG guarantee reads.
+    * One row per surviving (key, item). */
+  def batchReplay(counts: Dataset[(String, String, Long)],
+      k: Int): Dataset[MgUpdate] = {
+    require(k >= 1, s"need a positive counter budget, got $k")
+    import counts.sparkSession.implicits._
+    counts.groupByKey(_._1).flatMapGroups { (key, rows) =>
+      val batch = rows.map(r => (r._2, r._3)).toSeq.groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq
+      val st = foldBatch(MgState(Map.empty, 0L, 0L), batch, k)
+      st.counters.toSeq.sortBy { case (i, c) => (-c, i) }.iterator
+        .map { case (i, c) => MgUpdate(key, i, c, st.processed, st.spilled) }
+    }
   }
 }

@@ -69,4 +69,34 @@ class StreamingCusumSpec extends SparkSpec {
       assert(fin._3 == bl.getBoolean(4))
     } finally q.stop()
   }
+
+  test("batchReplay equals the live fold's final state (shared recurrence)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ds = counts.map { case (h, c) => ("m", h * 3600L * 1000000L, c) }
+      .toDS()
+    val replay = StreamingCusum.batchReplay(ds, target2 = 7L, threshold2 = 10L)
+      .collect().head
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingCusum.cusumUpdates(input.toDS(), 7L, 10L)
+      .writeStream.format("memory").queryName("cusum_br_test")
+      .outputMode("update").start()
+    try {
+      // an uneven batching, including duplicate bucket_ts rows in-batch
+      counts.grouped(7).foreach { b =>
+        val dup = b.flatMap { case (h, c) =>
+          if (c > 1) Seq(("m", h * 3600L * 1000000L, c - 1L),
+            ("m", h * 3600L * 1000000L, 1L))
+          else Seq(("m", h * 3600L * 1000000L, c))
+        }
+        input.addData(dup: _*)
+        q.processAllAvailable()
+      }
+      val live = spark.table("cusum_br_test")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3),
+          r.getBoolean(4))).maxBy(_._1)
+      assert((replay.n_buckets, replay.cusum2, replay.alarm_now,
+        replay.alarmed_ever) == live)
+    } finally q.stop()
+  }
 }

@@ -77,4 +77,27 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("batchReplay equals the live single-batch fold (shared foldBatch)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val replay = StreamingHeavyHitters.batchReplay(
+      workload.map { case (i, w) => ("s", i, w) }.toDS(), k = 8)
+      .collect().map(u => (u.item, u.count_lb, u.processed, u.spilled)).toSet
+    val input = MemoryStream[(String, String, Long)]
+    val q = StreamingHeavyHitters.mgUpdates(input.toDS(), k = 8)
+      .writeStream.format("memory").queryName("mg_br_test")
+      .outputMode("update").start()
+    try {
+      // ONE batch: the live fold sees the same multiset as batchReplay,
+      // so the table is bit-identical (across different batchings only
+      // the guarantee holds, not table equality — the split test above)
+      input.addData(workload.map { case (i, w) => ("s", i, w) }: _*)
+      q.processAllAvailable()
+      val live = spark.table("mg_br_test")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(replay == live)
+    } finally q.stop()
+  }
 }

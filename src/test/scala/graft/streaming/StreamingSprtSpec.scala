@@ -92,4 +92,29 @@ class StreamingSprtSpec extends SparkSpec {
       assert(last._6 == bl.getString(7))
     } finally q.stop()
   }
+
+  test("batchReplay equals the live one-batch-per-look fold (shared foldLook)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val looks = Seq((0L, 20L, 12L), (1L, 20L, 12L), (2L, 20L, 12L), (3L, 60L, 2L))
+    val replay = StreamingSprt.batchReplay(
+      looks.map { case (l, t, s) => ("m", l, t, s) }.toDS(),
+      p0 = 0.2, p1 = 0.4).collect().head
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamingSprt.sprtUpdates(input.toDS(), p0 = 0.2, p1 = 0.4)
+      .writeStream.format("memory").queryName("sprt_br_test")
+      .outputMode("update").start()
+    try {
+      looks.foreach { case (_, t, s) =>
+        input.addData(("m", t, s)); q.processAllAvailable()
+      }
+      val live = spark.table("sprt_br_test")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getBoolean(4), r.getBoolean(5), r.getString(6))).maxBy(_._1)
+      assert((replay.n, replay.x, replay.llr, replay.crossedUp,
+        replay.crossedDn, replay.decision) == live)
+      assert(replay.crossedUp, "the high-rate looks must latch crossed_up")
+      assert(replay.decision == "continue", "the bad look pulls the statistic back")
+    } finally q.stop()
+  }
 }
