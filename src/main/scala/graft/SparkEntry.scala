@@ -2757,7 +2757,7 @@ object SparkEntry {
       val isTest = substring(h, 1, 1) < lit("5")
       val isValid = substring(h, 2, 1) < lit("4")
       val trainAll = o.where(!isTest)
-      val (res, featModel, bestTree) = graft.ml.CohortClassifier.tuneBayesianSplit(
+      val (res, featModel, bestTree, _) = graft.ml.CohortClassifier.tuneBayesianSplit(
         trainAll.where(!isValid), trainAll.where(isValid), o.where(isTest),
         graft.ml.CohortClassifier.Config(
           labelCol = "label",
@@ -2781,6 +2781,62 @@ object SparkEntry {
         lit(res.bestParams("trials").asInstanceOf[Int]).cast("long").as("trials"),
         round(lit(res.accuracy), 6).as("accuracy"),
         round(lit(res.auc), 6).as("auc"))
+    }),
+
+    // ---- ML: the TPE tune's per-trial TRACE, oracled (the m2 search's
+    // trajectory, not just its outcome): the SAME m2 tune runs with the
+    // trace surfaced, every (trial, params, validation AUC) exports as
+    // literals, and BOTH engines independently replay the selection —
+    // argmax with the lexicographic tie-break — plus the TPE adaptive
+    // concentration (how much of each phase's budget landed on the
+    // winner's depth) and the best-so-far chain. --------------------------
+    "m24_tune_trace" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = t(s, dir, "orders").where(col("o_orderkey") % 10 === 0).select(
+        (col("o_orderstatus") === "F").cast("int").as("label"),
+        col("o_totalprice"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("is_urgent"),
+        year(col("o_orderdate")).cast("double").as("order_year"),
+        col("o_orderkey"))
+      val h = md5(col("o_orderkey").cast("string"))
+      val isTest = substring(h, 1, 1) < lit("5")
+      val isValid = substring(h, 2, 1) < lit("4")
+      val trainAll = o.where(!isTest)
+      val (_, _, _, trace) = graft.ml.CohortClassifier.tuneBayesianSplit(
+        trainAll.where(!isValid), trainAll.where(isValid), o.where(isTest),
+        graft.ml.CohortClassifier.Config(
+          labelCol = "label",
+          numericCols = Seq("o_totalprice", "order_year"),
+          binaryCols = Seq("is_urgent"), fitPartitions = 4),
+        budget = 10, parallelism = 5, nWarmup = 5)
+      val rows = trace.zipWithIndex.map { case (((d, m, g), auc), i) =>
+        (i.toLong, d.toLong, m.toLong, g, auc) }
+      m24TuneTrace = Some(rows)
+      import s.implicits._
+      val df = rows.toDF("trial", "max_depth", "min_instances",
+        "min_info_gain", "val_auc")
+      val winner = df
+        .orderBy(col("val_auc").desc, col("max_depth"), col("min_instances"),
+          col("min_info_gain"))
+        .limit(1)
+        .select(col("max_depth").as("wd"), col("min_instances").as("wm"),
+          col("min_info_gain").as("wg"))
+      val chainW = Window.orderBy(col("trial"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val phaseW = Window.partitionBy(col("is_warmup"))
+      df.crossJoin(broadcast(winner))
+        .withColumn("is_best", col("max_depth") === col("wd") &&
+          col("min_instances") === col("wm") && col("min_info_gain") === col("wg"))
+        .withColumn("best_so_far", max(col("val_auc")).over(chainW))
+        .withColumn("is_warmup", col("trial") < 5)
+        .withColumn("n_winner_depth_phase",
+          sum(when(col("max_depth") === col("wd"), 1L).otherwise(0L)).over(phaseW))
+        .withColumn("n_phase", count(lit(1)).over(phaseW))
+        .select(col("trial"), col("max_depth"), col("min_instances"),
+          col("min_info_gain"), col("val_auc"), col("is_best"),
+          col("best_so_far"), col("is_warmup"),
+          col("n_winner_depth_phase"), col("n_phase"))
+        .orderBy(col("trial"))
     }),
 
     // ---- ML: fit→export→score replay. A tree is FITTED in-engine on a
@@ -5844,6 +5900,41 @@ object SparkEntry {
       graft.ml.TreeScorer.TreeSpec, graft.ml.TreeScorer.TreeSpec,
       Map[String, Any])] = None
 
+  /** m24's runtime export: the TPE trace in schedule order —
+    * (trial, maxDepth, minInstances, minInfoGain, validation AUC). */
+  @volatile private var m24TuneTrace:
+      Option[Seq[(Long, Long, Long, Double, Double)]] = None
+
+  /** m24's oracle: the trace as a VALUES literal, with the argmax (ties →
+    * lexicographically smallest params), best-so-far chain, and per-phase
+    * winner-depth concentration all recomputed relationally by DuckDB. */
+  private def m24OracleEntry: Map[String, String] = m24TuneTrace.map { rows =>
+    def d(x: Double) = java.lang.Double.toString(x)
+    val values = rows.map { case (i, dd, m, g, a) =>
+      s"($i, $dd, $m, ${d(g)}, ${d(a)})" }.mkString(",\n           ")
+    "m24_tune_trace" ->
+      s"""WITH t(trial, max_depth, min_instances, min_info_gain, val_auc) AS (
+           VALUES $values),
+         win AS (
+           SELECT max_depth AS wd, min_instances AS wm, min_info_gain AS wg
+           FROM t
+           ORDER BY val_auc DESC, max_depth, min_instances, min_info_gain
+           LIMIT 1)
+         SELECT CAST(trial AS BIGINT) AS trial,
+                CAST(max_depth AS BIGINT) AS max_depth,
+                CAST(min_instances AS BIGINT) AS min_instances,
+                min_info_gain, val_auc,
+                (max_depth = wd AND min_instances = wm
+                  AND min_info_gain = wg) AS is_best,
+                max(val_auc) OVER (ORDER BY trial) AS best_so_far,
+                trial < 5 AS is_warmup,
+                CAST(sum(CASE WHEN max_depth = wd THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY trial < 5) AS BIGINT) AS n_winner_depth_phase,
+                CAST(count(*) OVER (PARTITION BY trial < 5) AS BIGINT) AS n_phase
+         FROM t CROSS JOIN win
+         ORDER BY trial"""
+  }.toMap
+
   private def m2OracleEntry: Map[String, String] = m2TunedArtifacts.map {
     case (mins, maxs, specCls, specRaw, params) =>
       def d(x: Double) = java.lang.Double.toString(x)
@@ -7147,7 +7238,8 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] =
-    m1OracleEntry ++ m2OracleEntry ++ m4OracleEntry ++ m5OracleEntry ++
+    m1OracleEntry ++ m2OracleEntry ++ m24OracleEntry ++ m4OracleEntry ++
+    m5OracleEntry ++
     m21OracleEntry ++ m22OracleEntry ++ m23OracleEntry ++
     m6OracleEntry ++ m7OracleEntry ++ m10OracleEntry ++ m11OracleEntry ++
     m13OracleEntry ++ m14OracleEntry ++ m15OracleEntry ++ m19OracleEntry ++

@@ -216,7 +216,8 @@ object CohortClassifier {
     try {
       val Array(train, test) = data.randomSplit(Array(0.7, 0.3), cfg.seed)
       val Array(trainFit, valid) = train.randomSplit(Array(0.75, 0.25), cfg.seed)
-      tuneCore(trainFit, valid, test, cfg, budget, parallelism, nWarmup, gamma)._1
+      tuneCore(trainFit, valid, test, cfg, budget, parallelism, nWarmup,
+        gamma)._1
     } finally data.unpersist(blocking = false)
   }
 
@@ -225,10 +226,14 @@ object CohortClassifier {
     * content-hash splits make the evaluated test set engine-reproducible.
     * Returns the Result plus the fitted artifacts an independent engine
     * needs to REPLAY the reported metrics: the feature pipeline (for the
-    * scaler's min/range) and the winning tree. */
+    * scaler's min/range) and the winning tree, and the full per-trial
+    * (params, validation-AUC) TRACE in schedule order — the m24 query
+    * exports it as literals and replays the argmax + the TPE density
+    * concentration relationally. */
   def tuneBayesianSplit(trainFit: DataFrame, valid: DataFrame, test: DataFrame,
       cfg: Config, budget: Int = 50, parallelism: Int = 4, nWarmup: Int = 12,
-      gamma: Double = 0.25): (Result, PipelineModel, DecisionTreeClassificationModel) = {
+      gamma: Double = 0.25): (Result, PipelineModel,
+        DecisionTreeClassificationModel, Seq[((Int, Int, Double), Double)]) = {
     def prep(d: DataFrame) = {
       val p = prepare(d, cfg)
       if (cfg.fitPartitions > 0) p.coalesce(cfg.fitPartitions) else p
@@ -239,7 +244,8 @@ object CohortClassifier {
 
   private def tuneCore(trainFit: DataFrame, valid: DataFrame, test: DataFrame,
       cfg: Config, budget: Int, parallelism: Int, nWarmup: Int, gamma: Double)
-      : (Result, PipelineModel, DecisionTreeClassificationModel) = {
+      : (Result, PipelineModel, DecisionTreeClassificationModel,
+         Seq[((Int, Int, Double), Double)]) = {
     trainFit.cache(); valid.cache()
     // the feature stages don't depend on the tree hyperparameters: fit
     // them ONCE and materialize the assembled features, so each trial is
@@ -274,7 +280,8 @@ object CohortClassifier {
       "maxDepth" -> bestP._1,
       "minInstancesPerNode" -> bestP._2,
       "minInfoGain" -> bestP._3,
-      "trials" -> observed.size)), featModel, bestTree)
+      "trials" -> observed.size)), featModel, bestTree,
+      observed.map(t => (t._1, t._3)))
     finally {
       trainFit.unpersist(blocking = false); valid.unpersist(blocking = false)
       trainFeat.unpersist(blocking = false); validFeat.unpersist(blocking = false)

@@ -70,7 +70,10 @@ object PlanAudit {
     "r77_overdispersion",
     "m12_naive_bayes", "r29_mantel_haenszel", "r30_mutual_info",
     "r32_friedman", "m7_lift_chart", "q13_benford", "q16_psi",
-    "j10_bracket_lookup", "r35_breslow_day")
+    "j10_bracket_lookup", "r35_breslow_day",
+    // m24: best-so-far chain over the ≤10-row literal trial-trace frame
+    // (plus m2-shaped tree-fit sub-jobs at query-build time)
+    "m24_tune_trace")
 
   /** Queries that emit runtime `WindowExec` WARNs without a partition-less
     * window in their OWN executed plan — bounded-frame stats chains that

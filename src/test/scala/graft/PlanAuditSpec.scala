@@ -101,7 +101,9 @@ class PlanAuditSpec extends SparkSpec {
     "n24_mips",
     // g16/g18: the reference's cross-joined-cohort summary tables — the
     // j1 per-side-aggregate rewrite (1-row × 1-row cross join)
-    "g16_suv_study_vs_control", "g18_technical_cross")
+    "g16_suv_study_vs_control", "g18_technical_cross",
+    // m24: the 1-row winner broadcast onto the ≤10-row trace frame
+    "m24_tune_trace")
 
   // single source of truth: graft.tools.PlanAudit.deliberateGlobalWindows
   // (Bench.windowWarnWhitelist derives from the SAME registry, so the

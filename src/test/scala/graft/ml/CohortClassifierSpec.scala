@@ -127,7 +127,7 @@ class CohortClassifierSpec extends SparkSpec {
     val rest = split.where(col("__h") >= "4")
     val valid = rest.where(col("__h") < "8").drop("__h")
     val trainFit = rest.where(col("__h") >= "8").drop("__h")
-    val (res, featModel, bestTree) = CohortClassifier.tuneBayesianSplit(
+    val (res, featModel, bestTree, _) = CohortClassifier.tuneBayesianSplit(
       trainFit, valid, test0, cfg, budget = 4, parallelism = 2, nWarmup = 2)
     val scaler = featModel.stages.last
       .asInstanceOf[org.apache.spark.ml.feature.MinMaxScalerModel]
