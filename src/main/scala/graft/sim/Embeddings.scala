@@ -256,7 +256,8 @@ object Embeddings {
     * primitive behind IVF indexing and cluster-census / SemDeDup-style
     * pipelines: fit on a sample at 100 TB, assignment stays one pass. */
   def kmeansTrain(df: DataFrame, vecCol: String, k: Int, dim: Int = -1,
-      seed: Long = 42L, maxIter: Int = 10): Array[(Int, Seq[Double])] = {
+      seed: Long = 42L, maxIter: Int = 10,
+      sampleCap: Int = 1 << 17): Array[(Int, Seq[Double])] = {
     val d =
       if (dim > 0) dim
       else df.select(size(asDouble(col(vecCol))).as("n"))
@@ -265,7 +266,7 @@ object Embeddings {
         .getOrElse(throw new IllegalArgumentException(
           s"kmeansTrain: no non-empty vectors in '$vecCol' to infer dim from"))
     pqTrain(df, vecCol, numSubspaces = 1, k = k, dim = d,
-      seed = seed, maxIter = maxIter).head
+      seed = seed, maxIter = maxIter, sampleCap = sampleCap).head
   }
 
   /** Assign each row to the centroid maximizing dot(unit vector, centroid)
@@ -402,6 +403,44 @@ object Embeddings {
       k: Int, minCosine: Double, seed: Long = 42L,
       maxIter: Int = 10): (DataFrame, Array[(Int, Seq[Double])]) = {
     val centers = kmeansTrain(df, vecCol, k, seed = seed, maxIter = maxIter)
+    semanticDedupWithCenters(df, idCol, vecCol, centers, minCosine)
+  }
+
+  /** k giving ~`targetClusterSize`-row clusters: ceil(n/target) clamped to
+    * [kMin, kMax]. This is what LINEARIZES SemDeDup — with k fixed, the
+    * within-cluster pair cost Σ n_c² ≈ n²/k grows quadratically (measured:
+    * the sf5 scale probe put fixed-k n8 at ~n^1.9); with k ∝ n it stays
+    * ≈ n·target. Above kMax the literal-centroid assignment pass would
+    * dominate instead — shard the corpus and dedup per shard, or move
+    * assignment to a broadcast-join form, before raising the clamp. */
+  def semanticK(n: Long, targetClusterSize: Long = 10000L,
+      kMin: Int = 8, kMax: Int = 4096): Int = {
+    require(targetClusterSize > 0 && kMin >= 1 && kMax >= kMin)
+    math.min(kMax.toLong, math.max(kMin.toLong,
+      (n + targetClusterSize - 1) / targetClusterSize)).toInt
+  }
+
+  /** [[semanticDedup]] in the scale-correct auto-k regime: k derives from
+    * the corpus count via [[semanticK]] (the paper's k ≈ n/10⁴ rule), and
+    * the k-means train sample scales with k (≥64 points per cluster) while
+    * staying driver-bounded. One extra count() job over the vector column. */
+  def semanticDedupAuto(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double, targetClusterSize: Long = 10000L, seed: Long = 42L,
+      maxIter: Int = 10, kMin: Int = 8, kMax: Int = 4096)
+      : (DataFrame, Array[(Int, Seq[Double])]) = {
+    val n = df.where(asDouble(col(vecCol)).isNotNull).count()
+    val k = semanticK(n, targetClusterSize, kMin, kMax)
+    val cap = math.min(1 << 17, math.max(1 << 15, k * 64))
+    val centers = kmeansTrain(df, vecCol, k, seed = seed, maxIter = maxIter,
+      sampleCap = cap)
+    semanticDedupWithCenters(df, idCol, vecCol, centers, minCosine)
+  }
+
+  /** The blocking + dominance stage shared by the fixed-k and auto-k
+    * entrypoints. */
+  def semanticDedupWithCenters(df: DataFrame, idCol: String, vecCol: String,
+      centers: Array[(Int, Seq[Double])], minCosine: Double)
+      : (DataFrame, Array[(Int, Seq[Double])]) = {
     val assigned = assignEuclidean(df, vecCol, centers)
     val u = withUnit(assigned, vecCol)
       .select(col(idCol).as("__id"), col("centroid_id").as("__cid"), col("__vec"))

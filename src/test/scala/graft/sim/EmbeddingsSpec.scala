@@ -216,6 +216,31 @@ class EmbeddingsSpec extends SparkSpec {
     assert(kept2.select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq == keptIds)
   }
 
+  test("semanticK scales k with the corpus; auto path equals fixed-k at the clamp") {
+    // the linearizing rule: ceil(n/target) clamped to [kMin, kMax]
+    assert(Embeddings.semanticK(1000L, targetClusterSize = 500L) == 8) // kMin
+    assert(Embeddings.semanticK(200000L, targetClusterSize = 500L) == 400)
+    assert(Embeddings.semanticK(100000000L, targetClusterSize = 500L) == 4096) // kMax
+    assert(Embeddings.semanticK(10001L, targetClusterSize = 10000L, kMin = 1) == 2)
+    // at the kMin clamp the auto path trains the same k → same survivors
+    val rows = Seq(
+      (1L, Seq(5.0f, 5.0f, 0.1f, 0.0f)),
+      (2L, Seq(5.0f, 5.0f, 0.1001f, 0.0f)),
+      (3L, Seq(4.0f, 6.0f, 0.0f, 0.0f)),
+      (4L, Seq(-5.0f, -5.0f, 0.0f, 0.2f)),
+      (5L, Seq(-5.0f, -5.0f, 0.0f, 0.2002f)),
+      (6L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (fixedKept, _) = Embeddings.semanticDedup(df, "vec_id", "embedding",
+      k = 2, minCosine = 0.99, seed = 3L)
+    val (autoKept, autoCenters) = Embeddings.semanticDedupAuto(df, "vec_id",
+      "embedding", minCosine = 0.99, targetClusterSize = 3L, seed = 3L,
+      kMin = 2)
+    assert(autoCenters.length == 2) // ceil(6/3) = 2
+    assert(autoKept.select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      fixedKept.select($"vec_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("mmrSelect: first pick is the most relevant, near-dup of it is deferred") {
     // query q = e0. Candidates: a ≈ q (rel .99+), a2 ≈ a (near-dup),
     // b orthogonal-ish but diverse. Pure relevance would pick (a, a2);
