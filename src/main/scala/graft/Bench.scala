@@ -103,6 +103,14 @@ object Bench {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // The generated-class cache (static conf, default 100 entries) thrashes
+      // on a 300+-query surface: every pass re-runs Janino on every stage.
+      // Scale-independent JVM warmup hygiene, not a local[32] tune — the
+      // cache is keyed by generated source, so correctness is unaffected.
+      // Parameterised for A/B (SPARK_GRAFT_CODEGEN_CACHE=100 reproduces the
+      // old behaviour).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       // fresh warehouse per JVM: bucketed saveAsTable must not land in cwd
       // nor collide with a previous run's in-memory-catalog leftovers
       .config("spark.sql.warehouse.dir",
