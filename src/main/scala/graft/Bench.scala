@@ -111,6 +111,14 @@ object Bench {
       // old behaviour).
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // Whole-stage codegen silently disables for plans wider than 100
+      // fields (default spark.sql.codegen.maxFields), dropping the wide
+      // moment/correlation aggregates (q17: 144 sums, r76: 136) to the
+      // interpreted path. Width of a plan is scale-independent; Janino's
+      // own per-method bytecode limit (hugeMethodLimit) still bails out
+      // gracefully if a generated method ever gets too big.
+      .config("spark.sql.codegen.maxFields",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_MAXFIELDS", "1024"))
       // fresh warehouse per JVM: bucketed saveAsTable must not land in cwd
       // nor collide with a previous run's in-memory-catalog leftovers
       .config("spark.sql.warehouse.dir",

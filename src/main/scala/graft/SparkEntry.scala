@@ -5355,12 +5355,16 @@ object SparkEntry {
       val xs = Seq[(String, org.apache.spark.sql.Column)](
         "qty" -> col("l_quantity"), "disc" -> col("l_discount"),
         "tax" -> col("l_tax"))
-      val fit = graft.stats.Regression.olsFitMulti(
-        li, col("l_extendedprice"), xs)
+      // ONE moment pass serves the fit AND the summary (bit-identical:
+      // the fit solves from the same collected row the summary trees
+      // read; the 1-row localCheckpoint stops the output select from
+      // re-running the corpus aggregate — the r76 shape)
+      val mo = graft.stats.Regression.olsMoments(
+        li, col("l_extendedprice"), xs).localCheckpoint()
+      val fit = graft.stats.Regression.olsFitFromMomentsRow(
+        mo.head(), xs.map(_._1), xs.indices)
       m13OlsFit = Some(fit)
-      graft.stats.Regression.olsSummaryDF(
-        graft.stats.Regression.olsMoments(li, col("l_extendedprice"), xs),
-        fit.beta)
+      graft.stats.Regression.olsSummaryDF(mo, fit.beta)
     }),
 
     // ---- §2.9 ridge regression (m15): m13's covariates with an L2
@@ -5372,12 +5376,13 @@ object SparkEntry {
       val xs = Seq[(String, org.apache.spark.sql.Column)](
         "qty" -> col("l_quantity"), "disc" -> col("l_discount"),
         "tax" -> col("l_tax"))
-      val fit = graft.stats.Regression.ridgeFitMulti(
-        li, col("l_extendedprice"), xs, lambda = 1e6)
+      // m13's single-moment-pass shape with λ on the slope diagonal
+      val mo = graft.stats.Regression.olsMoments(
+        li, col("l_extendedprice"), xs).localCheckpoint()
+      val fit = graft.stats.Regression.ridgeFitFromMomentsRow(
+        mo.head(), xs.map(_._1), lambda = 1e6)
       m15RidgeFit = Some(fit)
-      graft.stats.Regression.olsSummaryDF(
-        graft.stats.Regression.olsMoments(li, col("l_extendedprice"), xs),
-        fit.beta)
+      graft.stats.Regression.olsSummaryDF(mo, fit.beta)
     }),
 
     // ---- §2.9 isotonic calibration (m16): P(returned) calibrated

@@ -26,6 +26,19 @@ object Tables {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** [[spread]] only when the plan would otherwise run on materially fewer
+    * partitions than the session parallelism — the scale-adaptive form: a
+    * single-file local scan (1 split) gets fanned out, while a pre-split
+    * production input (partitions ≥ cores) passes through untouched, so
+    * the repartition can never become a pointless full-data shuffle at
+    * scale. Use on a NARROW projection so the inserted shuffle moves only
+    * the columns the downstream aggregate needs (guide: project before
+    * the exchange). */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // reference semantics: Spark-3/Databricks non-ANSI (bad cast → NULL)
       .config("spark.sql.ansi.enabled", "false")
+      // match Bench's codegen posture (see Bench.scala): keep wide
+      // moment/correlation aggregates on the codegen path and the
+      // generated-class cache sized to the query surface
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
+      .config("spark.sql.codegen.maxFields", "1024")
       // fresh warehouse per JVM: bucketed saveAsTable must not land in cwd
       // nor collide with a previous run's in-memory-catalog leftovers
       .config("spark.sql.warehouse.dir",

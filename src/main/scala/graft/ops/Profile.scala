@@ -226,9 +226,11 @@ object Profile {
     require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
     val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size)
       yield (cols(i), cols(j))
-    // one cent cast per column per row, shared by every pair arm
-    val cents = df.select(cols.map(c =>
-      (col(c).cast("decimal(12,2)") * 100).cast("long").as(c)): _*)
+    // one cent cast per column per row, shared by every pair arm; fan a
+    // single-split local scan out over the cores (scale-adaptive no-op on
+    // pre-split inputs) — the k²·3 cross-product sums are the CPU cost
+    val cents = graft.Tables.spreadIfNarrow(df.select(cols.map(c =>
+      (col(c).cast("decimal(12,2)") * 100).cast("long").as(c)): _*))
     val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
       val both = col(a).isNotNull && col(b).isNotNull
       Seq(

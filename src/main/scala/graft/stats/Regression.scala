@@ -127,46 +127,54 @@ object Regression {
 
   /** The 1-row exact moment frame for `y ~ 1 + xs`: `n`, `s_y`, `s_yy`,
     * and for every covariate pair the cross sums — ONE map-side-combined
-    * aggregate with DECIMAL(12,2) values, so every entry of the normal
-    * equations is order-independent integer-scaled arithmetic. Column
-    * names: `s_i` (Σxᵢ), `s_i_j` (Σxᵢxⱼ, i ≤ j), `s_i_y` (Σxᵢy). */
+    * aggregate. Column names: `s_i` (Σxᵢ), `s_i_j` (Σxᵢxⱼ, i ≤ j),
+    * `s_i_y` (Σxᵢy).
+    *
+    * Exactness + cost (the q17 cent doctrine): each value quantizes ONCE
+    * per row to a CENT long via the same `decimal(12,2)` cast as before
+    * (`c = 100·x`, exact), so every cross term is a codegen'd LONG
+    * multiply instead of a per-row non-compact `BigDecimal`
+    * multiply+rescale (the old DECIMAL(12,2)×DECIMAL(12,2) arms); sums
+    * accumulate in DECIMAL(28,0) (compact-long until ~10¹⁸) and divide
+    * back by the unit factor at the END — a decimal scale shift, exact
+    * because every sum has ≤4 decimal digits. Every emitted column is
+    * the SAME exact rational value as the old direct decimal sums, so
+    * `.doubleValue`/`cast("double")` readers are bit-identical.
+    * Bound: a cent cross product needs |x|,|y| ≤ ~$3·10⁷ (cents² < 2⁶³);
+    * the money contract (12,2) rows used here are ≤ $10⁶. */
   def olsMoments(df: DataFrame, yCol: Column, xs: Seq[(String, Column)]): DataFrame = {
     val p = xs.size
     val notNull = xs.map(_._2.isNotNull).reduce(_ && _) && yCol.isNotNull
-    val xd = xs.map { case (_, c) => c.cast("decimal(12,2)") }
-    val y = yCol.cast("decimal(12,2)")
+    // quantize once per row into a NARROW cent frame, then fan a
+    // single-split local scan out over the cores (scale-adaptive no-op on
+    // pre-split inputs) — the ~p²/2 cross-product sums are the CPU cost
+    // and must not run on one core because the input arrived as one file
+    val cents = df.where(notNull).select(
+      ((yCol.cast("decimal(12,2)") * 100).cast("long").as("_yc")) +:
+        xs.indices.map(i =>
+          (xs(i)._2.cast("decimal(12,2)") * 100).cast("long").as(s"_xc$i")): _*)
+    val w = graft.Tables.spreadIfNarrow(cents)
+    val xc = xs.indices.map(i => col(s"_xc$i"))
+    val yc = col("_yc")
+    def s1(c: Column) = sum(c.cast("decimal(18,0)")).cast("decimal(28,0)")
+    def s2(c: Column) = sum(c.cast("decimal(28,0)"))
     val aggs =
-      Seq(count(lit(1)).as("n"), sum(y).as("s_y"), sum(y * y).as("s_yy")) ++
-        xs.indices.map(i => sum(xd(i)).as(s"s_$i")) ++
+      Seq(count(lit(1)).as("n"),
+        (s1(yc) / 100).as("s_y"), (s2(yc * yc) / 10000).as("s_yy")) ++
+        xs.indices.map(i => (s1(xc(i)) / 100).as(s"s_$i")) ++
         (for (i <- 0 until p; j <- i until p)
-          yield sum(xd(i) * xd(j)).as(s"s_${i}_$j")) ++
-        xs.indices.map(i => sum(xd(i) * y).as(s"s_${i}_y"))
-    df.where(notNull).agg(aggs.head, aggs.tail: _*)
+          yield (s2(xc(i) * xc(j)) / 10000).as(s"s_${i}_$j")) ++
+        xs.indices.map(i => (s2(xc(i) * yc) / 10000).as(s"s_${i}_y"))
+    w.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Solve the normal equations from the collected moment row (bounded
     * driver protocol: ONE row crosses the driver). Deterministic: the
     * moment sums are exact, the solve is partial-pivot elimination over a
     * fixed index order — β is a pure function of the data multiset. */
-  def olsFitMulti(df: DataFrame, yCol: Column, xs: Seq[(String, Column)]): OlsFit = {
-    val r = olsMoments(df, yCol, xs).head()
-    def d(name: String): Double =
-      r.getDecimal(r.fieldIndex(name)).doubleValue
-    val p = xs.size; val dim = p + 1
-    val n = r.getLong(r.fieldIndex("n")).toDouble
-    def sx(i: Int) = d(s"s_$i")
-    def sxx(i: Int, j: Int) = if (i <= j) d(s"s_${i}_$j") else d(s"s_${j}_$i")
-    val a = Array.tabulate(dim, dim) { (i, j) =>
-      (i, j) match {
-        case (0, 0) => n
-        case (0, jj) => sx(jj - 1)
-        case (ii, 0) => sx(ii - 1)
-        case (ii, jj) => sxx(ii - 1, jj - 1)
-      }
-    }
-    val b = Array.tabulate(dim)(i => if (i == 0) d("s_y") else d(s"s_${i - 1}_y"))
-    OlsFit(xs.map(_._1), graft.ml.Logistic.solve(a, b))
-  }
+  def olsFitMulti(df: DataFrame, yCol: Column, xs: Seq[(String, Column)]): OlsFit =
+    olsFitFromMomentsRow(olsMoments(df, yCol, xs).head(),
+      xs.map(_._1), xs.indices)
 
   /** Ridge (L2-penalized) OLS: identical exact moment frame and bounded
     * driver solve as [[olsFitMulti]], with `lambda` added to the slope
@@ -176,12 +184,20 @@ object Regression {
     * ([[olsSummaryDF]]) is valid at ANY β, so the ridge β rides the same
     * exported-artifact oracle contract as m13's. */
   def ridgeFitMulti(df: DataFrame, yCol: Column, xs: Seq[(String, Column)],
+      lambda: Double): OlsFit =
+    ridgeFitFromMomentsRow(olsMoments(df, yCol, xs).head(),
+      xs.map(_._1), lambda)
+
+  /** [[ridgeFitMulti]] from an already-collected moment row — the
+    * single-pass twin (the m13/m15 queries fit AND summarize off ONE
+    * moment aggregate). Bit-identical: the matrix entries are the same
+    * exact decimal reads, with `lambda` on the slope diagonal. */
+  def ridgeFitFromMomentsRow(r: org.apache.spark.sql.Row, names: Seq[String],
       lambda: Double): OlsFit = {
     require(lambda >= 0, s"ridge penalty must be non-negative, got $lambda")
-    val r = olsMoments(df, yCol, xs).head()
     def d(name: String): Double =
       r.getDecimal(r.fieldIndex(name)).doubleValue
-    val p = xs.size; val dim = p + 1
+    val p = names.size; val dim = p + 1
     val n = r.getLong(r.fieldIndex("n")).toDouble
     def sx(i: Int) = d(s"s_$i")
     def sxx(i: Int, j: Int) = if (i <= j) d(s"s_${i}_$j") else d(s"s_${j}_$i")
@@ -195,7 +211,7 @@ object Regression {
       if (i == j && i > 0) base + lambda else base
     }
     val b = Array.tabulate(dim)(i => if (i == 0) d("s_y") else d(s"s_${i - 1}_y"))
-    OlsFit(xs.map(_._1), graft.ml.Logistic.solve(a, b))
+    OlsFit(names, graft.ml.Logistic.solve(a, b))
   }
 
   /** A fitted Breusch–Pagan pair: `beta` the main OLS coefficients,
