@@ -39,6 +39,24 @@ object Tables {
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
+  /** Scale-adaptive fan-out for a `groupBy(keys)` whose key space barely
+    * collapses (value-level cells ≈ input rows, so map-side partial
+    * aggregation buys nothing): when the input arrived as a single local
+    * split, hash-repartition it on the GROUP KEYS at the session shuffle
+    * partition count — `EnsureRequirements` then recognises the
+    * partitioning and the aggregate runs 32-way behind ONE exchange with
+    * no single-core partial-agg hash build. On a pre-split production
+    * input this is a no-op and the groupBy keeps its normal partial-agg
+    * plan (the safe default when keys DO collapse). */
+  def spreadForGroupBy(df: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target)
+      df.repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
+    else df
+  }
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

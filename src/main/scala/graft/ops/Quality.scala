@@ -129,10 +129,15 @@ object Quality {
     * outlier sums. */
   def iqrOutliers(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).cast("string").as("grp"),
-        (col(valueCol).cast("decimal(12,2)") * 200).cast("long").as("v2"))
+    // two consumers (fence ranks, outlier census) — pin the value-level
+    // cells once so the post-shuffle aggregate doesn't re-run per branch
+    val cells = graft.Tables.spreadForGroupBy(
+      df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol).cast("string").as("grp"),
+          (col(valueCol).cast("decimal(12,2)") * 200).cast("long").as("v2")),
+      col("grp"), col("v2"))
       .groupBy(col("grp"), col("v2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val cw = Window.partitionBy(col("grp")).orderBy(col("v2").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nw = Window.partitionBy(col("grp"))
@@ -145,7 +150,7 @@ object Quality {
       .agg(min(col("q25c")).as("q25_2"), min(col("q75c")).as("q75_2"))
       .withColumn("lo2", col("q25_2") - expr("3 * (q75_2 - q25_2) DIV 2"))
       .withColumn("hi2", col("q75_2") + expr("3 * (q75_2 - q25_2) DIV 2"))
-    cells.join(fences, "grp")
+    cells.join(broadcast(fences), "grp")
       .groupBy(col("grp"), col("n"), col("q25_2"), col("q75_2"),
         col("lo2"), col("hi2"))
       .agg(
@@ -173,10 +178,12 @@ object Quality {
     import org.apache.spark.sql.expressions.Window
     require(keyCols.nonEmpty, "quantileBands needs at least one key column")
     val keys = keyCols.map(col)
-    val cells = df.where(col(valueCol).isNotNull &&
-        keyCols.map(col(_).isNotNull).reduce(_ && _))
-      .select(keys :+
-        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("vc"): _*)
+    val cells = graft.Tables.spreadForGroupBy(
+      df.where(col(valueCol).isNotNull &&
+          keyCols.map(col(_).isNotNull).reduce(_ && _))
+        .select(keys :+
+          (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("vc"): _*),
+      keys :+ col("vc"): _*)
       .groupBy(keys :+ col("vc"): _*).agg(count(lit(1)).as("c"))
     val cw = Window.partitionBy(keys: _*).orderBy(col("vc").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -218,10 +225,18 @@ object Quality {
     * cells. */
   def madOutliers(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).cast("string").as("grp"),
-        (col(valueCol).cast("decimal(12,2)") * 200).cast("long").as("v2"))
+    // The cell frame feeds FOUR consumers (median window, deviation
+    // regroup, census joins): only its Exchange is plan-reused, so the
+    // post-shuffle aggregate would re-run per consumer — pin the cells
+    // once (value-level rows, never data-sized state per partition).
+    // Same for the deviation cells (two consumers).
+    val cells = graft.Tables.spreadForGroupBy(
+      df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol).cast("string").as("grp"),
+          (col(valueCol).cast("decimal(12,2)") * 200).cast("long").as("v2")),
+      col("grp"), col("v2"))
       .groupBy(col("grp"), col("v2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     def cellMedian(cf: DataFrame, vCol: String): DataFrame = {
       val cw = Window.partitionBy(col("grp")).orderBy(col(vCol).asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -234,13 +249,15 @@ object Quality {
         .agg(((min(col("m1")) + min(col("m2"))) / lit(2)).cast("long").as("med"))
     }
     val med = cellMedian(cells, "v2").select(col("grp"), col("n"), col("med"))
-    val devCells = cells.join(med.select(col("grp"), col("med")), "grp")
+      .localCheckpoint()
+    val devCells = cells.join(broadcast(med.select(col("grp"), col("med"))), "grp")
       .withColumn("d2", abs(col("v2") - col("med")) * 2L)
       .groupBy(col("grp"), col("d2")).agg(sum(col("c")).as("c"))
+      .localCheckpoint()
     val mad = cellMedian(devCells, "d2")
       .select(col("grp"), col("med").as("mad2"))
-    devCells.join(mad, "grp")
-      .join(med.select(col("grp"), col("n"), col("med")), "grp")
+    devCells.join(broadcast(mad), "grp")
+      .join(broadcast(med.select(col("grp"), col("n"), col("med"))), "grp")
       .groupBy(col("grp"), col("n"), col("med"), col("mad2"))
       .agg(coalesce(sum(when(col("d2") > col("mad2") * 3L, col("c"))),
         lit(0L)).as("n_outliers"))
@@ -273,17 +290,22 @@ object Quality {
       trimPct: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(trimPct >= 0 && trimPct < 50, "trimPct must be in [0, 50)")
-    val cells = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
-      .select(col(groupCol).cast("string").as("grp"),
-        (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("vc"))
+    val cells = graft.Tables.spreadForGroupBy(
+      df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol).cast("string").as("grp"),
+          (col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("vc")),
+      col("grp"), col("vc"))
       .groupBy(col("grp"), col("vc")).agg(count(lit(1)).as("c"))
     val cw = Window.partitionBy(col("grp")).orderBy(col("vc").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nw = Window.partitionBy(col("grp"))
+    // the ranked cell frame feeds two consumers (clamps, kept-mass sums)
+    // — pin it so the cumsum windows run once (value-level rows)
     val ranked = cells
       .withColumn("ci", sum(col("c")).over(cw))
       .withColumn("n", sum(col("c")).over(nw))
       .withColumn("k", expr(s"n * $trimPct DIV 100"))
+      .localCheckpoint()
     val clamps = ranked
       .withColumn("loc", when(col("ci") >= col("k") + 1L, col("vc")))
       .withColumn("hic", when(col("ci") >= col("n") - col("k"), col("vc")))

@@ -541,9 +541,12 @@ object RankTests {
     val base = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("grp"),
         (col(valueCol).cast("decimal(12,2)") * 200).cast("long").as("v2"))
-    val cells = base.groupBy(col("v2").as("v")).agg(count(lit(1)).as("c"))
+    val cells = graft.Tables.spreadForGroupBy(base, col("v2"))
+      .groupBy(col("v2").as("v")).agg(count(lit(1)).as("c"))
     val pref = withExclusivePrefixCols(cells, Seq("c" -> "cumex"))
-    val tot = cells.agg(sum(col("c")).as("n"))
+    // total off the PINNED sharded frame (withExclusivePrefixCols pins its
+    // input), not off `cells` — the corpus groupBy must not re-run
+    val tot = pref.agg(sum(col("c")).as("n"))
     val med = pref.crossJoin(broadcast(tot))
       .withColumn("ci", col("cumex") + col("c"))
       .withColumn("m1", when(col("ci") >= expr("(n + 1) DIV 2"), col("v")))

@@ -14,8 +14,7 @@ object Scratch {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "8192")
-      .config("spark.sql.codegen.maxFields",
-        sys.env.getOrElse("SCRATCH_MAXFIELDS", "100"))
+      .config("spark.sql.codegen.maxFields", "1024")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.ui.enabled", "false")
@@ -25,26 +24,24 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"TIME $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
-    val o0 = graft.Tables.orders(spark, dir)
-    o0.count()
-    val o = o0.where(col("o_totalprice").isNotNull &&
-      col("o_orderpriority").isNotNull && col("o_orderstatus").isNotNull)
-    val y = col("o_totalprice")
-    val xsA = Seq("1", "2", "3", "4").map(l => (s"a_$l",
-      (substring(col("o_orderpriority"), 1, 1) === l).cast("int")))
-    val xsB = Seq("F", "O").map(l => (s"b_$l",
-      (col("o_orderstatus") === l).cast("int")))
-    val xsAB = for { (an, ac) <- xsA; (bn, bc) <- xsB }
-      yield (s"${an}_$bn", (ac * bc))
-    val xsFull = xsA ++ xsB ++ xsAB
-    val R = graft.stats.Regression
+    val li = graft.Tables.lineitem(spark, dir)
+    li.count()
+    val valueCol = "l_extendedprice"; val groupCol = "l_returnflag"
     (1 to 3).foreach { i =>
-      time(s"olsMoments-plan $i") { R.olsMoments(o, y, xsFull) }
-      time(s"olsMoments-collect $i") { R.olsMoments(o, y, xsFull).head() }
-      time(s"olsMoments-checkpoint $i") {
-        R.olsMoments(o, y, xsFull).localCheckpoint().head() }
-      time(s"full-r76 $i") {
-        graft.SparkEntry.queries("r76_two_way_anova")(spark, dir).count() }
+      val proj = li.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol).cast("string").as("grp"),
+          (col(valueCol).cast("decimal(12,2)") * 200).cast("long").as("v2"))
+      time(s"cells-partialagg $i") {
+        proj.groupBy(col("grp"), col("v2")).agg(count(lit(1)).as("c"))
+          .write.format("noop").mode("overwrite").save() }
+      time(s"cells-repart-first $i") {
+        proj.repartition(32, col("grp"), col("v2"))
+          .groupBy(col("grp"), col("v2")).agg(count(lit(1)).as("c"))
+          .write.format("noop").mode("overwrite").save() }
+      time(s"cells-spread-rr $i") {
+        proj.repartition(32)
+          .groupBy(col("grp"), col("v2")).agg(count(lit(1)).as("c"))
+          .write.format("noop").mode("overwrite").save() }
     }
     spark.stop()
   }
