@@ -119,6 +119,9 @@ object Bench {
       // gracefully if a generated method ever gets too big.
       .config("spark.sql.codegen.maxFields",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_MAXFIELDS", "1024"))
+      // NOT set: spark.sql.join.preferSortMergeJoin=false was A/B'd over
+      // the 60 heaviest queries (OPTIMIZATION_r12.md) — net zero at this
+      // scale, and sort-merge is the safer default for 100 TB build sides.
       // fresh warehouse per JVM: bucketed saveAsTable must not land in cwd
       // nor collide with a previous run's in-memory-catalog leftovers
       .config("spark.sql.warehouse.dir",

@@ -52,6 +52,9 @@ object Conformal {
   def mondrianConformalDF(df: DataFrame, keyCol: Column, groupCol: Column,
       xCol: Column, yCol: Column): DataFrame = {
     val x = xCol.cast("decimal(12,2)"); val y = yCol.cast("decimal(12,2)")
+    // (measured: the splitConformalDF spread+pin is a net LOSS here —
+    // only three light consumers, so the eager materialization costs more
+    // than the rescans it saves; see OPTIMIZATION_r12.md)
     val base = df.where(xCol.isNotNull && yCol.isNotNull && groupCol.isNotNull)
       .select(substring(md5(keyCol.cast("string")), 1, 1).as("h"),
         groupCol.cast("string").as("grp"), x.as("xd"), y.as("yd"))
@@ -107,9 +110,15 @@ object Conformal {
   def splitConformalDF(df: DataFrame, keyCol: Column, xCol: Column,
       yCol: Column): DataFrame = {
     val x = xCol.cast("decimal(12,2)"); val y = yCol.cast("decimal(12,2)")
-    val base = df.where(xCol.isNotNull && yCol.isNotNull)
-      .select(substring(md5(keyCol.cast("string")), 1, 1).as("h"),
-        x.as("xd"), y.as("yd"))
+    // spread the narrow projection BEFORE the per-row md5 (single local
+    // split otherwise hashes on one core; no-op on pre-split inputs), and
+    // pin the hashed base: train/cal/test and the ks total all read it, so
+    // the corpus is scanned and hashed ONCE instead of per consumer
+    val base = graft.Tables.spreadIfNarrow(
+        df.where(xCol.isNotNull && yCol.isNotNull)
+          .select(keyCol.cast("string").as("k"), x.as("xd"), y.as("yd")))
+      .select(substring(md5(col("k")), 1, 1).as("h"), col("xd"), col("yd"))
+      .localCheckpoint()
     val train = base.where(col("h") <= "9")
     val cal = base.where(col("h") >= "a" && col("h") <= "c")
     val test = base.where(col("h") >= "d")
@@ -143,8 +152,10 @@ object Conformal {
     val ranked = graft.stats.RankTests
       .withExclusivePrefixCols(cells, Seq("c" -> "cum0"))
       .withColumn("cum", col("cum0") + col("c"))
-    // ⌈(n_cal+1)(1−α)⌉ as pure integer arithmetic, α = 1/20, 1/10, 1/5
-    val ks = cells.agg(sum(col("c")).as("n_cal"))
+    // ⌈(n_cal+1)(1−α)⌉ as pure integer arithmetic, α = 1/20, 1/10, 1/5 —
+    // the total reads the PINNED sharded frame (withExclusivePrefixCols
+    // pins its input), not `cells`, so the cal groupBy never re-runs
+    val ks = ranked.agg(sum(col("c")).as("n_cal"))
       .withColumn("k05", expr("((n_cal + 1) * 19 + 19) DIV 20"))
       .withColumn("k10", expr("((n_cal + 1) * 9 + 9) DIV 10"))
       .withColumn("k20", expr("((n_cal + 1) * 4 + 4) DIV 5"))

@@ -22,8 +22,12 @@ object Histogram {
 
   def equiDepth(df: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 1, s"need a positive bucket count, got $k")
-    val cells = df.where(col(valueCol).isNotNull)
-      .select((col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("v"))
+    // near-unique cell key: fan a single-split scan out before the groupBy
+    // (scale-adaptive no-op on pre-split inputs)
+    val cells = graft.Tables.spreadForGroupBy(
+      df.where(col(valueCol).isNotNull)
+        .select((col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("v")),
+      col("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
     val pref = graft.stats.RankTests.withExclusivePrefixCols(cells, Seq("c" -> "cum"))
     val n = pref.agg(sum(col("c"))).head().getLong(0)

@@ -24,24 +24,27 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"TIME $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
-    val li = graft.Tables.lineitem(spark, dir)
-    li.count()
-    val valueCol = "l_extendedprice"; val groupCol = "l_returnflag"
+    val o = graft.Tables.orders(spark, dir).select(
+      ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
+        .cast("double").as("label"),
+      col("o_totalprice"),
+      (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
+      year(col("o_orderdate")).cast("double").as("order_year"),
+      col("o_orderkey"))
+    o.count()
+    val h1 = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+    val isTest = h1 < lit("5")
+    val feats = Seq("o_totalprice", "is_urgent", "order_year")
+    var s1: graft.ml.TreeScorer.TreeSpec = null
+    var s2: graft.ml.TreeScorer.TreeSpec = null
     (1 to 3).foreach { i =>
-      val proj = li.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
-        .select(col(groupCol).cast("string").as("grp"),
-          (col(valueCol).cast("decimal(12,2)") * 200).cast("long").as("v2"))
-      time(s"cells-partialagg $i") {
-        proj.groupBy(col("grp"), col("v2")).agg(count(lit(1)).as("c"))
-          .write.format("noop").mode("overwrite").save() }
-      time(s"cells-repart-first $i") {
-        proj.repartition(32, col("grp"), col("v2"))
-          .groupBy(col("grp"), col("v2")).agg(count(lit(1)).as("c"))
-          .write.format("noop").mode("overwrite").save() }
-      time(s"cells-spread-rr $i") {
-        proj.repartition(32)
-          .groupBy(col("grp"), col("v2")).agg(count(lit(1)).as("c"))
-          .write.format("noop").mode("overwrite").save() }
+      time(s"fit-asis $i") {
+        s1 = graft.ml.CohortClassifier.fitTreeSpec(
+          o.where(!isTest), feats, "label", maxDepth = 4) }
+      time(s"fit-spread $i") {
+        s2 = graft.ml.CohortClassifier.fitTreeSpec(
+          o.where(!isTest).repartition(32), feats, "label", maxDepth = 4) }
+      println(s"SPEC-EQUAL $i: ${s1 == s2}")
     }
     spark.stop()
   }
