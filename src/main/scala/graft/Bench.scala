@@ -102,7 +102,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // The generated-class cache (static conf, default 100 entries) thrashes
       // on a 300+-query surface: every pass re-runs Janino on every stage.
       // Scale-independent JVM warmup hygiene, not a local[32] tune — the

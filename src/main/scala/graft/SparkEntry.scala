@@ -1298,8 +1298,11 @@ object SparkEntry {
     "m19_pca" -> ((s, dir) => {
       val dim = 16; val k = 4
       val emb = Tables.spread(t(s, dir, "embeddings"))
+      // two consumers (moment aggregate, projection scan) — pin the
+      // quantized frame so the array decode + spread shuffle run once
       val qdf = emb.select((col("label") +:
         graft.ml.Pca.quantCols("embedding", dim)): _*)
+        .localCheckpoint()
       val moments = graft.ml.Pca.momentAgg(qdf, dim)
       val fit = graft.ml.Pca.fitFromMoments(moments, dim, k)
       m19PcaFit = Some(fit)
@@ -1863,9 +1866,13 @@ object SparkEntry {
           col("l_linenumber").cast("string").as("trt"),
           col("l_quantity").cast("long").as("v"))
         .where(col("v").isNotNull)
-      val complete = li.groupBy(col("blk")).agg(count(lit(1)).as("c"))
-        .where(col("c") === 3).select(col("blk"))
-      graft.stats.RankTests.friedmanDF(li.join(complete, "blk"), "blk", "trt", "v")
+      // completeness as a count window over the SAME blk partitioning the
+      // rank windows need — one shuffle, no groupBy+self-join (identical
+      // rows kept: count-per-blk == 3)
+      val wBlk = org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))
+      val complete3 = li.withColumn("__c", count(lit(1)).over(wBlk))
+        .where(col("__c") === 3).drop("__c")
+      graft.stats.RankTests.friedmanDF(complete3, "blk", "trt", "v")
     }),
 
     // ---- §2.8 Cohen's kappa (r33): chance-corrected agreement between

@@ -295,10 +295,13 @@ object RankTests {
     * key); scale fractional values first. */
   def friedmanDF(df: DataFrame, blockCol: String, treatmentCol: String,
       valueCol: String): DataFrame = {
+    // base feeds three eager jobs (tie term, distinct-block count) plus
+    // the rank pipeline — pin it so the upstream runs once
     val base = df.where(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
         col(valueCol).isNotNull)
       .select(col(blockCol).as("blk"), col(treatmentCol).cast("string").as("trt"),
         col(valueCol).cast("long").as("v"))
+      .localCheckpoint()
     val below = Window.partitionBy(col("blk")).orderBy(col("v").asc)
       .rangeBetween(Window.unboundedPreceding, -1)
     val eq = Window.partitionBy(col("blk"), col("v"))
@@ -309,8 +312,11 @@ object RankTests {
     // value-cell counts then one global integer aggregate
     val tieTerm = base.groupBy(col("blk"), col("v")).agg(count(lit(1)).as("t"))
       .agg(sum(col("t") * col("t") * col("t") - col("t"))).head().getLong(0)
+    // k-row frame, pinned: its count() and the output select must not
+    // re-run the rank windows
     val perTrt = ranked.groupBy(col("trt"))
       .agg(count(lit(1)).as("n_blocks"), sum(col("__r2")).as("r2sum"))
+      .localCheckpoint()
     val nBlocks = base.agg(countDistinct(col("blk"))).head().getLong(0)
     val k = perTrt.count()
     val nD = lit(nBlocks.toDouble); val kD = lit(k.toDouble)
