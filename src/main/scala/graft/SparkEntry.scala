@@ -4412,6 +4412,10 @@ object SparkEntry {
     "e29_stream_hh_replay" -> ((s, dir) => {
       import s.implicits._
       val k = 4
+      // keyed feeds the MG fold AND the truth groupBy; truth feeds four
+      // consumers (perKey, heavy filter, bounds join, semi join) — pin
+      // both so the item-string materialization and the truth aggregate
+      // run once. mg is ≤ k rows per key: broadcast it explicitly.
       val keyed = t(s, dir, "lineitem").select(
         col("l_returnflag").as("key"),
         when(col("l_linenumber") <= 3,
@@ -4419,24 +4423,27 @@ object SparkEntry {
           .otherwise(concat(lit("cold_"), col("l_orderkey"), lit("_"),
             col("l_linenumber"))).as("item"),
         col("l_quantity").cast("long").as("w"))
+        .localCheckpoint()
       val mg = graft.streaming.StreamingHeavyHitters.batchReplay(
         keyed.as[(String, String, Long)], k).toDF()
       val truth = keyed.groupBy(col("key"), col("item"))
         .agg(sum(col("w")).as("truew"))
+        .localCheckpoint()
       val perKey = truth.groupBy(col("key")).agg(sum(col("truew")).as("processed"))
       val heavyItems = truth.join(broadcast(perKey), "key")
         .where(lit(k + 1) * col("truew") > col("processed"))
       // MG invariants read in-band: counter is a lower bound, counter +
       // spilled an upper bound, spill mass ≤ processed/(k+1), table ≤ k —
       // mg carries its own exact processed/spilled accounting
-      val mgChecked = mg.join(truth, Seq("key", "item"))
+      val mgChecked = truth.join(broadcast(mg), Seq("key", "item"))
         .groupBy(col("key")).agg(
           count(lit(1)).as("n_counters"),
           bool_and(col("count_lb") <= col("truew") &&
             col("truew") <= col("count_lb") + col("spilled")).as("all_bounds_hold"),
           bool_and(col("spilled") * (k + 1) <= col("processed")).as("spill_ok"))
       val found = heavyItems
-        .join(mg.select(col("key"), col("item")), Seq("key", "item"), "left_semi")
+        .join(broadcast(mg.select(col("key"), col("item"))),
+          Seq("key", "item"), "left_semi")
         .groupBy(col("key")).agg(count(lit(1)).as("n_heavy_found"))
       perKey
         .join(heavyItems.groupBy(col("key")).agg(count(lit(1)).as("n_heavy_true")),

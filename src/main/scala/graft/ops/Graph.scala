@@ -30,6 +30,10 @@ object Graph {
         greatest(col(aCol), col(bCol)).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
+      // pin the deduped edge list: referenced 3-5x below (sym both arms,
+      // adjacency sides, iteration/final joins), and the upstream is the
+      // expensive minhash candidate pipeline — edge-count-sized storage
+      .localCheckpoint()
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
     // canonical triangles: (x<y), (y<z), (x<z) all edges — each listed once
@@ -76,6 +80,10 @@ object Graph {
         greatest(col(aCol), col(bCol)).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
+      // pin the deduped edge list: referenced 3-5x below (sym both arms,
+      // adjacency sides, iteration/final joins), and the upstream is the
+      // expensive minhash candidate pipeline — edge-count-sized storage
+      .localCheckpoint()
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("degree"))
     val n1 = sym.select(col("a").as("ea"), col("b").as("n"))
@@ -129,6 +137,10 @@ object Graph {
         greatest(col(aCol), col(bCol)).as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
+      // pin the deduped edge list: referenced 3-5x below (sym both arms,
+      // adjacency sides, iteration/final joins), and the upstream is the
+      // expensive minhash candidate pipeline — edge-count-sized storage
+      .localCheckpoint()
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("src"), col("b").as("dst"))
     val deg = sym.groupBy(col("src").as("nid")).agg(count(lit(1)).as("deg"))

@@ -544,9 +544,12 @@ object RankTests {
     * global window, no corpus sort) — and the above/below split is an
     * integer comparison against the 1-row broadcast median. */
   def moodMedianDF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    // two consumers (value cells, median classification) — pin so the
+    // corpus scan + decimal quantization run once
     val base = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).cast("string").as("grp"),
         (col(valueCol).cast("decimal(12,2)") * 200).cast("long").as("v2"))
+      .localCheckpoint()
     val cells = graft.Tables.spreadForGroupBy(base, col("v2"))
       .groupBy(col("v2").as("v")).agg(count(lit(1)).as("c"))
     val pref = withExclusivePrefixCols(cells, Seq("c" -> "cumex"))
