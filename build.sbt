@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g: in local mode the one JVM is driver AND all 32 executor slots;
+  // 8g GC-thrashed a 327-query bench pass (A/B on the 60 heaviest:
+  // 84.2s -> 79.3s, 49/60 queries faster — OPTIMIZATION_r12.md). The box
+  // has 128 GiB; override via SPARK_DRIVER_MEM for smaller hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -928,7 +928,10 @@ object SparkEntry {
         "g_len" -> (abs(col("nc_a") - col("nc_b")) * 10 <=
           greatest(col("nc_a"), col("nc_b"))),
         "g_pfx" -> (col("pfx_a") === col("pfx_b")))
+      // the ≤2^5-row pattern frame feeds the EM collect AND the score
+      // output — pin it so the minhash+meta-join pipeline runs once
       val pat = graft.dedup.Linkage.agreementPatternDF(pairs, comparators)
+        .localCheckpoint()
       val fit = graft.dedup.Linkage.emFit(pat, comparators.map(_._1))
       d20FsFit = Some(fit)
       graft.dedup.Linkage.scoreDF(pat, comparators.map(_._1), fit)
