@@ -34,7 +34,9 @@ object Changepoint {
     val withT = pref.select(col("v").as("split_day"),
       (col("idx_ex") + 1L).as("t"),
       (col("cum_ex") + col("c")).as("cum_left"))
-    val totals = days.agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"))
+    // totals off the PINNED sharded frame (withExclusivePrefixCols pins
+    // its input), not `days` — the corpus groupBy must not re-run
+    val totals = pref.agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"))
     val scored = withT.crossJoin(broadcast(totals))
       .where(col("t") < col("n_days")) // both segments non-empty
       .withColumn("d", col("n_days") * col("cum_left") - col("t") * col("total"))

@@ -178,17 +178,21 @@ object RankTests {
     * The only k-sized window is the deliberate dimension-sized running
     * chain (the w2/r19 whitelist family). */
   def kruskalWallisDF(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
+    // vc feeds the per-value totals AND the per-group rank join — pin it
+    // so the corpus groupBy runs once; the tie totals read the pinned
+    // sharded frame, never `tot`
     val vc = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
       .select(col(valueCol).cast("double").as("v"),
         col(groupCol).cast("string").as("grp"))
       .groupBy(col("v"), col("grp")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tot = vc.groupBy(col("v")).agg(sum(col("c")).as("t"))
     val pref = withExclusivePrefixCols(tot, Seq("t" -> "cum"))
     val perGroup = vc.join(pref, "v")
       .groupBy(col("grp"))
       .agg(sum(col("c")).as("n_g"),
         sum(col("c") * (lit(2L) * col("cum") + col("t") + lit(1L))).as("r2sum"))
-    val totals = tot.agg(sum(col("t")),
+    val totals = pref.agg(sum(col("t")),
       sum(col("t") * col("t") * col("t") - col("t"))).head()
     val (nTot, tieTerm) = (totals.getLong(0), totals.getLong(1))
     val nD = lit(nTot.toDouble)
@@ -413,10 +417,13 @@ object RankTests {
     * adds two identical doubles and halves exactly. Pairs with equal x
     * are skipped (vertical slopes), the standard Sen convention. */
   def theilSenDF(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // three consumers (both self-join sides, the n total) — pin the tiny
+    // (x, y)-cell frame so the corpus groupBy runs once
     val cells = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
       .groupBy(col(xCol).cast("double").as("x"),
         col(yCol).cast("double").as("y"))
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
     val slopes = cells.alias("a").join(cells.alias("b"),
         col("b.x") > col("a.x"))
       .select(((col("b.y") - col("a.y")) / (col("b.x") - col("a.x"))).as("v"),
@@ -509,9 +516,12 @@ object RankTests {
   def ksUniformDF(df: DataFrame, valueCol: String): DataFrame = {
     val base = df.where(col(valueCol).isNotNull)
       .select((col(valueCol).cast("decimal(12,2)") * 100).cast("long").as("vc"))
-    val cells = base.groupBy(col("vc").as("v")).agg(count(lit(1)).as("c"))
+    val cells = graft.Tables.spreadForGroupBy(base, col("vc"))
+      .groupBy(col("vc").as("v")).agg(count(lit(1)).as("c"))
     val pref = withExclusivePrefixCols(cells, Seq("c" -> "cumex"))
-    val tot = cells.agg(sum(col("c")).as("n"), min(col("v")).as("lo"),
+    // totals off the PINNED sharded frame — the corpus groupBy must not
+    // re-run (the r63/m17 doctrine)
+    val tot = pref.agg(sum(col("c")).as("n"), min(col("v")).as("lo"),
       max(col("v")).as("hi"))
     val scored = pref.crossJoin(broadcast(tot))
       .withColumn("ci", col("cumex") + col("c"))
