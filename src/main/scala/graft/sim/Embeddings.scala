@@ -428,12 +428,15 @@ object Embeddings {
       minCosine: Double, targetClusterSize: Long = 10000L, seed: Long = 42L,
       maxIter: Int = 10, kMin: Int = 8, kMax: Int = 4096)
       : (DataFrame, Array[(Int, Seq[Double])]) = {
-    val n = df.where(asDouble(col(vecCol)).isNotNull).count()
+    // four consumers of the input (the k-sizing count, the training
+    // sample, and the two assignment reads below) — pin it once
+    val pinned = df.localCheckpoint()
+    val n = pinned.where(asDouble(col(vecCol)).isNotNull).count()
     val k = semanticK(n, targetClusterSize, kMin, kMax)
     val cap = math.min(1 << 17, math.max(1 << 15, k * 64))
-    val centers = kmeansTrain(df, vecCol, k, seed = seed, maxIter = maxIter,
+    val centers = kmeansTrain(pinned, vecCol, k, seed = seed, maxIter = maxIter,
       sampleCap = cap)
-    semanticDedupWithCenters(df, idCol, vecCol, centers, minCosine)
+    semanticDedupWithCenters(pinned, idCol, vecCol, centers, minCosine)
   }
 
   /** The blocking + dominance stage shared by the fixed-k and auto-k
@@ -441,7 +444,10 @@ object Embeddings {
   def semanticDedupWithCenters(df: DataFrame, idCol: String, vecCol: String,
       centers: Array[(Int, Seq[Double])], minCosine: Double)
       : (DataFrame, Array[(Int, Seq[Double])]) = {
-    val assigned = assignEuclidean(df, vecCol, centers)
+    // the assignment expression (k·dim literal centroids per row) feeds
+    // both the dominance self-join and the final keep join — pin it so
+    // the k·n assignment term evaluates once
+    val assigned = assignEuclidean(df, vecCol, centers).localCheckpoint()
     val u = withUnit(assigned, vecCol)
       .select(col(idCol).as("__id"), col("centroid_id").as("__cid"), col("__vec"))
       .where(col("__vec").isNotNull)
