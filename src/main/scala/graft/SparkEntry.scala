@@ -31,6 +31,25 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Run INDEPENDENT driver-side fit protocols concurrently (guide §2.6:
+    * Spark actions are only sequential because the driver calls them
+    * sequentially; concurrent jobs back-fill executors freed by each
+    * other's scheduling gaps and stragglers). Results come back in input
+    * order. Each thunk must be deterministic in isolation — job overlap
+    * changes only WHEN tasks run, never any fit's input partitioning or
+    * per-partition row order, so every result is bit-identical to the
+    * sequential run. */
+  private def inParallel[A](thunks: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, thunks.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence(thunks.toList.map(th => Future(th()))), Duration.Inf)
+    finally pool.shutdown()
+  }
+
   /** Cent-long derivation for a 2-decimal money/value column — integral
     * doubles keep Summarize sums exact across engines (the q10 doctrine). */
   private def centsOf(c: Column): Column =
@@ -875,15 +894,19 @@ object SparkEntry {
     // components → one component id per vector (planted dups as in n2; the
     // oracle brute-forces exact pairs and closes them with a recursive CTE) --
     "d7_embedding_dedup" -> ((s, dir) => {
+      // base feeds both union branches; allv feeds the LSH pipeline AND
+      // the final left join — pin both so the scan+spread and the planted
+      // transform run once each (guide §2.4)
       val base = Tables.spread(t(s, dir, "embeddings"))
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .localCheckpoint()
       val planted = base.select(
           (col("vec_id") + lit(1000000L)).as("pid"),
           transform(col("embedding"), (x, i) =>
             x + (((col("vec_id") * 31 + i.cast("long") * 7) % 17) - 8) / lit(800.0))
             .as("pemb"))
         .select(col("pid").as("vec_id"), col("pemb").as("embedding"))
-      val allv = base.unionAll(planted)
+      val allv = base.unionAll(planted).localCheckpoint()
       val pairs = Embeddings.lshNearDupPairs(allv, "vec_id", "embedding",
         minCosine = 0.9, nBits = 12, dim = 64, tables = 8)
       val comps = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -1036,7 +1059,9 @@ object SparkEntry {
     // with a flag for whether raw-text dedup already caught the pair:
     // false rows are the recall the normalization buys. -------------------
     "d23_normalized_dedup" -> ((s, dir) => {
-      val docs = Tables.spread(t(s, dir, "documents"))
+      // docs feeds the normalized AND the raw minhash pipelines — pin so
+      // the scan + spread shuffle of full text runs once (guide §2.4)
+      val docs = Tables.spread(t(s, dir, "documents")).localCheckpoint()
       val norm = docs.select(col("doc_id"),
         array_join(filter(split(col("text"), " "),
           tk => !tk.isin("a", "the")), " ").as("text"))
@@ -2903,12 +2928,16 @@ object SparkEntry {
       val isTest = h1 < lit("5")
       val fractions = Seq((25, h2 < lit("4")), (50, h2 < lit("8")),
         (100, lit(true)))
-      val fits = fractions.map { case (pct, gate) =>
+      // the three subset fits are independent MLlib protocols — run them
+      // as concurrent jobs (guide §2.6). Each fit's input lineage and
+      // partitioning are untouched, so all three trees are bit-identical
+      // to the sequential run; only the wall-clock overlaps.
+      val fits = inParallel(fractions.map { case (pct, gate) => () =>
         (pct, gate, graft.ml.CohortClassifier.fitTreeSpec(
           o.where(!isTest && gate),
           Seq("o_totalprice", "is_urgent", "order_year"), "label",
           maxDepth = 4))
-      }
+      })
       m21CurveSpecs = Some(fits.map { case (pct, _, spec) => (pct, spec) })
       // one train scan (conditional counts) + one test scan (all three
       // trees score side by side) — values identical to per-slice passes
@@ -3013,12 +3042,21 @@ object SparkEntry {
         col("o_orderkey"))
       val isTest = substring(md5(col("o_orderkey").cast("string")), 1, 1) < lit("5")
       val train = o.where(!isTest)
-      val tree = graft.ml.CohortClassifier.fitTreeSpec(train,
-        Seq("o_totalprice", "is_urgent", "order_year"), "label", maxDepth = 4)
-      val logit = graft.ml.Logistic.irlsFitCells(train, col("label") === 1.0,
-        Seq[(String, org.apache.spark.sql.Column)](
-          "price_hi" -> col("price_hi"), "urgent_i" -> col("urgent_i"),
-          "pxu" -> col("pxu")))
+      // tree fit and logistic IRLS are independent protocols over the
+      // same (re-scanned) train frame — concurrent jobs (guide §2.6),
+      // bit-identical results (neither touches the other's partitioning)
+      val (tree, logit) = inParallel(Seq(
+        () => Left(graft.ml.CohortClassifier.fitTreeSpec(train,
+          Seq("o_totalprice", "is_urgent", "order_year"), "label",
+          maxDepth = 4)),
+        () => Right(graft.ml.Logistic.irlsFitCells(train,
+          col("label") === 1.0,
+          Seq[(String, org.apache.spark.sql.Column)](
+            "price_hi" -> col("price_hi"), "urgent_i" -> col("urgent_i"),
+            "pxu" -> col("pxu")))))) match {
+        case Seq(Left(tr), Right(lg)) => (tr, lg)
+        case other => throw new IllegalStateException(s"unexpected $other")
+      }
       m23Ensemble = Some((tree, logit))
       val pLog = lit(1.0) / (lit(1.0) + exp(-graft.ml.Logistic.margin(logit)))
       val scored = o.where(isTest).select(col("label"),
@@ -4415,10 +4453,14 @@ object SparkEntry {
     "e29_stream_hh_replay" -> ((s, dir) => {
       import s.implicits._
       val k = 4
-      // keyed feeds the MG fold AND the truth groupBy; truth feeds four
-      // consumers (perKey, heavy filter, bounds join, semi join) — pin
-      // both so the item-string materialization and the truth aggregate
-      // run once. mg is ≤ k rows per key: broadcast it explicitly.
+      // ONE corpus pass: the raw keyed frame feeds only the truth
+      // aggregate; the MG fold replays over the PRE-SUMMED truth cells
+      // (batchReplay's first step is exactly that per-key item sum, so
+      // the fold's input multiset — and the sketch — is bit-identical;
+      // StreamingHhSpec pins it). This drops the old second corpus-wide
+      // shuffle + typed-encoder pass into the fold. truth feeds five
+      // consumers (fold, perKey, heavy filter, bounds join, semi join) —
+      // pinned. mg is ≤ k rows per key: broadcast it explicitly.
       val keyed = t(s, dir, "lineitem").select(
         col("l_returnflag").as("key"),
         when(col("l_linenumber") <= 3,
@@ -4426,12 +4468,11 @@ object SparkEntry {
           .otherwise(concat(lit("cold_"), col("l_orderkey"), lit("_"),
             col("l_linenumber"))).as("item"),
         col("l_quantity").cast("long").as("w"))
-        .localCheckpoint()
-      val mg = graft.streaming.StreamingHeavyHitters.batchReplay(
-        keyed.as[(String, String, Long)], k).toDF()
       val truth = keyed.groupBy(col("key"), col("item"))
         .agg(sum(col("w")).as("truew"))
         .localCheckpoint()
+      val mg = graft.streaming.StreamingHeavyHitters.batchReplay(
+        truth.as[(String, String, Long)], k).toDF()
       val perKey = truth.groupBy(col("key")).agg(sum(col("truew")).as("processed"))
       val heavyItems = truth.join(broadcast(perKey), "key")
         .where(lit(k + 1) * col("truew") > col("processed"))
@@ -5289,7 +5330,11 @@ object SparkEntry {
           substring(col("o_orderpriority"), 1, 1).isin("1", "2").as("urgent"))
       val frame = graft.stats.Survival.twoGroupTimeFrame(
         cohort, "ship_days", col("kept"), col("urgent"))
-      val fit = graft.stats.Survival.coxBinaryFitDistributed(frame)
+      // one bounded collect + driver Newton instead of ~8 sequential
+      // distributed iteration jobs — bit-identical fit (CoxFitSpec pins
+      // equality with coxBinaryFitDistributed); event times are a bounded
+      // dimension (days), so the collect is scale-safe
+      val fit = graft.stats.Survival.coxBinaryFitCollected(frame)
       r50CoxFit = Some(fit)
       graft.stats.Survival.coxScoreDF(frame, fit.beta)
     }),
@@ -5783,8 +5828,12 @@ object SparkEntry {
     // set-based recommender primitive; basket-key self-join with an
     // oversized-basket guard, integer counts, one final divide. ----------
     "n19_cooccurrence" -> ((s, dir) =>
+      // broadcastTotals: the item vocabulary is partkeys — catalog-sized
+      // (|part| rows), bounded at any corpus scale, so the totals side
+      // broadcasts safely into both back-joins
       graft.sim.Cooccurrence.itemPairs(t(s, dir, "lineitem"),
-        "l_orderkey", "l_partkey", minCount = 2L, maxBasketSize = 100)),
+        "l_orderkey", "l_partkey", minCount = 2L, maxBasketSize = 100,
+        broadcastTotals = true)),
 
     // ---- events: interval-concurrency sweep (e24) — how many order
     // lines are awaiting shipment each day (order date → ship date);

@@ -629,7 +629,12 @@ object Dedup {
     val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
       .select(col("id"), md5(col("s")).as("h"))
     val mins = (0 until k).map(j => min(col("h").substr(j * 4 + 1, 4)).as(s"m$j"))
+    // both banded-join sides read the signature frame: pin it so the
+    // shingle explode + per-shingle md5 (the corpus-sized work) runs once
+    // per call, not once per side (guide §2.4). Doc-level, k short slices
+    // per row — the storage class every d-family pin already uses.
     val sigs = ex.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .localCheckpoint()
     val a = sigs.select(col("*"),
       explode(array((col("id") / window).cast("long"),
         (col("id") / window).cast("long") + 1)).as("block")).alias("a")

@@ -23,15 +23,29 @@ object Cooccurrence {
   /** `(item_a, item_b, n_ab, n_a, n_b, cosine)` for unordered item pairs
     * co-occurring in at least `minCount` baskets, `item_a < item_b`,
     * ordered by the pair. NULL baskets/items drop; duplicate (basket,
-    * item) rows count once; baskets above `maxBasketSize` drop whole. */
+    * item) rows count once; baskets above `maxBasketSize` drop whole.
+    *
+    * Plan shape (r13): the basket-size gate is a count WINDOW on the same
+    * `bk` partitioning the self-join needs anyway — one exchange serves
+    * the gate and both join sides (the old groupBy+join spent two) — and
+    * the gated edge frame is PINNED: it feeds three consumers (item
+    * totals, both self-join sides), each of which would otherwise re-run
+    * the corpus distinct. `broadcastTotals` broadcasts the item-totals
+    * side into the two back-joins (zero exchanges); callers must only set
+    * it when the ITEM vocabulary is bounded (catalog-sized — n19's
+    * partkeys), never for open-ended vocabularies. */
   def itemPairs(df: DataFrame, basketCol: String, itemCol: String,
-      minCount: Long = 2L, maxBasketSize: Int = 100): DataFrame = {
-    val e0 = df.where(col(basketCol).isNotNull && col(itemCol).isNotNull)
-      .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
-    val okBaskets = e0.groupBy(col("bk")).agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") <= maxBasketSize).select(col("bk"))
-    val e = e0.join(okBaskets, "bk")
-    val totals = e.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+      minCount: Long = 2L, maxBasketSize: Int = 100,
+      broadcastTotals: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = {
+      val e0 = df.where(col(basketCol).isNotNull && col(itemCol).isNotNull)
+        .select(col(basketCol).as("bk"), col(itemCol).as("it")).distinct()
+      e0.withColumn("__bsz", count(lit(1)).over(Window.partitionBy(col("bk"))))
+        .where(col("__bsz") <= maxBasketSize).drop("__bsz")
+    }.localCheckpoint()
+    val totals0 = e.groupBy(col("it")).agg(count(lit(1)).as("n_item"))
+    val totals = if (broadcastTotals) broadcast(totals0) else totals0
     val pairs = e.select(col("bk"), col("it").as("item_a"))
       .join(e.select(col("bk"), col("it").as("item_b")), "bk")
       .where(col("item_a") < col("item_b"))

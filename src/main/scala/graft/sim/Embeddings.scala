@@ -190,7 +190,13 @@ object Embeddings {
   def lshNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double, nBits: Int = 12, dim: Int = 64, tables: Int = 4,
       seed: Long = 42L, maxBucketSize: Int = 2000): DataFrame = {
+    // unit pinned: it feeds BOTH verify joins (vec_a, vec_b) — unpinned,
+    // each re-ran the upstream scan + normalize (guide §2.4). The bucket
+    // frame is NOT pinned: its self-join sides share one ReusedExchange
+    // already, and materializing the exploded tables×rows frame measured
+    // slower (r13 A/B).
     val unit = withUnit(df, vecCol).select(col(idCol).as("id"), col("__vec").as("vec"))
+      .localCheckpoint()
     // all tables' buckets in ONE native matrix-vector sweep (bit-identical to
     // per-table lshBucket, ~100× cheaper — see LshBuckets scaladoc)
     val buckets = df.select(
@@ -278,14 +284,21 @@ object Embeddings {
   def assignFixedCentroids(df: DataFrame, vecCol: String,
       centroids: Array[(Int, Seq[Double])]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
-    val centroidArr = array(centroids.toSeq.map { case (id, c) =>
-      struct(lit(id).as("cid"), array(c.map(lit): _*).as("cvec"))
+    // Score each centroid ONCE per row (k native dots), then sort the
+    // small (s, cid) structs. The old form computed the dots INSIDE the
+    // array_sort comparator — O(k log k) comparator calls × up to 4 dot
+    // evaluations each per row instead of k dots. Same dot values, same
+    // comparator shape (desc by s, ties keep centroid-array order), so
+    // the assignment is bit-identical (AnnSpec + the n3/n5 oracles pin it).
+    val scored = array(centroids.toSeq.map { case (id, c) =>
+      struct(dot(col("__vec"), array(c.map(lit): _*)).as("s"),
+        lit(id).as("cid"))
     }: _*)
     withUnit(df, vecCol)
       .withColumn("centroid_id", when(col("__vec").isNotNull,
-        element_at(array_sort(centroidArr, (l, r) =>
-          when(dot(col("__vec"), l("cvec")) > dot(col("__vec"), r("cvec")), -1)
-            .when(dot(col("__vec"), l("cvec")) < dot(col("__vec"), r("cvec")), 1)
+        element_at(array_sort(scored, (l, r) =>
+          when(l("s") > r("s"), -1)
+            .when(l("s") < r("s"), 1)
             .otherwise(0)), 1)("cid")))
       .drop("__vec")
   }

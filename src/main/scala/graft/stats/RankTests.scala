@@ -226,8 +226,14 @@ object RankTests {
     * two row-level equi-joins on the value, one map-side-combined global
     * aggregate. No global sort, no corpus-sized window. */
   def spearmanDF(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // base feeds THREE consumers (both rank-map groupBys and the row-level
+    // join) — pin the 2-column projection so the corpus scan runs once
+    // (guide §2.4). A value-PAIR cell collapse was tried instead (r13) and
+    // measured SLOWER: (x, y) is near-unique here, so the extra corpus-
+    // sized groupBy + materialization bought nothing.
     val base = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .localCheckpoint()
     def rankMap(c: String): DataFrame = {
       val tot = base.select(col(c).as("v")).groupBy(col("v"))
         .agg(count(lit(1)).as("t"))

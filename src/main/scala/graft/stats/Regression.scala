@@ -164,9 +164,31 @@ object Regression {
         xs.indices.map(i => (s1(xc(i)) / 100).as(s"s_$i")) ++
         (for (i <- 0 until p; j <- i until p)
           yield (s2(xc(i) * xc(j)) / 10000).as(s"s_${i}_$j")) ++
-        xs.indices.map(i => (s2(xc(i) * yc) / 10000).as(s"s_${i}_y"))
+        xs.indices.map(i => (s2(xc(i) * yc) / 10000).as(s"s_${i}_y")) :+
+        // overflow tripwire for the LONG×LONG cross products above: the
+        // cent bound (|cents| < ~3.03e9, cents² < 2⁶³) is documented, but
+        // non-ANSI LONG multiply WRAPS silently past it — emit the max
+        // |cent| in the same pass so the moment-row readers can refuse a
+        // wrapped fit instead of returning a wrong β (ADVICE r12)
+        greatest((abs(yc) +: xs.indices.map(i => abs(xc(i)))).map(max): _*)
+          .as("max_abs_cents")
     w.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Max |cent| value a cent×cent LONG product tolerates: ⌊√(2⁶³−1)⌋. */
+  private val CentProductBound = 3037000499L
+
+  /** Refuse a moment row whose inputs could have wrapped the LONG cross
+    * products (see [[olsMoments]]'s tripwire column). No-op for rows from
+    * older/narrower aggregates that lack the column. */
+  private def requireCentsInBound(r: org.apache.spark.sql.Row): Unit =
+    if (r.schema != null && r.schema.fieldNames.contains("max_abs_cents") &&
+        !r.isNullAt(r.fieldIndex("max_abs_cents"))) {
+      val m = r.getLong(r.fieldIndex("max_abs_cents"))
+      require(m <= CentProductBound,
+        s"olsMoments: |cents| up to $m exceeds $CentProductBound — cent²" +
+          " LONG products would wrap; rescale the inputs or widen the type")
+    }
 
   /** Solve the normal equations from the collected moment row (bounded
     * driver protocol: ONE row crosses the driver). Deterministic: the
@@ -195,6 +217,7 @@ object Regression {
   def ridgeFitFromMomentsRow(r: org.apache.spark.sql.Row, names: Seq[String],
       lambda: Double): OlsFit = {
     require(lambda >= 0, s"ridge penalty must be non-negative, got $lambda")
+    requireCentsInBound(r)
     def d(name: String): Double =
       r.getDecimal(r.fieldIndex(name)).doubleValue
     val p = names.size; val dim = p + 1
@@ -355,6 +378,7 @@ object Regression {
   def olsFitFromMomentsRow(r: org.apache.spark.sql.Row, names: Seq[String],
       idx: Seq[Int]): OlsFit = {
     require(names.length == idx.length)
+    requireCentsInBound(r)
     def d(name: String): Double = r.getDecimal(r.fieldIndex(name)).doubleValue
     val n = r.getLong(r.fieldIndex("n")).toDouble
     def sx(i: Int) = d(s"s_$i")

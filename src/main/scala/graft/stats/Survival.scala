@@ -398,6 +398,64 @@ object Survival {
     } finally ev.unpersist(blocking = false)
   }
 
+  /** [[coxBinaryFitDistributed]] with the PER-ITERATION distributed
+    * aggregate replaced by ONE bounded collect of the event-time frame —
+    * the Newton loop then runs driver-side, replicating the distributed
+    * fold's arithmetic BIT-FOR-BIT: each per-row score/information term is
+    * the same IEEE double expression tree in the same evaluation order,
+    * quantized to DECIMAL(38,18) by the same rule Spark's
+    * `cast(double as decimal(38,18))` applies (`Double.toString` → exact
+    * BigDecimal → setScale(18, HALF_UP); non-finite terms → NULL → skipped),
+    * and summed in exact decimal arithmetic (associative, so row order is
+    * irrelevant). CoxFitSpec pins exact equality of (beta, se, iters,
+    * converged) against [[coxBinaryFitDistributed]].
+    *
+    * Why: the distributed loop costs one Spark job per Newton iteration
+    * (~8 sequential jobs over a dimension-sized frame — pure scheduling
+    * overhead); this costs ONE job. The collect is bounded by
+    * `maxEventTimes` exactly like [[coxBinaryFit]] — distinct EVENT TIMES
+    * (days), a dimension, not a corpus; past the cap the caller must fall
+    * back to [[coxBinaryFitDistributed]]. */
+  def coxBinaryFitCollected(eventFrame: DataFrame, maxEventTimes: Int = 65536,
+      maxIter: Int = 50, tol: Double = 1e-12): CoxFit = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val raw = eventFrame.where(col("d1") + col("d2") > 0L)
+      .select(col("d1").cast("double").as("d1d"),
+        (col("d1") + col("d2")).cast("double").as("dd"),
+        col("n1").cast("double").as("n1d"),
+        col("n2").cast("double").as("n2d"))
+      .limit(maxEventTimes + 1).collect()
+    require(raw.length <= maxEventTimes,
+      s"event-time frame exceeds maxEventTimes=$maxEventTimes — use " +
+        "coxBinaryFitDistributed or coarsen the time unit")
+    require(raw.nonEmpty, "no event times to fit on")
+    val rows = raw.map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    // Spark's Cast(double → decimal(38,18)): exact decimal of the double's
+    // shortest string form, rescaled HALF_UP; NaN/Inf casts to NULL and a
+    // decimal SUM skips NULLs — mirrored here term by term.
+    def dec(x: Double): JBD =
+      JBD.valueOf(x).setScale(18, RoundingMode.HALF_UP)
+    var beta = 0.0; var info = 1e-9; var iters = 0; var converged = false
+    while (iters < maxIter && !converged) {
+      val eb = math.exp(beta)
+      var u = JBD.ZERO; var i = JBD.ZERO
+      rows.foreach { case (d1d, dd, n1d, n2d) =>
+        val r1 = n1d * eb
+        val denom = r1 + n2d
+        val ut = d1d - dd * (r1 / denom)
+        val it = dd * (r1 / denom) * (n2d / denom)
+        if (java.lang.Double.isFinite(ut)) u = u.add(dec(ut))
+        if (java.lang.Double.isFinite(it)) i = i.add(dec(it))
+      }
+      val i2 = i.doubleValue() + 1e-9
+      val step = u.doubleValue() / i2
+      beta += step; info = i2; iters += 1
+      if (math.abs(step) < tol) converged = true
+    }
+    CoxFit(beta, 1.0 / math.sqrt(info), iters, converged)
+  }
+
   /** Per-event-time Cox diagnostics AT a given β (the fitted β rides in
     * as a literal — the m4/r48 exported-artifact oracle contract): score
     * and information contributions plus their RUNNING chains in time

@@ -487,6 +487,21 @@ class SurvivalSpec extends SparkSpec {
     assert(ll >= naiveLL(dist.beta + 1e-4) && ll >= naiveLL(dist.beta - 1e-4))
   }
 
+  test("coxBinaryFitCollected: BIT-identical to the distributed fit") {
+    // the r50 fast path replicates the distributed decimal fold on the
+    // driver — (beta, se, iters, converged) must match EXACTLY, on any
+    // partitioning, or the exported-β oracle contract breaks
+    Seq(1, 4, 32).foreach { p =>
+      val frame = Survival.twoGroupTimeFrame(
+        coxCohort.toDF("t", "ev", "g").repartition(p), "t", col("ev"), col("g"))
+      val dist = Survival.coxBinaryFitDistributed(frame)
+      val coll = Survival.coxBinaryFitCollected(frame)
+      assert(coll.beta == dist.beta, s"p=$p: ${coll.beta} vs ${dist.beta}")
+      assert(coll.se == dist.se && coll.iters == dist.iters &&
+        coll.converged == dist.converged)
+    }
+  }
+
   test("coxBinaryFit: maximizes the Breslow partial likelihood; layout-proof") {
     val df = coxCohort.toDF("t", "ev", "g").repartition(4)
     val frame = Survival.twoGroupTimeFrame(df, "t", col("ev"), col("g"))

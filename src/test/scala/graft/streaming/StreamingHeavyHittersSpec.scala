@@ -100,4 +100,20 @@ class StreamingHeavyHittersSpec extends SparkSpec {
       assert(replay == live)
     } finally q.stop()
   }
+
+  test("batchReplay over pre-summed (key,item) cells equals raw-row replay") {
+    // the e29 fast path feeds batchReplay the truth aggregate instead of
+    // raw rows — foldBatch's own first step IS that per-item sum, so the
+    // fold input multiset (and the whole sketch) must be bit-identical
+    val raw = workload.map { case (i, w) => ("s", i, w) } ++
+      workload.map { case (i, w) => ("t", i, w * 2) }
+    val summed = raw.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sum).toSeq
+      .map { case ((k, i), w) => (k, i, w) }
+    def run(rows: Seq[(String, String, Long)]) =
+      StreamingHeavyHitters.batchReplay(rows.toDS(), k = 8)
+        .collect().map(u => (u.key, u.item, u.count_lb, u.processed,
+          u.spilled)).toSet
+    assert(run(raw) == run(summed))
+  }
 }
