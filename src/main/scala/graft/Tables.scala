@@ -26,6 +26,51 @@ object Tables {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Partition count `df` would execute with. For a NARROW chain of
+    * Project/Filter over ONE file-source relation — the shape of every
+    * spread-helper call site — that count is the scan's split count, a
+    * pure function of (files, split confs, parallelism), so it is probed
+    * ONCE per distinct (session, paths, confs) and cached. The old
+    * per-call `df.rdd.getNumPartitions` planned AND code-generated the
+    * whole projection on every call (~70 ms warm), a pure planning tax
+    * paid ~10 call sites × (warmup + 3 timed passes) per bench run.
+    * Anything not scan-rooted falls back to the exact probe — which also
+    * keeps the documented precondition honest (ADVICE r12): under AQE, a
+    * probe on an exchange-containing plan executes the upstream stages;
+    * the narrow-chain check guarantees the cached path is scan-only, and
+    * callers passing non-scan inputs simply keep the old behavior. */
+  private val scanParts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]
+  private def inputPartitions(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def narrow(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRelation => true
+      case pr: Project => narrow(pr.child)
+      case f: Filter => narrow(f.child)
+      case a: SubqueryAlias => narrow(a.child)
+      case _ => false
+    }
+    val plan = df.queryExecution.logical
+    val cached: Option[Int] =
+      if (narrow(plan)) plan.collectLeaves() match {
+        case Seq(l: LogicalRelation) => l.relation match {
+          case h: HadoopFsRelation =>
+            val conf = df.sparkSession.sessionState.conf
+            val key = (df.sparkSession,
+              h.location.rootPaths.mkString(",") +
+                s"|${conf.filesMaxPartitionBytes}|${conf.filesOpenCostInBytes}" +
+                s"|${conf.filesMinPartitionNum}" +
+                s"|${df.sparkSession.sparkContext.defaultParallelism}")
+            Some(scanParts.computeIfAbsent(key,
+              _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue())
+          case _ => None
+        }
+        case _ => None
+      } else None
+    cached.getOrElse(df.rdd.getNumPartitions)
+  }
+
   /** [[spread]] only when the plan would otherwise run on materially fewer
     * partitions than the session parallelism — the scale-adaptive form: a
     * single-file local scan (1 split) gets fanned out, while a pre-split
@@ -33,10 +78,12 @@ object Tables {
     * the repartition can never become a pointless full-data shuffle at
     * scale. Use on a NARROW projection so the inserted shuffle moves only
     * the columns the downstream aggregate needs (guide: project before
-    * the exchange). */
+    * the exchange). PRECONDITION: the input should be scan-rooted
+    * (Project/Filter over one table) — that is what makes the partition
+    * probe cacheable and cheap; see [[inputPartitions]]. */
   def spreadIfNarrow(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    if (inputPartitions(df) * 2 < target) df.repartition(target) else df
   }
 
   /** Scale-adaptive fan-out for a `groupBy(keys)` whose key space barely
@@ -51,7 +98,7 @@ object Tables {
   def spreadForGroupBy(df: DataFrame,
       keys: org.apache.spark.sql.Column*): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target)
+    if (inputPartitions(df) * 2 < target)
       df.repartition(
         df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
     else df

@@ -81,47 +81,68 @@ object Quantize {
     * survivors. Hamming is integer-exact; the cosine rerank replays via
     * the same sequential dot-product arithmetic both engines share.
     *
-    * The Hamming pass runs over DISTINCT sign-word CELLS, not corpus
-    * rows: duplicate bit patterns (near-dup cliques quantize identically)
-    * collapse in one map-side-combined groupBy, the per-query rank
-    * shuffle carries cells×|Q| rows instead of |C|×|Q|, and only the
-    * cells whose strictly-closer mass is ≤ k (self-exclusion removes at
-    * most one preceding row) fan back out to rows for the exact
-    * (hamming, id) rank — a per-query frame bounded by k + the boundary
-    * cell, never the corpus. */
+    * The Hamming pass is DUPLICATE-RATE GATED (r13, closing the r12
+    * verdict's n20 item): one exact aggregate measures how much the
+    * corpus's sign words collapse, and
+    *
+    *  - dup-HEAVY corpora (near-dup cliques quantize identically, ≥25%
+    *    collapse) rank DISTINCT CELLS: the per-query rank shuffle carries
+    *    cells×|Q| rows instead of |C|×|Q|, and only cells whose
+    *    strictly-closer mass is ≤ k fan back out to rows — the r12 cell
+    *    path (sf1 clique data: 1.87 → 1.57 s);
+    *  - dup-LIGHT corpora (cells ≈ rows) rank rows DIRECTLY — the cell
+    *    machinery there is a pure extra groupBy + second window + join
+    *    per query (sf0.1 isolated best-of-5: 1.63 s celled vs 1.15 s
+    *    direct).
+    *
+    * Both branches produce IDENTICAL rows (QuantizeSpec pins it): the
+    * gate is a plan choice, and the exact countDistinct makes it a pure
+    * function of the data multiset. */
   def binaryTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
       queries: DataFrame, queryId: String, queryVec: String,
       dim: Int, k: Int): DataFrame = {
     val cw = corpus.where(col(corpusVec).isNotNull)
       .select(col(corpusId).as("corpus_id"),
         signWords(col(corpusVec), dim).as("__cw"))
-    val cells = cw.groupBy(col("__cw"))
-      .agg(count(lit(1)).as("__cn"), min(col("corpus_id")).as("__cmin"))
     val q = queries.where(col(queryVec).isNotNull)
       .select(col(queryId).as("query_id"),
         signWords(col(queryVec), dim).as("__qw"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-    // cumulative mass of strictly-closer cells ((hamming, min-id) is a
-    // total order on cells); a cell can still contribute to the row-level
-    // top-k iff < k+1 rows precede it
-    val beforeW = w.orderBy(col("hamming").asc, col("__cmin").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val keptCells = cells.join(broadcast(q), lit(true))
-      .select(col("__cw"), col("query_id"), col("__cn"), col("__cmin"),
-        hamming(col("__cw"), col("__qw")).as("hamming"))
-      .withColumn("__before", coalesce(sum(col("__cn")).over(beforeW), lit(0L)))
-      .where(col("__before") <= k)
-      .select(col("query_id"), col("__cw"), col("hamming"))
-    // fan the kept cells back out to rows (broadcast equi-join on the
-    // sign words — the corpus never shuffles), apply the self-exclusion,
-    // and rank the ≤ (k + boundary-cell)-row per-query frame exactly
-    val survivors = cw.join(broadcast(keptCells), Seq("__cw"))
-      .where(col("corpus_id") =!= col("query_id"))
-      .select(col("corpus_id"), col("query_id"), col("hamming"))
-      .withColumn("rank_h", row_number().over(
-        w.orderBy(col("hamming").asc, col("corpus_id").asc)))
-      .where(col("rank_h") <= k)
+    val st = cw.agg(count(lit(1)).as("nr"),
+      count_distinct(col("__cw")).as("nc")).head()
+    val (nRows, nCells) = (st.getLong(0), st.getLong(1))
+    val survivors = if (nCells * 4 <= nRows * 3) {
+      val cells = cw.groupBy(col("__cw"))
+        .agg(count(lit(1)).as("__cn"), min(col("corpus_id")).as("__cmin"))
+      // cumulative mass of strictly-closer cells ((hamming, min-id) is a
+      // total order on cells); a cell can still contribute to the row-level
+      // top-k iff < k+1 rows precede it
+      val beforeW = w.orderBy(col("hamming").asc, col("__cmin").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val keptCells = cells.join(broadcast(q), lit(true))
+        .select(col("__cw"), col("query_id"), col("__cn"), col("__cmin"),
+          hamming(col("__cw"), col("__qw")).as("hamming"))
+        .withColumn("__before", coalesce(sum(col("__cn")).over(beforeW), lit(0L)))
+        .where(col("__before") <= k)
+        .select(col("query_id"), col("__cw"), col("hamming"))
+      // fan the kept cells back out to rows (broadcast equi-join on the
+      // sign words — the corpus never shuffles), apply the self-exclusion,
+      // and rank the ≤ (k + boundary-cell)-row per-query frame exactly
+      cw.join(broadcast(keptCells), Seq("__cw"))
+        .where(col("corpus_id") =!= col("query_id"))
+        .select(col("corpus_id"), col("query_id"), col("hamming"))
+        .withColumn("rank_h", row_number().over(
+          w.orderBy(col("hamming").asc, col("corpus_id").asc)))
+        .where(col("rank_h") <= k)
+    } else {
+      cw.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+        .select(col("corpus_id"), col("query_id"),
+          hamming(col("__cw"), col("__qw")).as("hamming"))
+        .withColumn("rank_h", row_number().over(
+          w.orderBy(col("hamming").asc, col("corpus_id").asc)))
+        .where(col("rank_h") <= k)
+    }
     // rerank join-back: survivors (k·|Q| rows) broadcast onto the corpus
     // scan — an equi-join, no corpus shuffle; query vectors re-attach from
     // the already-small broadcast query side

