@@ -26,12 +26,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// In local mode the one JVM is driver AND all executor slots; 8g
+// GC-thrashed a 327-query bench pass (A/B on the 60 heaviest:
+// 84.2s -> 79.3s, 49/60 queries faster — OPTIMIZATION_r12.md), and 32g
+// fixed it on the 128 GiB bench box. A hard 32g default OOM-kills
+// smaller hosts (ADVICE r12), so the default is derived: a quarter of
+// physical memory, clamped to [2g, 32g]; SPARK_DRIVER_MEM still
+// overrides exactly.
+val defaultHeapGb: Long = {
+  val physGb =
+    try {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      os.getTotalMemorySize / (1024L * 1024L * 1024L)
+    } catch { case _: Throwable => 8L }
+  math.max(2L, math.min(32L, physGb / 4))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32g: in local mode the one JVM is driver AND all 32 executor slots;
-  // 8g GC-thrashed a 327-query bench pass (A/B on the 60 heaviest:
-  // 84.2s -> 79.3s, 49/60 queries faster — OPTIMIZATION_r12.md). The box
-  // has 128 GiB; override via SPARK_DRIVER_MEM for smaller hosts.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

@@ -20,10 +20,13 @@ bad = []
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
-    pf = glob.glob(f'{out}/{name}/*.parquet')
+    pf = sorted(glob.glob(f'{out}/{name}/*.parquet'))
     if not pf:
         print(f'{name:28s} NO SPARK OUTPUT'); bad.append(name); continue
-    s = pq.read_table(pf[0]).to_pandas()
+    # read EVERY part file — a multi-part dump compared via part 0 alone
+    # would silently pass a partial frame (ADVICE r12)
+    import pyarrow as pa
+    s = pa.concat_tables([pq.read_table(f) for f in pf]).to_pandas()
     try:
         d = con.execute(sql).fetchdf()
     except Exception as e:
@@ -35,11 +38,17 @@ for name, sql in sorted(oracle.items()):
         for c in s.columns:
             a = s[c].astype(str).tolist(); b = d[c].astype(str).tolist()
             if a != b:
-                # tolerated: None-vs-nan NULL rendering only
-                norm = lambda x: 'NULL' if x in ('None', 'nan', '<NA>', 'NaT') else x
-                if [norm(x) for x in a] != [norm(x) for x in b]:
+                # tolerated: NULL-rendering drift only, and only where BOTH
+                # sides are pandas-null — a genuine string value 'None'/'nan'
+                # mismatching a NULL must FAIL (ADVICE r12)
+                na_a = s[c].isna().tolist(); na_b = d[c].isna().tolist()
+                ok = all(x == y or (pa_ and pb_)
+                         for x, y, pa_, pb_ in zip(a, b, na_a, na_b))
+                if not ok:
                     eq = False
-                    ia = next(i for i, (x, y) in enumerate(zip(a, b)) if norm(x) != norm(y))
+                    ia = next(i for i, (x, y, pa_, pb_) in
+                              enumerate(zip(a, b, na_a, na_b))
+                              if x != y and not (pa_ and pb_))
                     print(f'  {name} col {c} row {ia}: spark={a[ia]!r} duck={b[ia]!r}')
                     break
     print(f'{name:28s} rows {len(s)}/{len(d)} match={eq}')
