@@ -2026,13 +2026,15 @@ object SparkEntry {
     // precision / recall / F1 as guarded fixed trees (the exported-
     // artifact oracle replays the scoring). ------------------------------
     "m10_confusion" -> ((s, dir) => {
+      // pinned: fit + test scan over one materialization (m21/m22 pin
+      // doctrine — fit-safe, see m4)
       val o = t(s, dir, "orders").select(
         ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
           .cast("double").as("label"),
         col("o_totalprice"),
         (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
         year(col("o_orderdate")).cast("double").as("order_year"),
-        col("o_orderkey"))
+        col("o_orderkey")).localCheckpoint()
       val isTest = substring(md5(col("o_orderkey").cast("string")), 1, 1) < lit("5")
       val spec = graft.ml.CohortClassifier.fitTreeSpec(
         o.where(!isTest), Seq("o_totalprice", "is_urgent", "order_year"),
@@ -2888,14 +2890,18 @@ object SparkEntry {
       // the label carries an interaction (price XOR urgency) the synthetic
       // o_orderstatus lacks, so the fit finds real structure and the export
       // carries DATA-DEPENDENT split thresholds (spark.ml bin midpoints),
-      // which is exactly what the cross-engine replay must survive
+      // which is exactly what the cross-engine replay must survive.
+      // Pinned: the bare fitTreeSpec evaluates its input RDD 2-3× inside
+      // one fit (findSplits sample + treePoint conversion) and the test
+      // scan re-reads it again — the m21/m22 pin doctrine (fit-safe:
+      // partitions and row order preserved; Scratch SPEC-EQUAL).
       val o = t(s, dir, "orders").select(
         ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
           .cast("double").as("label"),
         col("o_totalprice"),
         (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
         year(col("o_orderdate")).cast("double").as("order_year"),
-        col("o_orderkey"))
+        col("o_orderkey")).localCheckpoint()
       val isTest = substring(md5(col("o_orderkey").cast("string")), 1, 1) < lit("5")
       val spec = graft.ml.CohortClassifier.fitTreeSpec(
         o.where(!isTest), Seq("o_totalprice", "is_urgent", "order_year"),
@@ -2916,13 +2922,19 @@ object SparkEntry {
     // train fold, each scored on the SAME held-out fold; three exported
     // trees replay relationally per fraction. -----------------------------
     "m21_learning_curve" -> ((s, dir) => {
+      // o feeds FIVE consumers (three fits, train counts, test scoring) —
+      // pin it so the scan + md5 gating runs once (guide §2.4). The pin
+      // is fit-safe: localCheckpoint materializes the SAME partitions in
+      // the SAME row order, and MLlib's findSplits sampling is a pure
+      // function of (seed, partitionIndex, row order) — Scratch
+      // SPEC-EQUAL pins all three trees bit-identical pinned vs not.
       val o = t(s, dir, "orders").select(
         ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
           .cast("double").as("label"),
         col("o_totalprice"),
         (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
         year(col("o_orderdate")).cast("double").as("order_year"),
-        col("o_orderkey"))
+        col("o_orderkey")).localCheckpoint()
       val h1 = substring(md5(col("o_orderkey").cast("string")), 1, 1)
       val h2 = substring(md5(col("o_orderkey").cast("string")), 2, 1)
       val isTest = h1 < lit("5")
@@ -2972,13 +2984,15 @@ object SparkEntry {
     // windows partitioned); the m4 tree scores original vs broken. -------
     "m22_perm_importance" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // o feeds the fit AND the windowed test scan — pin like m21
+      // (fit-safe: partitions and row order preserved)
       val o = t(s, dir, "orders").select(
         ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
           .cast("double").as("label"),
         col("o_totalprice"),
         (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
         year(col("o_orderdate")).cast("double").as("order_year"),
-        col("o_orderkey"))
+        col("o_orderkey")).localCheckpoint()
       val h1 = substring(md5(col("o_orderkey").cast("string")), 1, 1)
       val isTest = h1 < lit("5")
       val feats = Seq("o_totalprice", "is_urgent", "order_year")
@@ -3029,6 +3043,10 @@ object SparkEntry {
     // score's accuracy lands next to each base model's (stacking's
     // sanity row). Both artifacts export; one test scan. -----------------
     "m23_ensemble" -> ((s, dir) => {
+      // o feeds THREE consumers (two concurrent fits via train, test
+      // scoring) — pin like m21; fit-safe for the same reason (the
+      // checkpoint preserves partitions and row order; Scratch
+      // SPEC-EQUAL pins the tree, and the IRLS cells are aggregates)
       val o = t(s, dir, "orders").select(
         ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
           .cast("double").as("label"),
@@ -3039,7 +3057,7 @@ object SparkEntry {
         (col("o_orderpriority") === "1-URGENT").cast("int").as("urgent_i"),
         ((col("o_totalprice") > 250000) &&
           (col("o_orderpriority") === "1-URGENT")).cast("int").as("pxu"),
-        col("o_orderkey"))
+        col("o_orderkey")).localCheckpoint()
       val isTest = substring(md5(col("o_orderkey").cast("string")), 1, 1) < lit("5")
       val train = o.where(!isTest)
       // tree fit and logistic IRLS are independent protocols over the
@@ -3081,13 +3099,15 @@ object SparkEntry {
     // response/lift ride integer running sums in score order. The tree
     // exports for the replay (the m4 runtime-oracle contract). -----------
     "m7_lift_chart" -> ((s, dir) => {
+      // pinned: fit + test scan over one materialization (m21/m22 pin
+      // doctrine — fit-safe, see m4)
       val o = t(s, dir, "orders").select(
         ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
           .cast("double").as("label"),
         col("o_totalprice"),
         (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
         year(col("o_orderdate")).cast("double").as("order_year"),
-        col("o_orderkey"))
+        col("o_orderkey")).localCheckpoint()
       val isTest = substring(md5(col("o_orderkey").cast("string")), 1, 1) < lit("5")
       val spec = graft.ml.CohortClassifier.fitTreeSpec(
         o.where(!isTest), Seq("o_totalprice", "is_urgent", "order_year"),
@@ -5075,7 +5095,9 @@ object SparkEntry {
         col("o_totalprice"),
         (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
         year(col("o_orderdate")).cast("double").as("order_year"),
-        col("o_orderkey"))
+        // pinned: fit + test scan over one materialization (m21/m22 pin
+        // doctrine — fit-safe, see m4)
+        col("o_orderkey")).localCheckpoint()
       val isTest = substring(md5(col("o_orderkey").cast("string")), 1, 1) < lit("5")
       val spec = graft.ml.CohortClassifier.fitTreeProbSpec(
         o.where(!isTest), Seq("o_totalprice", "is_urgent", "order_year"),

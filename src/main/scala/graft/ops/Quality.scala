@@ -126,7 +126,16 @@ object Quality {
     * counts as a window PARTITIONED by group over the value-level frame
     * (never data-sized, never global); fences as a k-row frame joined
     * back to the CELLS (no second corpus scan) for the conditional
-    * outlier sums. */
+    * outlier sums.
+    *
+    * GROUP-CARDINALITY CONTRACT: the fence frame (one row per group) is
+    * broadcast back into the cell census, so `groupCol` must be
+    * dimension-like — bounded cardinality (≲ millions of groups), NOT a
+    * key that grows with the corpus. The hint is deliberate: the planner
+    * cannot see that the aggregate output is k rows, and without it a
+    * 100 TB cell frame would shuffle for a sort-merge join against k
+    * rows (r12 A/B: q10 2.22→1.17 s). For unbounded group keys use a
+    * plain join (drop the hint) — the fences themselves stay exact. */
   def iqrOutliers(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // two consumers (fence ranks, outlier census) — pin the value-level
@@ -222,7 +231,12 @@ object Quality {
     * cell cumsums PARTITIONED by group (never global); the deviation pass
     * REGROUPS THE CELLS (k·|distinct| rows, no second corpus scan) and
     * the final census joins two k-row frames back to the deviation
-    * cells. */
+    * cells.
+    *
+    * GROUP-CARDINALITY CONTRACT: the med/mad frames (one row per group)
+    * are broadcast back into the cell joins — same contract as
+    * [[iqrOutliers]]: `groupCol` must be dimension-like (bounded
+    * cardinality), never a corpus-growing key. */
   def madOutliers(df: DataFrame, valueCol: String, groupCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The cell frame feeds FOUR consumers (median window, deviation

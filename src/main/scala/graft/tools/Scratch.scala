@@ -4,9 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Dev-only scratch microbench (not part of the engine surface).
-  * Currently: cost of the spread-helpers' `df.rdd.getNumPartitions`
-  * planning probe (r12 verdict item 7) — is the per-call tax worth a
-  * cache? */
+  * Currently: SPEC-EQUAL check for the m21/m22/m23 input pin — does
+  * `localCheckpoint()` on the shared `o` projection change any fitted
+  * MLlib tree? It must NOT: the checkpoint materializes the SAME
+  * partitions in the SAME row order, and MLlib's findSplits sampling is
+  * a pure function of (seed, partitionIndex, row order). A FAIL here
+  * means the pin is NOT result-identical and must not ship. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -23,34 +26,34 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"TIME $label ${(System.nanoTime() - t0) / 1e9}%.4f s"); r
+    val o = graft.Tables.load(spark, dir, "orders").select(
+      ((col("o_totalprice") > 250000) =!= (col("o_orderpriority") === "1-URGENT"))
+        .cast("double").as("label"),
+      col("o_totalprice"),
+      (col("o_orderpriority") === "1-URGENT").cast("double").as("is_urgent"),
+      year(col("o_orderdate")).cast("double").as("order_year"),
+      col("o_orderkey"))
+    val h1 = substring(md5(col("o_orderkey").cast("string")), 1, 1)
+    val h2 = substring(md5(col("o_orderkey").cast("string")), 2, 1)
+    val isTest = h1 < lit("5")
+    val gates = Seq(("25", h2 < lit("4")), ("50", h2 < lit("8")),
+      ("100", lit(true)))
+    val feats = Seq("o_totalprice", "is_urgent", "order_year")
+    val pinned = o.localCheckpoint()
+    println(s"partitions unpinned=${o.rdd.getNumPartitions} " +
+      s"pinned=${pinned.rdd.getNumPartitions}")
+    var ok = true
+    gates.foreach { case (pct, gate) =>
+      val a = graft.ml.CohortClassifier.fitTreeSpec(
+        o.where(!isTest && gate), feats, "label", maxDepth = 4)
+      val b = graft.ml.CohortClassifier.fitTreeSpec(
+        pinned.where(!isTest && gate), feats, "label", maxDepth = 4)
+      val eq = a == b
+      ok &&= eq
+      println(s"SPEC-EQUAL pct=$pct: $eq")
+      if (!eq) { println(s"  unpinned: $a"); println(s"  pinned:   $b") }
     }
-    val li = graft.Tables.lineitem(spark, dir)
-    // warm: parquet footer, session
-    li.count()
-    // the probe as the helpers run it, on a fresh narrow projection each
-    // time (each bench pass builds a fresh DF → fresh QueryExecution)
-    (1 to 3).foreach { round =>
-      time(s"probe x10 round $round") {
-        (1 to 10).foreach { i =>
-          val cents = li.select((col("l_extendedprice").cast("decimal(12,2)")
-            * 100).cast("long").as("_c"))
-          cents.rdd.getNumPartitions: Unit
-        }
-      }
-    }
-    // same but via queryExecution.toRdd (no deserializer attachment)
-    (1 to 2).foreach { round =>
-      time(s"toRdd x10 round $round") {
-        (1 to 10).foreach { i =>
-          val cents = li.select((col("l_extendedprice").cast("decimal(12,2)")
-            * 100).cast("long").as("_t"))
-          cents.queryExecution.toRdd.getNumPartitions: Unit
-        }
-      }
-    }
+    println(if (ok) "SPEC-EQUAL: ALL PASS" else "SPEC-EQUAL: FAIL")
     spark.stop()
   }
 }
