@@ -35,6 +35,10 @@ object LanguageModel {
       k: Double = 0.5): DataFrame = {
     require(k > 0, s"smoothing k must be positive, got $k")
     val toks = TextOps.tokens(lower(col(textCol)))
+    // docBigrams feeds three consumers on different keys, but pinning it
+    // was MEASURED SLOWER (r13 A/B: 1.39 -> 1.69 s at sf0.1): the
+    // exploded bigram-string frame is bigger than the source text, so
+    // materializing it costs more than re-running tokenize per consumer.
     val docBigrams = df.select(col(idCol).as("__id"),
         explode(zip_with(
           slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),

@@ -36,8 +36,12 @@ object Search {
     val postings = df.select(col(idCol).as("__id"),
         size(toks).cast("double").as("dl"),
         explode(filter(toks, t => array_contains(terms, t))).as("term"))
+    // tf feeds the df-count aggregate AND the scoring join — unpinned,
+    // each re-ran the corpus tokenize + filtered explode (guide §2.4).
+    // Query-term postings only: a bounded, tiny frame to materialize.
     val tf = postings.groupBy(col("__id"), col("term"))
       .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfCounts = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df_t"))
     val corpus = df.agg(count(lit(1)).as("n_docs"),
@@ -72,9 +76,13 @@ object Search {
     require(topK > 0, s"topK must be positive, got $topK")
     val toks = TextOps.tokens(lower(col(textCol)))
     val base = df.where(col(idCol).isNotNull && col(textCol).isNotNull)
+    // tf feeds the document-frequency aggregate AND the scoring join —
+    // unpinned, each re-ran the corpus tokenize + explode + (doc, term)
+    // shuffle (guide §2.4). Value-level cells, the d-family storage class.
     val tf = base
       .select(col(idCol).as("doc_id"), explode(toks).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
     val nDocs = base.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(dfc), Seq("term"))
@@ -112,13 +120,26 @@ object Search {
       kPerList: Int = 50, rrfK: Int = 60, topK: Int = 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val lexIds = bm25TopK(docs, idCol, textCol, queryTerms, kPerList)
-      .select(col(idCol).cast("long")).as[Long].collect()
-    val denseIds = graft.sim.Embeddings.bruteForceTopKAgg(
-        emb, vecIdCol, vecCol,
-        emb.where(col(vecIdCol) === queryVecId), vecIdCol, vecCol, kPerList)
-      .orderBy(col("rank").asc)
-      .select(col("corpus_id")).as[Long].collect()
+    // the two retrievers are INDEPENDENT bounded protocols over different
+    // tables — run their collects as concurrent Spark jobs (guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially). Each leg's lineage is untouched, so both lists are
+    // bit-identical to the sequential run.
+    val (lexIds, denseIds) = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val lexF = Future(bm25TopK(docs, idCol, textCol, queryTerms, kPerList)
+        .select(col(idCol).cast("long")).as[Long].collect())
+      val denseF = Future(graft.sim.Embeddings.bruteForceTopKAgg(
+          emb, vecIdCol, vecCol,
+          emb.where(col(vecIdCol) === queryVecId), vecIdCol, vecCol, kPerList)
+        .orderBy(col("rank").asc)
+        .select(col("corpus_id")).as[Long].collect())
+      try (Await.result(lexF, Duration.Inf), Await.result(denseF, Duration.Inf))
+      finally pool.shutdown()
+    }
     val lexRank = lexIds.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
     val denseRank = denseIds.zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
     val fused = (lexRank.keySet ++ denseRank.keySet).toSeq
