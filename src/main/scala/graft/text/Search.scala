@@ -25,23 +25,31 @@ object Search {
     * the top `k` docs, score rounded to 6 so the ordering (score desc, id
     * asc) is engine-reproducible.
     */
-  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k: Int = 20,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "need at least one query term")
-    require(k > 0, s"k must be positive, got $k")
+  /** The (doc, term) tf frame feeding [[bm25TopK]], UNPINNED — split out
+    * so PlanQualitySpec can assert the filtered-explode shape (the
+    * query-term filter runs inside the Generate, so the exploded stream
+    * is postings-sized) on a plan the pin below would otherwise hide. */
+  private[graft] def bm25TfFrame(df: DataFrame, idCol: String,
+      textCol: String, queryTerms: Seq[String]): DataFrame = {
     val terms = array(queryTerms.distinct.map(t => lit(t.toLowerCase)): _*)
     val toks = TextOps.tokens(lower(col(textCol)))
     // postings: only query-term occurrences leave the scan
     val postings = df.select(col(idCol).as("__id"),
         size(toks).cast("double").as("dl"),
         explode(filter(toks, t => array_contains(terms, t))).as("term"))
+    postings.groupBy(col("__id"), col("term"))
+      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
+  }
+
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(k > 0, s"k must be positive, got $k")
     // tf feeds the df-count aggregate AND the scoring join — unpinned,
     // each re-ran the corpus tokenize + filtered explode (guide §2.4).
     // Query-term postings only: a bounded, tiny frame to materialize.
-    val tf = postings.groupBy(col("__id"), col("term"))
-      .agg(first(col("dl")).as("dl"), count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = bm25TfFrame(df, idCol, textCol, queryTerms).localCheckpoint()
     val dfCounts = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df_t"))
     val corpus = df.agg(count(lit(1)).as("n_docs"),

@@ -114,11 +114,18 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("n4: BM25 explodes postings only (query-term filter precedes explode)") {
-    val p = plan("n4_bm25")
+    // the tf frame is pinned inside bm25TopK (r13), which truncates the
+    // explode out of the FINAL plan — assert the filtered-explode shape on
+    // the unpinned tf frame the pin materializes (same lineage)
+    val tfPlan = graft.text.Search.bm25TfFrame(
+      graft.Tables.load(spark, dir, "documents"), "doc_id", "text",
+      Seq("dup", "spark", "merge"))
+      .queryExecution.executedPlan.toString
     // the term filter runs inside the project feeding Generate, so the
     // exploded stream is postings-sized: filter() appears as an argument of
     // the explode generator, not as a post-explode Filter node
-    assert(p.contains("Generate explode(filter("), p)
+    assert(tfPlan.contains("Generate explode(filter("), tfPlan)
+    val p = plan("n4_bm25")
     // top-k is a bounded TakeOrdered, never a global sort
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("CartesianProduct"), p)
