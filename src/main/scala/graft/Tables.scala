@@ -137,4 +137,22 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Run INDEPENDENT eager driver-side protocols as concurrent Spark jobs
+    * (guide §2.6: actions are only sequential because the driver calls
+    * them sequentially). Results return in INPUT order, so thunk
+    * completion order cannot change anything. Each thunk must be
+    * deterministic in isolation — overlap changes only WHEN tasks run,
+    * never any job's input partitioning or per-partition row order, so
+    * every result is bit-identical to the sequential run. */
+  private[graft] def concurrently[A](thunks: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, thunks.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(
+      Future.sequence(thunks.toList.map(th => Future(th()))), Duration.Inf)
+    finally pool.shutdown()
+  }
 }

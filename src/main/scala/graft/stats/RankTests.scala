@@ -242,7 +242,13 @@ object RankTests {
           (lit(2L) * col("cum") + col("t") + lit(1L)).as(s"d$c"))
     }
     val dec = "decimal(18,0)"
-    val joined = base.join(rankMap("x"), "x").join(rankMap("y"), "y")
+    // the two rank maps are independent eager protocols (each runs the
+    // sharded-prefix machinery: two pins + a shard-totals collect) over
+    // the SAME pinned base — overlap them as concurrent jobs
+    // (guide §2.6; bit-identical, see Tables.concurrently)
+    val Seq(rmx, rmy) = graft.Tables.concurrently(
+      Seq(() => rankMap("x"), () => rankMap("y")))
+    val joined = base.join(rmx, "x").join(rmy, "y")
       .select(col("dx").cast(dec).as("dx"), col("dy").cast(dec).as("dy"))
     val agg = joined.agg(count(lit(1)).as("n"),
       sum(col("dx")).as("sdx0"), sum(col("dy")).as("sdy0"),
